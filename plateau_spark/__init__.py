@@ -1,0 +1,60 @@
+"""plateau_spark — a PySpark-native rebuild of plateau's capabilities.
+
+A library to manage (create / read / update / delete) large partitioned
+tabular datasets stored as Parquet, with a single JSON metadata file
+providing atomic lock-free commits, hive-style partitioning, secondary
+inverted indexes for partition pruning, and DNF-predicate pushdown scans —
+re-expressed on the Spark DataFrame API so that Catalyst/Tungsten provide
+the physical execution (vectorized parquet scan, filter/projection
+pushdown, shuffle, AQE).
+
+Reference semantics: data-engineering-collective/plateau (see SURVEY.md).
+Everything here is a from-scratch Spark-first design, not a port: the
+execution substrate is the Spark DataFrame; this package adds the dataset
+catalog/commit layer, predicate & schema contracts, index machinery, and
+the large-scale data-pipeline operators (dedup, similarity search,
+multimodal columns, text analysis).
+"""
+
+from plateau_spark.core.predicates import (
+    check_predicates,
+    columns_in_predicates,
+    dnf_to_column,
+    dnf_to_sql,
+    filter_predicates_by_column,
+)
+from plateau_spark.core.schema import normalize_schema, normalize_dataframe
+from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.sources.dataset import (
+    store_dataframe_as_dataset,
+    read_dataset_as_dataframe,
+    read_table,
+    update_dataset_from_dataframe,
+    commit_dataset,
+    create_empty_dataset_header,
+    delete_dataset,
+    garbage_collect_dataset,
+    build_dataset_indices,
+)
+
+__all__ = [
+    "check_predicates",
+    "columns_in_predicates",
+    "dnf_to_column",
+    "dnf_to_sql",
+    "filter_predicates_by_column",
+    "normalize_schema",
+    "normalize_dataframe",
+    "DatasetMetadata",
+    "store_dataframe_as_dataset",
+    "read_dataset_as_dataframe",
+    "read_table",
+    "update_dataset_from_dataframe",
+    "commit_dataset",
+    "create_empty_dataset_header",
+    "delete_dataset",
+    "garbage_collect_dataset",
+    "build_dataset_indices",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,160 @@
+"""DatasetMetadata — the commit file (single source of truth for a dataset).
+
+Semantics mirror the reference's DatasetMetadata / DatasetMetadataBuilder
+(/root/reference/plateau/core/dataset.py:63-93,847-1041) and the
+copy-on-write commit protocol
+(docs/spec/format_specification.rst:34-54): one JSON file per dataset
+holds the explicit partition list (label → file key), partition keys,
+normalized schema, secondary-index pointers and user metadata. Every
+state change writes data files FIRST, then swaps this one file — a
+single atomic put — so readers are lock-free and never observe a
+partial commit.
+
+Spark relevance: scans read *explicit path lists* taken from this file
+(never directory listings), which (a) makes commits atomic without a
+transaction log, (b) lets the planner prune partitions driver-side via
+partition-key values and secondary indexes before Spark ever lists a
+file, giving O(1) metadata calls per query plan.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import types as T
+
+from plateau_spark.core import naming
+from plateau_spark.core.schema import schema_from_json, schema_to_json
+from plateau_spark.core.store import Store
+from plateau_spark.core.urlencode import decode_partition_label
+
+
+@dataclass
+class Partition:
+    """label + file key (relative to store root) + partition-key values.
+
+    Reference: plateau/core/partition.py:8-52. Key values are stored
+    explicitly so pruning never has to parse paths (SURVEY.md §7
+    hard-part 5).
+    """
+
+    label: str
+    file: str
+    key_values: dict[str, Any] = field(default_factory=dict)
+    row_count: int | None = None
+
+    def to_json(self) -> dict:
+        out: dict[str, Any] = {"files": {naming.TABLE_NAME: self.file}}
+        if self.key_values:
+            out["key_values"] = {k: _json_value(v) for k, v in self.key_values.items()}
+        if self.row_count is not None:
+            out["row_count"] = self.row_count
+        return out
+
+
+def _json_value(v: Any) -> Any:
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+@dataclass
+class DatasetMetadata:
+    uuid: str
+    partitions: dict[str, Partition] = field(default_factory=dict)
+    partition_keys: list[str] = field(default_factory=list)
+    schema: T.StructType | None = None
+    indices: dict[str, str] = field(default_factory=dict)  # column → index file key
+    metadata: dict[str, Any] = field(default_factory=dict)
+    explicit_partitions: bool = True
+    metadata_version: int = naming.METADATA_VERSION
+
+    # -- (de)serialization --------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "dataset_uuid": self.uuid,
+            "metadata_version": self.metadata_version,
+            "partition_keys": self.partition_keys,
+            "partitions": {label: p.to_json() for label, p in self.partitions.items()},
+            "indices": self.indices,
+            "schema": schema_to_json(self.schema) if self.schema is not None else None,
+            "metadata": self.metadata,
+            "explicit_partitions": self.explicit_partitions,
+        }
+
+    @classmethod
+    def from_json(cls, payload: dict) -> "DatasetMetadata":
+        partitions = {}
+        pkeys = payload.get("partition_keys", [])
+        schema = (
+            schema_from_json(payload["schema"]) if payload.get("schema") else None
+        )
+        key_types = {}
+        if schema is not None:
+            key_types = {f.name: f.dataType for f in schema.fields if f.name in pkeys}
+        for label, pj in payload.get("partitions", {}).items():
+            kv = pj.get("key_values")
+            if kv is None and pkeys:
+                kv = decode_partition_label(label, pkeys, key_types)
+            partitions[label] = Partition(
+                label=label,
+                file=pj["files"][naming.TABLE_NAME],
+                key_values=_revive_key_values(kv or {}, key_types),
+                row_count=pj.get("row_count"),
+            )
+        return cls(
+            uuid=payload["dataset_uuid"],
+            partitions=partitions,
+            partition_keys=list(pkeys),
+            schema=schema,
+            indices=dict(payload.get("indices", {})),
+            metadata=dict(payload.get("metadata", {})),
+            explicit_partitions=payload.get("explicit_partitions", True),
+            metadata_version=payload.get("metadata_version", naming.METADATA_VERSION),
+        )
+
+    # -- store round-trip ----------------------------------------------------
+    @classmethod
+    def load(cls, store: Store, dataset_uuid: str) -> "DatasetMetadata":
+        return cls.from_json(store.get_json(naming.metadata_key(dataset_uuid)))
+
+    @classmethod
+    def exists(cls, store: Store, dataset_uuid: str) -> bool:
+        return store.exists(naming.metadata_key(dataset_uuid))
+
+    def commit(self, store: Store) -> None:
+        """THE atomic commit: one put of the metadata file."""
+        store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
+
+    # -- queries --------------------------------------------------------------
+    def query(self, **kwargs: Any) -> list[str]:
+        """Partition labels matching all ``column=value`` constraints
+        (partition keys only here; secondary indexes handled by the
+        planner). Reference: plateau/core/dataset.py:324-354."""
+        labels = []
+        for label, part in self.partitions.items():
+            if all(part.key_values.get(k) == v for k, v in kwargs.items()):
+                labels.append(label)
+        return sorted(labels)
+
+    def referenced_keys(self) -> set[str]:
+        """All store keys referenced by the current state (for GC)."""
+        keys = {p.file for p in self.partitions.values()}
+        keys.update(self.indices.values())
+        return keys
+
+
+def _revive_key_values(kv: dict[str, Any], key_types: dict[str, T.DataType]) -> dict[str, Any]:
+    """JSON round-trip loses date/timestamp types; revive from the schema."""
+    out: dict[str, Any] = {}
+    for k, v in kv.items():
+        dt = key_types.get(k)
+        if isinstance(v, str) and isinstance(dt, T.DateType):
+            out[k] = datetime.date.fromisoformat(v)
+        elif isinstance(v, str) and isinstance(dt, T.TimestampType):
+            out[k] = datetime.datetime.fromisoformat(v)
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,46 @@
+"""Naming constants for the on-disk dataset layout.
+
+Mirrors the reference's layout contract
+(/root/reference/plateau/core/naming.py:4-34,
+docs/spec/format_specification.rst:34-54):
+
+    <UUID>.by-dataset-metadata.json                      # the commit file
+    <UUID>/indices/<COLUMN>/<TS>.by-dataset-index.parquet  # secondary indexes
+    <UUID>/<TABLE>/_common_metadata                      # (implicit: schema lives in commit file)
+    <UUID>/<TABLE>/{KEY=VALUE/...}/<PARTITION_UUID>.parquet
+
+The JSON commit file is the single source of truth; a dataset state
+change is exactly one atomic put of this file (copy-on-write).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+
+METADATA_VERSION = 4
+METADATA_SUFFIX = ".by-dataset-metadata.json"
+INDEX_SUFFIX = ".by-dataset-index.parquet"
+TABLE_NAME = "table"  # single table per dataset (plateau 4.0 semantics)
+PARQUET_SUFFIX = ".parquet"
+
+_UUID_RE = re.compile(r"^[a-zA-Z0-9_\-]+$")
+
+
+def validate_dataset_uuid(dataset_uuid: str) -> None:
+    if not _UUID_RE.match(dataset_uuid):
+        raise ValueError(
+            f"Invalid dataset UUID {dataset_uuid!r}: only alphanumeric, '_' and '-' allowed"
+        )
+
+
+def metadata_key(dataset_uuid: str) -> str:
+    return f"{dataset_uuid}{METADATA_SUFFIX}"
+
+
+def index_key(dataset_uuid: str, column: str, timestamp: str) -> str:
+    return f"{dataset_uuid}/indices/{column}/{timestamp}{INDEX_SUFFIX}"
+
+
+def gen_partition_uuid() -> str:
+    return _uuid.uuid4().hex

@@ -1,0 +1,148 @@
+"""Key-value style store over a filesystem root.
+
+The reference uses minimalkv.KeyValueStore (get/put/delete/iter_keys)
+over S3/ABS/GCS/FS (/root/reference/plateau/core/dataset.py:155-191,
+docs/spec/store_interface.rst). On Spark, bulk data I/O goes through the
+Hadoop FileSystem connectors natively (s3a:// abfss:// gs:// file://);
+this class only needs the *metadata-plane* operations: put/get small
+JSON blobs, list keys under a prefix, delete keys — O(1) remote calls
+per query plan, matching the reference's design goal
+(docs/spec/format_specification.rst:25-26).
+
+Implementation: local paths use the Python stdlib (fast path for tests);
+any other scheme goes through the active SparkSession's Hadoop
+FileSystem via the JVM gateway, so the same code runs against
+object stores on a real cluster. Atomicity primitive: write-temp +
+rename for the commit file (rename is atomic on HDFS/local; on S3 the
+single-key put itself is atomic — same bet the reference makes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Iterator
+from urllib.parse import urlparse
+
+
+class Store:
+    """Metadata-plane store rooted at a directory URI."""
+
+    def __init__(self, root: str):
+        parsed = urlparse(root)
+        self.scheme = parsed.scheme or "file"
+        if self.scheme == "file" and parsed.path:
+            self.root = parsed.path.rstrip("/")
+        else:
+            self.root = root.rstrip("/")
+        self._is_local = self.scheme == "file"
+
+    # -- paths ------------------------------------------------------------
+    def url(self, key: str) -> str:
+        """Full URI for a key — what Spark readers/writers consume."""
+        if self._is_local:
+            return f"file://{self.root}/{key}"
+        return f"{self.root}/{key}"
+
+    def path(self, key: str) -> str:
+        if not self._is_local:
+            raise ValueError(f"path() only valid for local stores, root={self.root}")
+        return f"{self.root}/{key}"
+
+    # -- small-blob ops ----------------------------------------------------
+    def put_json(self, key: str, payload: dict, *, atomic: bool = True) -> None:
+        data = json.dumps(payload, sort_keys=True, default=str).encode()
+        if self._is_local:
+            target = self.path(key)
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            if atomic:
+                tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, target)  # atomic on POSIX
+            else:
+                with open(target, "wb") as f:
+                    f.write(data)
+        else:  # pragma: no cover - object-store path, exercised on clusters
+            self._hadoop_put(key, data)
+
+    def get_json(self, key: str) -> dict:
+        if self._is_local:
+            with open(self.path(key), "rb") as f:
+                return json.loads(f.read())
+        return json.loads(self._hadoop_get(key))  # pragma: no cover
+
+    def exists(self, key: str) -> bool:
+        if self._is_local:
+            return os.path.exists(self.path(key))
+        return self._hadoop_fs().exists(self._hadoop_path(key))  # pragma: no cover
+
+    def delete(self, key: str) -> None:
+        if self._is_local:
+            target = self.path(key)
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            elif os.path.exists(target):
+                os.remove(target)
+        else:  # pragma: no cover
+            self._hadoop_fs().delete(self._hadoop_path(key), True)
+
+    def iter_keys(self, prefix: str = "") -> Iterator[str]:
+        """All keys (files) whose relative path starts with ``prefix``."""
+        if self._is_local:
+            if not os.path.isdir(self.root):
+                return
+            keys = []
+            for dirpath, _dirnames, filenames in os.walk(self.root):
+                for fn in filenames:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    if rel.startswith(prefix):
+                        keys.append(rel)
+            yield from sorted(keys)
+            return
+        yield from self._hadoop_iter(prefix)  # pragma: no cover
+
+    # -- hadoop plumbing (non-local schemes) --------------------------------
+    def _hadoop_fs(self):  # pragma: no cover
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        juri = jvm.java.net.URI(self.root)
+        conf = spark._jsc.hadoopConfiguration()
+        return jvm.org.apache.hadoop.fs.FileSystem.get(juri, conf)
+
+    def _hadoop_path(self, key: str):  # pragma: no cover
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm
+        return jvm.org.apache.hadoop.fs.Path(f"{self.root}/{key}")
+
+    def _hadoop_put(self, key: str, data: bytes) -> None:  # pragma: no cover
+        fs = self._hadoop_fs()
+        out = fs.create(self._hadoop_path(key), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def _hadoop_get(self, key: str) -> bytes:  # pragma: no cover
+        fs = self._hadoop_fs()
+        stream = fs.open(self._hadoop_path(key))
+        try:
+            from pyspark.sql import SparkSession
+
+            jvm = SparkSession.getActiveSession()._jvm
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def _hadoop_iter(self, prefix: str):  # pragma: no cover
+        fs = self._hadoop_fs()
+        it = fs.listFiles(self._hadoop_path(prefix) if prefix else self._hadoop_path(""), True)
+        root_len = len(self.root.rstrip("/")) + 1
+        while it.hasNext():
+            status = it.next()
+            yield str(status.getPath().toString())[root_len:]

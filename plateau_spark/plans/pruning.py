@@ -1,0 +1,90 @@
+"""Driver-side scan planning: partition pruning before Spark sees a path.
+
+The reference's query planner (dispatch_metapartitions_from_factory,
+/root/reference/plateau/io_components/read.py:17-126 +
+plateau/core/dataset.py:356-491) prunes the explicit partition list by
+
+  1. evaluating partition-key literals against each partition's key
+     values (conjunction falsification,
+     plateau/io_components/metapartition.py:538-586), and
+  2. consulting secondary inverted indexes for predicate columns that
+     have one (AND within a conjunction = intersection of posting
+     lists; OR across conjunctions = union).
+
+Only surviving partitions' file paths are handed to
+``spark.read.parquet(*paths)`` — so a selective predicate on an indexed
+or partition column touches O(matching partitions) files regardless of
+dataset size. Residual filtering (row-group pruning + exact) is Spark's
+native parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from plateau_spark.core.metadata import DatasetMetadata, Partition
+from plateau_spark.core.predicates import (
+    Predicates,
+    check_predicates,
+    columns_in_predicates,
+    conjunction_holds_on_keys,
+)
+from plateau_spark.core.store import Store
+from plateau_spark.plans.index import SecondaryIndex
+
+
+def _conjunction_allowed_labels(
+    conjunction, indexes: dict[str, SecondaryIndex]
+) -> set[str] | None:
+    """Intersect posting lists for all literals on indexed columns.
+
+    Returns None when no literal touches an indexed column (no
+    constraint). Smallest-first intersection mirrors the reference's
+    join ordering (plateau/core/dataset.py:467-486).
+    """
+    sets: list[set[str]] = []
+    for col, op, val in conjunction:
+        if col in indexes:
+            sets.append(indexes[col].eval_operator(op, val))
+    if not sets:
+        return None
+    sets.sort(key=len)
+    out = sets[0]
+    for s in sets[1:]:
+        out = out & s
+        if not out:
+            break
+    return out
+
+
+def plan_scan(
+    metadata: DatasetMetadata,
+    store: Store,
+    predicates: Predicates | None = None,
+) -> list[Partition]:
+    """Prune the partition list; returns surviving partitions sorted by label."""
+    check_predicates(predicates)
+    parts = metadata.partitions
+    if predicates is None:
+        return [parts[label] for label in sorted(parts)]
+
+    # Load only the indexes that can constrain this query (lazily, once).
+    pred_cols = columns_in_predicates(predicates)
+    needed = [
+        c for c in pred_cols if c in metadata.indices and c not in metadata.partition_keys
+    ]
+    indexes = {
+        c: SecondaryIndex.load(store, metadata.indices[c], c) for c in needed
+    }
+
+    surviving: set[str] = set()
+    for conjunction in predicates:
+        allowed = _conjunction_allowed_labels(conjunction, indexes)
+        for label, part in parts.items():
+            if label in surviving:
+                continue
+            if allowed is not None and label not in allowed:
+                continue
+            if conjunction_holds_on_keys(conjunction, part.key_values):
+                surviving.add(label)
+    return [parts[label] for label in sorted(surviving)]

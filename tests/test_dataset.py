@@ -1,0 +1,199 @@
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.core.schema import SchemaValidationError
+from plateau_spark.sources.dataset import (
+    build_dataset_indices,
+    commit_dataset,
+    delete_dataset,
+    garbage_collect_dataset,
+    read_dataset_as_dataframe,
+    store_dataframe_as_dataset,
+    update_dataset_from_dataframe,
+    write_single_partition,
+)
+
+
+def test_store_and_read_roundtrip(spark, store, cluster_df):
+    ds = store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"]
+    )
+    assert ds.partition_keys == ["P"]
+    assert len(ds.partitions) == 2
+    # key_values recovered and typed
+    kvs = sorted(p.key_values["P"] for p in ds.partitions.values())
+    assert kvs == [1, 2]
+
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert out.columns == ["P", "DATE", "L", "TARGET"]  # keys first, payload alpha
+    rows = out.orderBy("P").collect()
+    assert [r.P for r in rows] == [1, 2]
+    assert rows[0].DATE == datetime.date(2010, 1, 1)
+
+
+def test_normalization_applied(spark, store):
+    df = spark.createDataFrame([(1, 2.5)], "i int, f float")
+    ds = store_dataframe_as_dataset(spark, store, "norm", df)
+    assert dict((f.name, f.dataType) for f in ds.schema.fields) == {
+        "f": T.DoubleType(),
+        "i": T.LongType(),
+    }
+
+
+def test_overwrite_guard(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df)
+    with pytest.raises(RuntimeError, match="already exists"):
+        store_dataframe_as_dataset(spark, store, "ds", cluster_df)
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, overwrite=True)
+
+
+def test_null_partition_key_rejected(spark, store):
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "p long, x string")
+    with pytest.raises(ValueError, match="null values in partition columns"):
+        store_dataframe_as_dataset(spark, store, "ds", df, partition_on=["p"])
+
+
+def test_predicate_pruning_reads_fewer_files(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    out = read_dataset_as_dataframe(
+        spark, store, "ds", predicates=[[("P", "==", 1)]]
+    )
+    # pruning happens at plan time: only one file in the scan
+    assert out.count() == 1
+    files = out.inputFiles()
+    assert len(files) == 1 and "P=1" in files[0]
+
+
+def test_predicates_and_columns(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    out = read_dataset_as_dataframe(
+        spark,
+        store,
+        "ds",
+        predicates=[[("L", ">=", 2)]],
+        columns=["P", "L"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].asDict() == {"P": 2, "L": 2}
+    with pytest.raises(ValueError, match="Columns not found"):
+        read_dataset_as_dataframe(spark, store, "ds", columns=["nope"])
+
+
+def test_empty_result_keeps_schema(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("P", "==", 99)]])
+    assert out.count() == 0
+    assert out.columns == ["P", "DATE", "L", "TARGET"]
+
+
+def test_update_add_and_delete_scope(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    new = spark.createDataFrame(
+        [(3, 3, 3, datetime.date(2011, 1, 1))], "P long, L long, TARGET long, DATE date"
+    )
+    meta = update_dataset_from_dataframe(
+        spark, store, "ds", new, delete_scope=[{"P": 1}]
+    )
+    vals = sorted(p.key_values["P"] for p in meta.partitions.values())
+    assert vals == [2, 3]
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert sorted(r.P for r in out.collect()) == [2, 3]
+
+
+def test_update_schema_mismatch_rejected(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    bad = spark.createDataFrame([(1, "oops")], "P long, L string")
+    with pytest.raises(SchemaValidationError):
+        update_dataset_from_dataframe(spark, store, "ds", bad)
+
+
+def test_secondary_index_pruning(spark, store):
+    df = spark.createDataFrame(
+        [("A", i, f"pay{i}") for i in range(5)] + [("B", i, f"pay{i}") for i in range(3, 8)],
+        "part string, indexed long, payload string",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ds", df, partition_on=["part"], secondary_indices=["indexed"]
+    )
+    # value 0 exists only in partition A -> index prunes partition B's file
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("indexed", "==", 0)]])
+    files = out.inputFiles()
+    assert len(files) == 1 and "part=A" in files[0]
+    assert out.count() == 1
+    # value 4 is in both partitions
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("indexed", "==", 4)]])
+    assert len(out.inputFiles()) == 2
+    assert out.count() == 2
+
+
+def test_build_indices_post_hoc(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    meta = build_dataset_indices(spark, store, "ds", ["TARGET"])
+    assert "TARGET" in meta.indices
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("TARGET", "==", 2)]])
+    assert len(out.inputFiles()) == 1
+    assert out.count() == 1
+
+
+def test_write_single_partition_then_commit(spark, store, cluster_df):
+    parts = write_single_partition(spark, store, "ds", cluster_df, partition_on=["P"])
+    assert len(parts) == 2
+    # not yet visible
+    assert not DatasetMetadata.exists(store, "ds")
+    commit_dataset(
+        spark, store, "ds", new_partitions=parts,
+        schema=cluster_df.schema, partition_on=["P"],
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert out.count() == 2
+
+
+def test_garbage_collect(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    # orphan write (never committed)
+    write_single_partition(spark, store, "ds", cluster_df, partition_on=["P"])
+    before = set(store.iter_keys("ds/"))
+    removed = garbage_collect_dataset(store, "ds")
+    assert removed
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert out.count() == 2  # committed data untouched
+    after = set(store.iter_keys("ds/"))
+    assert after < before
+
+
+def test_delete_dataset(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    delete_dataset(store, "ds")
+    assert not DatasetMetadata.exists(store, "ds")
+    assert list(store.iter_keys("ds/")) == []
+
+
+def test_metadata_query(spark, store, cluster_df):
+    ds = store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P", "L"])
+    labels = ds.query(P=1)
+    assert len(labels) == 1 and "P=1" in labels[0]
+
+
+def test_bucketed_write_caps_files_per_key(spark, store, lineitem):
+    store_dataframe_as_dataset(
+        spark,
+        store,
+        "li",
+        lineitem,
+        partition_on=["l_returnflag"],
+        num_buckets=4,
+        bucket_by=["l_orderkey"],
+    )
+    meta = DatasetMetadata.load(store, "li")
+    from collections import Counter
+
+    per_key = Counter(p.key_values["l_returnflag"] for p in meta.partitions.values())
+    assert all(n <= 4 for n in per_key.values())
+    out = read_dataset_as_dataframe(spark, store, "li")
+    assert out.count() == lineitem.count()
