@@ -1,0 +1,118 @@
+"""Dataflow helpers mirroring the reference's pandas utilities —
+re-expressed as distributed DataFrame ops (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.core.store import Store
+
+
+def sort_dataframe(df: DataFrame, columns: Sequence[str], ascending: bool = True) -> DataFrame:
+    """Global multi-column sort (range-partitioned exchange).
+    Reference: sort_dataframe (plateau/utils/pandas.py:145-176)."""
+    cols = [F.col(c).asc() if ascending else F.col(c).desc() for c in columns]
+    return df.orderBy(*cols)
+
+
+def aggregate_to_lists(
+    df: DataFrame, by: Sequence[str], value_col: str, *, sort_values: bool = True
+) -> DataFrame:
+    """groupBy → collect values into arrays.
+
+    Reference: aggregate_to_lists (plateau/utils/pandas.py:251-326) — a
+    hand-rolled pandas fast path there; one hash aggregation here.
+    ``sort_values`` makes the array order deterministic (collect_list
+    order is not guaranteed across tasks).
+    """
+    agg = F.collect_list(value_col)
+    if sort_values:
+        agg = F.sort_array(agg)
+    return df.groupBy(*by).agg(agg.alias(value_col))
+
+
+def merge_dataframes_robust(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """Join on shared columns; cross join when none are shared.
+    Reference: merge_dataframes_robust (plateau/utils/pandas.py:329-365)."""
+    shared = [c for c in left.columns if c in set(right.columns)]
+    if shared:
+        return left.join(right, on=shared, how=how)
+    return left.crossJoin(right)
+
+
+def hash_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    *,
+    group_key: Sequence[str] | None = None,
+    subset: Sequence[str] | None = None,
+) -> DataFrame:
+    """Order-independent content hash per partition file (or per group).
+
+    Reference: hash_dataset (plateau/io/dask/dataframe.py:619-697) —
+    per-row uint64 hashes summed per group. Here: xxhash64 over the
+    column subset, summed per input file / group key — one scan, one
+    partial-aggregated shuffle.
+    """
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    store = store if isinstance(store, Store) else Store(store)
+    df = read_dataset_as_dataframe(spark, store, dataset_uuid)
+    cols = list(subset) if subset else df.columns
+    hashed = df.select(
+        *(group_key or []),
+        F.input_file_name().alias("__file__"),
+        F.xxhash64(*[F.col(c) for c in cols]).alias("__h__"),
+    )
+    keys = list(group_key) if group_key else ["__file__"]
+    return hashed.groupBy(*keys).agg(F.sum("__h__").alias("content_hash"))
+
+
+def collect_dataset_metadata(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    *,
+    frac: float = 1.0,
+) -> DataFrame:
+    """Parquet footer/row-group statistics table for a dataset.
+
+    Reference: collect_dataset_metadata
+    (plateau/io/dask/dataframe.py:535-616,
+    plateau/io_components/metapartition.py:1277-1323). Footer reads are
+    distributed: each task opens only its files' footers (pyarrow inside
+    mapInPandas would also work; partition count is small enough that a
+    parallelized driver job is the simpler plan).
+    """
+    store = store if isinstance(store, Store) else Store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+    parts = sorted(meta.partitions.values(), key=lambda p: p.label)
+    if frac < 1.0:
+        step = max(1, int(1 / frac))
+        parts = parts[::step]
+    rows = [(p.label, store.path(p.file)) for p in parts]
+
+    def stats(batch):
+        label, path = batch
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        return (
+            label,
+            md.num_rows,
+            md.num_row_groups,
+            sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups)),
+            md.serialized_size,
+        )
+
+    collected = spark.sparkContext.parallelize(rows, max(1, len(rows))).map(stats).collect()
+    return spark.createDataFrame(
+        collected,
+        "partition_label string, num_rows long, num_row_groups long, total_byte_size long, serialized_size long",
+    )

@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale (100 TB) document pipelines.
+
+Not present in the reference (SURVEY.md §2.7) — these are the north-star
+extension operators. The only dedup machinery the reference has is
+drop_sorted_duplicates_keep_last (/root/reference/plateau/utils/pandas.py:178-249),
+re-expressed here as a window rank; everything else is new work.
+
+Design rules for scale:
+  - everything is DataFrame → DataFrame, no driver-side state
+  - JVM-side built-ins only (whole-stage codegen); no Python UDFs
+  - shuffles are keyed on high-cardinality hashes (no skew hot-spots);
+    LSH banding turns the quadratic all-pairs problem into
+    groupBy(band-signature) — each bucket is tiny, AQE handles stragglers
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    subset: Sequence[str],
+    *,
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """Exact dedup on ``subset``; deterministically keeps the row with the
+    smallest ``tie_breaker`` (hash-groupBy, one shuffle, map-side combine).
+
+    With no tie_breaker this is ``dropDuplicates`` (keeps an arbitrary
+    row — fine when rows are identical on all columns).
+    """
+    if tie_breaker is None:
+        return df.dropDuplicates(list(subset))
+    w = Window.partitionBy(*subset).orderBy(F.col(tie_breaker).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def drop_duplicates_keep_last(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """Keep the LAST row per key in ``order_by`` order.
+
+    Reference semantics: drop_sorted_duplicates_keep_last
+    (plateau/utils/pandas.py:178-249) — there, per-sorted-partition in
+    pandas; here, a distributed window (partitionBy keys, orderBy desc,
+    rank 1) so it holds across partitions, not just within one file.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash / n-gram Jaccard / SimHash)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text_col: str) -> F.Column:
+    """Lowercased word tokens (JVM regex split, codegen'd)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+")
+
+
+def shingles_col(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array<string> column.
+
+    Built from array functions only: slide an index sequence over the
+    token array and join each window — no UDF, fully codegen'd.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def _minhash_signature(shingles: F.Column, num_perm: int) -> F.Column:
+    """num_perm minhash values: min over shingles of murmur3(shingle, seed).
+
+    hash(x, seed_i) is an independent-enough family for LSH banding; all
+    JVM-side (one pass over the shingle array per permutation).
+    """
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s: F.hash(s, F.lit(i)))) for i in range(num_perm)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """id → minhash signature (array<int>, length num_perm)."""
+    sh = shingles_col(text_col, shingle_size)
+    return df.select(
+        F.col(id_col),
+        _minhash_signature(sh, num_perm).alias("signature"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash + LSH banding, verified exactly.
+
+    Pipeline (each step one narrow transform or one keyed shuffle):
+      shingle → minhash(num_perm) → split into ``bands`` band signatures
+      → explode → groupBy(band, signature) bucket-join candidates
+      → exact Jaccard verification on the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
+    bands. At 100 TB the only quadratic step is within-bucket pairing;
+    bucket sizes are bounded by the band collision rate, and the final
+    verify joins shingle sets back by id (two broadcast-able or
+    shuffle-hash joins on the id key).
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(shingles_col(text_col, shingle_size)).alias("__shingles__"),
+    ).where(F.size("__shingles__") > 0)
+    sig = base.select(
+        "__id__",
+        "__shingles__",
+        _minhash_signature(F.col("__shingles__"), num_perm).alias("__sig__"),
+    )
+    banded = sig.select(
+        "__id__",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.concat_ws("_", F.slice("__sig__", b * rows_per_band + 1, rows_per_band))),
+            )
+        ).alias("__band__", "__bandsig__"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.__band__") == F.col("r.__band__"))
+            & (F.col("l.__bandsig__") == F.col("r.__bandsig__"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("__sh_a__"))
+    b = base.select(F.col("__id__").alias("id_b"), F.col("__shingles__").alias("__sh_b__"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a__", "__sh_b__"))
+            / F.size(F.array_union("__sh_a__", "__sh_b__")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs (the oracle-checkable path).
+
+    explode(shingles) → self-join on shingle → count shared → jaccard =
+    |∩| / (|a| + |b| - |∩|). The explode-join is the classic inverted-
+    index similarity join: the shuffle key is the shingle, so common
+    shingles (stopword n-grams) can skew — AQE skew-join splits those;
+    for aggressive scale-out add a document-frequency cut on shingles.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(shingles_col(text_col, shingle_size)).alias("__sh__"),
+    ).where(F.size("__sh__") > 0)
+    sizes = base.select("__id__", F.size("__sh__").alias("__n__"))
+    exploded = base.select("__id__", F.explode("__sh__").alias("__s__"))
+    shared = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), (F.col("l.__s__") == F.col("r.__s__")) & (F.col("l.__id__") < F.col("r.__id__")))
+        .groupBy(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .agg(F.count("*").alias("__shared__"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "__na__"), "id_a")
+        .join(sizes.withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "__nb__"), "id_b")
+        .withColumn("jaccard", F.col("__shared__") / (F.col("__na__") + F.col("__nb__") - F.col("__shared__")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+    """Per-document SimHash fingerprint (array-fold, JVM-side).
+
+    For each bit b: sum over tokens of ±1 depending on bit b of
+    murmur3(token); fingerprint bit = 1 if the sum > 0. Expressed as one
+    aggregate over the token array with a 64-slot accumulator (zip_with),
+    so it stays inside codegen — no Python in the hot path.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+
+    def bit_vec(t):
+        # per-token ±1 vector from the bits of its 64-bit hash
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda a, t: F.zip_with(a, bit_vec(t), lambda x, y: x + y),
+    )
+    df = df.select(F.col(id_col), acc.alias("__acc__"))
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(F.element_at("__acc__", b + 1) > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed exact cosine.
+
+    Random-hyperplane sign bits (deterministic seeded planes) bucket the
+    vectors; exact cosine verifies within buckets + neighboring buckets
+    are approximated by using two independent bucketings (OR-combine).
+    See operators/similarity.py for the primitives.
+    """
+    from plateau_spark.operators.similarity import cosine_sim_col, hyperplane_bucket_col
+
+    base = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+    with_bucket = base.withColumn("__b1__", hyperplane_bucket_col("__v__", bucket_bits, seed=7)).withColumn(
+        "__b2__", hyperplane_bucket_col("__v__", bucket_bits, seed=77)
+    )
+    l, r = with_bucket.alias("l"), with_bucket.alias("r")
+    cand = (
+        l.join(
+            r,
+            ((F.col("l.__b1__") == F.col("r.__b1__")) | (F.col("l.__b2__") == F.col("r.__b2__")))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(
+            F.col("l.__id__").alias("id_a"),
+            F.col("r.__id__").alias("id_b"),
+            cosine_sim_col(F.col("l.__v__"), F.col("r.__v__")).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cosine") >= threshold)
+    )
+    return cand

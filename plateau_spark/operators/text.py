@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data pipelines.
+
+North-star extension operators (SURVEY.md §7 Phase 3): language ID,
+quality scoring, token counting, document fingerprinting — all as
+column expressions over built-in pyspark.sql.functions so the whole
+pipeline stays inside whole-stage codegen (one narrow pass per
+document, no shuffle, no Python).
+
+Every expression has a 1:1 ANSI-SQL twin (used by the DuckDB oracle),
+so results are bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+# Deliberately small & hard-coded: the point is deterministic, cheap,
+# JVM-side scoring, not linguistic completeness.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "por", "con", "para"],
+}
+
+
+def token_count_col(text_col: str) -> Column:
+    """Whitespace token count (codegen'd regexp split)."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count_col(text_col: str) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs and
+    punctuation marks (a stable upper-ish bound on BPE token count)."""
+    return F.size(
+        F.filter(
+            F.split(F.col(text_col), r"(?<=\p{L})(?=\P{L})|(?<=\P{L})(?=\p{L})|\s+"),
+            lambda s: s != "",
+        )
+    ).cast("long")
+
+
+def punct_ratio_col(text_col: str) -> Column:
+    t = F.col(text_col)
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text_col: str, lang: str = "en") -> Column:
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"), lambda w: w != ""
+    )
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return F.when(F.size(words) > 0, hits.cast("double") / F.size(words).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score_col(text_col: str) -> Column:
+    """Composite quality score in [0,1]: length band + punctuation sanity
+    + stopword density (the classic cheap pre-filters before expensive
+    model-based scoring)."""
+    n = F.length(F.col(text_col))
+    length_ok = F.when((n >= 200) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n >= 50, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct = punct_ratio_col(text_col)
+    punct_ok = F.when((punct > 0.001) & (punct < 0.2), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio_col(text_col) > 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_id_col(text_col: str) -> Column:
+    """Stopword-hit language heuristic: argmax language by stopword hits,
+    'und' (undetermined) when nothing matches."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"), lambda w: w != ""
+    )
+    result = F.lit("und")
+    best = F.lit(0)
+    # iterate in fixed order; strictly-greater keeps the first language on ties
+    for lang, stopwords in LANG_STOPWORDS.items():
+        stop = F.array(*[F.lit(w) for w in stopwords])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+        result = F.when(hits > best, F.lit(lang)).otherwise(result)
+        best = F.when(hits > best, hits).otherwise(best)
+    return result
+
+
+def fingerprint_col(text_col: str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, collapsed whitespace). Cross-engine reproducible."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    return df.select(
+        "*",
+        token_count_col(text_col).alias("token_count"),
+        punct_ratio_col(text_col).alias("punct_ratio"),
+        stopword_ratio_col(text_col).alias("stopword_ratio"),
+        quality_score_col(text_col).alias("quality_score"),
+        lang_id_col(text_col).alias("lang_pred"),
+        fingerprint_col(text_col).alias("fingerprint"),
+    )

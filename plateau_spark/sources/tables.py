@@ -1,0 +1,39 @@
+"""Loaders for the driver's synthetic TPC-H-ish tables (TESTDATA.md).
+
+Handles physical-type quirks so the rest of the engine sees clean
+Spark types:
+  - events.ts is parquet TIMESTAMP(NANOS) → read as long (session conf
+    ``spark.sql.legacy.parquet.nanosAsLong``) and converted to a
+    microsecond timestamp column (Spark's native resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

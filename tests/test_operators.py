@@ -1,0 +1,185 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_spark.operators.dataflow import (
+    aggregate_to_lists,
+    merge_dataframes_robust,
+    sort_dataframe,
+)
+from plateau_spark.operators.dedup import (
+    drop_duplicates_keep_last,
+    embedding_cosine_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from plateau_spark.operators.multimodal import (
+    decode_and_featurize,
+    documents_as_media,
+    extract_metadata,
+)
+from plateau_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from plateau_spark.operators.text import analyze_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, text string"
+    )
+    out = exact_dedup(df, ["text"], tie_breaker="id").orderBy("id").collect()
+    assert [(r.id, r.text) for r in out] == [(1, "a"), (3, "b")]
+
+
+def test_drop_duplicates_keep_last(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")], "k long, v long, payload string"
+    )
+    out = drop_duplicates_keep_last(df, ["k"], ["v"]).orderBy("k").collect()
+    assert [(r.k, r.payload) for r in out] == [(1, "new"), (2, "only")]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("runs", "walks")
+    far = "completely different content about spark adaptive query execution and shuffle partitions"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_perm=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "z y x w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", shingle_size=3, jaccard_threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    # doc1: shingles {abc,bcd,cde,def,efg,fgh}, doc2 ends ...fgx -> 5 shared of 7
+    assert abs(pairs[0].jaccard - 5 / 7) < 1e-9
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely unrelated words about query optimizers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+
+def test_embedding_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_cosine_dup_pairs(df, "vec_id", "embedding", threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_cosine_topk_bruteforce(spark, embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(embeddings, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # self-match is always rank 1 with cosine ~1
+    top = {r.query_id: r for r in rows if r.rank == 1}
+    for qid, r in top.items():
+        assert r.vec_id == qid and r.cosine > 0.999
+
+
+def test_cosine_topk_lsh_recall(spark, embeddings):
+    queries = embeddings.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_bruteforce(embeddings, queries, k=3)
+    approx = cosine_topk_lsh(embeddings, queries, k=3, n_bits=4, dim=16)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # self-match must always be found (same bucket trivially)
+    assert all((q, q) in approx_set for q in [r.query_id for r in queries.collect()])
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # ANN: non-trivial recall with tiny buckets
+
+
+def test_analyze_documents(spark, documents):
+    out = analyze_documents(documents).limit(50).collect()
+    for r in out:
+        assert r.token_count > 0
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 <= r.quality_score <= 1
+        assert len(r.fingerprint) == 32
+    # language prediction should often agree with the labeled lang for en
+    en = [r for r in out if r.lang == "en"]
+    if en:
+        agree = sum(1 for r in en if r.lang_pred == "en") / len(en)
+        assert agree > 0.5
+
+
+def test_multimodal_plumbing(spark, documents):
+    media = documents_as_media(documents.limit(20))
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload", "meta"]
+    meta_only = media.select("media_id", "meta.n_bytes", "meta.content_md5")
+    rows = meta_only.collect()
+    assert all(r.n_bytes > 0 for r in rows)
+    feats = decode_and_featurize(media).collect()
+    assert len(feats) == 20
+    assert all(len(r.features) == 8 for r in feats)
+    # deterministic: same payload -> same features
+    again = {r.media_id: r.features for r in decode_and_featurize(media).collect()}
+    assert all(again[r.media_id] == r.features for r in feats)
+
+
+def test_aggregate_to_lists(spark):
+    df = spark.createDataFrame([(1, "b"), (1, "a"), (2, "c")], "k long, v string")
+    out = {r.k: r.v for r in aggregate_to_lists(df, ["k"], "v").collect()}
+    assert out == {1: ["a", "b"], 2: ["c"]}
+
+
+def test_merge_dataframes_robust(spark):
+    a = spark.createDataFrame([(1, "x")], "k long, a string")
+    b = spark.createDataFrame([(1, "y")], "k long, b string")
+    assert merge_dataframes_robust(a, b).collect()[0].asDict() == {"k": 1, "a": "x", "b": "y"}
+    c = spark.createDataFrame([("z",)], "c string")
+    assert merge_dataframes_robust(a, c).count() == 1  # cross join fallback
+
+
+def test_sort_dataframe(spark):
+    df = spark.createDataFrame([(2, "b"), (1, "a"), (3, "c")], "k long, v string")
+    assert [r.k for r in sort_dataframe(df, ["k"]).collect()] == [1, 2, 3]
