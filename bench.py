@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is collected to exhaustion (count of materialized rows) so
+the measured time includes the full scan/shuffle/write work, not just
+plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plateau_spark.entry_queries import QUERIES  # noqa: E402
+from plateau_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/join/agg relational core, the dataset write+
+# pruned-read lifecycle, and one of each north-star family. Kept to the
+# queries whose runtime is dominated by engine work (not tiny fixtures).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "window_top_order_per_customer",
+    "dataset_pruned_read",
+    "dataset_index_read",
+    "dataset_bucketed_write",
+    "agg_to_lists",
+    "dedup_keep_last",
+    "text_stats",
+    "text_quality",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "cosine_topk",
+    "streaming_windowed_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("plateau-spark-bench")
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

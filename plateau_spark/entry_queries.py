@@ -1,0 +1,978 @@
+"""Driver-contract query registry: every implemented operator exposed as
+``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle twin.
+
+This module backs ``__spark_entry__.py``. Each query exercises one
+operator family from SURVEY.md §2 (dataset CRUD / scan / predicates /
+partitioning / dataflow) or a north-star extension (dedup, similarity,
+text, multimodal, streaming). Oracles are ANSI SQL runnable by DuckDB
+over the raw parquet views.
+
+Cross-engine float parity rules (so value hashes match bit-for-bit):
+  - money/measure sums go through DECIMAL casts (exact) and only the
+    FINAL aggregate is cast back to double;
+  - averages are computed as CAST(exact_sum AS DOUBLE) / count in both
+    engines (identical operands → identical IEEE result);
+  - dot products / norms are sequential left-to-right folds in both
+    engines (Spark F.aggregate ≡ DuckDB list comprehension + list_sum),
+    rounded only at the output surface;
+  - arrays are emitted as joined strings (collect_list order is not a
+    contract; sorted-and-joined is).
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plateau_spark.core.predicates import dnf_to_sql
+from plateau_spark.sources.tables import load_table
+
+ENTRY_STORE_ROOT = "/tmp/plateau_spark_entry"
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session confs the queries rely on, set defensively (the driver's
+    session may not come from plateau_spark.session.get_spark)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _fresh_store(name: str) -> str:
+    """Deterministic per-query scratch store (wiped each call)."""
+    path = f"{ENTRY_STORE_ROOT}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational queries (Spark DataFrame surface the reference gets
+# "for free" — SURVEY.md §2.7; these are the bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregation with decimal-exact sums."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))).cast("decimal(18,6)")
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("__sq__"),
+            F.sum(_dec("l_extendedprice")).alias("__sbp__"),
+            F.sum(disc_price).alias("__sdp__"),
+            F.sum(charge).alias("__sc__"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq__").cast("double").alias("sum_qty"),
+        F.col("__sbp__").cast("double").alias("sum_base_price"),
+        F.col("__sdp__").cast("double").alias("sum_disc_price"),
+        F.col("__sc__").cast("double").alias("sum_charge"),
+        (F.col("__sq__").cast("double") / n).alias("avg_qty"),
+        (F.col("__sbp__").cast("double") / n).alias("avg_price"),
+        "count_order",
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective star join + group + deterministic top-k.
+    Customer side is explicitly broadcast (small dim at any sf)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, dims broadcast, one agg shuffle."""
+    _prep(spark)
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    dims = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function surface: rank-1 row per partition key."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+WINDOW_TOP_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+"""
+
+
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (sort_dataframe surface, SURVEY §2.5)."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import sort_dataframe
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return sort_dataframe(orders, ["o_totalprice", "o_orderkey"], ascending=False).limit(100)
+
+
+SORT_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# dataset layer (store → commit → pruned read; SURVEY §2.1, §2.2, §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+PRUNED_PREDICATES = [
+    [("l_returnflag", "==", "R"), ("l_quantity", ">", 45.0)],
+    [("l_returnflag", "==", "N"), ("l_discount", "<=", 0.02)],
+]
+
+
+def dataset_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """store_dataframes_as_dataset → read_table full-scan roundtrip."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("roundtrip")
+    docs = load_table(spark, sf_dir, "documents")
+    store_dataframe_as_dataset(spark, store, "docs", docs)
+    return read_table(spark, store, "docs")
+
+
+ROUNDTRIP_ORACLE = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, source, text FROM documents
+"""
+
+
+def dataset_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned store → DNF-predicate pruned read with projection.
+    Partition pruning happens driver-side on the commit file; the
+    residual predicate is pushed to the parquet scan by Catalyst."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("pruned")
+    li = load_table(spark, sf_dir, "lineitem")
+    store_dataframe_as_dataset(
+        spark, store, "li", li, partition_on=["l_returnflag"], sort_partitions_by=["l_shipdate"]
+    )
+    return read_table(
+        spark,
+        store,
+        "li",
+        predicates=PRUNED_PREDICATES,
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount"],
+    )
+
+
+PRUNED_ORACLE = f"""
+SELECT l_returnflag, CAST(l_discount AS DOUBLE) AS l_discount,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_orderkey, CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM lineitem
+WHERE {dnf_to_sql(PRUNED_PREDICATES)}
+"""
+
+
+def dataset_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index pruned read: predicate on an indexed payload column
+    resolves to partition labels through the inverted index before Spark
+    sees a single path."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("indexed")
+    orders = load_table(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(
+        spark,
+        store,
+        "orders",
+        orders,
+        partition_on=["o_orderstatus"],
+        secondary_indices=["o_orderpriority"],
+    )
+    return read_table(
+        spark, store, "orders", predicates=[[("o_orderpriority", "==", "1-URGENT")]]
+    )
+
+
+INDEX_READ_ORACLE = """
+SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def dataset_update_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level copy-on-write: delete_scope drops partitions in one
+    atomic commit (update semantics, plateau/io_components/update.py:1-54)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("delete-scope")
+    orders = load_table(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, store, "orders", orders, partition_on=["o_orderstatus"])
+    update_dataset_from_dataframe(
+        spark, store, "orders", delete_scope=[{"o_orderstatus": "F"}]
+    )
+    return read_table(spark, store, "orders")
+
+
+DELETE_SCOPE_ORACLE = """
+SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+def dataset_append_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step ingestion: store half the table, append the other half via
+    update_dataset_from_dataframe, read everything back."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("append")
+    ev = load_table(spark, sf_dir, "events")
+    store_dataframe_as_dataset(
+        spark, store, "events", ev.where(F.col("event_id") % 2 == 0), partition_on=["event_type"]
+    )
+    update_dataset_from_dataframe(
+        spark, store, "events", ev.where(F.col("event_id") % 2 == 1)
+    )
+    return read_table(spark, store, "events")
+
+
+APPEND_ORACLE = """
+SELECT event_type, event_id, props, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+FROM events
+"""
+
+
+def dataset_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write (num_buckets files per partition key, shuffle on
+    (key ⊕ hash-bucket) — the reference's shuffle_store semantics) and a
+    full read-back for row parity."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "li", li, partition_on=["l_returnflag"],
+        num_buckets=4, bucket_by=["l_orderkey"],
+    )
+    return read_table(spark, store, "li")
+
+
+BUCKETED_ORACLE = """
+SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_orderkey, CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM lineitem
+"""
+
+
+def dataset_filter_query_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_query string surface (plateau filter_query,
+    _generic.py:155-163): SQL-expression residual filter."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("filter-query")
+    part = load_table(spark, sf_dir, "part")
+    store_dataframe_as_dataset(spark, store, "part", part)
+    return read_table(
+        spark, store, "part",
+        filter_query="p_size >= 25 AND p_brand = 'Brand#1'",
+        columns=["p_partkey", "p_brand", "p_size", "p_retailprice"],
+    )
+
+
+FILTER_QUERY_ORACLE = """
+SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(p_size AS BIGINT) AS p_size
+FROM part WHERE p_size >= 25 AND p_brand = 'Brand#1'
+"""
+
+
+def dataset_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_dataset_metadata: parquet footer stats, aggregated to an
+    oracle-stable shape (labels are generated filenames)."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import collect_dataset_metadata
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    store = _fresh_store("meta-stats")
+    orders = load_table(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, store, "orders", orders, partition_on=["o_orderstatus"])
+    stats = collect_dataset_metadata(spark, store, "orders")
+    return stats.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("num_rows").alias("total_rows"),
+    )
+
+
+METADATA_STATS_ORACLE = """
+SELECT COUNT(DISTINCT o_orderstatus) AS n_partitions, COUNT(*) AS total_rows FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# dataflow operators (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def agg_to_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_to_lists: groupBy → sorted collect_list, emitted as a
+    joined string (array order is the contract here, not array typing)."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import aggregate_to_lists
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = aggregate_to_lists(li, ["l_orderkey"], "l_linenumber")
+    return out.select(
+        "l_orderkey", F.concat_ws(",", F.col("l_linenumber")).alias("linenumbers")
+    )
+
+
+AGG_LISTS_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates_keep_last (reference
+    drop_sorted_duplicates_keep_last, plateau/utils/pandas.py:178-249):
+    latest event per (user_id, event_type)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import drop_duplicates_keep_last
+
+    ev = load_table(spark, sf_dir, "events")
+    out = drop_duplicates_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+DEDUP_KEEP_LAST_ORACLE = """
+SELECT user_id, event_type, event_id, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup with deterministic tie-break: one doc per (lang,
+    source), smallest doc_id wins."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(docs, ["lang", "source"], tie_breaker="doc_id")
+    return out.select("lang", "source", "doc_id")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT lang, source, doc_id
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) = 1
+"""
+
+
+def merge_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_dataframes_robust (plateau/utils/pandas.py:329-365): join on
+    the shared column set."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import merge_dataframes_robust
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return merge_dataframes_robust(supp, nation).select("s_suppkey", "s_name", "n_name")
+
+
+MERGE_ROBUST_ORACLE = """
+SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def hash_dataset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_dataset per-group content hash — xxhash64 has no DuckDB twin,
+    so this entry is rows-only checked (shape + determinism)."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import hash_dataset
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    store = _fresh_store("hash-ds")
+    nation = load_table(spark, sf_dir, "nation")
+    store_dataframe_as_dataset(spark, store, "nation", nation)
+    return hash_dataset(spark, store, "nation", group_key=["n_regionkey"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis (north-star; operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_count + punct_ratio + md5 fingerprint per document."""
+    _prep(spark)
+    from plateau_spark.operators.text import (
+        fingerprint_col,
+        punct_ratio_col,
+        token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("token_count"),
+        F.round(punct_ratio_col("text"), 6).alias("punct_ratio"),
+        fingerprint_col("text").alias("fingerprint"),
+    )
+
+
+TEXT_STATS_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS token_count,
+       CASE WHEN length(text) > 0
+            THEN round((length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))) * 1.0 / length(text), 6)
+            ELSE 0.0 END AS punct_ratio,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_score + stopword_ratio + language-ID heuristic."""
+    _prep(spark)
+    from plateau_spark.operators.text import (
+        lang_id_col,
+        quality_score_col,
+        stopword_ratio_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio_col("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score_col("text"), 6).alias("quality_score"),
+        lang_id_col("text").alias("lang_pred"),
+    )
+
+
+# DuckDB twin of the stopword/quality/lang-id expressions. Word splitting
+# matches Spark's `[^\p{L}\p{N}]+` on lower(text).
+_WORDS = r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> w <> '')"
+_STOP = {
+    "en": "['the','and','of','to','in','is','that','with','for','was']",
+    "de": "['der','die','das','und','ist','von','mit','nicht','ein','zu']",
+    "fr": "['le','la','les','et','est','dans','pour','que','une','des']",
+    "es": "['el','la','los','que','de','en','es','por','con','para']",
+}
+_HITS = {
+    lang: f"len(list_filter({_WORDS}, w -> list_contains({arr}, w)))"
+    for lang, arr in _STOP.items()
+}
+_STOPRATIO = (
+    f"CASE WHEN len({_WORDS}) > 0 THEN {_HITS['en']} * 1.0 / len({_WORDS}) ELSE 0.0 END"
+)
+_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN "
+    r"(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))) * 1.0 / length(text) "
+    "ELSE 0.0 END"
+)
+_QUALITY = (
+    "(CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 1.0 "
+    " WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END"
+    f" + CASE WHEN ({_PUNCT}) > 0.001 AND ({_PUNCT}) < 0.2 THEN 1.0 ELSE 0.0 END"
+    f" + CASE WHEN ({_STOPRATIO}) > 0.05 THEN 1.0 ELSE 0.0 END) / 3.0"
+)
+# lang-id: argmax by stopword hits, first-in-order wins ties, 'und' when 0.
+# Mirrors text.py's strictly-greater update loop over dict order en,de,fr,es.
+_LANG_PRED = (
+    "CASE "
+    f"WHEN {_HITS['es']} > {_HITS['fr']} AND {_HITS['es']} > {_HITS['de']} AND {_HITS['es']} > {_HITS['en']} AND {_HITS['es']} > 0 THEN 'es' "
+    f"WHEN {_HITS['fr']} > {_HITS['de']} AND {_HITS['fr']} > {_HITS['en']} AND {_HITS['fr']} > 0 THEN 'fr' "
+    f"WHEN {_HITS['de']} > {_HITS['en']} AND {_HITS['de']} > 0 THEN 'de' "
+    f"WHEN {_HITS['en']} > 0 THEN 'en' "
+    "ELSE 'und' END"
+)
+
+TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       round({_STOPRATIO}, 6) AS stopword_ratio,
+       round({_QUALITY}, 6) AS quality_score,
+       {_LANG_PRED} AS lang_pred
+FROM documents
+"""
+
+
+def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup: docs + exact token sums per actual language."""
+    _prep(spark)
+    from plateau_spark.operators.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count_col("text").alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            (F.sum("tc").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+TEXT_LANG_AGG_ORACLE = r"""
+WITH tc AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS tc
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tc) AS BIGINT) AS total_tokens,
+       CAST(SUM(tc) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM tc GROUP BY lang
+"""
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token count (letter runs + non-letter runs)."""
+    _prep(spark)
+    from plateau_spark.operators.text import bpe_ish_token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count_col("text").alias("bpe_tokens"))
+
+
+TEXT_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\p{L}+|[^\p{L}\s]+')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup / similarity (north-star; operators/dedup.py, similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs — the oracle-checkable dedup path."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, jaccard_threshold=0.12
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# DuckDB twin of shingles_col: tokens → distinct word 3-grams
+# (sequence(0, greatest(n-3,0)) in Spark ≡ range(0, greatest(n-3,0)+1)).
+_TOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> x <> '')"
+_SHINGLES = (
+    f"list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, greatest(len(t)-3, 0) + 1)])"
+)
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / (a.n + b.n - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.12
+"""
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (murmur3 minhash has no DuckDB twin —
+    rows-only check; the exact-Jaccard verify step bounds correctness)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, jaccard_threshold=0.2
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (xxhash64-based — rows-only check)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN correctness baseline)."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=10)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# dot/norm as sequential folds over doubles — same arithmetic order as
+# Spark's F.aggregate, so the doubles (and therefore ranks) agree exactly.
+_DOT = "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)])"
+_NA = "sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]))"
+_NB = "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(b.embedding)+1)]))"
+
+COSINE_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         {_DOT} / ({_NA} * {_NB}) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 5
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding duplicates (oracle baseline for the LSH
+    tier)."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import cosine_dup_pairs_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_dup_pairs_bruteforce(emb, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+EMBEDDING_DUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT} / ({_NA} * {_NB}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT} / ({_NA} * {_NB}) >= 0.8
+"""
+
+
+def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding dup pairs — approximate recall, so
+    rows-only checked; test suite asserts plan shape + recall vs exact."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import embedding_cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, bucket_bits=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal (north-star; operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct; metadata is computed and
+    queryable without decoding (and without Python)."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import documents_as_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode→featurize via mapInPandas (deterministic fake
+    decoder — the batch plumbing is the tested contract). Rows-only."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import decode_and_featurize, documents_as_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id", F.concat_ws(",", F.transform("features", lambda x: F.round(x, 6).cast("string"))).alias("features_str")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming (north-star; streaming/events.py)
+# ---------------------------------------------------------------------------
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate executed as an availableNow
+    micro-batch stream into a memory sink — the batch-equivalence oracle
+    trick (with one static file nothing is late, so the final aggregate
+    equals the batch GROUP BY)."""
+    _prep(spark)
+    from plateau_spark.streaming.events import run_stream_to_memory, windowed_event_counts
+
+    def transform(stream):
+        stream = stream.withColumn("value", F.col("value").cast("decimal(18,2)"))
+        return windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+
+    out = run_stream_to_memory(spark, f"{sf_dir.rstrip('/')}/events.parquet", transform)
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+STREAM_WINDOW_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream dedup on event_id within the watermark horizon, aggregated
+    to a stable shape."""
+    _prep(spark)
+    from plateau_spark.streaming.events import run_stream_to_memory, stream_dedup_events
+
+    out = run_stream_to_memory(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", lambda s: stream_dedup_events(s)
+    )
+    return out.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational surface
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "window_top_order_per_customer": window_top_order_per_customer,
+    "sort_topk_orders": sort_topk_orders,
+    # dataset layer
+    "dataset_roundtrip_read": dataset_roundtrip_read,
+    "dataset_pruned_read": dataset_pruned_read,
+    "dataset_index_read": dataset_index_read,
+    "dataset_update_delete_scope": dataset_update_delete_scope,
+    "dataset_append_update": dataset_append_update,
+    "dataset_bucketed_write": dataset_bucketed_write,
+    "dataset_filter_query_read": dataset_filter_query_read,
+    "dataset_metadata_stats": dataset_metadata_stats,
+    # dataflow
+    "agg_to_lists": agg_to_lists,
+    "dedup_keep_last": dedup_keep_last,
+    "dedup_exact_docs": dedup_exact_docs,
+    "merge_robust": merge_robust,
+    "hash_dataset_groups": hash_dataset_groups,
+    # text
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_lang_agg": text_lang_agg,
+    "text_bpe_tokens": text_bpe_tokens,
+    # near-dup / similarity
+    "ngram_jaccard": ngram_jaccard,
+    "minhash_pairs": minhash_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "cosine_topk": cosine_topk,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    # multimodal
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+    # streaming
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_dedup": streaming_dedup,
+}
+
+# Queries WITHOUT an oracle entry are rows-only checked by the driver:
+# minhash/simhash/hash_dataset use engine-specific hash functions
+# (murmur3/xxhash64), LSH dup pairs are approximate-recall, multimodal
+# features come from a mapInPandas decoder — none are ANSI-SQL-expressible.
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_top_orders": Q3_ORACLE,
+    "q5_region_revenue": Q5_ORACLE,
+    "window_top_order_per_customer": WINDOW_TOP_ORDER_ORACLE,
+    "sort_topk_orders": SORT_TOPK_ORACLE,
+    "dataset_roundtrip_read": ROUNDTRIP_ORACLE,
+    "dataset_pruned_read": PRUNED_ORACLE,
+    "dataset_index_read": INDEX_READ_ORACLE,
+    "dataset_update_delete_scope": DELETE_SCOPE_ORACLE,
+    "dataset_append_update": APPEND_ORACLE,
+    "dataset_bucketed_write": BUCKETED_ORACLE,
+    "dataset_filter_query_read": FILTER_QUERY_ORACLE,
+    "dataset_metadata_stats": METADATA_STATS_ORACLE,
+    "agg_to_lists": AGG_LISTS_ORACLE,
+    "dedup_keep_last": DEDUP_KEEP_LAST_ORACLE,
+    "dedup_exact_docs": DEDUP_EXACT_ORACLE,
+    "merge_robust": MERGE_ROBUST_ORACLE,
+    "text_stats": TEXT_STATS_ORACLE,
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "text_lang_agg": TEXT_LANG_AGG_ORACLE,
+    "text_bpe_tokens": TEXT_BPE_ORACLE,
+    "ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "cosine_topk": COSINE_TOPK_ORACLE,
+    "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,
+    "multimodal_metadata": MULTIMODAL_META_ORACLE,
+    "streaming_windowed_counts": STREAM_WINDOW_ORACLE,
+    "streaming_dedup": STREAM_DEDUP_ORACLE,
+}

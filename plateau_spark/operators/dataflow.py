@@ -72,7 +72,11 @@ def hash_dataset(
         F.xxhash64(*[F.col(c) for c in cols]).alias("__h__"),
     )
     keys = list(group_key) if group_key else ["__file__"]
-    return hashed.groupBy(*keys).agg(F.sum("__h__").alias("content_hash"))
+    # sum in unbounded decimal: a long sum of xxhash64 values overflows
+    # (ANSI mode aborts the job); the hash only needs order-independence
+    return hashed.groupBy(*keys).agg(
+        F.sum(F.col("__h__").cast("decimal(38,0)")).alias("content_hash")
+    )
 
 
 def collect_dataset_metadata(

@@ -262,33 +262,46 @@ def embedding_cosine_dup_pairs(
     *,
     threshold: float = 0.95,
     bucket_bits: int = 8,
+    dim: int | None = None,
+    seeds: Sequence[int] = (7, 77),
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed exact cosine.
 
     Random-hyperplane sign bits (deterministic seeded planes) bucket the
-    vectors; exact cosine verifies within buckets + neighboring buckets
-    are approximated by using two independent bucketings (OR-combine).
-    See operators/similarity.py for the primitives.
+    vectors; exact cosine verifies within buckets. Multi-probe recall =
+    each row explodes into one (probe_no, bucket) pair per seed and the
+    self-join is an EQUI-join on (probe_no, bucket) — hash-joinable, so
+    the plan never degrades to a cartesian/BNLJ (the shape that killed
+    scale in round 1). The hyperplane dim is inferred from the data (one
+    LIMIT 1 read) unless given. See operators/similarity.py.
     """
-    from plateau_spark.operators.similarity import cosine_sim_col, hyperplane_bucket_col
-
-    base = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
-    with_bucket = base.withColumn("__b1__", hyperplane_bucket_col("__v__", bucket_bits, seed=7)).withColumn(
-        "__b2__", hyperplane_bucket_col("__v__", bucket_bits, seed=77)
+    from plateau_spark.operators.similarity import (
+        cosine_sim_col,
+        infer_dim,
+        probe_buckets_col,
     )
-    l, r = with_bucket.alias("l"), with_bucket.alias("r")
+
+    d = dim if dim is not None else infer_dim(df, vec_col)
+    bucketed = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).alias("__v__"),
+        F.posexplode(
+            probe_buckets_col(vec_col, bucket_bits, seeds=tuple(seeds), dim=d)
+        ).alias("__probe__", "__bucket__"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
-        l.join(
-            r,
-            ((F.col("l.__b1__") == F.col("r.__b1__")) | (F.col("l.__b2__") == F.col("r.__b2__")))
-            & (F.col("l.__id__") < F.col("r.__id__")),
-        )
+        l.join(r, ["__probe__", "__bucket__"])
+        .where(F.col("l.__id__") < F.col("r.__id__"))
         .select(
             F.col("l.__id__").alias("id_a"),
             F.col("r.__id__").alias("id_b"),
-            cosine_sim_col(F.col("l.__v__"), F.col("r.__v__")).alias("cosine"),
+            F.col("l.__v__").alias("__va__"),
+            F.col("r.__v__").alias("__vb__"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_sim_col(F.col("__va__"), F.col("__vb__")))
         .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
     return cand

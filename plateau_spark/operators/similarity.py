@@ -8,18 +8,23 @@ Phase 3). Two tiers:
     inside codegen, ranked by a window. Linear scan: right answer at
     any scale where a full pass is acceptable.
   - LSH-bucketed ANN — the 100 TB path: deterministic random-hyperplane
-    sign buckets co-partition corpus and queries, so each query only
-    scans its bucket(s). Recall tunable via number of hyperplanes and
-    multi-probe (two independent bucketings OR-combined).
+    sign buckets co-partition corpus and queries. Multi-probe (several
+    independent bucketings) is expressed as an EXPLODED (probe_no,
+    bucket) equi-join — never an OR of bucket equalities, which Catalyst
+    cannot plan as a hash join (it would fall back to a
+    BroadcastNestedLoopJoin / cartesian product).
+
+The hyperplane dimensionality is inferred from the data (one LIMIT 1
+row read) or passed explicitly; a codegen'd runtime guard raises on any
+row whose vector length disagrees, so a dim mismatch can never silently
+degenerate into a single bucket (all projections NULL) again.
 
 No MLlib dependency (works on plain array<float>), no Python UDFs.
 """
 
 from __future__ import annotations
 
-import math
 import random
-from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -46,21 +51,32 @@ def cosine_sim_col(a, b) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector length from one row (ArrayType carries no length; this is a
+    single-row LIMIT 1 read, negligible at any scale)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"Cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def hyperplane_bucket_col(vec_col, n_bits: int, *, seed: int = 7, dim: int | None = None) -> Column:
+def hyperplane_bucket_col(vec_col, n_bits: int, *, seed: int, dim: int) -> Column:
     """Sign-of-projection bucket id (int) from n_bits hyperplanes.
 
     The planes are literals baked into the plan (broadcast-free, a few
-    KB); the projection is a zip_with/aggregate fold per plane.
+    KB); the projection is a zip_with/aggregate fold per plane. ``dim``
+    is REQUIRED — a guard raises on rows whose vector length differs,
+    because zip_with null-pads silently and a NULL projection would put
+    every row in bucket 0 (the round-1 degeneracy).
     """
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    d = dim or 16
-    planes = _hyperplanes(d, n_bits, seed)
+    planes = _hyperplanes(dim, n_bits, seed)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -69,7 +85,21 @@ def hyperplane_bucket_col(vec_col, n_bits: int, *, seed: int = 7, dim: int | Non
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    return F.when(
+        F.size(vec) == dim, bucket
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"embedding length != lsh dim {dim}: got "), F.size(vec).cast("string"))
+        )
+    )
+
+
+def probe_buckets_col(vec_col, n_bits: int, *, seeds: tuple[int, ...], dim: int) -> Column:
+    """array of per-probe bucket ids — explode to (pos=probe_no, bucket)
+    for the multi-probe equi-join."""
+    return F.array(
+        *[hyperplane_bucket_col(vec_col, n_bits, seed=s, dim=dim) for s in seeds]
+    )
 
 
 def cosine_topk_bruteforce(
@@ -104,6 +134,26 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_dup_pairs_bruteforce(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine duplicates (id_a < id_b) — the oracle-
+    checkable baseline for embedding_cosine_dup_pairs. Quadratic by
+    definition; use the LSH tier at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim_col(F.col("__va__"), F.col("__vb__")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,32 +163,41 @@ def cosine_topk_lsh(
     query_id_col: str = "query_id",
     k: int = 10,
     n_bits: int = 6,
-    dim: int = 16,
+    dim: int | None = None,
+    seeds: tuple[int, ...] = (7, 77),
 ) -> DataFrame:
     """ANN top-k: hyperplane buckets co-partition corpus and queries,
-    exact cosine re-rank within the bucket (multi-probe via two seeds).
+    exact cosine re-rank within the bucket.
 
-    The scale path: the corpus is scanned once to bucket (narrow), the
-    join is an equi-join on the bucket id (shuffle-hash or broadcast of
-    the bucketed queries), and only in-bucket pairs are scored.
+    Multi-probe recall boost = explode each row into one (probe_no,
+    bucket) pair per seed and EQUI-join on both — a plain shuffle-hash /
+    broadcast-hash join (verified by tests: no BroadcastNestedLoopJoin
+    in the plan), then dropDuplicates on (query, id). The corpus is
+    scanned once to bucket (narrow); only in-bucket pairs are scored.
     """
+    d = dim if dim is not None else infer_dim(corpus, vec_col)
     cb = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__cv__"),
-        hyperplane_bucket_col(vec_col, n_bits, seed=7, dim=dim).alias("__b1__"),
-        hyperplane_bucket_col(vec_col, n_bits, seed=77, dim=dim).alias("__b2__"),
+        F.col(id_col),
+        F.col(vec_col).alias("__cv__"),
+        F.posexplode(probe_buckets_col(vec_col, n_bits, seeds=seeds, dim=d)).alias(
+            "__probe__", "__bucket__"
+        ),
     )
     qb = queries.select(
-        F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qv__"),
-        hyperplane_bucket_col(vec_col, n_bits, seed=7, dim=dim).alias("__b1__"),
-        hyperplane_bucket_col(vec_col, n_bits, seed=77, dim=dim).alias("__b2__"),
+        F.col(query_id_col).alias("__qid__"),
+        F.col(vec_col).alias("__qv__"),
+        F.posexplode(probe_buckets_col(vec_col, n_bits, seeds=seeds, dim=d)).alias(
+            "__probe__", "__bucket__"
+        ),
     )
-    cand = cb.join(
-        F.broadcast(qb),
-        (cb["__b1__"] == qb["__b1__"]) | (cb["__b2__"] == qb["__b2__"]),
-    ).select(
-        F.col("__qid__").alias(query_id_col),
-        F.col(id_col),
-        cosine_sim_col(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
-    ).dropDuplicates([query_id_col, id_col])
+    cand = (
+        cb.join(F.broadcast(qb), ["__probe__", "__bucket__"])
+        .dropDuplicates(["__qid__", id_col])
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col(id_col),
+            cosine_sim_col(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
+        )
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -33,13 +33,14 @@ def token_count_col(text_col: str) -> Column:
 
 
 def bpe_ish_token_count_col(text_col: str) -> Column:
-    """BPE-ish subword proxy: count of letter-runs, digit-runs and
-    punctuation marks (a stable upper-ish bound on BPE token count)."""
+    """BPE-ish subword proxy: count of letter-runs plus runs of
+    non-letter-non-space chars (a stable upper-ish bound on BPE token
+    count). Extract-runs instead of lookaround-split: Java's split keeps
+    the delimiter runs as pieces when zero-width boundaries fire on both
+    sides, which double-counts — extraction is unambiguous and has an
+    exact RE2/DuckDB twin."""
     return F.size(
-        F.filter(
-            F.split(F.col(text_col), r"(?<=\p{L})(?=\P{L})|(?<=\P{L})(?=\p{L})|\s+"),
-            lambda s: s != "",
-        )
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\p{L}+|[^\p{L}\s]+"), F.lit(0))
     ).cast("long")
 
 

@@ -33,6 +33,30 @@ from plateau_spark.core.store import Store
 from plateau_spark.plans.index import SecondaryIndex
 
 
+def _literal_index_constrainable(op: str, val) -> bool:
+    """Whether the inverted index (which stores only NON-NULL values —
+    see _build_indices_for_files' isNotNull) can safely constrain this
+    literal. Null-matching literals must be treated as unconstrained or
+    the planner would prune the very partitions holding the null rows:
+
+      - (col, '==', None)  → IS NULL: null rows are not indexed
+      - (col, 'in', [v, None]) → value-or-null: same
+      - (col, 'is distinct from', v≠None) → matches null rows too
+
+    (col, '!=', None) / (col, 'is distinct from', None) are IS NOT NULL
+    and remain constrainable: every matching row has an indexed value.
+    """
+    if op in ("==", "=") and val is None:
+        return False
+    if op in ("in", "not in") and any(v is None for v in val):
+        # 'in' with null → must keep null partitions; 'not in' with a
+        # null member matches nothing null-side but keep it simple/safe
+        return op == "not in"
+    if op == "is distinct from" and val is not None:
+        return False
+    return True
+
+
 def _conjunction_allowed_labels(
     conjunction, indexes: dict[str, SecondaryIndex]
 ) -> set[str] | None:
@@ -44,7 +68,7 @@ def _conjunction_allowed_labels(
     """
     sets: list[set[str]] = []
     for col, op, val in conjunction:
-        if col in indexes:
+        if col in indexes and _literal_index_constrainable(op, val):
             sets.append(indexes[col].eval_operator(op, val))
     if not sets:
         return None

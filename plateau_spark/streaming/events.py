@@ -85,9 +85,10 @@ def run_stream_to_memory(
     else:
         stream = reader.parquet(source_parquet)
     if ts_col in stream.columns and dict(stream.dtypes).get(ts_col) in ("bigint", "long"):
-        # nanosAsLong-read source: convert ns → µs timestamp (tables.py)
+        # nanosAsLong-read source: ns → µs with integer division (a float
+        # divide would lose precision above 2^53 — see sources/tables.py)
         stream = stream.withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
     out = transform(stream)
     name = f"mem_{uuid.uuid4().hex[:12]}"

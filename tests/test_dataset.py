@@ -197,3 +197,33 @@ def test_bucketed_write_caps_files_per_key(spark, store, lineitem):
     assert all(n <= 4 for n in per_key.values())
     out = read_dataset_as_dataframe(spark, store, "li")
     assert out.count() == lineitem.count()
+
+
+def test_null_predicate_on_indexed_column(spark, store):
+    """ADVICE r1 (high): secondary indexes only store non-null values, so
+    IS-NULL-matching literals must not constrain pruning — otherwise the
+    partitions holding the null rows get pruned and the residual filter
+    can never recover them."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "b", 30), (4, None, 40)],
+        "id long, tag string, grp long",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ds", df, partition_on=["grp"], secondary_indices=["tag"]
+    )
+    # == None → IS NULL: must see both null rows
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("tag", "==", None)]])
+    assert sorted(r.id for r in out.collect()) == [2, 4]
+    # in [v, None] → value-or-null
+    out = read_dataset_as_dataframe(
+        spark, store, "ds", predicates=[[("tag", "in", ["a", None])]]
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 2, 4]
+    # is distinct from 'a' → matches nulls too
+    out = read_dataset_as_dataframe(
+        spark, store, "ds", predicates=[[("tag", "is distinct from", "a")]]
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+    # != None → IS NOT NULL stays index-constrained and correct
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("tag", "!=", None)]])
+    assert sorted(r.id for r in out.collect()) == [1, 3]

@@ -129,13 +129,39 @@ def test_cosine_topk_bruteforce(spark, embeddings):
 def test_cosine_topk_lsh_recall(spark, embeddings):
     queries = embeddings.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = cosine_topk_bruteforce(embeddings, queries, k=3)
-    approx = cosine_topk_lsh(embeddings, queries, k=3, n_bits=4, dim=16)
+    approx = cosine_topk_lsh(embeddings, queries, k=3, n_bits=4)  # dim inferred (64)
+    # plan shape: multi-probe is an exploded (probe, bucket) EQUI-join —
+    # never a cartesian/BNLJ (the round-1 OR-join scale killer)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
     approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
     # self-match must always be found (same bucket trivially)
     assert all((q, q) in approx_set for q in [r.query_id for r in queries.collect()])
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3  # ANN: non-trivial recall with tiny buckets
+
+
+def test_lsh_bucketing_not_degenerate(spark, embeddings):
+    """Guard against the round-1 dim bug: wrong dim → NULL projections →
+    every vector in bucket 0 → quadratic join. Bucketing on real data
+    must produce >1 bucket, and a dim mismatch must raise, not silently
+    degrade."""
+    from plateau_spark.operators.similarity import hyperplane_bucket_col, infer_dim
+
+    d = infer_dim(embeddings, "embedding")
+    assert d == 64
+    n_buckets = (
+        embeddings.select(hyperplane_bucket_col("embedding", 4, seed=7, dim=d).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+    with pytest.raises(Exception, match="lsh dim"):
+        embeddings.select(
+            hyperplane_bucket_col("embedding", 4, seed=7, dim=16).alias("b")
+        ).collect()
 
 
 def test_analyze_documents(spark, documents):
