@@ -23,6 +23,8 @@ METADATA_SUFFIX = ".by-dataset-metadata.json"
 INDEX_SUFFIX = ".by-dataset-index.parquet"
 TABLE_NAME = "table"  # single table per dataset (plateau 4.0 semantics)
 PARQUET_SUFFIX = ".parquet"
+CSV_SUFFIXES = (".csv", ".csv.gz")
+STAGING_DIR = ".staging"  # per-commit write staging: <uuid>/.staging/<commit-id>/
 
 _UUID_RE = re.compile(r"^[a-zA-Z0-9_\-]+$")
 

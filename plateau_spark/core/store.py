@@ -74,6 +74,21 @@ class Store:
                 return json.loads(f.read())
         return json.loads(self._hadoop_get(key))  # pragma: no cover
 
+    def put_bytes(self, key: str, data: bytes) -> None:
+        if self._is_local:
+            target = self.path(key)
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            with open(target, "wb") as f:
+                f.write(data)
+        else:  # pragma: no cover
+            self._hadoop_put(key, data)
+
+    def get_bytes(self, key: str) -> bytes:
+        if self._is_local:
+            with open(self.path(key), "rb") as f:
+                return f.read()
+        return self._hadoop_get(key)  # pragma: no cover
+
     def exists(self, key: str) -> bool:
         if self._is_local:
             return os.path.exists(self.path(key))
@@ -88,6 +103,50 @@ class Store:
                 os.remove(target)
         else:  # pragma: no cover
             self._hadoop_fs().delete(self._hadoop_path(key), True)
+
+    def move(self, src_key: str, dst_key: str) -> None:
+        """Rename a file within the store (atomic on POSIX/HDFS; a
+        copy+delete on S3 — same cost profile as the reference's
+        per-file puts)."""
+        if self._is_local:
+            target = self.path(dst_key)
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            os.replace(self.path(src_key), target)
+        else:  # pragma: no cover
+            fs = self._hadoop_fs()
+            dst = self._hadoop_path(dst_key)
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(self._hadoop_path(src_key), dst):
+                raise IOError(f"rename {src_key} -> {dst_key} failed")
+
+    def read_parquet(self, key: str, filters=None):
+        """Read a parquet file/directory under ``key`` into a pyarrow
+        Table through the store abstraction — works on object stores
+        where pyarrow can't open ``s3a://`` URIs directly (metadata
+        plane only: index files, footers — never bulk data).
+
+        ``filters`` is a pyarrow.compute expression; on the local fast
+        path it prunes row groups at read time, elsewhere it's applied
+        post-read (index files are small single files by design).
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._is_local:
+            return pq.read_table(self.path(key), filters=filters)
+        # object store: fetch member files via Hadoop FS, filter after
+        keys = [
+            k
+            for k in self.iter_keys(key)
+            if k.endswith(".parquet") or k == key
+        ] or [key]
+        tables = [
+            pq.read_table(pa.BufferReader(self._hadoop_get(k))) for k in keys
+        ]  # pragma: no cover
+        table = pa.concat_tables(tables)  # pragma: no cover
+        if filters is not None:  # pragma: no cover
+            table = table.filter(filters)
+        return table  # pragma: no cover
 
     def iter_keys(self, prefix: str = "") -> Iterator[str]:
         """All keys (files) whose relative path starts with ``prefix``."""

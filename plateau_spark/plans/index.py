@@ -7,12 +7,19 @@ under ``<uuid>/indices/<col>/<ts>.by-dataset-index.parquet``; queried at
 plan time to prune partitions (docs/spec/indexing.rst:9-18), maintained
 incrementally on commit (plateau/core/index.py:280-403).
 
-Spark-first build: the index IS a DataFrame aggregation —
-``df.groupBy(col).agg(sort_array(collect_set(label)))`` — executed
-distributed, written as parquet (one shuffle over the distinct values,
-map-side combined). Loading for pruning is a driver-side read of one
-small parquet (with column/value filters pushed to row groups via
-pyarrow), matching the reference's O(1)-GETs-per-plan design goal.
+Spark-first lifecycle — the index never materializes on the driver
+except for the values a query actually touches:
+
+  build   — one distributed aggregation
+            ``df.groupBy(col).agg(sort_array(collect_set(label)))``
+  merge   — commit-time union of index DataFrames (explode → re-agg),
+            executed by Spark (merge_index_dataframes)
+  remove  — label/value removal as array_except / anti-filter on the
+            index DataFrame (remove_partitions_from_index_df)
+  load    — driver-side pyarrow read of ONE small parquet, restricted
+            via row-group filters to the literals of the current query
+            (SecondaryIndex.load with ``literals=``), matching the
+            reference's O(1)-GETs-per-plan design goal.
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ from __future__ import annotations
 import datetime
 from typing import Any, Iterable, Sequence
 
-import pyarrow.parquet as pq
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,14 +35,63 @@ from plateau_spark.core import naming
 from plateau_spark.core.predicates import evaluate_literal
 from plateau_spark.core.store import Store
 
-_INDEX_DTYPES_OK = "index column must be a scalar type (bool/int/float/str/bytes/date/timestamp)"
+LABEL_COL = "__label__"
+
+
+def _utc_ts() -> str:
+    return datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H%M%S.%f")
+
+
+def _literal_to_arrow_filter(column: str, op: str, val: Any):
+    """One DNF literal → a pyarrow.compute filter over the index table,
+    or None when not expressible (caller falls back to a full read).
+
+    The filter may be BROADER than the literal — safe, because
+    eval_operator re-evaluates exactly over whatever was loaded; it must
+    never be NARROWER.
+    """
+    f = pc.field(column)
+    if op in ("==", "="):
+        return None if val is None else (f == val)
+    if op == "!=":
+        return None if val is None else (f != val)
+    if op == "<=":
+        return f <= val
+    if op == ">=":
+        return f >= val
+    if op == "<":
+        return f < val
+    if op == ">":
+        return f > val
+    if op == "in":
+        vals = [v for v in val if v is not None]
+        return f.isin(vals)
+    # 'not in' / 'is distinct from' → nearly the whole domain anyway
+    return None
+
+
+def literals_to_arrow_filter(column: str, literals: Sequence[tuple[str, Any]]):
+    """OR of per-literal filters; None if any literal is untranslatable."""
+    exprs = []
+    for op, val in literals:
+        e = _literal_to_arrow_filter(column, op, val)
+        if e is None:
+            return None
+        exprs.append(e)
+    if not exprs:
+        return None
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out | e
+    return out
 
 
 class SecondaryIndex:
-    """In-driver representation: ``column`` + dict value → set of labels.
+    """Driver-side *view* of an index: ``column`` + dict value → labels.
 
     Only ever materialized for the values matching the query's literals
-    (or fully, for maintenance ops) — the persistent form is parquet.
+    (``load(..., literals=)``) — the persistent, full form is parquet and
+    is maintained by Spark jobs (functions below), never by this class.
     """
 
     def __init__(self, column: str, index_dct: dict[Any, set[str]] | None = None):
@@ -45,7 +101,7 @@ class SecondaryIndex:
     # -- construction -------------------------------------------------------
     @staticmethod
     def build_dataframe(
-        df: DataFrame, column: str, label_col: str = "__label__"
+        df: DataFrame, column: str, label_col: str = LABEL_COL
     ) -> DataFrame:
         """Distributed index build: (column value, sorted label array).
 
@@ -53,8 +109,6 @@ class SecondaryIndex:
         (plateau/io_components/metapartition.py:1005-1045) — but as ONE
         Spark aggregation instead of a per-partition pass + driver merge.
         """
-        if isinstance(df.schema[column].dataType.typeName(), type(None)):  # pragma: no cover
-            raise TypeError(_INDEX_DTYPES_OK)
         return (
             df.select(F.col(column), F.col(label_col))
             .where(F.col(column).isNotNull())
@@ -69,35 +123,45 @@ class SecondaryIndex:
             dct.setdefault(value, set()).add(label)
         return cls(column, dct)
 
-    # -- persistence ----------------------------------------------------------
-    def persist(self, store: Store, dataset_uuid: str, spark: SparkSession) -> str:
-        """Write the in-driver index as one parquet; returns the store key."""
-        ts = datetime.datetime.utcnow().strftime("%Y-%m-%dT%H%M%S.%f")
-        key = naming.index_key(dataset_uuid, self.column, ts)
+    def to_dataframe(self, spark: SparkSession, value_type: str = "string") -> DataFrame:
+        """Driver dict → index DataFrame (used for tiny primary-key
+        indexes derived from partition key_values; payload indexes go
+        through build_dataframe and never touch the driver)."""
         rows = [(v, sorted(labels)) for v, labels in sorted(self.index_dct.items())]
         if rows:
-            sdf = spark.createDataFrame(rows).toDF(self.column, "partitions")
-        else:
-            sdf = spark.createDataFrame(
-                [], schema=f"`{self.column}` string, partitions array<string>"
-            )
-        sdf.coalesce(1).write.mode("overwrite").parquet(store.url(key))
-        return key
+            return spark.createDataFrame(rows).toDF(self.column, "partitions")
+        return spark.createDataFrame(
+            [], schema=f"`{self.column}` {value_type}, partitions array<string>"
+        )
 
-    @staticmethod
-    def persist_dataframe(
-        index_df: DataFrame, store: Store, dataset_uuid: str, column: str
-    ) -> str:
-        """Persist a distributed index build without driver materialization."""
-        ts = datetime.datetime.utcnow().strftime("%Y-%m-%dT%H%M%S.%f")
-        key = naming.index_key(dataset_uuid, column, ts)
-        index_df.coalesce(1).write.mode("overwrite").parquet(store.url(key))
-        return key
+    # -- persistence ----------------------------------------------------------
+    def persist(self, store: Store, dataset_uuid: str, spark: SparkSession) -> str:
+        """Write this (small, driver-side) index as one parquet."""
+        return persist_index_dataframe(
+            self.to_dataframe(spark), store, dataset_uuid, self.column
+        )
 
     @classmethod
-    def load(cls, store: Store, key: str, column: str) -> "SecondaryIndex":
-        """Driver-side load of the full index (maintenance path)."""
-        table = pq.read_table(store.path(key) if store._is_local else store.url(key))
+    def load(
+        cls,
+        store: Store,
+        key: str,
+        column: str,
+        literals: Sequence[tuple[str, Any]] | None = None,
+    ) -> "SecondaryIndex":
+        """Driver-side load restricted to the query's literals.
+
+        ``literals`` = [(op, value), ...] touching ``column``; translated
+        to pyarrow row-group filters so a point lookup on a
+        high-cardinality index reads O(matching row groups), not the
+        whole index. ``literals=None`` (maintenance) loads everything.
+        Reads go through the Store abstraction, so the same code works
+        on object stores (reference: plateau/core/index.py:567-650).
+        """
+        filters = (
+            literals_to_arrow_filter(column, literals) if literals is not None else None
+        )
+        table = store.read_parquet(key, filters=filters)
         values = table.column(column).to_pylist()
         parts = table.column("partitions").to_pylist()
         return cls(column, {v: set(p) for v, p in zip(values, parts)})
@@ -120,7 +184,7 @@ class SecondaryIndex:
         """Exact-value lookup. Reference: plateau/core/index.py:252-271."""
         return set(self.index_dct.get(value, set()))
 
-    # -- maintenance -------------------------------------------------------------
+    # -- maintenance (driver-side view; Spark-side twins below) ---------------
     def remove_partitions(self, labels: Iterable[str]) -> "SecondaryIndex":
         """Drop labels from every posting list; drop empty values.
         Reference: plateau/core/index.py:280-360."""
@@ -132,6 +196,15 @@ class SecondaryIndex:
         }
         return SecondaryIndex(self.column, new)
 
+    def remove_values(self, values: Iterable[Any]) -> "SecondaryIndex":
+        """Drop entire value entries.
+        Reference: plateau/core/index.py:280-318 (remove_values)."""
+        drop = set(values)
+        return SecondaryIndex(
+            self.column,
+            {v: set(lbls) for v, lbls in self.index_dct.items() if v not in drop},
+        )
+
     def update(self, other: "SecondaryIndex") -> "SecondaryIndex":
         """Union-merge posting lists (commit-time index merge).
         Reference: merge_indices, plateau/core/index.py:760-791."""
@@ -139,3 +212,121 @@ class SecondaryIndex:
         for v, lbls in other.index_dct.items():
             merged.setdefault(v, set()).update(lbls)
         return SecondaryIndex(self.column, merged)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side index lifecycle (the scale path: nothing driver-materialized)
+# ---------------------------------------------------------------------------
+
+
+def persist_index_dataframe(
+    index_df: DataFrame, store: Store, dataset_uuid: str, column: str
+) -> str:
+    """Persist a (column, partitions) index DataFrame; returns the store
+    key. coalesce(1): the index is one small file by design — plan-time
+    loads must be one GET (docs/spec/indexing.rst:9-18)."""
+    key = naming.index_key(dataset_uuid, column, _utc_ts())
+    index_df.coalesce(1).write.mode("overwrite").parquet(store.url(key))
+    return key
+
+
+def merge_index_dataframes(column: str, dfs: Sequence[DataFrame]) -> DataFrame:
+    """Commit-time merge of N index DataFrames — explode to pairs,
+    union, re-aggregate. One Spark shuffle over the distinct values;
+    reference: merge_indices (plateau/core/index.py:760-791)."""
+    pairs = [
+        df.select(F.col(column), F.explode("partitions").alias(LABEL_COL)) for df in dfs
+    ]
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(column).agg(
+        F.sort_array(F.collect_set(LABEL_COL)).alias("partitions")
+    )
+
+
+def remove_partitions_from_index_df(
+    index_df: DataFrame, column: str, labels: Iterable[str]
+) -> DataFrame:
+    """Spark-side twin of SecondaryIndex.remove_partitions."""
+    arr = F.array(*[F.lit(l) for l in sorted(set(labels))])
+    return index_df.select(
+        F.col(column), F.array_except("partitions", arr).alias("partitions")
+    ).where(F.size("partitions") > 0)
+
+
+def remove_values_from_index_df(
+    index_df: DataFrame, column: str, values: Iterable[Any]
+) -> DataFrame:
+    """Spark-side twin of SecondaryIndex.remove_values."""
+    return index_df.where(~F.col(column).isin(list(values)))
+
+
+# ---------------------------------------------------------------------------
+# Index views (reference: plateau/core/index.py:428-531 as_flat_series,
+# plateau/core/dataset.py:356-423 get_indices_as_dataframe)
+# ---------------------------------------------------------------------------
+
+
+def index_as_flat_dataframe(
+    spark: SparkSession,
+    store: Store,
+    meta,
+    column: str,
+    *,
+    compact: bool = False,
+    partitions_as_index: bool = False,
+) -> DataFrame:
+    """The index as a DataFrame — ``as_flat_series`` re-expressed.
+
+    Default: one row per (value, partition). ``compact=True``: one row
+    per value with the sorted label list. ``partitions_as_index=True``:
+    inverted — one row per (partition, value).
+    """
+    df = load_index_dataframe(spark, store, meta, column)
+    if compact:
+        return df
+    flat = df.select(F.col(column), F.explode("partitions").alias("partition"))
+    if partitions_as_index:
+        return flat.select("partition", column)
+    return flat
+
+
+def load_index_dataframe(
+    spark: SparkSession, store: Store, meta, column: str
+) -> DataFrame:
+    """(column, partitions) DataFrame for one index — secondary from its
+    parquet, partition-key derived from commit-file key_values (tiny:
+    one row per partition; reference load_partition_indices,
+    plateau/core/dataset.py:888-921)."""
+    if column in meta.indices:
+        return spark.read.parquet(store.url(meta.indices[column]))
+    if column in meta.partition_keys:
+        idx = SecondaryIndex.from_pairs(
+            column, [(p.key_values[column], p.label) for p in meta.partitions.values()]
+        )
+        return idx.to_dataframe(spark)
+    raise ValueError(f"Column {column!r} is neither indexed nor a partition key")
+
+
+def get_indices_as_dataframe(
+    spark: SparkSession,
+    store: Store,
+    meta,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """One row per (partition, value-combination): partition label plus
+    one column per index, outer-joined on the partition label —
+    reference get_indices_as_dataframe (plateau/core/dataset.py:356-423).
+    """
+    if columns is None:
+        columns = sorted(set(meta.indices) | set(meta.partition_keys))
+    if not columns:
+        raise ValueError("Dataset has no indices")
+    out: DataFrame | None = None
+    for col in columns:
+        flat = index_as_flat_dataframe(
+            spark, store, meta, col, partitions_as_index=True
+        )
+        out = flat if out is None else out.join(flat, "partition", "outer")
+    return out.select("partition", *columns)

@@ -92,13 +92,22 @@ def plan_scan(
     if predicates is None:
         return [parts[label] for label in sorted(parts)]
 
-    # Load only the indexes that can constrain this query (lazily, once).
+    # Load only the indexes that can constrain this query, restricted to
+    # the query's own literal values (pyarrow row-group filters) — a
+    # point lookup on a high-cardinality index never materializes the
+    # whole index on the driver.
     pred_cols = columns_in_predicates(predicates)
     needed = [
         c for c in pred_cols if c in metadata.indices and c not in metadata.partition_keys
     ]
+    literals: dict[str, list[tuple[str, object]]] = {c: [] for c in needed}
+    for conjunction in predicates:
+        for col, op, val in conjunction:
+            if col in literals and _literal_index_constrainable(op, val):
+                literals[col].append((op, val))
     indexes = {
-        c: SecondaryIndex.load(store, metadata.indices[c], c) for c in needed
+        c: SecondaryIndex.load(store, metadata.indices[c], c, literals=literals[c])
+        for c in needed
     }
 
     surviving: set[str] = set()

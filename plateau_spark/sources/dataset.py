@@ -42,7 +42,13 @@ from plateau_spark.core.schema import (
 )
 from plateau_spark.core.store import Store
 from plateau_spark.core.urlencode import decode_partition_label
-from plateau_spark.plans.index import SecondaryIndex
+from plateau_spark.core.utils import combine_metadata, validate_partition_keys
+from plateau_spark.plans.index import (
+    SecondaryIndex,
+    merge_index_dataframes,
+    persist_index_dataframe,
+    remove_partitions_from_index_df,
+)
 from plateau_spark.plans.pruning import plan_scan
 
 
@@ -96,9 +102,20 @@ def _write_files(
         (the reference's one-value-per-file primary-index guarantee).
     The pack/compress-payload-before-shuffle trick of the reference is
     unnecessary on Spark (Tungsten binary rows + lz4 shuffle compression).
+
+    File discovery: the job writes into a unique per-commit staging
+    prefix ``<uuid>/.staging/<commit-id>/`` (hive layout), then each
+    file is renamed into ``<uuid>/table/`` with the commit id prefixed
+    to its name. Listing touches ONLY the staging prefix — O(new
+    files), never O(dataset files) — and concurrent writers can never
+    claim each other's in-flight files (they stage under different
+    commit ids). Mirrors the reference's track-what-each-task-wrote
+    protocol (plateau/io_components/write.py:148-233).
     """
-    table_key = _table_prefix(dataset_uuid).rstrip("/")
-    before = set(store.iter_keys(_table_prefix(dataset_uuid)))
+    import uuid as _uuid
+
+    commit_id = _uuid.uuid4().hex[:16]
+    staging = f"{dataset_uuid}/{naming.STAGING_DIR}/{commit_id}"
 
     out = df
     partition_on = list(partition_on)
@@ -120,69 +137,118 @@ def _write_files(
     writer = out.write.mode("append")
     if partition_on:
         writer = writer.partitionBy(*partition_on)
-    writer.parquet(store.url(table_key))
+    writer.parquet(store.url(staging))
 
-    after = store.iter_keys(_table_prefix(dataset_uuid))
     key_types = {f.name: f.dataType for f in df.schema.fields if f.name in partition_on}
     partitions = []
-    for key in after:
-        if key in before or not key.endswith(naming.PARQUET_SUFFIX):
+    for key in sorted(store.iter_keys(staging + "/")):
+        if not key.endswith(naming.PARQUET_SUFFIX):
             continue
-        rel = key[len(_table_prefix(dataset_uuid)):]
-        label = rel
+        rel = key[len(staging) + 1 :]
+        dirname = posixpath.dirname(rel)
+        final_rel = posixpath.join(dirname, f"{commit_id}-{posixpath.basename(rel)}")
+        final_key = _table_prefix(dataset_uuid) + final_rel
+        store.move(key, final_key)
         key_values = (
-            decode_partition_label(posixpath.dirname(rel), partition_on, key_types)
+            decode_partition_label(dirname, partition_on, key_types)
             if partition_on
             else {}
         )
-        partitions.append(Partition(label=label, file=key, key_values=key_values))
+        partitions.append(Partition(label=final_rel, file=final_key, key_values=key_values))
+    store.delete(staging)  # leftover _SUCCESS marker etc.
     return partitions
 
 
-def _build_indices_for_files(
+def _empty_index_df(
+    spark: SparkSession, metadata: DatasetMetadata, column: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    value_field = metadata.schema[column] if metadata.schema is not None else T.StructField(column, T.StringType())
+    schema = T.StructType(
+        [
+            T.StructField(column, value_field.dataType),
+            T.StructField("partitions", T.ArrayType(T.StringType())),
+        ]
+    )
+    return spark.createDataFrame([], schema=schema)
+
+
+def _build_index_dataframes(
     spark: SparkSession,
     store: Store,
     metadata: DatasetMetadata,
     partitions: Sequence[Partition],
     columns: Sequence[str],
-) -> dict[str, SecondaryIndex]:
-    """Distributed index build over the given partitions' files.
+) -> dict[str, DataFrame]:
+    """Distributed index build over the given partitions' files — each
+    result is a (column value, sorted label array) DataFrame; nothing
+    touches the driver (the round-1 `.collect()` is gone).
 
-    One Spark job per indexed column set: scan only the index columns
+    One Spark aggregation per indexed column: scan only that column
     (column pruning hits the parquet scan), map file → label with a
-    broadcast lookup, aggregate distinct (value, label) pairs.
-    Reference: MetaPartition.build_indices
+    broadcast lookup, groupBy value. Reference:
+    MetaPartition.build_indices
     (plateau/io_components/metapartition.py:1005-1045).
     """
-    if not partitions or not columns:
-        return {c: SecondaryIndex(c) for c in columns}
-    file_to_label = {store.url(p.file): p.label for p in partitions}
-    # also match without scheme (input_file_name returns the fully-qualified URI)
-    urls = list(file_to_label.keys())
-    df = spark.read.option("basePath", store.url(_table_prefix(metadata.uuid).rstrip("/"))).parquet(*urls)
-    mapping = spark.createDataFrame(
-        [(u, l) for u, l in file_to_label.items()], "___file string, __label__ string"
-    )
-    out: dict[str, SecondaryIndex] = {}
+    out: dict[str, DataFrame] = {}
     key_cols = set(metadata.partition_keys)
+    df = None
+    mapping = None
     for col in columns:
         if col in key_cols:
-            # primary index — derivable from key_values, no data pass needed
-            idx = SecondaryIndex.from_pairs(
+            # primary index — derivable from commit-file key_values
+            # (one pair per partition: metadata-scale, not data-scale)
+            out[col] = SecondaryIndex.from_pairs(
                 col, [(p.key_values[col], p.label) for p in partitions]
-            )
-            out[col] = idx
+            ).to_dataframe(spark) if partitions else _empty_index_df(spark, metadata, col)
             continue
+        if not partitions:
+            out[col] = _empty_index_df(spark, metadata, col)
+            continue
+        if df is None:
+            file_to_label = {store.url(p.file): p.label for p in partitions}
+            df = spark.read.option(
+                "basePath", store.url(_table_prefix(metadata.uuid).rstrip("/"))
+            ).parquet(*file_to_label)
+            mapping = spark.createDataFrame(
+                list(file_to_label.items()), "___file string, __label__ string"
+            )
         pairs = (
             df.select(F.col(col), F.input_file_name().alias("___file"))
             .where(F.col(col).isNotNull())
             .dropDuplicates([col, "___file"])
             .join(F.broadcast(mapping), "___file")
             .select(col, "__label__")
-            .collect()
         )
-        out[col] = SecondaryIndex.from_pairs(col, [(r[0], r[1]) for r in pairs])
+        out[col] = SecondaryIndex.build_dataframe(pairs, col)
     return out
+
+
+def _merge_committed_indices(
+    spark: SparkSession,
+    store: Store,
+    meta: DatasetMetadata,
+    new_partitions: Sequence[Partition],
+    removed: set[str],
+) -> None:
+    """Refresh every index for a commit: build over the new partitions,
+    drop removed labels from the old index, merge, persist — all as
+    Spark jobs over the small index relations (never driver dicts).
+    Reference: update_indices_from_partitions + merge_indices
+    (plateau/io_components/write.py:93-118, plateau/core/index.py:760-791).
+    """
+    if not meta.indices:
+        return
+    built = _build_index_dataframes(
+        spark, store, meta, list(new_partitions), list(meta.indices)
+    )
+    for col, key in list(meta.indices.items()):
+        old_df = spark.read.parquet(store.url(key))
+        if removed:
+            old_df = remove_partitions_from_index_df(old_df, col, removed)
+        merged = merge_index_dataframes(col, [old_df, built[col]])
+        meta.indices[col] = persist_index_dataframe(merged, store, meta.uuid, col)
 
 
 def store_dataframe_as_dataset(
@@ -236,9 +302,11 @@ def store_dataframe_as_dataset(
         schema=df.schema,
         metadata=metadata or {},
     )
-    for col in secondary_indices or []:
-        idx = _build_indices_for_files(spark, store, ds, partitions, [col])[col]
-        ds.indices[col] = idx.persist(store, dataset_uuid, spark)
+    built = _build_index_dataframes(
+        spark, store, ds, partitions, list(secondary_indices or [])
+    )
+    for col, idx_df in built.items():
+        ds.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     ds.commit(store)
     return ds
 
@@ -378,7 +446,9 @@ def _resolve_delete_scope(
                     l for l, p in meta.partitions.items() if p.key_values.get(col) == value
                 }
             elif col in meta.indices:
-                idx = SecondaryIndex.load(store, meta.indices[col], col)
+                idx = SecondaryIndex.load(
+                    store, meta.indices[col], col, literals=[("==", value)]
+                )
                 labels = idx.query(value) & set(meta.partitions)
             else:
                 raise ValueError(
@@ -397,6 +467,7 @@ def update_dataset_from_dataframe(
     df: DataFrame | None = None,
     *,
     delete_scope: Sequence[dict[str, Any]] | None = None,
+    partition_on: Sequence[str] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
     num_buckets: int | None = None,
     bucket_by: Sequence[str] | None = None,
@@ -410,6 +481,7 @@ def update_dataset_from_dataframe(
     """
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    validate_partition_keys(meta.partition_keys, partition_on)
 
     new_partitions: list[Partition] = []
     if df is not None:
@@ -438,18 +510,9 @@ def update_dataset_from_dataframe(
     for p in new_partitions:
         meta.partitions[p.label] = p
 
-    if meta.indices:
-        new_idx = _build_indices_for_files(
-            spark, store, meta, new_partitions, list(meta.indices)
-        )
-        for col, key in list(meta.indices.items()):
-            idx = SecondaryIndex.load(store, key, col)
-            if removed:
-                idx = idx.remove_partitions(removed)
-            idx = idx.update(new_idx[col])
-            meta.indices[col] = idx.persist(store, dataset_uuid, spark)
+    _merge_committed_indices(spark, store, meta, new_partitions, removed)
     if metadata:
-        meta.metadata.update(metadata)
+        meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True
     meta.commit(store)
     return meta
@@ -515,20 +578,12 @@ def commit_dataset(
         if p.label in meta.partitions:
             raise RuntimeError(f"Duplicate partition label in commit: {p.label}")
         meta.partitions[p.label] = p
+    if new_partitions:
+        meta.explicit_partitions = True
 
-    if meta.indices:
-        new_idx = _build_indices_for_files(
-            spark, store, meta, list(new_partitions or []), list(meta.indices)
-        )
-        for col, key in list(meta.indices.items()):
-            idx = SecondaryIndex.load(store, key, col)
-            if removed:
-                idx = idx.remove_partitions(removed)
-            idx = idx.update(new_idx[col])
-            meta.indices[col] = idx.persist(store, dataset_uuid, spark)
-
+    _merge_committed_indices(spark, store, meta, list(new_partitions or []), removed)
     if metadata:
-        meta.metadata.update(metadata)
+        meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.commit(store)
     return meta
 
@@ -551,9 +606,9 @@ def build_dataset_indices(
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
     parts = list(meta.partitions.values())
-    built = _build_indices_for_files(spark, store, meta, parts, list(columns))
-    for col, idx in built.items():
-        meta.indices[col] = idx.persist(store, dataset_uuid, spark)
+    built = _build_index_dataframes(spark, store, meta, parts, list(columns))
+    for col, idx_df in built.items():
+        meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     meta.commit(store)
     return meta
 
@@ -563,11 +618,17 @@ def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
     files, files from failed/uncommitted writes).
 
     Reference: garbage_collect_dataset (/root/reference/plateau/io/eager.py:744-769,
-    plateau/io_components/gc.py:8-52).
+    plateau/io_components/gc.py:8-52). Matching the reference's
+    ``explicit_partitions`` guard, table data files are only reclaimed
+    once the dataset has an explicit partition list — a header-only
+    dataset with files staged via ``write_single_partition`` keeps its
+    pending files. Like the reference, GC must not run concurrently
+    with an in-flight write_single_partition/commit_dataset pair.
     """
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
     referenced = meta.referenced_keys()
+    table_prefix = _table_prefix(dataset_uuid)
     # index "files" are directories when written by Spark — keep their contents
     removed = []
     for key in list(store.iter_keys(f"{dataset_uuid}/")):
@@ -575,13 +636,70 @@ def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
             continue
         if any(key.startswith(ref.rstrip("/") + "/") for ref in referenced):
             continue  # member of a referenced directory-parquet
-        if key.endswith("_SUCCESS") or "/_" in key or key.endswith(".crc"):
-            removed.append(key)
-            store.delete(key)
-            continue
+        if not meta.explicit_partitions and key.startswith(table_prefix):
+            continue  # pending write_single_partition files (gc.py:24-31)
         removed.append(key)
         store.delete(key)
     return removed
+
+
+def copy_dataset(
+    src_store: Store | str,
+    dataset_uuid: str,
+    target_store: Store | str | None = None,
+    target_uuid: str | None = None,
+) -> DatasetMetadata:
+    """Copy a committed dataset (data files + indexes + commit file),
+    optionally renaming it — metadata-file keys are rewritten for the
+    new UUID; data bytes are copied verbatim.
+
+    Reference: copy_dataset / copy_keys
+    (/root/reference/plateau/utils/store.py:176-210,
+    plateau/io/eager.py copy_dataset). Data copied last, commit file
+    last of all, so a crashed copy never yields a readable half-dataset.
+    """
+    src_store = _ensure_store(src_store)
+    target_store = src_store if target_store is None else _ensure_store(target_store)
+    target_uuid = target_uuid or dataset_uuid
+    naming.validate_dataset_uuid(target_uuid)
+    if src_store is target_store and target_uuid == dataset_uuid:
+        raise ValueError("Cannot copy a dataset onto itself")
+    if DatasetMetadata.exists(target_store, target_uuid):
+        raise RuntimeError(f"Dataset `{target_uuid}` already exists in target store")
+
+    meta = DatasetMetadata.load(src_store, dataset_uuid)
+
+    def _rekey(key: str) -> str:
+        assert key.startswith(f"{dataset_uuid}/")
+        return f"{target_uuid}/{key[len(dataset_uuid) + 1:]}"
+
+    data_keys = set()
+    for p in meta.partitions.values():
+        data_keys.add(p.file)
+    for idx_key in meta.indices.values():
+        # Spark-written indexes are directories; copy member files
+        members = [k for k in src_store.iter_keys(idx_key) if not k.endswith(".crc")]
+        data_keys.update(members or [idx_key])
+    for key in sorted(data_keys):
+        target_store.put_bytes(_rekey(key), src_store.get_bytes(key))
+
+    new_meta = DatasetMetadata(
+        uuid=target_uuid,
+        partitions={
+            label: Partition(
+                label=label, file=_rekey(p.file), key_values=dict(p.key_values),
+                row_count=p.row_count,
+            )
+            for label, p in meta.partitions.items()
+        },
+        partition_keys=list(meta.partition_keys),
+        schema=meta.schema,
+        indices={c: _rekey(k) for c, k in meta.indices.items()},
+        metadata=dict(meta.metadata),
+        explicit_partitions=meta.explicit_partitions,
+    )
+    new_meta.commit(target_store)
+    return new_meta
 
 
 def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
