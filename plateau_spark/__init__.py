@@ -27,15 +27,27 @@ from plateau_spark.core.schema import normalize_schema, normalize_dataframe
 from plateau_spark.core.metadata import DatasetMetadata
 from plateau_spark.sources.dataset import (
     store_dataframe_as_dataset,
+    store_dataframes_as_dataset,
+    store_dataframes_as_dataset__iter,
     read_dataset_as_dataframe,
+    read_dataset_as_dataframe_iterator,
+    read_dataset_as_dataframe_groups,
     read_table,
     update_dataset_from_dataframe,
+    update_dataset_from_dataframes__iter,
+    write_single_partition,
     commit_dataset,
+    copy_dataset,
     create_empty_dataset_header,
     delete_dataset,
     garbage_collect_dataset,
     build_dataset_indices,
 )
+from plateau_spark.plans.index import (
+    get_indices_as_dataframe,
+    index_as_flat_dataframe,
+)
+from plateau_spark.core.utils import combine_metadata
 
 __all__ = [
     "check_predicates",
@@ -47,14 +59,24 @@ __all__ = [
     "normalize_dataframe",
     "DatasetMetadata",
     "store_dataframe_as_dataset",
+    "store_dataframes_as_dataset",
+    "store_dataframes_as_dataset__iter",
     "read_dataset_as_dataframe",
+    "read_dataset_as_dataframe_iterator",
+    "read_dataset_as_dataframe_groups",
     "read_table",
     "update_dataset_from_dataframe",
+    "update_dataset_from_dataframes__iter",
+    "write_single_partition",
     "commit_dataset",
+    "copy_dataset",
     "create_empty_dataset_header",
     "delete_dataset",
     "garbage_collect_dataset",
     "build_dataset_indices",
+    "get_indices_as_dataframe",
+    "index_as_flat_dataframe",
+    "combine_metadata",
 ]
 
 __version__ = "0.1.0"

@@ -319,6 +319,155 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def dataset_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV serializer contract (reference CsvSerializer,
+    plateau/serialization/_csv.py:33-118): ';' separator, gzip, header;
+    types restored from the commit-file schema, suffix-dispatched read."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("csv-roundtrip")
+    part = load_table(spark, sf_dir, "part")
+    store_dataframe_as_dataset(
+        spark, store, "part", part, partition_on=["p_brand"], file_format="csv"
+    )
+    return read_table(spark, store, "part", predicates=[[("p_size", "<=", 20)]])
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT p_brand, p_name, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(p_size AS BIGINT) AS p_size, p_type
+FROM part WHERE p_size <= 20
+"""
+
+
+def dataset_multi_store_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-driven bounded-memory ingestion: three chunks written as
+    they arrive, ONE atomic commit at exhaustion (reference:
+    store_dataframes_as_dataset__iter, plateau/io/iter.py:166-245)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframes_as_dataset__iter,
+    )
+
+    store = _fresh_store("multi-iter")
+    ev = load_table(spark, sf_dir, "events")
+
+    def chunks():
+        for i in range(3):
+            yield ev.where(F.col("event_id") % 3 == i)
+
+    store_dataframes_as_dataset__iter(
+        spark, store, "events", chunks(), partition_on=["event_type"]
+    )
+    return read_table(spark, store, "events")
+
+
+MULTI_STORE_ORACLE = """
+SELECT event_type, event_id, props, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+FROM events
+"""
+
+
+def dataset_dispatch_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dispatch_by with attached logical conjunctions (reference:
+    plateau/io_components/read.py:66-95): per-group pruned reads whose
+    per-group aggregates are reassembled; group membership comes from
+    metadata, each group's predicate carries col==value residuals."""
+    _prep(spark)
+    from functools import reduce
+
+    from plateau_spark.sources.dataset import (
+        read_dataset_as_dataframe_groups,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("dispatch")
+    orders = load_table(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(
+        spark, store, "orders", orders, partition_on=["o_orderstatus"]
+    )
+    parts = []
+    for key, df in read_dataset_as_dataframe_groups(
+        spark, store, "orders", ["o_orderstatus"],
+        predicates=[[("o_totalprice", ">", 100000.0)]],
+    ):
+        parts.append(
+            df.agg(
+                F.lit(key["o_orderstatus"]).alias("o_orderstatus"),
+                F.count("*").alias("n_orders"),
+                F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+DISPATCH_GROUPS_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders WHERE o_totalprice > 100000.0
+GROUP BY o_orderstatus
+"""
+
+
+def dataset_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-as-DataFrame views (reference get_indices_as_dataframe /
+    as_flat_series, plateau/core/dataset.py:356-423,
+    core/index.py:428-531): the flat (value, partition) relation,
+    aggregated to an oracle-stable shape (labels are generated names)."""
+    _prep(spark)
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.plans.index import index_as_flat_dataframe
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    store = _fresh_store("index-view")
+    orders = load_table(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(
+        spark, store, "orders", orders,
+        partition_on=["o_orderstatus"], secondary_indices=["o_orderpriority"],
+    )
+    meta = DatasetMetadata.load(Store(store), "orders")
+    flat = index_as_flat_dataframe(spark, Store(store), meta, "o_orderpriority")
+    return flat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_partitions")
+    )
+
+
+INDEX_VIEW_ORACLE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_orderstatus) AS n_partitions
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def dataset_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copy_dataset: byte-copy + commit-file rekey, then an indexed read
+    against the COPY (reference: plateau/utils/store.py:176-210)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        copy_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("copy")
+    nation = load_table(spark, sf_dir, "nation")
+    store_dataframe_as_dataset(
+        spark, store, "nation", nation,
+        partition_on=["n_regionkey"], secondary_indices=["n_name"],
+    )
+    copy_dataset(store, "nation", target_uuid="nation2")
+    return read_table(
+        spark, store, "nation2", predicates=[[("n_regionkey", ">=", 2)]]
+    )
+
+
+DATASET_COPY_ORACLE = """
+SELECT n_regionkey, n_name, n_nationkey FROM nation WHERE n_regionkey >= 2
+"""
+
+
 def dataset_update_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-level copy-on-write: delete_scope drops partitions in one
     atomic commit (update semantics, plateau/io_components/update.py:1-54)."""
@@ -912,6 +1061,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_roundtrip_read": dataset_roundtrip_read,
     "dataset_pruned_read": dataset_pruned_read,
     "dataset_index_read": dataset_index_read,
+    "dataset_csv_roundtrip": dataset_csv_roundtrip,
+    "dataset_multi_store_iter": dataset_multi_store_iter,
+    "dataset_dispatch_groups": dataset_dispatch_groups,
+    "dataset_index_view": dataset_index_view,
+    "dataset_copy": dataset_copy,
     "dataset_update_delete_scope": dataset_update_delete_scope,
     "dataset_append_update": dataset_append_update,
     "dataset_bucketed_write": dataset_bucketed_write,
@@ -956,6 +1110,11 @@ ORACLES: dict[str, str] = {
     "dataset_roundtrip_read": ROUNDTRIP_ORACLE,
     "dataset_pruned_read": PRUNED_ORACLE,
     "dataset_index_read": INDEX_READ_ORACLE,
+    "dataset_csv_roundtrip": CSV_ROUNDTRIP_ORACLE,
+    "dataset_multi_store_iter": MULTI_STORE_ORACLE,
+    "dataset_dispatch_groups": DISPATCH_GROUPS_ORACLE,
+    "dataset_index_view": INDEX_VIEW_ORACLE,
+    "dataset_copy": DATASET_COPY_ORACLE,
     "dataset_update_delete_scope": DELETE_SCOPE_ORACLE,
     "dataset_append_update": APPEND_ORACLE,
     "dataset_bucketed_write": BUCKETED_ORACLE,

@@ -43,6 +43,11 @@ from plateau_spark.core.schema import (
 from plateau_spark.core.store import Store
 from plateau_spark.core.urlencode import decode_partition_label
 from plateau_spark.core.utils import combine_metadata, validate_partition_keys
+from plateau_spark.sources.serializers import (
+    is_payload_file,
+    read_files,
+    write_staged,
+)
 from plateau_spark.plans.index import (
     SecondaryIndex,
     merge_index_dataframes,
@@ -90,6 +95,8 @@ def _write_files(
     num_buckets: int | None = None,
     bucket_by: Sequence[str] | None = None,
     repartition: bool = True,
+    file_format: str = "parquet",
+    compress: bool = True,
 ) -> list[Partition]:
     """One Spark write job; returns the new Partition entries.
 
@@ -134,15 +141,14 @@ def _write_files(
         # (sort_values_categorical, plateau/io_components/utils.py:399-410)
         out = out.sortWithinPartitions(*sort_partitions_by)
 
-    writer = out.write.mode("append")
-    if partition_on:
-        writer = writer.partitionBy(*partition_on)
-    writer.parquet(store.url(staging))
+    write_staged(
+        out, store.url(staging), partition_on, file_format=file_format, compress=compress
+    )
 
     key_types = {f.name: f.dataType for f in df.schema.fields if f.name in partition_on}
     partitions = []
     for key in sorted(store.iter_keys(staging + "/")):
-        if not key.endswith(naming.PARQUET_SUFFIX):
+        if not is_payload_file(key):
             continue
         rel = key[len(staging) + 1 :]
         dirname = posixpath.dirname(rel)
@@ -208,9 +214,12 @@ def _build_index_dataframes(
             continue
         if df is None:
             file_to_label = {store.url(p.file): p.label for p in partitions}
-            df = spark.read.option(
-                "basePath", store.url(_table_prefix(metadata.uuid).rstrip("/"))
-            ).parquet(*file_to_label)
+            df = read_files(
+                spark,
+                metadata.schema,
+                store.url(_table_prefix(metadata.uuid).rstrip("/")),
+                {p.file: store.url(p.file) for p in partitions},
+            )
             mapping = spark.createDataFrame(
                 list(file_to_label.items()), "___file string, __label__ string"
             )
@@ -264,6 +273,8 @@ def store_dataframe_as_dataset(
     bucket_by: Sequence[str] | None = None,
     overwrite: bool = False,
     metadata: dict[str, Any] | None = None,
+    file_format: str = "parquet",
+    compress: bool = True,
 ) -> DatasetMetadata:
     """Create a new dataset from a DataFrame (one write job + one commit).
 
@@ -293,6 +304,8 @@ def store_dataframe_as_dataset(
         sort_partitions_by=sort_partitions_by,
         num_buckets=num_buckets,
         bucket_by=bucket_by,
+        file_format=file_format,
+        compress=compress,
     )
 
     ds = DatasetMetadata(
@@ -309,6 +322,150 @@ def store_dataframe_as_dataset(
         ds.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     ds.commit(store)
     return ds
+
+
+def store_dataframes_as_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    dfs: Sequence[DataFrame] | DataFrame,
+    **kwargs: Any,
+) -> DatasetMetadata:
+    """Create a dataset from a LIST of DataFrames — each list element is
+    written by its own job (its rows stay in its own files), all files
+    land in ONE atomic commit. Reference: store_dataframes_as_dataset
+    (/root/reference/plateau/io/eager.py:449-491), where each list
+    element becomes its own partition set.
+    """
+    if isinstance(dfs, DataFrame):
+        dfs = [dfs]
+    return store_dataframes_as_dataset__iter(spark, store, dataset_uuid, iter(dfs), **kwargs)
+
+
+def store_dataframes_as_dataset__iter(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    df_generator,
+    *,
+    partition_on: Sequence[str] | None = None,
+    secondary_indices: Sequence[str] | None = None,
+    sort_partitions_by: Sequence[str] | None = None,
+    overwrite: bool = False,
+    metadata: dict[str, Any] | None = None,
+    file_format: str = "parquet",
+    compress: bool = True,
+) -> DatasetMetadata:
+    """Generator-driven bounded-memory ingestion: each yielded DataFrame
+    is written immediately (one job per element, its staging files
+    renamed into place), nothing is retained but partition entries;
+    ONE commit at exhaustion. Readers see nothing until that commit.
+
+    Reference: store_dataframes_as_dataset__iter
+    (/root/reference/plateau/io/iter.py:166-245).
+    """
+    naming.validate_dataset_uuid(dataset_uuid)
+    store = _ensure_store(store)
+    if DatasetMetadata.exists(store, dataset_uuid):
+        if not overwrite:
+            raise RuntimeError(
+                f"Dataset `{dataset_uuid}` already exists and overwrite is not permitted"
+            )
+        delete_dataset(store, dataset_uuid)
+
+    partition_on = list(partition_on or [])
+    partitions: list[Partition] = []
+    schema = None
+    for df in df_generator:
+        df = normalize_dataframe(df, partition_on)
+        if schema is None:
+            schema = df.schema
+        else:
+            validate_compatible(schema, df.schema)
+        if partition_on:
+            _check_no_null_partition_keys(df, partition_on)
+        partitions.extend(
+            _write_files(
+                df,
+                store,
+                dataset_uuid,
+                partition_on,
+                sort_partitions_by=sort_partitions_by,
+                file_format=file_format,
+                compress=compress,
+            )
+        )
+    if schema is None:
+        raise ValueError("Cannot store a dataset from an empty generator")
+
+    ds = DatasetMetadata(
+        uuid=dataset_uuid,
+        partitions={p.label: p for p in partitions},
+        partition_keys=partition_on,
+        schema=schema,
+        metadata=metadata or {},
+    )
+    built = _build_index_dataframes(
+        spark, store, ds, partitions, list(secondary_indices or [])
+    )
+    for col, idx_df in built.items():
+        ds.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    ds.commit(store)
+    return ds
+
+
+def update_dataset_from_dataframes__iter(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    df_generator,
+    *,
+    delete_scope: Sequence[dict[str, Any]] | None = None,
+    sort_partitions_by: Sequence[str] | None = None,
+    metadata: dict[str, Any] | None = None,
+    file_format: str = "parquet",
+    compress: bool = True,
+) -> DatasetMetadata:
+    """Generator-driven update: write each yielded DataFrame as it
+    arrives, apply delete_scope, commit once at the end (reference:
+    update_dataset_from_dataframes__iter, plateau/io/iter.py:248-314).
+    """
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+
+    new_partitions: list[Partition] = []
+    for df in df_generator:
+        df = normalize_dataframe(df, meta.partition_keys)
+        validate_compatible(meta.schema, df.schema)
+        if meta.partition_keys:
+            _check_no_null_partition_keys(df, meta.partition_keys)
+        new_partitions.extend(
+            _write_files(
+                df,
+                store,
+                dataset_uuid,
+                meta.partition_keys,
+                sort_partitions_by=sort_partitions_by,
+                file_format=file_format,
+                compress=compress,
+            )
+        )
+
+    removed = _resolve_delete_scope(meta, store, delete_scope)
+    for label in removed:
+        del meta.partitions[label]
+    dupes = [p.label for p in new_partitions if p.label in meta.partitions]
+    if dupes:
+        raise RuntimeError(f"Duplicate partition labels in commit: {dupes}")
+    for p in new_partitions:
+        meta.partitions[p.label] = p
+
+    _merge_committed_indices(spark, store, meta, new_partitions, removed)
+    if metadata:
+        meta.metadata = combine_metadata(meta.metadata, metadata)
+    meta.explicit_partitions = True
+    meta.commit(store)
+    return meta
 
 
 def create_empty_dataset_header(
@@ -385,11 +542,8 @@ def read_dataset_as_dataframe(
     if not surviving:
         df = spark.createDataFrame([], schema=meta.schema)
     else:
-        paths = [store.url(p.file) for p in surviving]
-        df = (
-            spark.read.schema(meta.schema)
-            .option("basePath", base)
-            .parquet(*paths)
+        df = read_files(
+            spark, meta.schema, base, {p.file: store.url(p.file) for p in surviving}
         )
         # canonical column order (partition keys first, payload alphabetical)
         df = df.select(*normalized_column_order(df.columns, meta.partition_keys))
@@ -417,6 +571,59 @@ def read_dataset_as_dataframe_iterator(
     """Bounded-memory row iterator (reference: plateau/io/iter.py:101-163
     → Spark ``toLocalIterator``, one partition in flight at a time)."""
     return read_dataset_as_dataframe(spark, store, dataset_uuid, **kwargs).toLocalIterator()
+
+
+def read_dataset_as_dataframe_groups(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    dispatch_by: Sequence[str],
+    *,
+    predicates: Predicates | None = None,
+    columns: Sequence[str] | None = None,
+):
+    """Grouped read with attached logical conjunctions: yields
+    ``(group_values, DataFrame)`` per distinct combination of the
+    ``dispatch_by`` columns — each group's DataFrame carries the
+    residual AND-predicate ``col == value ∀ dispatch_by`` on top of the
+    caller's predicates, so every group reads exactly its own rows
+    through the normal pruned-scan path.
+
+    This is the reference's dispatch_by + logical_conjunction contract
+    (plateau/io_components/read.py:66-95,
+    plateau/io_components/metapartition.py:85-96): dispatch columns must
+    be partition keys or indexed, group membership is decided from
+    *metadata* (key values / inverted index), never a data scan.
+    """
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+    dispatch_by = list(dispatch_by)
+    for col in dispatch_by:
+        if col not in meta.partition_keys and col not in meta.indices:
+            raise RuntimeError(
+                f"Dispatch columns must be indexed or partition keys, got {col!r}"
+            )
+
+    # distinct value combos per column, from metadata only
+    per_col_values: list[list[Any]] = []
+    for col in dispatch_by:
+        if col in meta.partition_keys:
+            values = sorted({p.key_values[col] for p in meta.partitions.values()})
+        else:
+            idx = SecondaryIndex.load(store, meta.indices[col], col)
+            values = idx.observed_values()
+        per_col_values.append(values)
+
+    import itertools
+
+    base_predicates = predicates if predicates is not None else [[]]
+    for combo in itertools.product(*per_col_values):
+        conjunction = [(c, "==", v) for c, v in zip(dispatch_by, combo)]
+        combo_predicates = [list(conj) + conjunction for conj in base_predicates]
+        df = read_dataset_as_dataframe(
+            spark, store, dataset_uuid, predicates=combo_predicates, columns=columns
+        )
+        yield dict(zip(dispatch_by, combo)), df
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +679,8 @@ def update_dataset_from_dataframe(
     num_buckets: int | None = None,
     bucket_by: Sequence[str] | None = None,
     metadata: dict[str, Any] | None = None,
+    file_format: str = "parquet",
+    compress: bool = True,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
 
@@ -497,6 +706,8 @@ def update_dataset_from_dataframe(
             sort_partitions_by=sort_partitions_by,
             num_buckets=num_buckets,
             bucket_by=bucket_by,
+            file_format=file_format,
+            compress=compress,
         )
 
     removed = _resolve_delete_scope(meta, store, delete_scope)
@@ -526,6 +737,8 @@ def write_single_partition(
     *,
     partition_on: Sequence[str] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
+    file_format: str = "parquet",
+    compress: bool = True,
 ) -> list[Partition]:
     """Write files WITHOUT touching metadata — pair with ``commit_dataset``
     for concurrent-writer workflows (reference:
@@ -537,7 +750,9 @@ def write_single_partition(
     if partition_on:
         _check_no_null_partition_keys(df, partition_on)
     return _write_files(
-        df, store, dataset_uuid, partition_on, sort_partitions_by=sort_partitions_by
+        df, store, dataset_uuid, partition_on,
+        sort_partitions_by=sort_partitions_by,
+        file_format=file_format, compress=compress,
     )
 
 

@@ -1,0 +1,91 @@
+"""File-format dispatch for dataset payload files.
+
+Mirrors the reference's DataFrameSerializer registry
+(/root/reference/plateau/serialization/_generic.py:53-129): the file
+*suffix* names the format, each dataset may mix formats per partition,
+and readers dispatch per file. Formats:
+
+  ``.parquet``          — the default; Spark's vectorized reader with
+                          Catalyst filter/projection pushdown.
+  ``.csv`` / ``.csv.gz``— the reference's CsvSerializer contract
+                          (/root/reference/plateau/serialization/_csv.py:33-118):
+                          ``;`` separator, UTF-8, header row, gzip when
+                          compressed. Types come from the dataset's
+                          commit-file schema (stronger than the
+                          reference's pandas re-inference).
+
+Reading is still one distributed plan: surviving partition files are
+grouped by format, each group becomes one scan, groups union —
+Catalyst handles each source's pushdown independently.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+from plateau_spark.core import naming
+
+CSV_OPTIONS = {"sep": ";", "header": "true", "encoding": "UTF-8"}
+
+
+def format_of(key: str) -> str:
+    """Format name for a payload file key (suffix dispatch)."""
+    if key.endswith(naming.PARQUET_SUFFIX):
+        return "parquet"
+    if key.endswith(naming.CSV_SUFFIXES):
+        return "csv"
+    raise ValueError(f"The specified file format for '{key}' is not supported")
+
+
+def is_payload_file(key: str) -> bool:
+    return key.endswith(naming.PARQUET_SUFFIX) or key.endswith(naming.CSV_SUFFIXES)
+
+
+def write_staged(
+    df: DataFrame,
+    url: str,
+    partition_on: Sequence[str],
+    *,
+    file_format: str = "parquet",
+    compress: bool = True,
+) -> None:
+    """One Spark write job into the staging prefix, format-dispatched."""
+    writer = df.write.mode("append")
+    if partition_on:
+        writer = writer.partitionBy(*partition_on)
+    if file_format == "parquet":
+        writer.parquet(url)
+    elif file_format == "csv":
+        w = writer.options(**CSV_OPTIONS)
+        if compress:
+            w = w.option("compression", "gzip")
+        w.csv(url)
+    else:
+        raise ValueError(f"Unsupported file_format: {file_format!r}")
+
+
+def _reader(spark: SparkSession, schema, base: str) -> DataFrameReader:
+    return spark.read.schema(schema).option("basePath", base)
+
+
+def read_files(
+    spark: SparkSession,
+    schema,
+    base: str,
+    file_keys_to_urls: dict[str, str],
+) -> DataFrame:
+    """Format-dispatched scan over explicit file paths → one DataFrame."""
+    groups: dict[str, list[str]] = {}
+    for key, url in file_keys_to_urls.items():
+        groups.setdefault(format_of(key), []).append(url)
+    parts: list[DataFrame] = []
+    for fmt, urls in sorted(groups.items()):
+        rdr = _reader(spark, schema, base)
+        if fmt == "parquet":
+            parts.append(rdr.parquet(*urls))
+        else:
+            parts.append(rdr.options(**CSV_OPTIONS).csv(urls))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,259 @@
+"""Round-2 surface: CSV serializer, multi-DF / iterator stores,
+dispatch_by grouped reads with logical conjunctions, index views,
+dataset copy, recursive metadata merge, GC guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.core.utils import combine_metadata, validate_partition_keys
+from plateau_spark.plans.index import get_indices_as_dataframe, index_as_flat_dataframe
+from plateau_spark.sources.dataset import (
+    copy_dataset,
+    create_empty_dataset_header,
+    garbage_collect_dataset,
+    read_dataset_as_dataframe,
+    read_dataset_as_dataframe_groups,
+    store_dataframe_as_dataset,
+    store_dataframes_as_dataset,
+    store_dataframes_as_dataset__iter,
+    update_dataset_from_dataframe,
+    update_dataset_from_dataframes__iter,
+    write_single_partition,
+)
+
+
+# -- CSV serializer ----------------------------------------------------------
+
+
+def test_csv_roundtrip(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], file_format="csv"
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert all(f.endswith(".csv.gz") for f in out.inputFiles())
+    assert sorted((r.P, r.L) for r in out.collect()) == [(1, 1), (2, 2)]
+    # schema survives the text round-trip (from the commit file)
+    assert dict(out.dtypes)["DATE"] == "date"
+
+
+def test_csv_uncompressed_and_mixed_formats(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"],
+        file_format="csv", compress=False,
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ds",
+        cluster_df.withColumn("P", F.col("P") + 10),
+        file_format="parquet",
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    suffixes = {f.rsplit(".", 1)[-1] for f in out.inputFiles()}
+    assert suffixes == {"csv", "parquet"}
+    assert out.count() == 4
+    # predicates still prune partitions and filter rows across formats
+    pruned = read_dataset_as_dataframe(
+        spark, store, "ds", predicates=[[("P", "in", [1, 11])]]
+    )
+    assert sorted(r.P for r in pruned.collect()) == [1, 11]
+
+
+def test_unsupported_format_rejected(spark, store, cluster_df):
+    with pytest.raises(ValueError, match="file_format"):
+        store_dataframe_as_dataset(
+            spark, store, "ds", cluster_df, file_format="orc"
+        )
+
+
+# -- multi-DF and iterator stores -------------------------------------------
+
+
+def test_store_dataframes_list(spark, store, cluster_df):
+    half1 = cluster_df.where("P = 1")
+    half2 = cluster_df.where("P = 2")
+    ds = store_dataframes_as_dataset(
+        spark, store, "ds", [half1, half2], partition_on=["P"]
+    )
+    # each list element wrote its own files
+    assert len(ds.partitions) == 2
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert out.count() == 2
+
+
+def test_store_iter_generator(spark, store, cluster_df):
+    def gen():
+        yield cluster_df.where("P = 1")
+        yield cluster_df.where("P = 2")
+
+    ds = store_dataframes_as_dataset__iter(
+        spark, store, "ds", gen(), partition_on=["P"], secondary_indices=["L"]
+    )
+    assert len(ds.partitions) == 2
+    assert "L" in ds.indices
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("L", "==", 2)]])
+    assert [r.P for r in out.collect()] == [2]
+
+
+def test_store_iter_empty_generator_rejected(spark, store):
+    with pytest.raises(ValueError, match="empty generator"):
+        store_dataframes_as_dataset__iter(spark, store, "ds", iter([]))
+
+
+def test_update_iter(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+
+    def gen():
+        yield cluster_df.withColumn("P", F.col("P") + 10)
+
+    meta = update_dataset_from_dataframes__iter(
+        spark, store, "ds", gen(), delete_scope=[{"P": 1}]
+    )
+    assert len(meta.partitions) == 3  # 2 - 1 deleted + 2 added
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert sorted(r.P for r in out.collect()) == [2, 11, 12]
+
+
+# -- dispatch_by grouped reads ----------------------------------------------
+
+
+def test_dispatch_by_groups_partition_key(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    groups = list(read_dataset_as_dataframe_groups(spark, store, "ds", ["P"]))
+    assert [g[0] for g in groups] == [{"P": 1}, {"P": 2}]
+    for key, df in groups:
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].P == key["P"]
+
+
+def test_dispatch_by_groups_indexed_column(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    groups = list(
+        read_dataset_as_dataframe_groups(
+            spark, store, "ds", ["L"], predicates=[[("TARGET", ">", 0)]]
+        )
+    )
+    assert [g[0] for g in groups] == [{"L": 1}, {"L": 2}]
+    # the residual conjunction keeps only the group's own rows
+    for key, df in groups:
+        assert [r.L for r in df.collect()] == [key["L"]]
+
+
+def test_dispatch_by_requires_indexed_column(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    with pytest.raises(RuntimeError, match="indexed or partition keys"):
+        list(read_dataset_as_dataframe_groups(spark, store, "ds", ["TARGET"]))
+
+
+# -- index views --------------------------------------------------------------
+
+
+def test_index_as_flat_dataframe(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    meta = DatasetMetadata.load(store, "ds")
+    flat = index_as_flat_dataframe(spark, store, meta, "L")
+    rows = [(r.L, r.partition) for r in flat.collect()]
+    assert len(rows) == 2 and all(f"P={l}" in p for l, p in rows)
+    compact = index_as_flat_dataframe(spark, store, meta, "L", compact=True)
+    assert compact.columns == ["L", "partitions"]
+    inverted = index_as_flat_dataframe(
+        spark, store, meta, "L", partitions_as_index=True
+    )
+    assert inverted.columns == ["partition", "L"]
+
+
+def test_get_indices_as_dataframe(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    meta = DatasetMetadata.load(store, "ds")
+    view = get_indices_as_dataframe(spark, store, meta)
+    assert view.columns == ["partition", "L", "P"]
+    rows = view.collect()
+    assert len(rows) == 2
+    assert all(r.L == r.P for r in rows)  # fixture has L == P per partition
+
+
+# -- copy ----------------------------------------------------------------------
+
+
+def test_copy_dataset_rename(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "src", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    copy_dataset(store, "src", target_uuid="dst")
+    out = read_dataset_as_dataframe(spark, store, "dst", predicates=[[("L", "==", 1)]])
+    assert [r.P for r in out.collect()] == [1]
+    # commit-file keys rewritten to the new uuid
+    meta = DatasetMetadata.load(store, "dst")
+    assert all(p.file.startswith("dst/") for p in meta.partitions.values())
+    assert all(k.startswith("dst/") for k in meta.indices.values())
+
+
+def test_copy_dataset_guards(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "src", cluster_df)
+    with pytest.raises(ValueError, match="onto itself"):
+        copy_dataset(store, "src")
+    copy_dataset(store, "src", target_uuid="src2")
+    with pytest.raises(RuntimeError, match="already exists"):
+        copy_dataset(store, "src", target_uuid="src2")
+
+
+# -- metadata merge / partition-key validation / GC guard ---------------------
+
+
+def test_combine_metadata_recursive():
+    merged = combine_metadata(
+        {"a": {"x": 1}, "tags": ["t1"], "same": "v", "clash": 1},
+        {"a": {"y": 2}, "tags": ["t2"], "same": "v", "clash": 2},
+    )
+    assert merged["a"] == {"x": 1, "y": 2}
+    assert merged["tags"] == ["t1", "t2"]
+    assert merged["same"] == "v"
+    assert "clash" not in merged  # irreconcilable scalars dropped
+
+
+def test_validate_partition_keys():
+    assert validate_partition_keys(["a"], None) == ["a"]
+    assert validate_partition_keys(["a"], ["a"]) == ["a"]
+    with pytest.raises(ValueError, match="Incompatible partition keys"):
+        validate_partition_keys(["a"], ["b"])
+
+
+def test_update_metadata_merges_recursively(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, metadata={"pipeline": {"stage": "raw"}}
+    )
+    meta = update_dataset_from_dataframe(
+        spark, store, "ds", metadata={"pipeline": {"owner": "etl"}}
+    )
+    assert meta.metadata["pipeline"] == {"stage": "raw", "owner": "etl"}
+
+
+def test_gc_keeps_pending_files_for_header_only_dataset(spark, store, cluster_df):
+    create_empty_dataset_header(
+        spark, store, "hdr", cluster_df.schema, partition_on=["P"]
+    )
+    parts = write_single_partition(
+        spark, store, "hdr", cluster_df, partition_on=["P"]
+    )
+    removed = garbage_collect_dataset(store, "hdr")
+    assert not any(k.endswith(".parquet") and "/table/" in k for k in removed)
+    # files still attachable after GC
+    from plateau_spark.sources.dataset import commit_dataset
+
+    commit_dataset(spark, store, "hdr", new_partitions=parts)
+    assert read_dataset_as_dataframe(spark, store, "hdr").count() == 2
+
+
+def test_no_staging_leftovers(spark, store, cluster_df):
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    update_dataset_from_dataframe(
+        spark, store, "ds", cluster_df.withColumn("P", F.col("P") + 10)
+    )
+    assert not list(store.iter_keys("ds/.staging/"))
