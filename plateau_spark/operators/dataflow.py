@@ -90,10 +90,15 @@ def collect_dataset_metadata(
 
     Reference: collect_dataset_metadata
     (plateau/io/dask/dataframe.py:535-616,
-    plateau/io_components/metapartition.py:1277-1323). Footer reads are
-    distributed: each task opens only its files' footers (pyarrow inside
-    mapInPandas would also work; partition count is small enough that a
-    parallelized driver job is the simpler plan).
+    plateau/io_components/metapartition.py:1277-1323). Footer reads run
+    as an Arrow-batched ``mapInPandas`` over a paths DataFrame — each
+    task opens only its files' footers, the result stays distributed
+    (no driver materialization), and URLs go through a pyarrow-scheme
+    translation so the same code runs against object stores
+    (``s3a://`` → ``s3://`` etc.), not just local paths.
+    Parquet partitions only (footers are a parquet concept) — CSV
+    partitions are skipped, mirroring the reference's parquet-only
+    contract.
     """
     store = store if isinstance(store, Store) else Store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
@@ -101,22 +106,61 @@ def collect_dataset_metadata(
     if frac < 1.0:
         step = max(1, int(1 / frac))
         parts = parts[::step]
-    rows = [(p.label, store.path(p.file)) for p in parts]
-
-    def stats(batch):
-        label, path = batch
-        f = pq.ParquetFile(path)
-        md = f.metadata
-        return (
-            label,
-            md.num_rows,
-            md.num_row_groups,
-            sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups)),
-            md.serialized_size,
-        )
-
-    collected = spark.sparkContext.parallelize(rows, max(1, len(rows))).map(stats).collect()
-    return spark.createDataFrame(
-        collected,
-        "partition_label string, num_rows long, num_row_groups long, total_byte_size long, serialized_size long",
+    rows = [
+        (p.label, store.url(p.file))
+        for p in parts
+        if p.file.endswith(".parquet")
+    ]
+    schema = (
+        "partition_label string, num_rows long, num_row_groups long, "
+        "total_byte_size long, serialized_size long"
     )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    paths_df = spark.createDataFrame(rows, "partition_label string, url string")
+    paths_df = paths_df.repartition(min(len(rows), 256))
+
+    def footer_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for label, url in zip(pdf["partition_label"], pdf["url"]):
+                md = _pq.ParquetFile(_pyarrow_location(url)).metadata
+                out.append(
+                    (
+                        label,
+                        md.num_rows,
+                        md.num_row_groups,
+                        sum(
+                            md.row_group(i).total_byte_size
+                            for i in range(md.num_row_groups)
+                        ),
+                        md.serialized_size,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "partition_label",
+                    "num_rows",
+                    "num_row_groups",
+                    "total_byte_size",
+                    "serialized_size",
+                ],
+            )
+
+    return paths_df.mapInPandas(footer_stats, schema)
+
+
+def _pyarrow_location(url: str) -> str:
+    """Translate a Hadoop-style URI to one pyarrow's filesystems accept:
+    ``file://`` → bare path, ``s3a://``/``s3n://`` → ``s3://``;
+    others pass through (pyarrow handles s3/gcs/hdfs natively)."""
+    if url.startswith("file://"):
+        return url[len("file://"):]
+    for scheme in ("s3a://", "s3n://"):
+        if url.startswith(scheme):
+            return "s3://" + url[len(scheme):]
+    return url

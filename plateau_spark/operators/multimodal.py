@@ -137,7 +137,8 @@ def sample_video_frames(df: DataFrame, every_n: int) -> DataFrame:  # pragma: no
 def size_bucketed(df: DataFrame, *, target_bytes: int = 64 << 20) -> DataFrame:
     """Repartition media rows so each task sees ~target_bytes of payload
     (keeps Arrow batches and parquet row groups balanced when blob sizes
-    are skewed)."""
-    stats = df.select(F.sum(F.length("payload")).alias("total")).collect()[0]
-    n = max(1, int((stats["total"] or 0) / target_bytes))
+    are skewed). NOTE: runs one Spark action (a sum) to size the
+    exchange — call once per pipeline, not per batch."""
+    total = df.agg(F.sum(F.length("payload"))).first()[0] or 0
+    n = max(1, int(total / target_bytes))
     return df.repartition(n, "media_id")
