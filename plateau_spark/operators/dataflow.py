@@ -21,6 +21,74 @@ def sort_dataframe(df: DataFrame, columns: Sequence[str], ascending: bool = True
     return df.orderBy(*cols)
 
 
+def is_dataframe_sorted(df: DataFrame, columns: Sequence[str]) -> bool:
+    """Whether the DataFrame is globally sorted by ``columns`` (ascending,
+    within-partition AND across the partition ordering).
+
+    Reference: is_dataframe_sorted (plateau/utils/pandas.py:90-142) —
+    there a vectorized pandas check; here one aggregation comparing each
+    row's sort key against the previous row's via a window over the
+    natural partition order. Like the reference, null sort-key values
+    are not handled specially. Runs one Spark job (it must look at the
+    data); an empty DataFrame is sorted.
+    """
+    from pyspark.sql import Window
+
+    key = F.struct(*[F.col(c) for c in columns])
+    per_part = df.select(
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("rid"),
+        key.alias("k"),
+    )
+    w2 = Window.partitionBy("pid").orderBy("rid")
+    flags = per_part.select(
+        "pid",
+        "k",
+        F.when(F.lag("k").over(w2) > F.col("k"), 1).otherwise(0).alias("bad"),
+    )
+    agg = flags.groupBy("pid").agg(
+        F.sum("bad").alias("bad"), F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()
+    if any(r.bad > 0 for r in agg):
+        return False
+    ordered = sorted(agg, key=lambda r: r.pid)
+    for prev, nxt in zip(ordered, ordered[1:]):
+        if prev.hi > nxt.lo:
+            return False
+    return True
+
+
+def repartition_ratio(df: DataFrame, ratio: float) -> DataFrame:
+    """Coalesce to ``ceil(npartitions / ratio)`` partitions — merge small
+    partitions before expensive downstream work without a shuffle.
+
+    Reference: the ``repartition_ratio`` knob of dask dataframe ops
+    (plateau/io/dask/dataframe.py:248-254).
+    """
+    import math
+
+    n = df.rdd.getNumPartitions()
+    return df.coalesce(max(1, math.ceil(n / float(ratio))))
+
+
+def apply_to_partitions(df: DataFrame, fn, schema) -> DataFrame:
+    """Run an arbitrary pandas function over each partition's data —
+    the general UDF surface (reference: MetaPartition.apply,
+    plateau/io_components/metapartition.py:1325-1357).
+
+    ``fn``: pandas.DataFrame → pandas.DataFrame; ``schema``: the result
+    schema (DDL string or StructType). Arrow-batched via mapInPandas —
+    fn sees each batch, exactly like the reference's per-partition
+    apply sees each MetaPartition's frame.
+    """
+
+    def _runner(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return df.mapInPandas(_runner, schema)
+
+
 def aggregate_to_lists(
     df: DataFrame, by: Sequence[str], value_col: str, *, sort_values: bool = True
 ) -> DataFrame:

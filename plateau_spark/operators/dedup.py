@@ -17,8 +17,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def exact_dedup(
@@ -71,11 +73,29 @@ def tokens_col(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    the cluster has slots. Shingling/minhash cost is per-DOCUMENT
+    compute, not per-byte I/O: a small-file input (1 partition) would
+    run the whole expression tree on one core. At real scale the input
+    already has ≥ slots partitions and this is a no-op — checking the
+    plan's partitioning costs no job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles_col(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array<string> column.
 
     Built from array functions only: slide an index sequence over the
-    token array and join each window — no UDF, fully codegen'd.
+    token array and join each window. NOTE: higher-order functions are
+    *interpreted* (not codegen'd) and re-evaluate the token subtree per
+    element — measured ~0.7 ms/doc. Kept as the zero-Python reference
+    implementation; the hot paths use ``shingled_frame`` (Arrow-batched
+    pandas UDF, ~3× faster) which produces identical arrays.
     """
     toks = F.filter(tokens_col(text_col), lambda t: t != "")
     ngrams = F.transform(
@@ -83,6 +103,72 @@ def shingles_col(text_col: str, n: int = 3) -> F.Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.array_distinct(ngrams)
+
+
+# \w+underscore-split ≡ the JVM/DuckDB [^\p{L}\p{N}]+ tokenizer: \w is
+# letters+digits+underscore, and the `_+` alternative strips underscores.
+_TOKEN_SPLIT_RE = None  # compiled lazily on the executor
+
+
+def _shingle_texts(texts, n: int):
+    """Pure-Python twin of shingles_col (same output, incl. the
+    degenerate short/empty-text single-shingle case)."""
+    global _TOKEN_SPLIT_RE
+    import re
+
+    if _TOKEN_SPLIT_RE is None:
+        _TOKEN_SPLIT_RE = re.compile(r"[^\w]+|_+", re.UNICODE)
+    out = []
+    for t in texts:
+        toks = [w for w in _TOKEN_SPLIT_RE.split(t.strip().lower()) if w]
+        if len(toks) <= n:
+            out.append([" ".join(toks)])
+        else:
+            out.append(
+                list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+            )
+    return out
+
+
+_SHINGLE_UDFS: dict = {}
+
+
+def _shingle_udf(n: int):
+    if n not in _SHINGLE_UDFS:
+
+        @pandas_udf("array<string>")
+        def _shingles(texts: pd.Series) -> pd.Series:
+            return pd.Series(_shingle_texts(texts, n))
+
+        _SHINGLE_UDFS[n] = _shingles
+    return _SHINGLE_UDFS[n]
+
+
+def shingled_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    materialize: bool = True,
+) -> DataFrame:
+    """(__id__, __sh__) distinct-shingle frame — THE shared first stage
+    of minhash / n-gram-jaccard.
+
+    Arrow-batched pandas UDF (shingling is per-document string compute;
+    the interpreted-HOF expression version costs ~3× more CPU), then a
+    lazy ``localCheckpoint``: every downstream similarity plan consumes
+    this frame 2-4× (explode side(s), size side, verify side), and a
+    checkpoint computes it once and serves the reuses from executor
+    block storage — the Spark analog of the shared node in a dask graph.
+    Pass ``materialize=False`` for single-consumer pipelines.
+    """
+    _shingles = _shingle_udf(n)
+    df = _ensure_parallelism(df)
+    base = df.select(
+        F.col(id_col).alias("__id__"), _shingles(F.col(text_col)).alias("__sh__")
+    ).where(F.size("__sh__") > 0)
+    return base.localCheckpoint(eager=False) if materialize else base
 
 
 def _minhash_signature(shingles: F.Column, num_perm: int) -> F.Column:
@@ -105,11 +191,11 @@ def minhash_signatures(
     shingle_size: int = 3,
 ) -> DataFrame:
     """id → minhash signature (array<int>, length num_perm)."""
-    sh = shingles_col(text_col, shingle_size)
-    return df.select(
-        F.col(id_col),
-        _minhash_signature(sh, num_perm).alias("signature"),
-        F.size(sh).alias("n_shingles"),
+    base = shingled_frame(df, id_col, text_col, shingle_size, materialize=False)
+    return base.select(
+        F.col("__id__").alias(id_col),
+        _minhash_signature(F.col("__sh__"), num_perm).alias("signature"),
+        F.size("__sh__").alias("n_shingles"),
     )
 
 
@@ -137,10 +223,9 @@ def minhash_lsh_pairs(
     shuffle-hash joins on the id key).
     """
     rows_per_band = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("__id__"),
-        F.array_distinct(shingles_col(text_col, shingle_size)).alias("__shingles__"),
-    ).where(F.size("__shingles__") > 0)
+    base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
+        "__sh__", "__shingles__"
+    )
     sig = base.select(
         "__id__",
         "__shingles__",
@@ -190,21 +275,37 @@ def ngram_jaccard_pairs(
     *,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs (the oracle-checkable path).
 
     explode(shingles) → self-join on shingle → count shared → jaccard =
     |∩| / (|a| + |b| - |∩|). The explode-join is the classic inverted-
     index similarity join: the shuffle key is the shingle, so common
-    shingles (stopword n-grams) can skew — AQE skew-join splits those;
-    for aggressive scale-out add a document-frequency cut on shingles.
+    shingles (stopword n-grams) skew — AQE skew-join splits those.
+
+    ``max_shingle_df`` is the scale knob: drop shingles appearing in
+    more than that many documents BEFORE the self-join (the candidate
+    count for a shingle with document frequency d is d·(d-1)/2, so one
+    ubiquitous trigram at d=10⁶ alone is 5·10¹¹ join rows). Set sizes
+    are recomputed over the surviving shingle universe, so the jaccard
+    stays a true Jaccard of the restricted sets — the standard
+    prefix-filtering trade: near-identical long documents still share
+    plenty of rare shingles. Default None = exact semantics.
     """
-    base = df.select(
-        F.col(id_col).alias("__id__"),
-        F.array_distinct(shingles_col(text_col, shingle_size)).alias("__sh__"),
-    ).where(F.size("__sh__") > 0)
-    sizes = base.select("__id__", F.size("__sh__").alias("__n__"))
+    base = shingled_frame(df, id_col, text_col, shingle_size)
     exploded = base.select("__id__", F.explode("__sh__").alias("__s__"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("__s__")
+            .agg(F.count("*").alias("__df__"))
+            .where(F.col("__df__") <= max_shingle_df)
+            .select("__s__")
+        )
+        exploded = exploded.join(rare, "__s__")
+        sizes = exploded.groupBy("__id__").agg(F.count("*").alias("__n__"))
+    else:
+        sizes = base.select("__id__", F.size("__sh__").alias("__n__"))
     shared = (
         exploded.alias("l")
         .join(exploded.alias("r"), (F.col("l.__s__") == F.col("r.__s__")) & (F.col("l.__id__") < F.col("r.__id__")))
@@ -221,38 +322,35 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
-    """Per-document SimHash fingerprint (array-fold, JVM-side).
+    """Per-document SimHash fingerprint.
 
     For each bit b: sum over tokens of ±1 depending on bit b of
-    murmur3(token); fingerprint bit = 1 if the sum > 0. Expressed as one
-    aggregate over the token array with a 64-slot accumulator (zip_with),
-    so it stays inside codegen — no Python in the hot path.
+    xxhash64(token); fingerprint bit = 1 if the sum > 0. Shape: explode
+    tokens → 64 codegen'd conditional sums → one map-side-combined
+    groupBy (one shuffle row per document). An earlier array-fold
+    (zip_with accumulator) version was interpreted, not codegen'd —
+    this formulation stays entirely inside whole-stage codegen.
+    Tokenless documents keep fingerprint 0 (explode_outer).
     """
+    base = _ensure_parallelism(df)
     toks = F.filter(tokens_col(text_col), lambda t: t != "")
-
-    def bit_vec(t):
-        # per-token ±1 vector from the bits of its 64-bit hash
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for b in range(bits)
-            ]
-        )
-
-    acc = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), bits),
-        lambda a, t: F.zip_with(a, bit_vec(t), lambda x, y: x + y),
+    ex = base.select(F.col(id_col), F.explode_outer(toks).alias("__t__"))
+    h = F.xxhash64("__t__")
+    contrib = lambda b: F.when(F.col("__t__").isNull(), F.lit(0)).otherwise(  # noqa: E731
+        F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
     )
-    df = df.select(F.col(id_col), acc.alias("__acc__"))
+    sums = ex.groupBy(id_col).agg(
+        *[F.sum(contrib(b)).alias(f"__b{b}__") for b in range(bits)]
+    )
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
         fingerprint = fingerprint.bitwiseOR(
-            F.when(F.element_at("__acc__", b + 1) > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.col(f"__b{b}__") > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def embedding_cosine_dup_pairs(

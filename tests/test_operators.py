@@ -5,7 +5,10 @@ from pyspark.sql import functions as F
 
 from plateau_spark.operators.dataflow import (
     aggregate_to_lists,
+    apply_to_partitions,
+    is_dataframe_sorted,
     merge_dataframes_robust,
+    repartition_ratio,
     sort_dataframe,
 )
 from plateau_spark.operators.dedup import (
@@ -83,6 +86,25 @@ def test_ngram_jaccard_exact(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
     # doc1: shingles {abc,bcd,cde,def,efg,fgh}, doc2 ends ...fgx -> 5 shared of 7
     assert abs(pairs[0].jaccard - 5 / 7) < 1e-9
+
+
+def test_ngram_jaccard_df_cut(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "a b c q r s t u"),  # shares only the ubiquitous prefix
+        ],
+        "doc_id long, text string",
+    )
+    # 'a b c' appears in all 3 docs -> dropped at max_shingle_df=2;
+    # docs 1/2 still share rare shingles, doc 3 no longer pairs
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_size=3, jaccard_threshold=0.3, max_shingle_df=2
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    # restricted universe: doc1 {bcd..fgh}=5, doc2 {bcd..efg,fgx}=5, shared 4
+    assert abs(pairs[0].jaccard - 4 / 6) < 1e-9
 
 
 def test_simhash_similar_docs_close(spark):
@@ -209,3 +231,32 @@ def test_merge_dataframes_robust(spark):
 def test_sort_dataframe(spark):
     df = spark.createDataFrame([(2, "b"), (1, "a"), (3, "c")], "k long, v string")
     assert [r.k for r in sort_dataframe(df, ["k"]).collect()] == [1, 2, 3]
+
+
+def test_is_dataframe_sorted(spark):
+    # spark.range splits the range contiguously: sorted across partitions
+    df = spark.range(100, numPartitions=4).withColumnRenamed("id", "k")
+    assert is_dataframe_sorted(df, ["k"])
+    shuffled = spark.createDataFrame([(5,), (1,), (9,), (2,)], "k long").coalesce(1)
+    assert not is_dataframe_sorted(shuffled, ["k"])
+    empty = spark.createDataFrame([], "k long")
+    assert is_dataframe_sorted(empty, ["k"])
+
+
+def test_repartition_ratio(spark):
+    df = spark.range(1000).repartition(8)
+    out = repartition_ratio(df, 4)
+    assert out.rdd.getNumPartitions() == 2
+    assert out.count() == 1000
+
+
+def test_apply_to_partitions(spark):
+    df = spark.createDataFrame([(1, 2.0), (3, 4.0)], "a long, b double")
+
+    def double_b(pdf):
+        pdf = pdf.copy()
+        pdf["b"] = pdf["b"] * 2
+        return pdf
+
+    out = apply_to_partitions(df, double_b, "a long, b double")
+    assert sorted((r.a, r.b) for r in out.collect()) == [(1, 4.0), (3, 8.0)]
