@@ -1000,6 +1000,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator): lag -> new-session flag -> running sum ->
+    per-session aggregate; one shuffle, all window expressions.
+    sum_value omitted: float addition order is not a cross-engine
+    contract; boundaries and counts are."""
+    _prep(spark)
+    from plateau_spark.streaming.events import sessionize_events
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_events(ev, gap="30 minutes")
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+SESSIONIZE_ORACLE = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate executed as an availableNow
     micro-batch stream into a memory sink — the batch-equivalence oracle
@@ -1093,6 +1126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     # streaming
+    "streaming_sessionize": streaming_sessionize,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup": streaming_dedup,
 }
@@ -1132,6 +1166,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,
     "multimodal_metadata": MULTIMODAL_META_ORACLE,
+    "streaming_sessionize": SESSIONIZE_ORACLE,
     "streaming_windowed_counts": STREAM_WINDOW_ORACLE,
     "streaming_dedup": STREAM_DEDUP_ORACLE,
 }

@@ -70,19 +70,24 @@ def _ensure_store(store: Store | str) -> Store:
 # ---------------------------------------------------------------------------
 
 
-def _check_no_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> None:
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _raise_null_partition_keys(
+    store: Store, staging: str, partition_on: Sequence[str]
+) -> None:
     """The reference hard-errors on null partition values
-    (plateau/io_components/metapartition.py:1195-1200); Spark would
-    silently write __HIVE_DEFAULT_PARTITION__ (SURVEY §7 hard-part 6)."""
-    cond = None
-    for k in partition_on:
-        c = F.col(k).isNull()
-        cond = c if cond is None else (cond | c)
-    if cond is not None and not df.where(cond).isEmpty():
-        raise ValueError(
-            f"Original dataframe size does not match a specified partitioning: "
-            f"null values in partition columns {list(partition_on)}"
-        )
+    (plateau/io_components/metapartition.py:1195-1200). Spark writes
+    null keys into ``__HIVE_DEFAULT_PARTITION__`` directories, so the
+    check is FREE: inspect the staged paths after the write instead of
+    running a pre-write null-scan over the input (which would cost a
+    full extra pass at 100 TB). Nothing is committed yet — the staging
+    prefix is discarded and the job fails atomically."""
+    store.delete(staging)
+    raise ValueError(
+        f"Original dataframe size does not match a specified partitioning: "
+        f"null values in partition columns {list(partition_on)}"
+    )
 
 
 def _write_files(
@@ -147,7 +152,10 @@ def _write_files(
 
     key_types = {f.name: f.dataType for f in df.schema.fields if f.name in partition_on}
     partitions = []
-    for key in sorted(store.iter_keys(staging + "/")):
+    staged = sorted(store.iter_keys(staging + "/"))
+    if any(_HIVE_NULL_DIR in key for key in staged):
+        _raise_null_partition_keys(store, staging, partition_on)
+    for key in staged:
         if not is_payload_file(key):
             continue
         rel = key[len(staging) + 1 :]
@@ -275,8 +283,16 @@ def store_dataframe_as_dataset(
     metadata: dict[str, Any] | None = None,
     file_format: str = "parquet",
     compress: bool = True,
+    repartition: bool = True,
 ) -> DatasetMetadata:
     """Create a new dataset from a DataFrame (one write job + one commit).
+
+    ``repartition=True`` (default) shuffles on the partition keys first,
+    giving the reference's one-file-per-key guarantee. At large scale
+    with low-cardinality keys pass ``repartition=False`` to skip the
+    shuffle: every input task writes its own file per key it holds
+    (more files, full write parallelism; pair with num_buckets for a
+    bounded file count).
 
     Reference: store_dataframes_as_dataset
     (/root/reference/plateau/io/eager.py:449-491) + write_partition
@@ -293,8 +309,6 @@ def store_dataframe_as_dataset(
 
     partition_on = list(partition_on or [])
     df = normalize_dataframe(df, partition_on)
-    if partition_on:
-        _check_no_null_partition_keys(df, partition_on)
 
     partitions = _write_files(
         df,
@@ -306,6 +320,7 @@ def store_dataframe_as_dataset(
         bucket_by=bucket_by,
         file_format=file_format,
         compress=compress,
+        repartition=repartition,
     )
 
     ds = DatasetMetadata(
@@ -382,8 +397,6 @@ def store_dataframes_as_dataset__iter(
             schema = df.schema
         else:
             validate_compatible(schema, df.schema)
-        if partition_on:
-            _check_no_null_partition_keys(df, partition_on)
         partitions.extend(
             _write_files(
                 df,
@@ -437,8 +450,6 @@ def update_dataset_from_dataframes__iter(
     for df in df_generator:
         df = normalize_dataframe(df, meta.partition_keys)
         validate_compatible(meta.schema, df.schema)
-        if meta.partition_keys:
-            _check_no_null_partition_keys(df, meta.partition_keys)
         new_partitions.extend(
             _write_files(
                 df,
@@ -696,8 +707,6 @@ def update_dataset_from_dataframe(
     if df is not None:
         df = normalize_dataframe(df, meta.partition_keys)
         validate_compatible(meta.schema, df.schema)
-        if meta.partition_keys:
-            _check_no_null_partition_keys(df, meta.partition_keys)
         new_partitions = _write_files(
             df,
             store,
@@ -747,8 +756,6 @@ def write_single_partition(
     store = _ensure_store(store)
     partition_on = list(partition_on or [])
     df = normalize_dataframe(df, partition_on)
-    if partition_on:
-        _check_no_null_partition_keys(df, partition_on)
     return _write_files(
         df, store, dataset_uuid, partition_on,
         sort_partitions_by=sort_partitions_by,

@@ -58,6 +58,124 @@ def stream_dedup_events(
     return events.withWatermark(ts_col, watermark).dropDuplicates(["event_id"])
 
 
+def sessionize_events(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization: split each user's event sequence into
+    sessions separated by > ``gap`` of inactivity.
+
+    Pure window expressions (lag → new-session flag → running sum =
+    session id → per-session aggregate): two window passes over the
+    same (user, ts) ordering — one shuffle, whole-stage codegen, no
+    Python. The streaming twin below (`sessionize_stream`) produces the
+    same sessions incrementally with explicit state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    marked = events.withColumn(
+        "__new__",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn("__sess__", F.sum("__new__").over(w))
+    return (
+        sess.groupBy(user_col, "__sess__")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization with explicit per-user state —
+    ``applyInPandasWithState`` (the custom-stateful-operator surface:
+    state = the open session per user; a session closes and is emitted
+    when the event-time gap exceeds ``gap_seconds`` or the group times
+    out past the watermark).
+
+    State per user is O(1) (start/end/count/sum of the open session),
+    so state-store size is bounded by the number of active users inside
+    the watermark horizon.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n, v)],
+                    columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+                )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        closed = []
+        if state.exists:
+            start_us, end_us, n, v = state.get
+        else:
+            start_us = end_us = None
+            n, v = 0, 0.0
+        for ts, value in zip(rows[ts_col], rows["value"]):
+            ts_us = int(ts.value // 1000)  # pandas ns → µs
+            if start_us is None:
+                start_us, end_us, n, v = ts_us, ts_us, 1, float(value)
+            elif ts_us - end_us > gap_seconds * 1_000_000:
+                closed.append((user_id, start_us, end_us, n, v))
+                start_us, end_us, n, v = ts_us, ts_us, 1, float(value)
+            else:
+                end_us, n, v = ts_us, n + 1, v + float(value)
+        state.update((start_us, end_us, n, v))
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                [
+                    (u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), cnt, sv)
+                    for u, s, e, cnt, sv in closed
+                ],
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    return (
+        events.withWatermark(ts_col, f"{gap_seconds} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType="start long, end long, n long, v double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_parquet: str,

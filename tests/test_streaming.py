@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 from plateau_spark.sources.tables import load_table
 from plateau_spark.streaming.events import (
     run_stream_to_memory,
+    sessionize_events,
+    sessionize_stream,
     stream_dedup_events,
     windowed_event_counts,
 )
@@ -35,3 +37,49 @@ def test_stream_dedup(spark):
         .count()
     )
     assert streamed.count() == batch_distinct
+
+
+def test_sessionize_batch(spark):
+    import datetime
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 1.0), (1, t(10), 2.0),        # session A (gap 30m)
+            (1, t(50), 3.0),                        # session B
+            (2, t(5), 4.0),                         # session C
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = sessionize_events(df, gap="30 minutes")
+    rows = sorted(
+        ((r.user_id, r.session_start.minute, r.session_end.minute, r.n_events, r.sum_value)
+         for r in out.collect())
+    )
+    assert rows == [(1, 0, 10, 2, 3.0), (1, 50, 50, 1, 3.0), (2, 5, 5, 1, 4.0)]
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark):
+    """availableNow stream emits exactly the sessions the watermark can
+    close; each emitted session must equal its batch twin."""
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 50
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, float(r.sum_value))
+        for r in sessionize_events(batch, gap="30 minutes").collect()
+    }
+    streamed = run_stream_to_memory(
+        spark,
+        EVENTS,
+        lambda s: sessionize_stream(
+            s.where(F.col("user_id") < 50), gap_seconds=1800
+        ),
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, float(r.sum_value))
+        for r in streamed.collect()
+    }
+    assert len(got) > 0
+    for key, val in got.items():
+        assert key in expected and expected[key] == val
