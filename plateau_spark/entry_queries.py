@@ -923,6 +923,26 @@ QUALIFY rank <= 10
 """
 
 
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier (cell-probing). Probing every cell is provably
+    exhaustive (each corpus vector lives in exactly one cell), so this
+    entry is EXACT and shares the brute-force oracle; partial-probe
+    recall is covered by the test suite."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_ivf(
+        emb, queries, k=10, n_centroids=16, nprobe=16, refine_iterations=1
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding duplicates (oracle baseline for the LSH
     tier)."""
@@ -930,7 +950,9 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plateau_spark.operators.similarity import cosine_dup_pairs_bruteforce
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = cosine_dup_pairs_bruteforce(emb, threshold=0.8)
+    # fixture embeddings are random-ish (max pair cosine ~0.51):
+    # 0.4 yields a real result set (59 pairs at sf0.01)
+    out = cosine_dup_pairs_bruteforce(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -938,7 +960,7 @@ EMBEDDING_DUP_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_DOT} / ({_NA} * {_NB}), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_DOT} / ({_NA} * {_NB}) >= 0.8
+WHERE {_DOT} / ({_NA} * {_NB}) >= 0.4
 """
 
 
@@ -949,7 +971,7 @@ def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plateau_spark.operators.dedup import embedding_cosine_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, bucket_bits=4)
+    out = embedding_cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, bucket_bits=4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1120,6 +1142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     # multimodal
@@ -1164,6 +1187,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
+    "cosine_topk_ivf": COSINE_TOPK_ORACLE,
     "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,
     "multimodal_metadata": MULTIMODAL_META_ORACLE,
     "streaming_sessionize": SESSIONIZE_ORACLE,

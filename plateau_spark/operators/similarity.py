@@ -154,6 +154,130 @@ def cosine_dup_pairs_bruteforce(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    refine_iterations: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse quantizer: ``n_centroids`` centroids as a small
+    driver-side list (K × dim floats — kilobytes at any corpus size).
+
+    Seeding: the K corpus vectors with the smallest xxhash64(id) — a
+    deterministic uniform sample in one pass. ``refine_iterations``
+    Lloyd steps follow (assign-all + per-dimension mean = one
+    aggregation per step over posexploded components, all codegen).
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(map(float, r[1])) for r in seed_rows]
+    for _ in range(refine_iterations):
+        assigned = _assign_to_centroids(corpus, vec_col, id_col, list(enumerate(cents)))
+        means = (
+            assigned.select("__cid__", F.posexplode(vec_col).alias("__pos__", "__x__"))
+            .groupBy("__cid__", "__pos__")
+            .agg(F.avg(F.col("__x__").cast("double")).alias("__m__"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["__cid__"], {})[r["__pos__"]] = r["__m__"]
+        cents = [
+            [comp[i] for i in sorted(comp)] if (comp := by_cid.get(cid)) else cents[cid]
+            for cid in range(len(cents))
+        ]
+    return list(enumerate(cents))
+
+
+def _centroid_df(df_or_spark, centroids) -> DataFrame:
+    spark = df_or_spark if not isinstance(df_or_spark, DataFrame) else df_or_spark.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "__cid__ int, __cvec__ array<double>"
+    )
+
+
+def _assign_to_centroids(
+    df: DataFrame, vec_col: str, keep_cols, centroids
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    score, reduce with max_by — the shuffle carries ONE row per input
+    row (map-side combined), never the K-scored expansion."""
+    if isinstance(keep_cols, str):
+        keep_cols = [keep_cols]
+    cent = _centroid_df(df, centroids)
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        *keep_cols,
+        vec_col,
+        F.col("__cid__"),
+        cosine_sim_col(F.col(vec_col), F.col("__cvec__")).alias("__sim__"),
+    )
+    return scored.groupBy(*keep_cols).agg(
+        F.max_by("__cid__", F.struct("__sim__", (-F.col("__cid__")).alias("t"))).alias("__cid__"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k — the cell-probing scale path.
+
+    Build: sample+refine K centroids (driver list, KBs) → assign every
+    corpus vector to its nearest cell (one scan + one map-side-combined
+    reduce). Query: score each query against the K centroids (narrow),
+    keep its ``nprobe`` nearest cell ids, explode → EQUI-join with the
+    corpus assignment on cell id → exact cosine re-rank, window top-k.
+
+    Every join is an equi-join on the cell id; per-query work is
+    O(|probed cells|), not O(corpus). Cells are balanced by Lloyd
+    refinement; a skewed cell is split by AQE skew-join at execution.
+    """
+    centroids = ivf_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        refine_iterations=refine_iterations,
+    )
+    assigned = _assign_to_centroids(corpus, vec_col, id_col, centroids)
+
+    cent = _centroid_df(queries, centroids)
+    q_scored = queries.crossJoin(F.broadcast(cent)).select(
+        F.col(query_id_col).alias("__qid__"),
+        F.col(vec_col).alias("__qv__"),
+        "__cid__",
+        cosine_sim_col(F.col(vec_col), F.col("__cvec__")).alias("__sim__"),
+    )
+    wq = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__").asc())
+    probes = (
+        q_scored.withColumn("__pr__", F.row_number().over(wq))
+        .where(F.col("__pr__") <= nprobe)
+        .select("__qid__", "__qv__", "__cid__")
+    )
+    cand = probes.join(assigned, "__cid__").select(
+        F.col("__qid__").alias(query_id_col),
+        F.col(id_col),
+        cosine_sim_col(F.col(vec_col), F.col("__qv__")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

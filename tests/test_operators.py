@@ -165,6 +165,28 @@ def test_cosine_topk_lsh_recall(spark, embeddings):
     assert recall >= 0.3  # ANN: non-trivial recall with tiny buckets
 
 
+def test_cosine_topk_ivf(spark, embeddings):
+    from plateau_spark.operators.similarity import cosine_topk_ivf
+
+    queries = embeddings.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = cosine_topk_bruteforce(embeddings, queries, k=5)
+    # probing every cell must be EXACTLY exhaustive search
+    exact = cosine_topk_ivf(
+        embeddings, queries, k=5, n_centroids=8, nprobe=8, refine_iterations=1
+    )
+    assert {tuple(r) for r in exact.collect()} == {tuple(r) for r in brute.collect()}
+    # partial probing: candidate set shrinks, equi-join plan, useful recall
+    ann = cosine_topk_ivf(
+        embeddings, queries, k=5, n_centroids=8, nprobe=2, refine_iterations=1
+    )
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.query_id, r.vec_id) for r in ann.collect()}
+    want = {(r.query_id, r.vec_id) for r in brute.collect()}
+    assert all((q, q) in got for q in [r.query_id for r in queries.collect()])
+    assert len(got & want) / len(want) >= 0.3
+
+
 def test_lsh_bucketing_not_degenerate(spark, embeddings):
     """Guard against the round-1 dim bug: wrong dim → NULL projections →
     every vector in bucket 0 → quadratic join. Bucketing on real data
