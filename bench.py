@@ -47,8 +47,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("plateau-spark-bench")
-    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    # warm-up actions so JVM/codegen and Python-worker-pool startup
+    # (fixed session costs, not query work) aren't billed to the first query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s.str.len(), "long")
+    spark.range(256, numPartitions=32).selectExpr("cast(id as string) s").select(
+        _warm(col("s"))
+    ).count()
 
     times: dict[str, float] = {}
     total = 0.0

@@ -590,6 +590,83 @@ SELECT COUNT(DISTINCT o_orderstatus) AS n_partitions, COUNT(*) AS total_rows FRO
 """
 
 
+def dataset_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-writer protocol: two independent ``write_single_partition``
+    calls (no metadata touched) attached atomically by one
+    ``commit_dataset`` (reference plateau/io/eager.py:555-626,295-420).
+    Readers see nothing until the commit lands."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        commit_dataset,
+        read_table,
+        write_single_partition,
+    )
+
+    store = _fresh_store("commit-protocol")
+    sup = load_table(spark, sf_dir, "supplier")
+    half_a = sup.where(F.col("s_suppkey") % 2 == 0)
+    half_b = sup.where(F.col("s_suppkey") % 2 == 1)
+    parts = write_single_partition(spark, store, "sup", half_a, partition_on=["s_nationkey"])
+    parts += write_single_partition(spark, store, "sup", half_b, partition_on=["s_nationkey"])
+    commit_dataset(
+        spark, store, "sup",
+        new_partitions=parts, schema=sup.schema, partition_on=["s_nationkey"],
+    )
+    return read_table(spark, store, "sup")
+
+
+COMMIT_PROTOCOL_ORACLE = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+       s_name, s_suppkey
+FROM supplier
+"""
+
+
+def dataset_gc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle sweep: store → overwriting update (dead files) → orphan
+    write_single_partition (uncommitted files) → garbage_collect →
+    read. The read matching the oracle proves GC reclaimed only
+    unreferenced keys (reference plateau/io_components/gc.py:8-52)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        garbage_collect_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+        write_single_partition,
+    )
+
+    store = _fresh_store("gc-roundtrip")
+    cust = load_table(spark, sf_dir, "customer")
+    store_dataframe_as_dataset(spark, store, "cust", cust, partition_on=["c_mktsegment"])
+    # replace one partition (its old files become garbage) ...
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") * 2, 2)
+    )
+    update_dataset_from_dataframe(
+        spark, store, "cust", building,
+        delete_scope=[{"c_mktsegment": "BUILDING"}], partition_on=["c_mktsegment"],
+    )
+    # ... stage an orphan nobody commits (reclaimable: dataset has explicit partitions)
+    write_single_partition(
+        spark, store, "cust", cust.limit(10), partition_on=["c_mktsegment"]
+    )
+    garbage_collect_dataset(store, "cust")
+    out = read_table(spark, store, "cust")
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+    )
+
+
+GC_ROUNDTRIP_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN ROUND(c_acctbal * 2, 2) ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # dataflow operators (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -1126,6 +1203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_bucketed_write": dataset_bucketed_write,
     "dataset_filter_query_read": dataset_filter_query_read,
     "dataset_metadata_stats": dataset_metadata_stats,
+    "dataset_commit_protocol": dataset_commit_protocol,
+    "dataset_gc_roundtrip": dataset_gc_roundtrip,
     # dataflow
     "agg_to_lists": agg_to_lists,
     "dedup_keep_last": dedup_keep_last,
@@ -1177,6 +1256,8 @@ ORACLES: dict[str, str] = {
     "dataset_bucketed_write": BUCKETED_ORACLE,
     "dataset_filter_query_read": FILTER_QUERY_ORACLE,
     "dataset_metadata_stats": METADATA_STATS_ORACLE,
+    "dataset_commit_protocol": COMMIT_PROTOCOL_ORACLE,
+    "dataset_gc_roundtrip": GC_ROUNDTRIP_ORACLE,
     "agg_to_lists": AGG_LISTS_ORACLE,
     "dedup_keep_last": DEDUP_KEEP_LAST_ORACLE,
     "dedup_exact_docs": DEDUP_EXACT_ORACLE,
