@@ -946,6 +946,41 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_clusters: exact ngram pairs → connected components
+    (iterated min-label propagation; oracle = recursive-CTE reachability
+    min-label in DuckDB)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3, jaccard_threshold=0.12)
+    return duplicate_clusters(pairs, "id_a", "id_b")
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.12
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(v, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src WHERE w.lbl < e.dst
+)
+SELECT v AS id, MIN(lbl) AS cluster_id FROM walk GROUP BY v
+"""
+
+
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (murmur3 minhash has no DuckDB twin —
     rows-only check; the exact-Jaccard verify step bounds correctness)."""
@@ -1218,6 +1253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens,
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "minhash_pairs": minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "cosine_topk": cosine_topk,
@@ -1267,6 +1303,7 @@ ORACLES: dict[str, str] = {
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_topk_ivf": COSINE_TOPK_ORACLE,
     "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,

@@ -489,3 +489,60 @@ def embedding_cosine_dup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return cand
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → (id, cluster_id)
+    with cluster_id = the smallest member id of the component.
+
+    The last mile of dedup: pairwise near-dup results (minhash / ngram /
+    embedding pairs) must become disjoint groups before a keep-one
+    policy can run. Not in the reference (SURVEY §2.7 north-star).
+
+    Algorithm: iterated min-label propagation (hash-to-min). Each round
+    is two keyed shuffles — labels⋈edges, then min per node — and the
+    frontier is checkpointed so lineage stays flat. Rounds needed =
+    graph diameter, and near-dup graphs are clique-ish (diameter ≲ 4),
+    so this settles in 2-3 rounds at any scale; convergence is detected
+    distributedly (count of label changes, one lightweight action per
+    round). Only ids that appear in ``pairs`` are emitted — singletons
+    never enter the shuffle (union them back from the corpus if a total
+    clustering is needed).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("lbl")).select(
+        "src", F.least("src", "lbl").alias("lbl")
+    )
+    for _ in range(max_iter):
+        # min label among: own label, and every neighbor's label
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select("src", F.least("lbl", "nlbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), F.col("lbl").alias("cluster_id"))

@@ -282,3 +282,14 @@ def test_apply_to_partitions(spark):
 
     out = apply_to_partitions(df, double_b, "a long, b double")
     assert sorted((r.a, r.b) for r in out.collect()) == [(1, 4.0), (3, 8.0)]
+
+def test_duplicate_clusters(spark):
+    from plateau_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4 (stresses propagation depth), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
