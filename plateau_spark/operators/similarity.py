@@ -177,17 +177,54 @@ def ivf_centroids(
         .collect()
     )
     cents = [list(map(float, r[1])) for r in seed_rows]
+    dim = len(cents[0])
     for _ in range(refine_iterations):
         assigned = _assign_to_centroids(corpus, vec_col, id_col, list(enumerate(cents)))
-        means = (
-            assigned.select("__cid__", F.posexplode(vec_col).alias("__pos__", "__x__"))
+
+        # Lloyd step, two-phase mean: per-partition numpy partial sums
+        # (K·dim doubles per task), then a tiny (K·P rows) combine —
+        # never an n×dim row explosion.
+        def _partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            acc: dict[int, list] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cids = pdf["__cid__"].to_numpy()
+                V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                for cid in np.unique(cids):
+                    mask = cids == cid
+                    ent = acc.setdefault(int(cid), [0, np.zeros(V.shape[1])])
+                    ent[0] += int(mask.sum())
+                    ent[1] += V[mask].sum(axis=0)
+            if not acc:
+                return
+            yield pd.DataFrame(
+                {
+                    "__cid__": list(acc),
+                    "__cnt__": [v[0] for v in acc.values()],
+                    "__s__": [list(v[1]) for v in acc.values()],
+                }
+            )
+
+        partials = assigned.select("__cid__", vec_col).mapInPandas(
+            _partials, "__cid__ int, __cnt__ long, __s__ array<double>"
+        )
+        combined = (
+            partials.select(
+                "__cid__", "__cnt__", F.posexplode("__s__").alias("__pos__", "__x__")
+            )
             .groupBy("__cid__", "__pos__")
-            .agg(F.avg(F.col("__x__").cast("double")).alias("__m__"))
+            .agg(F.sum("__x__").alias("__sx__"), F.sum("__cnt__").alias("__n__"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["__cid__"], {})[r["__pos__"]] = r["__m__"]
+        for r in combined:
+            # each partial row carries its __cnt__ once per pos, so the
+            # per-(cid,pos) sum of __cnt__ is the cid's total count
+            by_cid.setdefault(r["__cid__"], {})[r["__pos__"]] = r["__sx__"] / r["__n__"]
         cents = [
             [comp[i] for i in sorted(comp)] if (comp := by_cid.get(cid)) else cents[cid]
             for cid in range(len(cents))
@@ -205,21 +242,33 @@ def _centroid_df(df_or_spark, centroids) -> DataFrame:
 def _assign_to_centroids(
     df: DataFrame, vec_col: str, keep_cols, centroids
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    score, reduce with max_by — the shuffle carries ONE row per input
-    row (map-side combined), never the K-scored expansion."""
+    """Nearest-centroid assignment as a NARROW map: the centroid matrix
+    (K×dim float64s, kilobytes) is closed over by an Arrow-batched
+    pandas UDF that scores each batch with one GEMM and takes argmax
+    (ties → smallest cell id, matching the previous max_by tie-break).
+    No join, no shuffle — the earlier crossJoin(K)+max_by reduction
+    shuffled one row per input; this version touches each row once."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     if isinstance(keep_cols, str):
         keep_cols = [keep_cols]
-    cent = _centroid_df(df, centroids)
-    scored = df.crossJoin(F.broadcast(cent)).select(
-        *keep_cols,
-        vec_col,
-        F.col("__cid__"),
-        cosine_sim_col(F.col(vec_col), F.col("__cvec__")).alias("__sim__"),
-    )
-    return scored.groupBy(*keep_cols).agg(
-        F.max_by("__cid__", F.struct("__sim__", (-F.col("__cid__")).alias("t"))).alias("__cid__"),
-        F.first(vec_col).alias(vec_col),
+    cmat = np.array([vec for _, vec in centroids], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+    def _argmax(vecs):  # no type hints: the closure form of pandas_udf
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.array(list(vecs), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(cids[np.argmax(V @ cmat.T, axis=1)].astype(np.int32))
+
+    assign = pandas_udf(_argmax, "int")
+    return df.select(
+        *keep_cols, vec_col, assign(F.col(vec_col)).alias("__cid__")
     )
 
 
