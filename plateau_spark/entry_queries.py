@@ -748,8 +748,8 @@ SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_na
 
 
 def hash_dataset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hash_dataset per-group content hash — xxhash64 has no DuckDB twin,
-    so this entry is rows-only checked (shape + determinism)."""
+    """hash_dataset per-group content hash in the portable md5 mode —
+    bit-reproducible in DuckDB, so this entry is fully hash-checked."""
     _prep(spark)
     from plateau_spark.operators.dataflow import hash_dataset
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
@@ -757,7 +757,25 @@ def hash_dataset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _fresh_store("hash-ds")
     nation = load_table(spark, sf_dir, "nation")
     store_dataframe_as_dataset(spark, store, "nation", nation)
-    return hash_dataset(spark, store, "nation", group_key=["n_regionkey"])
+    out = hash_dataset(
+        spark, store, "nation",
+        group_key=["n_regionkey"],
+        subset=["n_nationkey", "n_name", "n_regionkey"],
+        hash_fn="md5",
+    )
+    return out.select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.col("content_hash").cast("double").alias("content_hash"),
+    )
+
+
+HASH_DATASET_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+             CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)
+           )), 1, 15) AS UBIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS content_hash
+FROM nation GROUP BY n_regionkey
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1117,8 +1135,10 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode→featurize via mapInPandas (deterministic fake
-    decoder — the batch plumbing is the tested contract). Rows-only."""
+    """Arrow-batched decode→featurize via mapInPandas. The fake decoder
+    derives features from md5(payload) bytes, which DuckDB can replay on
+    the text twin of the payload — so even the Python-UDF plumbing is
+    fully hash-checked (one row per (media_id, feature position))."""
     _prep(spark)
     from plateau_spark.operators.multimodal import decode_and_featurize, documents_as_media
 
@@ -1126,8 +1146,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(docs)
     feats = decode_and_featurize(media)
     return feats.select(
-        "media_id", F.concat_ws(",", F.transform("features", lambda x: F.round(x, 6).cast("string"))).alias("features_str")
-    )
+        "media_id", F.posexplode("features").alias("pos", "feature")
+    ).select("media_id", "pos", F.round("feature", 6).alias("feature"))
+
+
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id AS media_id, CAST(i - 1 AS INT) AS pos,
+       round(CAST(('0x' || substr(md5(text), 2*i - 1, 2)) AS INTEGER) / 255.0, 6) AS feature
+FROM documents, range(1, 9) t(i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1270,10 +1297,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
 }
 
-# Queries WITHOUT an oracle entry are rows-only checked by the driver:
-# minhash/simhash/hash_dataset use engine-specific hash functions
-# (murmur3/xxhash64), LSH dup pairs are approximate-recall, multimodal
-# features come from a mapInPandas decoder — none are ANSI-SQL-expressible.
+# Queries WITHOUT an oracle entry are rows-only checked by the driver
+# (3 of 44): minhash_pairs / simhash_fingerprints use engine-specific
+# hash families (siphash64 multiply-shift), embedding_dup_pairs_lsh is
+# approximate-recall by design. Everything else — including the
+# mapInPandas feature decoder and the md5-mode dataset hash — has a
+# bit-reproducible ANSI-SQL twin.
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
@@ -1299,6 +1328,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_last": DEDUP_KEEP_LAST_ORACLE,
     "dedup_exact_docs": DEDUP_EXACT_ORACLE,
     "merge_robust": MERGE_ROBUST_ORACLE,
+    "hash_dataset_groups": HASH_DATASET_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,
@@ -1309,6 +1339,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk_ivf": COSINE_TOPK_ORACLE,
     "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,
     "multimodal_metadata": MULTIMODAL_META_ORACLE,
+    "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
     "streaming_sessionize": SESSIONIZE_ORACLE,
     "streaming_windowed_counts": STREAM_WINDOW_ORACLE,
     "streaming_dedup": STREAM_DEDUP_ORACLE,

@@ -121,23 +121,39 @@ def hash_dataset(
     *,
     group_key: Sequence[str] | None = None,
     subset: Sequence[str] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Order-independent content hash per partition file (or per group).
 
     Reference: hash_dataset (plateau/io/dask/dataframe.py:619-697) —
-    per-row uint64 hashes summed per group. Here: xxhash64 over the
-    column subset, summed per input file / group key — one scan, one
-    partial-aggregated shuffle.
+    per-row uint64 hashes summed per group. Here: a per-row hash over
+    the column subset, summed per input file / group key — one scan,
+    one partial-aggregated shuffle.
+
+    ``hash_fn``: ``"xxhash64"`` (default; fastest, JVM-specific) or
+    ``"md5"`` — the portable mode: 60 bits of md5 over the
+    '|'-joined string forms, reproducible bit-for-bit in any engine
+    with md5 (DuckDB twin: CAST('0x'||substr(md5(concat_ws('|',...)),
+    1,15) AS UBIGINT)), for cross-system dataset comparison.
     """
     from plateau_spark.sources.dataset import read_dataset_as_dataframe
 
     store = store if isinstance(store, Store) else Store(store)
     df = read_dataset_as_dataframe(spark, store, dataset_uuid)
     cols = list(subset) if subset else df.columns
+    if hash_fn == "md5":
+        joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        row_hash = F.conv(F.substring(F.md5(F.encode(joined, "UTF-8")), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+    elif hash_fn == "xxhash64":
+        row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    else:
+        raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
     hashed = df.select(
         *(group_key or []),
         F.input_file_name().alias("__file__"),
-        F.xxhash64(*[F.col(c) for c in cols]).alias("__h__"),
+        row_hash.alias("__h__"),
     )
     keys = list(group_key) if group_key else ["__file__"]
     # sum in unbounded decimal: a long sum of xxhash64 values overflows
