@@ -778,6 +778,53 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+_HASH_UNIT_SQL = (
+    "(CAST(('0x' || substr(md5(concat_ws('|', '{salt}', CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic_split: engine-stable md5-keyed train/val/test
+    assignment (a row's fate is a pure function of its key)."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+_U_SPLIT = _HASH_UNIT_SQL.format(salt="split", key="doc_id")
+SAMPLE_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_U_SPLIT} < 0.8 THEN 'train'
+            WHEN {_U_SPLIT} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_quota_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quota_sample: ≤40 deterministic rows per language (balancing step
+    for skewed sources before training)."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quota_sample(docs, ["lang"], 40, key_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+_U_QUOTA = _HASH_UNIT_SQL.format(salt="quota", key="doc_id")
+SAMPLE_QUOTA_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_U_QUOTA} ASC, doc_id ASC) <= 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-star; operators/text.py)
 # ---------------------------------------------------------------------------
@@ -1274,6 +1321,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "merge_robust": merge_robust,
     "hash_dataset_groups": hash_dataset_groups,
+    # sampling
+    "sample_split_assign": sample_split_assign,
+    "sample_quota_rows": sample_quota_rows,
     # text
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -1329,6 +1379,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_ORACLE,
     "merge_robust": MERGE_ROBUST_ORACLE,
     "hash_dataset_groups": HASH_DATASET_ORACLE,
+    "sample_split_assign": SAMPLE_SPLIT_ORACLE,
+    "sample_quota_rows": SAMPLE_QUOTA_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,

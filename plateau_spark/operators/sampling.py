@@ -1,0 +1,84 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+North-star extension operators (not in the reference, SURVEY.md §2.7).
+Everything here is reproducible across engines and runs: the randomness
+source is md5 of a key column, so a row's split/sample fate is a pure
+function of its key — re-running on new hardware, a different engine, or
+a grown corpus never reshuffles previously assigned rows (the property
+train/val splits actually need; Spark's df.sample is seed×partitioning
+dependent and DuckDB can't replay it).
+
+All operators are single narrow projections or one windowed shuffle —
+no Python, no driver state; identical cost profile at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_unit(key_col: str, salt: str) -> F.Column:
+    """Uniform [0, 1) double from md5(salt|key) — 8 hex chars = 32 bits,
+    bit-reproducible in any engine with md5 (DuckDB twin:
+    CAST('0x'||substr(md5(...),1,8) AS BIGINT) / 4294967296.0)."""
+    h = F.md5(F.encode(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")), "UTF-8"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    *,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with probability ~fractions,
+    as a pure function of ``key_col`` (stable under reruns, engine
+    changes, and corpus growth). Fractions must sum to ≤ 1; remainder
+    rows get the LAST split name (so {"train": .9, "val": .1} is exact).
+    """
+    total = sum(fractions.values())
+    if not 0 < total <= 1 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    u = _hash_unit(key_col, salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    # build the when-chain from the first boundary up
+    conds = []
+    for name, frac in fractions.items():
+        acc += frac
+        conds.append((name, acc))
+    for name, bound in reversed(conds[:-1]):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    # rows above the last boundary (only when total < 1) also fall into
+    # the last split via the otherwise-chain above
+    return df.withColumn(split_col, expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    quota: int,
+    *,
+    key_col: str,
+    salt: str = "quota",
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen deterministically (the
+    quota ranks by md5(salt|key) — a reproducible uniform draw, so the
+    same rows win on every engine/run). The balancing step for skewed
+    sources/languages before training. One windowed shuffle keyed on
+    ``group_cols``; AQE splits skewed groups.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_unit(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= quota)
+        .drop("__rk__")
+    )

@@ -306,3 +306,29 @@ def test_cosine_dup_pairs_blocked_equals_bruteforce(spark, embeddings):
             cosine_dup_pairs_blocked(embeddings, threshold=0.3, rows_per_block=16).collect()}
     assert set(fold) == set(gemm)
     assert all(abs(fold[k] - gemm[k]) < 1e-12 for k in fold)
+
+def test_deterministic_split(spark):
+    from plateau_spark.operators.sampling import deterministic_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = deterministic_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # pure function of the key: identical on rerun
+    again = deterministic_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.collect() == again.collect()
+    with pytest.raises(ValueError):
+        deterministic_split(df, "k", {"a": 1.5})
+
+
+def test_quota_sample(spark):
+    from plateau_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], "k long, grp string"
+    )
+    out = quota_sample(df, ["grp"], 10, key_col="k")
+    counts = {r.grp: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts == {"big": 10, "small": 10}
+    assert out.collect() == quota_sample(df, ["grp"], 10, key_col="k").collect()
