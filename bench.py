@@ -38,8 +38,12 @@ BENCH_QUERIES = [
     "text_quality",
     "ngram_jaccard",
     "minhash_pairs",
+    "simhash_fingerprints",
+    "embedding_dup_pairs",
+    "sample_split_assign",
     "cosine_topk",
     "streaming_windowed_counts",
+    "streaming_sessionize",
 ]
 
 

@@ -971,6 +971,40 @@ FROM documents
 """
 
 
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_top_terms: top-3 characteristic terms per doc; ranking on
+    round(tfidf, 6) keeps row selection engine-deterministic."""
+    _prep(spark)
+    from plateau_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+# same tokenizer as _TOKS below (defined later in the file)
+_TFIDF_TOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> x <> '')"
+
+TEXT_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TFIDF_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup / similarity (north-star; operators/dedup.py, similarity.py)
 # ---------------------------------------------------------------------------
@@ -1329,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_lang_agg": text_lang_agg,
     "text_bpe_tokens": text_bpe_tokens,
+    "text_tfidf_terms": text_tfidf_terms,
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -1385,6 +1420,7 @@ ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,
     "text_bpe_tokens": TEXT_BPE_ORACLE,
+    "text_tfidf_terms": TEXT_TFIDF_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,

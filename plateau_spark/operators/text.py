@@ -111,3 +111,53 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_col(text_col).alias("lang_pred"),
         fingerprint_col(text_col).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = in-document term count; idf = ln(N / df) over the corpus.
+    Shape: one explode + two keyed aggregations (term frequencies,
+    document frequencies; both map-side combined) + one broadcast-able
+    join on term + one windowed top-k — no Python anywhere.
+
+    Ranking uses round(tfidf, 6) with the term as tie-break so the
+    selected rows are deterministic across engines (raw ln() can differ
+    in the last ulp between libm implementations).
+
+    Returns (id, term, tfidf, rank), tfidf rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+    exploded = df.select(F.col(id_col).alias("__id__"), F.explode(toks).alias("term"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n__"))  # 1 row, broadcast below
+    tf = exploded.groupBy("__id__", "term").agg(F.count("*").alias("__tf__"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df__"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id__",
+            "term",
+            F.round(
+                F.col("__tf__")
+                * F.log(F.col("__n__").cast("double") / F.col("__df__")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("__id__").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__id__").alias(id_col), "term", "tfidf", "rank")
+    )

@@ -332,3 +332,23 @@ def test_quota_sample(spark):
     counts = {r.grp: r["count"] for r in out.groupBy("grp").count().collect()}
     assert counts == {"big": 10, "small": 10}
     assert out.collect() == quota_sample(df, ["grp"], 10, key_col="k").collect()
+
+def test_tfidf_top_terms(spark):
+    from plateau_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "common words only common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.term)
+    # 'common' appears in every doc -> idf = ln(1) = 0, never a top term
+    assert "common" not in by_doc[1] and "common" not in by_doc[2]
+    assert by_doc[1][0] == "apple"  # tf=2, rare
+    assert all(len(v) <= 2 for v in by_doc.values())
