@@ -352,3 +352,13 @@ def test_tfidf_top_terms(spark):
     assert "common" not in by_doc[1] and "common" not in by_doc[2]
     assert by_doc[1][0] == "apple"  # tf=2, rare
     assert all(len(v) <= 2 for v in by_doc.values())
+
+def test_duplicate_clusters_long_chain(spark):
+    """Pointer jumping: a 40-node path must converge well under 40 rounds."""
+    from plateau_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    out = duplicate_clusters(pairs, max_iter=10)
+    assert {r.cluster_id for r in out.collect()} == {0}
