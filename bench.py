@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "embedding_dup_pairs",
     "sample_split_assign",
+    "pipeline_training_data",
     "cosine_topk",
     "streaming_windowed_counts",
     "streaming_sessionize",

@@ -1187,6 +1187,46 @@ def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline the north-star describes:
+    quality-score filter → exact dedup on content fingerprint (smallest
+    doc_id wins) → deterministic train/val split. Every stage is one of
+    the tested operators; the composition itself is hash-checked."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import exact_dedup
+    from plateau_spark.operators.sampling import deterministic_split
+    from plateau_spark.operators.text import fingerprint_col, quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score_col("text"), 6).alias("quality_score"),
+        fingerprint_col("text").alias("__fp__"),
+    )
+    kept = scored.where(F.col("quality_score") >= 0.5)
+    deduped = exact_dedup(kept, ["__fp__"], tie_breaker="doc_id")
+    out = deterministic_split(deduped, "doc_id", {"train": 0.9, "val": 0.1})
+    return out.select("doc_id", "lang", "quality_score", "split")
+
+
+PIPELINE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, round({_QUALITY}, 6) AS quality_score,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality_score >= 0.5
+), deduped AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+)
+SELECT doc_id, lang, quality_score,
+       CASE WHEN {_U_SPLIT} < 0.9 THEN 'train' ELSE 'val' END AS split
+FROM deduped
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (north-star; operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1373,6 +1413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    # composed pipeline
+    "pipeline_training_data": pipeline_training_data,
     # multimodal
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
@@ -1426,6 +1468,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_topk_ivf": COSINE_TOPK_ORACLE,
     "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,
+    "pipeline_training_data": PIPELINE_ORACLE,
     "multimodal_metadata": MULTIMODAL_META_ORACLE,
     "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
     "streaming_sessionize": SESSIONIZE_ORACLE,
