@@ -380,7 +380,13 @@ def ngram_jaccard_pairs(
     plenty of rare shingles. Default None = exact semantics.
     """
     base = shingled_frame(df, id_col, text_col, shingle_size)
-    exploded = base.select("__id__", F.explode("__sh__").alias("__s__"))
+    # carry the set size INSIDE the exploded frame (computed from the
+    # array before exploding — no join) so the candidate aggregation can
+    # emit jaccard directly instead of re-joining sizes onto the (much
+    # larger) candidate-pair set afterwards
+    exploded = base.select(
+        "__id__", F.size("__sh__").alias("__n__"), F.explode("__sh__").alias("__s__")
+    )
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("__s__")
@@ -388,20 +394,25 @@ def ngram_jaccard_pairs(
             .where(F.col("__df__") <= max_shingle_df)
             .select("__s__")
         )
-        exploded = exploded.join(rare, "__s__")
-        sizes = exploded.groupBy("__id__").agg(F.count("*").alias("__n__"))
-    else:
-        sizes = base.select("__id__", F.size("__sh__").alias("__n__"))
+        # restricted-universe sizes: recount per doc post-filter, then
+        # rebind __n__ (shuffle join; AQE broadcasts it when small)
+        filtered = exploded.join(rare, "__s__").drop("__n__")
+        sizes = filtered.groupBy("__id__").agg(F.count("*").alias("__n__"))
+        exploded = filtered.join(sizes, "__id__")
     shared = (
         exploded.alias("l")
         .join(exploded.alias("r"), (F.col("l.__s__") == F.col("r.__s__")) & (F.col("l.__id__") < F.col("r.__id__")))
         .groupBy(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
-        .agg(F.count("*").alias("__shared__"))
+        .agg(
+            F.count("*").alias("__shared__"),
+            F.first(F.col("l.__n__")).alias("__na__"),
+            F.first(F.col("r.__n__")).alias("__nb__"),
+        )
     )
     return (
-        shared.join(sizes.withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "__na__"), "id_a")
-        .join(sizes.withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "__nb__"), "id_b")
-        .withColumn("jaccard", F.col("__shared__") / (F.col("__na__") + F.col("__nb__") - F.col("__shared__")))
+        shared.withColumn(
+            "jaccard", F.col("__shared__") / (F.col("__na__") + F.col("__nb__") - F.col("__shared__"))
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
