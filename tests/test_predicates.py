@@ -104,3 +104,69 @@ def test_conjunction_holds_on_keys():
     assert conjunction_holds_on_keys([("p", "==", 1), ("payload", ">", 99)], keys)
     assert not conjunction_holds_on_keys([("p", "==", 2)], keys)
     assert conjunction_holds_on_keys([("other", "==", 5)], keys)
+
+
+# ---------------------------------------------------------------------------
+# property-based: evaluate_literal (driver-side planning semantics) must
+# agree with dnf_to_column (Spark execution semantics) on scalar literals
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _vals = st.one_of(
+        st.integers(min_value=-100, max_value=100),
+        st.sampled_from(["a", "b", "zz", ""]),
+        st.none(),
+    )
+    _ops = st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "is distinct from"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(actual=_vals, op=_ops, val=_vals)
+    def test_evaluate_literal_total_and_sane(actual, op, val):
+        """evaluate_literal never raises on same-type/None operands and
+        obeys the documented null semantics."""
+        if (
+            actual is not None
+            and val is not None
+            and type(actual) is not type(val)
+        ):
+            return  # mixed-type comparisons are rejected upstream
+        if val is None and op in ("<", "<=", ">", ">="):
+            return  # rejected by check_predicates
+        r = evaluate_literal(actual, op, val)
+        assert isinstance(r, bool)
+        if op == "==" and val is None:
+            assert r == (actual is None)
+        if op == "!=" and val is None:
+            assert r == (actual is not None)
+        if op == "is distinct from":
+            assert r == (actual != val if (actual is None) == (val is None) else True) or (
+                actual is None and val is None and r is False
+            )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(-5, 5), st.sampled_from(["x", "y", None])),
+            min_size=1,
+            max_size=8,
+        ),
+        op=st.sampled_from(["==", "!=", "<", ">=", "is distinct from"]),
+        ival=st.integers(-5, 5),
+    )
+    def test_spark_filter_matches_literal_eval(spark, rows, op, ival):
+        """dnf_to_column (what Spark executes) and evaluate_literal (what
+        the planner uses for key pruning) select the same rows."""
+        df = spark.createDataFrame(rows, "a long, s string")
+        preds = [[("a", op, ival)]]
+        key = lambda t: (t[0], t[1] is None, t[1] or "")
+        got = sorted(((r.a, r.s) for r in df.where(dnf_to_column(preds)).collect()), key=key)
+        want = sorted(((a, s) for a, s in rows if evaluate_literal(a, op, ival)), key=key)
+        assert got == want
