@@ -1363,6 +1363,115 @@ SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events FROM events GROUP
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (north-star: operators Spark lacks natively —
+# operators/joins.py; oracle twins are DuckDB ASOF JOIN / inequality join)
+# ---------------------------------------------------------------------------
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the user's most recent
+    at-or-before purchase. Union+window formulation (one keyed shuffle,
+    no BNLJ) vs DuckDB's native ASOF LEFT JOIN. The purchase side is
+    pre-aggregated per (user_id, ts) so the pick is well-defined in
+    both engines."""
+    _prep(spark)
+    from plateau_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("value").alias("purchase_value"),
+            F.min("event_id").alias("purchase_id"),
+        )
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"],
+        right_cols=["purchase_value", "purchase_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_right").alias("purchase_ts"), "purchase_value", "purchase_id",
+    )
+
+
+ASOF_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         max(value) AS purchase_value, min(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS purchase_ts, p.purchase_value, p.purchase_id
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events inside each signup's first-24h window,
+    planned as a bucketed EQUI-join (intervals exploded into day
+    buckets) instead of the nested-loop an inequality join would get.
+    Count-only aggregates keep the hash engine-exact."""
+    _prep(spark)
+    from plateau_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("end_ts"),
+    )
+    others = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    joined = range_join_bucketed(
+        others, signups, point_col="ts", start_col="start_ts", end_col="end_ts",
+        by=["user_id"], bucket_width=86400,
+    )
+    counts = joined.groupBy("signup_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+    return (
+        signups.join(counts, "signup_id", "left")
+        .select(
+            "signup_id",
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_event_types", F.lit(0)).alias("n_event_types"),
+        )
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS start_ts,
+         CAST(ts AS TIMESTAMP) + INTERVAL 24 HOURS AS end_ts
+  FROM events WHERE event_type = 'signup'
+), o AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type <> 'signup'
+)
+SELECT s.signup_id, s.user_id,
+       COUNT(o.event_id) AS n_events,
+       COUNT(DISTINCT o.event_type) AS n_event_types
+FROM s LEFT JOIN o
+  ON o.user_id = s.user_id AND o.ts >= s.start_ts AND o.ts < s.end_ts
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1422,6 +1531,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup": streaming_dedup,
+    # temporal joins
+    "asof_join_events": asof_join_events,
+    "range_join_windows": range_join_windows,
 }
 
 # Queries WITHOUT an oracle entry are rows-only checked by the driver
@@ -1474,4 +1586,6 @@ ORACLES: dict[str, str] = {
     "streaming_sessionize": SESSIONIZE_ORACLE,
     "streaming_windowed_counts": STREAM_WINDOW_ORACLE,
     "streaming_dedup": STREAM_DEDUP_ORACLE,
+    "asof_join_events": ASOF_JOIN_ORACLE,
+    "range_join_windows": RANGE_JOIN_ORACLE,
 }
