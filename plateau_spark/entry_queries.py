@@ -1362,6 +1362,48 @@ SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events FROM events GROUP
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-bigram fraction,
+    unique-word ratio, top-bigram coverage (explode + two keyed aggs)."""
+    _prep(spark)
+    from plateau_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text", ngram_n=2)
+
+
+# Bigrams WITH duplicates (the repetition multiset), tokens as in the
+# jaccard oracle; t[i+1:i+2] is DuckDB's inclusive 1-based 2-slice.
+_BIGRAMS = "[array_to_string(t[i+1:i+2], ' ') for i in range(0, greatest(len(t)-2, 0) + 1)]"
+
+TEXT_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_BIGRAMS} AS g FROM toks
+), exploded AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM exploded GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_ngram_fraction
+  FROM cnt GROUP BY 1
+), per_row AS (
+  SELECT toks.doc_id,
+         round(CASE WHEN len(g) > 0
+                    THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                    ELSE 0.0 END, 6) AS duplicate_ngram_fraction,
+         round(CASE WHEN len(t) > 0
+                    THEN len(list_distinct(t)) * 1.0 / len(t)
+                    ELSE 1.0 END, 6) AS unique_word_ratio
+  FROM toks JOIN grams ON toks.doc_id = grams.doc_id
+)
+SELECT per_row.doc_id, duplicate_ngram_fraction, unique_word_ratio,
+       top_ngram_fraction
+FROM per_row LEFT JOIN top ON per_row.doc_id = top.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (north-star: operators Spark lacks natively —
 # operators/joins.py; oracle twins are DuckDB ASOF JOIN / inequality join)
@@ -1513,6 +1555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_agg": text_lang_agg,
     "text_bpe_tokens": text_bpe_tokens,
     "text_tfidf_terms": text_tfidf_terms,
+    "text_repetition": text_repetition,
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -1586,6 +1629,7 @@ ORACLES: dict[str, str] = {
     "streaming_sessionize": SESSIONIZE_ORACLE,
     "streaming_windowed_counts": STREAM_WINDOW_ORACLE,
     "streaming_dedup": STREAM_DEDUP_ORACLE,
+    "text_repetition": TEXT_REPETITION_ORACLE,
     "asof_join_events": ASOF_JOIN_ORACLE,
     "range_join_windows": RANGE_JOIN_ORACLE,
 }

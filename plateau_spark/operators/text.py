@@ -100,6 +100,85 @@ def fingerprint_col(text_col: str) -> Column:
     return F.md5(normalized)
 
 
+def _word_tokens(text_col: str) -> Column:
+    """Non-empty lowercased word tokens (same tokenizer as the dedup
+    shingles and the DuckDB oracle's regexp_split_to_array twin)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+"),
+        lambda t: t != "",
+    )
+
+
+def word_ngrams_col(text_col: str, n: int = 2) -> Column:
+    """Word n-grams WITH duplicates (repetition analysis needs the
+    multiset; the dedup path's ``shingles_col`` dedups). Interpreted
+    HOF — per-doc compute, embarrassingly parallel, no shuffle."""
+    toks = _word_tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def duplicate_ngram_fraction_col(text_col: str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    repeats of an earlier one (1 - distinct/total). 0 for pathological
+    empty inputs. Pure per-row expression."""
+    grams = word_ngrams_col(text_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, F.lit(1.0) - distinct * F.lit(1.0) / total
+    ).otherwise(F.lit(0.0))
+
+
+def unique_word_ratio_col(text_col: str) -> Column:
+    """Distinct words / total words (1.0 for empty docs — nothing
+    repeats). Low values flag keyword-stuffed / looping text."""
+    toks = _word_tokens(text_col)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    ).otherwise(F.lit(1.0))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, *, ngram_n: int = 2
+) -> DataFrame:
+    """Per-document repetition profile for quality filtering
+    (Gopher/C4-style): duplicate n-gram fraction, unique-word ratio, and
+    the fraction of n-grams claimed by the single most frequent one.
+
+    The top-n-gram count needs a per-(doc, gram) aggregation: one
+    explode + groupBy(id, gram) with map-side combine, then a groupBy(id)
+    max — both keyed on the document id, so the shuffle volume is
+    O(distinct grams), never all-pairs. Fractions rounded to 6 so
+    cross-engine hashes match.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram")
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("top_cnt") * F.lit(1.0) / F.col("total"), 6).alias(
+                "top_ngram_fraction"
+            ),
+        )
+    )
+    per_row = df.select(
+        F.col(id_col),
+        F.round(duplicate_ngram_fraction_col(text_col, ngram_n), 6).alias(
+            "duplicate_ngram_fraction"
+        ),
+        F.round(unique_word_ratio_col(text_col), 6).alias("unique_word_ratio"),
+    )
+    return per_row.join(top, id_col, "left")
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     return df.select(

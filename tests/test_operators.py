@@ -362,3 +362,25 @@ def test_duplicate_clusters_long_chain(spark):
     )
     out = duplicate_clusters(pairs, max_iter=10)
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_repetition_signals(spark):
+    from plateau_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> top 'a b' 3/5
+            (2, "all words are unique"),  # no repeats
+            (3, ""),                      # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1.top_ngram_fraction == 0.6
+    assert r1.duplicate_ngram_fraction == round(1 - 2 / 5, 6)
+    assert r1.unique_word_ratio == round(2 / 6, 6)
+    r2 = out[2]
+    assert r2.duplicate_ngram_fraction == 0.0
+    assert r2.unique_word_ratio == 1.0
+    assert out[3].unique_word_ratio == 1.0
