@@ -1404,6 +1404,71 @@ FROM per_row LEFT JOIN top ON per_row.doc_id = top.doc_id
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing. The synthetic corpus contains no PII,
+    so the query plants deterministic emails/phones/IPs first (same
+    expression in the oracle), then counts and scrubs them — verifying
+    the regex surface end-to-end with a hash-checked md5 of the
+    scrubbed text."""
+    _prep(spark)
+    from plateau_spark.operators.text import pii_count_col, scrub_pii_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call +1415555"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1 up")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        pii_count_col("text", "email").alias("n_emails"),
+        pii_count_col("text", "phone").alias("n_phones"),
+        pii_count_col("text", "ip").alias("n_ips"),
+        F.md5(scrub_pii_col("text")).alias("scrubbed_md5"),
+    )
+
+
+TEXT_PII_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{7,15}', '<PHONE>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (north-star: operators Spark lacks natively —
 # operators/joins.py; oracle twins are DuckDB ASOF JOIN / inequality join)
@@ -1556,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_tfidf_terms": text_tfidf_terms,
     "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -1630,6 +1696,7 @@ ORACLES: dict[str, str] = {
     "streaming_windowed_counts": STREAM_WINDOW_ORACLE,
     "streaming_dedup": STREAM_DEDUP_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
+    "text_pii_scrub": TEXT_PII_ORACLE,
     "asof_join_events": ASOF_JOIN_ORACLE,
     "range_join_windows": RANGE_JOIN_ORACLE,
 }

@@ -179,6 +179,37 @@ def repetition_signals(
     return per_row.join(top, id_col, "left")
 
 
+# PII patterns kept to constructs with identical semantics in Java
+# regex (Spark codegen) and RE2 (DuckDB oracle): plain character
+# classes and greedy counted repeats — no lookaround, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9]{7,15}", "<PHONE>"),
+    "ip": (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+}
+
+
+def pii_count_col(text_col: str, kind: str) -> Column:
+    """Number of PII matches of ``kind`` in the document (codegen'd
+    regexp_extract_all; DuckDB twin: len(regexp_extract_all(...)))."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))).cast(
+        "long"
+    )
+
+
+def scrub_pii_col(text_col: str, kinds: tuple[str, ...] = ("email", "phone", "ip")) -> Column:
+    """Replace every PII match with its placeholder token. Replacement
+    order is the ``kinds`` tuple (fixed, so results are deterministic
+    across engines — Spark regexp_replace is replace-all, matching
+    DuckDB's 'g' flag). Pure per-row expression, no Python."""
+    out = F.col(text_col)
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     return df.select(

@@ -384,3 +384,31 @@ def test_repetition_signals(spark):
     assert r2.duplicate_ngram_fraction == 0.0
     assert r2.unique_word_ratio == 1.0
     assert out[3].unique_word_ratio == 1.0
+
+
+def test_pii_detect_and_scrub(spark):
+    from plateau_spark.operators.text import pii_count_col, scrub_pii_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call +4915112345678"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_count_col("text", "email").alias("ne"),
+            pii_count_col("text", "phone").alias("np"),
+            pii_count_col("text", "ip").alias("ni"),
+            scrub_pii_col("text").alias("scrubbed"),
+        ).collect()
+    }
+    assert (out[1].ne, out[1].np, out[1].ni) == (1, 1, 0)
+    assert out[1].scrubbed == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[2].ne, out[2].np, out[2].ni) == (0, 0, 2)
+    assert out[2].scrubbed == "server at <IP> and <IP> up"
+    assert out[3].scrubbed == "nothing sensitive here"
