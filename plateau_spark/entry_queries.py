@@ -1469,6 +1469,47 @@ FROM planted
 """
 
 
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval set = every 50th document;
+    each remaining train doc scored by the fraction of its distinct
+    3-grams found in the eval n-gram universe (broadcast join —
+    benchmark sets are small next to a 100 TB training corpus)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import ngram_overlap_vs_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_overlap_vs_eval(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.2,
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_filter({_SHINGLES}, s -> s <> '') AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0
+), agg AS (
+  SELECT tr.doc_id, COUNT(*) AS total,
+         SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+  GROUP BY 1
+)
+SELECT base.doc_id,
+       round(COALESCE(hits * 1.0 / total, 0.0), 6) AS overlap_fraction,
+       CAST(COALESCE(hits * 1.0 / total, 0.0) >= 0.2 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) base
+LEFT JOIN agg ON base.doc_id = agg.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (north-star: operators Spark lacks natively —
 # operators/joins.py; oracle twins are DuckDB ASOF JOIN / inequality join)
@@ -1625,6 +1666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "decontaminate_ngrams": decontaminate_ngrams,
     "minhash_pairs": minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "cosine_topk": cosine_topk,
@@ -1697,6 +1739,7 @@ ORACLES: dict[str, str] = {
     "streaming_dedup": STREAM_DEDUP_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_pii_scrub": TEXT_PII_ORACLE,
+    "decontaminate_ngrams": DECONTAMINATE_ORACLE,
     "asof_join_events": ASOF_JOIN_ORACLE,
     "range_join_windows": RANGE_JOIN_ORACLE,
 }

@@ -634,3 +634,53 @@ def duplicate_clusters(
             "(pathological component structure?); raise max_iter"
         )
     return labels.select(F.col("src").alias("id"), F.col("lbl").alias("cluster_id"))
+
+
+def ngram_overlap_vs_eval(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every train document, the fraction
+    of its distinct word n-grams that also occur anywhere in the eval
+    corpus, plus a ``contaminated`` flag (fraction >= threshold).
+
+    Shape: the eval n-gram universe is deduplicated and (by default)
+    broadcast — eval/benchmark sets are small next to a training corpus,
+    so the train side streams through a broadcast hash join with no
+    shuffle of the exploded n-grams. With ``broadcast_eval=False`` it
+    degrades to a shuffle equi-join on the n-gram — still bucketed, never
+    all-pairs. Documents with no usable n-grams come back with fraction
+    0.0 (never contaminated).
+
+    The flag is computed on the UNROUNDED fraction; both engines derive
+    it from the same integer division so the decision is deterministic.
+    """
+    clean = lambda c: F.filter(shingles_col(c, n), lambda s: s != "")  # noqa: E731
+
+    ev = eval_df.select(F.explode(clean(text_col)).alias("__shingle__")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _ensure_parallelism(train).select(
+        F.col(id_col), F.explode(clean(text_col)).alias("__shingle__")
+    )
+    agg = (
+        tr.join(ev.withColumn("__hit__", F.lit(1)), "__shingle__", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__total__"), F.sum("__hit__").alias("__hits__"))
+    )
+    frac = F.coalesce(F.col("__hits__") * F.lit(1.0) / F.col("__total__"), F.lit(0.0))
+    return (
+        train.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("overlap_fraction"),
+            (F.coalesce(frac, F.lit(0.0)) >= threshold).cast("long").alias("contaminated"),
+        )
+    )

@@ -412,3 +412,26 @@ def test_pii_detect_and_scrub(spark):
     assert (out[2].ne, out[2].np, out[2].ni) == (0, 0, 2)
     assert out[2].scrubbed == "server at <IP> and <IP> up"
     assert out[3].scrubbed == "nothing sensitive here"
+
+
+def test_ngram_overlap_vs_eval(spark):
+    from plateau_spark.operators.dedup import ngram_overlap_vs_eval
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here folks"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in ngram_overlap_vs_eval(train, ev, "doc_id", "text").collect()}
+    # train 1 has 7 distinct 3-grams, 2 of them in the eval universe
+    assert out[1].overlap_fraction == round(2 / 7, 6)
+    assert out[1].contaminated == 1  # threshold 0.2
+    assert out[2].overlap_fraction == 0.0 and out[2].contaminated == 0
+    assert out[3].overlap_fraction == 0.0 and out[3].contaminated == 0
+    assert len(out) == 3  # empty doc retained
