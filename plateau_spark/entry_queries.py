@@ -1688,7 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # Queries WITHOUT an oracle entry are rows-only checked by the driver
-# (3 of 46): minhash_pairs / simhash_fingerprints use engine-specific
+# (3 of 51): minhash_pairs / simhash_fingerprints use engine-specific
 # hash families (siphash64 multiply-shift), embedding_dup_pairs_lsh is
 # approximate-recall by design. Everything else — including the
 # mapInPandas feature decoder and the md5-mode dataset hash — has a
