@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "cosine_topk",
     "streaming_windowed_counts",
     "streaming_sessionize",
+    "text_repetition",
+    "text_pii_scrub",
+    "decontaminate_ngrams",
+    "asof_join_events",
+    "range_join_windows",
 ]
 
 

@@ -141,6 +141,44 @@ def unique_word_ratio_col(text_col: str) -> Column:
     ).otherwise(F.lit(1.0))
 
 
+def _repetition_counts_udf(n: int):
+    """Arrow-batched counting pass: word/n-gram totals, distinct counts,
+    and the top n-gram's count per document. COUNTING ONLY — every
+    fraction (and its rounding) happens JVM-side so cross-engine float
+    behavior is owned by one engine pair (Spark HALF_UP round vs Python
+    banker's rounding would otherwise diverge on exact-tie digits).
+
+    Tokenizer is the established Python twin of the JVM/DuckDB
+    ``[^\\p{L}\\p{N}]+`` split (see dedup._shingle_texts, parity-proven
+    by the hash-checked ngram_jaccard query)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    split_re = re.compile(r"[^\w]+|_+", re.UNICODE)
+
+    def counts(texts):
+        rows = []
+        for t in texts:
+            toks = [w for w in split_re.split((t or "").strip().lower()) if w]
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+            ]
+            c = Counter(grams)
+            rows.append(
+                (len(grams), len(c), max(c.values()), len(toks), len(set(toks)))
+            )
+        return pd.DataFrame(
+            rows, columns=["tg", "dg", "top", "tt", "dt"], dtype="int64"
+        )
+
+    return pandas_udf(
+        counts, "tg long, dg long, top long, tt long, dt long"
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, *, ngram_n: int = 2
 ) -> DataFrame:
@@ -148,35 +186,32 @@ def repetition_signals(
     (Gopher/C4-style): duplicate n-gram fraction, unique-word ratio, and
     the fraction of n-grams claimed by the single most frequent one.
 
-    The top-n-gram count needs a per-(doc, gram) aggregation: one
-    explode + groupBy(id, gram) with map-side combine, then a groupBy(id)
-    max — both keyed on the document id, so the shuffle volume is
-    O(distinct grams), never all-pairs. Fractions rounded to 6 so
-    cross-engine hashes match.
+    Pure map — ZERO shuffle: one Arrow-batched counting pass per
+    document (an explode + groupBy(id, gram) formulation would shuffle
+    the corpus's entire token stream; at 100 TB that shuffle IS the
+    job). Fractions are JVM-side divisions of the returned counts,
+    rounded to 6 so cross-engine hashes match; empty docs count one
+    degenerate '' n-gram (same as the column-expression semantics).
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram")
-    )
-    top = (
-        grams.groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total"))
-        .select(
-            F.col(id_col),
-            F.round(F.col("top_cnt") * F.lit(1.0) / F.col("total"), 6).alias(
-                "top_ngram_fraction"
-            ),
-        )
-    )
-    per_row = df.select(
+    c = _repetition_counts_udf(ngram_n)(F.col(text_col))
+    one = F.lit(1.0)
+    return df.select(
+        F.col(id_col), c.alias("__c__")
+    ).select(
         F.col(id_col),
-        F.round(duplicate_ngram_fraction_col(text_col, ngram_n), 6).alias(
+        F.round(one - F.col("__c__.dg") * one / F.col("__c__.tg"), 6).alias(
             "duplicate_ngram_fraction"
         ),
-        F.round(unique_word_ratio_col(text_col), 6).alias("unique_word_ratio"),
+        F.when(
+            F.col("__c__.tt") > 0,
+            F.round(F.col("__c__.dt") * one / F.col("__c__.tt"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("unique_word_ratio"),
+        F.round(F.col("__c__.top") * one / F.col("__c__.tg"), 6).alias(
+            "top_ngram_fraction"
+        ),
     )
-    return per_row.join(top, id_col, "left")
 
 
 # PII patterns kept to constructs with identical semantics in Java
