@@ -1362,6 +1362,33 @@ SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events FROM events GROUP
 """
 
 
+def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: events stream enriched with the
+    nation dimension (stateless — no watermark/state store), then a
+    streaming aggregate; availableNow batch-equivalence as the oracle
+    bridge."""
+    _prep(spark)
+    from plateau_spark.streaming.events import run_stream_to_memory, stream_static_enrich
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def transform(stream):
+        keyed = stream.withColumn("n_nationkey", F.col("user_id") % 25)
+        joined = stream_static_enrich(keyed, nation, on="n_nationkey")
+        return joined.groupBy("n_name", "event_type").agg(
+            F.count("*").alias("n_events")
+        )
+
+    return run_stream_to_memory(spark, f"{sf_dir.rstrip('/')}/events.parquet", transform)
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT n_name, event_type, COUNT(*) AS n_events
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1, 2
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-bigram fraction,
     unique-word ratio, top-bigram coverage (explode + two keyed aggs)."""
@@ -1466,6 +1493,32 @@ SELECT doc_id,
                '\+[0-9]{7,15}', '<PHONE>', 'g'),
              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
 FROM planted
+"""
+
+
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram per language: fixed-width buckets
+    (width 10, clamped at 100+) — the standard pre-training length
+    profile. One map + one tiny keyed agg; scale-invariant output."""
+    _prep(spark)
+    from plateau_spark.operators.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(token_count_col("text") / 10), F.lit(10)).cast("long")
+    return (
+        docs.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+TEXT_HISTOGRAM_ORACLE = r"""
+SELECT lang,
+       CAST(least(CAST(floor((CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 10) AS BIGINT), 10) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
 """
 
 
@@ -1663,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_terms": text_tfidf_terms,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
+    "text_token_histogram": text_token_histogram,
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -1682,6 +1736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup": streaming_dedup,
+    "streaming_enrich_dim": streaming_enrich_dim,
     # temporal joins
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -1740,6 +1795,8 @@ ORACLES: dict[str, str] = {
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_pii_scrub": TEXT_PII_ORACLE,
     "decontaminate_ngrams": DECONTAMINATE_ORACLE,
+    "text_token_histogram": TEXT_HISTOGRAM_ORACLE,
     "asof_join_events": ASOF_JOIN_ORACLE,
     "range_join_windows": RANGE_JOIN_ORACLE,
+    "streaming_enrich_dim": STREAM_ENRICH_ORACLE,
 }

@@ -240,3 +240,13 @@ def run_stream_to_memory(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static dimension enrichment: the static side is broadcast
+    into every micro-batch task, so the join is stateless — no watermark,
+    no state store, no shuffle of the stream. This is the 100 TB-safe
+    way to attach dimension attributes to an event stream; Spark re-reads
+    the static side per micro-batch, picking up dimension updates between
+    batches."""
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -83,3 +83,28 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark):
     assert len(got) > 0
     for key, val in got.items():
         assert key in expected and expected[key] == val
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from plateau_spark.sources.tables import load_table
+    from plateau_spark.streaming.events import run_stream_to_memory, stream_static_enrich
+
+    sf_dir = "/root/testdata/sf0.001"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def transform(stream):
+        keyed = stream.withColumn("n_nationkey", F.col("user_id") % 25)
+        return stream_static_enrich(keyed, nation, on="n_nationkey").groupBy(
+            "n_name"
+        ).agg(F.count("*").alias("n_events"))
+
+    got = run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "n_nationkey", F.col("user_id") % 25
+    )
+    want = ev.join(nation, "n_nationkey").groupBy("n_name").agg(
+        F.count("*").alias("n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
