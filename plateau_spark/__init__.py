@@ -33,6 +33,7 @@ from plateau_spark.sources.dataset import (
     read_dataset_as_dataframe_iterator,
     read_dataset_as_dataframe_groups,
     read_table,
+    register_dataset_as_view,
     update_dataset_from_dataframe,
     update_dataset_from_dataframes__iter,
     write_single_partition,
@@ -65,6 +66,7 @@ __all__ = [
     "read_dataset_as_dataframe_iterator",
     "read_dataset_as_dataframe_groups",
     "read_table",
+    "register_dataset_as_view",
     "update_dataset_from_dataframe",
     "update_dataset_from_dataframes__iter",
     "write_single_partition",

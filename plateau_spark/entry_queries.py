@@ -1496,6 +1496,46 @@ FROM planted
 """
 
 
+def dataset_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: datasets registered as temp views (pruned scan
+    underneath — registration-time DNF predicate prunes files, SQL
+    residual pushes to parquet), then a plain spark.sql star join."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        register_dataset_as_view,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("sql-view")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    store_dataframe_as_dataset(
+        spark, store, "supplier", sup, partition_on=["s_nationkey"]
+    )
+    store_dataframe_as_dataset(spark, store, "nation", nat)
+    register_dataset_as_view(
+        spark, store, "supplier", "sup_v", predicates=[[("s_acctbal", ">", 0.0)]]
+    )
+    register_dataset_as_view(spark, store, "nation", "nat_v")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM sup_v JOIN nat_v ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+DATASET_SQL_VIEW_ORACLE = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0.0
+GROUP BY n_name
+"""
+
+
 def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-length histogram per language: fixed-width buckets
     (width 10, clamped at 100+) — the standard pre-training length
@@ -1699,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_metadata_stats": dataset_metadata_stats,
     "dataset_commit_protocol": dataset_commit_protocol,
     "dataset_gc_roundtrip": dataset_gc_roundtrip,
+    "dataset_sql_view": dataset_sql_view,
     # dataflow
     "agg_to_lists": agg_to_lists,
     "dedup_keep_last": dedup_keep_last,
@@ -1796,6 +1837,7 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": TEXT_PII_ORACLE,
     "decontaminate_ngrams": DECONTAMINATE_ORACLE,
     "text_token_histogram": TEXT_HISTOGRAM_ORACLE,
+    "dataset_sql_view": DATASET_SQL_VIEW_ORACLE,
     "asof_join_events": ASOF_JOIN_ORACLE,
     "range_join_windows": RANGE_JOIN_ORACLE,
     "streaming_enrich_dim": STREAM_ENRICH_ORACLE,

@@ -573,6 +573,32 @@ def read_dataset_as_dataframe(
 read_table = read_dataset_as_dataframe
 
 
+def register_dataset_as_view(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    view_name: str | None = None,
+    *,
+    predicates: Predicates | None = None,
+) -> str:
+    """Expose a stored dataset to ``spark.sql`` as a temp view.
+
+    The view wraps the same pruned scan as ``read_table`` (metadata GET
+    → partition/index pruning → explicit file list), so SQL filters on
+    top still reach the parquet scan via Catalyst pushdown; predicates
+    given here additionally prune whole files at registration time.
+    Returns the view name (defaults to the dataset uuid).
+
+    The reference has no SQL surface — this is the Spark-native way to
+    let every downstream SQL/BI tool query a plateau-style dataset.
+    """
+    name = view_name or dataset_uuid
+    read_dataset_as_dataframe(
+        spark, store, dataset_uuid, predicates=predicates
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def read_dataset_as_dataframe_iterator(
     spark: SparkSession,
     store: Store | str,

@@ -257,3 +257,27 @@ def test_no_staging_leftovers(spark, store, cluster_df):
         spark, store, "ds", cluster_df.withColumn("P", F.col("P") + 10)
     )
     assert not list(store.iter_keys("ds/.staging/"))
+
+
+def test_register_dataset_as_view(spark, store):
+    from pyspark.sql import functions as F
+
+    from plateau_spark.sources.dataset import (
+        register_dataset_as_view,
+        store_dataframe_as_dataset,
+    )
+
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    store_dataframe_as_dataset(
+        spark, store, "supplier", sup, partition_on=["s_nationkey"]
+    )
+    name = register_dataset_as_view(
+        spark, store, "supplier", "sup_view", predicates=[[("s_nationkey", "==", 3)]]
+    )
+    assert name == "sup_view"
+    got = spark.sql("SELECT COUNT(*) AS n FROM sup_view").first().n
+    want = sup.where(F.col("s_nationkey") == 3).count()
+    assert got == want > 0
+    # registration-time predicate pruned to one hive partition
+    files = spark.sql("SELECT * FROM sup_view").inputFiles()
+    assert all("s_nationkey=3" in f for f in files)
