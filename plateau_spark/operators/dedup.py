@@ -155,7 +155,10 @@ def _perm_multipliers(num_perm: int):
     import numpy as np
 
     rng = np.random.RandomState(0x5EED)
-    return (rng.randint(0, 1 << 62, num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    # explicit dtype: the platform default int is 32-bit on some systems
+    # (Windows), where randint(0, 1<<62) without it raises ValueError
+    draws = rng.randint(0, 1 << 62, num_perm, dtype=np.int64)
+    return (draws.astype(np.uint64) << np.uint64(1)) | np.uint64(1)
 
 
 def _fused_shingle_minhash_udf(n: int, num_perm: int):

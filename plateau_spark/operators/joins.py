@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "__asof_side__"
+_PAYLOAD = "__asof_payload__"
 
 
 def asof_join(
@@ -94,11 +95,20 @@ def asof_join(
     r = right
     for key in (*by, on):
         r = r.where(F.col(key).isNotNull())
+    # All payload columns ride in ONE struct: the window picks the whole
+    # matched row atomically. Picking each column independently with
+    # last(..., ignorenulls=True) would skip over a legitimately-NULL
+    # payload value and splice in the value from an OLDER right row —
+    # a torn result (pandas merge_asof / DuckDB ASOF JOIN return the
+    # matched row's NULL). The struct itself is never null for a right
+    # row, so ignorenulls only skips left rows, never null fields.
     r = r.select(
         *[F.col(c) for c in by],
         F.col(on),
-        F.col(on).alias(on_match),
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.struct(
+            F.col(on).alias(on_match),
+            *[F.col(c).alias(out_names[c]) for c in right_cols],
+        ).alias(_PAYLOAD),
     ).withColumn(_SIDE, F.lit(r_side))
 
     unioned = l.unionByName(r, allowMissingColumns=True)
@@ -114,11 +124,12 @@ def asof_join(
     # without the guard the nulls-first sort would hand forward-direction
     # rows the entire right side as their frame.
     matched_cols = [on_match, *out_names.values()]
+    picked = pick(_PAYLOAD).over(w)
     out = unioned.select(
         *left.columns,
         F.col(_SIDE),
         *[
-            F.when(F.col(on).isNotNull(), pick(c).over(w)).alias(c)
+            F.when(F.col(on).isNotNull(), picked.getField(c)).alias(c)
             for c in matched_cols
         ],
     ).where(F.col(_SIDE) == l_side).drop(_SIDE)

@@ -417,17 +417,33 @@ def cosine_dup_pairs_blocked(
         )
         .groupBy("__b__")
         .agg(F.collect_list(F.struct("__id__", "__v__")).alias("__rows__"))
+        # both equi-join sides consume this frame: checkpoint so the
+        # pack aggregation runs once, not twice
+        .localCheckpoint(eager=False)
     )
+    # The B·(B+1)/2 block pairs are enumerated driver-side (a few KB of
+    # ids) and joined to the packed blocks with TWO EQUI-joins, so each
+    # task fetches exactly its two blocks via shuffle. The direct
+    # non-equi self-join (l.__b__ <= r.__b__) plans as a
+    # BroadcastNestedLoopJoin that ships the ENTIRE packed corpus to
+    # every executor — a broadcast OOM at exactly the corpus sizes this
+    # tier targets.
+    pair_ids = df.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "__bl__ long, __br__ long",
+    )
+    n_pairs = n_blocks * (n_blocks + 1) // 2
     block_pairs = (
-        packed.alias("l")
-        .join(packed.alias("r"), F.col("l.__b__") <= F.col("r.__b__"))
-        .select(
-            F.col("l.__b__").alias("__bl__"),
-            F.col("r.__b__").alias("__br__"),
-            F.col("l.__rows__").alias("__la__"),
-            F.col("r.__rows__").alias("__ra__"),
+        packed.select(F.col("__b__").alias("__bl__"), F.col("__rows__").alias("__la__"))
+        .join(F.broadcast(pair_ids), "__bl__")
+        .join(
+            packed.select(
+                F.col("__b__").alias("__br__"), F.col("__rows__").alias("__ra__")
+            ),
+            "__br__",
         )
-        .repartition(n_blocks * (n_blocks + 1) // 2)
+        .repartition(n_pairs, "__bl__", "__br__")
+        .select("__bl__", "__br__", "__la__", "__ra__")
     )
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"

@@ -641,20 +641,34 @@ def read_dataset_as_dataframe_groups(
                 f"Dispatch columns must be indexed or partition keys, got {col!r}"
             )
 
-    # distinct value combos per column, from metadata only
-    per_col_values: list[list[Any]] = []
+    # per-column value → partition-label map, from metadata only; a
+    # multi-column combo is dispatched ONLY if some partition carries all
+    # its values (the reference's dispatch_by yields observed group
+    # combinations, not the cartesian product of per-column values — a
+    # product combo with an empty surviving partition set would run a
+    # full pruned-scan read just to yield an empty frame)
+    per_col_labels: list[dict[Any, set[str]]] = []
     for col in dispatch_by:
         if col in meta.partition_keys:
-            values = sorted({p.key_values[col] for p in meta.partitions.values()})
+            by_value: dict[Any, set[str]] = {}
+            for label, p in meta.partitions.items():
+                by_value.setdefault(p.key_values[col], set()).add(label)
         else:
             idx = SecondaryIndex.load(store, meta.indices[col], col)
-            values = idx.observed_values()
-        per_col_values.append(values)
+            by_value = {v: idx.query(v) for v in idx.observed_values()}
+        per_col_labels.append(by_value)
 
     import itertools
 
     base_predicates = predicates if predicates is not None else [[]]
-    for combo in itertools.product(*per_col_values):
+    for combo in itertools.product(*(sorted(m) for m in per_col_labels)):
+        surviving: set[str] | None = None
+        for value, labels in zip(combo, per_col_labels):
+            surviving = labels[value] if surviving is None else surviving & labels[value]
+            if not surviving:
+                break
+        if not surviving:
+            continue
         conjunction = [(c, "==", v) for c, v in zip(dispatch_by, combo)]
         combo_predicates = [list(conj) + conjunction for conj in base_predicates]
         df = read_dataset_as_dataframe(

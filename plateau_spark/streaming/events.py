@@ -64,6 +64,7 @@ def sessionize_events(
     gap: str = "30 minutes",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Batch sessionization: split each user's event sequence into
     sessions separated by > ``gap`` of inactivity.
@@ -93,7 +94,7 @@ def sessionize_events(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(user_col, "session_start", "session_end", "n_events", "sum_value")
     )
@@ -110,6 +111,8 @@ def sessionize_stream(
     *,
     gap_seconds: int = 1800,
     ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Streaming sessionization with explicit per-user state —
     ``applyInPandasWithState`` (the custom-stateful-operator surface:
@@ -120,8 +123,13 @@ def sessionize_stream(
     State per user is O(1) (start/end/count/sum of the open session),
     so state-store size is bounded by the number of active users inside
     the watermark horizon.
+
+    ``user_col`` must be integer-typed (the output schema pins it to
+    ``long``); ``value_col`` must be numeric.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = [user_col, "session_start", "session_end", "n_events", "sum_value"]
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -133,7 +141,7 @@ def sessionize_stream(
                 state.remove()
                 yield pd.DataFrame(
                     [(user_id, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n, v)],
-                    columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+                    columns=out_cols,
                 )
             return
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
@@ -143,7 +151,7 @@ def sessionize_stream(
         else:
             start_us = end_us = None
             n, v = 0, 0.0
-        for ts, value in zip(rows[ts_col], rows["value"]):
+        for ts, value in zip(rows[ts_col], rows[value_col]):
             ts_us = int(ts.value // 1000)  # pandas ns → µs
             if start_us is None:
                 start_us, end_us, n, v = ts_us, ts_us, 1, float(value)
@@ -160,15 +168,18 @@ def sessionize_stream(
                     (u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), cnt, sv)
                     for u, s, e, cnt, sv in closed
                 ],
-                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+                columns=out_cols,
             )
 
     return (
         events.withWatermark(ts_col, f"{gap_seconds} seconds")
-        .groupBy("user_id")
+        .groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=(
+                f"{user_col} long, session_start timestamp, session_end timestamp, "
+                "n_events long, sum_value double"
+            ),
             stateStructType="start long, end long, n long, v double",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

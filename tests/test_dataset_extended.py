@@ -142,6 +142,22 @@ def test_dispatch_by_groups_indexed_column(spark, store, cluster_df):
         assert [r.L for r in df.collect()] == [key["L"]]
 
 
+def test_dispatch_by_multi_column_only_observed_combos(spark, store, cluster_df):
+    """Multi-column dispatch must yield observed group combinations only
+    — not the cartesian product of per-column values (reference
+    dispatch_by contract). cluster_df only has (P=1,L=1) and (P=2,L=2);
+    the product combos (1,2)/(2,1) exist in no partition and must be
+    skipped without running a read."""
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    groups = list(read_dataset_as_dataframe_groups(spark, store, "ds", ["P", "L"]))
+    assert [g[0] for g in groups] == [{"P": 1, "L": 1}, {"P": 2, "L": 2}]
+    for key, df in groups:
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].P == key["P"] and rows[0].L == key["L"]
+
+
 def test_dispatch_by_requires_indexed_column(spark, store, cluster_df):
     store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
     with pytest.raises(RuntimeError, match="indexed or partition keys"):

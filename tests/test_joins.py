@@ -57,6 +57,26 @@ def test_asof_backward_exact(spark, quotes_trades):
     assert rows[5] == (None, None)  # null left time
 
 
+def test_asof_null_payload_not_torn(spark):
+    """A legitimately-NULL payload in the matched right row must come
+    through as NULL — not be spliced with the value from an older right
+    row (pandas merge_asof / DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:10"))], "id long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:01"), 5.0, "old"),
+            ("A", _ts("2024-01-01 10:00:05"), None, "new"),  # matched, NULL bid
+        ],
+        "sym string, ts timestamp, bid double, src string",
+    )
+    row = asof_join(left, right, on="ts", by=["sym"]).collect()[0]
+    assert row.ts_right == _ts("2024-01-01 10:00:05")
+    assert row.bid is None  # the matched row's NULL, not old row's 5.0
+    assert row.src == "new"  # all payload fields from the SAME right row
+
+
 def test_asof_backward_no_exact(spark, quotes_trades):
     quotes, trades = quotes_trades
     out = asof_join(trades, quotes, on="ts", by=["sym"], allow_exact_matches=False)

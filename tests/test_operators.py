@@ -307,6 +307,18 @@ def test_cosine_dup_pairs_blocked_equals_bruteforce(spark, embeddings):
     assert set(fold) == set(gemm)
     assert all(abs(fold[k] - gemm[k]) < 1e-12 for k in fold)
 
+
+def test_cosine_dup_pairs_blocked_plan_is_equi_join(spark, embeddings):
+    """The block-pair fan-out must be equi-joins on block ids — the
+    non-equi (l.__b__ <= r.__b__) formulation planned as a
+    BroadcastNestedLoopJoin that broadcast the entire packed corpus."""
+    from plateau_spark.operators.similarity import cosine_dup_pairs_blocked
+
+    out = cosine_dup_pairs_blocked(embeddings, threshold=0.3, rows_per_block=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
 def test_deterministic_split(spark):
     from plateau_spark.operators.sampling import deterministic_split
 
