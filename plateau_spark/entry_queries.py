@@ -1045,6 +1045,49 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 """
 
 
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe exact-Jaccard tier: ``max_shingle_df`` drops
+    shingles whose document frequency exceeds the cap BEFORE the
+    inverted-index self-join (a shingle at df=d alone contributes
+    d·(d-1)/2 candidate rows — the cap bounds the join). Set sizes are
+    recomputed over the surviving universe, so the result is the true
+    Jaccard of the restricted sets — deterministic, hence
+    oracle-checkable. This is the configuration to showcase at 100 TB;
+    plain `ngram_jaccard` (cap unset) is the small-corpus exact tier."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, jaccard_threshold=0.12,
+        max_shingle_df=20,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+NGRAM_JACCARD_CAPPED_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle
+), kept AS (
+  SELECT e.doc_id, e.shingle FROM ex e JOIN dfreq USING (shingle) WHERE df <= 20
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+), shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS c
+  FROM kept l JOIN kept r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.12
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate_clusters: exact ngram pairs → connected components
     (iterated min-label propagation; oracle = recursive-CTE reachability
@@ -1100,6 +1143,89 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
+
+
+def minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH pairs in the PORTABLE md5 hash family — the whole
+    pipeline (signatures, banding, candidates, verify) is a pure
+    function of md5, so this entry is fully hash-checked; it bounds the
+    production siphash tier (`minhash_pairs`), which shares every stage
+    shape and the exact-Jaccard verify."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.2
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_MH_PERM, _MH_BANDS = 16, 4
+MINHASH_MD5_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), exploded AS (
+  SELECT doc_id, unnest(s) AS shingle FROM nonempty
+), mins AS (
+  SELECT doc_id, p.i,
+         MIN(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || shingle), 1, 15)) AS UBIGINT)) AS mh
+  FROM exploded CROSS JOIN generate_series(0, {_MH_PERM - 1}) p(i)
+  GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, i // {_MH_PERM // _MH_BANDS} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bandsig
+  FROM mins GROUP BY doc_id, i // {_MH_PERM // _MH_BANDS}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bandsig = r.bandsig AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / (a.n + b.n - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM cand c JOIN nonempty a ON a.doc_id = c.id_a JOIN nonempty b ON b.doc_id = c.id_b
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints in the PORTABLE md5 hash family (32 bits,
+    pure whole-stage codegen) — fully hash-checked; bounds the
+    production siphash Arrow tier (`simhash_fingerprints`), which runs
+    the identical ±1 bit-vote algorithm."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import simhash_codegen
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_codegen(docs, "doc_id", "text", bits=32, hash_family="md5")
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+SIMHASH_MD5_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM toks
+), sums AS (
+  SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums
+)
+SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,14 +1303,52 @@ WHERE {_DOT} / ({_NA} * {_NB}) >= 0.4
 
 
 def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding dup pairs — approximate recall, so
-    rows-only checked; test suite asserts plan shape + recall vs exact."""
+    """LSH-bucketed embedding dup pairs. The hyperplanes are
+    deterministic seeded literals, so the bucketing itself — not just
+    the exact-cosine verify — is reproducible in SQL: the oracle bakes
+    the same plane constants in as list literals, making this entry
+    fully hash-checked despite being the approximate tier."""
     _prep(spark)
     from plateau_spark.operators.dedup import embedding_cosine_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, bucket_bits=4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _lsh_bucket_sql(dim: int, n_bits: int, seed: int, tbl: str) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket_col: the SAME
+    deterministic plane constants (driver-side literals in both
+    engines), projected with the same sequential double fold."""
+    from plateau_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_bits, seed)):
+        lits = ",".join(repr(p) for p in plane)
+        proj = (
+            f"list_sum([CAST({tbl}.embedding[i] AS DOUBLE) * ([{lits}])[i] "
+            f"for i in range(1, len({tbl}.embedding)+1)])"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_BRANCHES = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {probe} AS probe, {_lsh_bucket_sql(64, 4, seed, 'e')} AS bucket\n"
+    "FROM embeddings e"
+    for probe, seed in enumerate((7, 77))
+)
+EMBEDDING_LSH_ORACLE = f"""
+WITH bk AS (
+{_LSH_BRANCHES}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bk l JOIN bk r ON l.probe = r.probe AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.id_a, c.id_b, round({_DOT} / ({_NA} * {_NB}), 6) AS cosine
+FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {_DOT} / ({_NA} * {_NB}) >= 0.4
+"""
 
 
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1760,10 +1924,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_histogram": text_token_histogram,
     # near-dup / similarity
     "ngram_jaccard": ngram_jaccard,
+    "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
     "decontaminate_ngrams": decontaminate_ngrams,
     "minhash_pairs": minhash_pairs,
+    "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
@@ -1784,9 +1951,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # Queries WITHOUT an oracle entry are rows-only checked by the driver
-# (3 of 51): minhash_pairs / simhash_fingerprints use engine-specific
-# hash families (siphash64 multiply-shift), embedding_dup_pairs_lsh is
-# approximate-recall by design. Everything else — including the
+# (2): minhash_pairs / simhash_fingerprints use the engine-specific
+# production hash family (siphash64 multiply-shift) — each is bounded
+# by a fully-hash-checked md5 twin running the identical pipeline
+# (minhash_pairs_md5 / simhash_md5). Everything else — including the
+# LSH embedding tier (plane literals baked into the oracle), the
 # mapInPandas feature decoder and the md5-mode dataset hash — has a
 # bit-reproducible ANSI-SQL twin.
 ORACLES: dict[str, str] = {
@@ -1823,6 +1992,10 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "ngram_jaccard_capped": NGRAM_JACCARD_CAPPED_ORACLE,
+    "minhash_pairs_md5": MINHASH_MD5_ORACLE,
+    "simhash_md5": SIMHASH_MD5_ORACLE,
+    "embedding_dup_pairs_lsh": EMBEDDING_LSH_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_topk_ivf": COSINE_TOPK_ORACLE,

@@ -341,9 +341,18 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _verify_jaccard_pairs(base, candidates, jaccard_threshold)
+
+
+def _verify_jaccard_pairs(
+    base: DataFrame, candidates: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs against the
+    shingle sets in ``base`` (__id__, __shingles__): two id-keyed joins
+    (broadcast- or shuffle-hash — never all-pairs)."""
     a = base.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("__sh_a__"))
     b = base.select(F.col("__id__").alias("id_b"), F.col("__shingles__").alias("__sh_b__"))
-    verified = (
+    return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -354,7 +363,81 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+
+
+def _md5_minhash_col(shingle: F.Column, perm: int) -> F.Column:
+    """60-bit portable minhash atom: uint60 of md5(f\"{perm}|{shingle}\").
+    Bit-reproducible in any engine with md5 (DuckDB twin:
+    CAST('0x' || substr(md5(i || '|' || s), 1, 15) AS UBIGINT)) — the
+    same trick as hash_dataset's md5 mode (operators/dataflow.py)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{perm}|"), shingle), "UTF-8")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs in the PORTABLE md5 hash family —
+    identical pipeline shape to ``minhash_lsh_pairs`` (shingle → minhash
+    → band → bucket-join → exact-Jaccard verify) but every hash is a
+    pure function of md5, so the whole result set (not just the verify
+    step) is bit-reproducible in ANSI SQL and oracle-hash-checkable.
+
+    The production tier stays ``minhash_lsh_pairs`` (siphash
+    multiply-shift: one Arrow pass, ~num_perm× fewer hash invocations);
+    this is the cross-engine verification mode, priced accordingly
+    (num_perm md5 calls per shingle — keep num_perm modest).
+
+    Band signature = ','-joined decimal minhash values of the band's
+    permutations in order (DuckDB twin: string_agg(mh, ',' ORDER BY i)).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
+        "__sh__", "__shingles__"
+    )
+    ex = base.select("__id__", F.explode("__shingles__").alias("__s__"))
+    sigs = ex.groupBy("__id__").agg(
+        *[F.min(_md5_minhash_col(F.col("__s__"), i)).alias(f"__m{i}__") for i in range(num_perm)]
+    )
+    band_sigs = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"__m{b * rows_per_band + j}__").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "__id__", F.posexplode(F.array(*band_sigs)).alias("__band__", "__bandsig__")
+    )
+    candidates = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.__band__") == F.col("r.__band__"))
+            & (F.col("l.__bandsig__") == F.col("r.__bandsig__"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard_pairs(base, candidates, jaccard_threshold)
 
 
 def ngram_jaccard_pairs(
@@ -483,21 +566,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     )
 
 
-def simhash_codegen(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+def simhash_codegen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """Per-document SimHash fingerprint — pure-JVM reference formulation.
 
     For each bit b: sum over tokens of ±1 depending on bit b of
-    xxhash64(token); fingerprint bit = 1 if the sum > 0. Shape: explode
-    tokens → 64 codegen'd conditional sums → one map-side-combined
+    hash(token); fingerprint bit = 1 if the sum > 0. Shape: explode
+    tokens → ``bits`` codegen'd conditional sums → one map-side-combined
     groupBy (one shuffle row per document). An earlier array-fold
     (zip_with accumulator) version was interpreted, not codegen'd —
     this formulation stays entirely inside whole-stage codegen.
     Tokenless documents keep fingerprint 0 (explode_outer).
+
+    ``hash_family``: ``"xxhash64"`` (default, fastest) or ``"md5"`` —
+    the portable mode: the token hash is the 60-bit uint of
+    md5(token), bit-reproducible in any engine with md5 (DuckDB twin:
+    (CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) >> b) & 1), so the
+    fingerprints are oracle-hash-checkable. Requires ``bits <= 60``.
     """
     base = _ensure_parallelism(df)
     toks = F.filter(tokens_col(text_col), lambda t: t != "")
     ex = base.select(F.col(id_col), F.explode_outer(toks).alias("__t__"))
-    h = F.xxhash64("__t__")
+    if hash_family == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash family provides 60 usable bits")
+        h = F.conv(
+            F.substring(F.md5(F.encode(F.col("__t__"), "UTF-8")), 1, 15), 16, 10
+        ).cast("long")
+    elif hash_family == "xxhash64":
+        h = F.xxhash64("__t__")
+    else:
+        raise ValueError(f"Unknown hash_family: {hash_family!r}")
     contrib = lambda b: F.when(F.col("__t__").isNull(), F.lit(0)).otherwise(  # noqa: E731
         F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
     )

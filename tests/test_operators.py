@@ -107,6 +107,78 @@ def test_ngram_jaccard_df_cut(spark):
     assert abs(pairs[0].jaccard - 4 / 6) < 1e-9
 
 
+def test_ngram_jaccard_capped_bounds_candidates(spark):
+    """Adversarial skew corpus: 1000 copies of one document. With
+    max_shingle_df set, the clones' shingles (df=1000) are dropped
+    before the self-join, so the candidate set is the rare-shingle
+    pairs only — 1 pair instead of ~499k — while rare near-dups are
+    still found with their restricted-universe Jaccard."""
+    from plateau_spark.operators.dedup import ngram_jaccard_pairs
+
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    rare_a = "zanzibar quixotic jabberwocky flummox periwinkle brouhaha kerfuffle"
+    rare_b = "zanzibar quixotic jabberwocky flummox periwinkle brouhaha shenanigans"
+    rows = [(i, clone) for i in range(1000)] + [(2000, rare_a), (2001, rare_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold 0.0 ⇒ the result IS the candidate set (pairs sharing
+    # any surviving shingle): boundedness is directly observable
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", max_shingle_df=10, jaccard_threshold=0.0
+    )
+    got = capped.collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(2000, 2001)]
+    assert abs(got[0].jaccard - 4 / 6) < 1e-9  # restricted-universe Jaccard
+
+
+def test_minhash_md5_matches_sip_tier_semantics(spark):
+    """The portable md5 tier must find the same near-duplicates as the
+    production siphash tier on a clear-cut corpus (both end in the same
+    exact-Jaccard verify, so agreed candidates agree exactly)."""
+    from plateau_spark.operators.dedup import minhash_lsh_pairs, minhash_lsh_pairs_md5
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " ok"),  # near-dup of 1
+            (3, "completely different text about spark query planning and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    md5_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs_md5(
+            docs, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    sip_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=64, bands=32, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in md5_pairs
+    assert set(md5_pairs) == set(sip_pairs)
+    assert all(abs(md5_pairs[k] - sip_pairs[k]) < 1e-12 for k in md5_pairs)
+
+
+def test_simhash_md5_family(spark):
+    from plateau_spark.operators.dedup import simhash_codegen
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "xyz unrelated"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in
+           simhash_codegen(docs, "doc_id", "text", bits=32, hash_family="md5").collect()}
+    assert out[1] == out[2]  # identical text → identical fingerprint
+    assert out[1] != out[3]
+    assert out[4] == 0  # tokenless document
+    assert all(0 <= v < (1 << 32) for v in out.values())
+    with pytest.raises(ValueError, match="60 usable bits"):
+        simhash_codegen(docs, "doc_id", "text", bits=64, hash_family="md5")
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [
