@@ -67,6 +67,11 @@ class DatasetMetadata:
     partition_keys: list[str] = field(default_factory=list)
     schema: T.StructType | None = None
     indices: dict[str, str] = field(default_factory=dict)  # column → index file key
+    # reference-interop: commit files written by the reference may embed
+    # a loaded index inline as {value: [labels]} instead of a storage
+    # key (plateau/core/dataset.py:200-208); kept separately so every
+    # consumer of `indices` still sees storage keys only
+    embedded_indices: dict[str, dict] = field(default_factory=dict)
     metadata: dict[str, Any] = field(default_factory=dict)
     explicit_partitions: bool = True
     metadata_version: int = naming.METADATA_VERSION
@@ -98,35 +103,108 @@ class DatasetMetadata:
             kv = pj.get("key_values")
             if kv is None and pkeys:
                 kv = decode_partition_label(label, pkeys, key_types)
+            files = pj["files"]
+            # v4 single-table datasets name the table "table"; accept a
+            # reference file written under a different (single) name
+            file = files.get(naming.TABLE_NAME)
+            if file is None:
+                if len(files) != 1:
+                    raise ValueError(
+                        f"Multi-table partition {label!r} not supported: {sorted(files)}"
+                    )
+                (file,) = files.values()
             partitions[label] = Partition(
                 label=label,
-                file=pj["files"][naming.TABLE_NAME],
+                file=file,
                 key_values=_revive_key_values(kv or {}, key_types),
                 row_count=pj.get("row_count"),
             )
+        # reference index values are either an external storage key (str)
+        # or an embedded {value: [labels]} dict for loaded indices
+        indices: dict[str, str] = {}
+        embedded: dict[str, dict] = {}
+        for col, v in (payload.get("indices") or {}).items():
+            if isinstance(v, str):
+                indices[col] = v
+            elif isinstance(v, dict):
+                embedded[col] = v
+            else:
+                raise ValueError(f"Unsupported index payload for {col!r}: {type(v)}")
         return cls(
             uuid=payload["dataset_uuid"],
             partitions=partitions,
             partition_keys=list(pkeys),
             schema=schema,
-            indices=dict(payload.get("indices", {})),
+            indices=indices,
+            embedded_indices=embedded,
             metadata=dict(payload.get("metadata", {})),
             explicit_partitions=payload.get("explicit_partitions", True),
-            metadata_version=payload.get("metadata_version", naming.METADATA_VERSION),
+            # the reference names this field dataset_metadata_version
+            metadata_version=payload.get(
+                "metadata_version",
+                payload.get("dataset_metadata_version", naming.METADATA_VERSION),
+            ),
         )
 
     # -- store round-trip ----------------------------------------------------
     @classmethod
     def load(cls, store: Store, dataset_uuid: str) -> "DatasetMetadata":
-        return cls.from_json(store.get_json(naming.metadata_key(dataset_uuid)))
+        """Load the commit file: JSON first, then the reference's
+        zstd-msgpack alternate (``.by-dataset-metadata.msgpack.zstd``) —
+        same fallback order as the reference loader
+        (plateau/core/dataset.py:556-569), so datasets written by the
+        reference engine with either storage format open here."""
+        json_key = naming.metadata_key(dataset_uuid)
+        if store.exists(json_key):
+            return cls.from_json(store.get_json(json_key))
+        mp_key = naming.msgpack_metadata_key(dataset_uuid)
+        if store.exists(mp_key):
+            from plateau_spark.core.msgpack_codec import unpack_zstd
+
+            return cls.from_json(unpack_zstd(store.get_bytes(mp_key)))
+        raise KeyError(f"Dataset does not exist. Tried {json_key} and {mp_key}")
 
     @classmethod
     def exists(cls, store: Store, dataset_uuid: str) -> bool:
-        return store.exists(naming.metadata_key(dataset_uuid))
+        return store.exists(naming.metadata_key(dataset_uuid)) or store.exists(
+            naming.msgpack_metadata_key(dataset_uuid)
+        )
 
-    def commit(self, store: Store) -> None:
-        """THE atomic commit: one put of the metadata file."""
-        store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
+    def commit(self, store: Store, *, storage_format: str = "json") -> None:
+        """THE atomic commit: one put of the metadata file.
+
+        ``storage_format="msgpack"`` writes the reference's zstd-msgpack
+        layout instead. Whichever format is written, the other-format
+        key is removed afterwards (readers prefer JSON, so a stale JSON
+        commit would shadow a newer msgpack one).
+        """
+        if storage_format == "json":
+            store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
+            stale = naming.msgpack_metadata_key(self.uuid)
+        elif storage_format == "msgpack":
+            from plateau_spark.core.msgpack_codec import pack_zstd
+
+            store.put_bytes(naming.msgpack_metadata_key(self.uuid), pack_zstd(self.to_json()))
+            stale = naming.metadata_key(self.uuid)
+        else:
+            raise ValueError(f"Unknown storage_format: {storage_format!r}")
+        if store.exists(stale):
+            store.delete(stale)
+
+    def has_index(self, column: str) -> bool:
+        return column in self.indices or column in self.embedded_indices
+
+    def secondary_index(self, store: Store, column: str, literals=None):
+        """The column's SecondaryIndex — loaded from its external parquet
+        file, or materialized from an embedded reference-written index."""
+        from plateau_spark.plans.index import SecondaryIndex
+
+        if column in self.indices:
+            return SecondaryIndex.load(store, self.indices[column], column, literals=literals)
+        return SecondaryIndex(
+            column,
+            {v: set(labels) for v, labels in self.embedded_indices[column].items()},
+        )
 
     # -- queries --------------------------------------------------------------
     def query(self, **kwargs: Any) -> list[str]:

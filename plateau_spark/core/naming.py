@@ -20,6 +20,9 @@ import uuid as _uuid
 
 METADATA_VERSION = 4
 METADATA_SUFFIX = ".by-dataset-metadata.json"
+# reference-interop alternate commit-file format: zstd-compressed
+# msgpack of the same document (reference naming.py:12-13)
+MSGPACK_METADATA_SUFFIX = ".by-dataset-metadata.msgpack.zstd"
 INDEX_SUFFIX = ".by-dataset-index.parquet"
 TABLE_NAME = "table"  # single table per dataset (plateau 4.0 semantics)
 PARQUET_SUFFIX = ".parquet"
@@ -38,6 +41,10 @@ def validate_dataset_uuid(dataset_uuid: str) -> None:
 
 def metadata_key(dataset_uuid: str) -> str:
     return f"{dataset_uuid}{METADATA_SUFFIX}"
+
+
+def msgpack_metadata_key(dataset_uuid: str) -> str:
+    return f"{dataset_uuid}{MSGPACK_METADATA_SUFFIX}"
 
 
 def index_key(dataset_uuid: str, column: str, timestamp: str) -> str:

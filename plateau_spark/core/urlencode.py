@@ -34,10 +34,38 @@ def encode_partition_label(keys: Sequence[str], values: Sequence[Any]) -> str:
     return "/".join(f"{quote(k, safe='')}={encode_value(v)}" for k, v in zip(keys, values))
 
 
+def _infer_untyped(value: str) -> Any:
+    """Best-effort typed revival when no schema is available (reference-
+    written msgpack commit files carry no inline schema — the reference
+    reconstructs key types from its _common_metadata file, which this
+    layout does not have). Only CANONICAL forms convert — "007" stays a
+    string, "7" becomes 7 — so string keys that merely look numeric
+    round-trip unchanged. Floats deliberately stay strings (a float
+    partition key has no canonical text form)."""
+    body = value[1:] if value.startswith("-") else value
+    if body.isdigit():
+        try:
+            if str(int(value)) == value:
+                return int(value)
+        except ValueError:  # unicode digits like "²" pass isdigit()
+            pass
+    if len(value) == 10:
+        try:
+            return datetime.date.fromisoformat(value)
+        except ValueError:
+            pass
+    if "T" in value or (" " in value and ":" in value):
+        try:
+            return datetime.datetime.fromisoformat(value)
+        except ValueError:
+            pass
+    return value
+
+
 def decode_value(raw: str, dtype: T.DataType | None) -> Any:
     value = unquote(raw)
     if dtype is None:
-        return value
+        return _infer_untyped(value)
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return int(value)
     if isinstance(dtype, (T.FloatType, T.DoubleType)):

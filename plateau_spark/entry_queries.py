@@ -468,6 +468,66 @@ SELECT n_regionkey, n_name, n_nationkey FROM nation WHERE n_regionkey >= 2
 """
 
 
+def dataset_msgpack_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-interop read: the commit file is rewritten the way the
+    reference engine writes it — ``.by-dataset-metadata.msgpack.zstd``
+    (zstd-compressed msgpack), ``dataset_metadata_version`` field name,
+    NO inline schema or key_values (key values are decoded from the
+    hive-style partition labels), and the secondary index EMBEDDED
+    inline as {value: [labels]} — then the JSON commit file is deleted.
+    The read must fall back to the msgpack key, revive partition-key
+    values from labels, and prune through the embedded index."""
+    _prep(spark)
+    from plateau_spark.core import naming
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.msgpack_codec import pack_zstd
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("msgpack")
+    nation = load_table(spark, sf_dir, "nation")
+    store_dataframe_as_dataset(
+        spark, store, "nation", nation,
+        partition_on=["n_regionkey"], secondary_indices=["n_name"],
+    )
+    st = Store(store)
+    meta = DatasetMetadata.load(st, "nation")
+    idx = meta.secondary_index(st, "n_name")
+    doc = {
+        "dataset_metadata_version": meta.metadata_version,
+        "dataset_uuid": meta.uuid,
+        "partition_keys": meta.partition_keys,
+        "partitions": {
+            label: {"files": {naming.TABLE_NAME: p.file}}
+            for label, p in meta.partitions.items()
+        },
+        "indices": {
+            "n_name": {v: sorted(idx.query(v)) for v in idx.observed_values()}
+        },
+    }
+    st.put_bytes(naming.msgpack_metadata_key("nation"), pack_zstd(doc))
+    st.delete(naming.metadata_key("nation"))
+    out = read_table(
+        spark, store, "nation",
+        predicates=[
+            [
+                ("n_regionkey", ">=", 1),
+                ("n_name", "in", ["NATION_3", "NATION_7", "NATION_12", "NATION_18", "NATION_21", "NATION_24"]),
+            ]
+        ],
+    )
+    # schema-less read: Spark derives the hive key column by partition
+    # discovery (int for small values) — pin the original long type
+    return out.select(F.col("n_regionkey").cast("long").alias("n_regionkey"), "n_name", "n_nationkey")
+
+
+DATASET_MSGPACK_ORACLE = """
+SELECT n_regionkey, n_name, n_nationkey FROM nation
+WHERE n_regionkey >= 1
+  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_12', 'NATION_18', 'NATION_21', 'NATION_24')
+"""
+
+
 def dataset_update_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-level copy-on-write: delete_scope drops partitions in one
     atomic commit (update semantics, plateau/io_components/update.py:1-54)."""
@@ -1896,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
     "dataset_copy": dataset_copy,
+    "dataset_msgpack_read": dataset_msgpack_read,
     "dataset_update_delete_scope": dataset_update_delete_scope,
     "dataset_append_update": dataset_append_update,
     "dataset_bucketed_write": dataset_bucketed_write,
@@ -1972,6 +2033,7 @@ ORACLES: dict[str, str] = {
     "dataset_dispatch_groups": DISPATCH_GROUPS_ORACLE,
     "dataset_index_view": INDEX_VIEW_ORACLE,
     "dataset_copy": DATASET_COPY_ORACLE,
+    "dataset_msgpack_read": DATASET_MSGPACK_ORACLE,
     "dataset_update_delete_scope": DELETE_SCOPE_ORACLE,
     "dataset_append_update": APPEND_ORACLE,
     "dataset_bucketed_write": BUCKETED_ORACLE,

@@ -98,7 +98,7 @@ def plan_scan(
     # whole index on the driver.
     pred_cols = columns_in_predicates(predicates)
     needed = [
-        c for c in pred_cols if c in metadata.indices and c not in metadata.partition_keys
+        c for c in pred_cols if metadata.has_index(c) and c not in metadata.partition_keys
     ]
     literals: dict[str, list[tuple[str, object]]] = {c: [] for c in needed}
     for conjunction in predicates:
@@ -106,8 +106,7 @@ def plan_scan(
             if col in literals and _literal_index_constrainable(op, val):
                 literals[col].append((op, val))
     indexes = {
-        c: SecondaryIndex.load(store, metadata.indices[c], c, literals=literals[c])
-        for c in needed
+        c: metadata.secondary_index(store, c, literals=literals[c]) for c in needed
     }
 
     surviving: set[str] = set()

@@ -541,7 +541,7 @@ def read_dataset_as_dataframe(
     meta = DatasetMetadata.load(store, dataset_uuid)
     check_predicates(predicates)
 
-    if columns is not None:
+    if columns is not None and meta.schema is not None:
         known = {f.name for f in meta.schema.fields}
         missing = [c for c in columns if c not in known]
         if missing:
@@ -551,6 +551,11 @@ def read_dataset_as_dataframe(
     base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
 
     if not surviving:
+        if meta.schema is None:
+            raise ValueError(
+                f"Dataset {dataset_uuid!r}: no partitions survive pruning and "
+                "the commit file carries no schema to type an empty result"
+            )
         df = spark.createDataFrame([], schema=meta.schema)
     else:
         df = read_files(
@@ -636,7 +641,7 @@ def read_dataset_as_dataframe_groups(
     meta = DatasetMetadata.load(store, dataset_uuid)
     dispatch_by = list(dispatch_by)
     for col in dispatch_by:
-        if col not in meta.partition_keys and col not in meta.indices:
+        if col not in meta.partition_keys and not meta.has_index(col):
             raise RuntimeError(
                 f"Dispatch columns must be indexed or partition keys, got {col!r}"
             )
@@ -654,7 +659,7 @@ def read_dataset_as_dataframe_groups(
             for label, p in meta.partitions.items():
                 by_value.setdefault(p.key_values[col], set()).add(label)
         else:
-            idx = SecondaryIndex.load(store, meta.indices[col], col)
+            idx = meta.secondary_index(store, col)
             by_value = {v: idx.query(v) for v in idx.observed_values()}
         per_col_labels.append(by_value)
 
@@ -703,10 +708,8 @@ def _resolve_delete_scope(
                 labels = {
                     l for l, p in meta.partitions.items() if p.key_values.get(col) == value
                 }
-            elif col in meta.indices:
-                idx = SecondaryIndex.load(
-                    store, meta.indices[col], col, literals=[("==", value)]
-                )
+            elif meta.has_index(col):
+                idx = meta.secondary_index(store, col, literals=[("==", value)])
                 labels = idx.query(value) & set(meta.partitions)
             else:
                 raise ValueError(
@@ -974,3 +977,6 @@ def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     store.delete(f"{dataset_uuid}/{naming.TABLE_NAME}")
     store.delete(dataset_uuid)
     store.delete(naming.metadata_key(dataset_uuid))
+    mp_key = naming.msgpack_metadata_key(dataset_uuid)
+    if store.exists(mp_key):
+        store.delete(mp_key)

@@ -68,7 +68,11 @@ def write_staged(
 
 
 def _reader(spark: SparkSession, schema, base: str) -> DataFrameReader:
-    return spark.read.schema(schema).option("basePath", base)
+    # schema=None: reference-written dataset whose commit file carries no
+    # inline schema — parquet self-describes, and basePath lets Spark
+    # derive the hive partition columns from the explicit path list
+    rdr = spark.read.option("basePath", base)
+    return rdr if schema is None else rdr.schema(schema)
 
 
 def read_files(
