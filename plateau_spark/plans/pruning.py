@@ -85,8 +85,14 @@ def plan_scan(
     metadata: DatasetMetadata,
     store: Store,
     predicates: Predicates | None = None,
+    *,
+    index_loader=None,
 ) -> list[Partition]:
-    """Prune the partition list; returns surviving partitions sorted by label."""
+    """Prune the partition list; returns surviving partitions sorted by label.
+
+    ``index_loader(column, literals)`` overrides how secondary indexes
+    are fetched — a DatasetFactory passes its cached loader here so
+    repeated plans don't re-GET index files."""
     check_predicates(predicates)
     parts = metadata.partitions
     if predicates is None:
@@ -105,9 +111,9 @@ def plan_scan(
         for col, op, val in conjunction:
             if col in literals and _literal_index_constrainable(op, val):
                 literals[col].append((op, val))
-    indexes = {
-        c: metadata.secondary_index(store, c, literals=literals[c]) for c in needed
-    }
+    if index_loader is None:
+        index_loader = lambda c, lits: metadata.secondary_index(store, c, literals=lits)  # noqa: E731
+    indexes = {c: index_loader(c, literals[c]) for c in needed}
 
     surviving: set[str] = set()
     for conjunction in predicates:

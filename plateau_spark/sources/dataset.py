@@ -62,7 +62,39 @@ def _table_prefix(dataset_uuid: str) -> str:
 
 
 def _ensure_store(store: Store | str) -> Store:
+    from plateau_spark.core.factory import DatasetFactory
+
+    if isinstance(store, DatasetFactory):
+        return store.store
     return store if isinstance(store, Store) else Store(store)
+
+
+def _invalidate_if_factory(store_arg) -> None:
+    """Mutating APIs accept a DatasetFactory in the store position; the
+    commit they perform invalidates its cached metadata/indices."""
+    from plateau_spark.core.factory import DatasetFactory
+
+    if isinstance(store_arg, DatasetFactory):
+        store_arg.invalidate()
+
+
+def _resolve_factory(store, dataset_uuid: str | None):
+    """Accept a Store/root-path + uuid, or a DatasetFactory in the store
+    position (the reference's factory-or-store argument convention,
+    plateau/io_components/utils.py). Returns (factory, store, uuid);
+    a plain store gets a fresh single-call factory (uncached behavior)."""
+    from plateau_spark.core.factory import DatasetFactory
+
+    if isinstance(store, DatasetFactory):
+        if dataset_uuid is not None and dataset_uuid != store.dataset_uuid:
+            raise ValueError(
+                f"Factory is bound to {store.dataset_uuid!r}, got dataset_uuid={dataset_uuid!r}"
+            )
+        return store, store.store, store.dataset_uuid
+    if dataset_uuid is None:
+        raise ValueError("dataset_uuid is required when not passing a DatasetFactory")
+    st = _ensure_store(store)
+    return DatasetFactory(st, dataset_uuid), st, dataset_uuid
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +475,7 @@ def update_dataset_from_dataframes__iter(
     arrives, apply delete_scope, commit once at the end (reference:
     update_dataset_from_dataframes__iter, plateau/io/iter.py:248-314).
     """
+    _store_arg = store
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
 
@@ -476,6 +509,7 @@ def update_dataset_from_dataframes__iter(
         meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True
     meta.commit(store)
+    _invalidate_if_factory(_store_arg)
     return meta
 
 
@@ -512,7 +546,7 @@ def create_empty_dataset_header(
 def read_dataset_as_dataframe(
     spark: SparkSession,
     store: Store | str,
-    dataset_uuid: str,
+    dataset_uuid: str | None = None,
     *,
     columns: Sequence[str] | None = None,
     predicates: Predicates | None = None,
@@ -534,11 +568,16 @@ def read_dataset_as_dataframe(
     ``dispatch_by`` repartitions the result so each group of the given
     columns is co-located in one task — the Spark analog of the
     reference's logical regrouping (plateau/io_components/read.py:66-95).
+
+    ``store`` may be a ``DatasetFactory`` (then ``dataset_uuid`` is
+    taken from it): repeated reads through one factory share a single
+    commit-file GET and cached index loads — the reference's
+    O(1)-store-calls pattern (plateau/core/factory.py).
     """
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")
-    store = _ensure_store(store)
-    meta = DatasetMetadata.load(store, dataset_uuid)
+    factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)
+    meta = factory.metadata
     check_predicates(predicates)
 
     if columns is not None and meta.schema is not None:
@@ -547,7 +586,9 @@ def read_dataset_as_dataframe(
         if missing:
             raise ValueError(f"Columns not found in dataset: {missing}")
 
-    surviving = plan_scan(meta, store, predicates)
+    surviving = plan_scan(
+        meta, store, predicates, index_loader=factory.secondary_index
+    )
     base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
 
     if not surviving:
@@ -618,8 +659,8 @@ def read_dataset_as_dataframe_iterator(
 def read_dataset_as_dataframe_groups(
     spark: SparkSession,
     store: Store | str,
-    dataset_uuid: str,
-    dispatch_by: Sequence[str],
+    dataset_uuid: str | None = None,
+    dispatch_by: Sequence[str] = (),
     *,
     predicates: Predicates | None = None,
     columns: Sequence[str] | None = None,
@@ -637,9 +678,11 @@ def read_dataset_as_dataframe_groups(
     be partition keys or indexed, group membership is decided from
     *metadata* (key values / inverted index), never a data scan.
     """
-    store = _ensure_store(store)
-    meta = DatasetMetadata.load(store, dataset_uuid)
+    factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)
+    meta = factory.metadata
     dispatch_by = list(dispatch_by)
+    if not dispatch_by:
+        raise ValueError("dispatch_by must name at least one column")
     for col in dispatch_by:
         if col not in meta.partition_keys and not meta.has_index(col):
             raise RuntimeError(
@@ -659,7 +702,7 @@ def read_dataset_as_dataframe_groups(
             for label, p in meta.partitions.items():
                 by_value.setdefault(p.key_values[col], set()).add(label)
         else:
-            idx = meta.secondary_index(store, col)
+            idx = factory.secondary_index(col)
             by_value = {v: idx.query(v) for v in idx.observed_values()}
         per_col_labels.append(by_value)
 
@@ -676,8 +719,10 @@ def read_dataset_as_dataframe_groups(
             continue
         conjunction = [(c, "==", v) for c, v in zip(dispatch_by, combo)]
         combo_predicates = [list(conj) + conjunction for conj in base_predicates]
+        # route through the factory: N groups share ONE metadata GET and
+        # the cached index loads instead of N of each
         df = read_dataset_as_dataframe(
-            spark, store, dataset_uuid, predicates=combo_predicates, columns=columns
+            spark, factory, predicates=combo_predicates, columns=columns
         )
         yield dict(zip(dispatch_by, combo)), df
 
@@ -742,6 +787,7 @@ def update_dataset_from_dataframe(
     (/root/reference/plateau/io/eager.py:629-704) +
     update_dataset_from_partitions (plateau/io_components/update.py:20-54).
     """
+    _store_arg = store
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
     validate_partition_keys(meta.partition_keys, partition_on)
@@ -778,6 +824,7 @@ def update_dataset_from_dataframe(
         meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True
     meta.commit(store)
+    _invalidate_if_factory(_store_arg)
     return meta
 
 
@@ -822,6 +869,7 @@ def commit_dataset(
     Reference: commit_dataset (/root/reference/plateau/io/eager.py:295-420).
     Creates the dataset if it does not exist yet (requires ``schema``).
     """
+    _store_arg = store
     store = _ensure_store(store)
     if DatasetMetadata.exists(store, dataset_uuid):
         meta = DatasetMetadata.load(store, dataset_uuid)
@@ -850,6 +898,7 @@ def commit_dataset(
     if metadata:
         meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.commit(store)
+    _invalidate_if_factory(_store_arg)
     return meta
 
 
