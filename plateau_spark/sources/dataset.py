@@ -677,6 +677,13 @@ def read_dataset_as_dataframe_groups(
     plateau/io_components/metapartition.py:85-96): dispatch columns must
     be partition keys or indexed, group membership is decided from
     *metadata* (key values / inverted index), never a data scan.
+
+    SCALE NOTE: each yielded group is its own Spark plan — the right
+    shape when the consumer drives groups one at a time (the
+    reference's generator contract), but at 10⁴+ distinct combos that
+    is 10⁴ sequential jobs. For high-cardinality dispatch use
+    ``read_dataset_as_grouped_dataframe`` (ONE job, groups co-located)
+    and process groups with ``applyInPandas``/``mapInPandas``.
     """
     factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)
     meta = factory.metadata
@@ -725,6 +732,41 @@ def read_dataset_as_dataframe_groups(
             spark, factory, predicates=combo_predicates, columns=columns
         )
         yield dict(zip(dispatch_by, combo)), df
+
+
+def read_dataset_as_grouped_dataframe(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str | None = None,
+    dispatch_by: Sequence[str] = (),
+    *,
+    predicates: Predicates | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Single-plan twin of ``read_dataset_as_dataframe_groups``: ONE
+    pruned scan, hash-repartitioned on ``dispatch_by`` so every group is
+    co-located in exactly one task. Same rows, same groups — proven by
+    the conformance tests — but the job count is O(1) instead of
+    O(distinct combos), which is the only scale-safe shape when the
+    dispatch column has thousands of values. Process per-group logic
+    with ``df.groupBy(*dispatch_by).applyInPandas(...)`` (each pandas
+    group is exactly one dispatch group) or ``mapInPandas`` over the
+    co-located partitions.
+    """
+    dispatch_by = list(dispatch_by)
+    if not dispatch_by:
+        raise ValueError("dispatch_by must name at least one column")
+    if columns is not None:
+        missing = [c for c in dispatch_by if c not in columns]
+        columns = list(columns) + missing
+    return read_dataset_as_dataframe(
+        spark,
+        store,
+        dataset_uuid,
+        predicates=predicates,
+        columns=columns,
+        dispatch_by=dispatch_by,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -54,8 +54,22 @@ def stream_dedup_events(
     events: DataFrame, *, watermark: str = "2 hours", ts_col: str = "ts"
 ) -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids within the
-    watermark horizon (state-store backed on a real stream)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(["event_id"])
+    watermark horizon (state-store backed on a real stream).
+
+    Uses ``dropDuplicatesWithinWatermark``: with plain
+    ``dropDuplicates(["event_id"])`` the event-time column is not part
+    of the dedup key, so Spark would keep every id's state FOREVER —
+    unbounded state growth on a continuous stream. The WithinWatermark
+    variant evicts an id once the watermark passes its first-seen time
+    plus the delay, which is the bounded-state contract this operator
+    promises (verified by the late-data tests). Batch callers get plain
+    ``dropDuplicates`` — same result, no state store.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def sessionize_events(

@@ -164,6 +164,49 @@ def test_dispatch_by_requires_indexed_column(spark, store, cluster_df):
         list(read_dataset_as_dataframe_groups(spark, store, "ds", ["TARGET"]))
 
 
+def test_grouped_dataframe_matches_generator(spark, store, cluster_df):
+    """Single-plan grouped read returns the same rows/groups as the
+    per-group generator (conformance between the two dispatch modes)."""
+    from plateau_spark.sources.dataset import read_dataset_as_grouped_dataframe
+
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    gen_rows = sorted(
+        (key["L"], r.P, r.L)
+        for key, df in read_dataset_as_dataframe_groups(spark, store, "ds", ["L"])
+        for r in df.collect()
+    )
+    single = read_dataset_as_grouped_dataframe(spark, store, "ds", ["L"])
+    single_rows = sorted((r.L, r.P, r.L) for r in single.collect())
+    assert gen_rows == single_rows
+
+
+def test_grouped_dataframe_high_cardinality_one_plan(spark, tmp_path):
+    """1000 dispatch groups: the generator shape would be 1000 Spark
+    jobs; the single-plan variant is ONE scan with every group
+    co-located in exactly one task."""
+    from pyspark.sql import functions as F
+    from plateau_spark.sources.dataset import read_dataset_as_grouped_dataframe
+
+    store = str(tmp_path / "store")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("G"), (F.col("id") % 7).alias("v")
+    )
+    store_dataframe_as_dataset(spark, store, "ds", df, secondary_indices=["G"])
+    out = read_dataset_as_grouped_dataframe(spark, store, "ds", ["G"])
+    assert out.count() == 2000  # one action, one plan — not 1000 jobs
+    # co-location: every group lives in exactly one partition
+    spread = (
+        out.withColumn("__pid__", F.spark_partition_id())
+        .groupBy("G")
+        .agg(F.countDistinct("__pid__").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert spread == 1
+
+
 # -- index views --------------------------------------------------------------
 
 

@@ -108,3 +108,154 @@ def test_stream_static_enrich_equals_batch(spark):
         F.count("*").alias("n_events")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# late-data / multi-micro-batch semantics: the watermark must DROP late
+# events and EVICT state (the single-batch availableNow runs above can't
+# show this — watermark starts at -inf there). maxFilesPerTrigger=1
+# forces one micro-batch per file, so file A's max event time becomes
+# the watermark file B is judged against.
+# ---------------------------------------------------------------------------
+
+import datetime
+import os
+import uuid as _uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_event_file(path: str, rows, mtime: float) -> None:
+    """rows = [(event_id, user_id, event_type, ts, value)]"""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        path,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def _run_file_per_batch(spark, dirpath: str, transform, out_mode: str = "append"):
+    schema = spark.read.parquet(dirpath).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(dirpath)
+    )
+    out = transform(stream)
+    name = f"mem_{_uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(out_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def _t(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    """A straggler aimed at a window the watermark already closed and
+    emitted MUST be dropped (append mode's exactly-once window
+    contract): file A advances the watermark to 09:00, file B lets the
+    00:00 window emit and its state evict, file C's 00:40 row arrives
+    after that — if it were not dropped, the 00:00 window would be
+    re-created and emitted a second time with the late value."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(0, 10), 1.0), (2, 1, "x", _t(0, 20), 1.0), (3, 1, "x", _t(10), 1.0)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        f"{d}/b.parquet", [(4, 1, "x", _t(10, 30), 1.0)], mtime=1_700_000_100
+    )
+    _write_event_file(
+        f"{d}/c.parquet",
+        [(5, 1, "x", _t(0, 40), 7.0), (6, 1, "x", _t(11), 1.0)],
+        mtime=1_700_000_200,
+    )
+    out = _run_file_per_batch(
+        spark, d, lambda s: windowed_event_counts(s, window="1 hour", watermark="1 hour")
+    )
+    rows = [r for r in out.collect() if r.window_start == _t(0)]
+    # exactly ONE emission of the 00:00 window, without the late 7.0
+    assert len(rows) == 1
+    assert rows[0].n_events == 2 and float(rows[0].sum_value) == 2.0
+
+
+def test_stream_dedup_drops_late_and_evicts_state(spark, tmp_path):
+    """dropDuplicates state is watermark-bounded: a late duplicate row is
+    dropped outright, and a NEW row for an id whose state was evicted is
+    re-emitted (bounded state, the 100 TB property)."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(0), 1.0), (2, 1, "x", _t(0, 30), 1.0), (99, 9, "x", _t(12), 1.0)],
+        mtime=1_700_000_000,
+    )  # watermark after A = 10:00 (2h watermark)
+    _write_event_file(
+        f"{d}/b.parquet", [(1, 1, "x", _t(0, 5), 9.0)], mtime=1_700_000_100
+    )  # late duplicate; batch end evicts the pre-watermark id-1/id-2 state
+    _write_event_file(
+        f"{d}/c.parquet", [(1, 1, "x", _t(11), 2.0)], mtime=1_700_000_200
+    )  # same id AFTER its state was evicted
+    out = _run_file_per_batch(
+        spark, d, lambda s: stream_dedup_events(s, watermark="2 hours")
+    )
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.event_id, []).append(r.ts)
+    # late duplicate at 00:05 dropped (older than the 10:00 watermark)
+    assert _t(0, 5) not in by_id.get(1, [])
+    # id=1's original state (ts 00:00) was evicted, so the 11:00 row
+    # with the same id is re-emitted: exactly the bounded-state contract
+    assert sorted(by_id[1]) == [_t(0), _t(11)]
+    assert by_id[2] == [_t(0, 30)] and by_id[99] == [_t(12)]
+
+
+def test_sessionize_stream_timeout_eviction(spark, tmp_path):
+    """A user silent past the watermark is closed via the group-timeout
+    path (state.hasTimedOut) in a LATER batch with no data for that
+    user — the explicit state-eviction branch of sessionize_stream."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(0), 1.0), (2, 1, "x", _t(0, 10), 2.0), (99, 9, "x", _t(12), 0.5)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        f"{d}/b.parquet",
+        [(100, 9, "x", _t(13), 0.5)],  # no user-1 data: only the timeout fires
+        mtime=1_700_000_100,
+    )
+    out = _run_file_per_batch(
+        spark, d, lambda s: sessionize_stream(s, gap_seconds=1800)
+    )
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert sessions[(1, _t(0), _t(0, 10))] == (2, 3.0)
