@@ -37,9 +37,11 @@ BENCH_QUERIES = [
     "text_stats",
     "text_quality",
     "ngram_jaccard",
+    "ngram_jaccard_capped",
     "minhash_pairs",
     "simhash_fingerprints",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "sample_split_assign",
     "pipeline_training_data",
     "cosine_topk",
