@@ -72,3 +72,30 @@ def validate_partition_keys(
             f"{list(existing_keys)}, update requested {list(requested)}"
         )
     return list(existing_keys)
+
+
+def normalize_args(*names: str):
+    """Central argument canonicalization decorator — the reference's
+    ``normalize_args`` contract (plateau/io_components/utils.py:156-278):
+    any of the named arguments passed as a bare string is coerced to a
+    one-element list, so ``columns="x"`` and ``columns=["x"]`` behave
+    identically on every API instead of the string silently iterating
+    as characters."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind_partial(*args, **kwargs)
+            for name in names:
+                val = bound.arguments.get(name)
+                if isinstance(val, str):
+                    bound.arguments[name] = [val]
+            return fn(*bound.args, **bound.kwargs)
+
+        return wrapper
+
+    return deco

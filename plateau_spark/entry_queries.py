@@ -528,6 +528,37 @@ WHERE n_regionkey >= 1
 """
 
 
+def dataset_factory_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached DatasetFactory path (reference core/factory.py): several
+    reads composed through ONE factory share a single commit-file GET
+    and cached index loads; the returned plan is the final composed
+    read. Store-call counting is asserted in tests/test_factory.py —
+    here the driver proves the cached path returns correct data."""
+    _prep(spark)
+    from plateau_spark.core.factory import DatasetFactory
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("factory")
+    docs = load_table(spark, sf_dir, "documents")
+    store_dataframe_as_dataset(
+        spark, store, "docs", docs, partition_on=["lang"], secondary_indices=["source"]
+    )
+    factory = DatasetFactory(store, "docs")
+    # warm the cache with a different plan, then run the checked read
+    read_table(spark, factory, predicates=[[("lang", "==", "de")]]).count()
+    return read_table(
+        spark, factory,
+        predicates=[[("lang", "in", ["en", "fr"]), ("source", "in", ["src3", "src7", "src11"])]],
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+DATASET_FACTORY_ORACLE = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+WHERE lang IN ('en', 'fr') AND source IN ('src3', 'src7', 'src11')
+"""
+
+
 def dataset_update_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-level copy-on-write: delete_scope drops partitions in one
     atomic commit (update semantics, plateau/io_components/update.py:1-54)."""
@@ -1957,6 +1988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_index_view": dataset_index_view,
     "dataset_copy": dataset_copy,
     "dataset_msgpack_read": dataset_msgpack_read,
+    "dataset_factory_read": dataset_factory_read,
     "dataset_update_delete_scope": dataset_update_delete_scope,
     "dataset_append_update": dataset_append_update,
     "dataset_bucketed_write": dataset_bucketed_write,
@@ -2034,6 +2066,7 @@ ORACLES: dict[str, str] = {
     "dataset_index_view": INDEX_VIEW_ORACLE,
     "dataset_copy": DATASET_COPY_ORACLE,
     "dataset_msgpack_read": DATASET_MSGPACK_ORACLE,
+    "dataset_factory_read": DATASET_FACTORY_ORACLE,
     "dataset_update_delete_scope": DELETE_SCOPE_ORACLE,
     "dataset_append_update": APPEND_ORACLE,
     "dataset_bucketed_write": BUCKETED_ORACLE,

@@ -183,6 +183,13 @@ def collect_dataset_metadata(
     Parquet partitions only (footers are a parquet concept) — CSV
     partitions are skipped, mirroring the reference's parquet-only
     contract.
+
+    SEMANTIC DIVERGENCE, deliberate: ``frac`` samples partitions with a
+    deterministic stride over the label-sorted list, where the
+    reference samples randomly (plateau/io/dask/dataframe.py:556-566).
+    Same expected coverage, but reproducible across runs — a stats
+    query that returns different rows every call is a debugging
+    hazard; pass a different label ordering if variety is wanted.
     """
     store = store if isinstance(store, Store) else Store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)

@@ -42,7 +42,11 @@ from plateau_spark.core.schema import (
 )
 from plateau_spark.core.store import Store
 from plateau_spark.core.urlencode import decode_partition_label
-from plateau_spark.core.utils import combine_metadata, validate_partition_keys
+from plateau_spark.core.utils import (
+    combine_metadata,
+    normalize_args,
+    validate_partition_keys,
+)
 from plateau_spark.sources.serializers import (
     is_payload_file,
     read_files,
@@ -300,6 +304,7 @@ def _merge_committed_indices(
         meta.indices[col] = persist_index_dataframe(merged, store, meta.uuid, col)
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def store_dataframe_as_dataset(
     spark: SparkSession,
     store: Store | str,
@@ -371,6 +376,7 @@ def store_dataframe_as_dataset(
     return ds
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def store_dataframes_as_dataset(
     spark: SparkSession,
     store: Store | str,
@@ -389,6 +395,7 @@ def store_dataframes_as_dataset(
     return store_dataframes_as_dataset__iter(spark, store, dataset_uuid, iter(dfs), **kwargs)
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def store_dataframes_as_dataset__iter(
     spark: SparkSession,
     store: Store | str,
@@ -459,6 +466,7 @@ def store_dataframes_as_dataset__iter(
     return ds
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def update_dataset_from_dataframes__iter(
     spark: SparkSession,
     store: Store | str,
@@ -513,6 +521,7 @@ def update_dataset_from_dataframes__iter(
     return meta
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def create_empty_dataset_header(
     spark: SparkSession,
     store: Store | str,
@@ -543,6 +552,7 @@ def create_empty_dataset_header(
 # ---------------------------------------------------------------------------
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def read_dataset_as_dataframe(
     spark: SparkSession,
     store: Store | str,
@@ -656,6 +666,7 @@ def read_dataset_as_dataframe_iterator(
     return read_dataset_as_dataframe(spark, store, dataset_uuid, **kwargs).toLocalIterator()
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def read_dataset_as_dataframe_groups(
     spark: SparkSession,
     store: Store | str,
@@ -734,6 +745,7 @@ def read_dataset_as_dataframe_groups(
         yield dict(zip(dispatch_by, combo)), df
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def read_dataset_as_grouped_dataframe(
     spark: SparkSession,
     store: Store | str,
@@ -808,6 +820,7 @@ def _resolve_delete_scope(
     return to_remove
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def update_dataset_from_dataframe(
     spark: SparkSession,
     store: Store | str,
@@ -870,6 +883,7 @@ def update_dataset_from_dataframe(
     return meta
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def write_single_partition(
     spark: SparkSession,
     store: Store | str,
@@ -895,6 +909,7 @@ def write_single_partition(
     )
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def commit_dataset(
     spark: SparkSession,
     store: Store | str,
@@ -949,6 +964,7 @@ def commit_dataset(
 # ---------------------------------------------------------------------------
 
 
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def build_dataset_indices(
     spark: SparkSession,
     store: Store | str,

@@ -340,3 +340,19 @@ def test_register_dataset_as_view(spark, store):
     # registration-time predicate pruned to one hive partition
     files = spark.sql("SELECT * FROM sup_view").inputFiles()
     assert all("s_nationkey=3" in f for f in files)
+
+
+def test_normalize_args_bare_strings(spark, store, cluster_df):
+    """normalize_args canonicalization: a bare string is a one-element
+    list on every API (reference io_components/utils.py:156-278) — not
+    a character sequence."""
+    from plateau_spark.sources.dataset import read_table
+
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df,
+        partition_on="P", secondary_indices="L", sort_partitions_by="DATE",
+    )
+    out = read_table(spark, store, "ds", columns="L", predicates=[[("P", "==", 1)]])
+    assert out.columns == ["L"]
+    groups = list(read_dataset_as_dataframe_groups(spark, store, "ds", "P"))
+    assert [g[0] for g in groups] == [{"P": 1}, {"P": 2}]
