@@ -1101,6 +1101,148 @@ QUALIFY rank <= 3
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# web / URL curation (north-star; operators/web.py). The documents table
+# has no URL column, so each query synthesizes one deterministically
+# from (source, doc_id) — identically in Spark and the oracle — and the
+# operators run on that column.
+# ---------------------------------------------------------------------------
+
+_URL_SPARK = None  # built inline per query
+
+
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus composition (domain extraction is one codegen
+    regexp; the aggregation is map-side combined)."""
+    _prep(spark)
+    from plateau_spark.operators.web import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return domain_stats(with_url, "url")
+
+
+_URL_SQL = "'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)"
+_HOST_RE_SQL = "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)'"
+
+WEB_DOMAIN_STATS_ORACLE = f"""
+SELECT lower(regexp_extract({_URL_SQL}, {_HOST_RE_SQL}, 1)) AS domain,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain blocklist: blocking a registrable domain also
+    blocks every subdomain (suffix-chain match, zero-join codegen
+    filter). Docs with doc_id % 7 == 0 live on a *.example.org
+    subdomain; blocking 'example.org' plus two exact hosts must drop
+    them all."""
+    _prep(spark)
+    from plateau_spark.operators.web import filter_blocked_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("https://mirror."), F.col("source"), F.lit(".example.org/x")),
+        ).otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    out = filter_blocked_domains(
+        with_url,
+        "url",
+        ["src3.example.com", "src7.example.com", "example.org"],
+        keep_domain_col="domain",
+    )
+    return out.select("doc_id", "domain")
+
+
+_URL2_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'https://mirror.' || source || '.example.org/x' "
+    f"ELSE {_URL_SQL} END"
+)
+
+WEB_BLOCKLIST_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, lower(regexp_extract({_URL2_SQL}, {_HOST_RE_SQL}, 1)) AS domain
+  FROM documents
+), s AS (
+  SELECT doc_id, domain,
+         [array_to_string(parts[i:], '.') for i in range(1, len(parts) + 1)] AS sfx
+  FROM (SELECT doc_id, domain, string_split(domain, '.') AS parts FROM u)
+)
+SELECT doc_id, domain FROM s
+WHERE NOT list_has_any(sfx, ['src3.example.com', 'src7.example.com', 'example.org'])
+"""
+
+
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: doc pairs (2k, 2k+1) share a path; the odd
+    twin carries a fragment + utm tracking params and an uppercased
+    host. Canonicalization maps both to one URL; the smallest doc_id
+    survives."""
+    _prep(spark)
+    from plateau_spark.operators.web import canonical_url_col, url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://www.example.com/p/"), (F.col("doc_id") / 2).cast("long").cast("string")
+    )
+    noisy = F.concat(
+        F.lit("https://WWW.Example.com/p/"),
+        (F.col("doc_id") / 2).cast("long").cast("string"),
+        F.lit("?utm_source=feed&utm_campaign=x#frag"),
+    )
+    with_url = docs.withColumn(
+        "url", F.when(F.col("doc_id") % 2 == 0, base).otherwise(noisy)
+    )
+    out = url_dedup(with_url, "url", tie_breaker="doc_id")
+    return out.select("doc_id", canonical_url_col("url").alias("canonical_url"))
+
+
+# DuckDB twin of canonical_url_col: the SAME six RE2 replaces in the
+# same order (backrefs are \1 in DuckDB, $1 in Spark; DuckDB needs the
+# 'g' flag Spark applies by default).
+_CANON_HEAD = "regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)', 1)"
+_CANON_SQL = f"lower({_CANON_HEAD}) || substr(url, length({_CANON_HEAD}) + 1)"
+for _pat, _rep in [
+    ("#.*$", ""),
+    ("([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", r"\1"),
+    (r"[?&]+$", ""),
+    (r"\?&", "?"),
+    ("&&+", "&"),
+    ("(://[^/?#]+)/$", r"\1"),
+]:
+    _CANON_SQL = f"regexp_replace({_CANON_SQL}, '{_pat}', '{_rep}', 'g')"
+
+WEB_URL_DEDUP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://www.example.com/p/' || CAST(doc_id // 2 AS VARCHAR)
+              ELSE 'https://WWW.Example.com/p/' || CAST(doc_id // 2 AS VARCHAR)
+                   || '?utm_source=feed&utm_campaign=x#frag' END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, {_CANON_SQL} AS curl FROM u
+)
+SELECT doc_id, curl AS canonical_url FROM c
+QUALIFY row_number() OVER (PARTITION BY curl ORDER BY doc_id ASC) = 1
+"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs — the oracle-checkable dedup path."""
     _prep(spark)
@@ -2016,6 +2158,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "text_token_histogram": text_token_histogram,
     # near-dup / similarity
+    # web / URL curation
+    "web_domain_stats": web_domain_stats,
+    "web_blocklist_filter": web_blocklist_filter,
+    "web_url_dedup": web_url_dedup,
     "ngram_jaccard": ngram_jaccard,
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
@@ -2086,6 +2232,9 @@ ORACLES: dict[str, str] = {
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
+    "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,
+    "web_blocklist_filter": WEB_BLOCKLIST_ORACLE,
+    "web_url_dedup": WEB_URL_DEDUP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ngram_jaccard_capped": NGRAM_JACCARD_CAPPED_ORACLE,
     "minhash_pairs_md5": MINHASH_MD5_ORACLE,

@@ -519,3 +519,64 @@ def test_ngram_overlap_vs_eval(spark):
     assert out[2].overlap_fraction == 0.0 and out[2].contaminated == 0
     assert out[3].overlap_fraction == 0.0 and out[3].contaminated == 0
     assert len(out) == 3  # empty doc retained
+
+
+def test_web_domain_and_suffixes(spark):
+    from plateau_spark.operators.web import domain_suffixes_col, extract_domain_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.B.Example.COM/path?q=1"),
+            (2, "http://user:pw@example.org:8080/x"),
+            (3, "not a url"),
+        ],
+        "id long, url string",
+    )
+    rows = {r.id: (r.d, r.s) for r in df.select(
+        "id",
+        extract_domain_col("url").alias("d"),
+        domain_suffixes_col(extract_domain_col("url")).alias("s"),
+    ).collect()}
+    assert rows[1] == ("a.b.example.com", ["a.b.example.com", "b.example.com", "example.com", "com"])
+    assert rows[2][0] == "example.org"
+    assert rows[3][0] == ""
+
+
+def test_web_blocklist_filter_subdomains_no_join(spark):
+    from plateau_spark.operators.web import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/x"),     # subdomain of blocked
+            (2, "https://example.com/x"),          # blocked exactly
+            (3, "https://example.com.evil.io/x"),  # NOT blocked (suffix differs)
+            (4, "https://fine.org/x"),
+        ],
+        "id long, url string",
+    )
+    out = filter_blocked_domains(df, "url", ["example.com"], keep_domain_col="domain")
+    assert sorted(r.id for r in out.collect()) == [3, 4]
+    # literal path: single codegen filter — no join anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_web_canonical_url_dedup(spark):
+    from plateau_spark.operators.web import canonical_url_col, url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Example.com/P?utm_source=a&x=1#frag"),
+            (2, "https://www.example.com/P?x=1"),          # same canonical as 1
+            (3, "https://www.example.com/p?x=1"),          # path case differs: distinct
+            (4, "https://www.example.com/"),
+            (5, "https://www.example.com"),                # same canonical as 4
+        ],
+        "id long, url string",
+    )
+    canon = {r.id: r.c for r in df.select("id", canonical_url_col("url").alias("c")).collect()}
+    assert canon[1] == canon[2] == "https://www.example.com/P?x=1"
+    assert canon[3] == "https://www.example.com/p?x=1"
+    assert canon[4] == canon[5] == "https://www.example.com"
+    kept = sorted(r.id for r in url_dedup(df, "url", tie_breaker="id").collect())
+    assert kept == [1, 3, 4]
