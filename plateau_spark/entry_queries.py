@@ -1101,6 +1101,29 @@ QUALIFY rank <= 3
 # ---------------------------------------------------------------------------
 
 
+def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation packing into 4000-char context bins per language
+    (operators/packing.py): the deterministic window formulation a
+    concat-and-chunk dataloader uses; the exact-greedy twin is
+    applyInPandas and unit-tested against it."""
+    _prep(spark)
+    from plateau_spark.operators.packing import concat_pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = concat_pack_bins(docs, ["lang"], "n_chars", 4000, order_col="doc_id")
+    return out.select("doc_id", "lang", "bin_id")
+
+
+PACK_BINS_ORACLE = """
+SELECT doc_id, lang,
+       CAST(greatest(CAST(ceil(
+           SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) / 4000.0
+       ) AS BIGINT) - 1, 0) AS BIGINT) AS bin_id
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # web / URL curation (north-star; operators/web.py). The documents table
 # has no URL column, so each query synthesizes one deterministically
@@ -2158,7 +2181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "text_token_histogram": text_token_histogram,
     # near-dup / similarity
-    # web / URL curation
+    # packing / web curation
+    "pack_documents_bins": pack_documents_bins,
     "web_domain_stats": web_domain_stats,
     "web_blocklist_filter": web_blocklist_filter,
     "web_url_dedup": web_url_dedup,
@@ -2232,6 +2256,7 @@ ORACLES: dict[str, str] = {
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
+    "pack_documents_bins": PACK_BINS_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,
     "web_blocklist_filter": WEB_BLOCKLIST_ORACLE,
     "web_url_dedup": WEB_URL_DEDUP_ORACLE,

@@ -1,0 +1,104 @@
+"""Sequence packing: assign documents to token-budget bins for training.
+
+North-star extension (not in the reference, SURVEY.md §2.7): LLM
+training consumes fixed-length contexts, so curation pipelines pack
+variable-length documents into bins of ~context-length tokens. Two
+deterministic policies:
+
+- ``concat_pack_bins`` — concatenation packing: the group's token
+  stream is (conceptually) concatenated in ``order_col`` order and cut
+  at exact ``budget`` boundaries; a document belongs to the bin where
+  it ENDS. This is what concat-and-chunk dataloaders do; it is a
+  closed-form window expression (whole-stage codegen, one shuffle on
+  the group key) and therefore cross-engine oracle-checkable.
+- ``greedy_pack_bins`` — first-fit-contiguous greedy: a new bin opens
+  when the CURRENT bin would overflow, so bins never exceed the budget
+  (except a single oversized document, which gets its own bin). The
+  running "current bin" state is inherently sequential per group, so
+  this is an ``applyInPandas`` over groups — each group packs in one
+  task, parallelism = number of groups.
+
+Scale shape for both: partitioned by the group columns — pack per
+shard/language/source, never globally (a global pack would serialize
+the corpus through one partition, which this API deliberately does not
+offer).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _check(group_cols: Sequence[str], budget: int) -> None:
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty: a global pack would serialize "
+            "the corpus through one window partition — pack per shard/"
+            "language instead"
+        )
+
+
+def concat_pack_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    token_col: str,
+    budget: int,
+    *,
+    order_col: str,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Concatenation packing (see module docstring): ``bin_col`` =
+    ceil(inclusive-prefix-sum(tokens) / budget) - 1, clamped at 0.
+    Pure window expression — deterministic and SQL-expressible
+    (DuckDB twin: SUM(...) OVER (PARTITION BY g ORDER BY o ROWS
+    UNBOUNDED PRECEDING))."""
+    _check(group_cols, budget)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inc_sum = F.sum(F.col(token_col)).over(w)
+    bin_id = (F.ceil(inc_sum / F.lit(budget)) - 1).cast("long")
+    return df.withColumn(bin_col, F.greatest(bin_id, F.lit(0).cast("long")))
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    token_col: str,
+    budget: int,
+    *,
+    order_col: str,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """First-fit-contiguous greedy packing (see module docstring): bins
+    never exceed ``budget`` except for a single oversized document.
+    Sequential per group ⇒ Arrow-batched ``applyInPandas``; output =
+    input columns + ``bin_col``."""
+    _check(group_cols, budget)
+    group_cols = list(group_cols)
+    out_schema = df.withColumn(bin_col, F.lit(0).cast("long")).schema
+
+    def pack(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        cur_bin, cur_fill = 0, 0
+        for i, t in enumerate(toks):
+            if cur_fill > 0 and cur_fill + t > budget:
+                cur_bin += 1
+                cur_fill = 0
+            bins[i] = cur_bin
+            cur_fill += t
+        pdf[bin_col] = bins
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import pytest
+
+from plateau_spark.operators.packing import concat_pack_bins, greedy_pack_bins
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # two groups, deterministic sizes incl. one oversized doc (id 7)
+    sizes = {
+        "a": [(0, 300), (1, 900), (2, 100), (3, 700), (4, 50)],
+        "b": [(5, 1000), (6, 1), (7, 5000), (8, 999), (9, 2)],
+    }
+    for g, pairs in sizes.items():
+        for i, n in pairs:
+            rows.append((i, g, n))
+    return spark.createDataFrame(rows, "doc_id long, grp string, n long")
+
+
+def _collect_bins(df):
+    return {
+        r["doc_id"]: (r["grp"], r["bin_id"])
+        for r in df.select("doc_id", "grp", "bin_id").collect()
+    }
+
+
+def test_concat_pack_matches_prefix_sum(docs):
+    out = _collect_bins(concat_pack_bins(docs, ["grp"], "n", 1000, order_col="doc_id"))
+    # group a prefix sums: 300,1200,1300,2000,2050 -> bins 0,1,1,1,2
+    assert [out[i][1] for i in range(5)] == [0, 1, 1, 1, 2]
+    # group b prefix sums: 1000,1001,6001,7000,7002 -> ceil/1000-1 = 0,1,6,6,7
+    assert [out[i][1] for i in range(5, 10)] == [0, 1, 6, 6, 7]
+
+
+def test_greedy_pack_never_overflows_budget(docs):
+    out = greedy_pack_bins(docs, ["grp"], "n", 1000, order_col="doc_id")
+    rows = sorted(
+        out.select("grp", "bin_id", "doc_id", "n").collect(),
+        key=lambda r: (r["grp"], r["doc_id"]),
+    )
+    # replay the greedy policy in plain python per group
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["grp"], r["bin_id"])
+        fills[key] = fills.get(key, 0) + r["n"]
+    for (grp, bin_id), fill in fills.items():
+        members = [r for r in rows if r["grp"] == grp and r["bin_id"] == bin_id]
+        if len(members) > 1:
+            assert fill <= 1000, f"bin {(grp, bin_id)} overflows with {fill}"
+    # the oversized doc sits alone in its bin
+    oversized = [r for r in rows if r["doc_id"] == 7][0]
+    assert fills[("b", oversized["bin_id"])] == 5000
+
+
+def test_greedy_pack_is_first_fit_contiguous(docs):
+    out = _collect_bins(greedy_pack_bins(docs, ["grp"], "n", 1000, order_col="doc_id"))
+    # group a: 300 -> b0; 900 overflows -> b1; 100 fits b1(1000)? 900+100=1000 <= 1000 -> b1;
+    # 700 overflows -> b2; 50 fits -> b2
+    assert [out[i][1] for i in range(5)] == [0, 1, 1, 2, 2]
+    # group b: 1000 -> b0 (exact); 1 overflows -> b1; 5000 overflows -> b2 (alone);
+    # 999 -> b3; 2 overflows? 999+2>1000 -> b4
+    assert [out[i][1] for i in range(5, 10)] == [0, 1, 2, 3, 4]
+
+
+def test_pack_rejects_global_and_bad_budget(docs):
+    with pytest.raises(ValueError):
+        concat_pack_bins(docs, [], "n", 1000, order_col="doc_id")
+    with pytest.raises(ValueError):
+        greedy_pack_bins(docs, ["grp"], "n", 0, order_col="doc_id")
