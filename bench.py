@@ -69,28 +69,39 @@ def main() -> None:
         _warm(col("s"))
     ).count()
 
-    times: dict[str, float] = {}
+    # One broken query must never null the whole bench (rounds 3 and 4
+    # produced zero perf signal because a streaming crash aborted the
+    # loop): every query runs inside try/except, errors are recorded
+    # per-query, and the JSON summary line is ALWAYS emitted.
+    times: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        try:
+            fn = QUERIES[name]
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — bench must survive anything
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            times[name] = {"err": msg[:200]}
+            print(f"# {name}: FAILED ({msg.splitlines()[0][:160]})", file=sys.stderr)
+            continue
         dt = round(time.time() - t0, 3)
         times[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

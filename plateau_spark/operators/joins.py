@@ -174,9 +174,20 @@ def range_join_bucketed(
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    p_long = F.col(point_col).cast("long")
-    s_long = F.col(start_col).cast("long")
-    e_long = F.col(end_col).cast("long")
+
+    def _epoch_long(df: DataFrame, col: str):
+        # TIMESTAMP_NTZ forbids a direct BIGINT cast; route every
+        # timestamp flavor through cast("timestamp") (value-preserving
+        # under the fixed-UTC session) then unix_timestamp. Numerics
+        # keep the plain long cast.
+        dtype = dict(df.dtypes)[col]
+        if dtype.startswith("timestamp"):
+            return F.unix_timestamp(F.col(col).cast("timestamp"))
+        return F.col(col).cast("long")
+
+    p_long = _epoch_long(points, point_col)
+    s_long = _epoch_long(intervals, start_col)
+    e_long = _epoch_long(intervals, end_col)
     bucket = "__range_bucket__"
 
     p = points.withColumn(bucket, F.floor(p_long / bucket_width))

@@ -32,10 +32,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # can read it even when not created via session.get_spark
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        # ns → µs with INTEGER division: ns-epoch values exceed the 53-bit
-        # double mantissa, so a float divide would shift timestamps
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype in ("bigint", "long"):
+            # ns → µs with INTEGER division: ns-epoch values exceed the
+            # 53-bit double mantissa, so a float divide would shift
+            # timestamps
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # parquet timestamp[us] isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; normalize to TIMESTAMP so event-time ops
+            # (withWatermark, epoch bucketing) work uniformly. The session
+            # timezone is pinned to UTC, so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -237,12 +237,19 @@ def run_stream_to_memory(
         stream = reader.parquet(parent)
     else:
         stream = reader.parquet(source_parquet)
-    if ts_col in stream.columns and dict(stream.dtypes).get(ts_col) in ("bigint", "long"):
+    ts_dtype = dict(stream.dtypes).get(ts_col)
+    if ts_col in stream.columns and ts_dtype in ("bigint", "long"):
         # nanosAsLong-read source: ns → µs with integer division (a float
         # divide would lose precision above 2^53 — see sources/tables.py)
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    elif ts_dtype == "timestamp_ntz":
+        # Parquet timestamp[us] with isAdjustedToUTC=false reads as
+        # TIMESTAMP_NTZ, which withWatermark rejects
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is
+        # pinned to UTC (session.py), so the cast is value-preserving.
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     out = transform(stream)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
