@@ -641,33 +641,42 @@ def embedding_cosine_dup_pairs(
     LIMIT 1 read) unless given. See operators/similarity.py.
     """
     from plateau_spark.operators.similarity import (
-        cosine_sim_col,
+        dot_col,
         infer_dim,
+        norm_col,
         probe_buckets_col,
     )
 
     d = dim if dim is not None else infer_dim(df, vec_col)
+    # Per-row norm computed ONCE here (n·probes folds) instead of per
+    # candidate pair (|candidates| ≫ n folds).
     bucketed = df.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).alias("__v__"),
+        norm_col(vec_col).alias("__n__"),
         F.posexplode(
             probe_buckets_col(vec_col, bucket_bits, seeds=tuple(seeds), dim=d)
         ).alias("__probe__", "__bucket__"),
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")
+    # Score + threshold BEFORE dropDuplicates: a pair meeting in both
+    # probes computes its cosine twice (map-side, cheap), but the dedup
+    # exchange then shuffles only (id_a, id_b, cosine) for PASSING pairs
+    # — not two dim-length vectors for every candidate. Same result set:
+    # cosine is deterministic per pair, so filter∘dedup ≡ dedup∘filter.
     cand = (
         l.join(r, ["__probe__", "__bucket__"])
         .where(F.col("l.__id__") < F.col("r.__id__"))
         .select(
             F.col("l.__id__").alias("id_a"),
             F.col("r.__id__").alias("id_b"),
-            F.col("l.__v__").alias("__va__"),
-            F.col("r.__v__").alias("__vb__"),
+            (
+                dot_col(F.col("l.__v__"), F.col("r.__v__"))
+                / (F.col("l.__n__") * F.col("r.__n__"))
+            ).alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_sim_col(F.col("__va__"), F.col("__vb__")))
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return cand
 

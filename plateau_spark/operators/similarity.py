@@ -352,6 +352,7 @@ def cosine_topk_lsh(
     cb = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv__"),
+        norm_col(vec_col).alias("__cn__"),
         F.posexplode(probe_buckets_col(vec_col, n_bits, seeds=seeds, dim=d)).alias(
             "__probe__", "__bucket__"
         ),
@@ -359,18 +360,26 @@ def cosine_topk_lsh(
     qb = queries.select(
         F.col(query_id_col).alias("__qid__"),
         F.col(vec_col).alias("__qv__"),
+        norm_col(vec_col).alias("__qn__"),
         F.posexplode(probe_buckets_col(vec_col, n_bits, seeds=seeds, dim=d)).alias(
             "__probe__", "__bucket__"
         ),
     )
+    # Score BEFORE dropDuplicates (norms precomputed per row, not per
+    # pair): a candidate met via both probes scores twice map-side, but
+    # the dedup exchange shuffles (qid, id, cosine) — one double — not
+    # two dim-length vectors per candidate. cosine is deterministic per
+    # pair, so which duplicate survives is irrelevant.
     cand = (
         cb.join(F.broadcast(qb), ["__probe__", "__bucket__"])
-        .dropDuplicates(["__qid__", id_col])
         .select(
             F.col("__qid__").alias(query_id_col),
             F.col(id_col),
-            cosine_sim_col(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
+            (dot_col(F.col("__cv__"), F.col("__qv__")) / (F.col("__cn__") * F.col("__qn__"))).alias(
+                "cosine"
+            ),
         )
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
