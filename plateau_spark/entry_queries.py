@@ -1117,8 +1117,8 @@ def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BINS_ORACLE = """
 SELECT doc_id, lang,
        CAST(greatest(CAST(ceil(
-           SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) / 4000.0
+           COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING), 0) / 4000.0
        ) AS BIGINT) - 1, 0) AS BIGINT) AS bin_id
 FROM documents
 """

@@ -43,27 +43,44 @@ def _check(group_cols: Sequence[str], budget: int) -> None:
         )
 
 
+def _order_list(order_col: str | Sequence[str]) -> list[str]:
+    """Normalize the ordering spec. Pass EVERY column needed to make the
+    order total (e.g. ``["shard_pos", "doc_id"]``): with ties left
+    unbroken, window/sort order — and therefore bin assignment — is
+    whatever the shuffle happened to produce."""
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if not cols:
+        raise ValueError("order_col must name at least one column")
+    return cols
+
+
 def concat_pack_bins(
     df: DataFrame,
     group_cols: Sequence[str],
     token_col: str,
     budget: int,
     *,
-    order_col: str,
+    order_col: str | Sequence[str],
     bin_col: str = "bin_id",
 ) -> DataFrame:
     """Concatenation packing (see module docstring): ``bin_col`` =
     ceil(inclusive-prefix-sum(tokens) / budget) - 1, clamped at 0.
     Pure window expression — deterministic and SQL-expressible
     (DuckDB twin: SUM(...) OVER (PARTITION BY g ORDER BY o ROWS
-    UNBOUNDED PRECEDING))."""
+    UNBOUNDED PRECEDING)).
+
+    ``order_col`` may be a list when one column does not make the order
+    total (ties ⇒ nondeterministic bins). NULL ``token_col`` values
+    contribute 0 to the prefix sum (SQL SUM-ignores-NULL semantics on
+    both engines); the sum is coalesced so an all-NULL prefix still
+    yields bin 0 instead of a NULL bin id."""
     _check(group_cols, budget)
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(order_col)
+        .orderBy(*_order_list(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    inc_sum = F.sum(F.col(token_col)).over(w)
+    inc_sum = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
     bin_id = (F.ceil(inc_sum / F.lit(budget)) - 1).cast("long")
     return df.withColumn(bin_col, F.greatest(bin_id, F.lit(0).cast("long")))
 
@@ -74,21 +91,34 @@ def greedy_pack_bins(
     token_col: str,
     budget: int,
     *,
-    order_col: str,
+    order_col: str | Sequence[str],
     bin_col: str = "bin_id",
 ) -> DataFrame:
     """First-fit-contiguous greedy packing (see module docstring): bins
     never exceed ``budget`` except for a single oversized document.
     Sequential per group ⇒ Arrow-batched ``applyInPandas``; output =
-    input columns + ``bin_col``."""
+    input columns + ``bin_col``.
+
+    ``order_col`` may be a list (see ``concat_pack_bins``). NULL
+    ``token_col`` values raise: a NaN would silently poison the running
+    fill (NaN comparisons are all False ⇒ every subsequent document
+    lands in the current bin and the budget invariant is void)."""
     _check(group_cols, budget)
     group_cols = list(group_cols)
+    order_cols = _order_list(order_col)
     out_schema = df.withColumn(bin_col, F.lit(0).cast("long")).schema
 
     def pack(pdf):
         import numpy as np
 
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        if pdf[token_col].isna().any():
+            bad = pdf.loc[pdf[token_col].isna(), order_cols].head(3)
+            raise ValueError(
+                f"greedy_pack_bins: NULL {token_col!r} values (e.g. at "
+                f"{bad.to_dict('records')}) would void the budget "
+                "invariant — filter or impute them first"
+            )
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         toks = pdf[token_col].to_numpy()
         bins = np.empty(len(toks), dtype=np.int64)
         cur_bin, cur_fill = 0, 0

@@ -69,3 +69,54 @@ def test_pack_rejects_global_and_bad_budget(docs):
         concat_pack_bins(docs, [], "n", 1000, order_col="doc_id")
     with pytest.raises(ValueError):
         greedy_pack_bins(docs, ["grp"], "n", 0, order_col="doc_id")
+    with pytest.raises(ValueError):
+        concat_pack_bins(docs, ["grp"], "n", 1000, order_col=[])
+
+
+def test_greedy_pack_rejects_null_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 100), (1, "a", None), (2, "a", 200)],
+        "doc_id long, grp string, n long",
+    )
+    with pytest.raises(Exception, match="NULL 'n'"):
+        greedy_pack_bins(df, ["grp"], "n", 1000, order_col="doc_id").collect()
+
+
+def test_concat_pack_null_tokens_contribute_zero(spark):
+    # NULL tokens: SUM-over-window skips them; an all-NULL prefix must
+    # still produce bin 0, not a NULL bin id.
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "a", None), (2, "a", 1500), (3, "a", 600)],
+        "doc_id long, grp string, n long",
+    )
+    out = _collect_bins(concat_pack_bins(df, ["grp"], "n", 1000, order_col="doc_id"))
+    # prefix sums: 0, 0, 1500, 2100 -> bins 0, 0, 1, 2
+    assert [out[i][1] for i in range(4)] == [0, 0, 1, 2]
+
+
+def test_pack_tie_break_columns_are_deterministic(spark):
+    # every row has the same order_key: without the tie-break column the
+    # bin assignment is shuffle-order dependent; with it, it's pinned.
+    rows = [(i, "a", 7, 600) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, pos long, n long")
+    expected = None
+    for _ in range(3):
+        got_c = {
+            r["doc_id"]: r["bin_id"]
+            for r in concat_pack_bins(
+                df.repartition(8), ["grp"], "n", 1000, order_col=["pos", "doc_id"]
+            ).collect()
+        }
+        got_g = {
+            r["doc_id"]: r["bin_id"]
+            for r in greedy_pack_bins(
+                df.repartition(8), ["grp"], "n", 1000, order_col=["pos", "doc_id"]
+            ).collect()
+        }
+        # concat: doc i ends at 600(i+1) -> bin ceil(600(i+1)/1000)-1
+        assert got_c == {i: -(-600 * (i + 1) // 1000) - 1 for i in range(8)}
+        # greedy: 600+600 > 1000 -> one doc per bin in doc_id order
+        assert got_g == {i: i for i in range(8)}
+        if expected is None:
+            expected = got_c
+        assert got_c == expected
