@@ -562,6 +562,7 @@ def read_dataset_as_dataframe(
     predicates: Predicates | None = None,
     dispatch_by: Sequence[str] | None = None,
     filter_query: str | None = None,
+    categories: Sequence[str] | None = None,
 ) -> DataFrame:
     """Pruned scan → one distributed DataFrame.
 
@@ -584,6 +585,18 @@ def read_dataset_as_dataframe(
     commit-file GET and cached index loads — the reference's
     O(1)-store-calls pattern (plateau/core/factory.py).
     """
+    if categories:
+        # The reference reads selected columns as pandas categoricals
+        # (/root/reference/plateau/serialization/_parquet.py:129-143).
+        # Spark has no categorical dtype — low-cardinality strings are
+        # dictionary-encoded in parquet and Tungsten already; the kwarg
+        # is surfaced as a typed error (documented divergence, SURVEY.md
+        # §4) instead of being silently absent.
+        raise NotImplementedError(
+            "categories= is not supported: Spark has no pandas-categorical "
+            "dtype (parquet dictionary encoding covers the storage/scan "
+            "benefit natively). Read the columns plainly instead."
+        )
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")
     factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)

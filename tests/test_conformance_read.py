@@ -109,3 +109,114 @@ def test_empty_result(mode, spark, conf_store):
 def test_missing_column_rejected(mode, spark, conf_store):
     with pytest.raises(ValueError, match="Columns not found"):
         _materialize(mode, spark, conf_store, columns=["NOPE"])
+
+
+@pytest.mark.parametrize("mode", ["eager", "iterator"])
+def test_empty_column_projection(mode, spark, conf_store):
+    """columns=[] keeps the row COUNT but no columns (reference:
+    explicit empty projection is a legal narrowing, not an error)."""
+    got = _materialize(mode, spark, conf_store, columns=[])
+    assert got == [() for _ in ROWS]
+
+
+@pytest.mark.parametrize("mode", ["eager", "iterator"])
+def test_empty_partition_element_roundtrip(mode, spark, tmp_path):
+    """A stored empty DataFrame element contributes no rows and does not
+    break the read path (reference conformance: empty partitions are
+    dropped at write, plateau/io_components/metapartition.py)."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import store_dataframes_as_dataset
+
+    store = Store(str(tmp_path / "store"))
+    schema = "P long, L long, TARGET long, DATE date"
+    full = spark.createDataFrame(ROWS, schema)
+    empty = spark.createDataFrame([], schema)
+    store_dataframes_as_dataset(spark, store, "conf", [empty, full], partition_on=["P"])
+    if mode == "eager":
+        rows = read_dataset_as_dataframe(spark, store, "conf").collect()
+    else:
+        rows = list(read_dataset_as_dataframe_iterator(spark, store, "conf"))
+    assert sorted(tuple(r) for r in rows) == sorted((p, d, l, t) for p, l, t, d in ROWS)
+
+
+@pytest.mark.parametrize("mode", ["eager", "iterator"])
+def test_all_null_column_roundtrip(mode, spark, tmp_path):
+    """An all-NULL typed column survives the write/read cycle with its
+    type and nulls intact (reference conformance case)."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, None, None), (2, None, None)], "k long, s string, d date"
+    )
+    store_dataframe_as_dataset(spark, store, "nulls", df, partition_on=["k"])
+    out = read_dataset_as_dataframe(spark, store, "nulls")
+    assert dict(out.dtypes) == {"k": "bigint", "s": "string", "d": "date"}
+    if mode == "eager":
+        rows = out.collect()
+    else:
+        rows = list(read_dataset_as_dataframe_iterator(spark, store, "nulls"))
+    assert sorted(tuple(r) for r in rows) == [(1, None, None), (2, None, None)]
+
+
+@pytest.mark.parametrize("mode", ["eager", "iterator"])
+def test_date_typed_partition_key(mode, spark, tmp_path):
+    """DATE partition keys: label-encoded on write, revived as
+    datetime.date in metadata, prunable by date predicates."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame(ROWS, "P long, L long, TARGET long, DATE date")
+    store_dataframe_as_dataset(spark, store, "bydate", df, partition_on=["DATE"])
+    pred = [[("DATE", ">=", datetime.date(2010, 1, 1))]]
+    out = read_dataset_as_dataframe(spark, store, "bydate", predicates=pred)
+    # pruning happened driver-side: fewer files scanned than partitions
+    assert len(out.inputFiles()) == 3
+    if mode == "eager":
+        rows = out.collect()
+    else:
+        rows = list(
+            read_dataset_as_dataframe_iterator(spark, store, "bydate", predicates=pred)
+        )
+    expect = sorted(
+        (d, l, p, t) for p, l, t, d in ROWS if d >= datetime.date(2010, 1, 1)
+    )
+    assert sorted(tuple(r) for r in rows) == expect
+
+
+def test_multi_table_dataset_rejected(spark, tmp_path):
+    """Pre-4.0 multi-table commit files are rejected with a specific
+    error (reference: plateau/core/dataset.py:134-140)."""
+    from plateau_spark.core import naming
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    store.put_json(
+        naming.metadata_key("multi"),
+        {
+            "dataset_uuid": "multi",
+            "metadata_version": 4,
+            "partition_keys": [],
+            "partitions": {
+                "part0": {
+                    "files": {
+                        "core": "multi/core/part0.parquet",
+                        "extra": "multi/extra/part0.parquet",
+                    }
+                }
+            },
+        },
+    )
+    with pytest.raises(ValueError, match="Multi-table partition"):
+        DatasetMetadata.load(store, "multi")
+    with pytest.raises(ValueError, match="Multi-table partition"):
+        read_dataset_as_dataframe(spark, store, "multi")
+
+
+def test_categories_kwarg_raises(spark, conf_store):
+    """categories= is a documented divergence (SURVEY.md §4): Spark has
+    no pandas-categorical dtype, so the kwarg raises instead of being
+    silently absent."""
+    with pytest.raises(NotImplementedError, match="categorical"):
+        read_dataset_as_dataframe(spark, conf_store, "conf", categories=["L"])
