@@ -687,6 +687,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     *,
     max_iter: int = 25,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph → (id, cluster_id)
     with cluster_id = the smallest member id of the component.
@@ -707,6 +708,16 @@ def duplicate_clusters(
     clustering. Only ids that appear in ``pairs`` are emitted —
     singletons never enter the shuffle (union them back from the corpus
     if a total clustering is needed).
+
+    Small-graph fast path: after LSH banding / jaccard thresholding the
+    duplicate-pair graph is orders of magnitude smaller than the corpus;
+    when it has at most ``small_graph_threshold`` (directed) edges —
+    counted from the already-materialized edge checkpoint, no extra
+    scan — the components are solved with driver-side union-find
+    instead of O(log diameter) rounds of 4-shuffle jobs. 10⁶ edges is
+    tens of MB of driver state, the same deliberate KB/MB-scale driver
+    bound as the IVF centroids (operators/similarity.py); pass 0 to
+    force the distributed loop.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -714,6 +725,34 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()  # materializes the checkpoint for either path
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for row in edges.where(F.col("src") < F.col("dst")).collect():
+            a, b = row["src"], row["dst"]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                # roots always point at smaller ids ⇒ component root = min id
+                parent[hi] = lo
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            [(x, find(x)) for x in sorted(nodes)],
+            f"id {id_type}, cluster_id {id_type}",
+        )
+
     labels = edges.groupBy("src").agg(F.min("dst").alias("lbl")).select(
         "src", F.least("src", "lbl").alias("lbl")
     )

@@ -355,7 +355,8 @@ def test_apply_to_partitions(spark):
     out = apply_to_partitions(df, double_b, "a long, b double")
     assert sorted((r.a, r.b) for r in out.collect()) == [(1, 4.0), (3, 8.0)]
 
-def test_duplicate_clusters(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])  # fast path / distributed loop
+def test_duplicate_clusters(spark, threshold):
     from plateau_spark.operators.dedup import duplicate_clusters
 
     # chain 1-2-3-4 (stresses propagation depth), clique {10,11,12}, pair {20,21}
@@ -363,7 +364,10 @@ def test_duplicate_clusters(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (21, 20)],
         "id_a long, id_b long",
     )
-    out = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    out = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(pairs, small_graph_threshold=threshold).collect()
+    }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 def test_cosine_dup_pairs_blocked_equals_bruteforce(spark, embeddings):
@@ -438,13 +442,14 @@ def test_tfidf_top_terms(spark):
     assert all(len(v) <= 2 for v in by_doc.values())
 
 def test_duplicate_clusters_long_chain(spark):
-    """Pointer jumping: a 40-node path must converge well under 40 rounds."""
+    """Pointer jumping: a 40-node path must converge well under 40 rounds
+    (small_graph_threshold=0 forces the distributed loop)."""
     from plateau_spark.operators.dedup import duplicate_clusters
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    out = duplicate_clusters(pairs, max_iter=10)
+    out = duplicate_clusters(pairs, max_iter=10, small_graph_threshold=0)
     assert {r.cluster_id for r in out.collect()} == {0}
 
 
