@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "decontaminate_ngrams",
     "asof_join_events",
     "range_join_windows",
+    "sample_temperature",
+    "text_chunks",
+    "dedup_corpus_docs",
+    "dataset_compact_read",
 ]
 
 

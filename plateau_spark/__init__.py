@@ -39,6 +39,7 @@ from plateau_spark.sources.dataset import (
     write_single_partition,
     commit_dataset,
     copy_dataset,
+    compact_dataset,
     create_empty_dataset_header,
     delete_dataset,
     garbage_collect_dataset,

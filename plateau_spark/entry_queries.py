@@ -916,6 +916,129 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_U_QUOTA} ASC, doc_id ASC
 """
 
 
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_resample: α-flattened language mix (the multilingual
+    training-mix policy — tail languages upweighted, head downsampled),
+    deterministic via the md5-unit keyed draw."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_resample(
+        docs, ["lang"], key_col="doc_id", target_rows=250, alpha=0.5
+    )
+    return out.select("doc_id", "lang")
+
+
+_U_TEMP = _HASH_UNIT_SQL.format(salt="temp", key="doc_id")
+# keep_p mirrors the Spark expression term-for-term (same op order):
+# least(1, pow(n, α)/Σpow(n, α) * target / n)
+SAMPLE_TEMPERATURE_ORACLE = f"""
+WITH n AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+d AS (SELECT SUM(POW(n, 0.5)) AS d FROM n),
+p AS (SELECT lang, LEAST(1.0, POW(n, 0.5) / d * 250.0 / n) AS keep_p
+      FROM n CROSS JOIN d)
+SELECT doc_id, documents.lang AS lang
+FROM documents JOIN p USING (lang)
+WHERE {_U_TEMP} < keep_p
+"""
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_documents: overlapping fixed-width context windows
+    (500 chars, stride 400) — narrow codegen explode, zero shuffle;
+    chunks emitted as md5 so the hash compare stays row-width-bounded."""
+    _prep(spark)
+    from plateau_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_chars=500, stride=400)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.encode(F.col("chunk"), "UTF-8")).alias("chunk_md5"),
+    )
+
+
+TEXT_CHUNKS_ORACLE = """
+WITH nz AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), idx AS (
+  SELECT doc_id, text,
+         CAST(greatest(ceil((n - 500) / 400.0) + 1, 1) AS INT) AS nc
+  FROM nz
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       md5(substr(text, CAST(i AS INT) * 400 + 1, 500)) AS chunk_md5
+FROM idx, unnest(range(0, nc)) AS t(i)
+"""
+
+
+def dedup_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_against_corpus: ingest-time exact-content anti-join — new
+    docs whose normalized text already occurs in the 'previous snapshot'
+    (every 7th doc) are dropped. Anti hash join on a sha2 digest, so the
+    shuffle carries 64-hex keys, never document bodies."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import dedup_against_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0).select(F.col("text").alias("body"))
+    out = dedup_against_corpus(docs, ref, "text", "body")
+    return out.select("doc_id", "lang")
+
+
+_NORM_SQL = r"lower(regexp_replace(trim({c}), '\s+', ' ', 'g'))"
+DEDUP_CORPUS_ORACLE = f"""
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents r
+  WHERE r.doc_id % 7 = 0
+    AND {_NORM_SQL.format(c='r.text')} = {_NORM_SQL.format(c='d.text')}
+)
+"""
+
+
+def dataset_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-dataset lifecycle: store a third of the table, append
+    the other two thirds (3 files per language), compact to one file per
+    key with secondary indices rebuilt, then prove the rebuilt index by
+    reading through an indexed predicate."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        compact_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("compact")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "docs", docs.where(F.col("doc_id") % 3 == 0),
+        partition_on=["lang"], secondary_indices=["source"],
+    )
+    for m in (1, 2):
+        update_dataset_from_dataframe(
+            spark, store, "docs", docs.where(F.col("doc_id") % 3 == m),
+            partition_on=["lang"],
+        )
+    meta = compact_dataset(spark, store, "docs")
+    n_langs = len({tuple(p.key_values.items()) for p in meta.partitions.values()})
+    if len(meta.partitions) != n_langs:
+        raise AssertionError("compaction left more than one file per key")
+    return read_table(
+        spark, store, "docs", predicates=[[("source", "==", "src7")]]
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+DATASET_COMPACT_ORACLE = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE source = 'src7'
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-star; operators/text.py)
 # ---------------------------------------------------------------------------
@@ -2171,6 +2294,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampling
     "sample_split_assign": sample_split_assign,
     "sample_quota_rows": sample_quota_rows,
+    "sample_temperature": sample_temperature,
+    "text_chunks": text_chunks,
+    "dedup_corpus_docs": dedup_corpus_docs,
+    "dataset_compact_read": dataset_compact_read,
     # text
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -2251,6 +2378,10 @@ ORACLES: dict[str, str] = {
     "hash_dataset_groups": HASH_DATASET_ORACLE,
     "sample_split_assign": SAMPLE_SPLIT_ORACLE,
     "sample_quota_rows": SAMPLE_QUOTA_ORACLE,
+    "sample_temperature": SAMPLE_TEMPERATURE_ORACLE,
+    "text_chunks": TEXT_CHUNKS_ORACLE,
+    "dedup_corpus_docs": DEDUP_CORPUS_ORACLE,
+    "dataset_compact_read": DATASET_COMPACT_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,

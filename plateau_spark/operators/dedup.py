@@ -840,3 +840,41 @@ def ngram_overlap_vs_eval(
             (F.coalesce(frac, F.lit(0.0)) >= threshold).cast("long").alias("contaminated"),
         )
     )
+
+
+def dedup_against_corpus(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    *,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-content incremental dedup: drop every row of ``df`` whose
+    (optionally whitespace/case-normalized) text already occurs in
+    ``reference`` — the ingest-time guard against re-adding documents an
+    earlier crawl/snapshot already contributed.
+
+    Shape: LEFT ANTI hash join on a 64-hex sha2 digest of the content,
+    so the shuffle carries a fixed-width key instead of document bodies;
+    the reference side is pre-deduplicated on the digest (its duplicate
+    multiplicity is irrelevant to an anti join and dropping them first
+    shrinks the build side). Catalyst broadcasts the digest set when the
+    reference is small; at 100 TB both sides hash-exchange on the
+    digest — the same cost profile as any keyed join, no skew (digests
+    are uniform).
+    """
+    ref_text_col = text_col if ref_text_col is None else ref_text_col
+
+    def digest(col: str) -> F.Column:
+        c = F.col(col)
+        if normalize:
+            c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+        return F.sha2(F.encode(c, "UTF-8"), 256)
+
+    ref_keys = reference.select(digest(ref_text_col).alias("__sig__")).dropDuplicates(
+        ["__sig__"]
+    )
+    return df.withColumn("__sig__", digest(text_col)).join(
+        ref_keys, "__sig__", "left_anti"
+    ).drop("__sig__")

@@ -60,6 +60,60 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.7,
+    salt: str = "temp",
+    keep_prob_col: str | None = None,
+) -> DataFrame:
+    """Temperature-flattened group resampling — the multilingual
+    training-mix policy (sample language g with probability ∝ p_g^α,
+    α<1 upweights the tail): q_g = n_g^α / Σ n_h^α, per-row keep
+    probability = min(1, q_g·target_rows / n_g), kept iff
+    md5-uniform(key) < keep_p. Downsampling only (a keep_p that clips
+    at 1 leaves that group complete; no row duplication) — so the
+    realized mix approaches the temperature mix as target_rows allows.
+
+    Determinism: the keep decision is a pure function of ``key_col``
+    (same md5-unit source as ``deterministic_split``), so the sample is
+    reproducible across engines/runs and stable under corpus growth
+    within unchanged groups.
+
+    Scale shape: one tiny keyed agg (|groups| rows) broadcast-joined
+    back, then a codegen filter — no window, no skew sensitivity.
+    ``keep_prob_col`` optionally emits the per-row keep probability.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    group_cols = list(group_cols)
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("__n__"))
+    qdenom = counts.agg(F.sum(F.pow(F.col("__n__"), F.lit(alpha))).alias("__d__"))
+    probs = counts.crossJoin(F.broadcast(qdenom)).select(
+        *group_cols,
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("__n__"), F.lit(alpha))
+            / F.col("__d__")
+            * F.lit(float(target_rows))
+            / F.col("__n__"),
+        ).alias("__keep_p__"),
+    )
+    out = df.join(F.broadcast(probs), group_cols).where(
+        _hash_unit(key_col, salt) < F.col("__keep_p__")
+    )
+    if keep_prob_col is not None:
+        return out.withColumnRenamed("__keep_p__", keep_prob_col)
+    return out.drop("__keep_p__")
+
+
 def quota_sample(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -306,3 +306,59 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(F.col("__id__").alias(id_col), "term", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_chars: int = 2048,
+    stride: int | None = None,
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into fixed-width character windows for
+    context-length training prep: chunk i covers
+    ``[i*stride, i*stride + chunk_chars)``; ``stride < chunk_chars``
+    gives overlapping windows, default non-overlapping. The final chunk
+    may be short; empty/NULL documents emit no chunks.
+
+    Pure codegen — ``sequence()`` over chunk indices + ``posexplode`` +
+    ``substring`` — a narrow per-row explode with no shuffle at all;
+    downstream repartitioning decides chunk placement. SQL-expressible
+    (DuckDB twin: ``range()`` + ``substr``), so oracle-checkable.
+    """
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    stride = chunk_chars if stride is None else stride
+    if not 0 < stride <= chunk_chars:
+        raise ValueError(
+            f"stride must be in (0, chunk_chars={chunk_chars}], got {stride}"
+        )
+    n = F.length(F.col(text_col))
+    # number of windows starting before end-of-text: ceil((n-chunk)/stride)+1,
+    # clamped so a text shorter than one chunk still yields exactly one.
+    # Empty/NULL docs are filtered BEFORE the sequence is built —
+    # sequence(0, -1) would descend, not produce nothing.
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_chars)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    nonempty = df.where(n > 0)
+    exploded = nonempty.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col(text_col).alias("__t__"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+            "__i__", "__start__"
+        ),
+    )
+    return exploded.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col("__i__").cast("int").alias(chunk_id_col),
+        F.substring(
+            F.col("__t__"), F.col("__i__") * F.lit(stride) + F.lit(1), F.lit(chunk_chars)
+        ).alias(chunk_col),
+    )

@@ -1087,6 +1087,76 @@ def copy_dataset(
     return new_meta
 
 
+def compact_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    *,
+    target_files_per_key: int = 1,
+    gc: bool = True,
+) -> DatasetMetadata:
+    """Merge a fragmented dataset's many small files into at most
+    ``target_files_per_key`` files per partition-key combination —
+    the maintenance pass every incrementally-updated dataset needs
+    (each ``update_dataset_from_dataframes`` append adds files; small
+    files ruin scan throughput and driver planning at scale).
+
+    One read job (the normal pruned scan) + one write job (the same
+    shuffle shape as a bucketed store: repartition on the keys, or on
+    (keys ⊕ hash-bucket) for ``target_files_per_key > 1``), secondary
+    indices rebuilt distributedly over the new files, ONE atomic commit
+    swap. Readers holding the previous commit keep working until ``gc``
+    reclaims the superseded files (run it after in-flight readers
+    drain, exactly like the reference's GC contract). No-op (no write,
+    no commit) when no key group exceeds the target file count.
+
+    Not in the reference (its datasets get compacted by full rewrite);
+    north-star lifecycle extension, SURVEY.md §2.7.
+    """
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+
+    per_key: dict[tuple, int] = {}
+    for p in meta.partitions.values():
+        k = tuple(sorted((c, str(v)) for c, v in p.key_values.items()))
+        per_key[k] = per_key.get(k, 0) + 1
+    if not per_key or max(per_key.values()) <= target_files_per_key:
+        return meta
+
+    df = read_dataset_as_dataframe(spark, store, dataset_uuid)
+    if meta.partition_keys:
+        partitions = _write_files(
+            df,
+            store,
+            dataset_uuid,
+            meta.partition_keys,
+            num_buckets=target_files_per_key if target_files_per_key > 1 else None,
+            bucket_by=meta.partition_keys if target_files_per_key > 1 else None,
+        )
+    else:
+        # keyless dataset: full shuffle down to the target file count
+        # (repartition, not coalesce — keeps the read parallel)
+        partitions = _write_files(
+            df.repartition(target_files_per_key), store, dataset_uuid, []
+        )
+
+    new_meta = DatasetMetadata(
+        uuid=dataset_uuid,
+        partitions={p.label: p for p in partitions},
+        partition_keys=list(meta.partition_keys),
+        schema=meta.schema,
+        metadata=dict(meta.metadata),
+    )
+    indexed_cols = sorted(set(meta.indices) | set(meta.embedded_indices))
+    built = _build_index_dataframes(spark, store, new_meta, partitions, indexed_cols)
+    for col, idx_df in built.items():
+        new_meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    new_meta.commit(store)
+    if gc:
+        garbage_collect_dataset(store, dataset_uuid)
+    return new_meta
+
+
 def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     """Delete a dataset: indices → payload files → metadata file, ordered
     for crash consistency (reference: plateau/io/eager.py:63-93)."""

@@ -1,0 +1,187 @@
+"""Round-5 pipeline operators: temperature resampling, document
+chunking, corpus anti-join dedup, dataset compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- temperature_resample ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rows = [(i, "en") for i in range(900)] + [(i + 900, "sw") for i in range(100)]
+    return spark.createDataFrame(rows, "k long, lang string")
+
+
+def test_temperature_resample_flattens_tail(spark, skewed):
+    from plateau_spark.operators.sampling import temperature_resample
+
+    out = temperature_resample(
+        skewed, ["lang"], key_col="k", target_rows=400, alpha=0.5
+    )
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # alpha=0.5: q_en = 30/(30+10) = .75, q_sw = .25 -> expected 300/100;
+    # sw clips at its full 100 rows, en keeps ~1/3 of its rows
+    assert counts["sw"] == 100  # clipped: keep_p = min(1, .25*400/100) = 1
+    assert 240 <= counts["en"] <= 360  # hash-uniform around 300
+    # deterministic: pure function of the key
+    again = temperature_resample(
+        skewed, ["lang"], key_col="k", target_rows=400, alpha=0.5
+    )
+    assert sorted(out.collect()) == sorted(again.collect())
+
+
+def test_temperature_resample_alpha_one_is_proportional(spark, skewed):
+    from plateau_spark.operators.sampling import temperature_resample
+
+    out = temperature_resample(skewed, ["lang"], key_col="k", target_rows=500, alpha=1.0)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # alpha=1: q_g = n_g/N -> keep_p = target/N = 0.5 for every group
+    assert 400 <= counts["en"] <= 500 and 35 <= counts["sw"] <= 65
+
+
+def test_temperature_resample_validates(spark, skewed):
+    from plateau_spark.operators.sampling import temperature_resample
+
+    for bad in (dict(alpha=0.0), dict(target_rows=0)):
+        with pytest.raises(ValueError):
+            temperature_resample(
+                skewed, ["lang"], key_col="k",
+                **{"target_rows": 100, "alpha": 0.5, **bad},
+            )
+    with pytest.raises(ValueError):
+        temperature_resample(skewed, [], key_col="k", target_rows=100)
+
+
+# --- chunk_documents --------------------------------------------------------
+
+
+def test_chunk_documents_covers_text_exactly(spark):
+    from plateau_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_chars=4).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    # non-overlapping chunks reassemble the document
+    assert by_doc == {1: ["abcd", "efgh", "ij"], 2: ["abc"]}  # 3, 4 emit nothing
+
+
+def test_chunk_documents_overlap(spark):
+    from plateau_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_chars=4, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk"] for r in out] == ["abcd", "cdef", "efgh"]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_chars=4, stride=5)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from plateau_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "xy" * 100)], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, "doc_id", "text", chunk_chars=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # narrow explode, no shuffle
+
+
+# --- dedup_against_corpus ---------------------------------------------------
+
+
+def test_dedup_against_corpus(spark):
+    from plateau_spark.operators.dedup import dedup_against_corpus
+
+    new = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "fresh doc"), (3, "another one")],
+        "id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(91, "hello world"), (92, "hello world"), (93, "other")],
+        "rid long, body string",
+    )
+    out = dedup_against_corpus(new, ref, "text", "body").collect()
+    # normalization folds case/whitespace: doc 1 is a known duplicate
+    assert sorted(r["id"] for r in out) == [2, 3]
+    strict = dedup_against_corpus(new, ref, "text", "body", normalize=False).collect()
+    assert sorted(r["id"] for r in strict) == [1, 2, 3]
+
+
+# --- compact_dataset --------------------------------------------------------
+
+
+def test_compact_dataset_merges_files(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        compact_dataset,
+        read_dataset_as_dataframe,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(lo, hi)], "k long, g long, v string"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "frag", mk(0, 30), partition_on=["g"], secondary_indices=["v"]
+    )
+    for lo in (30, 60, 90):  # three appends -> 4 files per key group
+        update_dataset_from_dataframe(
+            spark, store, "frag", mk(lo, lo + 30), partition_on=["g"]
+        )
+    before = DatasetMetadata.load(store, "frag")
+    assert len(before.partitions) == 12
+
+    meta = compact_dataset(spark, store, "frag")
+    assert len(meta.partitions) == 3  # one file per key
+    out = read_dataset_as_dataframe(spark, store, "frag")
+    assert out.count() == 120
+    assert sorted(r["k"] for r in out.collect()) == list(range(120))
+    # the rebuilt secondary index still prunes correctly
+    got = read_dataset_as_dataframe(spark, store, "frag", predicates=[[("v", "==", "v7")]])
+    assert [r["k"] for r in got.collect()] == [7]
+    # superseded files were GC'd: nothing but current refs + commit file
+    live = set(store.iter_keys("frag/"))
+    assert all(
+        k in meta.referenced_keys()
+        or any(k.startswith(ref.rstrip("/") + "/") for ref in meta.referenced_keys())
+        or k.endswith(".json")
+        for k in live
+    ), live
+    # idempotent: already-compact dataset is a metadata-only no-op
+    again = compact_dataset(spark, store, "frag")
+    assert {p.file for p in again.partitions.values()} == {
+        p.file for p in meta.partitions.values()
+    }
+
+
+def test_compact_dataset_keyless(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        compact_dataset,
+        read_dataset_as_dataframe,
+        store_dataframes_as_dataset,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    dfs = [
+        spark.createDataFrame([(i,) for i in range(lo, lo + 10)], "k long")
+        for lo in (0, 10, 20)
+    ]
+    store_dataframes_as_dataset(spark, store, "flat", dfs)
+    meta = compact_dataset(spark, store, "flat")
+    assert len(meta.partitions) == 1
+    assert read_dataset_as_dataframe(spark, store, "flat").count() == 30
