@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_chunks",
     "dedup_corpus_docs",
     "dataset_compact_read",
+    "streaming_ingest_dataset",
 ]
 
 

@@ -1932,6 +1932,33 @@ GROUP BY 1, 2
 """
 
 
+def streaming_ingest_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming → dataset sink: availableNow micro-batches
+    committed atomically into a plateau dataset (foreachBatch +
+    commit_stream_batch; replayed batch ids are no-ops), then read back
+    through the normal pruned-scan path for full row parity with the
+    source."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import open_parquet_stream, stream_to_dataset
+
+    store = _fresh_store("stream_ingest")
+    ckpt = _fresh_store("stream_ingest_ckpt")
+    stream = open_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    q = stream_to_dataset(
+        stream, store, "events", checkpoint_dir=ckpt,
+        partition_on=["event_type"], available_now=True,
+    )
+    q.awaitTermination()
+    return read_table(spark, store, "events")
+
+
+STREAM_INGEST_ORACLE = """
+SELECT event_type, event_id, props, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+FROM events
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-bigram fraction,
     unique-word ratio, top-bigram coverage (explode + two keyed aggs)."""
@@ -2335,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup": streaming_dedup,
     "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
     # temporal joins
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -2414,4 +2442,5 @@ ORACLES: dict[str, str] = {
     "asof_join_events": ASOF_JOIN_ORACLE,
     "range_join_windows": RANGE_JOIN_ORACLE,
     "streaming_enrich_dim": STREAM_ENRICH_ORACLE,
+    "streaming_ingest_dataset": STREAM_INGEST_ORACLE,
 }

@@ -201,6 +201,42 @@ def sessionize_stream(
     )
 
 
+def open_parquet_stream(
+    spark: SparkSession, source_parquet: str, *, ts_col: str = "ts"
+) -> DataFrame:
+    """readStream over a parquet file or directory with the event-time
+    column normalized to a watermark-capable TIMESTAMP, whatever the
+    writer's physical encoding:
+
+    - nanos-as-long (legacy TIMESTAMP(NANOS) under the session's
+      nanosAsLong conf): ns → µs with integer division (a float divide
+      would lose precision above 2^53 — see sources/tables.py)
+    - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ, which
+      ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+      cast is value-preserving under the fixed-UTC session timezone.
+    """
+    schema = spark.read.parquet(source_parquet).schema
+    reader = spark.readStream.schema(schema)
+    if source_parquet.endswith(".parquet") and "/" in source_parquet:
+        # FileStreamSource requires a directory: stream the parent dir
+        # filtered down to this file
+        import posixpath
+
+        parent, fname = posixpath.split(source_parquet)
+        reader = reader.option("pathGlobFilter", fname)
+        stream = reader.parquet(parent)
+    else:
+        stream = reader.parquet(source_parquet)
+    ts_dtype = dict(stream.dtypes).get(ts_col)
+    if ts_dtype in ("bigint", "long"):
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_parquet: str,
@@ -225,31 +261,7 @@ def run_stream_to_memory(
     (state is repartition-locked once a checkpoint exists); pass None
     to leave the session setting untouched.
     """
-    schema = spark.read.parquet(source_parquet).schema
-    reader = spark.readStream.schema(schema)
-    if source_parquet.endswith(".parquet") and "/" in source_parquet:
-        # FileStreamSource requires a directory: stream the parent dir
-        # filtered down to this file
-        import posixpath
-
-        parent, fname = posixpath.split(source_parquet)
-        reader = reader.option("pathGlobFilter", fname)
-        stream = reader.parquet(parent)
-    else:
-        stream = reader.parquet(source_parquet)
-    ts_dtype = dict(stream.dtypes).get(ts_col)
-    if ts_col in stream.columns and ts_dtype in ("bigint", "long"):
-        # nanosAsLong-read source: ns → µs with integer division (a float
-        # divide would lose precision above 2^53 — see sources/tables.py)
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
-    elif ts_dtype == "timestamp_ntz":
-        # Parquet timestamp[us] with isAdjustedToUTC=false reads as
-        # TIMESTAMP_NTZ, which withWatermark rejects
-        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is
-        # pinned to UTC (session.py), so the cast is value-preserving.
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = open_parquet_stream(spark, source_parquet, ts_col=ts_col)
     out = transform(stream)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -282,3 +294,98 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inne
     the static side per micro-batch, picking up dimension updates between
     batches."""
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def commit_stream_batch(
+    spark: SparkSession,
+    store,
+    dataset_uuid: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    partition_on=None,
+    secondary_indices=None,
+    **write_kwargs,
+) -> bool:
+    """Idempotent micro-batch commit into a plateau-style dataset.
+
+    foreachBatch is at-least-once: after a sink failure Spark replays
+    the batch with the SAME batch_id. Exactly-once visibility comes from
+    the dataset commit protocol: each batch's files land in one atomic
+    commit that also records the batch id in user metadata (as a
+    ``stream_batches`` dict key — dict merges union, so the marker
+    survives combine_metadata), and a replayed id is skipped before any
+    write. A crash between write and commit leaves only invisible
+    staging files (explicit-path reads; GC reclaims them).
+
+    Returns True if the batch was committed, False if it was a replay
+    or empty.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _ensure_store(store)
+    marker = {"stream_batches": {str(batch_id): True}}
+    if DatasetMetadata.exists(store, dataset_uuid):
+        meta = DatasetMetadata.load(store, dataset_uuid)
+        if str(batch_id) in meta.metadata.get("stream_batches", {}):
+            return False
+        if batch_df.isEmpty():
+            return False
+        update_dataset_from_dataframe(
+            spark, store, dataset_uuid, batch_df,
+            partition_on=partition_on, metadata=marker, **write_kwargs,
+        )
+    else:
+        if batch_df.isEmpty():
+            return False
+        store_dataframe_as_dataset(
+            spark, store, dataset_uuid, batch_df,
+            partition_on=partition_on, secondary_indices=secondary_indices,
+            metadata=marker, **write_kwargs,
+        )
+    return True
+
+
+def stream_to_dataset(
+    stream: DataFrame,
+    store,
+    dataset_uuid: str,
+    *,
+    checkpoint_dir: str,
+    partition_on=None,
+    secondary_indices=None,
+    available_now: bool = False,
+):
+    """Continuous ingestion: Structured Streaming → plateau dataset.
+
+    ``foreachBatch`` + ``commit_stream_batch``: every micro-batch
+    becomes one atomic dataset commit, readers always see a consistent
+    snapshot, and replays are no-ops (exactly-once visibility). The
+    checkpoint dir carries Spark's source offsets; the dataset's
+    ``stream_batches`` metadata carries the sink's commit watermark —
+    together they survive driver restarts. Pair with
+    ``compact_dataset`` on a schedule: micro-batches produce many small
+    files by design.
+
+    Returns the started StreamingQuery (``available_now=True`` for the
+    drain-everything-then-stop harness mode).
+    """
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(
+            spark, store, dataset_uuid, batch_df, batch_id,
+            partition_on=partition_on, secondary_indices=secondary_indices,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

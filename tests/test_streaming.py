@@ -259,3 +259,51 @@ def test_sessionize_stream_timeout_eviction(spark, tmp_path):
         for r in out.collect()
     }
     assert sessions[(1, _t(0), _t(0, 10))] == (2, 3.0)
+
+
+def test_stream_to_dataset_ingest_and_replay(spark, tmp_path):
+    """availableNow stream → dataset: one atomic commit per micro-batch,
+    read-back equals the source, and a replayed batch id is a no-op."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+    from plateau_spark.streaming.events import commit_stream_batch, stream_to_dataset
+
+    src = spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i)) for i in range(100)],
+        "event_id long, event_type string, value double",
+    )
+    src_dir = str(tmp_path / "src")
+    src.write.parquet(src_dir)
+    store = Store(str(tmp_path / "store"))
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    q = stream_to_dataset(
+        stream, store, "ingested",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        partition_on=["event_type"], available_now=True,
+    )
+    q.awaitTermination()
+
+    out = read_dataset_as_dataframe(spark, store, "ingested")
+    assert sorted(r["event_id"] for r in out.collect()) == list(range(100))
+
+    meta = DatasetMetadata.load(store, "ingested")
+    committed = set(meta.metadata["stream_batches"])
+    n_files = len(meta.partitions)
+    # replaying an already-committed batch id must change nothing
+    replay_id = int(next(iter(committed)))
+    assert commit_stream_batch(
+        spark, store, "ingested", src.limit(5), replay_id, partition_on=["event_type"]
+    ) is False
+    meta2 = DatasetMetadata.load(store, "ingested")
+    assert len(meta2.partitions) == n_files
+    # a NEW batch id commits atomically and is recorded
+    assert commit_stream_batch(
+        spark, store, "ingested",
+        spark.createDataFrame([(1000, "t9", 1.0)], src.schema),
+        max(int(b) for b in committed) + 1,
+        partition_on=["event_type"],
+    ) is True
+    out2 = read_dataset_as_dataframe(spark, store, "ingested")
+    assert out2.count() == 101
