@@ -641,7 +641,6 @@ def embedding_cosine_dup_pairs(
     LIMIT 1 read) unless given. See operators/similarity.py.
     """
     from plateau_spark.operators.similarity import (
-        dot_col,
         infer_dim,
         norm_col,
         probe_buckets_col,
@@ -658,6 +657,20 @@ def embedding_cosine_dup_pairs(
             probe_buckets_col(vec_col, bucket_bits, seeds=tuple(seeds), dim=d)
         ).alias("__probe__", "__bucket__"),
     )
+    # The per-pair dot is the hot kernel (|candidates| ≈ n²/2^bits per
+    # probe): Arrow-batched einsum beats the interpreted zip_with/
+    # aggregate fold ~30% end-to-end here. Summation order differs from
+    # the sequential fold by float associativity (~1 ulp; results are
+    # consumed at round-6 precision — same contract as the blocked-GEMM
+    # exact tier in operators/similarity.py).
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
     l, r = bucketed.alias("l"), bucketed.alias("r")
     # Score + threshold BEFORE dropDuplicates: a pair meeting in both
     # probes computes its cosine twice (map-side, cheap), but the dedup
@@ -671,7 +684,7 @@ def embedding_cosine_dup_pairs(
             F.col("l.__id__").alias("id_a"),
             F.col("r.__id__").alias("id_b"),
             (
-                dot_col(F.col("l.__v__"), F.col("r.__v__"))
+                _dot(F.col("l.__v__"), F.col("r.__v__"))
                 / (F.col("l.__n__") * F.col("r.__n__"))
             ).alias("cosine"),
         )
