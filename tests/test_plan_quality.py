@@ -56,3 +56,44 @@ def test_star_join_broadcasts_small_dimension(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_resample_broadcasts_probs(spark):
+    """The per-group keep-probability frame (|groups| rows) must join
+    back as a broadcast — a shuffle of the corpus on the group key here
+    would be a 100 TB regression."""
+    from plateau_spark.operators.sampling import temperature_resample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = temperature_resample(docs, ["lang"], key_col="doc_id", target_rows=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_against_corpus_is_anti_hash_join(spark):
+    """Anti join on the sha2 digest must plan as a (broadcast) hash
+    join, never a nested loop, and the join key must be the fixed-width
+    digest, not document bodies."""
+    from plateau_spark.operators.dedup import dedup_against_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.limit(50).select(F.col("text").alias("body"))
+    out = dedup_against_corpus(docs, ref, "text", "body")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_dup_pairs_plan_is_equi_join(spark):
+    """Multi-probe LSH self-join must stay a hash/sort-merge equi-join
+    on (probe, bucket) — the OR-of-buckets formulation degrades to a
+    BroadcastNestedLoopJoin."""
+    from plateau_spark.operators.dedup import embedding_cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = embedding_cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, bucket_bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
