@@ -122,6 +122,43 @@ def validate_compatible(
         )
 
 
+def merge_schemas_for_evolution(
+    existing: T.StructType, new: T.StructType
+) -> T.StructType:
+    """Additive schema evolution: ``new`` must contain every existing
+    column with an identical normalized type and may APPEND new columns
+    (forced nullable — pre-evolution files lack them and read as NULL
+    under the merged explicit schema). Anything else — dropped columns,
+    type changes — raises, with the same rich diff as the strict check.
+
+    The reference is strictly schema-stable
+    (plateau/core/common_metadata.py:465-561); this is an opt-in
+    Spark-native extension gated behind
+    ``update_dataset_from_dataframe(schema_evolution=True)``.
+    """
+    exp_n = normalize_schema(existing)
+    act_n = normalize_schema(new)
+    exp = {f.name: f.dataType for f in exp_n.fields}
+    act = {f.name: f.dataType for f in act_n.fields}
+    missing = [c for c in exp if c not in act]
+    conflicting = [c for c in exp if c in act and exp[c] != act[c]]
+    if missing or conflicting:
+        raise SchemaValidationError(
+            "Schema evolution is additive-only (new data must contain "
+            f"every existing column with its type; missing={missing}, "
+            f"type-conflicts={conflicting}):\n" + schema_diff(exp_n, act_n)
+        )
+    added = [f.name for f in act_n.fields if f.name not in exp]
+    return T.StructType(
+        list(existing.fields)
+        + [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in new.fields
+            if f.name in added
+        ]
+    )
+
+
 def schema_to_json(schema: T.StructType) -> dict:
     return schema.jsonValue()
 

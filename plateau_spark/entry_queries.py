@@ -1039,6 +1039,43 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE source = 'src7'
 """
 
 
+def dataset_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: store even docs WITHOUT n_chars, then
+    append the odd docs WITH it under schema_evolution=True — one atomic
+    commit widens the schema, and pre-evolution files read as NULL for
+    the added column via the explicit commit-file schema."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("evolve")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "docs",
+        docs.where(F.col("doc_id") % 2 == 0).drop("n_chars"),
+        partition_on=["lang"],
+    )
+    update_dataset_from_dataframe(
+        spark, store, "docs", docs.where(F.col("doc_id") % 2 == 1),
+        partition_on=["lang"], schema_evolution=True,
+    )
+    return read_table(spark, store, "docs").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DATASET_EVOLUTION_ORACLE = """
+SELECT doc_id, lang, source,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-star; operators/text.py)
 # ---------------------------------------------------------------------------
@@ -2325,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": text_chunks,
     "dedup_corpus_docs": dedup_corpus_docs,
     "dataset_compact_read": dataset_compact_read,
+    "dataset_schema_evolution": dataset_schema_evolution,
     # text
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -2410,6 +2448,7 @@ ORACLES: dict[str, str] = {
     "text_chunks": TEXT_CHUNKS_ORACLE,
     "dedup_corpus_docs": DEDUP_CORPUS_ORACLE,
     "dataset_compact_read": DATASET_COMPACT_ORACLE,
+    "dataset_schema_evolution": DATASET_EVOLUTION_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,

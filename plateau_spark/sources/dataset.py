@@ -36,6 +36,7 @@ from plateau_spark.core.predicates import (
 )
 from plateau_spark.core.schema import (
     SchemaValidationError,
+    merge_schemas_for_evolution,
     normalize_dataframe,
     normalized_column_order,
     validate_compatible,
@@ -848,8 +849,18 @@ def update_dataset_from_dataframe(
     metadata: dict[str, Any] | None = None,
     file_format: str = "parquet",
     compress: bool = True,
+    schema_evolution: bool = False,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
+
+    ``schema_evolution=True`` permits ADDITIVE evolution: the new data
+    may append nullable columns (it must still carry every existing
+    column with an identical type). The merged schema lands in the same
+    atomic commit as the new files; pre-evolution files read as NULL for
+    the added columns because every scan uses the commit-file schema
+    explicitly. Parquet payloads only (a CSV file read under a wider
+    schema would misparse). The reference is strictly schema-stable —
+    this is an opt-in Spark-native extension.
 
     Reference: update_dataset_from_dataframes
     (/root/reference/plateau/io/eager.py:629-704) +
@@ -863,7 +874,15 @@ def update_dataset_from_dataframe(
     new_partitions: list[Partition] = []
     if df is not None:
         df = normalize_dataframe(df, meta.partition_keys)
-        validate_compatible(meta.schema, df.schema)
+        if schema_evolution:
+            if file_format != "parquet":
+                raise ValueError(
+                    "schema_evolution requires parquet payloads (CSV files "
+                    "cannot be read under a widened schema)"
+                )
+            meta.schema = merge_schemas_for_evolution(meta.schema, df.schema)
+        else:
+            validate_compatible(meta.schema, df.schema)
         new_partitions = _write_files(
             df,
             store,

@@ -185,3 +185,66 @@ def test_compact_dataset_keyless(spark, tmp_path):
     meta = compact_dataset(spark, store, "flat")
     assert len(meta.partitions) == 1
     assert read_dataset_as_dataframe(spark, store, "flat").count() == 30
+
+
+# --- schema evolution -------------------------------------------------------
+
+
+def test_schema_evolution_adds_nullable_column(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        read_dataset_as_dataframe,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    v1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, g string, x long")
+    store_dataframe_as_dataset(spark, store, "evo", v1, partition_on=["g"])
+    v2 = spark.createDataFrame(
+        [(3, "a", 30, "new!"), (4, "c", 40, None)],
+        "k long, g string, x long, note string",
+    )
+    # without the flag: strict identity check rejects the extra column
+    import pytest as _pytest
+    from plateau_spark.core.schema import SchemaValidationError
+
+    with _pytest.raises(SchemaValidationError):
+        update_dataset_from_dataframe(spark, store, "evo", v2, partition_on=["g"])
+
+    update_dataset_from_dataframe(
+        spark, store, "evo", v2, partition_on=["g"], schema_evolution=True
+    )
+    out = read_dataset_as_dataframe(spark, store, "evo")
+    assert "note" in out.columns
+    rows = {r["k"]: r["note"] for r in out.collect()}
+    # pre-evolution rows read as NULL for the added column
+    assert rows == {1: None, 2: None, 3: "new!", 4: None}
+    # predicates on the evolved column work across old and new files
+    got = read_dataset_as_dataframe(
+        spark, store, "evo", predicates=[[("note", "==", "new!")]]
+    )
+    assert [r["k"] for r in got.collect()] == [3]
+
+
+def test_schema_evolution_rejects_drops_and_conflicts(spark, tmp_path):
+    from plateau_spark.core.schema import SchemaValidationError
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    v1 = spark.createDataFrame([(1, "a", 10)], "k long, g string, x long")
+    store_dataframe_as_dataset(spark, store, "evo2", v1, partition_on=["g"])
+    dropped = spark.createDataFrame([(2, "a")], "k long, g string")
+    with pytest.raises(SchemaValidationError, match="additive-only"):
+        update_dataset_from_dataframe(
+            spark, store, "evo2", dropped, partition_on=["g"], schema_evolution=True
+        )
+    conflict = spark.createDataFrame([(2, "a", "not-a-long")], "k long, g string, x string")
+    with pytest.raises(SchemaValidationError, match="additive-only"):
+        update_dataset_from_dataframe(
+            spark, store, "evo2", conflict, partition_on=["g"], schema_evolution=True
+        )
