@@ -220,3 +220,78 @@ def test_categories_kwarg_raises(spark, conf_store):
     silently absent."""
     with pytest.raises(NotImplementedError, match="categorical"):
         read_dataset_as_dataframe(spark, conf_store, "conf", categories=["L"])
+
+
+@pytest.mark.parametrize("mode", ["eager", "iterator"])
+def test_unicode_and_special_char_partition_values(mode, spark, tmp_path):
+    """Partition-key values with spaces, slashes, unicode, '=' — the
+    label urlencode/decode roundtrip must preserve them exactly
+    (reference: plateau/core/urlencode.py quoting contract)."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    vals = ["plain", "with space", "sla/sh", "Ωmega", "a=b&c", "dot..dot"]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "g string, x long"
+    )
+    store_dataframe_as_dataset(spark, store, "uni", df, partition_on=["g"])
+    out = read_dataset_as_dataframe(spark, store, "uni")
+    if mode == "iterator":
+        rows = list(read_dataset_as_dataframe_iterator(spark, store, "uni"))
+    else:
+        rows = out.collect()
+    assert sorted((r["g"], r["x"]) for r in rows) == sorted(
+        (v, i) for i, v in enumerate(vals)
+    )
+    # pruned read on a value that needs encoding
+    got = read_dataset_as_dataframe(
+        spark, store, "uni", predicates=[[("g", "==", "sla/sh")]]
+    )
+    assert [(r["g"], r["x"]) for r in got.collect()] == [("sla/sh", 2)]
+    assert len(got.inputFiles()) == 1
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_mixed_key_and_content_predicate(mode, spark, conf_store):
+    """One conjunction mixing a partition-key literal (pruned driver-side)
+    and a content literal (pushed to the scan) in every read mode."""
+    preds = [[("P", "<=", 2), ("TARGET", ">", 1)]]
+    got = _materialize(mode, spark, conf_store, predicates=preds)
+    assert got == sorted(
+        (p, d, l, t) for p, l, t, d in ROWS if p <= 2 and t > 1
+    )
+
+
+def test_secondary_index_on_null_heavy_column(spark, tmp_path):
+    """Indexing a column that is mostly NULL: non-null values remain
+    queryable; the null rows simply never match equality predicates
+    (SQL semantics, SURVEY §4)."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, "tag" if i % 10 == 0 else None) for i in range(50)],
+        "k long, tag string",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "nully", df, partition_on=[], secondary_indices=["tag"]
+    )
+    got = read_dataset_as_dataframe(
+        spark, store, "nully", predicates=[[("tag", "==", "tag")]]
+    )
+    assert sorted(r["k"] for r in got.collect()) == [0, 10, 20, 30, 40]
+
+
+def test_many_partition_planning_stays_driver_cheap(spark, tmp_path):
+    """200 partition-key values: the planner must prune to exactly one
+    file via commit-file key values (no store listing, no data scan)."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame([(i % 200, i) for i in range(2000)], "g long, x long")
+    store_dataframe_as_dataset(spark, store, "many", df, partition_on=["g"])
+    out = read_dataset_as_dataframe(
+        spark, store, "many", predicates=[[("g", "==", 137)]]
+    )
+    assert len(out.inputFiles()) == 1
+    assert out.count() == 10
