@@ -38,12 +38,21 @@ class Partition:
     Reference: plateau/core/partition.py:8-52. Key values are stored
     explicitly so pruning never has to parse paths (SURVEY.md §7
     hard-part 5).
+
+    ``stats`` are optional per-file zone maps: ``{column: [min, max,
+    null_count]}`` harvested from parquet footers at write time (see
+    ``plans/zonemaps.py``). The planner uses them to falsify
+    conjunctions on NON-key, non-indexed columns driver-side — the
+    partition-granular analog of parquet row-group stats, available
+    before any file is opened. ``min``/``max`` are None for an all-NULL
+    chunk; ``null_count`` is None when the footer didn't record it.
     """
 
     label: str
     file: str
     key_values: dict[str, Any] = field(default_factory=dict)
     row_count: int | None = None
+    stats: dict[str, list] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         out: dict[str, Any] = {"files": {naming.TABLE_NAME: self.file}}
@@ -51,6 +60,11 @@ class Partition:
             out["key_values"] = {k: _json_value(v) for k, v in self.key_values.items()}
         if self.row_count is not None:
             out["row_count"] = self.row_count
+        if self.stats:
+            out["stats"] = {
+                c: [_json_value(s[0]), _json_value(s[1]), s[2]]
+                for c, s in self.stats.items()
+            }
         return out
 
 
@@ -113,11 +127,20 @@ class DatasetMetadata:
                         f"Multi-table partition {label!r} not supported: {sorted(files)}"
                     )
                 (file,) = files.values()
+            col_types = {f.name: f.dataType for f in schema.fields} if schema else {}
             partitions[label] = Partition(
                 label=label,
                 file=file,
                 key_values=_revive_key_values(kv or {}, key_types),
                 row_count=pj.get("row_count"),
+                stats={
+                    c: [
+                        _revive_stat(s[0], col_types.get(c)),
+                        _revive_stat(s[1], col_types.get(c)),
+                        s[2],
+                    ]
+                    for c, s in (pj.get("stats") or {}).items()
+                },
             )
         # reference index values are either an external storage key (str)
         # or an embedded {value: [labels]} dict for loaded indices
@@ -222,6 +245,18 @@ class DatasetMetadata:
         keys = {p.file for p in self.partitions.values()}
         keys.update(self.indices.values())
         return keys
+
+
+def _revive_stat(v: Any, dtype: T.DataType | None) -> Any:
+    """JSON round-trip loses date/timestamp types in zone-map stats;
+    revive from the schema (numerics pass through)."""
+    if v is None or dtype is None or not isinstance(v, str):
+        return v
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(v)
+    return v
 
 
 def _revive_key_values(kv: dict[str, Any], key_types: dict[str, T.DataType]) -> dict[str, Any]:

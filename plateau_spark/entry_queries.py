@@ -1076,6 +1076,33 @@ FROM documents
 """
 
 
+def dataset_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning: a range-clustered keyless write records per-file
+    (min, max, null_count) for event_id in the commit file; a range
+    predicate then prunes whole files driver-side — no partition keys,
+    no secondary index, no store I/O beyond the commit file."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("zonemap")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ev", ev.repartitionByRange(8, "event_id"),
+        partition_on=[], repartition=False, zone_map_columns=["event_id"],
+    )
+    out = read_table(spark, store, "ev", predicates=[[("event_id", "<", 500)]])
+    if len(out.inputFiles()) >= 8:
+        raise AssertionError("zone maps pruned nothing on a range-clustered write")
+    return out
+
+
+DATASET_ZONEMAP_ORACLE = """
+SELECT event_id, event_type, value FROM events WHERE event_id < 500
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-star; operators/text.py)
 # ---------------------------------------------------------------------------
@@ -2363,6 +2390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_docs": dedup_corpus_docs,
     "dataset_compact_read": dataset_compact_read,
     "dataset_schema_evolution": dataset_schema_evolution,
+    "dataset_zonemap_read": dataset_zonemap_read,
     # text
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -2449,6 +2477,7 @@ ORACLES: dict[str, str] = {
     "dedup_corpus_docs": DEDUP_CORPUS_ORACLE,
     "dataset_compact_read": DATASET_COMPACT_ORACLE,
     "dataset_schema_evolution": DATASET_EVOLUTION_ORACLE,
+    "dataset_zonemap_read": DATASET_ZONEMAP_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,

@@ -31,6 +31,7 @@ from plateau_spark.core.predicates import (
 )
 from plateau_spark.core.store import Store
 from plateau_spark.plans.index import SecondaryIndex
+from plateau_spark.plans.zonemaps import conjunction_may_match_stats
 
 
 def _literal_index_constrainable(op: str, val) -> bool:
@@ -123,6 +124,8 @@ def plan_scan(
                 continue
             if allowed is not None and label not in allowed:
                 continue
-            if conjunction_holds_on_keys(conjunction, part.key_values):
+            if conjunction_holds_on_keys(
+                conjunction, part.key_values
+            ) and conjunction_may_match_stats(conjunction, part.stats):
                 surviving.add(label)
     return [parts[label] for label in sorted(surviving)]

@@ -305,6 +305,28 @@ def _merge_committed_indices(
         meta.indices[col] = persist_index_dataframe(merged, store, meta.uuid, col)
 
 
+def _attach_zone_maps(
+    spark: SparkSession,
+    store: Store,
+    schema,
+    partitions: Sequence[Partition],
+    columns: Sequence[str] | None,
+) -> None:
+    """Harvest footer stats for the given columns onto the new
+    partitions (in place). No-op for empty columns/partitions."""
+    if not columns or not partitions:
+        return
+    from plateau_spark.plans.zonemaps import (
+        collect_partition_stats,
+        validate_zone_map_columns,
+    )
+
+    cols = validate_zone_map_columns(schema, columns)
+    stats = collect_partition_stats(spark, store, partitions, cols)
+    for p in partitions:
+        p.stats = stats.get(p.label, {})
+
+
 @normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
 def store_dataframe_as_dataset(
     spark: SparkSession,
@@ -322,8 +344,17 @@ def store_dataframe_as_dataset(
     file_format: str = "parquet",
     compress: bool = True,
     repartition: bool = True,
+    zone_map_columns: Sequence[str] | None = None,
 ) -> DatasetMetadata:
     """Create a new dataset from a DataFrame (one write job + one commit).
+
+    ``zone_map_columns``: harvest per-file (min, max, null_count) for
+    these numeric/date/timestamp columns from the parquet footers (one
+    distributed footer job) into the commit file — the planner then
+    prunes whole files on range predicates over them with zero store
+    I/O (plans/zonemaps.py). Pair with a range-clustered write
+    (``sort_partitions_by`` or a pre-``repartitionByRange`` input with
+    ``repartition=False``) for real selectivity.
 
     ``repartition=True`` (default) shuffles on the partition keys first,
     giving the reference's one-file-per-key guarantee. At large scale
@@ -360,6 +391,7 @@ def store_dataframe_as_dataset(
         compress=compress,
         repartition=repartition,
     )
+    _attach_zone_maps(spark, store, df.schema, partitions, zone_map_columns)
 
     ds = DatasetMetadata(
         uuid=dataset_uuid,
@@ -850,6 +882,7 @@ def update_dataset_from_dataframe(
     file_format: str = "parquet",
     compress: bool = True,
     schema_evolution: bool = False,
+    zone_map_columns: Sequence[str] | None = None,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
 
@@ -894,6 +927,13 @@ def update_dataset_from_dataframe(
             file_format=file_format,
             compress=compress,
         )
+        # zone maps: requested columns ∪ columns existing partitions
+        # already track (an update must not silently leave new files
+        # unprunable where old files prune)
+        carried = {c for p in meta.partitions.values() for c in p.stats}
+        zm_cols = sorted(set(zone_map_columns or []) | carried)
+        zm_cols = [c for c in zm_cols if c in {f.name for f in df.schema.fields}]
+        _attach_zone_maps(spark, store, df.schema, new_partitions, zm_cols)
 
     removed = _resolve_delete_scope(meta, store, delete_scope)
 
@@ -1158,6 +1198,11 @@ def compact_dataset(
         partitions = _write_files(
             df.repartition(target_files_per_key), store, dataset_uuid, []
         )
+
+    # recollect zone maps over the compacted files for every column the
+    # old partitions tracked (compaction must not silently drop pruning)
+    zm_cols = sorted({c for p in meta.partitions.values() for c in p.stats})
+    _attach_zone_maps(spark, store, meta.schema, partitions, zm_cols)
 
     new_meta = DatasetMetadata(
         uuid=dataset_uuid,

@@ -1,0 +1,157 @@
+"""Partition-level zone maps: footer-harvested (min, max, null_count)
+in the commit file driving driver-side file pruning on non-key columns."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.core.store import Store
+from plateau_spark.plans.zonemaps import literal_may_match_stats
+from plateau_spark.sources.dataset import (
+    compact_dataset,
+    read_dataset_as_dataframe,
+    store_dataframe_as_dataset,
+    update_dataset_from_dataframe,
+)
+
+
+@pytest.fixture()
+def range_store(spark, tmp_path):
+    """Four files range-clustered on x (0-24, 25-49, 50-74, 75-99)."""
+    store = Store(str(tmp_path / "store"))
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("x"), (F.col("id") % 7).alias("y"))
+        .repartitionByRange(4, "x")
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ranged", df, partition_on=[], repartition=False,
+        zone_map_columns=["x"],
+    )
+    return store
+
+
+def test_zone_maps_recorded_and_revived(spark, range_store):
+    meta = DatasetMetadata.load(range_store, "ranged")
+    assert len(meta.partitions) == 4
+    for p in meta.partitions.values():
+        mn, mx, nulls = p.stats["x"]
+        assert isinstance(mn, int) and isinstance(mx, int) and mn <= mx
+        assert nulls == 0
+    # the four files cover disjoint ranges
+    ranges = sorted((p.stats["x"][0], p.stats["x"][1]) for p in meta.partitions.values())
+    assert ranges[0][0] == 0 and ranges[-1][1] == 99
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
+def test_zone_map_pruning_and_correctness(spark, range_store):
+    out = read_dataset_as_dataframe(
+        spark, range_store, "ranged", predicates=[[("x", ">=", 80)]]
+    )
+    assert len(out.inputFiles()) == 1  # three files proven empty driver-side
+    assert sorted(r["x"] for r in out.collect()) == list(range(80, 100))
+    # disjunction unions the per-conjunction survivors
+    out2 = read_dataset_as_dataframe(
+        spark, range_store, "ranged",
+        predicates=[[("x", "<", 10)], [("x", "==", 60)]],
+    )
+    assert len(out2.inputFiles()) == 2
+    assert sorted(r["x"] for r in out2.collect()) == [*range(10), 60]
+    # a predicate on an untracked column never prunes (and never lies)
+    out3 = read_dataset_as_dataframe(
+        spark, range_store, "ranged", predicates=[[("y", "==", 3)]]
+    )
+    assert len(out3.inputFiles()) == 4
+    assert all(r["y"] == 3 for r in out3.collect())
+
+
+def test_zone_maps_carried_by_update_and_compact(spark, range_store):
+    extra = (
+        spark.range(100, 150)
+        .select(F.col("id").alias("x"), (F.col("id") % 7).alias("y"))
+        .repartitionByRange(2, "x")
+    )
+    update_dataset_from_dataframe(spark, range_store, "ranged", extra)
+    meta = DatasetMetadata.load(range_store, "ranged")
+    # new partitions carry stats without re-passing zone_map_columns
+    assert all("x" in p.stats for p in meta.partitions.values())
+    out = read_dataset_as_dataframe(
+        spark, range_store, "ranged", predicates=[[("x", ">=", 130)]]
+    )
+    assert len(out.inputFiles()) == 1  # 4 original + 1 of 2 appended pruned
+    assert out.count() == 20
+    # compaction rewrites files but keeps the zone-map columns tracked
+    meta2 = compact_dataset(spark, range_store, "ranged")
+    assert all("x" in p.stats for p in meta2.partitions.values())
+    assert read_dataset_as_dataframe(spark, range_store, "ranged").count() == 150
+
+
+def test_zone_maps_with_nulls_and_dates(spark, tmp_path):
+    store = Store(str(tmp_path / "store"))
+    rows = [
+        (1, datetime.date(2020, 1, 1)),
+        (2, None),
+        (3, datetime.date(2020, 6, 1)),
+    ]
+    df = spark.createDataFrame(rows, "k long, d date").coalesce(1)
+    store_dataframe_as_dataset(
+        spark, store, "dated", df, zone_map_columns=["d"], repartition=False
+    )
+    meta = DatasetMetadata.load(store, "dated")
+    (p,) = meta.partitions.values()
+    mn, mx, nulls = p.stats["d"]
+    assert mn == datetime.date(2020, 1, 1) and mx == datetime.date(2020, 6, 1)
+    assert nulls == 1
+    # IS NULL must keep the file (nulls recorded), out-of-range date prunes
+    kept = read_dataset_as_dataframe(
+        spark, store, "dated", predicates=[[("d", "==", None)]]
+    )
+    assert kept.count() == 1
+    pruned = read_dataset_as_dataframe(
+        spark, store, "dated", predicates=[[("d", ">", datetime.date(2021, 1, 1))]]
+    )
+    assert pruned.count() == 0 and len(pruned.inputFiles()) == 0
+
+
+def test_zone_map_column_validation(spark, tmp_path):
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "s")], "k long, s string")
+    with pytest.raises(ValueError, match="truncated"):
+        store_dataframe_as_dataset(
+            spark, store, "bad", df, zone_map_columns=["s"]
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        store_dataframe_as_dataset(
+            spark, store, "bad2", df, zone_map_columns=["nope"]
+        )
+
+
+def test_literal_stats_semantics():
+    st = [10, 20, 0]
+    assert literal_may_match_stats("==", 15, st)
+    assert not literal_may_match_stats("==", 25, st)
+    assert not literal_may_match_stats("<", 10, st)
+    assert literal_may_match_stats("<=", 10, st)
+    assert not literal_may_match_stats(">", 20, st)
+    assert literal_may_match_stats(">=", 20, st)
+    assert not literal_may_match_stats("in", [1, 2, 30], st)
+    assert literal_may_match_stats("in", [1, 12], st)
+    assert not literal_may_match_stats("in", [], st)
+    assert not literal_may_match_stats("in", [None, 1], st)  # no nulls in file
+    assert literal_may_match_stats("in", [None, 1], [10, 20, 3])
+    # IS NULL / IS NOT NULL
+    assert not literal_may_match_stats("==", None, st)
+    assert literal_may_match_stats("==", None, [10, 20, 5])
+    assert literal_may_match_stats("!=", None, st)
+    assert not literal_may_match_stats("!=", None, [None, None, 7])
+    # != only falsifiable for a constant file
+    assert not literal_may_match_stats("!=", 5, [5, 5, 0])
+    assert literal_may_match_stats("!=", 5, [5, 6, 0])
+    # unknown bounds / incomparable types stay conservative
+    assert literal_may_match_stats(">", 5, [None, None, None])
+    assert literal_may_match_stats("==", "str", st)
