@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "dedup_corpus_docs",
     "dataset_compact_read",
     "streaming_ingest_dataset",
+    "dataset_zonemap_read",
+    "dataset_schema_evolution",
+    "pack_sequences",
 ]
 
 

@@ -1311,6 +1311,46 @@ FROM documents
 """
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_pack_bins → materialize_packed_sequences: the full pack
+    pipeline ending in one training sequence per (lang, bin). The
+    packed text is emitted as an md5 so the hash compare stays
+    row-width-bounded."""
+    _prep(spark)
+    from plateau_spark.operators.packing import (
+        concat_pack_bins,
+        materialize_packed_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = concat_pack_bins(docs, ["lang"], "n_chars", 4000, order_col="doc_id")
+    packed = materialize_packed_sequences(
+        binned, ["lang"], "text", order_col="doc_id", sep="\n\n"
+    )
+    return packed.select(
+        "lang",
+        "bin_id",
+        F.md5(F.encode(F.col("packed_text"), "UTF-8")).alias("packed_md5"),
+        "n_docs",
+    )
+
+
+PACK_SEQUENCES_ORACLE = """
+WITH binned AS (
+  SELECT doc_id, lang, text,
+         CAST(greatest(CAST(ceil(
+             COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING), 0) / 4000.0
+         ) AS BIGINT) - 1, 0) AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT lang, bin_id,
+       md5(string_agg(text, E'\\n\\n' ORDER BY doc_id)) AS packed_md5,
+       COUNT(*) AS n_docs
+FROM binned GROUP BY lang, bin_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # web / URL curation (north-star; operators/web.py). The documents table
 # has no URL column, so each query synthesizes one deterministically
@@ -2403,6 +2443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # near-dup / similarity
     # packing / web curation
     "pack_documents_bins": pack_documents_bins,
+    "pack_sequences": pack_sequences,
     "web_domain_stats": web_domain_stats,
     "web_blocklist_filter": web_blocklist_filter,
     "web_url_dedup": web_url_dedup,
@@ -2484,6 +2525,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
     "pack_documents_bins": PACK_BINS_ORACLE,
+    "pack_sequences": PACK_SEQUENCES_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,
     "web_blocklist_filter": WEB_BLOCKLIST_ORACLE,
     "web_url_dedup": WEB_URL_DEDUP_ORACLE,

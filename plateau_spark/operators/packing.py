@@ -132,3 +132,42 @@ def greedy_pack_bins(
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
+
+
+def materialize_packed_sequences(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str,
+    bin_col: str = "bin_id",
+    *,
+    order_col: str | Sequence[str],
+    sep: str = "\n\n",
+    out_col: str = "packed_text",
+) -> DataFrame:
+    """Finish a pack: concatenate each bin's documents (in ``order_col``
+    order) into one training sequence — (group_cols..., bin_col,
+    packed_text, n_docs).
+
+    One keyed aggregation on (group, bin): collect (order, text)
+    structs, array_sort (struct ordering = field order, so the order
+    columns lead), then transform+array_join — all codegen, no window,
+    no Python. Bins are budget-bounded by construction, so a bin's
+    concatenated payload is bounded too (no skew blow-up).
+    """
+    _check(group_cols, 1)
+    order_cols = _order_list(order_col)
+    key = [*group_cols, bin_col]
+    pair = F.struct(*[F.col(c) for c in order_cols], F.col(text_col).alias("__t__"))
+    return (
+        df.groupBy(*key)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(pair)), lambda s: s["__t__"]
+                ),
+                sep,
+            ).alias(out_col),
+        )
+        .select(*key, out_col, "n_docs")
+    )

@@ -120,3 +120,22 @@ def test_pack_tie_break_columns_are_deterministic(spark):
         if expected is None:
             expected = got_c
         assert got_c == expected
+
+
+def test_materialize_packed_sequences(spark):
+    from plateau_spark.operators.packing import (
+        concat_pack_bins,
+        materialize_packed_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 600, "one"), (1, "a", 600, "two"), (2, "a", 600, "three")],
+        "doc_id long, grp string, n long, text string",
+    )
+    binned = concat_pack_bins(df, ["grp"], "n", 1000, order_col="doc_id")
+    out = materialize_packed_sequences(
+        binned, ["grp"], "text", order_col="doc_id", sep="|"
+    ).collect()
+    got = {r["bin_id"]: (r["packed_text"], r["n_docs"]) for r in out}
+    # prefix sums 600,1200,1800 -> bins 0,1,1
+    assert got == {0: ("one", 1), 1: ("two|three", 2)}
