@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dataset_zonemap_read",
     "dataset_schema_evolution",
     "pack_sequences",
+    "cosine_topk_ivf_persisted",
 ]
 
 

@@ -1763,6 +1763,27 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index: build once as a cell-partitioned dataset
+    (centroids in commit metadata), query via a partition-PRUNED read of
+    the probed cells. Probing every cell is exhaustive, so this entry is
+    exact and shares the brute-force oracle; partial-probe pruning is
+    covered by the unit test."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    store = _fresh_store("ivf_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(spark, store, "ann", emb, n_centroids=16, refine_iterations=1)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = query_ivf_index(spark, store, "ann", queries, k=10, nprobe=16)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding duplicates (oracle baseline for the LSH
     tier), computed with the blocked-GEMM tier (same result set as the
@@ -2457,6 +2478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     # composed pipeline
@@ -2537,6 +2559,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_topk_ivf": COSINE_TOPK_ORACLE,
+    "cosine_topk_ivf_persisted": COSINE_TOPK_ORACLE,
     "embedding_dup_pairs": EMBEDDING_DUP_ORACLE,
     "pipeline_training_data": PIPELINE_ORACLE,
     "multimodal_metadata": MULTIMODAL_META_ORACLE,

@@ -484,3 +484,115 @@ def cosine_dup_pairs_blocked(
                 yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
 
     return block_pairs.mapInPandas(_score, out_schema)
+
+
+def build_ivf_index(
+    spark,
+    store,
+    index_uuid: str,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    refine_iterations: int = 1,
+    overwrite: bool = False,
+):
+    """Persist an IVF ANN index as a plateau dataset: corpus vectors
+    partitioned by their nearest-centroid cell (``cell`` is the
+    partition key) and the K×dim centroid matrix in user metadata
+    (kilobytes). Build once, query many — ``query_ivf_index`` turns
+    cell probing into a PARTITION-PRUNED dataset read, so serving a
+    query batch touches O(nprobe) files, never the corpus.
+
+    This is the composition the dataset layer exists for: the ANN
+    index IS a dataset (atomic commit, GC, compaction all apply).
+    """
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    centroids = ivf_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        refine_iterations=refine_iterations,
+    )
+    assigned = _assign_to_centroids(corpus, vec_col, [id_col], centroids)
+    return store_dataframe_as_dataset(
+        spark,
+        store,
+        index_uuid,
+        assigned.select(
+            F.col("__cid__").alias("cell"), F.col(id_col), F.col(vec_col)
+        ),
+        partition_on=["cell"],
+        overwrite=overwrite,
+        metadata={
+            "ivf": {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": [[int(cid), [float(x) for x in vec]] for cid, vec in centroids],
+            }
+        },
+    )
+
+
+def query_ivf_index(
+    spark,
+    store,
+    index_uuid: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Top-k over a persisted IVF index (``build_ivf_index``).
+
+    Each query scores the K centroids (broadcast, narrow), keeps its
+    ``nprobe`` nearest cell ids; the DISTINCT probed cells (≤ K ints)
+    are collected and handed to the dataset planner as an IN-predicate
+    on the partition key — only the probed cells' files enter the scan.
+    Exact cosine re-rank within the probed cells, window top-k.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_dataset_as_dataframe
+
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, index_uuid)
+    ivf = meta.metadata["ivf"]
+    vec_col, id_col = ivf["vec_col"], ivf["id_col"]
+    centroids = [(int(cid), vec) for cid, vec in ivf["centroids"]]
+
+    cent = _centroid_df(spark, centroids)
+    q_scored = queries.crossJoin(F.broadcast(cent)).select(
+        F.col(query_id_col).alias("__qid__"),
+        F.col(vec_col).alias("__qv__"),
+        "__cid__",
+        cosine_sim_col(F.col(vec_col), F.col("__cvec__")).alias("__sim__"),
+    )
+    wq = Window.partitionBy("__qid__").orderBy(
+        F.col("__sim__").desc(), F.col("__cid__").asc()
+    )
+    probes = (
+        q_scored.withColumn("__pr__", F.row_number().over(wq))
+        .where(F.col("__pr__") <= nprobe)
+        .select("__qid__", "__qv__", "__cid__")
+    )
+    cells = sorted(
+        r["__cid__"] for r in probes.select("__cid__").distinct().collect()
+    )
+    corpus_cells = read_dataset_as_dataframe(
+        spark, store, index_uuid, predicates=[[("cell", "in", cells)]]
+    )
+    cand = probes.join(
+        corpus_cells, probes["__cid__"] == corpus_cells["cell"]
+    ).select(
+        F.col("__qid__").alias(query_id_col),
+        F.col(id_col),
+        cosine_sim_col(F.col(vec_col), F.col("__qv__")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

