@@ -155,3 +155,25 @@ def test_literal_stats_semantics():
     # unknown bounds / incomparable types stay conservative
     assert literal_may_match_stats(">", 5, [None, None, None])
     assert literal_may_match_stats("==", "str", st)
+
+
+def test_zone_maps_survive_msgpack_commit(spark, tmp_path):
+    """Stats round-trip through the reference's zstd-msgpack commit
+    format exactly like JSON (dates revived from the schema)."""
+    store = Store(str(tmp_path / "store"))
+    df = (
+        spark.range(20)
+        .select(F.col("id").alias("x"), F.lit(1).alias("y"))
+        .repartitionByRange(2, "x")
+    )
+    store_dataframe_as_dataset(
+        spark, store, "mp", df, repartition=False, zone_map_columns=["x"]
+    )
+    meta = DatasetMetadata.load(store, "mp")
+    meta.commit(store, storage_format="msgpack")
+    revived = DatasetMetadata.load(store, "mp")
+    assert {p.label: p.stats for p in revived.partitions.values()} == {
+        p.label: p.stats for p in meta.partitions.values()
+    }
+    out = read_dataset_as_dataframe(spark, store, "mp", predicates=[[("x", ">=", 15)]])
+    assert len(out.inputFiles()) == 1 and out.count() == 5
