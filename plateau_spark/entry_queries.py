@@ -1076,6 +1076,30 @@ FROM documents
 """
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of lineitem's numeric columns:
+    one aggregation job → (column, min, max, null_count, distinct_count)
+    per column via stack unpivot."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import profile_numeric_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+    return profile_numeric_columns(li, cols)
+
+
+_PROFILE_ONE = (
+    "SELECT '{c}' AS column, CAST(MIN({c}) AS DOUBLE) AS min_value, "
+    "CAST(MAX({c}) AS DOUBLE) AS max_value, "
+    "COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS null_count, "
+    "COUNT(DISTINCT {c}) AS distinct_count FROM lineitem"
+)
+PROFILE_LINEITEM_ORACLE = " UNION ALL ".join(
+    _PROFILE_ONE.format(c=c)
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+)
+
+
 def dataset_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning: a range-clustered keyless write records per-file
     (min, max, null_count) for event_id in the commit file; a range
@@ -2452,6 +2476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_compact_read": dataset_compact_read,
     "dataset_schema_evolution": dataset_schema_evolution,
     "dataset_zonemap_read": dataset_zonemap_read,
+    "profile_lineitem": profile_lineitem,
     # text
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -2541,6 +2566,7 @@ ORACLES: dict[str, str] = {
     "dataset_compact_read": DATASET_COMPACT_ORACLE,
     "dataset_schema_evolution": DATASET_EVOLUTION_ORACLE,
     "dataset_zonemap_read": DATASET_ZONEMAP_ORACLE,
+    "profile_lineitem": PROFILE_LINEITEM_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,

@@ -255,3 +255,40 @@ def _pyarrow_location(url: str) -> str:
         if url.startswith(scheme):
             return "s3://" + url[len(scheme):]
     return url
+
+
+def profile_numeric_columns(
+    df: DataFrame, columns: Sequence[str], *, approx_distinct: bool = False
+) -> DataFrame:
+    """Single-pass data-quality profile: one row per column with
+    (min_value, max_value, null_count, distinct_count), all from ONE
+    aggregation job (no per-column scans) unpivoted via ``stack``.
+
+    ``approx_distinct=True`` swaps exact countDistinct for HyperLogLog
+    ``approx_count_distinct`` — at 100 TB the exact variant is a full
+    shuffle per column while HLL is a fixed-size sketch merged map-side;
+    exact is the default because it is oracle-checkable.
+
+    Numeric columns only: min/max surface as DOUBLE so every row has
+    one type (string min/max rendering differs across engines).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    ndv = F.approx_count_distinct if approx_distinct else F.countDistinct
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.min(F.col(c)).cast("double").alias(f"__{c}_min__"),
+            F.max(F.col(c)).cast("double").alias(f"__{c}_max__"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__{c}_nulls__"),
+            ndv(F.col(c)).alias(f"__{c}_ndv__"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `__{c}_min__`, `__{c}_max__`, `__{c}_nulls__`, CAST(`__{c}_ndv__` AS BIGINT)"
+        for c in columns
+    )
+    return one.selectExpr(
+        f"stack({len(columns)}, {stack}) as "
+        "(column, min_value, max_value, null_count, distinct_count)"
+    )

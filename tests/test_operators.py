@@ -585,3 +585,23 @@ def test_web_canonical_url_dedup(spark):
     assert canon[4] == canon[5] == "https://www.example.com"
     kept = sorted(r.id for r in url_dedup(df, "url", tie_breaker="id").collect())
     assert kept == [1, 3, 4]
+
+def test_profile_numeric_columns(spark):
+    from plateau_spark.operators.dataflow import profile_numeric_columns
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, None), (2, 3.5), (None, 0.5)], "a long, b double"
+    )
+    out = {r["column"]: r for r in profile_numeric_columns(df, ["a", "b"]).collect()}
+    assert out["a"]["min_value"] == 1.0 and out["a"]["max_value"] == 2.0
+    assert out["a"]["null_count"] == 1 and out["a"]["distinct_count"] == 2
+    assert out["b"]["null_count"] == 1 and out["b"]["distinct_count"] == 3
+    # approx tier returns the same shape (values within HLL tolerance)
+    approx = {
+        r["column"]: r
+        for r in profile_numeric_columns(df, ["a"], approx_distinct=True).collect()
+    }
+    assert approx["a"]["distinct_count"] >= 1
+    import pytest as _p
+    with _p.raises(ValueError):
+        profile_numeric_columns(df, [])
