@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",
+    "dedup_paragraphs_docs",
 ]
 
 

@@ -974,6 +974,46 @@ FROM idx, unnest(range(0, nc)) AS t(i)
 """
 
 
+def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph-level dedup (C4-style): exact paragraphs keep
+    their first corpus occurrence only; documents reassemble from
+    surviving paragraphs. Deduped text emitted as md5 to keep the hash
+    compare row-width-bounded. The documents fixture has no real \\n\\n
+    paragraph breaks, so paragraphs are split on '. ' sentence-ish
+    boundaries — the operator itself is separator-agnostic."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_paragraphs(docs, "doc_id", "text", sep=r"\. ", join_sep=". ")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text_deduped"), "UTF-8")).alias("deduped_md5"),
+        "n_kept",
+        "n_paragraphs",
+    )
+
+
+DEDUP_PARAGRAPHS_ORACLE = r"""
+WITH sp AS (
+  SELECT doc_id, regexp_split_to_array(text, '\. ') AS ps FROM documents
+  WHERE text IS NOT NULL
+), paras AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ps[i] AS para
+  FROM sp, unnest(range(1, len(ps) + 1)) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, '. ' ORDER BY pos), '')) AS deduped_md5,
+       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       COUNT(*) AS n_paragraphs
+FROM ranked GROUP BY doc_id
+"""
+
+
 def dedup_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_against_corpus: ingest-time exact-content anti-join — new
     docs whose normalized text already occurs in the 'previous snapshot'
@@ -2473,6 +2513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature": sample_temperature,
     "text_chunks": text_chunks,
     "dedup_corpus_docs": dedup_corpus_docs,
+    "dedup_paragraphs_docs": dedup_paragraphs_docs,
     "dataset_compact_read": dataset_compact_read,
     "dataset_schema_evolution": dataset_schema_evolution,
     "dataset_zonemap_read": dataset_zonemap_read,
@@ -2563,6 +2604,7 @@ ORACLES: dict[str, str] = {
     "sample_temperature": SAMPLE_TEMPERATURE_ORACLE,
     "text_chunks": TEXT_CHUNKS_ORACLE,
     "dedup_corpus_docs": DEDUP_CORPUS_ORACLE,
+    "dedup_paragraphs_docs": DEDUP_PARAGRAPHS_ORACLE,
     "dataset_compact_read": DATASET_COMPACT_ORACLE,
     "dataset_schema_evolution": DATASET_EVOLUTION_ORACLE,
     "dataset_zonemap_read": DATASET_ZONEMAP_ORACLE,

@@ -891,3 +891,58 @@ def dedup_against_corpus(
     return df.withColumn("__sig__", digest(text_col)).join(
         ref_keys, "__sig__", "left_anti"
     ).drop("__sig__")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n\n",
+    join_sep: str | None = None,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """C4-style GLOBAL paragraph dedup: split every document on ``sep``
+    (a regex; ``join_sep`` — default the same string — is the LITERAL
+    separator used to reassemble), keep only the FIRST occurrence of
+    each exact paragraph across the whole corpus (first = smallest
+    (doc id, position)), and reassemble each document from its
+    surviving paragraphs in original order.
+    Boilerplate that repeats across pages (headers, footers, license
+    blocks) survives exactly once, in its earliest document.
+
+    Shape: posexplode (narrow) → ONE keyed shuffle for the
+    first-occurrence window — partitioned by sha2(paragraph) so the
+    exchange and sort keys are fixed-width digests, not paragraph
+    bodies — → one groupBy(id) to reassemble (collect_list bounded by
+    the document's own paragraph count). Documents with NULL text emit
+    no row (split(NULL) explodes to nothing); a document whose every
+    paragraph was seen earlier reassembles to ''.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__p__"),
+    ).withColumn("__h__", F.sha2(F.encode(F.col("__p__"), "UTF-8"), 256))
+    w = Window.partitionBy("__h__").orderBy(F.col(id_col).asc(), F.col("__pos__").asc())
+    ranked = paras.withColumn("__rn__", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn__") == 1,
+                                F.struct(F.col("__pos__"), F.col("__p__")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__p__"],
+                ),
+                join_sep if join_sep is not None else sep,
+            ).alias(out_col),
+            F.sum(F.when(F.col("__rn__") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.count("*").alias("n_paragraphs"),
+        )
+    )

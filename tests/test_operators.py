@@ -605,3 +605,25 @@ def test_profile_numeric_columns(spark):
     import pytest as _p
     with _p.raises(ValueError):
         profile_numeric_columns(df, [])
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    from plateau_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro\n\nshared footer"),
+            (2, "body two\n\nshared footer\n\nmore"),
+            (3, "shared footer"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1]["text_deduped"] == "intro\n\nshared footer"
+    # doc 2 loses only the footer (first seen in doc 1)
+    assert out[2]["text_deduped"] == "body two\n\nmore"
+    assert (out[2]["n_kept"], out[2]["n_paragraphs"]) == (2, 3)
+    # doc 3 is entirely boilerplate -> empty
+    assert out[3]["text_deduped"] == "" and out[3]["n_kept"] == 0
+    # NULL text emits no row
+    assert 4 not in out
