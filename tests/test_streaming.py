@@ -307,3 +307,45 @@ def test_stream_to_dataset_ingest_and_replay(spark, tmp_path):
     ) is True
     out2 = read_dataset_as_dataframe(spark, store, "ingested")
     assert out2.count() == 101
+
+
+def test_stream_to_dataset_multi_batch_then_compact(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a 3-file source drives THREE separate
+    micro-batch commits (each atomic, each recorded); compact_dataset
+    then merges the accumulated small files — the documented pairing."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import compact_dataset, read_dataset_as_dataframe
+    from plateau_spark.streaming.events import stream_to_dataset
+
+    src_dir = str(tmp_path / "src")
+    for lo in (0, 40, 80):
+        spark.createDataFrame(
+            [(i, f"t{i % 2}") for i in range(lo, lo + 40)],
+            "event_id long, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_to_dataset(
+        stream, Store(str(tmp_path / "store")), "multi",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        partition_on=["event_type"], available_now=True,
+    )
+    q.awaitTermination()
+
+    store = Store(str(tmp_path / "store"))
+    meta = DatasetMetadata.load(store, "multi")
+    assert len(meta.metadata["stream_batches"]) == 3  # one commit per file
+    assert len(meta.partitions) == 6  # 3 batches x 2 event types
+    out = read_dataset_as_dataframe(spark, store, "multi")
+    assert sorted(r["event_id"] for r in out.collect()) == list(range(120))
+
+    compacted = compact_dataset(spark, store, "multi")
+    assert len(compacted.partitions) == 2  # one file per event_type
+    assert read_dataset_as_dataframe(spark, store, "multi").count() == 120
+    # batch watermark survives compaction (metadata carried over)
+    assert len(compacted.metadata["stream_batches"]) == 3
