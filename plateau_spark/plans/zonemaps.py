@@ -208,7 +208,11 @@ def literal_may_match_stats(op: str, val: Any, stat: list) -> bool:
     if op in ("==", "=") and val is None:  # IS NULL
         return nulls is None or nulls > 0
     if op == "!=" and val is None:  # IS NOT NULL
-        return mn is not None or mx is not None or nulls is None
+        # Never falsifiable from stats alone: absent bounds mean EITHER
+        # an all-null file OR a writer that recorded no min/max for a
+        # populated chunk — without a row count the two are
+        # indistinguishable (caught by the pruning fuzz test).
+        return True
     if op in ("not in", "is distinct from"):
         return True  # not usefully falsifiable by bounds
     if op == "in":

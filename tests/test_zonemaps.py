@@ -148,7 +148,9 @@ def test_literal_stats_semantics():
     assert not literal_may_match_stats("==", None, st)
     assert literal_may_match_stats("==", None, [10, 20, 5])
     assert literal_may_match_stats("!=", None, st)
-    assert not literal_may_match_stats("!=", None, [None, None, 7])
+    # IS NOT NULL is never stats-falsifiable: [None, None, n] is
+    # ambiguous between an all-null file and degraded writer stats
+    assert literal_may_match_stats("!=", None, [None, None, 7])
     # != only falsifiable for a constant file
     assert not literal_may_match_stats("!=", 5, [5, 5, 0])
     assert literal_may_match_stats("!=", 5, [5, 6, 0])
@@ -177,3 +179,52 @@ def test_zone_maps_survive_msgpack_commit(spark, tmp_path):
     }
     out = read_dataset_as_dataframe(spark, store, "mp", predicates=[[("x", ">=", 15)]])
     assert len(out.inputFiles()) == 1 and out.count() == 5
+
+
+# --- property fuzz: a pruned file can never contain a matching row ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from plateau_spark.core.predicates import evaluate_literal
+
+_OPS_SCALAR = ["==", "=", "!=", "<=", ">=", "<", ">"]
+
+
+@st.composite
+def _stat_and_values(draw):
+    """A synthetic file: its contained values, and the zone map they
+    imply (bounds over non-nulls, null count; optionally degraded to
+    unknown bounds / unknown null count)."""
+    vals = draw(st.lists(st.one_of(st.integers(-20, 20), st.none()), min_size=1, max_size=8))
+    nonnull = [v for v in vals if v is not None]
+    mn = min(nonnull) if nonnull else None
+    mx = max(nonnull) if nonnull else None
+    nulls = sum(v is None for v in vals)
+    if draw(st.booleans()):
+        mn = mx = None  # degrade to unknown bounds
+    if draw(st.booleans()):
+        nulls = None  # footer didn't record null_count
+    return vals, [mn, mx, nulls]
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    sv=_stat_and_values(),
+    op=st.sampled_from([*_OPS_SCALAR, "in", "not in"]),
+    lit=st.one_of(st.integers(-25, 25), st.none()),
+    lits=st.lists(st.one_of(st.integers(-25, 25), st.none()), max_size=4),
+)
+def test_pruned_literal_matches_no_row(sv, op, lit, lits):
+    vals, stat = sv
+    val = lits if op in ("in", "not in") else lit
+    if val is None and op in ("<=", ">=", "<", ">"):
+        return  # invalid literal per check_predicates
+    if not literal_may_match_stats(op, val, stat):
+        # the planner pruned this file: NO contained row may satisfy
+        # the literal under row-level SQL semantics
+        for v in vals:
+            assert not evaluate_literal(v, op, val), (
+                f"pruned file contains matching row: value={v!r}, "
+                f"op={op!r}, literal={val!r}, stat={stat!r}"
+            )
