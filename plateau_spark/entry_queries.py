@@ -2475,64 +2475,27 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordering policy: the correctness driver verifies the FIRST 50 entries of
+# this dict each round, so ordering is rotated per round to guarantee every
+# query accumulates driver-green evidence.
+#   Round 6 window: (a) the 24 queries that fell outside the round-5 window
+#   (incl. the 6 never driver-verified: asof_join_events, range_join_windows,
+#   streaming_dedup, streaming_enrich_dim, streaming_ingest_dataset,
+#   cosine_topk_ivf_persisted) go FIRST; (b) then the 26 round-5-green
+#   queries whose code paths this round touches (paragraph dedup rewrite,
+#   zone-map NaN fix, commit rename pool, compaction gc default, temperature
+#   NULL-key fix, write/update/gc lifecycle).
+#   Round 7 plan: rotate the 24 tail queries (long-green relational / text /
+#   pack / web tier, all driver-green in r01-r05) back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # relational surface
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q5_region_revenue": q5_region_revenue,
-    "window_top_order_per_customer": window_top_order_per_customer,
-    "sort_topk_orders": sort_topk_orders,
-    # dataset layer
-    "dataset_roundtrip_read": dataset_roundtrip_read,
-    "dataset_pruned_read": dataset_pruned_read,
-    "dataset_index_read": dataset_index_read,
-    "dataset_csv_roundtrip": dataset_csv_roundtrip,
-    "dataset_multi_store_iter": dataset_multi_store_iter,
-    "dataset_dispatch_groups": dataset_dispatch_groups,
-    "dataset_index_view": dataset_index_view,
-    "dataset_copy": dataset_copy,
-    "dataset_msgpack_read": dataset_msgpack_read,
-    "dataset_factory_read": dataset_factory_read,
-    "dataset_update_delete_scope": dataset_update_delete_scope,
-    "dataset_append_update": dataset_append_update,
-    "dataset_bucketed_write": dataset_bucketed_write,
-    "dataset_filter_query_read": dataset_filter_query_read,
-    "dataset_metadata_stats": dataset_metadata_stats,
-    "dataset_commit_protocol": dataset_commit_protocol,
-    "dataset_gc_roundtrip": dataset_gc_roundtrip,
-    "dataset_sql_view": dataset_sql_view,
-    # dataflow
-    "agg_to_lists": agg_to_lists,
-    "dedup_keep_last": dedup_keep_last,
-    "dedup_exact_docs": dedup_exact_docs,
-    "merge_robust": merge_robust,
-    "hash_dataset_groups": hash_dataset_groups,
-    # sampling
-    "sample_split_assign": sample_split_assign,
-    "sample_quota_rows": sample_quota_rows,
-    "sample_temperature": sample_temperature,
-    "text_chunks": text_chunks,
-    "dedup_corpus_docs": dedup_corpus_docs,
-    "dedup_paragraphs_docs": dedup_paragraphs_docs,
-    "dataset_compact_read": dataset_compact_read,
-    "dataset_schema_evolution": dataset_schema_evolution,
-    "dataset_zonemap_read": dataset_zonemap_read,
-    "profile_lineitem": profile_lineitem,
-    # text
-    "text_stats": text_stats,
-    "text_quality": text_quality,
-    "text_lang_agg": text_lang_agg,
-    "text_bpe_tokens": text_bpe_tokens,
-    "text_tfidf_terms": text_tfidf_terms,
-    "text_repetition": text_repetition,
-    "text_pii_scrub": text_pii_scrub,
-    "text_token_histogram": text_token_histogram,
-    # near-dup / similarity
-    # packing / web curation
-    "pack_documents_bins": pack_documents_bins,
-    "pack_sequences": pack_sequences,
-    "web_domain_stats": web_domain_stats,
-    "web_blocklist_filter": web_blocklist_filter,
+    # --- never driver-verified before round 6 ---
+    "asof_join_events": asof_join_events,
+    "range_join_windows": range_join_windows,
+    "streaming_dedup": streaming_dedup,
+    "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
+    # --- outside the round-5 driver window ---
     "web_url_dedup": web_url_dedup,
     "ngram_jaccard": ngram_jaccard,
     "ngram_jaccard_capped": ngram_jaccard_capped,
@@ -2544,23 +2507,65 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
-    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    # composed pipeline
     "pipeline_training_data": pipeline_training_data,
-    # multimodal
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
-    # streaming
     "streaming_sessionize": streaming_sessionize,
     "streaming_windowed_counts": streaming_windowed_counts,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enrich_dim": streaming_enrich_dim,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    # temporal joins
-    "asof_join_events": asof_join_events,
-    "range_join_windows": range_join_windows,
+    # --- round-6-touched code paths (re-verify after changes) ---
+    "dedup_paragraphs_docs": dedup_paragraphs_docs,
+    "sample_temperature": sample_temperature,
+    "dataset_zonemap_read": dataset_zonemap_read,
+    "dataset_pruned_read": dataset_pruned_read,
+    "dataset_compact_read": dataset_compact_read,
+    "dataset_commit_protocol": dataset_commit_protocol,
+    "dataset_bucketed_write": dataset_bucketed_write,
+    "dataset_roundtrip_read": dataset_roundtrip_read,
+    "dataset_append_update": dataset_append_update,
+    "dataset_update_delete_scope": dataset_update_delete_scope,
+    "dataset_gc_roundtrip": dataset_gc_roundtrip,
+    "dataset_schema_evolution": dataset_schema_evolution,
+    "dataset_filter_query_read": dataset_filter_query_read,
+    "dataset_index_read": dataset_index_read,
+    "dataset_metadata_stats": dataset_metadata_stats,
+    "dedup_corpus_docs": dedup_corpus_docs,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_keep_last": dedup_keep_last,
+    "profile_lineitem": profile_lineitem,
+    "sample_split_assign": sample_split_assign,
+    "sample_quota_rows": sample_quota_rows,
+    "merge_robust": merge_robust,
+    "hash_dataset_groups": hash_dataset_groups,
+    "agg_to_lists": agg_to_lists,
+    "text_chunks": text_chunks,
+    "q1_pricing_summary": q1_pricing_summary,
+    # --- tail (driver-green in r01-r05; rotate back in round 7) ---
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "window_top_order_per_customer": window_top_order_per_customer,
+    "sort_topk_orders": sort_topk_orders,
+    "dataset_csv_roundtrip": dataset_csv_roundtrip,
+    "dataset_multi_store_iter": dataset_multi_store_iter,
+    "dataset_dispatch_groups": dataset_dispatch_groups,
+    "dataset_index_view": dataset_index_view,
+    "dataset_copy": dataset_copy,
+    "dataset_msgpack_read": dataset_msgpack_read,
+    "dataset_factory_read": dataset_factory_read,
+    "dataset_sql_view": dataset_sql_view,
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_lang_agg": text_lang_agg,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_tfidf_terms": text_tfidf_terms,
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
+    "text_token_histogram": text_token_histogram,
+    "pack_documents_bins": pack_documents_bins,
+    "pack_sequences": pack_sequences,
+    "web_domain_stats": web_domain_stats,
+    "web_blocklist_filter": web_blocklist_filter,
 }
 
 # Queries WITHOUT an oracle entry are rows-only checked by the driver
