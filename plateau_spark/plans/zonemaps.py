@@ -98,6 +98,11 @@ def collect_partition_stats(
             for label, url in zip(pdf["label"], pdf["url"]):
                 pf = _pq.ParquetFile(_pyarrow_location(url))
                 names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+                def _nan(v):
+                    import math
+
+                    return isinstance(v, float) and math.isnan(v)
+
                 for col in columns:
                     ci = names.get(col)
                     if ci is None:
@@ -123,6 +128,13 @@ def collect_partition_stats(
                                 != pf.metadata.row_group(rg).num_rows
                             ):
                                 have_bounds = False
+                            continue
+                        if _nan(st.min) or _nan(st.max):
+                            # A NaN bound poisons interval reasoning
+                            # (every comparison against it is False in
+                            # Python, and Spark sorts NaN above all
+                            # values) — treat the file as unbounded.
+                            have_bounds = False
                             continue
                         mn = st.min if mn is None or st.min < mn else mn
                         mx = st.max if mx is None or st.max > mx else mx
@@ -198,11 +210,29 @@ def _cmp_ok(a: Any, b: Any) -> bool:
         return False
 
 
+def _is_nan(v: Any) -> bool:
+    import math
+
+    return isinstance(v, float) and math.isnan(v)
+
+
 def literal_may_match_stats(op: str, val: Any, stat: list) -> bool:
     """Three-valued: True = rows may match (keep the file), False = the
     literal is PROVEN empty on this file (prune). Conservative on any
     uncertainty — unknown bounds, incomparable types, unrecorded null
     counts all return True.
+
+    NaN handling (float/double columns): parquet writers may EXCLUDE NaN
+    rows from min/max (the spec leaves NaN stats undefined), so a file
+    with finite bounds can still hide NaN rows. Under Spark semantics
+    NaN sorts ABOVE every value and equals itself, therefore:
+      - ``>``/``>=``/``!=`` can never prune a float-bounded file (a
+        hidden NaN row would satisfy them);
+      - ``<``/``<=`` stay sound (hidden NaN never satisfies them);
+      - ``==``/``in`` with non-NaN literals stay sound (NaN == v is
+        false for finite v); a NaN literal never prunes.
+    NaN bounds themselves are discarded at collection time
+    (``collect_partition_stats``) — bounds here are NaN-free.
     """
     mn, mx, nulls = stat
     if op in ("==", "=") and val is None:  # IS NULL
@@ -215,11 +245,14 @@ def literal_may_match_stats(op: str, val: Any, stat: list) -> bool:
         return True
     if op in ("not in", "is distinct from"):
         return True  # not usefully falsifiable by bounds
+    float_bounds = isinstance(mn, float) or isinstance(mx, float)
     if op == "in":
         vals = [v for v in val if v is not None]
         has_null = any(v is None for v in val)
         if has_null and (nulls is None or nulls > 0):
             return True  # the null member may match this file's nulls
+        if any(_is_nan(v) for v in vals):
+            return True  # NaN member may match hidden NaN rows
         if mn is None or mx is None:
             return True  # no recorded bounds → unknown, keep
         for v in vals:
@@ -234,6 +267,10 @@ def literal_may_match_stats(op: str, val: Any, stat: list) -> bool:
         # proves scalar comparisons empty ONLY if we know every row is
         # null — we don't track row counts here, so stay conservative
         return True
+    if _is_nan(val):
+        return True  # NaN literal: only hidden NaN rows can match
+    if float_bounds and op in (">", ">=", "!="):
+        return True  # hidden NaN rows (excluded from bounds) may match
     if not (_cmp_ok(val, mn) and _cmp_ok(val, mx)):
         return True
     if op in ("==", "="):

@@ -118,6 +118,45 @@ def test_zone_maps_with_nulls_and_dates(spark, tmp_path):
     assert pruned.count() == 0 and len(pruned.inputFiles()) == 0
 
 
+def test_zone_maps_nan_never_prune_matching_rows(spark, tmp_path):
+    """Spark's parquet writer folds NaN into double column stats
+    (max=NaN); collection must degrade those bounds to unknown so no
+    predicate prunes the file holding real matching rows."""
+    store = Store(str(tmp_path / "store"))
+    rows = [(1, 1.0), (2, float("nan")), (3, 2.0)]
+    df = spark.createDataFrame(rows, "k long, x double").coalesce(1)
+    store_dataframe_as_dataset(
+        spark, store, "nanned", df, zone_map_columns=["x"], repartition=False
+    )
+    meta = DatasetMetadata.load(store, "nanned")
+    (p,) = meta.partitions.values()
+    mn, mx, _nulls = p.stats["x"]
+    # bounds must be either NaN-free or degraded to unknown
+    import math as _m
+
+    assert mn is None or not _m.isnan(mn)
+    assert mx is None or not _m.isnan(mx)
+    # the poisoned-stats file must survive every one of these predicates
+    for preds, expect in [
+        ([[("x", "==", 2.0)]], [3]),
+        ([[("x", ">", 1.5)]], [2, 3]),  # NaN > 1.5 is TRUE in Spark
+        ([[("x", ">=", 2.0)]], [2, 3]),
+        ([[("x", "<", 1.5)]], [1]),
+    ]:
+        got = read_dataset_as_dataframe(spark, store, "nanned", predicates=preds)
+        assert sorted(r["k"] for r in got.collect()) == expect, preds
+    # a NaN-free float file still cannot be pruned by > / >= / != (the
+    # writer may have skipped NaN rows when computing bounds)
+    from plateau_spark.plans.zonemaps import literal_may_match_stats as lmm
+
+    assert lmm(">", 99.0, [1.0, 2.0, 0])
+    assert lmm(">=", 99.0, [1.0, 2.0, 0])
+    assert lmm("!=", 1.0, [1.0, 1.0, 0])
+    assert not lmm("<", -5.0, [1.0, 2.0, 0])  # still sound to prune
+    assert not lmm("==", 99.0, [1.0, 2.0, 0])  # finite == stays sound
+    assert lmm("==", float("nan"), [1.0, 2.0, 0])  # NaN literal keeps
+
+
 def test_zone_map_column_validation(spark, tmp_path):
     store = Store(str(tmp_path / "store"))
     df = spark.createDataFrame([(1, "s")], "k long, s string")
@@ -183,6 +222,8 @@ def test_zone_maps_survive_msgpack_commit(spark, tmp_path):
 
 # --- property fuzz: a pruned file can never contain a matching row ----------
 
+import math
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -226,5 +267,91 @@ def test_pruned_literal_matches_no_row(sv, op, lit, lits):
         for v in vals:
             assert not evaluate_literal(v, op, val), (
                 f"pruned file contains matching row: value={v!r}, "
+                f"op={op!r}, literal={val!r}, stat={stat!r}"
+            )
+
+
+def _spark_eval_float(actual, op, val):
+    """Row-level semantics a pruned float row would have seen in Spark:
+    NaN sorts ABOVE every double, NaN equals NaN (unlike Python where
+    every NaN comparison is False). Nulls collapse to False."""
+    if actual is None:
+        return False
+    if op == "in":
+        return any(v is not None and _spark_eval_float(actual, "==", v) for v in val)
+    if op == "not in":
+        return not any(v is not None and _spark_eval_float(actual, "==", v) for v in val)
+    if val is None:
+        return op == "!="  # IS NOT NULL on a non-null row
+    a_nan, v_nan = math.isnan(actual), math.isnan(val)
+    if a_nan or v_nan:
+        eq = a_nan and v_nan
+        gt = a_nan and not v_nan  # NaN is the largest double
+        lt = v_nan and not a_nan
+        return {
+            "==": eq, "=": eq, "!=": not eq,
+            ">": gt, ">=": gt or eq, "<": lt, "<=": lt or eq,
+        }[op]
+    return evaluate_literal(actual, op, val)
+
+
+@st.composite
+def _float_stat_and_values(draw):
+    """A float/double file: values may contain NaN; the writer may or
+    may not have excluded NaN rows from the recorded bounds (both occur
+    in the wild — the parquet spec leaves NaN stats undefined). The
+    collection layer discards NaN bounds, so the NaN-included branch
+    degrades to unknown bounds, exactly as collect_partition_stats does."""
+    base = st.one_of(
+        st.floats(-20, 20, allow_nan=False, allow_infinity=False),
+        st.just(float("nan")),
+        st.none(),
+    )
+    vals = draw(st.lists(base, min_size=1, max_size=8))
+    nonnull = [v for v in vals if v is not None]
+    finite = [v for v in nonnull if not math.isnan(v)]
+    if draw(st.booleans()) and any(math.isnan(v) for v in nonnull):
+        # writer folded NaN into stats → collection drops the bounds
+        mn = mx = None
+    else:
+        # writer skipped NaN rows: finite bounds, NaN rows hidden
+        mn = min(finite) if finite else None
+        mx = max(finite) if finite else None
+    nulls = sum(v is None for v in vals)
+    if draw(st.booleans()):
+        nulls = None
+    return vals, [mn, mx, nulls]
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    sv=_float_stat_and_values(),
+    op=st.sampled_from([*_OPS_SCALAR, "in", "not in"]),
+    lit=st.one_of(
+        st.floats(-25, 25, allow_nan=False, allow_infinity=False),
+        st.just(float("nan")),
+        st.none(),
+    ),
+    lits=st.lists(
+        st.one_of(
+            st.floats(-25, 25, allow_nan=False, allow_infinity=False),
+            st.just(float("nan")),
+            st.none(),
+        ),
+        max_size=4,
+    ),
+)
+def test_pruned_float_literal_matches_no_row(sv, op, lit, lits):
+    """Float/double pruning soundness under SPARK NaN semantics — a
+    pruned file skips Spark's residual filter entirely, so no hidden
+    NaN row may have matched (regression for the NaN zone-map hole)."""
+    vals, stat = sv
+    val = lits if op in ("in", "not in") else lit
+    if val is None and op in ("<=", ">=", "<", ">"):
+        return
+    if not literal_may_match_stats(op, val, stat):
+        for v in vals:
+            assert not _spark_eval_float(v, op, val), (
+                f"pruned float file contains matching row: value={v!r}, "
                 f"op={op!r}, literal={val!r}, stat={stat!r}"
             )
