@@ -718,9 +718,11 @@ def duplicate_clusters(
     convergence is detected distributedly (count of label changes, one
     lightweight action per round) and non-convergence within
     ``max_iter`` raises rather than returning an under-merged
-    clustering. Only ids that appear in ``pairs`` are emitted —
-    singletons never enter the shuffle (union them back from the corpus
-    if a total clustering is needed).
+    clustering. Only ids that appear in a NON-self pair are emitted —
+    self-pairs (id_a == id_b) are dropped up front in BOTH paths (they
+    carry no clustering information), so singletons never enter the
+    shuffle (union them back from the corpus if a total clustering is
+    needed).
 
     Small-graph fast path: after LSH banding / jaccard thresholding the
     duplicate-pair graph is orders of magnitude smaller than the corpus;
@@ -732,6 +734,9 @@ def duplicate_clusters(
     bound as the IVF centroids (operators/similarity.py); pass 0 to
     force the distributed loop.
     """
+    # normalize self-loops identically for the driver and distributed
+    # paths: (a, a) edges are dropped before either runs
+    pairs = pairs.where(F.col(id_a) != F.col(id_b))
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -911,29 +916,50 @@ def dedup_paragraphs(
     Boilerplate that repeats across pages (headers, footers, license
     blocks) survives exactly once, in its earliest document.
 
-    Shape: posexplode (narrow) → ONE keyed shuffle for the
-    first-occurrence window — partitioned by sha2(paragraph) so the
-    exchange and sort keys are fixed-width digests, not paragraph
-    bodies — → one groupBy(id) to reassemble (collect_list bounded by
-    the document's own paragraph count). Documents with NULL text emit
-    no row (split(NULL) explodes to nothing); a document whose every
-    paragraph was seen earlier reassembles to ''.
+    Shape (hot-digest safe): posexplode (narrow) →
+    ``groupBy(digest).agg(min(struct(id, pos)))`` for the first
+    occurrence — a partial-aggregating exchange, so a corpus-hot
+    paragraph digest (the empty paragraph from repeated separators, a
+    cross-site footer) collapses to ONE row per map task before the
+    shuffle instead of sorting corpus-scale rows in a single window
+    task — → LEFT join-back on the COMPOSITE key (digest, id, pos),
+    which hash-distributes a hot digest's rows across reducers because
+    id/pos differ → one groupBy(id) to reassemble (collect_list bounded
+    by the document's own paragraph count). Empty paragraphs bypass
+    sha2 entirely ('' is their sentinel digest — it cannot collide with
+    a 64-hex real digest). Documents with NULL text emit no row
+    (split(NULL) explodes to nothing); a document whose every paragraph
+    was seen earlier reassembles to ''.
     """
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__p__"),
-    ).withColumn("__h__", F.sha2(F.encode(F.col("__p__"), "UTF-8"), 256))
-    w = Window.partitionBy("__h__").orderBy(F.col(id_col).asc(), F.col("__pos__").asc())
-    ranked = paras.withColumn("__rn__", F.row_number().over(w))
+    ).withColumn(
+        "__h__",
+        F.when(F.col("__p__") == "", F.lit("")).otherwise(
+            F.sha2(F.encode(F.col("__p__"), "UTF-8"), 256)
+        ),
+    )
+    winners = (
+        paras.groupBy("__h__")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos__"))).alias("__w__"))
+        .select(
+            F.col("__h__"),
+            F.col("__w__")[id_col].alias(id_col),
+            F.col("__w__")["__pos__"].alias("__pos__"),
+            F.lit(1).alias("__keep__"),
+        )
+    )
+    flagged = paras.join(winners, ["__h__", id_col, "__pos__"], "left")
     return (
-        ranked.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__rn__") == 1,
+                                F.col("__keep__") == 1,
                                 F.struct(F.col("__pos__"), F.col("__p__")),
                             )
                         )
@@ -942,7 +968,7 @@ def dedup_paragraphs(
                 ),
                 join_sep if join_sep is not None else sep,
             ).alias(out_col),
-            F.sum(F.when(F.col("__rn__") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__keep__") == 1, 1).otherwise(0)).alias("n_kept"),
             F.count("*").alias("n_paragraphs"),
         )
     )

@@ -370,6 +370,24 @@ def test_duplicate_clusters(spark, threshold):
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
+
+@pytest.mark.parametrize("threshold", [1_000_000, 0])  # fast path / distributed loop
+def test_duplicate_clusters_self_pairs_identical_across_paths(spark, threshold):
+    """Self-pairs (id_a == id_b) are normalized identically in the
+    driver fast path and the distributed loop: dropped up front, so a
+    node appearing ONLY as a self-pair is a singleton in both."""
+    from plateau_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 2)], "id_a long, id_b long"
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(pairs, small_graph_threshold=threshold).collect()
+    }
+    # 5 is self-pair-only -> absent; 2's self-pair is inert
+    assert out == {1: 1, 2: 1}
+
 def test_cosine_dup_pairs_blocked_equals_bruteforce(spark, embeddings):
     from plateau_spark.operators.similarity import (
         cosine_dup_pairs_blocked,
@@ -627,3 +645,22 @@ def test_dedup_paragraphs_global_first_occurrence(spark):
     assert out[3]["text_deduped"] == "" and out[3]["n_kept"] == 0
     # NULL text emits no row
     assert 4 not in out
+
+
+def test_dedup_paragraphs_empty_paragraphs_first_occurrence(spark):
+    """Repeated separators make '' paragraphs — the corpus-hot digest.
+    They bypass sha2 (sentinel '') but keep identical first-occurrence
+    semantics: the earliest '' survives, every later one drops."""
+    from plateau_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a\n\n\n\nb"), (2, "c\n\n\n\n\n\nd")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    # doc 1: ['a', '', 'b'] → all first occurrences
+    assert out[1]["text_deduped"] == "a\n\n\n\nb"
+    assert (out[1]["n_kept"], out[1]["n_paragraphs"]) == (3, 3)
+    # doc 2: ['c', '', '', 'd'] → both '' already seen (doc 1 / earlier pos)
+    assert out[2]["text_deduped"] == "c\n\nd"
+    assert (out[2]["n_kept"], out[2]["n_paragraphs"]) == (2, 4)

@@ -97,3 +97,20 @@ def test_lsh_dup_pairs_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_paragraphs_first_occurrence_is_aggregate_not_window(spark):
+    """Global paragraph first-occurrence must plan as a partial
+    (map-side-combining) aggregate over the digest plus a composite-key
+    join-back — a row_number() window over partitionBy(digest) puts a
+    corpus-hot digest (empty paragraph, boilerplate footer) into one
+    task's sort at 100 TB."""
+    from plateau_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup_paragraphs(docs, "doc_id", "text", sep=r"\. ", join_sep=". ")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # partial/final agg pair for min(struct)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
