@@ -939,7 +939,7 @@ d AS (SELECT SUM(POW(n, 0.5)) AS d FROM n),
 p AS (SELECT lang, LEAST(1.0, POW(n, 0.5) / d * 250.0 / n) AS keep_p
       FROM n CROSS JOIN d)
 SELECT doc_id, documents.lang AS lang
-FROM documents JOIN p USING (lang)
+FROM documents JOIN p ON documents.lang IS NOT DISTINCT FROM p.lang
 WHERE {_U_TEMP} < keep_p
 """
 

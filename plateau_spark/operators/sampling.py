@@ -14,6 +14,7 @@ no Python, no driver state; identical cost profile at 100 TB.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -86,6 +87,11 @@ def temperature_resample(
     Scale shape: one tiny keyed agg (|groups| rows) broadcast-joined
     back, then a codegen filter — no window, no skew sensitivity.
     ``keep_prob_col`` optionally emits the per-row keep probability.
+
+    NULL group keys form a real group: the join back is null-safe
+    (``eqNullSafe``), so rows with a NULL key participate in the mix at
+    exactly the probability their count implies, instead of being
+    counted in the denominator and then silently dropped.
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
@@ -106,8 +112,13 @@ def temperature_resample(
             / F.col("__n__"),
         ).alias("__keep_p__"),
     )
-    out = df.join(F.broadcast(probs), group_cols).where(
-        _hash_unit(key_col, salt) < F.col("__keep_p__")
+    join_cond = reduce(
+        lambda a, b: a & b, [df[c].eqNullSafe(probs[c]) for c in group_cols]
+    )
+    out = (
+        df.join(F.broadcast(probs), join_cond)
+        .select(df["*"], probs["__keep_p__"])
+        .where(_hash_unit(key_col, salt) < F.col("__keep_p__"))
     )
     if keep_prob_col is not None:
         return out.withColumnRenamed("__keep_p__", keep_prob_col)

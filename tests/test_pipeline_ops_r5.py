@@ -43,6 +43,27 @@ def test_temperature_resample_alpha_one_is_proportional(spark, skewed):
     assert 400 <= counts["en"] <= 500 and 35 <= counts["sw"] <= 65
 
 
+def test_temperature_resample_null_group_participates(spark):
+    """Rows with a NULL group key are a real group: they are counted in
+    the q-denominator AND survive the (null-safe) join back at their
+    implied probability — not counted then silently dropped."""
+    from plateau_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "en") for i in range(300)] + [(i + 300, None) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    # alpha=1, target=600 -> keep_p = 1 for every group: ALL rows kept
+    out = temperature_resample(df, ["lang"], key_col="k", target_rows=600, alpha=1.0)
+    counts = {
+        r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()
+    }
+    assert counts.get("en") == 300
+    assert counts.get(None) == 300, "NULL-key rows must survive the join back"
+    # and at partial keep rates the NULL group keeps roughly its share
+    part = temperature_resample(df, ["lang"], key_col="k", target_rows=300, alpha=1.0)
+    pc = {r["lang"]: r["count"] for r in part.groupBy("lang").count().collect()}
+    assert 100 <= pc.get(None, 0) <= 200  # ~150 expected
+
+
 def test_temperature_resample_validates(spark, skewed):
     from plateau_spark.operators.sampling import temperature_resample
 
@@ -153,14 +174,24 @@ def test_compact_dataset_merges_files(spark, tmp_path):
     # the rebuilt secondary index still prunes correctly
     got = read_dataset_as_dataframe(spark, store, "frag", predicates=[[("v", "==", "v7")]])
     assert [r["k"] for r in got.collect()] == [7]
-    # superseded files were GC'd: nothing but current refs + commit file
-    live = set(store.iter_keys("frag/"))
-    assert all(
-        k in meta.referenced_keys()
-        or any(k.startswith(ref.rstrip("/") + "/") for ref in meta.referenced_keys())
-        or k.endswith(".json")
-        for k in live
-    ), live
+    # default gc=False: superseded files survive the commit swap so
+    # readers holding the previous commit keep working...
+    def _live_unreferenced():
+        refs = meta.referenced_keys()
+        return [
+            k
+            for k in store.iter_keys("frag/")
+            if k not in refs
+            and not any(k.startswith(ref.rstrip("/") + "/") for ref in refs)
+            and not k.endswith(".json")
+        ]
+
+    assert _live_unreferenced(), "expected superseded files before explicit GC"
+    # ...until an explicit GC reclaims them
+    from plateau_spark.sources.dataset import garbage_collect_dataset
+
+    garbage_collect_dataset(store, "frag")
+    assert not _live_unreferenced(), _live_unreferenced()
     # idempotent: already-compact dataset is a metadata-only no-op
     again = compact_dataset(spark, store, "frag")
     assert {p.file for p in again.partitions.values()} == {
