@@ -22,6 +22,7 @@ never in-place mutation of a partition — partition-level copy-on-write.
 from __future__ import annotations
 
 import posixpath
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,6 +161,14 @@ def _write_files(
     claim each other's in-flight files (they stage under different
     commit ids). Mirrors the reference's track-what-each-task-wrote
     protocol (plateau/io_components/write.py:148-233).
+
+    Driver-time bound: the staged→final renames are pure metadata ops
+    with no ordering requirement (nothing references a staged key until
+    the commit file is written afterwards), so they run through a
+    thread pool — driver wall-time is O(new files / pool width) rather
+    than a serial O(new files) loop, which matters on object stores
+    where "move" is a copy+delete round-trip. Any rename failure aborts
+    the whole write before commit, leaving only invisible staged files.
     """
     import uuid as _uuid
 
@@ -188,13 +197,11 @@ def _write_files(
     )
 
     key_types = {f.name: f.dataType for f in df.schema.fields if f.name in partition_on}
-    partitions = []
     staged = sorted(store.iter_keys(staging + "/"))
     if any(_HIVE_NULL_DIR in key for key in staged):
         _raise_null_partition_keys(store, staging, partition_on)
-    for key in staged:
-        if not is_payload_file(key):
-            continue
+
+    def _promote(key: str) -> Partition:
         rel = key[len(staging) + 1 :]
         dirname = posixpath.dirname(rel)
         final_rel = posixpath.join(dirname, f"{commit_id}-{posixpath.basename(rel)}")
@@ -205,7 +212,13 @@ def _write_files(
             if partition_on
             else {}
         )
-        partitions.append(Partition(label=final_rel, file=final_key, key_values=key_values))
+        return Partition(label=final_rel, file=final_key, key_values=key_values)
+
+    payload_keys = [k for k in staged if is_payload_file(k)]
+    # renames are order-independent pre-commit; pool them so driver
+    # wall-time is O(files / width), not a serial O(files) loop
+    with ThreadPoolExecutor(max_workers=min(32, max(1, len(payload_keys)))) as pool:
+        partitions = list(pool.map(_promote, payload_keys))
     store.delete(staging)  # leftover _SUCCESS marker etc.
     return partitions
 
@@ -1152,7 +1165,7 @@ def compact_dataset(
     dataset_uuid: str,
     *,
     target_files_per_key: int = 1,
-    gc: bool = True,
+    gc: bool = False,
 ) -> DatasetMetadata:
     """Merge a fragmented dataset's many small files into at most
     ``target_files_per_key`` files per partition-key combination —
@@ -1164,9 +1177,11 @@ def compact_dataset(
     shuffle shape as a bucketed store: repartition on the keys, or on
     (keys ⊕ hash-bucket) for ``target_files_per_key > 1``), secondary
     indices rebuilt distributedly over the new files, ONE atomic commit
-    swap. Readers holding the previous commit keep working until ``gc``
-    reclaims the superseded files (run it after in-flight readers
-    drain, exactly like the reference's GC contract). No-op (no write,
+    swap. Superseded files are NOT reclaimed by default: readers holding
+    the previous commit keep working until an explicit
+    ``garbage_collect_dataset`` runs after in-flight readers drain
+    (exactly the reference's GC contract); pass ``gc=True`` to reclaim
+    immediately when no concurrent readers exist. No-op (no write,
     no commit) when no key group exceeds the target file count.
 
     Not in the reference (its datasets get compacted by full rewrite);

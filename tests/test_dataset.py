@@ -227,3 +227,24 @@ def test_null_predicate_on_indexed_column(spark, store):
     # != None → IS NOT NULL stays index-constrained and correct
     out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("tag", "!=", None)]])
     assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_many_file_staged_commit_pooled_renames(spark, store):
+    """The staged→final rename fan-out runs through a thread pool; a
+    100-key write must produce the identical Partition list (labels,
+    key_values, one file per key) and a fully-consistent read."""
+    df = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], "v long, g long"
+    )
+    meta = store_dataframe_as_dataset(spark, store, "many", df, partition_on=["g"])
+    assert len(meta.partitions) == 100
+    # every partition decoded its key from the hive path and the file
+    # landed under the final table prefix (no staging leftovers)
+    for p in meta.partitions.values():
+        assert p.key_values["g"] == int(p.label.split("=")[1].split("/")[0])
+        assert "/.staging/" not in p.file
+    staged_left = [k for k in store.iter_keys("many/") if "/.staging/" in k]
+    assert staged_left == []
+    out = read_dataset_as_dataframe(spark, store, "many")
+    assert out.count() == 2000
+    assert sorted(r["v"] for r in out.collect()) == list(range(2000))
