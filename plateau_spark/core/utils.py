@@ -74,6 +74,19 @@ def validate_partition_keys(
     return list(existing_keys)
 
 
+def raise_if_indices_overlap(
+    partition_on: list[str] | None, secondary_indices: list[str] | None
+) -> None:
+    """Partition keys already carry a primary index from the hive path;
+    declaring them as secondary indices is a user error (reference:
+    plateau/io_components/utils.py:413-418)."""
+    overlap = set(partition_on or []) & set(secondary_indices or [])
+    if overlap:
+        raise ValueError(
+            f"Cannot create secondary index on partition columns: {overlap}"
+        )
+
+
 def normalize_args(*names: str):
     """Central argument canonicalization decorator — the reference's
     ``normalize_args`` contract (plateau/io_components/utils.py:156-278):

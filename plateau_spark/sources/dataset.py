@@ -47,6 +47,7 @@ from plateau_spark.core.urlencode import decode_partition_label
 from plateau_spark.core.utils import (
     combine_metadata,
     normalize_args,
+    raise_if_indices_overlap,
     validate_partition_keys,
 )
 from plateau_spark.sources.serializers import (
@@ -381,6 +382,7 @@ def store_dataframe_as_dataset(
     (plateau/io_components/write.py:38-79).
     """
     naming.validate_dataset_uuid(dataset_uuid)
+    raise_if_indices_overlap(partition_on, secondary_indices)
     store = _ensure_store(store)
     if DatasetMetadata.exists(store, dataset_uuid):
         if not overwrite:
@@ -465,6 +467,7 @@ def store_dataframes_as_dataset__iter(
     (/root/reference/plateau/io/iter.py:166-245).
     """
     naming.validate_dataset_uuid(dataset_uuid)
+    raise_if_indices_overlap(partition_on, secondary_indices)
     store = _ensure_store(store)
     if DatasetMetadata.exists(store, dataset_uuid):
         if not overwrite:
@@ -520,6 +523,8 @@ def update_dataset_from_dataframes__iter(
     df_generator,
     *,
     delete_scope: Sequence[dict[str, Any]] | None = None,
+    partition_on: Sequence[str] | None = None,
+    secondary_indices: Sequence[str] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
     metadata: dict[str, Any] | None = None,
     file_format: str = "parquet",
@@ -528,10 +533,28 @@ def update_dataset_from_dataframes__iter(
     """Generator-driven update: write each yielded DataFrame as it
     arrives, apply delete_scope, commit once at the end (reference:
     update_dataset_from_dataframes__iter, plateau/io/iter.py:248-314).
+    A first-time update CREATES the dataset (reference semantics), with
+    ``partition_on`` / ``secondary_indices`` applied at creation.
     """
     _store_arg = store
     store = _ensure_store(store)
+    if not DatasetMetadata.exists(store, dataset_uuid):
+        out = store_dataframes_as_dataset__iter(
+            spark,
+            store,
+            dataset_uuid,
+            df_generator,
+            partition_on=partition_on,
+            secondary_indices=secondary_indices,
+            sort_partitions_by=sort_partitions_by,
+            metadata=metadata,
+            file_format=file_format,
+            compress=compress,
+        )
+        _invalidate_if_factory(_store_arg)
+        return out
     meta = DatasetMetadata.load(store, dataset_uuid)
+    validate_partition_keys(meta.partition_keys, partition_on)
 
     new_partitions: list[Partition] = []
     for df in df_generator:
@@ -559,6 +582,13 @@ def update_dataset_from_dataframes__iter(
         meta.partitions[p.label] = p
 
     _merge_committed_indices(spark, store, meta, new_partitions, removed)
+    new_idx_cols = [c for c in (secondary_indices or []) if c not in meta.indices]
+    if new_idx_cols:
+        built = _build_index_dataframes(
+            spark, store, meta, list(meta.partitions.values()), new_idx_cols
+        )
+        for col, idx_df in built.items():
+            meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     if metadata:
         meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True
@@ -609,6 +639,7 @@ def read_dataset_as_dataframe(
     dispatch_by: Sequence[str] | None = None,
     filter_query: str | None = None,
     categories: Sequence[str] | None = None,
+    dates_as_object: bool | None = None,
 ) -> DataFrame:
     """Pruned scan → one distributed DataFrame.
 
@@ -642,6 +673,20 @@ def read_dataset_as_dataframe(
             "categories= is not supported: Spark has no pandas-categorical "
             "dtype (parquet dictionary encoding covers the storage/scan "
             "benefit natively). Read the columns plainly instead."
+        )
+    if dates_as_object is not None:
+        # The reference's default-True kwarg returns date columns as
+        # pandas object arrays of datetime.date
+        # (/root/reference/plateau/io_components/metapartition.py:596).
+        # Spark reads them as DateType (datetime.date per row on
+        # collect) — there is no object-dtype in-flight representation
+        # to toggle, so the kwarg is a typed divergence error
+        # (documented in SURVEY.md §7 hard-part 4) rather than a
+        # silently-unknown keyword.
+        raise NotImplementedError(
+            "dates_as_object= is not supported: Spark always reads date "
+            "columns as DateType (rows yield datetime.date on collect; "
+            "there is no pandas object-dtype toggle). Drop the kwarg."
         )
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")
@@ -888,6 +933,7 @@ def update_dataset_from_dataframe(
     *,
     delete_scope: Sequence[dict[str, Any]] | None = None,
     partition_on: Sequence[str] | None = None,
+    secondary_indices: Sequence[str] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
     num_buckets: int | None = None,
     bucket_by: Sequence[str] | None = None,
@@ -898,6 +944,15 @@ def update_dataset_from_dataframe(
     zone_map_columns: Sequence[str] | None = None,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
+
+    A first-time update CREATES the dataset (reference semantics:
+    update on a nonexistent uuid is a store —
+    /root/reference/plateau/io/testing/update.py
+    ``test_update_first_time_with_secondary_indices``).
+    ``secondary_indices`` names index columns: on creation they are
+    built as usual; on an existing dataset any NOT-yet-indexed column
+    is built over all partitions in the same commit (already-indexed
+    columns just refresh, as always).
 
     ``schema_evolution=True`` permits ADDITIVE evolution: the new data
     may append nullable columns (it must still carry every existing
@@ -914,6 +969,29 @@ def update_dataset_from_dataframe(
     """
     _store_arg = store
     store = _ensure_store(store)
+    if not DatasetMetadata.exists(store, dataset_uuid):
+        if df is None:
+            raise ValueError(
+                f"Dataset {dataset_uuid!r} does not exist and no data was "
+                "given — a delete-only update needs an existing dataset"
+            )
+        out = store_dataframe_as_dataset(
+            spark,
+            store,
+            dataset_uuid,
+            df,
+            partition_on=partition_on,
+            secondary_indices=secondary_indices,
+            sort_partitions_by=sort_partitions_by,
+            num_buckets=num_buckets,
+            bucket_by=bucket_by,
+            metadata=metadata,
+            file_format=file_format,
+            compress=compress,
+            zone_map_columns=zone_map_columns,
+        )
+        _invalidate_if_factory(_store_arg)
+        return out
     meta = DatasetMetadata.load(store, dataset_uuid)
     validate_partition_keys(meta.partition_keys, partition_on)
 
@@ -960,6 +1038,14 @@ def update_dataset_from_dataframe(
         meta.partitions[p.label] = p
 
     _merge_committed_indices(spark, store, meta, new_partitions, removed)
+    # newly-declared index columns: build over ALL partitions, same commit
+    new_idx_cols = [c for c in (secondary_indices or []) if c not in meta.indices]
+    if new_idx_cols:
+        built = _build_index_dataframes(
+            spark, store, meta, list(meta.partitions.values()), new_idx_cols
+        )
+        for col, idx_df in built.items():
+            meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     if metadata:
         meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True

@@ -1,0 +1,411 @@
+"""Write/update/delete/gc conformance suites, mode-parametrized.
+
+Mirrors the reference's shared-suite pattern
+(/root/reference/plateau/io/testing/{write,update,delete,gc}.py): one
+set of assertions runs against both execution modes — ``eager`` (single
+DataFrame entry points) and ``iter`` (generator-driven entry points) —
+so a semantics change in either mode fails the same test. The all-types
+frame mirrors /root/reference/plateau/core/testing.py:21-67 re-expressed
+over Spark's type system (no unsigned ints / no pandas object dtype —
+the normalization contract maps those in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.core.naming import metadata_key
+from plateau_spark.core.schema import SchemaValidationError
+from plateau_spark.core.store import Store
+from plateau_spark.sources.dataset import (
+    delete_dataset,
+    garbage_collect_dataset,
+    read_dataset_as_dataframe,
+    store_dataframe_as_dataset,
+    store_dataframes_as_dataset,
+    store_dataframes_as_dataset__iter,
+    update_dataset_from_dataframe,
+    update_dataset_from_dataframes__iter,
+)
+
+WRITE_MODES = ["eager", "iter"]
+
+
+def _store_ds(mode, spark, store, uuid, dfs, **kwargs):
+    """Bind the two store modes behind one callable (reference:
+    bound_store_dataframes)."""
+    if not isinstance(dfs, (list, tuple)):
+        dfs = [dfs]
+    if mode == "eager":
+        if len(dfs) == 1:
+            return store_dataframe_as_dataset(spark, store, uuid, dfs[0], **kwargs)
+        return store_dataframes_as_dataset(spark, store, uuid, list(dfs), **kwargs)
+    return store_dataframes_as_dataset__iter(spark, store, uuid, iter(dfs), **kwargs)
+
+
+def _update_ds(mode, spark, store, uuid, dfs, **kwargs):
+    """Bind the two update modes (reference: bound_update_dataset)."""
+    if mode == "eager":
+        if not isinstance(dfs, (list, tuple)):
+            dfs = [dfs] if dfs is not None else []
+        meta = None
+        for df in dfs or [None]:
+            meta = update_dataset_from_dataframe(spark, store, uuid, df, **kwargs)
+        return meta
+    if not isinstance(dfs, (list, tuple)):
+        dfs = [dfs] if dfs is not None else []
+    return update_dataset_from_dataframes__iter(spark, store, uuid, iter(dfs), **kwargs)
+
+
+@pytest.fixture()
+def lstore(tmp_path):
+    return Store(str(tmp_path / "store"))
+
+
+def _alltypes_df(spark):
+    """One row per commonly-used Spark type (reference all-types frame,
+    /root/reference/plateau/core/testing.py:21-67; unsigned ints and
+    object-dtype dates have no Spark analog — normalization contract)."""
+    schema = T.StructType(
+        [
+            T.StructField("bool", T.BooleanType()),
+            T.StructField("int8", T.ByteType()),
+            T.StructField("int16", T.ShortType()),
+            T.StructField("int32", T.IntegerType()),
+            T.StructField("int64", T.LongType()),
+            T.StructField("float32", T.FloatType()),
+            T.StructField("float64", T.DoubleType()),
+            T.StructField("date", T.DateType()),
+            T.StructField("datetime64", T.TimestampType()),
+            T.StructField("unicode", T.StringType()),
+            T.StructField("byte", T.BinaryType()),
+            T.StructField("null", T.StringType()),
+            T.StructField("array_int64", T.ArrayType(T.LongType())),
+            T.StructField("array_float64", T.ArrayType(T.DoubleType())),
+            T.StructField("array_unicode", T.ArrayType(T.StringType())),
+            T.StructField("P", T.LongType()),
+        ]
+    )
+    rows = [
+        (
+            True, 1, 1, 1, 1, 1.0, 1.0,
+            datetime.date(2018, 1, 1),
+            datetime.datetime(2018, 1, 1, 12, 30),
+            "Ö", b"\x00\xff", None, [1], [1.0], ["Ö"], 1,
+        ),
+        (
+            False, 2, 2, 2, 2, 2.5, 2.5,
+            datetime.date(2019, 6, 30),
+            datetime.datetime(2019, 6, 30, 23, 59, 59),
+            "ascii", b"bytes", None, [2, 3], [], [""], 2,
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# --- write suite ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_write_alltypes_roundtrip(mode, spark, lstore):
+    df = _alltypes_df(spark)
+    meta = _store_ds(mode, spark, lstore, "at", df, partition_on=["P"])
+    out = read_dataset_as_dataframe(spark, lstore, "at")
+    # normalization: ints widen to int64, floats to float64 (SURVEY §4,
+    # reference normalize_type plateau/core/common_metadata.py:309-376)
+    dt = dict(out.dtypes)
+    assert dt["int8"] == dt["int16"] == dt["int32"] == dt["int64"] == "bigint"
+    assert dt["float32"] == dt["float64"] == "double"
+    assert dt["byte"] == "binary" and dt["date"] == "date"
+    assert dt["array_int64"] == "array<bigint>"
+    rows = sorted(out.collect(), key=lambda r: r["P"])
+    assert [r["unicode"] for r in rows] == ["Ö", "ascii"]
+    assert [r["byte"] for r in rows] == [bytearray(b"\x00\xff"), bytearray(b"bytes")]
+    assert [r["null"] for r in rows] == [None, None]
+    assert [r["array_unicode"] for r in rows] == [["Ö"], [""]]
+    assert rows[0]["datetime64"] == datetime.datetime(2018, 1, 1, 12, 30)
+    assert len(meta.partitions) == 2
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_write_file_structure_partition_on(mode, spark, lstore):
+    """Hive-encoded key dirs under <uuid>/table/, one commit file, no
+    stray keys (reference: test_file_structure_dataset_v4_partition_on)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], "P long, v string")
+    _store_ds(mode, spark, lstore, "fs", df, partition_on=["P"])
+    keys = sorted(lstore.iter_keys("fs"))
+    payload = [k for k in keys if k.endswith(".parquet") and "/indices/" not in k]
+    assert all(k.startswith("fs/table/P=") for k in payload), payload
+    assert {k.split("/")[2].split("=")[1] for k in payload} == {"1", "2"}
+    assert lstore.exists(metadata_key("fs"))
+    assert not [k for k in keys if "/.staging/" in k]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_write_multiple_elements_keep_their_files(mode, spark, lstore):
+    """Each list/generator element lands in its own files; ONE commit
+    (reference: each element becomes its own partition set)."""
+    dfs = [
+        spark.createDataFrame([(i, n)], "k long, n long").coalesce(1)
+        for i, n in [(1, 10), (2, 20), (3, 30)]
+    ]
+    meta = _store_ds(mode, spark, lstore, "multi", dfs)
+    assert len(meta.partitions) == 3
+    out = read_dataset_as_dataframe(spark, lstore, "multi")
+    assert sorted((r["k"], r["n"]) for r in out.collect()) == [(1, 10), (2, 20), (3, 30)]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_write_empty_dataframe_element_dropped(mode, spark, lstore):
+    """Empty elements contribute no partitions but must not fail the
+    write (reference: test_store_dataframes_as_dataset_empty_dataframe)."""
+    schema = "k long, v string"
+    dfs = [
+        spark.createDataFrame([], schema),
+        spark.createDataFrame([(1, "x")], schema),
+    ]
+    meta = _store_ds(mode, spark, lstore, "empt", dfs)
+    out = read_dataset_as_dataframe(spark, lstore, "empt")
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(1, "x")]
+    assert all(p.file.endswith(".parquet") for p in meta.partitions.values())
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_write_overwrite_semantics(mode, spark, lstore):
+    """Existing dataset: plain store raises; overwrite=True replaces the
+    content wholesale (reference: test_store_dataframes_as_dataset_overwrite)."""
+    one = spark.createDataFrame([(1,)], "k long")
+    two = spark.createDataFrame([(2,)], "k long")
+    _store_ds(mode, spark, lstore, "ow", one)
+    with pytest.raises(RuntimeError, match="already exists"):
+        _store_ds(mode, spark, lstore, "ow", two)
+    _store_ds(mode, spark, lstore, "ow", two, overwrite=True)
+    assert [r["k"] for r in read_dataset_as_dataframe(spark, lstore, "ow").collect()] == [2]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_write_schema_mismatch_between_elements_rejected(mode, spark, lstore):
+    """Elements of one write must agree on the schema; the error names
+    the offending column (reference: test_schema_check_write)."""
+    dfs = [
+        spark.createDataFrame([(1, "s")], "k long, v string"),
+        spark.createDataFrame([(2, 2.0)], "k long, v double"),
+    ]
+    with pytest.raises(SchemaValidationError, match="v"):
+        _store_ds(mode, spark, lstore, "bad", dfs)
+    # nothing was committed
+    assert not DatasetMetadata.exists(lstore, "bad")
+
+
+def test_write_secondary_index_on_partition_column_rejected(spark, lstore):
+    """Partition keys already have a (primary) index from the hive path;
+    declaring them as secondary indices is a user error (reference:
+    test_secondary_index_on_partition_column)."""
+    df = spark.createDataFrame([(1, "a")], "P long, v string")
+    with pytest.raises(ValueError, match="[Pp]artition"):
+        store_dataframe_as_dataset(
+            spark, lstore, "pidx", df, partition_on=["P"], secondary_indices=["P"]
+        )
+
+
+# --- update suite -----------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_appends_and_reads_back(mode, spark, lstore):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "P long, v string")
+    extra = spark.createDataFrame([(3, "c")], "P long, v string")
+    store_dataframe_as_dataset(spark, lstore, "up", base, partition_on=["P"])
+    meta = _update_ds(mode, spark, lstore, "up", extra)
+    assert len(meta.partitions) == 3
+    out = read_dataset_as_dataframe(spark, lstore, "up")
+    assert sorted((r["P"], r["v"]) for r in out.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_delete_only(mode, spark, lstore):
+    """delete_scope with no new data removes whole key partitions
+    atomically (reference: test_update_dataset_with_partitions_delete_only)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "P long, v string")
+    store_dataframe_as_dataset(spark, lstore, "del", df, partition_on=["P"])
+    meta = _update_ds(
+        mode, spark, lstore, "del", None, delete_scope=[{"P": 1}]
+    )
+    assert len(meta.partitions) == 1
+    out = read_dataset_as_dataframe(spark, lstore, "del")
+    assert [(r["P"], r["v"]) for r in out.collect()] == [(2, "b")]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_replace_partition_in_one_commit(mode, spark, lstore):
+    """Delete a key and write its replacement in the SAME commit —
+    the copy-on-write partition-replacement idiom."""
+    df = spark.createDataFrame([(1, "old"), (2, "keep")], "P long, v string")
+    store_dataframe_as_dataset(spark, lstore, "rep", df, partition_on=["P"])
+    repl = spark.createDataFrame([(1, "new")], "P long, v string")
+    _update_ds(mode, spark, lstore, "rep", repl, delete_scope=[{"P": 1}])
+    out = read_dataset_as_dataframe(spark, lstore, "rep")
+    assert sorted((r["P"], r["v"]) for r in out.collect()) == [(1, "new"), (2, "keep")]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_first_time_creates_dataset(mode, spark, lstore):
+    """Update on a nonexistent uuid is a store, secondary indices
+    included (reference: test_update_first_time_with_secondary_indices)."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "p long, v string")
+    meta = _update_ds(
+        mode, spark, lstore, "fresh", df, secondary_indices=["p"]
+    )
+    assert DatasetMetadata.exists(lstore, "fresh")
+    assert "p" in meta.indices
+    got = read_dataset_as_dataframe(spark, lstore, "fresh", predicates=[[("p", "==", 2)]])
+    assert [r["v"] for r in got.collect()] == ["y"]
+
+
+def test_update_declares_new_index_over_all_partitions(spark, lstore):
+    """secondary_indices naming a NOT-yet-indexed column on update
+    builds it over old + new partitions in the same commit (reference:
+    test_update_secondary_indices_subset family)."""
+    base = spark.createDataFrame([(1, "a")], "k long, tag string")
+    store_dataframe_as_dataset(spark, lstore, "nix", base)
+    extra = spark.createDataFrame([(2, "b")], "k long, tag string")
+    meta = update_dataset_from_dataframe(
+        spark, lstore, "nix", extra, secondary_indices=["tag"]
+    )
+    assert "tag" in meta.indices
+    # the index covers the OLD partition too
+    got = read_dataset_as_dataframe(spark, lstore, "nix", predicates=[[("tag", "==", "a")]])
+    assert [r["k"] for r in got.collect()] == [1]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_incompatible_partition_keys_rejected(mode, spark, lstore):
+    """partition_on disagreeing with the dataset's keys is an error
+    (reference: test_update_raises_incompatible_partition_keys)."""
+    df = spark.createDataFrame([(1, "a")], "P long, v string")
+    store_dataframe_as_dataset(spark, lstore, "pk", df, partition_on=["P"])
+    with pytest.raises(ValueError, match="[Pp]artition"):
+        _update_ds(mode, spark, lstore, "pk", df, partition_on=["v"])
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_schema_mismatch_nice_error(mode, spark, lstore):
+    """The schema error names the offending column and both types
+    (reference: test_schema_check_update / rich diff errors)."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store_dataframe_as_dataset(spark, lstore, "sm", df)
+    bad = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    with pytest.raises(SchemaValidationError) as ei:
+        _update_ds(mode, spark, lstore, "sm", bad)
+    msg = str(ei.value)
+    assert "v" in msg and "string" in msg and "double" in msg
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_null_partition_key_rejected(mode, spark, lstore):
+    """Null partition-key values abort the whole update atomically
+    (reference gh-262: test_partition_on_null)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "P long, v string")
+    store_dataframe_as_dataset(spark, lstore, "nn", df, partition_on=["P"])
+    bad = spark.createDataFrame(
+        [(None, "x")], T.StructType([
+            T.StructField("P", T.LongType()), T.StructField("v", T.StringType()),
+        ])
+    )
+    with pytest.raises(ValueError, match="null values in partition columns"):
+        _update_ds(mode, spark, lstore, "nn", bad)
+    # dataset unchanged
+    assert read_dataset_as_dataframe(spark, lstore, "nn").count() == 2
+
+
+# --- delete suite -----------------------------------------------------------
+
+
+def test_delete_dataset_removes_every_key(spark, lstore):
+    df = spark.createDataFrame([(1, "a")], "P long, v string")
+    store_dataframe_as_dataset(
+        spark, lstore, "gone", df, partition_on=["P"], secondary_indices=["v"]
+    )
+    delete_dataset(lstore, "gone")
+    assert list(lstore.iter_keys("gone")) == []
+    assert not DatasetMetadata.exists(lstore, "gone")
+
+
+def test_delete_only_target_dataset(spark, lstore):
+    """Two datasets in one store: deleting one leaves the other fully
+    readable (reference: test_delete_single_dataset)."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store_dataframe_as_dataset(spark, lstore, "keep", df)
+    store_dataframe_as_dataset(spark, lstore, "drop", df)
+    delete_dataset(lstore, "drop")
+    assert not DatasetMetadata.exists(lstore, "drop")
+    out = read_dataset_as_dataframe(spark, lstore, "keep")
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(1, "a")]
+
+
+def test_delete_missing_dataset_is_noop(lstore):
+    delete_dataset(lstore, "never-existed")  # must not raise
+
+
+def test_delete_dataset_also_removes_unreferenced_files(spark, lstore):
+    """Stray files under the dataset prefix (crashed writers) go too
+    (reference: test_delete_dataset_unreferenced_files)."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store_dataframe_as_dataset(spark, lstore, "stray", df)
+    lstore.put_bytes("stray/table/orphan.parquet", b"junk")
+    delete_dataset(lstore, "stray")
+    assert list(lstore.iter_keys("stray")) == []
+
+
+# --- gc suite ---------------------------------------------------------------
+
+
+def test_gc_idempotent(spark, lstore):
+    """Two consecutive GCs: the second finds nothing (reference:
+    test_garbage_collect_idempotent)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "P long, v string")
+    store_dataframe_as_dataset(spark, lstore, "gci", df, partition_on=["P"])
+    update_dataset_from_dataframe(spark, lstore, "gci", None, delete_scope=[{"P": 1}])
+    first = garbage_collect_dataset(lstore, "gci")
+    assert first, "expected the dropped partition's file to be collected"
+    second = garbage_collect_dataset(lstore, "gci")
+    assert second == []
+    assert read_dataset_as_dataframe(spark, lstore, "gci").count() == 1
+
+
+def test_gc_without_secondary_indices(spark, lstore):
+    """GC on an index-less dataset only touches payload orphans
+    (reference: test_gc_without_secondary_indices)."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store_dataframe_as_dataset(spark, lstore, "gcn", df)
+    lstore.put_bytes("gcn/table/orphan.parquet", b"junk")
+    removed = garbage_collect_dataset(lstore, "gcn")
+    assert any(k.endswith("orphan.parquet") for k in removed)
+    assert read_dataset_as_dataframe(spark, lstore, "gcn").count() == 1
+
+
+def test_gc_collects_superseded_index_files(spark, lstore):
+    """Rebuilding an index leaves the old index parquet unreferenced;
+    GC reclaims it while the live index keeps pruning (reference:
+    gc.py::test_gc_tables flow)."""
+    from plateau_spark.sources.dataset import build_dataset_indices
+
+    df = spark.createDataFrame([(i, f"t{i % 3}") for i in range(30)], "k long, tag string")
+    store_dataframe_as_dataset(
+        spark, lstore, "gix", df, secondary_indices=["tag"]
+    )
+    n_idx_before = len([k for k in lstore.iter_keys("gix/indices/") ])
+    build_dataset_indices(spark, lstore, "gix", ["tag"])  # rebuild → new file
+    removed = garbage_collect_dataset(lstore, "gix")
+    assert any("/indices/" in k for k in removed)
+    n_idx_after = len([k for k in lstore.iter_keys("gix/indices/")])
+    assert n_idx_after == n_idx_before
+    got = read_dataset_as_dataframe(spark, lstore, "gix", predicates=[[("tag", "==", "t1")]])
+    assert sorted(r["k"] for r in got.collect()) == [i for i in range(30) if i % 3 == 1]

@@ -222,6 +222,16 @@ def test_categories_kwarg_raises(spark, conf_store):
         read_dataset_as_dataframe(spark, conf_store, "conf", categories=["L"])
 
 
+def test_dates_as_object_kwarg_raises(spark, conf_store):
+    """dates_as_object= (reference default-True: date columns as pandas
+    object arrays of datetime.date) is a typed divergence error — Spark
+    always reads DateType; there is no object-dtype toggle. The message
+    must name the divergence, not be an unknown-keyword TypeError."""
+    for val in (True, False):
+        with pytest.raises(NotImplementedError, match="DateType"):
+            read_dataset_as_dataframe(spark, conf_store, "conf", dates_as_object=val)
+
+
 @pytest.mark.parametrize("mode", ["eager", "iterator"])
 def test_unicode_and_special_char_partition_values(mode, spark, tmp_path):
     """Partition-key values with spaces, slashes, unicode, '=' — the
