@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "dataset_msgpack_read",
     "dataset_factory_read",
     "dataset_dispatch_groups",
+    # new in round 6
+    "semdedup_keep",
+    "decontaminate_bloom",
+    "text_quality_classifier",
 ]
 
 

@@ -2471,6 +2471,99 @@ GROUP BY 1, 2
 """
 
 
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-set on the LSH (scale) tier.
+    The hyperplanes are deterministic seeded literals, so the WHOLE
+    pipeline — bucketing, candidate join, exact-cosine verify, keep-first
+    anti-join — is reproduced in SQL and hash-checked."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_keep(
+        emb, threshold=0.4, method="lsh", bucket_bits=4, seeds=(7, 77)
+    )
+    return out.select("vec_id")
+
+
+SEMDEDUP_KEEP_ORACLE = f"""
+WITH bk AS (
+{_LSH_BRANCHES}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bk l JOIN bk r ON l.probe = r.probe AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+), dup AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+  WHERE {_DOT} / ({_NA} * {_NB}) >= 0.4
+)
+SELECT e.vec_id FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.id_b
+WHERE dup.id_b IS NULL
+"""
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination — same eval/train split and the
+    SAME oracle as `decontaminate_ngrams` (the Bloom tier is exact by
+    construction: no false negatives + exact verification of the
+    candidates), proving the few-MB-broadcast scale path returns
+    byte-identical results to the broadcast-string-set tier."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import ngram_overlap_vs_eval_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_overlap_vs_eval_bloom(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.2,
+        n_bits=1 << 20,
+        n_hashes=4,
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier scoring (derived-weight
+    mode, so the model is closed-form in both engines)."""
+    _prep(spark)
+    from plateau_spark.operators.text import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_score(docs, "doc_id", "text", n_buckets=4096)
+
+
+# DuckDB twin of _hashed_features_col: distinct non-empty uni+bigrams →
+# md5-prefix bucket. t[i+1:i+2] is the inclusive 2-element slice
+# (mirrors Spark's slice(toks, i+1, 2)).
+_CLS_FEATS = (
+    "list_filter(list_distinct(list_concat(t, "
+    "[array_to_string(t[i+1:i+2], ' ') for i in range(0, greatest(len(t)-2, 0) + 1)]"
+    ")), x -> x <> '')"
+)
+TEXT_CLASSIFIER_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, unnest({_CLS_FEATS}) AS f
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(f), 1, 15)) AS UBIGINT) AS BIGINT) % 4096 AS bucket
+  FROM feats
+), w AS (
+  SELECT doc_id,
+         ((bucket * 2654435761 + 12345) % 1000003) / 1000003.0 - 0.5 AS wt
+  FROM b
+), agg AS (
+  SELECT doc_id, AVG(wt) AS z FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(COALESCE(z, 0.0) * 8.0))), 6) AS quality_prob,
+       CAST(1.0 / (1.0 + exp(-(COALESCE(z, 0.0) * 8.0))) >= 0.5 AS BIGINT) AS label
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2478,16 +2571,21 @@ GROUP BY 1, 2
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) the 24 queries that fell outside the round-5 window
-#   (incl. the 6 never driver-verified: asof_join_events, range_join_windows,
-#   streaming_dedup, streaming_enrich_dim, streaming_ingest_dataset,
-#   cosine_topk_ivf_persisted) go FIRST; (b) then the 26 round-5-green
-#   queries whose code paths this round touches (paragraph dedup rewrite,
-#   zone-map NaN fix, commit rename pool, compaction gc default, temperature
-#   NULL-key fix, write/update/gc lifecycle).
-#   Round 7 plan: rotate the 24 tail queries (long-green relational / text /
+#   Round 6 window: (a) the 3 NEW round-6 queries (semdedup_keep,
+#   decontaminate_bloom, text_quality_classifier) lead; (b) the 24 queries
+#   that fell outside the round-5 window (incl. the 6 never driver-verified:
+#   asof_join_events, range_join_windows, streaming_dedup,
+#   streaming_enrich_dim, streaming_ingest_dataset, cosine_topk_ivf_persisted);
+#   (c) then round-5-green queries whose code paths this round touches
+#   (paragraph dedup rewrite, zone-map NaN fix, commit rename pool,
+#   compaction gc default, temperature NULL-key fix, lifecycle).
+#   Round 7 plan: rotate the tail queries (long-green relational / text /
 #   pack / web tier, all driver-green in r01-r05) back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 6 ---
+    "semdedup_keep": semdedup_keep,
+    "decontaminate_bloom": decontaminate_bloom,
+    "text_quality_classifier": text_quality_classifier,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -2577,6 +2675,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # mapInPandas feature decoder and the md5-mode dataset hash — has a
 # bit-reproducible ANSI-SQL twin.
 ORACLES: dict[str, str] = {
+    "semdedup_keep": SEMDEDUP_KEEP_ORACLE,
+    "decontaminate_bloom": DECONTAMINATE_ORACLE,
+    "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

@@ -860,6 +860,114 @@ def ngram_overlap_vs_eval(
     )
 
 
+def ngram_overlap_vs_eval_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Decontamination with a Bloom prefilter — IDENTICAL results to
+    ``ngram_overlap_vs_eval`` (Bloom filters have no false negatives, so
+    exact verification of the Bloom-positive candidates reconstructs the
+    exact hit set), restructured for the 100 TB corpus:
+
+      build:  eval n-grams → k bit indices (JVM xxhash64 arithmetic) →
+              per-partition numpy bitmaps OR'd driver-side → one
+              ``n_bits/8``-byte broadcast (a few MB for ~10⁸ eval
+              n-grams — vs broadcasting the n-gram STRINGS themselves,
+              which is GBs and the scale limit of the exact operator).
+      probe:  every train n-gram tests its k bits in one Arrow-batched
+              vectorized lookup — map-side, zero shuffle; only the
+              Bloom-POSITIVE n-grams (true hits + ~n_bits-tunable false
+              positives) enter the exact string equi-join.
+      verify: candidates ⋈ eval distinct n-grams (exact), so false
+              positives contribute nothing — per-doc hit counts equal
+              the exact operator's, and the two share one oracle.
+
+    Per-doc totals are counted BEFORE the prefilter, so the denominator
+    is exact too. Bit indices use the standard double-hashing scheme
+    h1 + i·h2 (Kirsch & Mitzenmacher 2006) computed in codegen from two
+    salted xxhash64 values masked to 31 bits (no ANSI overflow).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    clean = lambda c: F.filter(shingles_col(c, n), lambda s: s != "")  # noqa: E731
+    m = int(n_bits)
+
+    def idx_col(shingle_col: str) -> F.Column:
+        h1 = F.xxhash64(F.col(shingle_col)).bitwiseAND(F.lit(0x7FFFFFFF))
+        h2 = F.xxhash64(F.concat(F.col(shingle_col), F.lit("\x01bloom"))).bitwiseAND(
+            F.lit(0x7FFFFFFF)
+        ).bitwiseOR(F.lit(1))
+        return F.array(
+            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("long") for i in range(n_hashes)]
+        )
+
+    ev = eval_df.select(F.explode(clean(text_col)).alias("__shingle__")).distinct()
+
+    # --- build: per-partition bitmaps, OR'd on the driver ------------
+    def _bitmap(batches):
+        acc = np.zeros(m >> 3, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            idx = np.concatenate(pdf["__idx__"].to_numpy())
+            np.bitwise_or.at(acc, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"__bits__": [acc.tobytes()]})
+
+    parts = (
+        ev.select(idx_col("__shingle__").alias("__idx__"))
+        .coalesce(8)  # eval sets are small; bound the collected bitmaps
+        .mapInPandas(_bitmap, "__bits__ binary")
+        .collect()
+    )
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    for r in parts:
+        bits |= np.frombuffer(r["__bits__"], dtype=np.uint8)
+    bc = train.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+    @pandas_udf("boolean")
+    def _maybe_hit(idxs: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(idxs) == 0:
+            return pd.Series([], dtype=bool)
+        I = np.stack(idxs.to_numpy())
+        return pd.Series(((arr[I >> 3] >> (I & 7)) & 1).all(axis=1))
+
+    # --- probe + exact verify ----------------------------------------
+    tr = _ensure_parallelism(train).select(
+        F.col(id_col), F.explode(clean(text_col)).alias("__shingle__")
+    )
+    totals = tr.groupBy(id_col).agg(F.count("*").alias("__total__"))
+    cand = tr.where(_maybe_hit(idx_col("__shingle__")))
+    hits = (
+        cand.join(ev, "__shingle__")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__hits__"))
+    )
+    agg = totals.join(hits, id_col, "left")
+    frac = F.coalesce(F.col("__hits__") * F.lit(1.0) / F.col("__total__"), F.lit(0.0))
+    return (
+        train.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("overlap_fraction"),
+            (F.coalesce(frac, F.lit(0.0)) >= threshold).cast("long").alias("contaminated"),
+        )
+    )
+
+
 def dedup_against_corpus(
     df: DataFrame,
     reference: DataFrame,

@@ -486,6 +486,64 @@ def cosine_dup_pairs_blocked(
     return block_pairs.mapInPandas(_score, out_schema)
 
 
+def semantic_dedup_keep(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    bucket_bits: int = 8,
+    seeds: tuple[int, ...] = (7, 77),
+    dim: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: the KEEP-set.
+
+    Drops every row whose embedding lies within ``threshold`` cosine of
+    ANY lower-id row and returns the survivors (all original columns).
+    This is the "keep first" rule used by embedding-dedup pipelines
+    (SemDeDup, Abbas et al. 2023): deterministic, order-independent —
+    a row's fate depends only on the pair set, never on drop order, so
+    the result is stable under any execution plan. (A sequential greedy
+    variant that re-admits C when its only earlier neighbor B was itself
+    dropped would make each decision depend on every earlier decision —
+    an inherently serial chain that cannot be computed as a dataflow;
+    the industry-standard pair-based rule is what we implement.)
+
+    Shape at 100 TB: the pair set comes from the LSH tier
+    (``embedding_cosine_dup_pairs`` — hyperplane-bucket equi-join, no
+    all-pairs), the drop-set is pre-deduplicated on id (fixed-width
+    key), and the final step is one LEFT ANTI hash join — the same cost
+    profile as exact-hash dedup. ``method="exact"`` swaps in the
+    blocked-GEMM all-pairs tier as the small-corpus/oracle baseline.
+    """
+    if method == "lsh":
+        from plateau_spark.operators.dedup import embedding_cosine_dup_pairs
+
+        pairs = embedding_cosine_dup_pairs(
+            df,
+            id_col,
+            vec_col,
+            threshold=threshold,
+            bucket_bits=bucket_bits,
+            dim=dim,
+            seeds=tuple(seeds),
+        )
+    elif method == "exact":
+        pairs = cosine_dup_pairs_blocked(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            rows_per_block=rows_per_block,
+        )
+    else:
+        raise ValueError(f"Unknown method: {method!r} (expected 'lsh' or 'exact')")
+    drops = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates([id_col])
+    return df.join(drops, id_col, "left_anti")
+
+
 def build_ivf_index(
     spark,
     store,

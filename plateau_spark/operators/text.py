@@ -362,3 +362,88 @@ def chunk_documents(
             F.col("__t__"), F.col("__i__") * F.lit(stride) + F.lit(1), F.lit(chunk_chars)
         ).alias(chunk_col),
     )
+
+
+def _hashed_features_col(text_col: str, n_buckets: int) -> Column:
+    """Distinct unigram+bigram features → hash buckets (array<long>).
+
+    fastText-style feature extraction with a cross-engine hash: bucket =
+    first 15 hex digits of md5(feature) mod ``n_buckets`` (md5 agrees
+    between Spark and DuckDB; 15 hex digits < 2^60 so the conv result is
+    a positive long — no sign divergence). Distinct features (set
+    semantics) keep the score length-normalized and the SQL twin simple.
+    """
+    toks = _word_tokens(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    feats = F.filter(
+        F.array_distinct(F.concat(toks, bigrams)), lambda s: s != ""
+    )
+    return F.transform(
+        feats,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 4096,
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+    logit_scale: float = 8.0,
+    score_col: str = "quality_prob",
+    label_col: str = "label",
+) -> DataFrame:
+    """fastText-style linear quality classifier: hashed bag of word
+    uni+bigrams → mean bucket weight → sigmoid probability + 0.5 label.
+
+    ``weights`` is the trained model as a (bucket: long, weight: double)
+    DataFrame — broadcast into the scoring join, so the model size is
+    bounded by ``n_buckets`` (KBs–MBs), never by the corpus; buckets
+    absent from the table score 0. With ``weights=None`` a deterministic
+    pseudo-weight is DERIVED from the bucket id in closed form
+    (``((b*2654435761 + 12345) mod 1000003)/1000003 - 0.5``) — same
+    expression in the DuckDB oracle, which makes the whole operator
+    hash-checkable without shipping a model file.
+
+    Shape at 100 TB: one narrow pass per document (feature hashing is
+    all codegen), one explode + keyed agg back to the document id —
+    the same profile as tf-idf; no Python anywhere.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(_hashed_features_col(text_col, n_buckets)).alias("__b__")
+    )
+    if weights is None:
+        w = (
+            F.pmod(F.col("__b__") * F.lit(2654435761) + F.lit(12345), F.lit(1000003))
+            / F.lit(1000003.0)
+            - F.lit(0.5)
+        )
+        weighted = ex.select(F.col(id_col), w.alias("__w__"))
+    else:
+        weighted = (
+            ex.join(F.broadcast(weights), ex["__b__"] == weights["bucket"], "left")
+            .select(
+                F.col(id_col), F.coalesce(F.col("weight"), F.lit(0.0)).alias("__w__")
+            )
+        )
+    agg = weighted.groupBy(id_col).agg(F.avg("__w__").alias("__z__"))
+    logit = F.coalesce(F.col("__z__"), F.lit(0.0)) * F.lit(logit_scale) + F.lit(bias)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(prob, 6).alias(score_col),
+            (prob >= 0.5).cast("long").alias(label_col),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Round-6 pipeline operators: SemDeDup keep-set, Bloom-prefilter
+decontamination, hashed linear classifier scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- semantic_dedup_keep ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # 0/1 are near-duplicates of each other, 2 duplicates 0, 3/4 distinct
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_exact_keeps_first(spark, vecs):
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    out = semantic_dedup_keep(vecs, threshold=0.99, method="exact")
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # 1 and 2 are within 0.99 of the lower-id 0 -> dropped; 0/3/4 survive
+    assert kept == [0, 3, 4]
+    # all original columns preserved
+    assert out.columns == ["vec_id", "embedding"]
+
+
+def test_semdedup_lsh_superset_of_exact(spark, vecs):
+    """LSH can only MISS pairs (false negatives), never invent them, so
+    its keep-set is a superset of the exact tier's."""
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    exact = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(vecs, threshold=0.99, method="exact").collect()
+    }
+    lsh = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(
+            vecs, threshold=0.99, method="lsh", bucket_bits=2
+        ).collect()
+    }
+    assert exact <= lsh
+
+
+def test_semdedup_rejects_unknown_method(vecs):
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    with pytest.raises(ValueError, match="method"):
+        semantic_dedup_keep(vecs, method="annoy")
+
+
+def test_semdedup_no_dups_is_identity(spark):
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert semantic_dedup_keep(df, threshold=0.99, method="exact").count() == 2
+
+
+# --- ngram_overlap_vs_eval_bloom --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from plateau_spark.entry_queries import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents").limit(120).cache()
+
+
+def test_bloom_equals_exact(spark, corpus):
+    """The Bloom tier is exact by construction (no false negatives +
+    exact verification of the candidates): identical output to the
+    broadcast-string-set tier on every row."""
+    from plateau_spark.operators.dedup import (
+        ngram_overlap_vs_eval,
+        ngram_overlap_vs_eval_bloom,
+    )
+
+    train = corpus.where(F.col("doc_id") % 10 != 0)
+    ev = corpus.where(F.col("doc_id") % 10 == 0)
+    exact = ngram_overlap_vs_eval(train, ev, "doc_id", "text", n=3, threshold=0.2)
+    bloom = ngram_overlap_vs_eval_bloom(
+        train, ev, "doc_id", "text", n=3, threshold=0.2, n_bits=1 << 18
+    )
+    assert sorted(exact.collect()) == sorted(bloom.collect())
+
+
+def test_bloom_tiny_filter_still_exact(spark, corpus):
+    """Even a saturated 1-Kbit filter (near-100% false-positive rate)
+    yields exact results — the verify join does the real work; the
+    filter only controls how much reaches it."""
+    from plateau_spark.operators.dedup import (
+        ngram_overlap_vs_eval,
+        ngram_overlap_vs_eval_bloom,
+    )
+
+    train = corpus.where(F.col("doc_id") % 10 != 0).limit(20)
+    ev = corpus.where(F.col("doc_id") % 10 == 0).limit(5)
+    exact = ngram_overlap_vs_eval(train, ev, "doc_id", "text")
+    bloom = ngram_overlap_vs_eval_bloom(train, ev, "doc_id", "text", n_bits=1 << 10)
+    assert sorted(exact.collect()) == sorted(bloom.collect())
+
+
+def test_bloom_empty_eval(spark, corpus):
+    from plateau_spark.operators.dedup import ngram_overlap_vs_eval_bloom
+
+    train = corpus.limit(10)
+    ev = corpus.where(F.lit(False))
+    out = ngram_overlap_vs_eval_bloom(train, ev, "doc_id", "text").collect()
+    assert len(out) == 10
+    assert all(r["overlap_fraction"] == 0.0 and r["contaminated"] == 0 for r in out)
+
+
+# --- classifier_score -------------------------------------------------------
+
+
+def test_classifier_trained_weights_path(spark):
+    """Broadcast weights table: score is sigmoid(mean bucket weight ×
+    scale); buckets absent from the table contribute 0."""
+    from plateau_spark.operators.text import classifier_score, _hashed_features_col
+
+    df = spark.createDataFrame(
+        [(1, "good clean text"), (2, "")], "doc_id long, text string"
+    )
+    buckets = [
+        r["b"]
+        for r in df.where(F.col("doc_id") == 1)
+        .select(F.explode(_hashed_features_col("text", 64)).alias("b"))
+        .collect()
+    ]
+    # weight every observed bucket 0.25 -> mean 0.25 -> logit 0.25*8 = 2
+    w = spark.createDataFrame([(b, 0.25) for b in set(buckets)], "bucket long, weight double")
+    out = {
+        r["doc_id"]: (r["quality_prob"], r["label"])
+        for r in classifier_score(df, "doc_id", "text", n_buckets=64, weights=w).collect()
+    }
+    assert out[1][0] == pytest.approx(1 / (1 + math.exp(-2.0)), abs=1e-6)
+    assert out[1][1] == 1
+    # empty doc: no features -> logit 0 -> 0.5, label fires at >= 0.5
+    assert out[2][0] == pytest.approx(0.5)
+    assert out[2][1] == 1
+
+
+def test_classifier_derived_weights_deterministic(spark):
+    from plateau_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    out = classifier_score(df, "doc_id", "text").collect()
+    scores = {r["doc_id"]: r["quality_prob"] for r in out}
+    assert scores[1] == scores[2]  # pure function of the text
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
