@@ -114,3 +114,49 @@ def test_dedup_paragraphs_first_occurrence_is_aggregate_not_window(spark):
     assert "HashAggregate" in plan  # partial/final agg pair for min(struct)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_keep_is_anti_hash_join(spark):
+    """The keep-set must be a hash anti-join on the id — never a
+    nested-loop shape — and the LSH candidate join an equi-join."""
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup_keep(emb, threshold=0.4, method="lsh", bucket_bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_score_is_pure_codegen(spark):
+    """Feature hashing + scoring must stay JVM-side: no Python/Arrow
+    eval nodes anywhere in the derived-weights plan."""
+    from plateau_spark.operators.text import classifier_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = classifier_score(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_filters_before_verify_join(spark):
+    """The Bloom membership test must sit UNDER the exact-verify join
+    (map-side cull), and the verify join must be an equi-join."""
+    from plateau_spark.operators.dedup import ngram_overlap_vs_eval_bloom
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_overlap_vs_eval_bloom(
+        docs.where(F.col("doc_id") % 10 != 0).limit(30),
+        docs.where(F.col("doc_id") % 10 == 0).limit(5),
+        "doc_id",
+        "text",
+        n_bits=1 << 16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the probe UDF appears as a filter, not as a join condition
+    assert "ArrowEvalPython" in plan or "FlatMapsInPandas" in plan or "EvalPython" in plan
