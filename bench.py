@@ -66,10 +66,12 @@ BENCH_QUERIES = [
     "dataset_msgpack_read",
     "dataset_factory_read",
     "dataset_dispatch_groups",
-    # new in round 6
+    # new in round 6 (dedup_cluster_keep is bench-excluded: its exact
+    # quadratic pair source is already the ngram_jaccard line)
     "semdedup_keep",
     "decontaminate_bloom",
     "text_quality_classifier",
+    "decontaminate_substring",
 ]
 
 

@@ -2524,6 +2524,84 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: near-dup pairs → connected components →
+    keep ONE representative (min id) per cluster. Transitive-closure
+    exact (chain A~B~C keeps only A); oracle = recursive-CTE
+    reachability in DuckDB filtered to representatives."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import (
+        dedup_keep_representatives,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, jaccard_threshold=0.12
+    )
+    return dedup_keep_representatives(docs, pairs, "doc_id").select("doc_id")
+
+
+DEDUP_CLUSTER_KEEP_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.12
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(v, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src WHERE w.lbl < e.dst
+), clusters AS (
+  SELECT v AS id, MIN(lbl) AS cluster_id FROM walk GROUP BY v
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.id = c.cluster_id
+"""
+
+
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-leak check: train docs flagged when any eval snippet
+    (60-char prefixes of every 50th doc) occurs as an exact substring —
+    catches short answers that n-gram OVERLAP scoring dilutes."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import contaminated_by_substring
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 1, 60).alias("snippet")
+    )
+    return contaminated_by_substring(
+        docs.where(F.col("doc_id") % 50 != 0),
+        ev,
+        "doc_id",
+        "text",
+        eval_text_col="snippet",
+        min_len=20,
+    )
+
+
+DECONTAMINATE_SUBSTRING_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT substr(text, 1, 60) AS s FROM documents
+  WHERE doc_id % 50 = 0 AND length(substr(text, 1, 60)) >= 20
+)
+SELECT d.doc_id,
+       CAST(EXISTS (SELECT 1 FROM ev WHERE contains(d.text, ev.s)) AS BIGINT)
+         AS contaminated
+FROM documents d WHERE d.doc_id % 50 <> 0
+"""
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier scoring (derived-weight
     mode, so the model is closed-form in both engines)."""
@@ -2586,6 +2664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_keep": semdedup_keep,
     "decontaminate_bloom": decontaminate_bloom,
     "text_quality_classifier": text_quality_classifier,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "decontaminate_substring": decontaminate_substring,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -2678,6 +2758,8 @@ ORACLES: dict[str, str] = {
     "semdedup_keep": SEMDEDUP_KEEP_ORACLE,
     "decontaminate_bloom": DECONTAMINATE_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,
+    "dedup_cluster_keep": DEDUP_CLUSTER_KEEP_ORACLE,
+    "decontaminate_substring": DECONTAMINATE_SUBSTRING_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

@@ -1080,3 +1080,86 @@ def dedup_paragraphs(
             F.count("*").alias("n_paragraphs"),
         )
     )
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The last mile of fuzzy dedup: collapse a near-duplicate PAIR set
+    into disjoint clusters (``duplicate_clusters`` connected components)
+    and keep exactly ONE representative per cluster — the smallest id —
+    returning the surviving rows of ``df`` with all columns.
+
+    Unlike the keep-first pair rule (``semantic_dedup_keep``), this is
+    transitive-closure-exact: a chain A~B~C keeps only A even when A and
+    C never paired directly. Pairs may come from any tier — MinHash-LSH
+    (`minhash_lsh_pairs`, the 100 TB path), exact n-gram Jaccard, or
+    embedding cosine — the composition is source-agnostic.
+
+    Shape: components are O(log diameter) keyed shuffles (or the
+    size-gated driver union-find for small graphs); the final step is
+    one LEFT ANTI hash join on the id against the non-representative
+    set (fixed-width keys, pre-deduplicated by construction).
+    """
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    drops = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
+def contaminated_by_substring(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    eval_text_col: str | None = None,
+    min_len: int = 20,
+    max_eval_strings: int = 100_000,
+) -> DataFrame:
+    """Verbatim-leak decontamination: flag every train document that
+    contains ANY eval string (answers, prompts, canaries) as an exact
+    substring — the complement of n-gram OVERLAP scoring, which a short
+    verbatim answer inside a long document dilutes below threshold.
+
+    Shape: the distinct eval strings (≥ ``min_len`` chars, deduplicated)
+    are aggregated into ONE array row and cross-joined broadcast-style —
+    the scan stays a narrow single pass per train document and the
+    `exists(contains)` probe is whole-stage codegen, no Python. This is
+    deliberately the small-eval-side plan (benchmark sets are KBs–MBs
+    next to a 100 TB corpus); ``max_eval_strings`` guards the broadcast:
+    exceeding it raises rather than silently building a huge plan —
+    split the eval set or fall back to n-gram overlap at that size.
+    """
+    eval_text_col = text_col if eval_text_col is None else eval_text_col
+    ev = (
+        eval_df.select(F.col(eval_text_col).alias("__s__"))
+        .where(F.length(F.col("__s__")) >= min_len)
+        .distinct()
+    )
+    n_eval = ev.count()
+    if n_eval > max_eval_strings:
+        raise ValueError(
+            f"{n_eval} eval strings exceeds max_eval_strings={max_eval_strings}; "
+            "split the eval set or use ngram_overlap_vs_eval at this size"
+        )
+    needles = ev.agg(F.collect_list("__s__").alias("__needles__"))
+    # fresh column names on the train side: eval often DERIVES from the
+    # same frame as train (e.g. a %-split of one corpus), and a shared
+    # text attribute would resolve into the eval branch — where the
+    # aggregate has projected it away (unresolvable at execution)
+    t = train.select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__"))
+    hit = F.exists(F.col("__needles__"), lambda s: F.contains(F.col("__t__"), s))
+    return (
+        t.crossJoin(F.broadcast(needles))
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(hit, F.lit(False)).cast("long").alias("contaminated"),
+        )
+    )

@@ -165,3 +165,77 @@ def test_classifier_derived_weights_deterministic(spark):
     scores = {r["doc_id"]: r["quality_prob"] for r in out}
     assert scores[1] == scores[2]  # pure function of the text
     assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+
+# --- dedup_keep_representatives ---------------------------------------------
+
+
+def test_keep_representatives_transitive_chain(spark):
+    """A~B~C chain: keep-representatives keeps only A, even though A and
+    C never paired directly (transitive-closure semantics)."""
+    from plateau_spark.operators.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame([(i, f"doc{i}") for i in range(5)], "id long, t string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    kept = sorted(
+        r["id"] for r in dedup_keep_representatives(df, pairs, "id").collect()
+    )
+    assert kept == [0, 3, 4]
+
+
+def test_keep_representatives_empty_pairs_is_identity(spark):
+    from plateau_spark.operators.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame([(i, "x") for i in range(4)], "id long, t string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_keep_representatives(df, pairs, "id").count() == 4
+
+
+# --- contaminated_by_substring ----------------------------------------------
+
+
+def test_substring_decontamination_flags_verbatim(spark):
+    from plateau_spark.operators.dedup import contaminated_by_substring
+
+    train = spark.createDataFrame(
+        [
+            (1, "a long document that embeds THE SECRET EVAL ANSWER STRING here"),
+            (2, "a perfectly clean training document with original content"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("THE SECRET EVAL ANSWER STRING",), ("short",)], "snippet string"
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in contaminated_by_substring(
+            train, ev, "doc_id", "text", eval_text_col="snippet", min_len=20
+        ).collect()
+    }
+    # "short" is below min_len and never tested; only doc 1 hits
+    assert out == {1: 1, 2: 0}
+
+
+def test_substring_decontamination_eval_size_guard(spark):
+    from plateau_spark.operators.dedup import contaminated_by_substring
+
+    train = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(f"needle string number {i:06d} padded",) for i in range(30)], "s string"
+    )
+    with pytest.raises(ValueError, match="max_eval_strings"):
+        contaminated_by_substring(
+            train, ev, "doc_id", "text", eval_text_col="s", max_eval_strings=10
+        )
+
+
+def test_substring_decontamination_empty_eval(spark):
+    from plateau_spark.operators.dedup import contaminated_by_substring
+
+    train = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    ev = spark.createDataFrame([], "s string")
+    out = contaminated_by_substring(
+        train, ev, "doc_id", "text", eval_text_col="s"
+    ).collect()
+    assert [(r["doc_id"], r["contaminated"]) for r in out] == [(1, 0)]
