@@ -23,6 +23,58 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _orderable(dt) -> bool:
+    """True when Spark can ORDER BY this type (struct comparison)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _pick_one_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    *,
+    descending: bool,
+) -> DataFrame:
+    """One row per ``keys`` group: the lexicographic min (or max, for
+    ``descending``) over ``order_by`` then the remaining columns.
+
+    Implemented as ``groupBy(keys).agg(min/max(struct(...)))`` — a REAL
+    aggregate with map-side partial combine — NOT a
+    ``row_number().over(Window)``: a window puts every row of one key
+    into a single task's sort, so a globally hot key (one fingerprint
+    duplicated corpus-wide, one ubiquitous boilerplate digest) becomes a
+    straggler holding corpus-scale rows at 100 TB. The aggregate shrinks
+    hot keys to one candidate row per map task before the exchange —
+    the same fix the paragraph-dedup first-occurrence step uses.
+
+    Including the remaining columns in the struct makes the pick a
+    deterministic TOTAL order (the window version breaks order_by ties
+    by partition layout — run-dependent). Requires every carried column
+    to be orderable; callers fall back to the window for map-typed rows.
+    """
+    keys = list(keys)
+    lead = list(dict.fromkeys(list(order_by) + [c for c in df.columns if c not in keys]))
+    lead = [c for c in lead if c not in keys]
+    agg_fn = F.max if descending else F.min
+    agg = df.groupBy(*keys).agg(
+        agg_fn(F.struct(*[F.col(c) for c in lead])).alias("__w__")
+    )
+    return agg.select(
+        *[
+            F.col(c) if c in keys else F.col("__w__")[c].alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     subset: Sequence[str],
@@ -30,13 +82,19 @@ def exact_dedup(
     tie_breaker: str | None = None,
 ) -> DataFrame:
     """Exact dedup on ``subset``; deterministically keeps the row with the
-    smallest ``tie_breaker`` (hash-groupBy, one shuffle, map-side combine).
+    smallest ``tie_breaker``.
 
     With no tie_breaker this is ``dropDuplicates`` (keeps an arbitrary
-    row — fine when rows are identical on all columns).
+    row — fine when rows are identical on all columns). With one, the
+    pick is a min-struct AGGREGATE (map-side combined, hot-key safe at
+    100 TB — see ``_pick_one_per_group``); rows unorderable as structs
+    (map columns) fall back to the single-task-per-key window.
     """
     if tie_breaker is None:
         return df.dropDuplicates(list(subset))
+    carried = [c for c in df.columns if c not in subset]
+    if all(_orderable(df.schema[c].dataType) for c in carried):
+        return _pick_one_per_group(df, subset, [tie_breaker], descending=False)
     w = Window.partitionBy(*subset).orderBy(F.col(tie_breaker).asc())
     return (
         df.withColumn("__rn__", F.row_number().over(w))
@@ -52,9 +110,15 @@ def drop_duplicates_keep_last(
 
     Reference semantics: drop_sorted_duplicates_keep_last
     (plateau/utils/pandas.py:178-249) — there, per-sorted-partition in
-    pandas; here, a distributed window (partitionBy keys, orderBy desc,
-    rank 1) so it holds across partitions, not just within one file.
+    pandas; here distributed, so it holds across partitions, not just
+    within one file. The pick is a max-struct AGGREGATE (map-side
+    combined — a hot key never lands corpus-scale rows in one task's
+    window sort; see ``_pick_one_per_group``), with a window fallback
+    for rows carrying unorderable (map) columns.
     """
+    carried = [c for c in df.columns if c not in keys]
+    if all(_orderable(df.schema[c].dataType) for c in carried):
+        return _pick_one_per_group(df, keys, list(order_by), descending=True)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
     return (
         df.withColumn("__rn__", F.row_number().over(w))

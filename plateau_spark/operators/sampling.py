@@ -136,14 +136,34 @@ def quota_sample(
     """At most ``quota`` rows per group, chosen deterministically (the
     quota ranks by md5(salt|key) — a reproducible uniform draw, so the
     same rows win on every engine/run). The balancing step for skewed
-    sources/languages before training. One windowed shuffle keyed on
-    ``group_cols``; AQE splits skewed groups.
+    sources/languages before training.
+
+    Scale shape: a TWO-LEVEL tournament, not one window. Groups are hot
+    by definition here (a whole language/domain is one group), and a
+    window keyed on ``group_cols`` alone sorts every row of that group
+    in ONE task — the straggler shape at 100 TB. Stage 1 ranks within
+    (group, hash-bucket) — each task holds ~n_g/buckets rows — and keeps
+    the per-bucket top-``quota``; stage 2 re-ranks the surviving
+    ≤ buckets×quota rows per group. The global top-quota is contained in
+    the union of per-bucket top-quotas, so the result is IDENTICAL to
+    the single-window formulation (asserted by tests); the second sort
+    is bounded regardless of group size. Stage-2 memory bounds quota to
+    ~10⁷ per group at default buckets; beyond that, raise
+    ``tournament_buckets`` awareness or pre-split groups.
     """
-    w = Window.partitionBy(*group_cols).orderBy(
-        _hash_unit(key_col, salt).asc(), F.col(key_col).asc()
+    rank_keys = [_hash_unit(key_col, salt).asc(), F.col(key_col).asc()]
+    buckets = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    w1 = Window.partitionBy(*group_cols, "__bkt__").orderBy(*rank_keys)
+    survivors = (
+        df.withColumn("__bkt__", bucket)
+        .withColumn("__rk__", F.row_number().over(w1))
+        .where(F.col("__rk__") <= quota)
+        .drop("__bkt__", "__rk__")
     )
+    w2 = Window.partitionBy(*group_cols).orderBy(*rank_keys)
     return (
-        df.withColumn("__rk__", F.row_number().over(w))
+        survivors.withColumn("__rk__", F.row_number().over(w2))
         .where(F.col("__rk__") <= quota)
         .drop("__rk__")
     )

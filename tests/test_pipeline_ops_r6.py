@@ -239,3 +239,80 @@ def test_substring_decontamination_empty_eval(spark):
         train, ev, "doc_id", "text", eval_text_col="s"
     ).collect()
     assert [(r["doc_id"], r["contaminated"]) for r in out] == [(1, 0)]
+
+
+# --- hot-key-safe dedup / quota (round-6 scale hardening) --------------------
+
+
+def test_exact_dedup_tiebreak_no_window(spark):
+    """The tie-breaker pick must be a map-side-combined aggregate, not a
+    window sort (hot-key straggler shape)."""
+    from plateau_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 3, "b"), (2, 9, "c")], "k long, tb long, v string"
+    )
+    out = exact_dedup(df, ["k"], tie_breaker="tb")
+    assert sorted(out.collect()) == [(1, 3, "b"), (2, 9, "c")]
+    assert out.columns == ["k", "tb", "v"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # map-side partial combine, no single-task-per-key window sort
+    assert "Window" not in plan and "partial_min" in plan
+
+
+def test_keep_last_no_window_and_matches_reference_rule(spark):
+    from plateau_spark.operators.dedup import drop_duplicates_keep_last
+
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "k long, ts long, v string",
+    )
+    out = drop_duplicates_keep_last(df, ["k"], ["ts"])
+    assert sorted(out.collect()) == [(1, 20, "new"), (2, 5, "only")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial_max" in plan
+
+
+def test_keep_last_map_column_falls_back_to_window(spark):
+    """Map columns are not struct-orderable: the window fallback must
+    engage and still return the right rows."""
+    from plateau_spark.operators.dedup import drop_duplicates_keep_last
+
+    df = spark.createDataFrame(
+        [(1, 10, {"a": 1}), (1, 20, {"b": 2})],
+        "k long, ts long, m map<string,int>",
+    )
+    out = drop_duplicates_keep_last(df, ["k"], ["ts"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["ts"] == 20 and rows[0]["m"] == {"b": 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_quota_tournament_equals_single_window(spark):
+    """The two-level tournament must return EXACTLY the single-window
+    result set (global top-quota ⊆ union of per-bucket top-quotas)."""
+    from pyspark.sql import Window
+    from plateau_spark.operators.sampling import _hash_unit, quota_sample
+
+    rows = [(i, "g" + str(i % 3)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = sorted(quota_sample(df, ["g"], 40, key_col="k").collect())
+    w = Window.partitionBy("g").orderBy(
+        _hash_unit("k", "quota").asc(), F.col("k").asc()
+    )
+    ref = sorted(
+        df.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= 40)
+        .drop("__rk__")
+        .collect()
+    )
+    assert out == ref
+    counts = [
+        r["c"]
+        for r in quota_sample(df, ["g"], 40, key_col="k")
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert all(c == 40 for c in counts)
