@@ -160,3 +160,20 @@ def test_bloom_probe_filters_before_verify_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the probe UDF appears as a filter, not as a join condition
     assert "ArrowEvalPython" in plan or "FlatMapsInPandas" in plan or "EvalPython" in plan
+
+
+def test_topk_window_has_partial_group_limit(spark):
+    """The ANN top-k rank windows partition by query_id over corpus-scale
+    candidate rows; they are hot-key safe ONLY because Spark's
+    WindowGroupLimit pushes a per-task top-k BEFORE the exchange
+    (each map task emits <= k rows per query). Pin that optimization —
+    if a refactor breaks the rank<=k pattern it recognizes, this fails."""
+    from plateau_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, q, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
