@@ -2649,8 +2649,9 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) the 3 NEW round-6 queries (semdedup_keep,
-#   decontaminate_bloom, text_quality_classifier) lead; (b) the 24 queries
+#   Round 6 window: (a) the 5 NEW round-6 queries (semdedup_keep,
+#   decontaminate_bloom, text_quality_classifier, dedup_cluster_keep,
+#   decontaminate_substring) lead; (b) the 24 queries
 #   that fell outside the round-5 window (incl. the 6 never driver-verified:
 #   asof_join_events, range_join_windows, streaming_dedup,
 #   streaming_enrich_dim, streaming_ingest_dataset, cosine_topk_ivf_persisted);
