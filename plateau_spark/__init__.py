@@ -30,11 +30,13 @@ from plateau_spark.sources.dataset import (
     store_dataframes_as_dataset,
     store_dataframes_as_dataset__iter,
     read_dataset_as_dataframe,
+    read_dataset_as_dataframes,
     read_dataset_as_dataframe_iterator,
     read_dataset_as_dataframe_groups,
     read_table,
     register_dataset_as_view,
     update_dataset_from_dataframe,
+    update_dataset_from_dataframes,
     update_dataset_from_dataframes__iter,
     write_single_partition,
     commit_dataset,
@@ -64,11 +66,13 @@ __all__ = [
     "store_dataframes_as_dataset",
     "store_dataframes_as_dataset__iter",
     "read_dataset_as_dataframe",
+    "read_dataset_as_dataframes",
     "read_dataset_as_dataframe_iterator",
     "read_dataset_as_dataframe_groups",
     "read_table",
     "register_dataset_as_view",
     "update_dataset_from_dataframe",
+    "update_dataset_from_dataframes",
     "update_dataset_from_dataframes__iter",
     "write_single_partition",
     "commit_dataset",

@@ -1156,6 +1156,45 @@ def build_dataset_indices(
     return meta
 
 
+def read_dataset_as_dataframes(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Reference-spelled alias of ``read_dataset_as_dataframe``.
+
+    The reference's eager ``read_dataset_as_dataframes``
+    (/root/reference/plateau/io/eager.py) returns a LIST of per-partition
+    pandas frames; the Spark-native shape is ONE distributed DataFrame
+    (documented design divergence, SURVEY §1.4 — per-partition iteration
+    is ``read_dataset_as_dataframe_iterator``). Provided so the
+    reference's import spelling works verbatim when porting.
+    """
+    return read_dataset_as_dataframe(spark, store, dataset_uuid, **kwargs)
+
+
+def update_dataset_from_dataframes(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    dfs: DataFrame | Sequence[DataFrame] | None = None,
+    **kwargs,
+) -> DatasetMetadata:
+    """Reference-spelled alias of ``update_dataset_from_dataframe``
+    (/root/reference/plateau/io/eager.py — plural form takes a list of
+    new-chunk frames): a list/tuple is unioned by name into the single
+    appended DataFrame, a bare DataFrame passes through.
+    """
+    if isinstance(dfs, (list, tuple)):
+        df = None
+        for d in dfs:
+            df = d if df is None else df.unionByName(d)
+    else:
+        df = dfs
+    return update_dataset_from_dataframe(spark, store, dataset_uuid, df, **kwargs)
+
+
 def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
     """Delete store keys not referenced by the current commit (old index
     files, files from failed/uncommitted writes).

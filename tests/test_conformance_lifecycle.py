@@ -409,3 +409,27 @@ def test_gc_collects_superseded_index_files(spark, lstore):
     assert n_idx_after == n_idx_before
     got = read_dataset_as_dataframe(spark, lstore, "gix", predicates=[[("tag", "==", "t1")]])
     assert sorted(r["k"] for r in got.collect()) == [i for i in range(30) if i % 3 == 1]
+
+
+def test_reference_spelled_aliases(spark, store):
+    """The reference's eager import spellings work verbatim: plural read
+    returns the (single, distributed) DataFrame; plural update accepts a
+    LIST of frames and appends their union."""
+    from plateau_spark import (
+        read_dataset_as_dataframes,
+        store_dataframes_as_dataset,
+        update_dataset_from_dataframes,
+    )
+
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    store_dataframes_as_dataset(spark, store, "alias_ds", [df])
+    update_dataset_from_dataframes(
+        spark,
+        store,
+        "alias_ds",
+        [spark.range(10, 15).withColumnRenamed("id", "k"),
+         spark.range(15, 20).withColumnRenamed("id", "k")],
+    )
+    out = read_dataset_as_dataframes(spark, store, "alias_ds")
+    assert out.count() == 20
+    assert sorted(r["k"] for r in out.collect()) == list(range(20))
