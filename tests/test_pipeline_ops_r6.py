@@ -316,3 +316,66 @@ def test_quota_tournament_equals_single_window(spark):
         .collect()
     ]
     assert all(c == 40 for c in counts)
+
+
+# --- randomized differential checks (fixed seed, numpy reference) -----------
+
+
+def test_semdedup_exact_matches_numpy_reference(spark):
+    """Exact-tier keep-set vs a numpy brute-force of the keep-first rule
+    over 80 clustered random vectors."""
+    import numpy as np
+    from plateau_spark.operators.similarity import semantic_dedup_keep
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16)
+    V = np.vstack(
+        [c + 0.02 * rng.randn(10, 16) for c in centers]  # 8 tight clusters
+    )
+    order = rng.permutation(len(V))
+    V = V[order]
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<float>",
+    )
+    thr = 0.98
+    Vf = V.astype(np.float32).astype(np.float64)  # match array<float> storage
+    N = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    G = N @ N.T
+    expect = {
+        i
+        for i in range(len(V))
+        if not any(G[i, j] >= thr for j in range(i))
+    }
+    got = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(df, threshold=thr, method="exact").collect()
+    }
+    assert got == expect
+
+
+def test_bloom_equals_exact_randomized(spark):
+    """Bloom tier vs exact tier over synthetic texts engineered for
+    heavy cross-doc n-gram sharing (boilerplate + shared vocab)."""
+    import numpy as np
+    from plateau_spark.operators.dedup import (
+        ngram_overlap_vs_eval,
+        ngram_overlap_vs_eval_bloom,
+    )
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "all rights reserved contact us for details"
+    rows = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), 25)]
+        text = " ".join(words) + (" " + boiler if i % 3 == 0 else "")
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    exact = ngram_overlap_vs_eval(train, ev, "doc_id", "text", n=3, threshold=0.15)
+    bloom = ngram_overlap_vs_eval_bloom(
+        train, ev, "doc_id", "text", n=3, threshold=0.15, n_bits=1 << 14
+    )
+    assert sorted(exact.collect()) == sorted(bloom.collect())
