@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "text_quality_classifier",
     "decontaminate_substring",
+    "text_winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 

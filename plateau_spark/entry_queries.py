@@ -2642,6 +2642,73 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. SIGMOD'03 / MOSS) rolling-hash
+    fingerprints: k-gram hashes → sliding window-min → distinct, one
+    row per (doc, fingerprint). Zero shuffle before the explode."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import _ensure_parallelism
+    from plateau_spark.operators.text import winnow_fingerprints
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    # explode into a pushed-down `size(col) > 0` filter whose projection
+    # aliases get re-inlined — re-evaluating the whole winnowing chain
+    # (with per-element HOF recomputation, O(len²) md5/regex) per input
+    # row. Winnowing emits >= 1 fingerprint per doc, so outer == inner.
+    return winnow_fingerprints(docs, "doc_id", "text").select(
+        "doc_id", F.explode_outer("fingerprints").alias("fingerprint")
+    )
+
+
+# shared winnowing CTE (k=8, w=4): normalized text → md5-prefix k-gram
+# hashes → window minima → distinct fingerprint set per document
+_WINNOW_FPS = """
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(coalesce(text,''))), '[^a-z0-9]+', ' ', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(t) - 8 + 1, 1) + 1),
+         i -> substr(md5(substr(t, i::INT, 8)), 1, 8)) AS grams
+  FROM norm
+), m AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(grams) - 4 + 1, 1) + 1),
+         j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+  FROM g
+)"""
+
+TEXT_WINNOW_ORACLE = f"""
+WITH {_WINNOW_FPS}
+SELECT doc_id, unnest(fps) AS fingerprint FROM m
+"""
+
+
+def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-overlap candidate pairs: equi-join documents on shared
+    winnowing fingerprints (df-capped hot-fingerprint guard), ranked by
+    shared-fingerprint count — catches a copied passage inside an
+    otherwise-different document, which whole-doc MinHash dilutes."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=2, max_fp_df=50
+    )
+
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH {_WINNOW_FPS},
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+fr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r USING (fp))
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM fr l JOIN fr r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2662,6 +2729,8 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 #   pack / web tier, all driver-green in r01-r05) back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 ---
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "semdedup_keep": semdedup_keep,
     "decontaminate_bloom": decontaminate_bloom,
     "text_quality_classifier": text_quality_classifier,
@@ -2756,6 +2825,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # mapInPandas feature decoder and the md5-mode dataset hash — has a
 # bit-reproducible ANSI-SQL twin.
 ORACLES: dict[str, str] = {
+    "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
+    "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "semdedup_keep": SEMDEDUP_KEEP_ORACLE,
     "decontaminate_bloom": DECONTAMINATE_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,

@@ -20,6 +20,8 @@ from plateau_spark.operators.text import (
     quality_score_col,
     stopword_ratio_col,
     token_count_col,
+    winnow_fingerprints,
+    winnow_fingerprints_col,
 )
 from plateau_spark.operators.dedup import shingles_col, tokens_col
 
@@ -35,6 +37,8 @@ __all__ = [
     "quality_score_col",
     "stopword_ratio_col",
     "token_count_col",
+    "winnow_fingerprints",
+    "winnow_fingerprints_col",
     "shingles_col",
     "tokens_col",
 ]

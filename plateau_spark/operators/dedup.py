@@ -568,6 +568,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 50,
+) -> DataFrame:
+    """Verbatim-overlap candidate pairs via winnowing fingerprints
+    (Schleimer et al., SIGMOD'03): two documents sharing any substring
+    of length >= k + w - 1 share at least one fingerprint, so an
+    equi-join on the fingerprint finds copy/quote/mirror candidates
+    without all-pairs comparison. Complements MinHash (whole-document
+    resemblance) — winnowing catches a long verbatim passage inside an
+    otherwise-different document, which set-Jaccard dilutes away.
+
+    Shape: zero-shuffle per-row fingerprinting (array HOFs, see
+    ``winnow_fingerprints_col``) → explode → df-cap → self-equi-join on
+    fingerprint → count shared per pair. ``max_fp_df`` is the same
+    hot-key guard as ``ngram_jaccard_pairs``: a fingerprint appearing in
+    d documents contributes d·(d-1)/2 join rows, so boilerplate shared
+    corpus-wide (license headers, navigation chrome) is dropped BEFORE
+    the join; pairs are ranked by surviving shared-fingerprint count.
+    """
+    from plateau_spark.operators.text import winnow_fingerprints
+
+    # explode_outer: keeps InferFiltersFromGenerate from pushing a
+    # size()>0 filter that re-inlines the winnowing chain into the scan
+    # (O(len²) per-row recompute); every doc has >= 1 fingerprint.
+    df = _ensure_parallelism(df)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        F.col(id_col).alias("__id__"), F.explode_outer("fingerprints").alias("__fp__")
+    )
+    if max_fp_df is not None:
+        rare = (
+            fps.groupBy("__fp__")
+            .agg(F.count("*").alias("__df__"))
+            .where(F.col("__df__") <= max_fp_df)
+            .select("__fp__")
+        )
+        fps = fps.join(rare, "__fp__")
+    return (
+        fps.alias("l")
+        .join(
+            fps.alias("r"),
+            (F.col("l.__fp__") == F.col("r.__fp__"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .groupBy(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 _SIMHASH_UDFS: dict = {}
 
 

@@ -100,6 +100,89 @@ def fingerprint_col(text_col: str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints_col(text_col: str, *, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD'03 — the
+    MOSS local document-fingerprinting algorithm): hash every k-char
+    gram of the normalized text, slide a w-gram window over the hash
+    sequence, keep each window's minimum hash, dedup. Guarantee: any
+    shared substring of length >= k + w - 1 between two documents
+    yields at least one shared fingerprint, so a fingerprint equi-join
+    finds verbatim-overlap candidates without an all-pairs compare.
+
+    Reference analog: none (plateau has no fingerprinting); this is a
+    north-star extension operator (SURVEY.md §7 Phase 3 text tier).
+
+    Scale shape: pure per-row array HOFs (transform / sequence / slice
+    / array_min) — embarrassingly parallel, ZERO shuffle; at 100 TB
+    it's one narrow map over the corpus and the downstream candidate
+    join is an equi-join on the exploded fingerprint (bucketable,
+    never a nested loop). The paper's rolling hash is a single-core
+    micro-optimization; hashing each k-gram independently (md5 prefix)
+    vectorizes, and has a bit-identical DuckDB twin.
+
+    Short docs degenerate gracefully: substr past end truncates
+    identically in Spark and DuckDB, so every document — even the
+    empty one — has >= 1 fingerprint.
+
+    CAUTION: as a single nested Column this re-evaluates the k-gram
+    hash array once per window position (HOF lambdas re-evaluate
+    captured non-attribute subtrees per element) — O(len²) hashing.
+    Use :func:`winnow_fingerprints` (the staged DataFrame form) in
+    pipelines; this Column form is for short fields (titles, URLs).
+    """
+    t = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "[^a-z0-9]+", " "
+    )
+    grams = _winnow_grams(t, k)
+    return F.array_distinct(_winnow_mins(grams, w))
+
+
+def _winnow_grams(t: Column, k: int) -> Column:
+    """md5-prefix hash of every k-char gram of ``t`` (1 gram minimum —
+    substr past end truncates identically in Spark and DuckDB)."""
+    n_g = F.greatest(F.length(t) - F.lit(k) + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_g), lambda i: F.md5(t.substr(i, F.lit(k))).substr(1, 8)
+    )
+
+
+def _winnow_mins(grams: Column, w: int) -> Column:
+    """Minimum hash of each w-wide sliding window over the gram array."""
+    n_w = F.greatest(F.size(grams) - F.lit(w) + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_w), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints as a DataFrame op: ``(id_col,
+    fingerprints array<string>)`` — semantics of
+    :func:`winnow_fingerprints_col`, but each stage (normalize → gram
+    hashes → window minima) is materialized as its own projection so it
+    is evaluated ONCE per row. A single nested expression re-evaluates
+    the captured subtree per HOF element (normalize per gram, the whole
+    gram array per window) — O(len²) md5/regex calls per document;
+    staging makes it O(len). The intermediate aliases are referenced
+    twice downstream (sequence bound + lambda body), which blocks
+    CollapseProject from re-inlining the expensive expression.
+
+    Still ZERO shuffle — three stacked narrow projections.
+    """
+    t = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "[^a-z0-9]+", " "
+    )
+    staged = df.select(F.col(id_col), t.alias("__t__"))
+    staged = staged.select(
+        F.col(id_col), _winnow_grams(F.col("__t__"), k).alias("__grams__")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_distinct(_winnow_mins(F.col("__grams__"), w)).alias("fingerprints"),
+    )
+
+
 def _word_tokens(text_col: str) -> Column:
     """Non-empty lowercased word tokens (same tokenizer as the dedup
     shingles and the DuckDB oracle's regexp_split_to_array twin)."""

@@ -379,3 +379,118 @@ def test_bloom_equals_exact_randomized(spark):
         train, ev, "doc_id", "text", n=3, threshold=0.15, n_bits=1 << 14
     )
     assert sorted(exact.collect()) == sorted(bloom.collect())
+
+
+# --- winnowing fingerprints -------------------------------------------------
+
+
+def _ref_winnow(text: str, k: int = 8, w: int = 4) -> set[str]:
+    """Pure-Python reference of the winnowing pipeline (hashlib md5 —
+    independent of both Spark and DuckDB)."""
+    import hashlib
+    import re
+
+    t = re.sub("[^a-z0-9]+", " ", (text or "").strip().lower())
+    grams = [
+        hashlib.md5(t[i : i + k].encode()).hexdigest()[:8]
+        for i in range(max(len(t) - k + 1, 1))
+    ]
+    return {min(grams[j : j + w]) for j in range(max(len(grams) - w + 1, 1))}
+
+
+def test_winnow_matches_python_reference(spark):
+    import random
+
+    from plateau_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ] + [(40, ""), (41, "ab"), (42, None), (43, "  Mixed CASE, punct!! ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {r[0] for r in rows}
+    for doc_id, text in rows:
+        assert out[doc_id] == _ref_winnow(text), f"doc {doc_id}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 (after normalization) share >= 1 fingerprint."""
+    from plateau_spark.operators.text import winnow_fingerprints
+
+    passage = "the rain in spain falls mainly on the plain"
+    rows = [
+        (0, "intro words before " + passage),
+        (1, passage + " and then entirely different trailing content here"),
+        (2, "no overlap with anything else zzz qqq vvv www"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, "doc_id", "text", k=8, w=4).collect()
+    }
+    assert fps[0] & fps[1], "shared passage must yield a shared fingerprint"
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
+
+
+def test_winnow_overlap_pairs_finds_copied_passage(spark):
+    from plateau_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = (
+        "copyright is not claimed on this long shared passage which is "
+        "verbatim identical across the two documents that embed it"
+    )
+    rows = [
+        (0, "first document unique prefix " + passage),
+        (1, passage + " second document unique suffix content"),
+        (2, "completely different prose about gardening and tomatoes"),
+        (3, "astronomy telescopes observing remote planets and stars"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fingerprints"]
+        for r in winnow_overlap_pairs(
+            docs, "doc_id", "text", min_shared=2, max_fp_df=None
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_winnow_hot_fingerprint_cap_drops_boilerplate(spark):
+    """A fingerprint present in > max_fp_df docs must not generate
+    candidate pairs (the hot-key guard that bounds the self-join)."""
+    from plateau_spark.operators.dedup import winnow_overlap_pairs
+
+    import hashlib
+
+    boiler = "all rights reserved terms of service privacy policy contact"
+    # unique halves are md5 gibberish so no two docs share a k-gram
+    # outside the boilerplate
+    rows = [
+        (
+            i,
+            hashlib.md5(f"a{i}".encode()).hexdigest()
+            + " "
+            + hashlib.md5(f"b{i}".encode()).hexdigest()
+            + " "
+            + boiler,
+        )
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=1, max_fp_df=None
+    ).count()
+    capped = winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=1, max_fp_df=5
+    ).count()
+    assert uncapped > 0
+    assert capped == 0

@@ -177,3 +177,36 @@ def test_topk_window_has_partial_group_limit(spark):
     out = cosine_topk_bruteforce(emb, q, k=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_winnow_explode_no_inferred_recompute_filter(spark):
+    """InferFiltersFromGenerate on a plain explode pushes a size()>0
+    filter whose projection aliases get re-inlined — re-evaluating the
+    whole winnowing chain per row with per-element HOF recomputation
+    (O(len²) md5). The explode_outer guard + staged projections keep
+    the chain evaluated exactly once; the optimized plan must contain
+    exactly one gram-hash stage and no Filter."""
+    from plateau_spark.entry_queries import QUERIES
+
+    df = QUERIES["text_winnow_fingerprints"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5(") == 1, opt
+    assert opt.count("regexp_replace") == 1, opt
+    assert "Filter" not in opt, opt
+
+
+def test_winnow_pairs_is_equi_join_with_df_cap(spark):
+    """The overlap self-join must be a hash equi-join on the fingerprint
+    (never a nested loop), with the hot-fingerprint cap aggregated
+    BEFORE the join."""
+    from plateau_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        winnow_overlap_pairs(docs, "doc_id", "text", max_fp_df=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
