@@ -640,6 +640,7 @@ def read_dataset_as_dataframe(
     filter_query: str | None = None,
     categories: Sequence[str] | None = None,
     dates_as_object: bool | None = None,
+    predicate_pushdown_to_io: bool = True,
 ) -> DataFrame:
     """Pruned scan → one distributed DataFrame.
 
@@ -687,6 +688,21 @@ def read_dataset_as_dataframe(
             "dates_as_object= is not supported: Spark always reads date "
             "columns as DateType (rows yield datetime.date on collect; "
             "there is no pandas object-dtype toggle). Drop the kwarg."
+        )
+    if predicate_pushdown_to_io is False:
+        # The reference's debugging escape hatch reads full row groups
+        # and filters in pandas
+        # (/root/reference/plateau/serialization/_parquet.py:208-210).
+        # On Spark, predicate pushdown into the parquet reader is a
+        # Catalyst/session concern, not a per-read kwarg — the
+        # equivalent debugging switch is session-wide. Typed divergence
+        # error (same policy as categories= / dates_as_object=).
+        raise NotImplementedError(
+            "predicate_pushdown_to_io=False is not supported per-read: "
+            "Spark pushes parquet filters via Catalyst. For debugging, "
+            "disable it session-wide with "
+            "spark.conf.set('spark.sql.parquet.filterPushdown', 'false') "
+            "— driver-side partition/index pruning is unaffected."
         )
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")

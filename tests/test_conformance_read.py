@@ -232,6 +232,23 @@ def test_dates_as_object_kwarg_raises(spark, conf_store):
             read_dataset_as_dataframe(spark, conf_store, "conf", dates_as_object=val)
 
 
+def test_predicate_pushdown_to_io_kwarg(spark, conf_store):
+    """predicate_pushdown_to_io: the reference's per-read debugging
+    escape hatch (plateau/serialization/_parquet.py:208-210). True (the
+    reference default) is accepted and identical to omitting it; False
+    is a typed divergence error naming the Spark session-wide switch —
+    pushdown is a Catalyst concern, not a per-read kwarg."""
+    baseline = read_dataset_as_dataframe(spark, conf_store, "conf").count()
+    same = read_dataset_as_dataframe(
+        spark, conf_store, "conf", predicate_pushdown_to_io=True
+    ).count()
+    assert same == baseline
+    with pytest.raises(NotImplementedError, match="filterPushdown"):
+        read_dataset_as_dataframe(
+            spark, conf_store, "conf", predicate_pushdown_to_io=False
+        )
+
+
 @pytest.mark.parametrize("mode", ["eager", "iterator"])
 def test_unicode_and_special_char_partition_values(mode, spark, tmp_path):
     """Partition-key values with spaces, slashes, unicode, '=' — the
