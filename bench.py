@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "decontaminate_substring",
     "text_winnow_fingerprints",
     "winnow_overlap_pairs",
+    "embedding_quantize",
 ]
 
 

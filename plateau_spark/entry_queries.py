@@ -2709,6 +2709,32 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embeddings table —
+    (vec_id, per-vector scale, quantized array). The 4×-smaller storage
+    and shuffle tier for embedding corpora."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select("vec_id", F.round("scale", 6).alias("scale"), "qvec")
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CASE WHEN scale > 0
+            THEN list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+            ELSE list_transform(e, x -> 0) END AS qvec
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2716,7 +2742,8 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) the 5 NEW round-6 queries (semdedup_keep,
+#   Round 6 window: (a) the 8 NEW round-6 queries (text_winnow_fingerprints,
+#   winnow_overlap_pairs, embedding_quantize, semdedup_keep,
 #   decontaminate_bloom, text_quality_classifier, dedup_cluster_keep,
 #   decontaminate_substring) lead; (b) the 24 queries
 #   that fell outside the round-5 window (incl. the 6 never driver-verified:
@@ -2731,6 +2758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 ---
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "embedding_quantize": embedding_quantize,
     "semdedup_keep": semdedup_keep,
     "decontaminate_bloom": decontaminate_bloom,
     "text_quality_classifier": text_quality_classifier,
@@ -2827,6 +2855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
+    "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "semdedup_keep": SEMDEDUP_KEEP_ORACLE,
     "decontaminate_bloom": DECONTAMINATE_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,

@@ -494,3 +494,42 @@ def test_winnow_hot_fingerprint_cap_drops_boilerplate(spark):
     ).count()
     assert uncapped > 0
     assert capped == 0
+
+
+# --- embedding quantization -------------------------------------------------
+
+
+def test_quantize_reconstruction_error_bounded(spark):
+    """Dequantized values must be within scale/2 of the originals, and
+    every quantized level within the int8 range."""
+    import numpy as np
+
+    from plateau_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    for vec_id, vec in rows:
+        scale, qvec = out[vec_id]["scale"], out[vec_id]["qvec"]
+        # float32 storage rounds the input; compare against that
+        v32 = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        assert max(abs(q) for q in qvec) <= 127
+        recon = np.asarray(qvec, dtype=np.float64) * scale
+        assert np.max(np.abs(recon - v32)) <= scale / 2 + 1e-12
+        # numpy twin of the exact rule: floor(v/scale + 0.5)
+        expect = np.floor(v32 / scale + 0.5).astype(int)
+        assert list(expect) == list(qvec)
+
+
+def test_quantize_zero_vector_guard(spark):
+    from plateau_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert rows[0]["scale"] == 0.0
+    assert rows[0]["qvec"] == [0, 0, 0]
+    assert rows[1]["qvec"][1] == -127  # max-|v| element hits the full level
