@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_winnow_fingerprints",
     "winnow_overlap_pairs",
     "embedding_quantize",
+    "streaming_interval_join",
 ]
 
 

@@ -2148,6 +2148,54 @@ FROM events
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join: purchases within 1 hour
+    after a signup by the same user — the funnel/attribution primitive.
+    Both sides are availableNow streams; with one static file nothing
+    is late, so the result equals the batch interval join (the oracle
+    bridge)."""
+    _prep(spark)
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+
+    def transform(stream):
+        signups = stream.where(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("signup_ts")
+        )
+        purchases = (
+            open_parquet_stream(spark, path)
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        )
+        return stream_stream_interval_join(
+            signups,
+            purchases,
+            on=["user_id"],
+            left_ts="signup_ts",
+            right_ts="purchase_ts",
+            lower="0 seconds",
+            upper="1 hour",
+        )
+
+    out = run_stream_to_memory(spark, path, transform)
+    return out.select("user_id", "signup_ts", "purchase_ts", "value")
+
+
+STREAM_INTERVAL_JOIN_ORACLE = """
+SELECT s.user_id, CAST(s.ts AS TIMESTAMP) AS signup_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
+FROM events s JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-bigram fraction,
     unique-word ratio, top-bigram coverage (explode + two keyed aggs)."""
@@ -2742,8 +2790,9 @@ FROM s
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) the 8 NEW round-6 queries (text_winnow_fingerprints,
-#   winnow_overlap_pairs, embedding_quantize, semdedup_keep,
+#   Round 6 window: (a) the 9 NEW round-6 queries (text_winnow_fingerprints,
+#   winnow_overlap_pairs, embedding_quantize, streaming_interval_join,
+#   semdedup_keep,
 #   decontaminate_bloom, text_quality_classifier, dedup_cluster_keep,
 #   decontaminate_substring) lead; (b) the 24 queries
 #   that fell outside the round-5 window (incl. the 6 never driver-verified:
@@ -2759,6 +2808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
+    "streaming_interval_join": streaming_interval_join,
     "semdedup_keep": semdedup_keep,
     "decontaminate_bloom": decontaminate_bloom,
     "text_quality_classifier": text_quality_classifier,
@@ -2856,6 +2906,7 @@ ORACLES: dict[str, str] = {
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
+    "streaming_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
     "semdedup_keep": SEMDEDUP_KEEP_ORACLE,
     "decontaminate_bloom": DECONTAMINATE_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,

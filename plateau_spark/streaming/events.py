@@ -286,6 +286,56 @@ def _has_aggregation(df: DataFrame) -> bool:
     return "Aggregate" in plan
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: a left/right row pair joins when
+    the equality keys match AND ``right_ts`` falls in
+    ``[left_ts + lower, left_ts + upper]``.
+
+    The canonical funnel/attribution primitive (purchase within an hour
+    of signup, error following a deploy). The time-range condition is
+    REQUIRED for bounded state: with watermarks on both inputs plus the
+    interval, Spark derives how long each side's rows stay joinable and
+    evicts buffered state past that horizon — an equality-only
+    stream-stream join would buffer both streams forever. At 100 TB/day
+    the state store holds only ``upper + watermark`` of each stream per
+    key, independent of stream length.
+
+    Both sides must use distinct timestamp column names (rename before
+    calling); the duplicated right-side equality-key columns are
+    dropped from the result. Batch DataFrames run the identical plan
+    (watermarks are skipped — they are streaming-only physics).
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    l, r = left.alias("l"), right.alias("r")
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    joined = l.join(r, cond, how)
+    for k in on:
+        joined = joined.drop(r[k])
+    return joined
+
+
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
     """Stream-static dimension enrichment: the static side is broadcast
     into every micro-batch task, so the join is stateless — no watermark,

@@ -349,3 +349,130 @@ def test_stream_to_dataset_multi_batch_then_compact(spark, tmp_path):
     assert read_dataset_as_dataframe(spark, store, "multi").count() == 120
     # batch watermark survives compaction (metadata carried over)
     assert len(compacted.metadata["stream_batches"]) == 3
+
+
+def test_interval_join_batch_semantics(spark):
+    """Batch path: pairs only within [left_ts + lower, left_ts + upper]."""
+    from plateau_spark.streaming.events import stream_stream_interval_join
+
+    signups = spark.createDataFrame(
+        [(1, _t(10)), (2, _t(12))], "user_id long, signup_ts timestamp"
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, _t(10, 30), 5.0),   # in window
+            (1, _t(12), 7.0),       # > upper (2h after)
+            (1, _t(9, 59), 9.0),    # before signup
+            (2, _t(13), 11.0),      # in window
+            (3, _t(10, 10), 13.0),  # no matching signup
+        ],
+        "user_id long, purchase_ts timestamp, value double",
+    )
+    out = stream_stream_interval_join(
+        signups, purchases, on=["user_id"],
+        left_ts="signup_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    got = sorted((r["user_id"], r["value"]) for r in out.collect())
+    assert got == [(1, 5.0), (2, 11.0)]
+    assert "user_id" in out.columns and out.columns.count("user_id") == 1
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """availableNow self-join of the stream equals the batch interval
+    join when nothing is late (single micro-batch)."""
+    from plateau_spark.streaming.events import stream_stream_interval_join
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        (1, 1, "signup", _t(10), 0.0),
+        (2, 1, "purchase", _t(10, 45), 5.0),
+        (3, 1, "purchase", _t(14), 6.0),
+        (4, 2, "signup", _t(11), 0.0),
+        (5, 2, "purchase", _t(11, 20), 7.0),
+    ]
+    _write_event_file(str(d / "f1.parquet"), rows, 1_700_000_000)
+
+    def transform(stream):
+        s = stream.where(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("signup_ts")
+        )
+        p = stream.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("purchase_ts"), "value"
+        )
+        return stream_stream_interval_join(
+            s, p, on=["user_id"], left_ts="signup_ts",
+            right_ts="purchase_ts", upper="1 hour",
+        )
+
+    out = _run_file_per_batch(spark, str(d), transform)
+    got = sorted((r["user_id"], r["value"]) for r in out.collect())
+    assert got == [(1, 5.0), (2, 7.0)]
+
+
+def test_interval_join_evicts_state_past_watermark(spark, tmp_path):
+    """Bounded state: once the watermark passes left_ts + upper, the
+    left row's join state is evicted — a matching right row arriving in
+    a later micro-batch no longer pairs (and is itself late). The same
+    data joined as plain batch DataFrames DOES pair, which is exactly
+    the state bound this operator buys on an infinite stream."""
+    from plateau_spark.streaming.events import stream_stream_interval_join
+
+    d = tmp_path / "ev2"
+    d.mkdir()
+    # batch 0: the signup + far-future events on BOTH sides — the query
+    # watermark is the MIN over all watermarked inputs, so each side
+    # needs an advancing event (20:00 - 2h delay = 18:00, past the
+    # 10:00 + 1h upper bound)
+    _write_event_file(
+        str(d / "f1.parquet"),
+        [
+            (1, 1, "signup", _t(10), 0.0),
+            (2, 8, "signup", _t(20), 0.0),
+            (3, 9, "purchase", _t(20), 1.0),
+        ],
+        1_700_000_000,
+    )
+    # batch 1: watermark computed from batch 0 (18:00) takes effect and
+    # the signup@10:00 state is evicted at this batch's end
+    _write_event_file(
+        str(d / "f2.parquet"),
+        [(4, 7, "signup", _t(20, 30), 0.0)],
+        1_700_000_100,
+    )
+    # batch 2: the matching purchase arrives after eviction
+    _write_event_file(
+        str(d / "f3.parquet"),
+        [(5, 1, "purchase", _t(10, 30), 5.0)],
+        1_700_000_200,
+    )
+
+    def transform(stream):
+        s = stream.where(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("signup_ts")
+        )
+        p = stream.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("purchase_ts"), "value"
+        )
+        return stream_stream_interval_join(
+            s, p, on=["user_id"], left_ts="signup_ts",
+            right_ts="purchase_ts", upper="1 hour", watermark="2 hours",
+        )
+
+    out = _run_file_per_batch(spark, str(d), transform)
+    assert out.count() == 0
+    # batch twin over the same files pairs (1, 5.0): stream omission is
+    # watermark physics, not a join bug
+    ev = spark.read.parquet(str(d))
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    batch = stream_stream_interval_join(
+        s, p, on=["user_id"], left_ts="signup_ts",
+        right_ts="purchase_ts", upper="1 hour",
+    )
+    assert [(r["user_id"], r["value"]) for r in batch.collect()] == [(1, 5.0)]
