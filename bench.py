@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "winnow_overlap_pairs",
     "embedding_quantize",
     "streaming_interval_join",
+    "multimodal_resize",
 ]
 
 

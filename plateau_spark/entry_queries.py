@@ -2769,6 +2769,59 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("vec_id", F.round("scale", 6).alias("scale"), "qvec")
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image kernel parity: synthesize a deterministic 4x4
+    P6-PPM payload per document (48 md5-derived bytes), bilinear-resize
+    to 2x2 through the pure-numpy mapInPandas kernel, emit the resized
+    RGB bytes as ints. At scale 2 with align_corners=False, bilinear is
+    exactly the 2x2 block average — which the SQL oracle replays from
+    the same md5 hex arithmetic."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("x"))),
+        F.md5(F.concat(F.col("text"), F.lit("y"))),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(b"P6\n4 4\n255\n")), F.unhex(raw)).alias("payload"),
+    )
+    hexed = resize_images(media, 2, 2).select(
+        "media_id", F.hex(F.col("payload")).alias("__h__")
+    )
+    # strip the 11-byte "P6\n2 2\n255\n" header (22 hex chars); the 12
+    # RGB bytes follow
+    return hexed.select(
+        "media_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.conv(F.col("__h__").substr(i * 2 + 23, F.lit(2)), 16, 10).cast(
+                "int"
+            ),
+        ).alias("rgb"),
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS rh
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  list_transform(range(0, 12), j ->
+    CAST(floor((
+      ('0x' || substr(rh, 2*((j//6)*24 + ((j//3)%2)*6 + j%3) + 1, 2))::INT +
+      ('0x' || substr(rh, 2*((j//6)*24 + ((j//3)%2)*6 + j%3 + 3) + 1, 2))::INT +
+      ('0x' || substr(rh, 2*((j//6)*24 + ((j//3)%2)*6 + j%3 + 12) + 1, 2))::INT +
+      ('0x' || substr(rh, 2*((j//6)*24 + ((j//3)%2)*6 + j%3 + 15) + 1, 2))::INT
+    ) / 4.0 + 0.5) AS INTEGER)) AS rgb
+FROM raw
+"""
+
+
 EMBEDDING_QUANTIZE_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -2790,9 +2843,9 @@ FROM s
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) the 9 NEW round-6 queries (text_winnow_fingerprints,
+#   Round 6 window: (a) the 10 NEW round-6 queries (text_winnow_fingerprints,
 #   winnow_overlap_pairs, embedding_quantize, streaming_interval_join,
-#   semdedup_keep,
+#   multimodal_resize, semdedup_keep,
 #   decontaminate_bloom, text_quality_classifier, dedup_cluster_keep,
 #   decontaminate_substring) lead; (b) the 24 queries
 #   that fell outside the round-5 window (incl. the 6 never driver-verified:
@@ -2809,6 +2862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
     "streaming_interval_join": streaming_interval_join,
+    "multimodal_resize": multimodal_resize,
     "semdedup_keep": semdedup_keep,
     "decontaminate_bloom": decontaminate_bloom,
     "text_quality_classifier": text_quality_classifier,
@@ -2907,6 +2961,7 @@ ORACLES: dict[str, str] = {
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "streaming_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
+    "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     "semdedup_keep": SEMDEDUP_KEEP_ORACLE,
     "decontaminate_bloom": DECONTAMINATE_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,

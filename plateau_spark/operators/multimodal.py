@@ -6,9 +6,11 @@ feature-extract / resize / frame-sample as Arrow-batched pandas
 functions over ``mapInPandas`` so each executor processes columnar
 batches (zero-copy Arrow transfer), never row-at-a-time Python.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this container — clearly marked below); the Spark-side contract that
-matters at 100 TB is real and tested:
+Compressed-format decode (JPEG/PNG/mp4) is unavailable in this
+container (no image/video libraries); the library-free P6-PPM path is
+REAL — pure-numpy parse, bilinear resize, concatenated-frame sampling
+— and the Spark-side contract that matters at 100 TB is real and
+tested:
   - schema: payload stays a lazy binary column; metadata is queryable
     without touching payload bytes (column pruning drops the blob read
     when only metadata is selected — parquet columnar wins)
@@ -119,19 +121,168 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFra
     return narrow.mapInPandas(batches, out_schema)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover
-    """STUB — requires an image library not present in this container."""
-    raise NotImplementedError(
-        "Image resize requires PIL/opencv which are not available; "
-        "wire the real decoder into decode_and_featurize-style mapInPandas."
-    )
+def _parse_ppm(payload: bytes, offset: int = 0):
+    """Parse one binary PPM (P6, maxval 255) image starting at
+    ``offset``. Returns ``(ndarray (h, w, 3) uint8, next_offset)`` or
+    ``None`` when the bytes aren't a valid P6 image. Pure parsing —
+    PPM is the deliberately library-free interchange format here;
+    compressed formats (JPEG/PNG) would need a decoder this container
+    lacks, so non-P6 payloads are treated as undecodable (None)."""
+    import numpy as np
+
+    header = payload[offset : offset + 64]
+    if not header.startswith(b"P6"):
+        return None
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(header):
+        while i < len(header) and header[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(header) and header[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        fields.append(int(header[i:j]))
+        i = j
+    if len(fields) < 3 or fields[2] != 255:
+        return None
+    w, h, _ = fields
+    data_start = offset + i + 1  # single whitespace after maxval
+    data_end = data_start + w * h * 3
+    if w <= 0 or h <= 0 or data_end > len(payload):
+        return None
+    arr = np.frombuffer(payload[data_start:data_end], dtype=np.uint8)
+    return arr.reshape(h, w, 3), data_end
 
 
-def sample_video_frames(df: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover
-    """STUB — requires a video library not present in this container."""
-    raise NotImplementedError(
-        "Video frame sampling requires ffmpeg/decord which are not available."
+def _encode_ppm(arr) -> bytes:
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _bilinear_resize(img, out_h: int, out_w: int):
+    """Vectorized numpy bilinear resize (align_corners=False sampling,
+    the OpenCV/PIL convention), output rounded half-up to uint8."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    fy = (ys - y0f)[:, None, None]
+    fx = (xs - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(int), 0, h - 1)
+    y1 = np.clip(y0f.astype(int) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(int), 0, w - 1)
+    x1 = np.clip(x0f.astype(int) + 1, 0, w - 1)
+    im = img.astype(np.float64)
+    top = im[y0][:, x0] * (1 - fx) + im[y0][:, x1] * fx
+    bot = im[y1][:, x0] * (1 - fx) + im[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, *, payload_col: str = "payload"
+) -> DataFrame:
+    """Bilinear-resize every P6-PPM payload to (width, height) — a REAL
+    pure-numpy kernel (PPM needs no image library; JPEG/PNG would).
+    Rows whose payload doesn't parse as P6 are dropped (count the
+    difference to monitor corrupt inputs).
+
+    Same Arrow-batch contract as ``decode_and_featurize``: payload
+    projected Spark-side before the Python worker, bounded record
+    batches, output is (media_id, payload, meta) with refreshed
+    metadata. At 100 TB pair with ``size_bucketed`` so each task sees
+    a balanced byte budget.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, False),
+        ]
     )
+    narrow = df.select("media_id", payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                parsed = _parse_ppm(bytes(payload)) if payload is not None else None
+                if parsed is None:
+                    continue
+                resized = _encode_ppm(_bilinear_resize(parsed[0], height, width))
+                ids.append(media_id)
+                payloads.append(resized)
+                metas.append(
+                    {
+                        "n_bytes": len(resized),
+                        "content_md5": hashlib.md5(resized).hexdigest(),
+                        "mime": "image/x-portable-pixmap",
+                    }
+                )
+            # explicit dtypes: an all-dropped batch would otherwise
+            # default empty columns to float64, which Arrow can't cast
+            # to binary/struct
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(metas, dtype="object"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int, *, payload_col: str = "payload"
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from 'video' payloads encoded
+    as concatenated P6-PPM frames (the library-free raw container;
+    mp4/webm would need ffmpeg). Emits one row per kept frame:
+    (media_id, frame_idx, payload) — the exploded-frames shape that
+    downstream image ops (resize, featurize) consume directly.
+    Undecodable payloads yield no rows."""
+    if every_n <= 0:
+        raise ValueError("every_n must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    narrow = df.select("media_id", payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw, offset, k = bytes(payload), 0, 0
+                while offset < len(raw):
+                    parsed = _parse_ppm(raw, offset)
+                    if parsed is None:
+                        break
+                    frame, offset = parsed
+                    if k % every_n == 0:
+                        ids.append(media_id)
+                        idxs.append(k)
+                        frames.append(_encode_ppm(frame))
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "payload": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, out_schema)
 
 
 def size_bucketed(df: DataFrame, *, target_bytes: int = 64 << 20) -> DataFrame:

@@ -664,3 +664,105 @@ def test_dedup_paragraphs_empty_paragraphs_first_occurrence(spark):
     # doc 2: ['c', '', '', 'd'] → both '' already seen (doc 1 / earlier pos)
     assert out[2]["text_deduped"] == "c\n\nd"
     assert (out[2]["n_kept"], out[2]["n_paragraphs"]) == (2, 4)
+
+
+def test_ppm_parse_encode_roundtrip():
+    import numpy as np
+
+    from plateau_spark.operators.multimodal import _encode_ppm, _parse_ppm
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    arr, end = _parse_ppm(_encode_ppm(img))
+    assert end == len(_encode_ppm(img))
+    assert (arr == img).all()
+    # corrupt / foreign payloads are undecodable, not crashes
+    assert _parse_ppm(b"JFIF....") is None
+    assert _parse_ppm(b"P6\n4 4\n255\nshort") is None
+    assert _parse_ppm(b"P6\n0 4\n255\n") is None
+
+
+def test_bilinear_resize_matches_naive_reference():
+    import numpy as np
+
+    from plateau_spark.operators.multimodal import _bilinear_resize
+
+    def naive(img, oh, ow):
+        h, w, _ = img.shape
+        out = np.zeros((oh, ow, 3), dtype=np.uint8)
+        for oy in range(oh):
+            for ox in range(ow):
+                y = (oy + 0.5) * h / oh - 0.5
+                x = (ox + 0.5) * w / ow - 0.5
+                y0, x0 = int(np.floor(y)), int(np.floor(x))
+                fy, fx = y - y0, x - x0
+                y0c, y1c = max(y0, 0), min(y0 + 1, h - 1)
+                x0c, x1c = max(x0, 0), min(x0 + 1, w - 1)
+                acc = np.zeros(3)
+                for (yy, wy) in ((y0c, 1 - fy), (y1c, fy)):
+                    for (xx, wx) in ((x0c, 1 - fx), (x1c, fx)):
+                        acc += img[yy, xx].astype(float) * wy * wx
+                out[oy, ox] = np.clip(np.floor(acc + 0.5), 0, 255)
+        return out
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    for oh, ow in ((3, 4), (12, 18), (6, 9), (1, 1)):
+        assert (_bilinear_resize(img, oh, ow) == naive(img, oh, ow)).all(), (oh, ow)
+    # constant image stays constant at any size
+    const = np.full((4, 4, 3), 137, dtype=np.uint8)
+    assert (_bilinear_resize(const, 10, 3) == 137).all()
+
+
+def test_resize_images_spark_pipeline(spark):
+    import numpy as np
+
+    from plateau_spark.operators.multimodal import (
+        _bilinear_resize,
+        _encode_ppm,
+        _parse_ppm,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(5)
+    imgs = {i: rng.randint(0, 256, (8, 8, 3), dtype=np.uint8) for i in range(4)}
+    rows = [(i, bytearray(_encode_ppm(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert set(out) == set(imgs)  # corrupt row dropped
+    for i, img in imgs.items():
+        arr, _ = _parse_ppm(bytes(out[i]["payload"]))
+        assert (arr == _bilinear_resize(img, 4, 4)).all()
+        assert out[i]["meta"]["mime"] == "image/x-portable-pixmap"
+        assert out[i]["meta"]["n_bytes"] == len(bytes(out[i]["payload"]))
+
+
+def test_sample_video_frames_spark(spark):
+    import numpy as np
+
+    from plateau_spark.operators.multimodal import (
+        _encode_ppm,
+        _parse_ppm,
+        sample_video_frames,
+    )
+
+    frames = [np.full((2, 3, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+    video = b"".join(_encode_ppm(f) for f in frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(video)), (2, bytearray(b"garbage"))],
+        "media_id long, payload binary",
+    )
+    out = sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["payload"]))
+        for r in sample_video_frames(df, 2).collect()
+    )
+    assert [(m, k) for m, k, _ in out] == [(1, 0), (1, 2), (1, 4)]
+    for (_, k, payload), v in zip(out, (10, 30, 50)):
+        arr, _ = _parse_ppm(payload)
+        assert (arr == v).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(df, 0)
