@@ -2836,6 +2836,96 @@ FROM s
 """
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified_sample: per-language keep fractions (curate named
+    sources at configured rates, thin the rest) — sampleBy semantics
+    but md5-deterministic, so reproducible across engines/runs."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        ["lang"],
+        {"en": 0.5, "de": 0.25, "fr": 1.0},
+        key_col="doc_id",
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+_U_STRAT = _HASH_UNIT_SQL.format(salt="strat", key="doc_id")
+SAMPLE_STRATIFIED_ORACLE = f"""
+WITH f(lang, frac) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 1.0))
+SELECT doc_id, d.lang AS lang
+FROM documents d LEFT JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
+WHERE {_U_STRAT} < COALESCE(f.frac, 0.1)
+"""
+
+
+def quality_tier_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_tiers: CCNet-style head/middle/tail labels by the
+    empirical CDF of the quality score — histogram-aggregate CDF (no
+    global data sort), whole score-buckets per tier."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import quality_tiers
+    from plateau_spark.operators.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score_col("text").alias("score"))
+    out = quality_tiers(scored, "score")
+    return out.select("doc_id", F.round("score", 6).alias("score"), "tier")
+
+
+QUALITY_TIER_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, {_QUALITY} AS score FROM documents
+), hist AS (
+  SELECT CAST(floor(score * 1000) AS BIGINT) AS b, COUNT(*) AS c
+  FROM scored GROUP BY 1
+), cdf AS (
+  SELECT b, SUM(c) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 /
+            SUM(c) OVER () AS cf
+  FROM hist
+)
+SELECT doc_id, round(score, 6) AS score,
+       CASE WHEN cf <= 0.1 THEN 'head'
+            WHEN cf <= 0.5 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM scored JOIN cdf ON CAST(floor(score * 1000) AS BIGINT) = cdf.b
+"""
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unigram_logprob: CCNet-style LM quality signal — per-document
+    mean negative log-probability under a corpus-fit unigram model
+    (closed-form, so the whole model fit + scoring is hash-checkable)."""
+    _prep(spark)
+    from plateau_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+TEXT_LM_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), v AS (
+  SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+), n AS (
+  SELECT SUM(c) AS n FROM v
+), s AS (
+  SELECT doc_id, -(ln(c) - ln(n)) AS nll
+  FROM toks JOIN v USING (t) CROSS JOIN n
+), a AS (
+  SELECT doc_id, AVG(nll) AS av FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, round(a.av, 6) AS nll
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2858,6 +2948,9 @@ FROM s
 #   pack / web tier, all driver-green in r01-r05) back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 ---
+    "sample_stratified": sample_stratified,
+    "quality_tier_split": quality_tier_split,
+    "text_lm_score": text_lm_score,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -2957,6 +3050,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # mapInPandas feature decoder and the md5-mode dataset hash — has a
 # bit-reproducible ANSI-SQL twin.
 ORACLES: dict[str, str] = {
+    "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+    "quality_tier_split": QUALITY_TIER_ORACLE,
+    "text_lm_score": TEXT_LM_SCORE_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

@@ -167,3 +167,130 @@ def quota_sample(
         .where(F.col("__rk__") <= quota)
         .drop("__rk__")
     )
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    fractions: "dict[tuple | str, float]",
+    *,
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep each row with the
+    fraction configured for its group (``sampleBy`` semantics, but as a
+    pure function of ``key_col`` so the sample is reproducible across
+    engines/runs and stable under corpus growth — Spark's native
+    ``DataFrame.sampleBy`` is seed×partitioning dependent).
+
+    ``fractions`` maps a group value (scalar for one group column, tuple
+    for several) to its keep fraction; unlisted groups fall back to
+    ``default_fraction`` (0.0 = drop — the "curate named sources, drop
+    the rest" policy).
+
+    Scale shape: the fraction table is O(|configured groups|) rows,
+    broadcast-joined (null-safe) back onto the data, then one codegen
+    filter — no window, no skew sensitivity, identical at 100 TB.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    group_cols = list(group_cols)
+    rows = []
+    for gval, frac in fractions.items():
+        if not isinstance(gval, tuple):
+            gval = (gval,)
+        if len(gval) != len(group_cols):
+            raise ValueError(
+                f"group value {gval!r} arity != group_cols {group_cols}"
+            )
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {gval!r} not in [0, 1]: {frac}")
+        rows.append((*gval, float(frac)))
+    spark = df.sparkSession
+    # explicit schema (group-col types lifted from df): a stratum value
+    # of NULL is legal (NULL-keyed groups are real groups here), and
+    # inference can't type an all-NULL column
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [c for c in group_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"group_cols not in DataFrame: {missing}")
+    schema = T.StructType(
+        [T.StructField(c, by_name[c].dataType, True) for c in group_cols]
+        + [T.StructField("__frac__", T.DoubleType(), False)]
+    )
+    ftab = spark.createDataFrame(rows, schema)
+    join_cond = reduce(
+        lambda a, b: a & b, [df[c].eqNullSafe(ftab[c]) for c in group_cols]
+    )
+    return (
+        df.join(F.broadcast(ftab), join_cond, "left")
+        .select(
+            df["*"],
+            F.coalesce(ftab["__frac__"], F.lit(float(default_fraction))).alias(
+                "__frac__"
+            ),
+        )
+        .where(_hash_unit(key_col, salt) < F.col("__frac__"))
+        .drop("__frac__")
+    )
+
+
+def quality_tiers(
+    df: DataFrame,
+    score_col: str,
+    *,
+    tiers: Sequence[tuple[str, float]] = (
+        ("head", 0.1),
+        ("middle", 0.5),
+        ("tail", 1.0),
+    ),
+    scale: int = 1000,
+    tier_col: str = "tier",
+) -> DataFrame:
+    """CCNet-style corpus tiering: label each row head/middle/tail by
+    the empirical CDF of its quality score (head = best ``tiers[0][1]``
+    fraction, descending). The whole score-bucket a row belongs to gets
+    ONE tier (ties never straddle a boundary), so the labeling is
+    deterministic and engine-independent.
+
+    Scale shape: scores are bucketed to ``floor(score*scale)`` (exact
+    integer op — no float rounding-mode ambiguity across engines), so
+    the CDF is a keyed aggregation down to ≤ O(scale) histogram rows
+    (map-side combine shrinks hot buckets), one tiny single-partition
+    window over the histogram, and a broadcast join back. No global
+    sort of the data ever happens — the shape CCNet's sort-by-perplexity
+    formulation would need — so this holds at 100 TB.
+    """
+    tiers = list(tiers)
+    if not tiers or abs(tiers[-1][1] - 1.0) > 1e-9:
+        raise ValueError("tiers must be non-empty and end at boundary 1.0")
+    bucket = F.floor(F.col(score_col) * F.lit(int(scale))).cast("long")
+    hist = (
+        df.select(bucket.alias("__b__"))
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__c__"))
+    )
+    # tiny table (≤ scale+1 rows): single-partition window is fine here
+    w = Window.orderBy(F.col("__b__").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = hist.select(
+        "__b__",
+        (
+            F.sum("__c__").over(w) * F.lit(1.0) / F.sum("__c__").over(total)
+        ).alias("__cf__"),
+    )
+    expr = F.lit(tiers[-1][0])
+    for name, bound in reversed(tiers[:-1]):
+        expr = F.when(F.col("__cf__") <= F.lit(float(bound)), F.lit(name)).otherwise(expr)
+    labeled = cdf.select("__b__", expr.alias(tier_col))
+    return (
+        df.withColumn("__b__", bucket)
+        .join(F.broadcast(labeled), "__b__")
+        .drop("__b__")
+    )

@@ -530,3 +530,48 @@ def classifier_score(
             (prob >= 0.5).cast("long").alias(label_col),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    model: DataFrame | None = None,
+    score_col: str = "nll",
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    negative log-probability under a unigram LM (low = fluent/common
+    wording, high = rare/garbled text — the signal CCNet buckets by
+    perplexity; a unigram model keeps it closed-form and oracle-able).
+
+    ``model`` is a (token: string, logp: double) DataFrame; with
+    ``model=None`` the MLE unigram model is fit on ``df`` itself
+    (logp = ln(count/total)) — self-scoring, every observed token is in
+    the vocab so no smoothing is needed. Documents with zero tokens get
+    NULL (undefined perplexity; filter or coalesce at the call site).
+
+    Shape at 100 TB: one explode pass, a keyed count agg for the vocab
+    (map-side combine absorbs hot tokens like "the"), one hash join
+    token→logp (vocab side has ONE row per token — probe-side skew is
+    harmless in a hash join), and a keyed mean back to the document id.
+    No window, no Python, no driver state.
+    """
+    toks = df.select(F.col(id_col), F.explode(_word_tokens(text_col)).alias("__t__"))
+    if model is None:
+        counts = toks.groupBy("__t__").agg(F.count("*").alias("__c__"))
+        total = counts.agg(F.sum("__c__").alias("__n__"))
+        model = counts.crossJoin(F.broadcast(total)).select(
+            F.col("__t__").alias("token"),
+            (F.log("__c__") - F.log("__n__")).alias("logp"),
+        )
+    scored = toks.join(model, toks["__t__"] == model["token"]).select(
+        F.col(id_col), (-F.col("logp")).alias("__nll__")
+    )
+    agg = scored.groupBy(id_col).agg(F.avg("__nll__").alias("__avg__"))
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(F.col(id_col), F.round(F.col("__avg__"), round_digits).alias(score_col))
+    )

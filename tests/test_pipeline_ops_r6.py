@@ -533,3 +533,145 @@ def test_quantize_zero_vector_guard(spark):
     assert rows[0]["scale"] == 0.0
     assert rows[0]["qvec"] == [0, 0, 0]
     assert rows[1]["qvec"][1] == -127  # max-|v| element hits the full level
+
+
+# --- stratified sampling ----------------------------------------------------
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from plateau_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out1 = stratified_sample(
+        df, ["lang"], {"en": 0.5, "de": 0.1}, key_col="doc_id"
+    )
+    got1 = sorted(r["doc_id"] for r in out1.collect())
+    got2 = sorted(r["doc_id"] for r in out1.collect())
+    assert got1 == got2  # pure function of the key
+    by_lang = {
+        r["lang"]: r["c"]
+        for r in out1.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    assert 400 <= by_lang.get("en", 0) <= 600  # ~0.5 of 1000
+    assert 50 <= by_lang.get("de", 0) <= 160  # ~0.1 of 1000
+
+
+def test_stratified_sample_default_fraction_and_full_keep(spark):
+    from plateau_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(
+        df, ["lang"], {"en": 1.0}, key_col="doc_id", default_fraction=0.0
+    )
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}
+    assert out.count() == 100  # fraction 1.0 keeps the whole stratum
+
+
+def test_stratified_sample_null_group_key(spark):
+    from plateau_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "en")], "doc_id long, lang string"
+    )
+    out = stratified_sample(
+        df, ["lang"], {None: 1.0}, key_col="doc_id", default_fraction=0.0
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_stratified_sample_arity_error(spark):
+    import pytest as _pytest
+
+    from plateau_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "en", "web")], "id long, lang string, src string")
+    with _pytest.raises(ValueError, match="arity"):
+        stratified_sample(df, ["lang", "src"], {"en": 0.5}, key_col="id")
+
+
+# --- quality tiers ----------------------------------------------------------
+
+
+def test_quality_tiers_exact_cdf_split(spark):
+    from plateau_spark.operators.sampling import quality_tiers
+
+    # 1000 distinct buckets, uniform: head = top 100 scores exactly
+    df = spark.createDataFrame(
+        [(i, i / 1000.0) for i in range(1000)], "id long, score double"
+    )
+    out = {r["id"]: r["tier"] for r in quality_tiers(df, "score").collect()}
+    assert all(out[i] == "head" for i in range(900, 1000))
+    assert all(out[i] == "middle" for i in range(500, 900))
+    assert all(out[i] == "tail" for i in range(500))
+
+
+def test_quality_tiers_tie_bucket_is_atomic(spark):
+    from plateau_spark.operators.sampling import quality_tiers
+
+    # 50% of rows share the top score: its bucket's cf = 0.5 > 0.1, so
+    # the WHOLE bucket lands in middle — ties never straddle a boundary.
+    rows = [(i, 0.9) for i in range(50)] + [(50 + i, i / 1000.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    out = {r["id"]: r["tier"] for r in quality_tiers(df, "score").collect()}
+    assert {out[i] for i in range(50)} == {"middle"}
+
+
+def test_quality_tiers_bad_boundaries(spark):
+    import pytest as _pytest
+
+    from plateau_spark.operators.sampling import quality_tiers
+
+    df = spark.createDataFrame([(1, 0.5)], "id long, score double")
+    with _pytest.raises(ValueError, match="end at boundary"):
+        quality_tiers(df, "score", tiers=[("head", 0.3)])
+
+
+# --- unigram LM scoring -----------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from plateau_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["nll"] for r in unigram_logprob(df, "doc_id", "text").collect()}
+    # corpus: a×2, b×2, total 4 → every token logp = ln(1/2)
+    assert abs(out[1] - math.log(2)) < 1e-6
+    assert abs(out[2] - math.log(2)) < 1e-6
+    assert out[3] is None  # empty doc: undefined perplexity
+
+
+def test_unigram_logprob_external_model(spark):
+    import math
+
+    from plateau_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    model = spark.createDataFrame(
+        [("x", math.log(0.25)), ("y", math.log(0.5))], "token string, logp double"
+    )
+    out = unigram_logprob(df, "doc_id", "text", model=model).collect()
+    expect = (-math.log(0.25) - math.log(0.5)) / 2
+    assert abs(out[0]["nll"] - expect) < 1e-6
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from plateau_spark.operators.text import unigram_logprob
+
+    common = "the cat sat on the mat " * 10
+    df = spark.createDataFrame(
+        [(i, common) for i in range(20)] + [(99, "zyxw qvut kjih")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["nll"] for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[99] > out[0]  # garbled text = higher mean NLL
