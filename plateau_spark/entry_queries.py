@@ -1167,6 +1167,46 @@ SELECT event_id, event_type, value FROM events WHERE event_id < 500
 """
 
 
+def dataset_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write: Morton-interleave (l_partkey,
+    l_extendedprice) → range-partitioned keyless write with zone maps on
+    BOTH columns → a 2-D box predicate prunes files driver-side on both
+    dimensions at once (a linear sort would prune on only one)."""
+    _prep(spark)
+    from plateau_spark.plans.zorder import cluster_by_zorder
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    clustered = cluster_by_zorder(
+        li, ["l_partkey", "l_extendedprice"], num_partitions=16
+    )
+    store_dataframe_as_dataset(
+        spark, store, "li", clustered,
+        partition_on=[], repartition=False,
+        zone_map_columns=["l_partkey", "l_extendedprice"],
+    )
+    out = read_table(
+        spark, store, "li",
+        predicates=[[
+            ("l_partkey", "<", 300),
+            ("l_extendedprice", "<", 20000.0),
+        ]],
+    )
+    if len(out.inputFiles()) >= 16:
+        raise AssertionError("z-order zone maps pruned nothing on a 2-D box")
+    return out
+
+
+DATASET_ZORDER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+FROM lineitem
+WHERE l_partkey < 300 AND l_extendedprice < 20000.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-star; operators/text.py)
 # ---------------------------------------------------------------------------
@@ -2951,6 +2991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_lm_score": text_lm_score,
+    "dataset_zorder_read": dataset_zorder_read,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -3053,6 +3094,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,
+    "dataset_zorder_read": DATASET_ZORDER_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

@@ -355,3 +355,129 @@ def test_pruned_float_literal_matches_no_row(sv, op, lit, lits):
                 f"pruned float file contains matching row: value={v!r}, "
                 f"op={op!r}, literal={val!r}, stat={stat!r}"
             )
+
+
+# --- z-order clustering -----------------------------------------------------
+
+
+def _zorder_store(spark, tmp_path, name, cluster_cols):
+    """100k rows over two INDEPENDENT uniform dims, 16 files."""
+    from plateau_spark.plans.zorder import cluster_by_zorder
+
+    store = Store(str(tmp_path / name))
+    df = spark.range(100_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+    )
+    if cluster_cols:
+        df = cluster_by_zorder(df, cluster_cols, num_partitions=16)
+    else:  # linear clustering baseline on x only
+        df = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    store_dataframe_as_dataset(
+        spark, store, "t", df, partition_on=[], repartition=False,
+        zone_map_columns=["x", "y"],
+    )
+    return store
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    store = _zorder_store(spark, tmp_path, "z", ["x", "y"])
+    box = [[("x", "<", 250), ("y", "<", 250)]]
+    out = read_dataset_as_dataframe(spark, store, "t", predicates=box)
+    # a 1/16-area box on a 16-file z-curve should touch a strict subset
+    assert len(out.inputFiles()) <= 8
+    # correctness: identical rows to an unpruned filter
+    expect = (
+        spark.range(100_000)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+        )
+        .where((F.col("x") < 250) & (F.col("y") < 250))
+        .count()
+    )
+    assert out.count() == expect
+    # single-dimension predicates ALSO prune (each dim is partially
+    # disjoint across z-chunks)
+    for col in ("x", "y"):
+        sub = read_dataset_as_dataframe(
+            spark, store, "t", predicates=[[(col, "<", 120)]]
+        )
+        assert len(sub.inputFiles()) < 16
+
+
+def test_linear_sort_cannot_prune_other_dimension(spark, tmp_path):
+    """The motivating contrast: linear range-clustering on x leaves every
+    file spanning the full y range — y predicates prune nothing."""
+    store = _zorder_store(spark, tmp_path, "lin", None)
+    on_x = read_dataset_as_dataframe(
+        spark, store, "lin".replace("lin", "t"), predicates=[[("x", "<", 120)]]
+    )
+    assert len(on_x.inputFiles()) <= 3
+    on_y = read_dataset_as_dataframe(
+        spark, store, "t", predicates=[[("y", "<", 120)]]
+    )
+    assert len(on_y.inputFiles()) == 16
+
+
+def test_zorder_value_bit_interleave_exact():
+    """zorder_value_col must compute the textbook Morton interleave."""
+    from pyspark.sql import types as T
+
+    from plateau_spark.plans.zorder import zorder_value_col
+
+    # verified via a local session in the spark fixture-free path below
+    # (pure-expression check happens in test_zorder_value_matches_python)
+    bounds = {"a": (0.0, 15.0), "b": (0.0, 15.0)}
+    dtypes = {"a": T.LongType(), "b": T.LongType()}
+    col = zorder_value_col(["a", "b"], bounds, dtypes, bits=4)
+    assert col is not None
+
+
+def test_zorder_value_matches_python(spark):
+    from pyspark.sql import types as T
+
+    from plateau_spark.plans.zorder import zorder_value_col
+
+    def morton(a, b, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    bounds = {"a": (0.0, 15.0), "b": (0.0, 15.0)}
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    out = df.select(
+        "a", "b",
+        zorder_value_col(["a", "b"], bounds, dtypes, bits=4).alias("z"),
+    ).collect()
+    for r in out:
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_null_and_constant_columns(spark):
+    from plateau_spark.plans.zorder import cluster_by_zorder
+
+    df = spark.createDataFrame(
+        [(None, 5), (3, 5), (9, 5)], "x int, y int"
+    )
+    out = cluster_by_zorder(df, ["x", "y"], num_partitions=2)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {(None, 5), (3, 5), (9, 5)}
+
+
+def test_zorder_rejects_too_many_bits(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from plateau_spark.plans.zorder import zorder_value_col
+
+    dtypes = {c: T.LongType() for c in "abcd"}
+    bounds = {c: (0.0, 1.0) for c in "abcd"}
+    with _pytest.raises(ValueError, match="> 63 bits"):
+        zorder_value_col(list("abcd"), bounds, dtypes, bits=16)
