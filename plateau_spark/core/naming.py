@@ -27,6 +27,9 @@ INDEX_SUFFIX = ".by-dataset-index.parquet"
 TABLE_NAME = "table"  # single table per dataset (plateau 4.0 semantics)
 PARQUET_SUFFIX = ".parquet"
 CSV_SUFFIXES = (".csv", ".csv.gz")
+# extension beyond the reference (parquet/csv only): JSON-lines payload
+# files, the raw-crawl interchange format for LLM corpus ingest
+JSON_SUFFIXES = (".json", ".json.gz")
 STAGING_DIR = ".staging"  # per-commit write staging: <uuid>/.staging/<commit-id>/
 
 _UUID_RE = re.compile(r"^[a-zA-Z0-9_\-]+$")

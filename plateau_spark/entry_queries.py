@@ -341,6 +341,34 @@ FROM part WHERE p_size <= 20
 """
 
 
+def dataset_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines serializer (extension beyond the reference's
+    parquet/csv): gzip JSONL payload files, suffix-dispatched; dates and
+    numerics restored from the commit-file schema on read."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("json-roundtrip")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "orders", orders,
+        partition_on=["o_orderpriority"], file_format="json",
+    )
+    return read_table(
+        spark, store, "orders", predicates=[[("o_totalprice", ">", 400000.0)]]
+    )
+
+
+JSON_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority, o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
 def dataset_multi_store_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator-driven bounded-memory ingestion: three chunks written as
     they arrive, ONE atomic commit at exhaustion (reference:
@@ -2992,6 +3020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_tier_split": quality_tier_split,
     "text_lm_score": text_lm_score,
     "dataset_zorder_read": dataset_zorder_read,
+    "dataset_json_roundtrip": dataset_json_roundtrip,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -3095,6 +3124,7 @@ ORACLES: dict[str, str] = {
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,
     "dataset_zorder_read": DATASET_ZORDER_ORACLE,
+    "dataset_json_roundtrip": JSON_ROUNDTRIP_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

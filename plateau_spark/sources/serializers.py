@@ -13,6 +13,11 @@ and readers dispatch per file. Formats:
                           compressed. Types come from the dataset's
                           commit-file schema (stronger than the
                           reference's pandas re-inference).
+  ``.json``/``.json.gz``— EXTENSION beyond the reference: JSON-lines,
+                          the raw-crawl interchange format for LLM
+                          corpus ingest. Types restored from the
+                          commit-file schema on read (JSON itself is
+                          stringly); gzip when compressed.
 
 Reading is still one distributed plan: surviving partition files are
 grouped by format, each group becomes one scan, groups union —
@@ -37,11 +42,15 @@ def format_of(key: str) -> str:
         return "parquet"
     if key.endswith(naming.CSV_SUFFIXES):
         return "csv"
+    if key.endswith(naming.JSON_SUFFIXES):
+        return "json"
     raise ValueError(f"The specified file format for '{key}' is not supported")
 
 
 def is_payload_file(key: str) -> bool:
-    return key.endswith(naming.PARQUET_SUFFIX) or key.endswith(naming.CSV_SUFFIXES)
+    return key.endswith(
+        (naming.PARQUET_SUFFIX,) + naming.CSV_SUFFIXES + naming.JSON_SUFFIXES
+    )
 
 
 def write_staged(
@@ -63,6 +72,11 @@ def write_staged(
         if compress:
             w = w.option("compression", "gzip")
         w.csv(url)
+    elif file_format == "json":
+        w = writer
+        if compress:
+            w = w.option("compression", "gzip")
+        w.json(url)
     else:
         raise ValueError(f"Unsupported file_format: {file_format!r}")
 
@@ -90,6 +104,8 @@ def read_files(
         rdr = _reader(spark, schema, base)
         if fmt == "parquet":
             parts.append(rdr.parquet(*urls))
-        else:
+        elif fmt == "csv":
             parts.append(rdr.options(**CSV_OPTIONS).csv(urls))
+        else:
+            parts.append(rdr.json(urls))
     return reduce(lambda a, b: a.unionByName(b), parts)

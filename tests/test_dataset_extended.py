@@ -356,3 +356,48 @@ def test_normalize_args_bare_strings(spark, store, cluster_df):
     assert out.columns == ["L"]
     groups = list(read_dataset_as_dataframe_groups(spark, store, "ds", "P"))
     assert [g[0] for g in groups] == [{"P": 1}, {"P": 2}]
+
+
+# -- JSON-lines serializer (extension beyond the reference) ------------------
+
+
+def test_json_roundtrip_typed(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], file_format="json"
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert all(f.endswith(".json.gz") for f in out.inputFiles())
+    assert sorted((r.P, r.L) for r in out.collect()) == [(1, 1), (2, 2)]
+    # schema survives the stringly round-trip (from the commit file)
+    assert dict(out.dtypes)["DATE"] == "date"
+
+
+def test_json_uncompressed_and_three_format_mix(spark, store, cluster_df):
+    """One dataset mixing parquet + csv + json partitions reads as one
+    DataFrame with per-format scan groups unioned."""
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"],
+        file_format="json", compress=False,
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ds",
+        cluster_df.withColumn("P", F.col("P") + 10),
+        file_format="csv",
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ds",
+        cluster_df.withColumn("P", F.col("P") + 20),
+        file_format="parquet",
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    from plateau_spark.sources.serializers import format_of
+
+    formats = {format_of(f) for f in out.inputFiles()}
+    assert formats == {"json", "csv", "parquet"}
+    assert any(f.endswith(".json") for f in out.inputFiles())  # uncompressed
+    assert out.count() == 6
+    pruned = read_dataset_as_dataframe(
+        spark, store, "ds", predicates=[[("P", "in", [1, 11, 21])]]
+    )
+    assert sorted(r.P for r in pruned.collect()) == [1, 11, 21]
+    assert all(r.L == 1 for r in pruned.collect())
