@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "streaming_interval_join",
     "multimodal_resize",
+    # second batch of round-6 additions
+    "sample_stratified",
+    "quality_tier_split",
+    "text_lm_score",
+    "dataset_zorder_read",
+    "dataset_json_roundtrip",
 ]
 
 
