@@ -210,3 +210,73 @@ def test_winnow_pairs_is_equi_join_with_df_cap(spark):
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_broadcasts_fraction_table(spark):
+    """The stratum→fraction table is KBs; its join back must broadcast
+    and the keep decision must be a codegen filter — no corpus shuffle."""
+    from plateau_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = stratified_sample(
+        docs, ["lang"], {"en": 0.5, "de": 0.2}, key_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan  # data never shuffles
+
+
+def test_quality_tiers_histogram_agg_no_global_sort(spark):
+    """Tiering must CDF over a bucket histogram (partial_count before the
+    exchange) and broadcast labels back — never globally sort the data
+    (the single-partition window may only see the tiny histogram)."""
+    from plateau_spark.operators.sampling import quality_tiers
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", (F.length("text") / 10000.0).alias("score")
+    )
+    out = quality_tiers(docs, "score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan  # map-side combine on the histogram agg
+    assert "BroadcastHashJoin" in plan  # labels join back broadcast
+    # the only rangepartitioning-style global sort allowed is none at all
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_unigram_logprob_model_is_agg_plus_hash_join(spark):
+    """The vocab fit must map-side combine; scoring must be an equi hash
+    join (probe-side skew on hot tokens is fine, nested loop is not)."""
+    from plateau_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = unigram_logprob(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    # token→logp scoring must be an equi hash/sort-merge join; the only
+    # nested-loop allowed is the 1-row total-count denominator broadcast
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zorder_value_is_pure_codegen(spark):
+    """The Morton interleave must be a single codegen projection — no
+    UDF, no Python, no shuffle before the explicit range partitioning."""
+    from pyspark.sql import types as T
+
+    from plateau_spark.plans.zorder import zorder_value_col
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 100).alias("b")
+    )
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    out = df.select(
+        zorder_value_col(
+            ["a", "b"], {"a": (0.0, 999.0), "b": (0.0, 99.0)}, dtypes
+        ).alias("z")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert plan.lstrip().startswith("*(")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
