@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "text_lm_score",
     "dataset_zorder_read",
     "dataset_json_roundtrip",
+    "text_c4_clean",
+    "sample_mixture",
 ]
 
 

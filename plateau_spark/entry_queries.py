@@ -2994,6 +2994,104 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 
 
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c4_clean_lines: C4's public line-level cleaning rules (terminal
+    punctuation, ≥5 words, no javascript; page gate ≥3 surviving lines,
+    no lorem ipsum / braces). The corpus is single-line word soup, so
+    the query first synthesizes deterministic line structure: 6-word
+    lines, every 3rd line left without terminal punctuation."""
+    _prep(spark)
+    from plateau_spark.operators.text import c4_clean_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(words) / F.lit(6.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - F.lit(1)),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(words, i * 6 + 1, 6)),
+            F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = c4_clean_lines(lined, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_md5"),
+        "kept_lines",
+        "page_ok",
+    )
+
+
+_C4_PRED = (
+    r"len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) >= 5"
+    " AND substr(trim(x), -1, 1) IN ('.', '!', '?', '\"')"
+    " AND NOT contains(lower(x), 'javascript')"
+)
+TEXT_C4_CLEAN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), lined AS (
+  SELECT doc_id, array_to_string(
+    list_transform(range(0, CAST(ceil(len(ws) / 6.0) AS INT)),
+      i -> array_to_string(ws[i*6+1:i*6+6], ' ') ||
+           CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END),
+    chr(10)) AS t
+  FROM w
+), f AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), x -> {_C4_PRED}) AS kept
+  FROM lined
+)
+SELECT doc_id,
+       -- DuckDB: array_to_string([]) is NULL; Spark's array_join([]) is ''
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+       CAST(len(kept) AS INTEGER) AS kept_lines,
+       CAST(len(kept) >= 3
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{{') AS BIGINT) AS page_ok
+FROM f
+"""
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_sample: token-budget corpus mixing — three named sources
+    weighted 3:1:1 into a 300k-char budget (src0 clips at keep-all, the
+    others thin); unlisted sources drop."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        ["source"],
+        {"src0": 3.0, "src1": 1.0, "src2": 1.0},
+        key_col="doc_id",
+        budget=300_000,
+        size_col="n_chars",
+    )
+    return out.select("doc_id", "source")
+
+
+_U_MIX = _HASH_UNIT_SQL.format(salt="mix", key="doc_id")
+SAMPLE_MIXTURE_ORACLE = f"""
+WITH w(source, wt) AS (VALUES ('src0', 3.0), ('src1', 1.0), ('src2', 1.0)),
+sz AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS sz
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT sz.source, LEAST(1.0, wt / 5.0 * 300000.0 / sz) AS keep_p
+  FROM sz JOIN w ON sz.source = w.source
+)
+SELECT doc_id, d.source AS source
+FROM documents d JOIN p ON d.source = p.source
+WHERE {_U_MIX} < p.keep_p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3021,6 +3119,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_score": text_lm_score,
     "dataset_zorder_read": dataset_zorder_read,
     "dataset_json_roundtrip": dataset_json_roundtrip,
+    "text_c4_clean": text_c4_clean,
+    "sample_mixture": sample_mixture,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -3125,6 +3225,8 @@ ORACLES: dict[str, str] = {
     "text_lm_score": TEXT_LM_SCORE_ORACLE,
     "dataset_zorder_read": DATASET_ZORDER_ORACLE,
     "dataset_json_roundtrip": JSON_ROUNDTRIP_ORACLE,
+    "text_c4_clean": TEXT_C4_CLEAN_ORACLE,
+    "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

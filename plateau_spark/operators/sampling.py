@@ -294,3 +294,89 @@ def quality_tiers(
         .join(F.broadcast(labeled), "__b__")
         .drop("__b__")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weights: "dict[tuple | str, float]",
+    *,
+    key_col: str,
+    budget: int,
+    size_col: str | None = None,
+    salt: str = "mix",
+    keep_prob_col: str | None = None,
+) -> DataFrame:
+    """Token-budget corpus mixing: downsample each source toward a
+    target mix. Source s gets a target of ``budget * w_s / Σw``
+    units (rows, or ``size_col`` units — e.g. token counts); its
+    per-row keep probability is ``min(1, target_s / size_s)``.
+    Sources absent from ``weights`` are dropped (weight 0) — the
+    "curate named sources into a fixed training budget" policy
+    (the static variant of DoReMi-style mixture weighting).
+
+    Determinism: the keep decision is a pure md5 function of
+    ``key_col`` (same source as ``deterministic_split``), so the mix
+    is reproducible across engines/runs; a clipped source (keep_p = 1)
+    contributes everything it has.
+
+    Scale shape: one keyed agg down to |sources| rows, the weight
+    table broadcast-joined onto it driver-free, then one broadcast
+    join back to the data and a codegen filter — no window, no data
+    shuffle, no skew sensitivity at 100 TB.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    group_cols = list(group_cols)
+    wrows = []
+    for gval, w in weights.items():
+        if not isinstance(gval, tuple):
+            gval = (gval,)
+        if len(gval) != len(group_cols):
+            raise ValueError(
+                f"weight key {gval!r} arity != group_cols {group_cols}"
+            )
+        if w < 0:
+            raise ValueError(f"negative weight for {gval!r}: {w}")
+        wrows.append((*gval, float(w)))
+    wsum = sum(r[-1] for r in wrows)
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [c for c in group_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"group_cols not in DataFrame: {missing}")
+    wschema = T.StructType(
+        [T.StructField(c, by_name[c].dataType, True) for c in group_cols]
+        + [T.StructField("__w__", T.DoubleType(), False)]
+    )
+    wtab = df.sparkSession.createDataFrame(wrows, wschema)
+
+    unit = F.lit(1.0) if size_col is None else F.col(size_col).cast("double")
+    sizes = df.groupBy(*group_cols).agg(F.sum(unit).alias("__sz__"))
+    jc = reduce(
+        lambda a, b: a & b, [sizes[c].eqNullSafe(wtab[c]) for c in group_cols]
+    )
+    probs = sizes.join(F.broadcast(wtab), jc, "inner").select(
+        *[sizes[c] for c in group_cols],
+        F.least(
+            F.lit(1.0),
+            F.col("__w__") / F.lit(wsum) * F.lit(float(budget)) / F.col("__sz__"),
+        ).alias("__keep_p__"),
+    )
+    jc2 = reduce(
+        lambda a, b: a & b, [df[c].eqNullSafe(probs[c]) for c in group_cols]
+    )
+    out = (
+        df.join(F.broadcast(probs), jc2)
+        .select(df["*"], probs["__keep_p__"])
+        .where(_hash_unit(key_col, salt) < F.col("__keep_p__"))
+    )
+    if keep_prob_col is not None:
+        return out.withColumnRenamed("__keep_p__", keep_prob_col)
+    return out.drop("__keep_p__")

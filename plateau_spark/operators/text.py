@@ -575,3 +575,52 @@ def unigram_logprob(
         .join(agg, id_col, "left")
         .select(F.col(id_col), F.round(F.col("__avg__"), round_digits).alias(score_col))
     )
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    line_sep: str = "\n",
+    cleaned_col: str = "clean_text",
+    kept_col: str = "kept_lines",
+    page_ok_col: str = "page_ok",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    rules): keep only lines that end in terminal punctuation (. ! ? "),
+    have at least ``min_words_per_line`` words, and don't mention
+    "javascript"; emit the reassembled document, the surviving line
+    count, and a page-level gate (``page_ok``: at least ``min_lines``
+    surviving lines, no "lorem ipsum", no curly braces).
+
+    Pure codegen — split + HOF filter + array_join — zero shuffle,
+    per-row only; at 100 TB the cost is one scan. NULL text propagates
+    NULL outputs (both engines agree under SQL 3VL).
+    """
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return (
+            (words >= F.lit(min_words_per_line))
+            & F.substring(t, -1, 1).isin(".", "!", "?", '"')
+            & ~F.lower(line).contains("javascript")
+        )
+
+    import re as _re
+
+    kept = F.filter(F.split(F.col(text_col), _re.escape(line_sep), -1), _line_ok)
+    page_ok = (
+        (F.size(kept) >= F.lit(min_lines))
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, line_sep).alias(cleaned_col),
+        F.size(kept).alias(kept_col),
+        page_ok.cast("long").alias(page_ok_col),
+    )

@@ -675,3 +675,112 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     )
     out = {r["doc_id"]: r["nll"] for r in unigram_logprob(df, "doc_id", "text").collect()}
     assert out[99] > out[0]  # garbled text = higher mean NLL
+
+
+# --- C4 line-level cleaning -------------------------------------------------
+
+
+def test_c4_clean_lines_rules(spark):
+    from plateau_spark.operators.text import c4_clean_lines
+
+    text = "\n".join([
+        "this line has enough words to survive.",   # kept
+        "too short.",                                # < 5 words
+        "this line has no terminal punctuation at all",  # no punct
+        "this line mentions JavaScript so it goes away.",  # javascript
+        'a quoted line with five words here."',      # kept (quote terminal)
+        "does a question count as terminal?",        # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_clean_lines(df, "doc_id", "text").collect()[0]
+    kept = row["clean_text"].split("\n")
+    assert row["kept_lines"] == 3
+    assert kept[0].startswith("this line has enough")
+    assert kept[1].startswith("a quoted")
+    assert kept[2].startswith("does a question")
+    assert row["page_ok"] == 1  # 3 surviving lines, no gates tripped
+
+
+def test_c4_clean_page_gates(spark):
+    from plateau_spark.operators.text import c4_clean_lines
+
+    good = "one two three four five six.\n" * 3
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "lorem ipsum dolor sit amet here."),  # lorem gate
+            (3, good.replace("six.", "six {.")),             # brace gate
+            (4, "one two three four five six.\n" * 2),       # < 3 lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["page_ok"] for r in c4_clean_lines(df, "doc_id", "text").collect()}
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_c4_clean_empty_and_whitespace(spark):
+    from plateau_spark.operators.text import c4_clean_lines
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \n ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in c4_clean_lines(df, "doc_id", "text").collect()}
+    for did in (1, 2):
+        assert rows[did]["kept_lines"] == 0
+        assert rows[did]["clean_text"] == ""
+        assert rows[did]["page_ok"] == 0
+
+
+# --- mixture sampling -------------------------------------------------------
+
+
+def test_mixture_sample_clips_and_thins(spark):
+    from plateau_spark.operators.sampling import mixture_sample
+
+    # src A: 100 rows of size 10 (1000 units); src B: 1000 rows of size
+    # 10 (10000 units); weights 1:1, budget 2000 → A target 1000 =
+    # keep-all (clip), B target 1000/10000 = keep_p 0.1
+    rows = [(i, "A", 10) for i in range(100)] + [
+        (100 + i, "B", 10) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = mixture_sample(
+        df, ["source"], {"A": 1.0, "B": 1.0},
+        key_col="doc_id", budget=2000, size_col="n",
+        keep_prob_col="keep_p",
+    )
+    got = out.groupBy("source").agg(
+        F.count("*").alias("c"), F.first("keep_p").alias("p")
+    ).collect()
+    by = {r["source"]: r for r in got}
+    assert by["A"]["c"] == 100 and by["A"]["p"] == 1.0
+    assert abs(by["B"]["p"] - 0.1) < 1e-12
+    assert 60 <= by["B"]["c"] <= 160  # ~100 of 1000
+
+
+def test_mixture_sample_drops_unlisted_sources(spark):
+    from plateau_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "doc_id long, source string"
+    )
+    out = mixture_sample(df, ["source"], {"A": 1.0}, key_col="doc_id", budget=100)
+    assert [r["source"] for r in out.collect()] == ["A"]
+
+
+def test_mixture_sample_determinism_and_validation(spark):
+    import pytest as _pytest
+
+    from plateau_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "A") for i in range(500)], "doc_id long, source string"
+    )
+    out = mixture_sample(df, ["source"], {"A": 1.0}, key_col="doc_id", budget=100)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b and 50 <= len(a) <= 160
+    with _pytest.raises(ValueError, match="sum to > 0"):
+        mixture_sample(df, ["source"], {"A": 0.0}, key_col="doc_id", budget=10)
+    with _pytest.raises(ValueError, match="budget"):
+        mixture_sample(df, ["source"], {"A": 1.0}, key_col="doc_id", budget=0)
