@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dataset_json_roundtrip",
     "text_c4_clean",
     "sample_mixture",
+    "dataset_bloom_read",
 ]
 
 

@@ -86,6 +86,11 @@ class DatasetMetadata:
     # key (plateau/core/dataset.py:200-208); kept separately so every
     # consumer of `indices` still sees storage keys only
     embedded_indices: dict[str, dict] = field(default_factory=dict)
+    # extension beyond the reference: per-file Bloom-filter sidecars —
+    # column → {"key": sidecar parquet key, "n_bits": int, "k": int}
+    # (plans/blooms.py). Reference-written commit files simply lack the
+    # field; reference readers ignore it.
+    blooms: dict[str, dict] = field(default_factory=dict)
     metadata: dict[str, Any] = field(default_factory=dict)
     explicit_partitions: bool = True
     metadata_version: int = naming.METADATA_VERSION
@@ -101,6 +106,7 @@ class DatasetMetadata:
             "schema": schema_to_json(self.schema) if self.schema is not None else None,
             "metadata": self.metadata,
             "explicit_partitions": self.explicit_partitions,
+            **({"blooms": self.blooms} if self.blooms else {}),
         }
 
     @classmethod
@@ -160,6 +166,7 @@ class DatasetMetadata:
             schema=schema,
             indices=indices,
             embedded_indices=embedded,
+            blooms=dict(payload.get("blooms", {})),
             metadata=dict(payload.get("metadata", {})),
             explicit_partitions=payload.get("explicit_partitions", True),
             # the reference names this field dataset_metadata_version
@@ -244,6 +251,7 @@ class DatasetMetadata:
         """All store keys referenced by the current state (for GC)."""
         keys = {p.file for p in self.partitions.values()}
         keys.update(self.indices.values())
+        keys.update(b["key"] for b in self.blooms.values())
         return keys
 
 

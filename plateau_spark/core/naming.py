@@ -54,5 +54,14 @@ def index_key(dataset_uuid: str, column: str, timestamp: str) -> str:
     return f"{dataset_uuid}/indices/{column}/{timestamp}{INDEX_SUFFIX}"
 
 
+# extension beyond the reference: per-file Bloom-filter sidecars
+# (plans/blooms.py) live next to the secondary indexes
+BLOOM_SUFFIX = ".by-dataset-bloom.parquet"
+
+
+def bloom_key(dataset_uuid: str, column: str, timestamp: str) -> str:
+    return f"{dataset_uuid}/blooms/{column}/{timestamp}{BLOOM_SUFFIX}"
+
+
 def gen_partition_uuid() -> str:
     return _uuid.uuid4().hex

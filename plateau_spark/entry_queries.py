@@ -1195,6 +1195,37 @@ SELECT event_id, event_type, value FROM events WHERE event_id < 500
 """
 
 
+def dataset_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom sidecar pruning: events written hash-scattered
+    (zone-map-hostile) with a bloom on event_id; an IN point lookup
+    prunes files driver-side via k-word sidecar reads — the equality
+    analog of zone maps for unclustered high-cardinality columns."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("bloom")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ev", ev.repartition(8, "event_id"),
+        partition_on=[], repartition=False, bloom_filter_columns=["event_id"],
+    )
+    out = read_table(
+        spark, store, "ev",
+        predicates=[[("event_id", "in", [7, 1203, 4091])]],
+    )
+    if len(out.inputFiles()) >= 8:
+        raise AssertionError("bloom sidecar pruned nothing on a point lookup")
+    return out
+
+
+DATASET_BLOOM_ORACLE = """
+SELECT event_id, event_type, value FROM events
+WHERE event_id IN (7, 1203, 4091)
+"""
+
+
 def dataset_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered write: Morton-interleave (l_partkey,
     l_extendedprice) → range-partitioned keyless write with zone maps on
@@ -3099,7 +3130,12 @@ WHERE {_U_MIX} < p.keep_p
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) the 10 NEW round-6 queries (text_winnow_fingerprints,
+#   Round 6 window: (a) ALL 17 new round-6 queries (second batch:
+#   sample_stratified, quality_tier_split, text_lm_score,
+#   dataset_zorder_read, dataset_json_roundtrip, text_c4_clean,
+#   sample_mixture, plus the 10 first-batch queries below); then (b)/(c)
+#   as listed. Every entry outside the window is driver-green in r01-r05.
+#   First batch: (a) the 10 NEW round-6 queries (text_winnow_fingerprints,
 #   winnow_overlap_pairs, embedding_quantize, streaming_interval_join,
 #   multimodal_resize, semdedup_keep,
 #   decontaminate_bloom, text_quality_classifier, dedup_cluster_keep,
@@ -3121,6 +3157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_json_roundtrip": dataset_json_roundtrip,
     "text_c4_clean": text_c4_clean,
     "sample_mixture": sample_mixture,
+    "dataset_bloom_read": dataset_bloom_read,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -3227,6 +3264,7 @@ ORACLES: dict[str, str] = {
     "dataset_json_roundtrip": JSON_ROUNDTRIP_ORACLE,
     "text_c4_clean": TEXT_C4_CLEAN_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
+    "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

@@ -1,0 +1,284 @@
+"""Per-file Bloom-filter sidecars: equality/IN file pruning on
+hash-scattered high-cardinality columns.
+
+Zone maps (``plans/zonemaps.py``) prune only range-CLUSTERED columns —
+for a hash-scattered column (url, doc_id, customer key) every file
+spans the full value range and nothing prunes. Secondary inverted
+indexes solve that exactly, but cost a full shuffle to build and grow
+with the data. A per-file Bloom filter is the middle tier (the
+Parquet/Iceberg bloom idea lifted to the driver-side planner): a fixed
+``n_bits`` bitmap per (file, column), built by one scan-side
+aggregation (no shuffle of values — map-side ``bit_or`` partials), that
+lets the planner drop files for ``==`` / ``in`` literals before Spark
+schedules a single task. False positives only cost an extra file scan;
+false negatives are impossible, and files written without a bloom
+(other formats, pre-existing commits) are never pruned.
+
+Layout: a sidecar parquet ``<uuid>/blooms/<column>/<ts>…`` with rows
+``(word: int, label: string, bits: long)`` — the bitmap sliced into
+64-bit words, sorted by ``word`` — plus one coverage row per covered
+label at ``word = -1``. A point lookup needs only the k probed words,
+so the planner reads O(k × matching row groups) via pyarrow filters,
+never the whole sidecar (same discipline as ``SecondaryIndex.load``).
+At 8192 bits (default) the sidecar is ≤ ~1 KB per file per column.
+
+Hashing is md5-derived (``pmod(conv(substr(md5(value|i),1,15),16,10),
+n_bits)``) — computed by JVM codegen at build time and replayed
+bit-identically in Python at plan time (and in any other engine), so
+the sidecar is portable and the planner needs no Spark session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from plateau_spark.core import naming
+from plateau_spark.core.store import Store
+
+N_BITS_DEFAULT = 1 << 13  # 8192 bits = 1 KB per file per column
+K_DEFAULT = 5
+COVERAGE_WORD = -1  # marker row: this label HAS a bloom (absence ⇒ never prune)
+
+# value→string rendering must agree between Spark's cast-to-string and
+# Python's str(): exact for integrals and strings; floats/dates/bools
+# are excluded rather than risking format drift
+_BLOOM_OK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+)
+
+
+def validate_bloom_columns(
+    schema: T.StructType, columns: Sequence[str], partition_keys: Sequence[str]
+) -> list[str]:
+    fields = {f.name: f.dataType for f in schema.fields}
+    bad = [c for c in columns if c not in fields]
+    if bad:
+        raise ValueError(f"bloom_filter_columns not in schema: {bad}")
+    keyed = [c for c in columns if c in set(partition_keys)]
+    if keyed:
+        raise ValueError(
+            f"bloom_filter_columns overlap partition keys (already pruned "
+            f"exactly): {keyed}"
+        )
+    unsupported = [
+        c for c in columns if not isinstance(fields[c], _BLOOM_OK_TYPES)
+    ]
+    if unsupported:
+        raise ValueError(
+            "bloom_filter_columns must be integer or string typed "
+            f"(engine-stable rendering): {unsupported}"
+        )
+    return list(columns)
+
+
+def _position_cols(column: str, n_bits: int, k: int) -> list[Column]:
+    """k bit positions as codegen expressions (JVM md5, no Python)."""
+    s = F.col(column).cast("string")
+    out = []
+    for i in range(k):
+        h = F.md5(F.encode(F.concat(s, F.lit(f"|{i}")), "UTF-8"))
+        out.append(
+            F.pmod(
+                F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                F.lit(int(n_bits)),
+            )
+        )
+    return out
+
+
+def bloom_positions(value: Any, n_bits: int, k: int) -> list[int]:
+    """Python twin of ``_position_cols`` — bit-identical by construction
+    (md5 of the same rendered string)."""
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{s}|{i}".encode()).hexdigest()[:15], 16) % n_bits
+        for i in range(k)
+    ]
+
+
+def build_bloom_dataframe(
+    spark: SparkSession,
+    store: Store,
+    partitions: Sequence,
+    column: str,
+    *,
+    n_bits: int = N_BITS_DEFAULT,
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """(word, label, bits) rows for the given partitions' parquet files.
+
+    One scan of ONLY ``column`` (explicit paths, projection-pruned) →
+    k codegen hash positions per value → ``groupBy(label, word)``
+    ``bit_or`` — the partial aggregation ORs bitmap words map-side, so
+    the exchange carries at most ``n_bits/64`` longs per file
+    regardless of row count. Non-parquet files get no rows (and no
+    coverage marker), so the planner never prunes them.
+    """
+    pq = [p for p in partitions if p.file.endswith(".parquet")]
+    cover = [(COVERAGE_WORD, p.label, 0) for p in pq]
+    schema = "word int, label string, bits long"
+    if not pq:
+        return spark.createDataFrame([], schema)
+    file_to_label = [(store.url(p.file), p.label) for p in pq]
+    mapping = spark.createDataFrame(file_to_label, "___file string, label string")
+    scan = (
+        spark.read.parquet(*[u for u, _ in file_to_label])
+        .select(F.col(column), F.input_file_name().alias("___file"))
+        .where(F.col(column).isNotNull())
+    )
+    rows = (
+        scan.join(F.broadcast(mapping), "___file")
+        .select(
+            "label",
+            F.explode(F.array(*_position_cols(column, n_bits, k))).alias("__pos__"),
+        )
+        .select(
+            F.shiftright(F.col("__pos__"), 6).cast("int").alias("word"),
+            F.col("label"),
+            # shiftleft() only takes a literal shift in the Python API —
+            # the variable-amount shift goes through expr()
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos__ % 64 AS INT))").alias(
+                "__bit__"
+            ),
+        )
+        .groupBy("word", "label")
+        .agg(F.bit_or("__bit__").alias("bits"))
+    )
+    return rows.unionByName(spark.createDataFrame(cover, schema))
+
+
+def persist_bloom_dataframe(
+    bloom_df: DataFrame, store: Store, dataset_uuid: str, column: str
+) -> str:
+    """One small parquet, sorted by word so a k-word lookup prunes row
+    groups; returns the store key."""
+    key = naming.bloom_key(dataset_uuid, column, _utc_ts())
+    (
+        bloom_df.coalesce(1)
+        .sortWithinPartitions("word", "label")
+        .write.mode("overwrite")
+        .parquet(store.url(key))
+    )
+    return key
+
+
+def remove_labels_from_bloom_df(bloom_df: DataFrame, labels: set[str]) -> DataFrame:
+    if not labels:
+        return bloom_df
+    return bloom_df.where(~F.col("label").isin(*[str(x) for x in labels]))
+
+
+def load_bloom_words(
+    store: Store, key: str, words: Sequence[int]
+) -> dict[str, dict[int, int]]:
+    """label → {word: bits} for the probed words plus the coverage
+    marker. pyarrow row-group filters keep the read O(k words)."""
+    want = sorted(set(int(w) for w in words) | {COVERAGE_WORD})
+    table = store.read_parquet(key, filters=[("word", "in", want)])
+    out: dict[str, dict[int, int]] = {}
+    for word, label, bits in zip(
+        table.column("word").to_pylist(),
+        table.column("label").to_pylist(),
+        table.column("bits").to_pylist(),
+    ):
+        out.setdefault(label, {})[word] = bits
+    return out
+
+
+class BloomConsult:
+    """Plan-time evaluator for one dataset's bloom sidecars.
+
+    Lazily loads only the probed words of each consulted column, once
+    per plan. ``allowed_labels(conjunction)`` returns the labels that
+    may satisfy every bloom-constrainable equality literal — or None
+    when the conjunction has no such literal. Labels without coverage
+    rows always stay allowed.
+    """
+
+    def __init__(self, store: Store, blooms: dict[str, dict]):
+        self._store = store
+        self._blooms = blooms or {}
+        # column → (words loaded so far, label → {word: bits})
+        self._loaded: dict[str, tuple[set[int], dict[str, dict[int, int]]]] = {}
+
+    @staticmethod
+    def _values_for(op: str, val: Any) -> list[Any] | None:
+        if op in ("==", "=") and val is not None:
+            return [val]
+        if op == "in":
+            vals = [v for v in val if v is not None]
+            # a NULL member means the literal can match null rows, which
+            # blooms never cover — unconstrained
+            if len(vals) != len(list(val)):
+                return None
+            return vals
+        return None
+
+    def _column_words(self, column: str, values: Sequence[Any]) -> dict[str, dict[int, int]]:
+        meta = self._blooms[column]
+        n_bits, k = int(meta["n_bits"]), int(meta["k"])
+        words: set[int] = set()
+        for v in values:
+            words.update(p >> 6 for p in bloom_positions(v, n_bits, k))
+        ent = self._loaded.get(column)
+        if ent is None or not words <= ent[0]:
+            need = words | (ent[0] if ent else set())
+            table = load_bloom_words(self._store, meta["key"], sorted(need))
+            self._loaded[column] = (need, table)
+        return self._loaded[column][1]
+
+    def _label_may_contain(
+        self, table: dict, label: str, values: Sequence[Any], n_bits: int, k: int
+    ) -> bool:
+        per_label = table.get(label)
+        if per_label is None or COVERAGE_WORD not in per_label:
+            return True  # no bloom for this file → never prune
+        for v in values:
+            ok = True
+            for pos in bloom_positions(v, n_bits, k):
+                bits = per_label.get(pos >> 6, 0)
+                if not (bits >> (pos % 64)) & 1:
+                    ok = False
+                    break
+            if ok:
+                return True  # some candidate value may be present
+        return False
+
+    def allowed_labels(self, conjunction, labels: Sequence[str]) -> set[str] | None:
+        constraints: list[tuple[str, list[Any]]] = []
+        for col, op, val in conjunction:
+            if col not in self._blooms:
+                continue
+            values = self._values_for(op, val)
+            if values is not None and values:
+                constraints.append((col, values))
+        if not constraints:
+            return None
+        allowed = set(labels)
+        for col, values in constraints:
+            meta = self._blooms[col]
+            table = self._column_words(col, values)
+            n_bits, k = int(meta["n_bits"]), int(meta["k"])
+            allowed = {
+                l
+                for l in allowed
+                if self._label_may_contain(table, l, values, n_bits, k)
+            }
+            if not allowed:
+                break
+        return allowed
+
+
+def _utc_ts() -> str:
+    from plateau_spark.plans.index import _utc_ts as ts
+
+    return ts()

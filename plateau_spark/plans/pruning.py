@@ -116,13 +116,27 @@ def plan_scan(
         index_loader = lambda c, lits: metadata.secondary_index(store, c, literals=lits)  # noqa: E731
     indexes = {c: index_loader(c, literals[c]) for c in needed}
 
+    bloom = None
+    if metadata.blooms and any(
+        c in metadata.blooms for c in pred_cols
+    ):
+        from plateau_spark.plans.blooms import BloomConsult
+
+        bloom = BloomConsult(store, metadata.blooms)
+
     surviving: set[str] = set()
+    all_labels = list(parts)
     for conjunction in predicates:
         allowed = _conjunction_allowed_labels(conjunction, indexes)
+        bloom_allowed = (
+            bloom.allowed_labels(conjunction, all_labels) if bloom else None
+        )
         for label, part in parts.items():
             if label in surviving:
                 continue
             if allowed is not None and label not in allowed:
+                continue
+            if bloom_allowed is not None and label not in bloom_allowed:
                 continue
             if conjunction_holds_on_keys(
                 conjunction, part.key_values

@@ -341,7 +341,82 @@ def _attach_zone_maps(
         p.stats = stats.get(p.label, {})
 
 
-@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
+def _build_blooms(
+    spark: SparkSession,
+    store: Store,
+    schema,
+    partition_keys: Sequence[str],
+    dataset_uuid: str,
+    partitions: Sequence[Partition],
+    columns: Sequence[str] | None,
+    *,
+    n_bits: int | None = None,
+    k: int | None = None,
+) -> dict[str, dict]:
+    """Build + persist per-file Bloom sidecars for the given columns
+    over the given partitions; returns the ``DatasetMetadata.blooms``
+    entries (plans/blooms.py). One scan job per column, projection-
+    pruned to that column."""
+    if not columns:
+        return {}
+    from plateau_spark.plans.blooms import (
+        K_DEFAULT,
+        N_BITS_DEFAULT,
+        build_bloom_dataframe,
+        persist_bloom_dataframe,
+        validate_bloom_columns,
+    )
+
+    n_bits = N_BITS_DEFAULT if n_bits is None else int(n_bits)
+    k = K_DEFAULT if k is None else int(k)
+    cols = validate_bloom_columns(schema, columns, partition_keys)
+    out: dict[str, dict] = {}
+    for col in cols:
+        bdf = build_bloom_dataframe(
+            spark, store, partitions, col, n_bits=n_bits, k=k
+        )
+        out[col] = {
+            "key": persist_bloom_dataframe(bdf, store, dataset_uuid, col),
+            "n_bits": n_bits,
+            "k": k,
+        }
+    return out
+
+
+def _merge_committed_blooms(
+    spark: SparkSession,
+    store: Store,
+    meta: DatasetMetadata,
+    new_partitions: Sequence[Partition],
+    removed: set[str],
+) -> None:
+    """Refresh every bloom sidecar for a commit: rows for the new
+    partitions appended, removed labels dropped, one new sidecar key
+    per column (old keys become unreferenced → GC)."""
+    if not meta.blooms:
+        return
+    from plateau_spark.plans.blooms import (
+        build_bloom_dataframe,
+        persist_bloom_dataframe,
+        remove_labels_from_bloom_df,
+    )
+
+    for col, info in list(meta.blooms.items()):
+        old = spark.read.parquet(store.url(info["key"]))
+        if removed:
+            old = remove_labels_from_bloom_df(old, removed)
+        new_rows = build_bloom_dataframe(
+            spark, store, list(new_partitions), col,
+            n_bits=int(info["n_bits"]), k=int(info["k"]),
+        )
+        merged = old.unionByName(new_rows)
+        meta.blooms[col] = {
+            **info,
+            "key": persist_bloom_dataframe(merged, store, meta.uuid, col),
+        }
+
+
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by", "zone_map_columns", "bloom_filter_columns")
 def store_dataframe_as_dataset(
     spark: SparkSession,
     store: Store | str,
@@ -359,6 +434,7 @@ def store_dataframe_as_dataset(
     compress: bool = True,
     repartition: bool = True,
     zone_map_columns: Sequence[str] | None = None,
+    bloom_filter_columns: Sequence[str] | None = None,
 ) -> DatasetMetadata:
     """Create a new dataset from a DataFrame (one write job + one commit).
 
@@ -414,6 +490,10 @@ def store_dataframe_as_dataset(
         partition_keys=partition_on,
         schema=df.schema,
         metadata=metadata or {},
+    )
+    ds.blooms = _build_blooms(
+        spark, store, df.schema, partition_on, dataset_uuid, partitions,
+        bloom_filter_columns,
     )
     built = _build_index_dataframes(
         spark, store, ds, partitions, list(secondary_indices or [])
@@ -940,7 +1020,7 @@ def _resolve_delete_scope(
     return to_remove
 
 
-@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
+@normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by", "zone_map_columns", "bloom_filter_columns")
 def update_dataset_from_dataframe(
     spark: SparkSession,
     store: Store | str,
@@ -958,6 +1038,7 @@ def update_dataset_from_dataframe(
     compress: bool = True,
     schema_evolution: bool = False,
     zone_map_columns: Sequence[str] | None = None,
+    bloom_filter_columns: Sequence[str] | None = None,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
 
@@ -1005,6 +1086,7 @@ def update_dataset_from_dataframe(
             file_format=file_format,
             compress=compress,
             zone_map_columns=zone_map_columns,
+            bloom_filter_columns=bloom_filter_columns,
         )
         _invalidate_if_factory(_store_arg)
         return out
@@ -1054,6 +1136,18 @@ def update_dataset_from_dataframe(
         meta.partitions[p.label] = p
 
     _merge_committed_indices(spark, store, meta, new_partitions, removed)
+    _merge_committed_blooms(spark, store, meta, new_partitions, removed)
+    # newly-declared bloom columns: build over ALL partitions, same commit
+    new_bloom_cols = [
+        c for c in (bloom_filter_columns or []) if c not in meta.blooms
+    ]
+    if new_bloom_cols:
+        meta.blooms.update(
+            _build_blooms(
+                spark, store, meta.schema, meta.partition_keys, dataset_uuid,
+                list(meta.partitions.values()), new_bloom_cols,
+            )
+        )
     # newly-declared index columns: build over ALL partitions, same commit
     new_idx_cols = [c for c in (secondary_indices or []) if c not in meta.indices]
     if new_idx_cols:
@@ -1278,6 +1372,11 @@ def copy_dataset(
         # Spark-written indexes are directories; copy member files
         members = [k for k in src_store.iter_keys(idx_key) if not k.endswith(".crc")]
         data_keys.update(members or [idx_key])
+    for info in meta.blooms.values():
+        members = [
+            k for k in src_store.iter_keys(info["key"]) if not k.endswith(".crc")
+        ]
+        data_keys.update(members or [info["key"]])
     for key in sorted(data_keys):
         target_store.put_bytes(_rekey(key), src_store.get_bytes(key))
 
@@ -1293,6 +1392,10 @@ def copy_dataset(
         partition_keys=list(meta.partition_keys),
         schema=meta.schema,
         indices={c: _rekey(k) for c, k in meta.indices.items()},
+        blooms={
+            c: {**info, "key": _rekey(info["key"])}
+            for c, info in meta.blooms.items()
+        },
         metadata=dict(meta.metadata),
         explicit_partitions=meta.explicit_partitions,
     )
@@ -1371,6 +1474,16 @@ def compact_dataset(
     built = _build_index_dataframes(spark, store, new_meta, partitions, indexed_cols)
     for col, idx_df in built.items():
         new_meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    # bloom sidecars map labels → rebuilt over the compacted files
+    # (stale sidecars would be merely useless, not wrong — uncovered
+    # labels never prune — but compaction must not drop pruning power)
+    for col, info in meta.blooms.items():
+        new_meta.blooms.update(
+            _build_blooms(
+                spark, store, meta.schema, meta.partition_keys, dataset_uuid,
+                partitions, [col], n_bits=info["n_bits"], k=info["k"],
+            )
+        )
     new_meta.commit(store)
     if gc:
         garbage_collect_dataset(store, dataset_uuid)
@@ -1384,6 +1497,7 @@ def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     if not DatasetMetadata.exists(store, dataset_uuid):
         return
     store.delete(f"{dataset_uuid}/indices")
+    store.delete(f"{dataset_uuid}/blooms")
     store.delete(f"{dataset_uuid}/{naming.TABLE_NAME}")
     store.delete(dataset_uuid)
     store.delete(naming.metadata_key(dataset_uuid))
