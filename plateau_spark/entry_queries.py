@@ -2247,6 +2247,43 @@ FROM events
 """
 
 
+def streaming_route_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate stream routing: one availableNow stream split by
+    predicate into accept (value >= 0) and reject (value < 0) datasets,
+    each with idempotent per-batch commits; both read back through the
+    normal scan path and tagged — full-coverage parity with the batch
+    CASE expression."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        stream_route_to_datasets,
+    )
+
+    store = _fresh_store("stream_route")
+    ckpt = _fresh_store("stream_route_ckpt")
+    stream = open_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    q = stream_route_to_datasets(
+        stream,
+        store,
+        {"accept": F.col("value") >= 50.0, "reject": F.col("value") < 50.0},
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q.awaitTermination()
+    acc = read_table(spark, store, "accept").withColumn("route", F.lit("accept"))
+    rej = read_table(spark, store, "reject").withColumn("route", F.lit("reject"))
+    return acc.unionByName(rej)
+
+
+STREAM_ROUTE_ORACLE = """
+SELECT event_type, event_id, props, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+       CASE WHEN value >= 50.0 THEN 'accept' ELSE 'reject' END AS route
+FROM events
+WHERE value >= 50.0 OR value < 50.0
+"""
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join: purchases within 1 hour
     after a signup by the same user — the funnel/attribution primitive.
@@ -3158,6 +3195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_c4_clean": text_c4_clean,
     "sample_mixture": sample_mixture,
     "dataset_bloom_read": dataset_bloom_read,
+    "streaming_route_datasets": streaming_route_datasets,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -3265,6 +3303,7 @@ ORACLES: dict[str, str] = {
     "text_c4_clean": TEXT_C4_CLEAN_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
+    "streaming_route_datasets": STREAM_ROUTE_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

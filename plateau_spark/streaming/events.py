@@ -439,3 +439,56 @@ def stream_to_dataset(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_route_to_datasets(
+    stream: DataFrame,
+    store,
+    routes: "dict[str, Column | str]",
+    *,
+    checkpoint_dir: str,
+    partition_on=None,
+    available_now: bool = False,
+):
+    """Quality-gate routing: split a stream by predicate into several
+    plateau datasets (accept/reject/quarantine...), each with its own
+    exactly-once batch commits.
+
+    ``routes`` maps dataset_uuid → boolean predicate (Column or SQL
+    string); each micro-batch is filtered once per route and committed
+    through ``commit_stream_batch`` (idempotent per (dataset, batch_id),
+    so a replayed batch that already committed to SOME routes finishes
+    the remaining ones without duplicating the first — per-dataset
+    exactly-once, not cross-dataset atomicity; consistent with the
+    reference's one-commit-file-per-dataset model, where no multi-
+    dataset transaction exists).
+
+    Routes may overlap or under-cover by design (a row matching no
+    predicate is dropped; matching two goes to both) — the caller
+    states the policy in the predicates.
+
+    Scale shape: one filter job per route per batch over the SAME
+    cached micro-batch; the predicate is codegen; per-route commit cost
+    is the dataset write. State is Spark's source offsets plus one
+    metadata key per (dataset, batch).
+    """
+    spark = stream.sparkSession
+    routes = {u: (F.expr(p) if isinstance(p, str) else p) for u, p in routes.items()}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for uuid, pred in routes.items():
+                commit_stream_batch(
+                    spark, store, uuid, batch_df.where(pred), batch_id,
+                    partition_on=partition_on,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

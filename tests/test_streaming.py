@@ -476,3 +476,54 @@ def test_interval_join_evicts_state_past_watermark(spark, tmp_path):
         right_ts="purchase_ts", upper="1 hour",
     )
     assert [(r["user_id"], r["value"]) for r in batch.collect()] == [(1, 5.0)]
+
+
+def test_stream_route_to_datasets_split_and_replay(spark, tmp_path):
+    """Predicate routing into two datasets: disjoint split covers the
+    stream; replayed batch ids are per-dataset no-ops (the partial-
+    failure recovery path: a replay that already committed to one route
+    finishes the other without duplicating the first)."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+    from plateau_spark.streaming.events import (
+        commit_stream_batch,
+        stream_route_to_datasets,
+    )
+
+    src = spark.createDataFrame(
+        [(i, float(i - 50)) for i in range(100)], "event_id long, value double"
+    )
+    src_dir = str(tmp_path / "src")
+    src.write.parquet(src_dir)
+    store = Store(str(tmp_path / "store"))
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    q = stream_route_to_datasets(
+        stream, store,
+        {"accept": F.col("value") >= 0, "reject": "value < 0"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    acc = read_dataset_as_dataframe(spark, store, "accept")
+    rej = read_dataset_as_dataframe(spark, store, "reject")
+    assert sorted(r["event_id"] for r in acc.collect()) == list(range(50, 100))
+    assert sorted(r["event_id"] for r in rej.collect()) == list(range(50))
+
+    # replay: same batch id is a no-op on a dataset that already has it
+    meta = DatasetMetadata.load(store, "accept")
+    replay_id = int(next(iter(meta.metadata["stream_batches"])))
+    assert commit_stream_batch(
+        spark, store, "accept", src.where("value >= 0"), replay_id
+    ) is False
+    assert read_dataset_as_dataframe(spark, store, "accept").count() == 50
+
+    # partial-failure recovery: the same batch id still commits to a
+    # route that MISSED it (simulating a crash between route commits)
+    assert commit_stream_batch(
+        spark, store, "quarantine", src.where("value < -40"), replay_id
+    ) is True
+    qr = read_dataset_as_dataframe(spark, store, "quarantine")
+    assert qr.count() == 10
