@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "text_c4_clean",
     "sample_mixture",
     "dataset_bloom_read",
+    "streaming_route_datasets",
 ]
 
 

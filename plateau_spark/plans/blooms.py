@@ -113,6 +113,7 @@ def build_bloom_dataframe(
     *,
     n_bits: int = N_BITS_DEFAULT,
     k: int = K_DEFAULT,
+    dtype: T.DataType | None = None,
 ) -> DataFrame:
     """(word, label, bits) rows for the given partitions' parquet files.
 
@@ -130,8 +131,15 @@ def build_bloom_dataframe(
         return spark.createDataFrame([], schema)
     file_to_label = [(store.url(p.file), p.label) for p in pq]
     mapping = spark.createDataFrame(file_to_label, "___file string, label string")
+    # explicit single-column schema (when the caller knows the type):
+    # projection-pruned scan, and a file predating an evolved column
+    # reads NULL → zero bits + a coverage marker → correctly pruned for
+    # every non-null literal (no rows there can match)
+    reader = spark.read
+    if dtype is not None:
+        reader = reader.schema(T.StructType([T.StructField(column, dtype, True)]))
     scan = (
-        spark.read.parquet(*[u for u, _ in file_to_label])
+        reader.parquet(*[u for u, _ in file_to_label])
         .select(F.col(column), F.input_file_name().alias("___file"))
         .where(F.col(column).isNotNull())
     )

@@ -370,10 +370,12 @@ def _build_blooms(
     n_bits = N_BITS_DEFAULT if n_bits is None else int(n_bits)
     k = K_DEFAULT if k is None else int(k)
     cols = validate_bloom_columns(schema, columns, partition_keys)
+    dtypes = {f.name: f.dataType for f in schema.fields}
     out: dict[str, dict] = {}
     for col in cols:
         bdf = build_bloom_dataframe(
-            spark, store, partitions, col, n_bits=n_bits, k=k
+            spark, store, partitions, col, n_bits=n_bits, k=k,
+            dtype=dtypes[col],
         )
         out[col] = {
             "key": persist_bloom_dataframe(bdf, store, dataset_uuid, col),
@@ -405,9 +407,11 @@ def _merge_committed_blooms(
         old = spark.read.parquet(store.url(info["key"]))
         if removed:
             old = remove_labels_from_bloom_df(old, removed)
+        dtypes = {f.name: f.dataType for f in (meta.schema or [])}
         new_rows = build_bloom_dataframe(
             spark, store, list(new_partitions), col,
             n_bits=int(info["n_bits"]), k=int(info["k"]),
+            dtype=dtypes.get(col),
         )
         merged = old.unionByName(new_rows)
         meta.blooms[col] = {

@@ -228,3 +228,26 @@ def test_bloom_string_column_and_disjunction(spark, tmp_path):
     )
     assert sorted(r["uid"] for r in out.collect()) == ["user-500", "user-7"]
     assert len(out.inputFiles()) <= 4  # OR of two point lookups
+
+
+def test_bloom_on_evolved_column_prunes_pre_evolution_files(spark, tmp_path):
+    """Declaring a bloom on a column added by schema evolution must not
+    crash on pre-evolution files — they read NULL for the column, get a
+    coverage marker with zero bits, and are therefore (correctly)
+    pruned for every non-null literal: no row in them can match."""
+    store = Store(str(tmp_path / "store"))
+    v1 = spark.range(100).select(F.col("id").alias("k"))
+    store_dataframe_as_dataset(spark, store, "ev", v1, partition_on=[])
+    v2 = spark.range(100, 200).select(
+        F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("extra")
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ev", v2, schema_evolution=True,
+        bloom_filter_columns=["extra"],
+    )
+    out = read_dataset_as_dataframe(
+        spark, store, "ev", predicates=[[("extra", "==", "u150")]]
+    )
+    assert [r["k"] for r in out.collect()] == [150]
+    # the pre-evolution file was pruned by its zero-bit bloom
+    assert len(out.inputFiles()) == 1
