@@ -1207,9 +1207,20 @@ def dataset_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    # size the bloom to the data: ~12 bits per distinct value per file
+    # (a saturated bloom prunes nothing — it never returns wrong rows);
+    # row count from the parquet footer — no scan job
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    ).metadata.num_rows
+    per_file = max(n_rows // 8, 1)
+    n_bits = 1 << max(13, (per_file * 12 - 1).bit_length())
     store_dataframe_as_dataset(
         spark, store, "ev", ev.repartition(8, "event_id"),
         partition_on=[], repartition=False, bloom_filter_columns=["event_id"],
+        bloom_n_bits=n_bits,
     )
     out = read_table(
         spark, store, "ev",
@@ -2972,6 +2983,36 @@ FROM s
 """
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """centroid_outlier_scores: cosine similarity of every embedding to
+    the corpus centroid (SemDeDup prototypicality signal — low = outlier,
+    ~1 = redundant boilerplate). Closed-form single centroid, so the
+    model fit + scoring is hash-checkable."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import centroid_outlier_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outlier_scores(emb, "vec_id", "embedding")
+
+
+EMBEDDING_OUTLIERS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), u AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+), c AS (
+  SELECT pos, AVG(val) AS cv FROM u GROUP BY pos
+), d AS (
+  SELECT u.vec_id,
+         SUM(u.val * c.cv) AS dot,
+         SUM(u.val * u.val) AS n2,
+         SUM(c.cv * c.cv) AS c2
+  FROM u JOIN c USING (pos) GROUP BY u.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(n2) * sqrt(c2)), 6) AS centroid_sim FROM d
+"""
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stratified_sample: per-language keep fractions (curate named
     sources at configured rates, thin the rest) — sampleBy semantics
@@ -3196,6 +3237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture": sample_mixture,
     "dataset_bloom_read": dataset_bloom_read,
     "streaming_route_datasets": streaming_route_datasets,
+    "embedding_outliers": embedding_outliers,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_quantize": embedding_quantize,
@@ -3304,6 +3346,7 @@ ORACLES: dict[str, str] = {
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,
+    "embedding_outliers": EMBEDDING_OUTLIERS_ORACLE,
     "text_winnow_fingerprints": TEXT_WINNOW_ORACLE,
     "winnow_overlap_pairs": WINNOW_PAIRS_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,

@@ -698,3 +698,44 @@ def query_ivf_index(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    score_col: str = "centroid_sim",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distance-to-corpus-centroid scoring — the SemDeDup/"prototypicality"
+    quality signal: vectors far from the corpus centroid (low cosine) are
+    outliers (mislabeled, off-domain, or garbage embeddings); vectors
+    too close to it are redundant boilerplate. Single closed-form
+    centroid (element-wise mean), so the whole operator is
+    oracle-checkable cross-engine — the k-centroid variant is
+    ``ivf_centroids`` + ``_assign_to_centroids``.
+
+    Scale shape: one posexplode pass (n×dim rows, linear), a dim-row
+    centroid aggregate broadcast back, one keyed sum per vector — no
+    window, no driver state beyond the dim-row centroid relation. For
+    hot paths prefer the Arrow-GEMM scoring in ``cosine_topk_*``; this
+    formulation trades a constant factor for exact SQL replayability.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = df.select(F.col(id_col), F.posexplode(v).alias("pos", "val"))
+    cent = ex.groupBy("pos").agg(F.avg("val").alias("cv"))
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("val") * F.col("cv")).alias("__dot__"),
+            F.sum(F.col("val") * F.col("val")).alias("__n2__"),
+            F.sum(F.col("cv") * F.col("cv")).alias("__c2__"),
+        )
+    )
+    sim = F.col("__dot__") / (F.sqrt("__n2__") * F.sqrt("__c2__"))
+    return d.select(
+        F.col(id_col),
+        F.round(sim, round_digits).alias(score_col),
+    )

@@ -80,29 +80,34 @@ def validate_bloom_columns(
     return list(columns)
 
 
+# hash-family identifier recorded in the metadata entry; a consult that
+# sees an unknown family must NOT prune (forward compatibility)
+HASH_FAMILY = "md5-km"  # Kirsch-Mitzenmacher double hashing over one md5
+_K_MAX = 7  # (k-1)*h2 + h1 must stay under 2^63 with 60-bit h1/h2
+
+
 def _position_cols(column: str, n_bits: int, k: int) -> list[Column]:
-    """k bit positions as codegen expressions (JVM md5, no Python)."""
-    s = F.col(column).cast("string")
-    out = []
-    for i in range(k):
-        h = F.md5(F.encode(F.concat(s, F.lit(f"|{i}")), "UTF-8"))
-        out.append(
-            F.pmod(
-                F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
-                F.lit(int(n_bits)),
-            )
-        )
-    return out
+    """k bit positions as codegen expressions — ONE JVM md5 per value,
+    positions derived by double hashing (h1 + i*h2: Kirsch-Mitzenmacher,
+    asymptotically as good as k independent hashes)."""
+    if k > _K_MAX:
+        raise ValueError(f"k must be <= {_K_MAX}, got {k}")
+    h = F.md5(F.encode(F.col(column).cast("string"), "UTF-8"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    # force h2 odd so a zero/even stride can't degenerate the probe walk
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(int(n_bits))) for i in range(k)
+    ]
 
 
 def bloom_positions(value: Any, n_bits: int, k: int) -> list[int]:
     """Python twin of ``_position_cols`` — bit-identical by construction
-    (md5 of the same rendered string)."""
-    s = str(value)
-    return [
-        int(hashlib.md5(f"{s}|{i}".encode()).hexdigest()[:15], 16) % n_bits
-        for i in range(k)
-    ]
+    (md5 of the same rendered string, same double-hash walk)."""
+    hx = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(hx[:15], 16)
+    h2 = int(hx[15:30], 16) | 1
+    return [(h1 + i * h2) % n_bits for i in range(k)]
 
 
 def build_bloom_dataframe(
@@ -171,7 +176,11 @@ def persist_bloom_dataframe(
     groups; returns the store key."""
     key = naming.bloom_key(dataset_uuid, column, _utc_ts())
     (
-        bloom_df.coalesce(1)
+        # repartition(1), NOT coalesce(1): coalesce propagates the
+        # 1-partition constraint upstream and serializes the whole
+        # build scan into one task; the shuffle barrier keeps the
+        # scan/hash/agg parallel and only funnels the tiny word rows
+        bloom_df.repartition(1)
         .sortWithinPartitions("word", "label")
         .write.mode("overwrite")
         .parquet(store.url(key))
@@ -265,6 +274,10 @@ class BloomConsult:
         constraints: list[tuple[str, list[Any]]] = []
         for col, op, val in conjunction:
             if col not in self._blooms:
+                continue
+            # a sidecar built under a different (or unrecorded) hash
+            # family cannot be interpreted — never prune on it
+            if self._blooms[col].get("hash") != HASH_FAMILY:
                 continue
             values = self._values_for(op, val)
             if values is not None and values:

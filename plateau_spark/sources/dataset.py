@@ -360,6 +360,7 @@ def _build_blooms(
     if not columns:
         return {}
     from plateau_spark.plans.blooms import (
+        HASH_FAMILY,
         K_DEFAULT,
         N_BITS_DEFAULT,
         build_bloom_dataframe,
@@ -381,6 +382,7 @@ def _build_blooms(
             "key": persist_bloom_dataframe(bdf, store, dataset_uuid, col),
             "n_bits": n_bits,
             "k": k,
+            "hash": HASH_FAMILY,
         }
     return out
 
@@ -439,8 +441,17 @@ def store_dataframe_as_dataset(
     repartition: bool = True,
     zone_map_columns: Sequence[str] | None = None,
     bloom_filter_columns: Sequence[str] | None = None,
+    bloom_n_bits: int | None = None,
+    bloom_k: int | None = None,
 ) -> DatasetMetadata:
     """Create a new dataset from a DataFrame (one write job + one commit).
+
+    ``bloom_filter_columns``: build a per-file Bloom sidecar for these
+    integer/string columns (plans/blooms.py) — ==/IN predicates then
+    prune files driver-side even on hash-scattered layouts. SIZE IT:
+    ``bloom_n_bits`` should be ~10x the expected DISTINCT values per
+    file (default 8192 suits ~800 distinct/file; a saturated bloom
+    prunes nothing, it never returns wrong rows).
 
     ``zone_map_columns``: harvest per-file (min, max, null_count) for
     these numeric/date/timestamp columns from the parquet footers (one
@@ -497,7 +508,7 @@ def store_dataframe_as_dataset(
     )
     ds.blooms = _build_blooms(
         spark, store, df.schema, partition_on, dataset_uuid, partitions,
-        bloom_filter_columns,
+        bloom_filter_columns, n_bits=bloom_n_bits, k=bloom_k,
     )
     built = _build_index_dataframes(
         spark, store, ds, partitions, list(secondary_indices or [])
@@ -1043,6 +1054,8 @@ def update_dataset_from_dataframe(
     schema_evolution: bool = False,
     zone_map_columns: Sequence[str] | None = None,
     bloom_filter_columns: Sequence[str] | None = None,
+    bloom_n_bits: int | None = None,
+    bloom_k: int | None = None,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
 
@@ -1091,6 +1104,8 @@ def update_dataset_from_dataframe(
             compress=compress,
             zone_map_columns=zone_map_columns,
             bloom_filter_columns=bloom_filter_columns,
+            bloom_n_bits=bloom_n_bits,
+            bloom_k=bloom_k,
         )
         _invalidate_if_factory(_store_arg)
         return out
@@ -1150,6 +1165,7 @@ def update_dataset_from_dataframe(
             _build_blooms(
                 spark, store, meta.schema, meta.partition_keys, dataset_uuid,
                 list(meta.partitions.values()), new_bloom_cols,
+                n_bits=bloom_n_bits, k=bloom_k,
             )
         )
     # newly-declared index columns: build over ALL partitions, same commit
