@@ -223,10 +223,13 @@ def persist_index_dataframe(
     index_df: DataFrame, store: Store, dataset_uuid: str, column: str
 ) -> str:
     """Persist a (column, partitions) index DataFrame; returns the store
-    key. coalesce(1): the index is one small file by design — plan-time
-    loads must be one GET (docs/spec/indexing.rst:9-18)."""
+    key. One small file by design — plan-time loads must be one GET
+    (docs/spec/indexing.rst:9-18). repartition(1), NOT coalesce(1):
+    coalesce removes the post-shuffle parallelism so the whole index
+    aggregation would run in a single reduce task; the extra exchange
+    funnels only the finished index rows."""
     key = naming.index_key(dataset_uuid, column, _utc_ts())
-    index_df.coalesce(1).write.mode("overwrite").parquet(store.url(key))
+    index_df.repartition(1).write.mode("overwrite").parquet(store.url(key))
     return key
 
 
