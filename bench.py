@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sample_mixture",
     "dataset_bloom_read",
     "streaming_route_datasets",
+    "embedding_outliers",
 ]
 
 

@@ -784,3 +784,42 @@ def test_mixture_sample_determinism_and_validation(spark):
         mixture_sample(df, ["source"], {"A": 0.0}, key_col="doc_id", budget=10)
     with _pytest.raises(ValueError, match="budget"):
         mixture_sample(df, ["source"], {"A": 1.0}, key_col="doc_id", budget=0)
+
+
+# --- centroid outlier scoring ----------------------------------------------
+
+
+def test_centroid_outlier_scores_hand_computed(spark):
+    import math
+
+    from plateau_spark.operators.similarity import centroid_outlier_scores
+
+    # centroid of [(1,0), (0,1)] = (0.5, 0.5); both vectors at 45° →
+    # sim = cos(45°); a third vector (1,1) is the centroid direction
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])]
+    # centroid over all three = (2/3, 2/3) — recompute expectations
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["centroid_sim"] for r in centroid_outlier_scores(df, "vec_id", "embedding").collect()}
+    c = (2 / 3, 2 / 3)
+    for vid, v in [(1, (1.0, 0.0)), (2, (0.0, 1.0)), (3, (1.0, 1.0))]:
+        dot = v[0] * c[0] + v[1] * c[1]
+        expect = dot / (math.hypot(*v) * math.hypot(*c))
+        assert abs(out[vid] - expect) < 1e-6
+    assert out[3] > out[1]  # centroid-aligned vector scores highest
+
+
+def test_centroid_outlier_flags_the_off_cluster_vector(spark):
+    import numpy as np
+
+    from plateau_spark.operators.similarity import centroid_outlier_scores
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(16)
+    rows = [
+        (i, [float(x) for x in base + rng.randn(16) * 0.05]) for i in range(30)
+    ]
+    rows.append((99, [float(x) for x in -base]))  # the anti-cluster outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["centroid_sim"] for r in centroid_outlier_scores(df, "vec_id", "embedding").collect()}
+    assert out[99] == min(out.values())
+    assert out[99] < 0 < min(out[i] for i in range(30))
