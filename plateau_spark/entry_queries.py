@@ -3208,11 +3208,17 @@ WHERE {_U_MIX} < p.keep_p
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round 6 window: (a) ALL 17 new round-6 queries (second batch:
+#   Round 6 window: (a) ALL 20 new round-6 queries (second batch:
 #   sample_stratified, quality_tier_split, text_lm_score,
 #   dataset_zorder_read, dataset_json_roundtrip, text_c4_clean,
-#   sample_mixture, plus the 10 first-batch queries below); then (b)/(c)
-#   as listed. Every entry outside the window is driver-green in r01-r05.
+#   sample_mixture, dataset_bloom_read, streaming_route_datasets,
+#   embedding_outliers, plus the 10 first-batch queries below); then
+#   (b)/(c) as listed. Every entry outside the window is driver-green in
+#   r01-r05 (verified by grepping CORRECTNESS_r0*.json).
+#   Round 7 plan: rotate the tail (relational q1/q3/q5, text_*, pack_*,
+#   web_*, dataset_csv/multi/dispatch/copy/msgpack/factory/sql_view —
+#   green since r01-r02) back into the window, demoting this round's
+#   now-verified batch.
 #   First batch: (a) the 10 NEW round-6 queries (text_winnow_fingerprints,
 #   winnow_overlap_pairs, embedding_quantize, streaming_interval_join,
 #   multimodal_resize, semdedup_keep,
