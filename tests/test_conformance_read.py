@@ -322,3 +322,45 @@ def test_many_partition_planning_stays_driver_cheap(spark, tmp_path):
     )
     assert len(out.inputFiles()) == 1
     assert out.count() == 10
+
+
+def test_binary_column_roundtrip(spark, tmp_path):
+    """Reference parity: binary payloads survive the dataset round-trip
+    with predicates on sibling columns
+    (/root/reference/plateau/io/testing/read.py:631 test_binary_column_metadata)."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    payloads = [b"\x00\x01\xffhigh", "ünïcode".encode(), b""]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "k long, payload binary"
+    )
+    store_dataframe_as_dataset(spark, store, "bin", df)
+    out = read_dataset_as_dataframe(
+        spark, store, "bin", predicates=[[("k", "<", 2)]]
+    )
+    got = {r["k"]: bytes(r["payload"]) for r in out.collect()}
+    assert got == {0: payloads[0], 1: payloads[1]}
+    assert dict(out.dtypes)["payload"] == "binary"
+
+
+def test_non_default_table_name_read(spark, tmp_path):
+    """Reference parity: a commit file whose single table is named
+    something other than "table" still reads (the reference accepts any
+    single name — plateau/core/dataset.py:134-140;
+    io/testing/read.py:675 test_non_default_table_name_roundtrip)."""
+    import json
+
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    store_dataframe_as_dataset(spark, store, "ds", df)
+    # rewrite the commit file to use a non-default table name
+    key = "ds.by-dataset-metadata.json"
+    payload = store.get_json(key)
+    for label, pj in payload["partitions"].items():
+        pj["files"] = {"core": pj["files"]["table"]}
+    store.put_json(key, payload)
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert sorted((r["k"], r["s"]) for r in out.collect()) == [(1, "a"), (2, "b")]
