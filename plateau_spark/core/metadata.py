@@ -159,6 +159,12 @@ class DatasetMetadata:
                 embedded[col] = v
             else:
                 raise ValueError(f"Unsupported index payload for {col!r}: {type(v)}")
+        # the reference names this field dataset_metadata_version
+        metadata_version = payload.get(
+            "metadata_version",
+            payload.get("dataset_metadata_version", naming.METADATA_VERSION),
+        )
+        naming.verify_metadata_version(metadata_version)
         return cls(
             uuid=payload["dataset_uuid"],
             partitions=partitions,
@@ -169,11 +175,7 @@ class DatasetMetadata:
             blooms=dict(payload.get("blooms", {})),
             metadata=dict(payload.get("metadata", {})),
             explicit_partitions=payload.get("explicit_partitions", True),
-            # the reference names this field dataset_metadata_version
-            metadata_version=payload.get(
-                "metadata_version",
-                payload.get("dataset_metadata_version", naming.METADATA_VERSION),
-            ),
+            metadata_version=metadata_version,
         )
 
     # -- store round-trip ----------------------------------------------------

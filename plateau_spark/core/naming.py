@@ -19,6 +19,10 @@ import re
 import uuid as _uuid
 
 METADATA_VERSION = 4
+# the storage spec has exactly one supported version (reference
+# naming.py:5-7 DEFAULT/MIN/MAX_METADATA_VERSION = 4)
+MIN_METADATA_VERSION = 4
+MAX_METADATA_VERSION = 4
 METADATA_SUFFIX = ".by-dataset-metadata.json"
 # reference-interop alternate commit-file format: zstd-compressed
 # msgpack of the same document (reference naming.py:12-13)
@@ -39,6 +43,28 @@ def validate_dataset_uuid(dataset_uuid: str) -> None:
     if not _UUID_RE.match(dataset_uuid):
         raise ValueError(
             f"Invalid dataset UUID {dataset_uuid!r}: only alphanumeric, '_' and '-' allowed"
+        )
+
+
+def gen_uuid() -> str:
+    """Auto-generated dataset uuid when the caller passes None
+    (reference: plateau/core/uuid.py gen_uuid, exercised by
+    io/testing/write.py test_store_dataframes_as_dataset_auto_uuid)."""
+    return _uuid.uuid4().hex
+
+
+def verify_metadata_version(metadata_version: int) -> None:
+    """Reject unsupported storage-format versions with the reference's
+    exact error shape (plateau/core/utils.py:13-22
+    _verify_metadata_version; naming.py MIN/MAX_METADATA_VERSION)."""
+    if metadata_version < MIN_METADATA_VERSION:
+        raise NotImplementedError(
+            f"Minimal supported metadata version is {MIN_METADATA_VERSION}. "
+            f"You requested {metadata_version} instead."
+        )
+    if metadata_version > MAX_METADATA_VERSION:
+        raise NotImplementedError(
+            f"Future metadata version `{metadata_version}` encountered."
         )
 
 

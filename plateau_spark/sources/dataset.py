@@ -426,9 +426,10 @@ def _merge_committed_blooms(
 def store_dataframe_as_dataset(
     spark: SparkSession,
     store: Store | str,
-    dataset_uuid: str,
+    dataset_uuid: str | None,
     df: DataFrame,
     *,
+    metadata_version: int = naming.METADATA_VERSION,
     partition_on: Sequence[str] | None = None,
     secondary_indices: Sequence[str] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
@@ -472,6 +473,9 @@ def store_dataframe_as_dataset(
     (/root/reference/plateau/io/eager.py:449-491) + write_partition
     (plateau/io_components/write.py:38-79).
     """
+    naming.verify_metadata_version(metadata_version)
+    if dataset_uuid is None:
+        dataset_uuid = naming.gen_uuid()
     naming.validate_dataset_uuid(dataset_uuid)
     raise_if_indices_overlap(partition_on, secondary_indices)
     store = _ensure_store(store)
@@ -523,7 +527,7 @@ def store_dataframe_as_dataset(
 def store_dataframes_as_dataset(
     spark: SparkSession,
     store: Store | str,
-    dataset_uuid: str,
+    dataset_uuid: str | None,
     dfs: Sequence[DataFrame] | DataFrame,
     **kwargs: Any,
 ) -> DatasetMetadata:
@@ -531,7 +535,10 @@ def store_dataframes_as_dataset(
     written by its own job (its rows stay in its own files), all files
     land in ONE atomic commit. Reference: store_dataframes_as_dataset
     (/root/reference/plateau/io/eager.py:449-491), where each list
-    element becomes its own partition set.
+    element becomes its own partition set. ``dataset_uuid=None``
+    auto-generates a uuid (reference io/testing/write.py
+    test_store_dataframes_as_dataset_auto_uuid); read it back from the
+    returned metadata's ``uuid``.
     """
     if isinstance(dfs, DataFrame):
         dfs = [dfs]
@@ -542,7 +549,7 @@ def store_dataframes_as_dataset(
 def store_dataframes_as_dataset__iter(
     spark: SparkSession,
     store: Store | str,
-    dataset_uuid: str,
+    dataset_uuid: str | None,
     df_generator,
     *,
     partition_on: Sequence[str] | None = None,
@@ -552,6 +559,7 @@ def store_dataframes_as_dataset__iter(
     metadata: dict[str, Any] | None = None,
     file_format: str = "parquet",
     compress: bool = True,
+    metadata_version: int = naming.METADATA_VERSION,
 ) -> DatasetMetadata:
     """Generator-driven bounded-memory ingestion: each yielded DataFrame
     is written immediately (one job per element, its staging files
@@ -561,6 +569,9 @@ def store_dataframes_as_dataset__iter(
     Reference: store_dataframes_as_dataset__iter
     (/root/reference/plateau/io/iter.py:166-245).
     """
+    naming.verify_metadata_version(metadata_version)
+    if dataset_uuid is None:
+        dataset_uuid = naming.gen_uuid()
     naming.validate_dataset_uuid(dataset_uuid)
     raise_if_indices_overlap(partition_on, secondary_indices)
     store = _ensure_store(store)
@@ -1275,9 +1286,20 @@ def build_dataset_indices(
     """Post-hoc secondary index build; partitions untouched.
 
     Reference: build_dataset_indices (/root/reference/plateau/io/eager.py:707-741).
+    A column missing from the dataset schema fails fast driver-side with
+    the reference's error shape (plateau/io_components/metapartition.py:1025)
+    instead of surfacing a Spark AnalysisException from inside the job.
     """
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    known = {f.name for f in (meta.schema or [])} | set(meta.partition_keys)
+    for col in columns:
+        if known and col not in known:
+            raise RuntimeError(
+                f"Column `{col}` could not be found in the dataset "
+                f"`{dataset_uuid}`. Please check for any typos and "
+                f"validate your dataset."
+            )
     parts = list(meta.partitions.values())
     built = _build_index_dataframes(spark, store, meta, parts, list(columns))
     for col, idx_df in built.items():

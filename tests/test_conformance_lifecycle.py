@@ -433,3 +433,102 @@ def test_reference_spelled_aliases(spark, store):
     out = read_dataset_as_dataframes(spark, store, "alias_ds")
     assert out.count() == 20
     assert sorted(r["k"] for r in out.collect()) == list(range(20))
+
+
+# --- metadata version / uuid / index-build conformance ----------------------
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+@pytest.mark.parametrize("bad_version", [3, 5])
+def test_write_unsupported_metadata_version_rejected(
+    mode, bad_version, spark, lstore
+):
+    """Reference parity: only storage-format version 4 exists; lower →
+    "Minimal supported...", higher → "Future metadata version"
+    (plateau/core/utils.py:13-22; io/testing/update.py:448
+    test_metadata_version)."""
+    df = spark.createDataFrame([(1,)], "p long")
+    with pytest.raises(NotImplementedError, match="metadata version"):
+        _store_ds(mode, spark, lstore, "vds", df, metadata_version=bad_version)
+    assert not DatasetMetadata.exists(lstore, "vds")
+
+
+def test_read_future_metadata_version_rejected(spark, lstore):
+    """A commit file stamped with a future format version must not be
+    half-understood — the loader refuses it outright (reference
+    verify_metadata_version on every load path)."""
+    df = spark.createDataFrame([(1,)], "p long")
+    store_dataframe_as_dataset(spark, lstore, "fut", df)
+    key = metadata_key("fut")
+    payload = lstore.get_json(key)
+    payload["metadata_version"] = 5
+    lstore.put_json(key, payload)
+    with pytest.raises(NotImplementedError, match="Future metadata version"):
+        DatasetMetadata.load(lstore, "fut")
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_store_auto_uuid(mode, spark, lstore):
+    """dataset_uuid=None auto-generates one, returned via the metadata
+    (reference io/testing/write.py test_store_dataframes_as_dataset_auto_uuid)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    meta = _store_ds(mode, spark, lstore, None, df)
+    assert meta.uuid
+    out = read_dataset_as_dataframe(spark, lstore, meta.uuid)
+    assert out.count() == 2
+
+
+def test_build_indices_missing_column_fails_fast(spark, lstore):
+    """Indexing a column absent from the dataset schema fails driver-side
+    with the reference's message shape — no Spark job is launched
+    (reference io/testing/index.py:48
+    test_create_index_from_inexistent_column_fails)."""
+    from plateau_spark.sources.dataset import build_dataset_indices
+
+    df = spark.createDataFrame([(1, "a")], "p long, s string")
+    store_dataframe_as_dataset(spark, lstore, "idxds", df)
+    with pytest.raises(RuntimeError, match="Column `abc` could not be found"):
+        build_dataset_indices(spark, lstore, "idxds", ["abc"])
+
+
+def test_add_column_to_existing_index_set(spark, lstore):
+    """Post-hoc build of a second index keeps the first intact
+    (reference io/testing/index.py:68 test_add_column_to_existing_index)."""
+    from plateau_spark.sources.dataset import build_dataset_indices
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 4500), (4, 500), (3, 10)], "p long, x long"
+    )
+    store_dataframe_as_dataset(spark, lstore, "idx2", df, secondary_indices=["p"])
+    meta = build_dataset_indices(spark, lstore, "idx2", ["x"])
+    assert set(meta.indices) == {"p", "x"}
+    out = read_dataset_as_dataframe(
+        spark, lstore, "idx2", predicates=[[("x", "==", 4500)]]
+    )
+    assert [r["p"] for r in out.collect()] == [2]
+
+
+def test_update_infers_partition_on(spark, lstore):
+    """An update without partition_on inherits the dataset's existing
+    partition keys — new files still land in hive dirs (reference
+    io/testing/update.py:568 test_update_infers_partition_on)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    store_dataframe_as_dataset(spark, lstore, "inf", df, partition_on=["s"])
+    meta = update_dataset_from_dataframe(spark, lstore, "inf", df)
+    assert meta.partition_keys == ["s"]
+    assert all("s=" in label for label in meta.partitions)
+    out = read_dataset_as_dataframe(spark, lstore, "inf", predicates=[[("s", "==", "a")]])
+    assert sorted(r["k"] for r in out.collect()) == [1, 1]
+
+
+def test_empty_projection_with_impossible_predicate(spark, lstore):
+    """columns=[] + a predicate matching nothing returns an empty
+    zero-column frame, not an error (reference io/testing/read.py:549
+    test_empty_predicate_pushdown_empty_col_projection)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "P long, s string")
+    store_dataframe_as_dataset(spark, lstore, "emptyproj", df)
+    out = read_dataset_as_dataframe(
+        spark, lstore, "emptyproj", columns=[], predicates=[[("P", "==", 12345678)]]
+    )
+    assert out.columns == []
+    assert out.count() == 0
