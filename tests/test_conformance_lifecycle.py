@@ -532,3 +532,19 @@ def test_empty_projection_with_impossible_predicate(spark, lstore):
     )
     assert out.columns == []
     assert out.count() == 0
+
+
+def test_update_secondary_indices_subset_picked_up(spark, lstore):
+    """An update that omits secondary_indices still maintains the
+    dataset's existing indexes — new values appear without re-declaring
+    (reference io/testing/update.py:509 test_update_secondary_indices_subset).
+    Declaring a not-yet-indexed column is a documented superset here
+    (built over all partitions) rather than the reference's ValueError."""
+    from plateau_spark.plans.index import SecondaryIndex
+
+    df1 = spark.createDataFrame([(i, 1) for i in range(10)], "A long, indexed long")
+    store_dataframe_as_dataset(spark, lstore, "subidx", df1, secondary_indices=["indexed"])
+    df2 = spark.createDataFrame([(i, 2) for i in range(10)], "A long, indexed long")
+    meta = update_dataset_from_dataframe(spark, lstore, "subidx", df2)
+    idx = SecondaryIndex.load(lstore, meta.indices["indexed"], "indexed")
+    assert sorted(idx.observed_values()) == [1, 2]
