@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "text_quality_classifier",
     "decontaminate_substring",
+    "decontaminate_fuzzy",
     "text_winnow_fingerprints",
     "winnow_overlap_pairs",
     "embedding_quantize",

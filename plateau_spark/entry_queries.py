@@ -2764,6 +2764,70 @@ WHERE c.id IS NULL OR c.id = c.cluster_id
 """
 
 
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY cross-corpus decontamination (MinHash-LSH train-vs-eval,
+    portable md5 hash family → fully hash-checked): train docs that
+    near-duplicate any eval doc, with match count and max Jaccard.
+    The production siphash family runs the IDENTICAL banding/join/verify
+    code path (operators/dedup.py decontaminate_minhash) — only the
+    hash atom differs."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import decontaminate_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decontaminate_minhash(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        num_perm=16,
+        bands=8,
+        jaccard_threshold=0.15,
+        hash_family="md5",
+    )
+    return out.select(
+        "doc_id", "n_eval_matches", F.round("max_jaccard", 6).alias("max_jaccard")
+    )
+
+
+_DF_PERM, _DF_BANDS = 16, 8
+DECONTAMINATE_FUZZY_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), exploded AS (
+  SELECT doc_id, unnest(s) AS shingle FROM nonempty
+), mins AS (
+  SELECT doc_id, p.i,
+         MIN(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || shingle), 1, 15)) AS UBIGINT)) AS mh
+  FROM exploded CROSS JOIN generate_series(0, {_DF_PERM - 1}) p(i)
+  GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, i // {_DF_PERM // _DF_BANDS} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bandsig
+  FROM mins GROUP BY doc_id, i // {_DF_PERM // _DF_BANDS}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bandsig = r.bandsig
+  WHERE l.doc_id % 5 <> 0 AND r.doc_id % 5 = 0
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM cand c JOIN nonempty a ON a.doc_id = c.id_a
+              JOIN nonempty b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.15
+)
+SELECT id_a AS doc_id, COUNT(*) AS n_eval_matches,
+       round(MAX(jaccard), 6) AS max_jaccard
+FROM verified GROUP BY id_a
+"""
+
+
 def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim-leak check: train docs flagged when any eval snippet
     (60-char prefixes of every 50th doc) occurs as an exact substring —
@@ -3254,6 +3318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": text_quality_classifier,
     "dedup_cluster_keep": dedup_cluster_keep,
     "decontaminate_substring": decontaminate_substring,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -3363,6 +3428,7 @@ ORACLES: dict[str, str] = {
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,
     "dedup_cluster_keep": DEDUP_CLUSTER_KEEP_ORACLE,
     "decontaminate_substring": DECONTAMINATE_SUBSTRING_ORACLE,
+    "decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

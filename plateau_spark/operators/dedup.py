@@ -1283,3 +1283,117 @@ def contaminated_by_substring(
             F.coalesce(hit, F.lit(False)).cast("long").alias("contaminated"),
         )
     )
+
+
+def decontaminate_minhash(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_family: str = "siphash",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """FUZZY decontamination: flag training documents near-duplicating
+    any eval document (NeMo-Curator-style cross-corpus MinHash dedup —
+    catches paraphrased/reformatted benchmark leakage that the exact
+    n-gram tiers `ngram_overlap_vs_eval*` miss).
+
+    Pipeline — the cross-corpus variant of ``minhash_lsh_pairs``:
+    signature both sides → band → equi-join train bands against EVAL
+    bands → exact-Jaccard verify of the candidates → one row per
+    contaminated (train, eval) pair, aggregated to
+    ``(id, n_eval_matches, max_jaccard)``.
+
+    100 TB shape: eval benchmarks are KB-to-GB next to the corpus, so
+    the banded eval table is BROADCAST (``broadcast_eval=True``,
+    default) — the corpus streams map-side through the band join with
+    NO shuffle of the training side; the only corpus-wide exchanges are
+    the signature aggregation (map-side combined) and the final
+    per-doc aggregate. With a too-big-to-broadcast eval side, pass
+    ``broadcast_eval=False`` for a shuffle-hash join on (band, bandsig).
+
+    ``hash_family``: "siphash" (default; fused Arrow one-pass shingle+
+    signature, the production tier) or "md5" (portable 60-bit md5
+    minhashes — bit-reproducible in ANSI SQL, the oracle-checked tier).
+    Both families run THIS same banding/join/verify code — the checked
+    tier exercises every line of the production tier except the hash
+    atom itself.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+
+    if hash_family == "md5":
+        def sig_frame(df: DataFrame) -> DataFrame:
+            base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
+                "__sh__", "__shingles__"
+            )
+            ex = base.select("__id__", F.explode("__shingles__").alias("__s__"))
+            sigs = ex.groupBy("__id__").agg(
+                F.array(
+                    *[F.min(_md5_minhash_col(F.col("__s__"), i)) for i in range(num_perm)]
+                ).alias("__sig__")
+            )
+            return base.join(sigs, "__id__")
+    elif hash_family == "siphash":
+        def sig_frame(df: DataFrame) -> DataFrame:
+            return _fused_base(df, id_col, text_col, shingle_size, num_perm).withColumnRenamed(
+                "__sh__", "__shingles__"
+            )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+    def banded(sig: DataFrame) -> DataFrame:
+        band_sigs = [
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("__sig__", b * rows_per_band + j + 1).cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            "__id__", F.posexplode(F.array(*band_sigs)).alias("__band__", "__bandsig__")
+        )
+
+    t_sig = sig_frame(train)
+    e_sig = sig_frame(eval_df)
+    e_banded = banded(e_sig)
+    if broadcast_eval:
+        e_banded = F.broadcast(e_banded)
+    candidates = (
+        banded(t_sig)
+        .alias("l")
+        .join(
+            e_banded.alias("r"),
+            (F.col("l.__band__") == F.col("r.__band__"))
+            & (F.col("l.__bandsig__") == F.col("r.__bandsig__")),
+        )
+        .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = t_sig.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("__sh_a__"))
+    b = e_sig.select(F.col("__id__").alias("id_b"), F.col("__shingles__").alias("__sh_b__"))
+    if broadcast_eval:
+        b = F.broadcast(b)
+    pairs = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a__", "__sh_b__"))
+            / F.size(F.array_union("__sh_a__", "__sh_b__")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

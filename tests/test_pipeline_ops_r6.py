@@ -823,3 +823,83 @@ def test_centroid_outlier_flags_the_off_cluster_vector(spark):
     out = {r["vec_id"]: r["centroid_sim"] for r in centroid_outlier_scores(df, "vec_id", "embedding").collect()}
     assert out[99] == min(out.values())
     assert out[99] < 0 < min(out[i] for i in range(30))
+
+
+# --- decontaminate_minhash (fuzzy cross-corpus) -----------------------------
+
+
+@pytest.fixture(scope="module")
+def contamination_corpora(spark):
+    eval_df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely unrelated evaluation question about astronomy and stars"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # near-verbatim copy of eval 100 (one word changed)
+            (1, "the quick brown fox jumps over the lazy dog near the wide river bank"),
+            # unrelated
+            (2, "grocery list milk eggs bread butter cheese apples oranges bananas"),
+            # partial overlap with eval 100 but below threshold
+            (3, "a lazy dog slept all day"),
+        ],
+        "doc_id long, text string",
+    )
+    return train, eval_df
+
+
+@pytest.mark.parametrize("family", ["siphash", "md5"])
+def test_decontaminate_minhash_flags_near_copy(spark, contamination_corpora, family):
+    from plateau_spark.operators.dedup import decontaminate_minhash
+
+    train, eval_df = contamination_corpora
+    out = decontaminate_minhash(
+        train, eval_df, "doc_id", "text",
+        num_perm=16, bands=8, jaccard_threshold=0.5, hash_family=family,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_eval_matches"] == 1
+    assert out[0]["max_jaccard"] > 0.5
+
+
+def test_decontaminate_minhash_shuffle_fallback_same_result(
+    spark, contamination_corpora
+):
+    """broadcast_eval=False (too-big-to-broadcast eval side) returns the
+    identical result through the shuffle-hash band join."""
+    from plateau_spark.operators.dedup import decontaminate_minhash
+
+    train, eval_df = contamination_corpora
+    kw = dict(num_perm=16, bands=8, jaccard_threshold=0.5, hash_family="md5")
+    a = decontaminate_minhash(train, eval_df, "doc_id", "text", broadcast_eval=True, **kw)
+    b = decontaminate_minhash(train, eval_df, "doc_id", "text", broadcast_eval=False, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_decontaminate_minhash_broadcasts_eval_side(spark, contamination_corpora):
+    """The 100 TB plan shape: the banded EVAL table is broadcast — the
+    training corpus must not shuffle for the candidate join."""
+    from plateau_spark.operators.dedup import decontaminate_minhash
+
+    train, eval_df = contamination_corpora
+    out = decontaminate_minhash(
+        train, eval_df, "doc_id", "text",
+        num_perm=16, bands=8, jaccard_threshold=0.5, hash_family="md5",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_minhash_validates_args(spark, contamination_corpora):
+    from plateau_spark.operators.dedup import decontaminate_minhash
+
+    train, eval_df = contamination_corpora
+    with pytest.raises(ValueError, match="divisible"):
+        decontaminate_minhash(train, eval_df, "doc_id", "text", num_perm=10, bands=4)
+    with pytest.raises(ValueError, match="hash_family"):
+        decontaminate_minhash(
+            train, eval_df, "doc_id", "text", hash_family="sha9000"
+        )
