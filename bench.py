@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "decontaminate_substring",
     "decontaminate_fuzzy",
+    "sample_shuffle_epoch",
     "text_winnow_fingerprints",
     "winnow_overlap_pairs",
     "embedding_quantize",

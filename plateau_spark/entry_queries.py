@@ -2764,6 +2764,39 @@ WHERE c.id IS NULL OR c.id = c.cluster_id
 """
 
 
+def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (portable md5 key family →
+    fully hash-checked): first 100 documents of epoch seed=7 in shuffled
+    order, with their epoch positions. The production xxhash64 family
+    runs the identical ORDER BY plan (TakeOrderedAndProject under the
+    LIMIT; range-exchange sort for a full-epoch write)."""
+    _prep(spark)
+    from pyspark.sql import Window
+    from plateau_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    first = (
+        deterministic_shuffle(docs, "doc_id", seed=7, hash_family="md5")
+        .limit(100)
+        .select("doc_id", "__shuffle_key__")
+    )
+    w = Window.orderBy("__shuffle_key__", "doc_id")  # 100 rows: driver-scale
+    return first.select(
+        "doc_id", F.row_number().over(w).alias("position")
+    )
+
+
+SAMPLE_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT),
+                  doc_id
+       ) AS INTEGER) AS position
+FROM documents
+QUALIFY position <= 100
+"""
+
+
 def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY cross-corpus decontamination (MinHash-LSH train-vs-eval,
     portable md5 hash family → fully hash-checked): train docs that
@@ -3319,6 +3352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_keep": dedup_cluster_keep,
     "decontaminate_substring": decontaminate_substring,
     "decontaminate_fuzzy": decontaminate_fuzzy,
+    "sample_shuffle_epoch": sample_shuffle_epoch,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -3429,6 +3463,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_keep": DEDUP_CLUSTER_KEEP_ORACLE,
     "decontaminate_substring": DECONTAMINATE_SUBSTRING_ORACLE,
     "decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
+    "sample_shuffle_epoch": SAMPLE_SHUFFLE_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

@@ -380,3 +380,54 @@ def mixture_sample(
     if keep_prob_col is not None:
         return out.withColumnRenamed("__keep_p__", keep_prob_col)
     return out.drop("__keep_p__")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_cols: Sequence[str] | str,
+    *,
+    seed: int | str = 0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global pseudo-random reorder — the training-epoch
+    shuffle: every epoch's data order is a pure function of (ids, seed),
+    reproducible across runs/clusters and independent of input file
+    layout. Change ``seed`` per epoch for a fresh order.
+
+    Plan shape: ORDER BY a seeded hash of the id columns → Spark's sort
+    is a RANGE exchange (sampled boundaries, one pass) + per-partition
+    sort — the standard distributed total order, no driver state and no
+    single-task bottleneck at 100 TB. Downstream ``LIMIT k`` collapses
+    to TakeOrderedAndProject (per-partition top-k, no global sort), so
+    "first N of the epoch" is cheap. Writing the result with
+    ``store_dataframe_as_dataset`` preserves the order per file via the
+    final sort's partitioning.
+
+    ``hash_family``: "xxhash64" (default, JVM codegen) or "md5" (64-bit
+    prefix of md5 — bit-reproducible in any engine, the oracle family).
+    Ties (hash collisions) break on the id columns, so the order is a
+    strict total order either way.
+
+    The returned frame carries ``__shuffle_key__`` (drop it after any
+    re-partitioning write if undesired); downstream zips/packs can use
+    it as the epoch-position key.
+    """
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    ids = [F.col(c) for c in id_cols]
+    if hash_family == "xxhash64":
+        key = F.xxhash64(F.lit(str(seed)), *ids)
+    elif hash_family == "md5":
+        key = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws(":", F.lit(str(seed)), *ids), "UTF-8")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return df.withColumn("__shuffle_key__", key).orderBy(
+        "__shuffle_key__", *id_cols
+    )

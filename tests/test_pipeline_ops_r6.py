@@ -903,3 +903,53 @@ def test_decontaminate_minhash_validates_args(spark, contamination_corpora):
         decontaminate_minhash(
             train, eval_df, "doc_id", "text", hash_family="sha9000"
         )
+
+
+# --- deterministic_shuffle (training-epoch order) ---------------------------
+
+
+def test_deterministic_shuffle_is_reproducible_and_seed_sensitive(spark):
+    from plateau_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    o1 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    o2 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    o3 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=2).collect()]
+    assert o1 == o2                      # same seed → identical order
+    assert o1 != o3                      # different seed → different order
+    assert sorted(o1) == list(range(200))  # a permutation, nothing lost
+    assert o1 != list(range(200))        # actually shuffled
+
+
+def test_deterministic_shuffle_md5_family_matches_xxhash_permutation_set(spark):
+    from plateau_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    md5_order = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=3, hash_family="md5").collect()]
+    assert sorted(md5_order) == list(range(50))
+    with pytest.raises(ValueError, match="hash_family"):
+        deterministic_shuffle(df, "doc_id", hash_family="crc32")
+
+
+def test_deterministic_shuffle_limit_plan_is_take_ordered(spark):
+    """LIMIT k over the epoch order must collapse to per-partition top-k
+    (TakeOrderedAndProject), not a global sort."""
+    from plateau_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", seed=1).limit(10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_deterministic_shuffle_full_sort_is_range_exchange(spark):
+    """The full-epoch reorder is a range exchange + local sort — the
+    scale-safe distributed total order (no single-partition sort)."""
+    from plateau_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    plan = (
+        deterministic_shuffle(df, "doc_id", seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
