@@ -70,7 +70,17 @@ def normalize_dataframe(
     """Cast to the normalized schema and reorder columns.
 
     Cheap for Catalyst (casts fold into the write projection; no shuffle).
+
+    Non-DataFrame input is a typed ValueError raised BEFORE any write job
+    (reference: parse_input_to_metapartition rejects invalid partition
+    shapes, io/testing/update.py:487 test_raises_on_invalid_input —
+    nothing may land in the store from a malformed call).
     """
+    if not isinstance(df, DataFrame):
+        raise ValueError(
+            f"Invalid input type {type(df).__name__!r}: expected a Spark "
+            f"DataFrame (pandas frames: use spark.createDataFrame first)"
+        )
     target = normalize_schema(df.schema)
     cols = []
     for field in target.fields:

@@ -548,3 +548,20 @@ def test_update_secondary_indices_subset_picked_up(spark, lstore):
     meta = update_dataset_from_dataframe(spark, lstore, "subidx", df2)
     idx = SecondaryIndex.load(lstore, meta.indices["indexed"], "indexed")
     assert sorted(idx.observed_values()) == [1, 2]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_update_raises_on_invalid_input_nothing_written(mode, spark, lstore):
+    """A malformed update (non-DataFrame input) raises ValueError BEFORE
+    any file lands — the dataset is untouched (reference
+    io/testing/update.py:487 test_raises_on_invalid_input)."""
+    df = spark.createDataFrame([(1,), (2,)], "p long")
+    _store_ds(mode, spark, lstore, "inval", df)
+    before = DatasetMetadata.load(lstore, "inval")
+    with pytest.raises(ValueError, match="Invalid input type"):
+        _update_ds(mode, spark, lstore, "inval", [({"stuff"}, [("x", {1})])])
+    after = DatasetMetadata.load(lstore, "inval")
+    assert set(after.partitions) == set(before.partitions)
+    # no stray payload files either
+    table_files = [k for k in lstore.iter_keys("inval") if k.endswith(".parquet")]
+    assert len(table_files) == len(before.partitions)
