@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "decontaminate_substring",
     "decontaminate_fuzzy",
     "sample_shuffle_epoch",
+    "embedding_kmeans",
     "text_winnow_fingerprints",
     "winnow_overlap_pairs",
     "embedding_quantize",

@@ -2764,6 +2764,51 @@ WHERE c.id IS NULL OR c.id = c.cluster_id
 """
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (k=8, one Lloyd step, explicit
+    seeds vec_id 0-7 for cross-engine determinism): every vector's
+    cluster and cosine-to-centroid. Fully hash-checked — the oracle
+    replays seed assignment, the per-dimension Lloyd mean, and the
+    final argmax in SQL."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import kmeans_cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_cluster(emb, k=8, iterations=1, seed_ids=list(range(8)))
+    return out.select("vec_id", "cluster_id", F.round("cosine", 6).alias("cosine"))
+
+
+_KM_DIM = 64
+EMBEDDING_KMEANS_ORACLE = f"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+), a0 AS (
+  SELECT e.vec_id, s.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cvec) AS cos
+  FROM embeddings e CROSS JOIN seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, s.cid ASC) = 1
+), comp AS (
+  SELECT a0.cid, g.i, AVG(CAST(e.embedding[g.i] AS DOUBLE)) AS m
+  FROM a0 JOIN embeddings e USING (vec_id)
+  CROSS JOIN generate_series(1, {_KM_DIM}) g(i)
+  GROUP BY a0.cid, g.i
+), c1 AS (
+  SELECT cid, list(m ORDER BY i) AS cvec FROM comp GROUP BY cid
+), cents AS (
+  SELECT s.cid, COALESCE(c1.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN c1 USING (cid)
+), a1 AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS cos
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid ASC) = 1
+)
+SELECT vec_id, cid AS cluster_id, round(cos, 6) AS cosine FROM a1
+"""
+
+
 def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle (portable md5 key family →
     fully hash-checked): first 100 documents of epoch seed=7 in shuffled
@@ -3353,6 +3398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_substring": decontaminate_substring,
     "decontaminate_fuzzy": decontaminate_fuzzy,
     "sample_shuffle_epoch": sample_shuffle_epoch,
+    "embedding_kmeans": embedding_kmeans,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -3464,6 +3510,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_substring": DECONTAMINATE_SUBSTRING_ORACLE,
     "decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
     "sample_shuffle_epoch": SAMPLE_SHUFFLE_ORACLE,
+    "embedding_kmeans": EMBEDDING_KMEANS_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

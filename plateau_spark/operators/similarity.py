@@ -25,6 +25,7 @@ No MLlib dependency (works on plain array<float>), no Python UDFs.
 from __future__ import annotations
 
 import random
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -177,8 +178,23 @@ def ivf_centroids(
         .collect()
     )
     cents = [list(map(float, r[1])) for r in seed_rows]
-    dim = len(cents[0])
-    for _ in range(refine_iterations):
+    return list(
+        enumerate(_lloyd_refine(corpus, cents, id_col, vec_col, refine_iterations))
+    )
+
+
+def _lloyd_refine(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    iterations: int,
+) -> list[list[float]]:
+    """``iterations`` Lloyd steps over driver-held centroids (K × dim
+    doubles — kilobytes): assign-all (narrow Arrow GEMM pass) + two-phase
+    per-dimension mean (per-partition numpy partial sums, then a tiny
+    K·P-row combine). An empty cluster keeps its previous centroid."""
+    for _ in range(iterations):
         assigned = _assign_to_centroids(corpus, vec_col, id_col, list(enumerate(cents)))
 
         # Lloyd step, two-phase mean: per-partition numpy partial sums
@@ -229,7 +245,91 @@ def ivf_centroids(
             [comp[i] for i in sorted(comp)] if (comp := by_cid.get(cid)) else cents[cid]
             for cid in range(len(cents))
         ]
-    return list(enumerate(cents))
+    return cents
+
+
+def kmeans_cluster(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Distributed spherical k-means clustering over an embedding column
+    — the corpus-organization primitive behind SemDeDup-style curation
+    (cluster → dedup/score within cluster) and topic bucketing.
+
+    Returns ``(id_col, cluster_id, cosine)`` — every vector's cluster
+    and its cosine similarity to that cluster's centroid (a
+    prototypicality signal: low cosine = cluster outlier).
+
+    Algorithm/scale shape (all machinery shared with the IVF ANN tier):
+      - seeds: explicit ``seed_ids`` (taken in ascending id order —
+        deterministic AND cross-engine reproducible) or, when None, the
+        k corpus vectors with smallest ``xxhash64(id)`` (one-pass
+        deterministic uniform sample);
+      - ``iterations`` Lloyd steps via ``_lloyd_refine``: centroids are
+        K×dim doubles on the driver (kilobytes at ANY corpus size);
+        each step is one narrow Arrow-GEMM assignment pass + a
+        two-phase per-dimension mean (numpy partial sums per task →
+        K·P-row combine) — no row explosion, no corpus shuffle;
+      - final assignment: the same GEMM pass, cosine to the assigned
+        centroid computed in the same batch.
+
+    Ties in the argmax break to the smallest cluster id; empty clusters
+    keep their previous centroid (standard Lloyd practice).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if seed_ids is not None:
+        seed_rows = (
+            corpus.where(F.col(id_col).isin(list(seed_ids)))
+            .select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col))
+            .collect()
+        )
+        if len(seed_rows) != len(set(seed_ids)):
+            raise ValueError(
+                f"seed_ids: expected {len(set(seed_ids))} seed vectors, "
+                f"found {len(seed_rows)} in the corpus"
+            )
+    else:
+        seed_rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(k)
+            .collect()
+        )
+    cents = [list(map(float, r[1])) for r in seed_rows]
+    cents = _lloyd_refine(corpus, cents, id_col, vec_col, iterations)
+
+    cmat = np.array(cents, dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def _assign_score(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.DataFrame({"cid": [], "cos": []})
+        V = np.array(list(vecs), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ cmat.T
+        cid = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype(np.int32), "cos": S[np.arange(len(cid)), cid]}
+        )
+
+    assign = pandas_udf(_assign_score, "struct<cid: int, cos: double>")
+    return corpus.select(
+        id_col, assign(F.col(vec_col)).alias("__a__")
+    ).select(
+        id_col,
+        F.col("__a__.cid").alias("cluster_id"),
+        F.col("__a__.cos").alias("cosine"),
+    )
 
 
 def _centroid_df(df_or_spark, centroids) -> DataFrame:

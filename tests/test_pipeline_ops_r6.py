@@ -953,3 +953,53 @@ def test_deterministic_shuffle_full_sort_is_range_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+# --- kmeans_cluster ---------------------------------------------------------
+
+
+def test_kmeans_cluster_separates_obvious_clusters(spark):
+    from plateau_spark.operators.similarity import kmeans_cluster
+
+    rows = (
+        [(i, [10.0 + (i % 3) * 0.01, 0.0, 0.0]) for i in range(0, 10)]
+        + [(i, [0.0, 10.0 + (i % 3) * 0.01, 0.0]) for i in range(10, 20)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_cluster(df, k=2, iterations=2, seed_ids=[0, 10]).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert by_cluster[0] == set(range(0, 10))
+    assert by_cluster[1] == set(range(10, 20))
+    assert all(r["cosine"] > 0.99 for r in out)
+
+
+def test_kmeans_cluster_deterministic_and_validates_seeds(spark):
+    from plateau_spark.operators.similarity import kmeans_cluster
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, kmeans_cluster(df, k=3, iterations=1, seed_ids=[0, 1, 2]).collect()))
+    b = sorted(map(tuple, kmeans_cluster(df, k=3, iterations=1, seed_ids=[0, 1, 2]).collect()))
+    assert a == b
+    # hash-seeded variant also runs and is a full assignment
+    c = kmeans_cluster(df, k=3, iterations=1)
+    assert c.count() == 40
+    with pytest.raises(ValueError, match="seed vectors"):
+        kmeans_cluster(df, k=2, iterations=0, seed_ids=[0, 999]).collect()
+
+
+def test_kmeans_cluster_empty_cluster_keeps_seed_centroid(spark):
+    """A seed that captures no vectors in the assignment round keeps its
+    centroid rather than producing NaNs."""
+    from plateau_spark.operators.similarity import kmeans_cluster
+
+    # seeds 0 and 1 point the same way; every vector lands on one of them
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(5, [0.9999, 0.0001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_cluster(df, k=2, iterations=2, seed_ids=[0, 5]).collect()
+    assert len(out) == 6
+    assert all(r["cosine"] == r["cosine"] for r in out)  # no NaN
