@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "text_lm_score",
     "dataset_zorder_read",
     "dataset_json_roundtrip",
+    "dataset_orc_roundtrip",
     "text_c4_clean",
     "sample_mixture",
     "dataset_bloom_read",

@@ -34,6 +34,9 @@ CSV_SUFFIXES = (".csv", ".csv.gz")
 # extension beyond the reference (parquet/csv only): JSON-lines payload
 # files, the raw-crawl interchange format for LLM corpus ingest
 JSON_SUFFIXES = (".json", ".json.gz")
+# extension beyond the reference: ORC payload files (Spark-native
+# columnar alternative; vectorized reader with predicate pushdown)
+ORC_SUFFIX = ".orc"
 STAGING_DIR = ".staging"  # per-commit write staging: <uuid>/.staging/<commit-id>/
 
 _UUID_RE = re.compile(r"^[a-zA-Z0-9_\-]+$")

@@ -369,6 +369,34 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def dataset_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC serializer (extension beyond the reference's parquet/csv):
+    snappy ORC payload files, suffix-dispatched; Spark's vectorized ORC
+    reader with predicate pushdown (plan-asserted in tests)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
+
+    store = _fresh_store("orc-roundtrip")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "orders", orders,
+        partition_on=["o_orderpriority"], file_format="orc",
+    )
+    return read_table(
+        spark, store, "orders", predicates=[[("o_totalprice", ">", 400000.0)]]
+    )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority, o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
 def dataset_multi_store_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator-driven bounded-memory ingestion: three chunks written as
     they arrive, ONE atomic commit at exhaustion (reference:
@@ -3399,6 +3427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_fuzzy": decontaminate_fuzzy,
     "sample_shuffle_epoch": sample_shuffle_epoch,
     "embedding_kmeans": embedding_kmeans,
+    "dataset_orc_roundtrip": dataset_orc_roundtrip,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -3511,6 +3540,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
     "sample_shuffle_epoch": SAMPLE_SHUFFLE_ORACLE,
     "embedding_kmeans": EMBEDDING_KMEANS_ORACLE,
+    "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

@@ -18,6 +18,10 @@ and readers dispatch per file. Formats:
                           corpus ingest. Types restored from the
                           commit-file schema on read (JSON itself is
                           stringly); gzip when compressed.
+  ``.orc``              — EXTENSION beyond the reference: ORC, the
+                          other Spark-native columnar format
+                          (vectorized reader, predicate pushdown);
+                          snappy when compressed.
 
 Reading is still one distributed plan: surviving partition files are
 grouped by format, each group becomes one scan, groups union —
@@ -44,12 +48,16 @@ def format_of(key: str) -> str:
         return "csv"
     if key.endswith(naming.JSON_SUFFIXES):
         return "json"
+    if key.endswith(naming.ORC_SUFFIX):
+        return "orc"
     raise ValueError(f"The specified file format for '{key}' is not supported")
 
 
 def is_payload_file(key: str) -> bool:
     return key.endswith(
-        (naming.PARQUET_SUFFIX,) + naming.CSV_SUFFIXES + naming.JSON_SUFFIXES
+        (naming.PARQUET_SUFFIX, naming.ORC_SUFFIX)
+        + naming.CSV_SUFFIXES
+        + naming.JSON_SUFFIXES
     )
 
 
@@ -77,6 +85,8 @@ def write_staged(
         if compress:
             w = w.option("compression", "gzip")
         w.json(url)
+    elif file_format == "orc":
+        writer.option("compression", "snappy" if compress else "none").orc(url)
     else:
         raise ValueError(f"Unsupported file_format: {file_format!r}")
 
@@ -106,6 +116,9 @@ def read_files(
             parts.append(rdr.parquet(*urls))
         elif fmt == "csv":
             parts.append(rdr.options(**CSV_OPTIONS).csv(urls))
+        elif fmt == "orc":
+            # DataFrameReader.orc takes one path-or-list (not varargs)
+            parts.append(rdr.orc(urls))
         else:
             parts.append(rdr.json(urls))
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -401,3 +401,38 @@ def test_json_uncompressed_and_three_format_mix(spark, store, cluster_df):
     )
     assert sorted(r.P for r in pruned.collect()) == [1, 11, 21]
     assert all(r.L == 1 for r in pruned.collect())
+
+
+# -- ORC serializer (extension beyond the reference) -------------------------
+
+
+def test_orc_roundtrip_typed_and_pushdown(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], file_format="orc"
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    assert all(f.endswith(".orc") for f in out.inputFiles())
+    assert sorted((r.P, r.L) for r in out.collect()) == [(1, 1), (2, 2)]
+    assert dict(out.dtypes)["DATE"] == "date"
+    # content predicates reach the vectorized ORC scan
+    pred = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("L", "==", 2)]])
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "L" in plan.split("PushedFilters: [", 1)[1][:80]
+    assert [r.P for r in pred.collect()] == [2]
+
+
+def test_orc_mixes_with_parquet_in_one_dataset(spark, store, cluster_df):
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], file_format="orc",
+        compress=False,
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ds",
+        cluster_df.withColumn("P", F.col("P") + 10),
+        file_format="parquet",
+    )
+    out = read_dataset_as_dataframe(spark, store, "ds")
+    from plateau_spark.sources.serializers import format_of
+
+    assert {format_of(f) for f in out.inputFiles()} == {"orc", "parquet"}
+    assert out.count() == 4
