@@ -71,6 +71,7 @@ __all__ = [
     "read_dataset_as_dataframe_groups",
     "read_table",
     "register_dataset_as_view",
+    "register_plateau_datasource",
     "update_dataset_from_dataframe",
     "update_dataset_from_dataframes",
     "update_dataset_from_dataframes__iter",
@@ -85,5 +86,8 @@ __all__ = [
     "index_as_flat_dataframe",
     "combine_metadata",
 ]
+
+
+from plateau_spark.sources.datasource import register_plateau_datasource  # noqa: E402
 
 __version__ = "0.1.0"

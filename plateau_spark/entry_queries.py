@@ -397,6 +397,42 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def dataset_python_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``plateau`` Spark Python DataSource (Spark-4 interop surface):
+    store a dataset, read it back via spark.read.format("plateau") with
+    a pushed filter — partition/zone-map/bloom pruning runs inside the
+    source's partition planner; Spark re-applies the filters row-level
+    so semantics stay exact."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+    from plateau_spark.sources.datasource import register_plateau_datasource
+
+    register_plateau_datasource(spark)
+    store = _fresh_store("pysource-read")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "orders", orders, partition_on=["o_orderstatus"],
+    )
+    out = (
+        spark.read.format("plateau")
+        .option("store", store)
+        .option("dataset", "orders")
+        .load()
+    )
+    return out.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000.0)
+    )
+
+
+PYSOURCE_READ_ORACLE = """
+SELECT o_orderstatus, o_custkey, o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000.0
+"""
+
+
 def dataset_multi_store_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator-driven bounded-memory ingestion: three chunks written as
     they arrive, ONE atomic commit at exhaustion (reference:
@@ -3428,6 +3464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shuffle_epoch": sample_shuffle_epoch,
     "embedding_kmeans": embedding_kmeans,
     "dataset_orc_roundtrip": dataset_orc_roundtrip,
+    "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
     "range_join_windows": range_join_windows,
@@ -3541,6 +3578,7 @@ ORACLES: dict[str, str] = {
     "sample_shuffle_epoch": SAMPLE_SHUFFLE_ORACLE,
     "embedding_kmeans": EMBEDDING_KMEANS_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
+    "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

@@ -1,0 +1,258 @@
+"""Spark Python DataSource for plateau datasets: the ``plateau`` format.
+
+Registers the dataset layer as a first-class Spark (4.x) data source:
+
+    spark.dataSource.register(PlateauDataSource)
+    df = (spark.read.format("plateau")
+          .option("store", "/path/to/store")
+          .option("dataset", "my_dataset").load())
+    stream = (spark.readStream.format("plateau")
+              .option("store", "...").option("dataset", "...").load())
+
+Why this exists next to ``read_table``: ``read_table`` is the PRIMARY
+path (native parquet scan, whole-stage codegen, zero Python in the data
+plane). The data source is the *interop* surface — it makes datasets
+addressable from plain ``spark.read``/``readStream`` pipelines, SQL
+(`CREATE TABLE ... USING plateau` style tooling), and crucially gives a
+STREAMING reader: a dataset becomes a tail-followable source where each
+micro-batch is exactly the set of partitions added by new commits
+(offsets are commit-file partition snapshots, so only COMMITTED files
+are ever visible — in-flight staged writes cannot leak into a batch).
+
+Filter pushdown (batch): Spark hands the reader its conjunctive filter
+list; supported comparisons are translated into the same DNF predicate
+model the native path uses and drive ``plan_scan`` — partition-key
+pruning, zone maps, and Bloom sidecars all apply, so a selective filter
+skips whole files before a single row is read. ALL filters are returned
+as "unsupported" so Spark re-applies them row-level after the scan:
+file pruning is a conservative superset, re-filtering keeps exact
+semantics with zero correctness risk.
+
+Scale notes: partition planning is driver-side metadata work (same as
+the native path); each file is one ``InputPartition`` read by a Python
+worker via pyarrow (Arrow batches, zero-copy into Spark). Python-worker
+throughput is below the JVM parquet reader — for heavy analytics use
+``read_table``; the data source targets interop and streaming
+tail-follow. Parquet payloads only (the dominant format; csv/json/orc
+datasets: use ``read_table``).
+
+Reference parity: the reference exposes datasets to dask/pandas as
+first-class collections (read_dataset_as_ddf,
+/root/reference/plateau/io/dask/dataframe.py); this is the Spark-4
+analog of "the dataset is a native collection of the engine".
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING, Any, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.types import StructType
+
+_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+def _filters_to_conjunction(filters) -> list[tuple[str, str, Any]]:
+    """Supported Spark filters → one DNF conjunction (the filter list is
+    implicitly AND'ed). Unsupported/nested filters are simply skipped —
+    pruning with a SUBSET of the conjunction is still sound (it can only
+    keep more files), and Spark re-applies everything row-level."""
+    conj: list[tuple[str, str, Any]] = []
+    for f in filters:
+        op = _OPS.get(type(f))
+        if op is not None and len(f.attribute) == 1:
+            value = list(f.value) if op == "in" else f.value
+            conj.append((f.attribute[0], op, value))
+        elif isinstance(f, IsNull) and len(f.attribute) == 1:
+            conj.append((f.attribute[0], "==", None))
+    return conj
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, key: str, path: str, label: str):
+        self.key = key
+        self.path = path
+        self.label = label
+
+
+def _read_partition_arrow(part: _FilePartition, spark_schema, partition_keys):
+    """One payload file → Arrow batches in the dataset schema's column
+    order, hive partition-key values restored from the label."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plateau_spark.core.urlencode import decode_partition_label
+
+    if not part.key.endswith(".parquet"):
+        raise ValueError(
+            f"The plateau data source reads parquet payloads only; "
+            f"{part.key!r} requires read_table()"
+        )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    tbl = pq.read_table(part.path)
+    key_types = {f.name: f.dataType for f in spark_schema.fields}
+    key_values = decode_partition_label(part.label, list(partition_keys), key_types)
+    n = tbl.num_rows
+    cols = []
+    for field in spark_schema.fields:
+        at = to_arrow_type(field.dataType)
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(at))
+        elif field.name in key_values:
+            cols.append(pa.array([key_values[field.name]] * n, type=at))
+        else:  # additive schema evolution: pre-evolution file, null-fill
+            cols.append(pa.nulls(n, type=at))
+    out = pa.table(cols, names=[f.name for f in spark_schema.fields])
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class PlateauBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._root = options["store"]
+        self._uuid = options["dataset"]
+        self._predicates: list[list[tuple[str, str, Any]]] | None = None
+        from plateau_spark.core.metadata import DatasetMetadata
+        from plateau_spark.core.store import Store
+
+        self._store = Store(self._root)
+        self._meta = DatasetMetadata.load(self._store, self._uuid)
+
+    def pushFilters(self, filters):
+        conj = _filters_to_conjunction(filters)
+        if conj:
+            self._predicates = [conj]
+        # return EVERYTHING: pruning is a superset, Spark re-filters rows
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from plateau_spark.plans.pruning import plan_scan
+
+        surviving = plan_scan(self._meta, self._store, self._predicates)
+        return [
+            _FilePartition(p.file, self._store.path(p.file), p.label)
+            for p in surviving
+        ]
+
+    def read(self, partition: _FilePartition):
+        from plateau_spark.core.metadata import DatasetMetadata
+        from plateau_spark.core.store import Store
+
+        # workers re-load metadata lazily only for schema/keys; both are
+        # small (the commit file) and cached by the OS page cache
+        store = Store(self._root)
+        meta = DatasetMetadata.load(store, self._uuid)
+        yield from _read_partition_arrow(partition, meta.schema, meta.partition_keys)
+
+
+class PlateauStreamReader(DataSourceStreamReader):
+    """Tail-follow a dataset: every micro-batch = partitions newly
+    present in the commit file since the last offset. Offsets are the
+    sorted committed-label list (JSON, one string value — metadata
+    scale); the atomic-commit protocol guarantees a label's files are
+    fully written before the label can appear in any offset."""
+
+    def __init__(self, options):
+        self._root = options["store"]
+        self._uuid = options["dataset"]
+        from plateau_spark.core.store import Store
+
+        self._store = Store(self._root)
+
+    def _labels(self) -> list[str]:
+        from plateau_spark.core.metadata import DatasetMetadata
+
+        if not DatasetMetadata.exists(self._store, self._uuid):
+            return []
+        meta = DatasetMetadata.load(self._store, self._uuid)
+        return sorted(meta.partitions)
+
+    def initialOffset(self) -> dict:
+        return {"labels": json.dumps([])}
+
+    def latestOffset(self) -> dict:
+        return {"labels": json.dumps(self._labels())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from plateau_spark.core.metadata import DatasetMetadata
+
+        seen = set(json.loads(start["labels"]))
+        want = [l for l in json.loads(end["labels"]) if l not in seen]
+        if not want:
+            return []
+        meta = DatasetMetadata.load(self._store, self._uuid)
+        return [
+            _FilePartition(
+                meta.partitions[l].file,
+                self._store.path(meta.partitions[l].file),
+                l,
+            )
+            for l in want
+            if l in meta.partitions
+        ]
+
+    def read(self, partition: _FilePartition):
+        from plateau_spark.core.metadata import DatasetMetadata
+        from plateau_spark.core.store import Store
+
+        store = Store(self._root)
+        meta = DatasetMetadata.load(store, self._uuid)
+        yield from _read_partition_arrow(partition, meta.schema, meta.partition_keys)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class PlateauDataSource(DataSource):
+    """``spark.read.format("plateau")`` / ``spark.readStream.format("plateau")``.
+
+    Options: ``store`` (root path/url), ``dataset`` (uuid).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "plateau"
+
+    def schema(self) -> "StructType":
+        from plateau_spark.core.metadata import DatasetMetadata
+        from plateau_spark.core.store import Store
+
+        meta = DatasetMetadata.load(Store(self.options["store"]), self.options["dataset"])
+        if meta.schema is None:
+            raise ValueError(
+                "Dataset carries no commit-file schema; pass .schema(...) explicitly"
+            )
+        return meta.schema
+
+    def reader(self, schema) -> PlateauBatchReader:
+        return PlateauBatchReader(self.options)
+
+    def streamReader(self, schema) -> PlateauStreamReader:
+        return PlateauStreamReader(self.options)
+
+
+def register_plateau_datasource(spark) -> None:
+    """Idempotent registration of the ``plateau`` format."""
+    spark.dataSource.register(PlateauDataSource)
