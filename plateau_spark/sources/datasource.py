@@ -49,6 +49,7 @@ from typing import TYPE_CHECKING, Any, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -59,6 +60,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -252,7 +254,154 @@ class PlateauDataSource(DataSource):
     def streamReader(self, schema) -> PlateauStreamReader:
         return PlateauStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "PlateauBatchWriter":
+        return PlateauBatchWriter(self.options, schema, overwrite)
+
 
 def register_plateau_datasource(spark) -> None:
     """Idempotent registration of the ``plateau`` format."""
     spark.dataSource.register(PlateauDataSource)
+
+
+# ---------------------------------------------------------------------------
+# write side: df.write.format("plateau")
+# ---------------------------------------------------------------------------
+
+
+class _WrittenFile(WriterCommitMessage):
+    """Per-task commit message: the staged file this task wrote."""
+
+    def __init__(self, staged_key: str, final_key: str, label: str):
+        self.staged_key = staged_key
+        self.final_key = final_key
+        self.label = label
+
+
+class PlateauBatchWriter(DataSourceArrowWriter):
+    """Executor-parallel parquet writes into the staging prefix; the
+    driver-side ``commit`` renames staged files and writes the metadata
+    document — the SAME atomic protocol as ``store_dataframe_as_dataset``
+    (readers never see a row before the single commit-file put; ``abort``
+    deletes only invisible staged files).
+
+    v1 scope (documented): flat layout only (``partition_on``: use
+    ``store_dataframe_as_dataset``), and appends into index-carrying
+    datasets are rejected (index refresh needs Spark jobs the writer
+    hook doesn't run).
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid as _uuidlib
+
+        self._root = options["store"]
+        self._uuid = options["dataset"]
+        self._schema = schema
+        self._overwrite = overwrite
+        self._commit_id = _uuidlib.uuid4().hex[:16]
+        if options.get("partition_on"):
+            raise ValueError(
+                "The plateau writer is flat-layout only; for partition_on "
+                "use store_dataframe_as_dataset()"
+            )
+
+    # executor side
+    def write(self, iterator):
+        import io
+        import uuid as _uuidlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from plateau_spark.core import naming
+        from plateau_spark.core.store import Store
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            # empty task: a sentinel message (the API requires one)
+            return _WrittenFile("", "", "")
+        table = pa.Table.from_batches(batches)
+        name = f"{self._commit_id}-part-{_uuidlib.uuid4().hex}.parquet"
+        staged = f"{self._uuid}/{naming.STAGING_DIR}/{self._commit_id}/{name}"
+        final = f"{self._uuid}/{naming.TABLE_NAME}/{name}"
+        buf = io.BytesIO()
+        pq.write_table(table, buf, compression="snappy")
+        Store(self._root).put_bytes(staged, buf.getvalue())
+        return _WrittenFile(staged, final, name)
+
+    # driver side
+    def commit(self, messages):
+        from plateau_spark.core.metadata import DatasetMetadata, Partition
+        from plateau_spark.core.store import Store
+        from plateau_spark.core.schema import validate_compatible
+
+        store = Store(self._root)
+        files = [m for m in messages if m is not None and m.staged_key]
+        exists = DatasetMetadata.exists(store, self._uuid)
+        if exists and self._overwrite:
+            # delete COMMITTED state only — delete_dataset() would wipe
+            # the whole <uuid>/ prefix including the .staging dir that
+            # holds the files this very commit is about to publish
+            from plateau_spark.core import naming
+
+            store.delete(f"{self._uuid}/indices")
+            store.delete(f"{self._uuid}/blooms")
+            store.delete(f"{self._uuid}/{naming.TABLE_NAME}")
+            store.delete(naming.metadata_key(self._uuid))
+            mp_key = naming.msgpack_metadata_key(self._uuid)
+            if store.exists(mp_key):
+                store.delete(mp_key)
+            exists = False
+        if exists:
+            meta = DatasetMetadata.load(store, self._uuid)
+            if meta.indices:
+                self.abort(messages)
+                raise ValueError(
+                    "plateau writer cannot append to a dataset with secondary "
+                    "indices; use update_dataset_from_dataframe()"
+                )
+            if meta.partition_keys:
+                self.abort(messages)
+                raise ValueError(
+                    "plateau writer is flat-layout only; this dataset is "
+                    f"partitioned by {meta.partition_keys}"
+                )
+            if meta.schema is not None:
+                validate_compatible(meta.schema, self._schema)
+        else:
+            meta = DatasetMetadata(
+                uuid=self._uuid, partitions={}, partition_keys=[], schema=self._schema
+            )
+        seen: set[str] = set()
+        for m in files:
+            if m.staged_key in seen:
+                continue  # defensive: double-delivered task message
+            seen.add(m.staged_key)
+            try:
+                store.move(m.staged_key, m.final_key)
+            except FileNotFoundError:
+                # idempotency: a re-delivered message whose file was
+                # already renamed is fine; anything else is a real loss
+                if not store.exists(m.final_key):
+                    raise
+            meta.partitions[m.label] = Partition(label=m.label, file=m.final_key)
+        # drop the now-empty staging dirs (derived from the messages —
+        # executors may have staged under distinct commit ids)
+        import posixpath
+
+        for d in {posixpath.dirname(m.staged_key) for m in files}:
+            try:
+                store.delete(d)
+            except Exception:
+                pass
+        meta.commit(store)
+
+    def abort(self, messages):
+        from plateau_spark.core.store import Store
+
+        store = Store(self._root)
+        for m in messages:
+            if m is not None and m.staged_key:
+                try:
+                    store.delete(m.staged_key)
+                except Exception:
+                    pass

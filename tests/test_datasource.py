@@ -159,3 +159,96 @@ def test_non_parquet_payload_rejected(spark, tmp_path):
     store_dataframe_as_dataset(spark, Store(root), "ds", df, file_format="csv")
     with pytest.raises(Exception, match="parquet payloads only"):
         _load(spark, root, "ds").collect()
+
+
+# --- writer: df.write.format("plateau") -------------------------------------
+
+
+def test_writer_create_append_overwrite(spark, tmp_path):
+    root = str(tmp_path / "store")
+    from plateau_spark.sources.dataset import read_table
+
+    def w(df, mode):
+        (
+            df.write.format("plateau")
+            .option("store", root)
+            .option("dataset", "w")
+            .mode(mode)
+            .save()
+        )
+
+    w(spark.range(0, 100).withColumnRenamed("id", "k"), "append")
+    assert read_table(spark, Store(root), "w").count() == 100
+    w(spark.range(100, 120).withColumnRenamed("id", "k"), "append")
+    assert read_table(spark, Store(root), "w").count() == 120
+    w(spark.range(0, 7).withColumnRenamed("id", "k"), "overwrite")
+    got = sorted(r["k"] for r in read_table(spark, Store(root), "w").collect())
+    assert got == list(range(7))
+    # the python source reads its own writes
+    back = (
+        spark.read.format("plateau")
+        .option("store", root)
+        .option("dataset", "w")
+        .load()
+    )
+    assert sorted(r["k"] for r in back.collect()) == list(range(7))
+    # no staging leftovers after any commit
+    import glob
+
+    assert glob.glob(root + "/w/.staging/*") == []
+
+
+def test_writer_rejects_partitioned_and_indexed_targets(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    store_dataframe_as_dataset(
+        spark, Store(root), "part", df, partition_on=["g"]
+    )
+    store_dataframe_as_dataset(
+        spark, Store(root), "idx", df, secondary_indices=["g"]
+    )
+    with pytest.raises(Exception, match="flat-layout only"):
+        (
+            df.write.format("plateau")
+            .option("store", root)
+            .option("dataset", "part")
+            .mode("append")
+            .save()
+        )
+    with pytest.raises(Exception, match="secondary"):
+        (
+            df.write.format("plateau")
+            .option("store", root)
+            .option("dataset", "idx")
+            .mode("append")
+            .save()
+        )
+    # both datasets untouched
+    from plateau_spark.sources.dataset import read_table
+
+    assert read_table(spark, Store(root), "part").count() == 2
+    assert read_table(spark, Store(root), "idx").count() == 2
+
+
+def test_writer_schema_mismatch_rejected_nothing_committed(spark, tmp_path):
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    (
+        base.write.format("plateau")
+        .option("store", root)
+        .option("dataset", "w")
+        .mode("append")
+        .save()
+    )
+    bad = spark.createDataFrame([(1.5,)], "k double")
+    with pytest.raises(Exception):
+        (
+            bad.write.format("plateau")
+            .option("store", root)
+            .option("dataset", "w")
+            .mode("append")
+            .save()
+        )
+    from plateau_spark.sources.dataset import read_table
+
+    assert read_table(spark, Store(root), "w").count() == 1
