@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -257,6 +258,9 @@ class PlateauDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "PlateauBatchWriter":
         return PlateauBatchWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "PlateauStreamWriter":
+        return PlateauStreamWriter(self.options, schema, overwrite)
+
 
 def register_plateau_datasource(spark) -> None:
     """Idempotent registration of the ``plateau`` format."""
@@ -396,6 +400,99 @@ class PlateauBatchWriter(DataSourceArrowWriter):
         meta.commit(store)
 
     def abort(self, messages):
+        from plateau_spark.core.store import Store
+
+        store = Store(self._root)
+        for m in messages:
+            if m is not None and m.staged_key:
+                try:
+                    store.delete(m.staged_key)
+                except Exception:
+                    pass
+
+
+class PlateauStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: ``df.writeStream.format("plateau")`` appends each
+    micro-batch to the dataset in ONE atomic commit, exactly-once.
+
+    Replay safety (the same idea as ``streaming/events.py``'s
+    foreachBatch ingest): the commit file carries the highest committed
+    ``batchId`` under ``metadata["stream_sink"]``; a crash between the
+    sink commit and the engine's checkpoint advance re-delivers the same
+    batchId, which is detected and dropped (its staged files deleted) —
+    readers never see a row twice. Flat layout, append-only (streaming
+    overwrite has no meaningful dataset semantics)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid as _uuidlib
+
+        if overwrite:
+            raise ValueError(
+                "plateau streaming sink is append-only (outputMode append)"
+            )
+        self._root = options["store"]
+        self._uuid = options["dataset"]
+        self._schema = schema
+        self._commit_id = _uuidlib.uuid4().hex[:16]
+        if options.get("partition_on"):
+            raise ValueError(
+                "The plateau sink is flat-layout only; for partitioned "
+                "layouts ingest via streaming/events.py stream_to_dataset"
+            )
+
+    # executor side — identical staging protocol to the batch writer
+    write = PlateauBatchWriter.write
+
+    # driver side
+    def commit(self, messages, batchId: int) -> None:
+        from plateau_spark.core.metadata import DatasetMetadata, Partition
+        from plateau_spark.core.schema import validate_compatible
+        from plateau_spark.core.store import Store
+
+        store = Store(self._root)
+        files = [m for m in messages if m is not None and m.staged_key]
+        if DatasetMetadata.exists(store, self._uuid):
+            meta = DatasetMetadata.load(store, self._uuid)
+            if meta.indices or meta.partition_keys:
+                self.abort(messages, batchId)
+                raise ValueError(
+                    "plateau streaming sink requires a flat, index-free "
+                    "dataset; use stream_to_dataset() for richer layouts"
+                )
+            if meta.schema is not None:
+                validate_compatible(meta.schema, self._schema)
+        else:
+            meta = DatasetMetadata(
+                uuid=self._uuid, partitions={}, partition_keys=[], schema=self._schema
+            )
+        marker = meta.metadata.setdefault("stream_sink", {})
+        last = marker.get("last_batch")
+        if last is not None and batchId <= last:
+            # replayed micro-batch after a crash: already committed
+            self.abort(messages, batchId)
+            return
+        seen: set[str] = set()
+        for m in files:
+            if m.staged_key in seen:
+                continue
+            seen.add(m.staged_key)
+            try:
+                store.move(m.staged_key, m.final_key)
+            except FileNotFoundError:
+                if not store.exists(m.final_key):
+                    raise
+            meta.partitions[m.label] = Partition(label=m.label, file=m.final_key)
+        import posixpath
+
+        for d in {posixpath.dirname(m.staged_key) for m in files}:
+            try:
+                store.delete(d)
+            except Exception:
+                pass
+        marker["last_batch"] = batchId
+        meta.commit(store)
+
+    def abort(self, messages, batchId: int) -> None:
         from plateau_spark.core.store import Store
 
         store = Store(self._root)

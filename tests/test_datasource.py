@@ -252,3 +252,83 @@ def test_writer_schema_mismatch_rejected_nothing_committed(spark, tmp_path):
     from plateau_spark.sources.dataset import read_table
 
     assert read_table(spark, Store(root), "w").count() == 1
+
+
+# --- streaming sink: writeStream.format("plateau") --------------------------
+
+
+def test_stream_sink_appends_exactly_once(spark, tmp_path):
+    from plateau_spark.sources.dataset import read_table
+
+    src_dir = str(tmp_path / "in")
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    spark.range(0, 50).withColumnRenamed("id", "k").coalesce(1).write.parquet(
+        src_dir + "/f1"
+    )
+
+    def run_pass():
+        q = (
+            spark.readStream.schema("k long")
+            .parquet(src_dir + "/*")
+            .writeStream.format("plateau")
+            .option("store", root)
+            .option("dataset", "sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    assert read_table(spark, Store(root), "sink").count() == 50
+    spark.range(50, 80).withColumnRenamed("id", "k").coalesce(1).write.parquet(
+        src_dir + "/f2"
+    )
+    run_pass()
+    got = sorted(r["k"] for r in read_table(spark, Store(root), "sink").collect())
+    assert got == list(range(80))  # only the new file's rows, no replays
+    from plateau_spark.core.metadata import DatasetMetadata
+
+    assert DatasetMetadata.load(Store(root), "sink").metadata["stream_sink"][
+        "last_batch"
+    ] == 1
+
+
+def test_stream_sink_replayed_batch_is_dropped(spark, tmp_path):
+    """Crash-replay contract: committing the SAME batchId twice must be
+    a no-op the second time (staged files discarded, no duplicate rows)."""
+    import pyarrow as pa
+
+    from plateau_spark.sources.datasource import PlateauStreamWriter
+    from plateau_spark.sources.dataset import read_table
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    root = str(tmp_path / "store")
+    schema = StructType([StructField("k", LongType())])
+    w = PlateauStreamWriter({"store": root, "dataset": "s"}, schema, False)
+    batch = pa.record_batch({"k": pa.array([1, 2, 3], type=pa.int64())})
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=0)
+    assert read_table(spark, Store(root), "s").count() == 3
+    # replay of batch 0 with fresh staged files → dropped
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=0)
+    assert read_table(spark, Store(root), "s").count() == 3
+    # the replayed staged file was cleaned up
+    assert not Store(root).exists(msg2.staged_key)
+    # next batch goes through
+    msg3 = w.write(iter([batch]))
+    w.commit([msg3], batchId=1)
+    assert read_table(spark, Store(root), "s").count() == 6
+
+
+def test_stream_sink_rejects_overwrite_mode(spark, tmp_path):
+    from plateau_spark.sources.datasource import PlateauStreamWriter
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    with pytest.raises(ValueError, match="append-only"):
+        PlateauStreamWriter(
+            {"store": str(tmp_path), "dataset": "s"}, schema, True
+        )
