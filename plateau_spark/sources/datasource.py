@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -90,6 +91,18 @@ def _filters_to_conjunction(filters) -> list[tuple[str, str, Any]]:
             conj.append((f.attribute[0], op, value))
         elif isinstance(f, IsNull) and len(f.attribute) == 1:
             conj.append((f.attribute[0], "==", None))
+        elif (
+            isinstance(f, StringStartsWith)
+            and len(f.attribute) == 1
+            and f.value
+        ):
+            # prefix → half-open range: usable by min/max zone maps and
+            # sorted partition keys (same trick as RDBMS LIKE 'p%')
+            col, prefix = f.attribute[0], f.value
+            conj.append((col, ">=", prefix))
+            upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            if upper > prefix:  # skip the degenerate 0x10FFFF edge
+                conj.append((col, "<", upper))
     return conj
 
 

@@ -107,7 +107,7 @@ def test_filter_translation_table(spark):
             LessThanOrEqual(("c",), 7),
             In(("d",), (1, 2)),
             IsNull(("e",)),
-            StringStartsWith(("f",), "x"),  # unsupported → skipped
+            StringStartsWith(("f",), "x"),  # prefix → half-open range
             EqualTo(("nested", "col"), 9),  # nested → skipped
         ]
     )
@@ -117,6 +117,8 @@ def test_filter_translation_table(spark):
         ("c", "<=", 7),
         ("d", "in", [1, 2]),
         ("e", "==", None),
+        ("f", ">=", "x"),
+        ("f", "<", "y"),
     ]
 
 
