@@ -100,9 +100,8 @@ def _filters_to_conjunction(filters) -> list[tuple[str, str, Any]]:
             # sorted partition keys (same trick as RDBMS LIKE 'p%')
             col, prefix = f.attribute[0], f.value
             conj.append((col, ">=", prefix))
-            upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            if upper > prefix:  # skip the degenerate 0x10FFFF edge
-                conj.append((col, "<", upper))
+            if ord(prefix[-1]) < 0x10FFFF:  # no successor past the last code point
+                conj.append((col, "<", prefix[:-1] + chr(ord(prefix[-1]) + 1)))
     return conj
 
 
