@@ -63,7 +63,7 @@ def test_csv_uncompressed_and_mixed_formats(spark, store, cluster_df):
 def test_unsupported_format_rejected(spark, store, cluster_df):
     with pytest.raises(ValueError, match="file_format"):
         store_dataframe_as_dataset(
-            spark, store, "ds", cluster_df, file_format="orc"
+            spark, store, "ds", cluster_df, file_format="avro"
         )
 
 
