@@ -364,3 +364,39 @@ def test_non_default_table_name_read(spark, tmp_path):
     store.put_json(key, payload)
     out = read_dataset_as_dataframe(spark, store, "ds")
     assert sorted((r["k"], r["s"]) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_primary_index_only_projection_reads_no_payload(spark, tmp_path):
+    """columns=[partition key] serves from hive dirs + footer row counts:
+    the scan's ReadSchema is EMPTY (reference:
+    io/testing/read.py test_read_dataset_as_dataframes_columns_primary_index_only)."""
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 1.0) for i in range(30)], "k long, g string, x double"
+    )
+    store_dataframe_as_dataset(spark, store, "ds", df, partition_on=["g"])
+    out = read_dataset_as_dataframe(spark, store, "ds", columns=["g"])
+    assert out.columns == ["g"]
+    assert out.count() == 30
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_file_structure_flat_dataset(spark, tmp_path):
+    """Unpartitioned datasets lay files directly under <uuid>/table/
+    with the commit-id prefix; one commit file, no staging leftovers
+    (reference: io/testing/write.py test_file_structure_dataset_v4)."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.core.naming import metadata_key
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    store_dataframe_as_dataset(spark, store, "flat", df)
+    keys = sorted(store.iter_keys("flat"))
+    payload = [k for k in keys if k.endswith(".parquet")]
+    assert payload and all(k.startswith("flat/table/") for k in payload)
+    assert all("/" not in k[len("flat/table/"):] for k in payload)  # no subdirs
+    assert store.exists(metadata_key("flat"))
+    assert not [k for k in keys if "/.staging/" in k]
