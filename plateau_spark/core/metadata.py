@@ -94,6 +94,12 @@ class DatasetMetadata:
     metadata: dict[str, Any] = field(default_factory=dict)
     explicit_partitions: bool = True
     metadata_version: int = naming.METADATA_VERSION
+    # optimistic-concurrency marker (extension beyond the reference,
+    # SURVEY §7 hard-part 1): bumped on every commit; update paths use
+    # it to detect a concurrent committer and merge append-only commits
+    # instead of silently overwriting them. Reference-written files lack
+    # the field (→ 0); reference readers ignore it.
+    generation: int = 0
 
     # -- (de)serialization --------------------------------------------------
     def to_json(self) -> dict:
@@ -106,6 +112,7 @@ class DatasetMetadata:
             "schema": schema_to_json(self.schema) if self.schema is not None else None,
             "metadata": self.metadata,
             "explicit_partitions": self.explicit_partitions,
+            "generation": self.generation,
             **({"blooms": self.blooms} if self.blooms else {}),
         }
 
@@ -176,6 +183,7 @@ class DatasetMetadata:
             metadata=dict(payload.get("metadata", {})),
             explicit_partitions=payload.get("explicit_partitions", True),
             metadata_version=metadata_version,
+            generation=int(payload.get("generation", 0)),
         )
 
     # -- store round-trip ----------------------------------------------------
@@ -210,6 +218,7 @@ class DatasetMetadata:
         key is removed afterwards (readers prefer JSON, so a stale JSON
         commit would shadow a newer msgpack one).
         """
+        self.generation += 1
         if storage_format == "json":
             store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
             stale = naming.msgpack_metadata_key(self.uuid)

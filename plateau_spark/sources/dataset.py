@@ -109,6 +109,104 @@ def _resolve_factory(store, dataset_uuid: str | None):
 # ---------------------------------------------------------------------------
 
 
+def _commit_base_snapshot(meta: DatasetMetadata) -> dict:
+    """Capture the loaded commit state BEFORE mutation, for
+    ``_commit_update_with_merge``'s conflict detection."""
+    from plateau_spark.core.schema import schema_to_json
+
+    return {
+        "base_generation": meta.generation,
+        "base_labels": set(meta.partitions),
+        "base_indices": dict(meta.indices),
+        "base_blooms": {k: dict(v) for k, v in meta.blooms.items()},
+        "base_schema_json": (
+            schema_to_json(meta.schema) if meta.schema is not None else None
+        ),
+    }
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced on the commit file and the changes cannot be
+    merged automatically (one side deleted partitions, evolved the
+    schema, or rewrote indices/blooms). Retry the losing update against
+    the new state."""
+
+
+def _commit_update_with_merge(
+    store: Store,
+    meta: DatasetMetadata,
+    *,
+    base_generation: int,
+    base_labels: set[str],
+    base_indices: dict,
+    base_blooms: dict,
+    base_schema_json,
+    new_partitions: Sequence[Partition],
+    removed: Sequence[str],
+    extra_metadata: dict | None,
+) -> DatasetMetadata:
+    """Optimistic-concurrency commit for update paths (SURVEY §7
+    hard-part 1). Fast path: nobody committed since we loaded → one put.
+    Conflict path: when BOTH sides are append-only (no deletions, no
+    index/bloom/schema changes), the union of their partition maps is
+    the correct serialized outcome — re-apply our additions onto the
+    latest document and put that. Anything else raises
+    ``ConcurrentCommitError`` instead of silently dropping the other
+    writer's commit (which is what a blind read-modify-write does).
+
+    The residual window between the conflict re-read and the put is one
+    metadata round-trip (ms), down from the whole write job (minutes at
+    100 TB scale); stores with conditional puts (ETag/if-match) can
+    close it entirely inside ``Store.put_json``.
+    """
+    from plateau_spark.core.schema import schema_to_json
+
+    latest = DatasetMetadata.load(store, meta.uuid)
+    if latest.generation == base_generation:
+        if extra_metadata:
+            meta.metadata = combine_metadata(meta.metadata, extra_metadata)
+        meta.commit(store)
+        return meta
+
+    our_schema_changed = (
+        schema_to_json(meta.schema) if meta.schema is not None else None
+    ) != base_schema_json
+    their_schema_changed = (
+        schema_to_json(latest.schema) if latest.schema is not None else None
+    ) != base_schema_json
+    they_deleted = bool(base_labels - set(latest.partitions))
+    unsafe = (
+        bool(removed)
+        or they_deleted
+        or our_schema_changed
+        or their_schema_changed
+        or meta.indices != base_indices
+        or latest.indices != base_indices
+        or meta.blooms != base_blooms
+        or latest.blooms != base_blooms
+    )
+    if unsafe:
+        raise ConcurrentCommitError(
+            f"Dataset {meta.uuid!r}: a concurrent commit (generation "
+            f"{base_generation} -> {latest.generation}) cannot be merged "
+            f"with this update (non-append-only changes on one side). "
+            f"Reload and retry."
+        )
+    clashes = [p.label for p in new_partitions if p.label in latest.partitions]
+    if clashes:  # uuid-named labels: indicates a replayed commit
+        raise ConcurrentCommitError(
+            f"Dataset {meta.uuid!r}: partition labels already committed "
+            f"by a concurrent writer: {clashes[:3]}"
+        )
+    for p in new_partitions:
+        latest.partitions[p.label] = p
+    if extra_metadata:
+        latest.metadata = combine_metadata(latest.metadata, extra_metadata)
+    latest.explicit_partitions = True
+    latest.commit(store)
+    return latest
+
+
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -661,6 +759,7 @@ def update_dataset_from_dataframes__iter(
         return out
     meta = DatasetMetadata.load(store, dataset_uuid)
     validate_partition_keys(meta.partition_keys, partition_on)
+    _base = _commit_base_snapshot(meta)
 
     new_partitions: list[Partition] = []
     for df in df_generator:
@@ -695,10 +794,11 @@ def update_dataset_from_dataframes__iter(
         )
         for col, idx_df in built.items():
             meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
-    if metadata:
-        meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True
-    meta.commit(store)
+    meta = _commit_update_with_merge(
+        store, meta, new_partitions=new_partitions, removed=removed,
+        extra_metadata=metadata, **_base,
+    )
     _invalidate_if_factory(_store_arg)
     return meta
 
@@ -1122,6 +1222,7 @@ def update_dataset_from_dataframe(
         return out
     meta = DatasetMetadata.load(store, dataset_uuid)
     validate_partition_keys(meta.partition_keys, partition_on)
+    _base = _commit_base_snapshot(meta)
 
     new_partitions: list[Partition] = []
     if df is not None:
@@ -1187,10 +1288,11 @@ def update_dataset_from_dataframe(
         )
         for col, idx_df in built.items():
             meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
-    if metadata:
-        meta.metadata = combine_metadata(meta.metadata, metadata)
     meta.explicit_partitions = True
-    meta.commit(store)
+    meta = _commit_update_with_merge(
+        store, meta, new_partitions=new_partitions, removed=removed,
+        extra_metadata=metadata, **_base,
+    )
     _invalidate_if_factory(_store_arg)
     return meta
 

@@ -565,3 +565,77 @@ def test_update_raises_on_invalid_input_nothing_written(mode, spark, lstore):
     # no stray payload files either
     table_files = [k for k in lstore.iter_keys("inval") if k.endswith(".parquet")]
     assert len(table_files) == len(before.partitions)
+
+
+# --- optimistic concurrency (SURVEY §7 hard-part 1) -------------------------
+
+
+def test_concurrent_append_only_commits_merge(spark, lstore):
+    """Writer A loads the dataset, writer B commits an append while A's
+    files are being written; A's commit detects the generation bump and
+    MERGES (both appends survive) instead of overwriting B's commit."""
+    from plateau_spark.sources.dataset import (
+        _commit_base_snapshot,
+        _commit_update_with_merge,
+        write_single_partition,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    store_dataframe_as_dataset(spark, lstore, "cc", df)
+    # A loads
+    meta_a = DatasetMetadata.load(lstore, "cc")
+    base = _commit_base_snapshot(meta_a)
+    # B commits an append meanwhile
+    update_dataset_from_dataframe(
+        spark, lstore, "cc", spark.createDataFrame([(2,)], "k long")
+    )
+    # A stages its own files and commits through the merge path
+    parts = write_single_partition(
+        spark, lstore, "cc", spark.createDataFrame([(3,)], "k long")
+    )
+    for p in parts:
+        meta_a.partitions[p.label] = p
+    merged = _commit_update_with_merge(
+        lstore, meta_a, new_partitions=parts, removed=[], extra_metadata=None, **base
+    )
+    out = read_dataset_as_dataframe(spark, lstore, "cc")
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+    assert merged.generation == 3  # store, B's update, A's merge
+
+
+def test_concurrent_delete_conflict_raises(spark, lstore):
+    """A delete-carrying update racing another commit is NOT mergeable —
+    it must fail loudly rather than resurrect or drop partitions."""
+    from plateau_spark.sources.dataset import (
+        ConcurrentCommitError,
+        _commit_base_snapshot,
+        _commit_update_with_merge,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    store_dataframe_as_dataset(spark, lstore, "cd", df)
+    meta_a = DatasetMetadata.load(lstore, "cd")
+    base = _commit_base_snapshot(meta_a)
+    update_dataset_from_dataframe(
+        spark, lstore, "cd", spark.createDataFrame([(2,)], "k long")
+    )
+    victim = next(iter(meta_a.partitions))
+    del meta_a.partitions[victim]
+    with pytest.raises(ConcurrentCommitError, match="cannot be merged"):
+        _commit_update_with_merge(
+            lstore, meta_a, new_partitions=[], removed=[victim],
+            extra_metadata=None, **base,
+        )
+    # B's commit is intact
+    assert read_dataset_as_dataframe(spark, lstore, "cd").count() == 2
+
+
+def test_generation_counter_roundtrips(spark, lstore):
+    df = spark.createDataFrame([(1,)], "k long")
+    store_dataframe_as_dataset(spark, lstore, "gen", df)
+    m1 = DatasetMetadata.load(lstore, "gen")
+    assert m1.generation == 1
+    update_dataset_from_dataframe(
+        spark, lstore, "gen", spark.createDataFrame([(2,)], "k long")
+    )
+    assert DatasetMetadata.load(lstore, "gen").generation == 2
