@@ -125,6 +125,17 @@ def _commit_base_snapshot(meta: DatasetMetadata) -> dict:
     }
 
 
+def _deep_override(dst: dict, src: dict) -> None:
+    """Nested dict.update — unlike ``combine_metadata`` (which DROPS
+    conflicting leaves, the reference's user-metadata rule), an override
+    wins: used for system markers like the streaming sink's batch id."""
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_override(dst[k], v)
+        else:
+            dst[k] = v
+
+
 class ConcurrentCommitError(RuntimeError):
     """Two writers raced on the commit file and the changes cannot be
     merged automatically (one side deleted partitions, evolved the
@@ -144,6 +155,7 @@ def _commit_update_with_merge(
     new_partitions: Sequence[Partition],
     removed: Sequence[str],
     extra_metadata: dict | None,
+    override_metadata: dict | None = None,
 ) -> DatasetMetadata:
     """Optimistic-concurrency commit for update paths (SURVEY §7
     hard-part 1). Fast path: nobody committed since we loaded → one put.
@@ -165,6 +177,8 @@ def _commit_update_with_merge(
     if latest.generation == base_generation:
         if extra_metadata:
             meta.metadata = combine_metadata(meta.metadata, extra_metadata)
+        if override_metadata:
+            _deep_override(meta.metadata, override_metadata)
         meta.commit(store)
         return meta
 
@@ -202,6 +216,8 @@ def _commit_update_with_merge(
         latest.partitions[p.label] = p
     if extra_metadata:
         latest.metadata = combine_metadata(latest.metadata, extra_metadata)
+    if override_metadata:
+        _deep_override(latest.metadata, override_metadata)
     latest.explicit_partitions = True
     latest.commit(store)
     return latest

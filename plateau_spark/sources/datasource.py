@@ -387,7 +387,14 @@ class PlateauBatchWriter(DataSourceArrowWriter):
             meta = DatasetMetadata(
                 uuid=self._uuid, partitions={}, partition_keys=[], schema=self._schema
             )
+        from plateau_spark.sources.dataset import (
+            _commit_base_snapshot,
+            _commit_update_with_merge,
+        )
+
+        base = _commit_base_snapshot(meta)
         seen: set[str] = set()
+        new_parts = []
         for m in files:
             if m.staged_key in seen:
                 continue  # defensive: double-delivered task message
@@ -399,7 +406,9 @@ class PlateauBatchWriter(DataSourceArrowWriter):
                 # already renamed is fine; anything else is a real loss
                 if not store.exists(m.final_key):
                     raise
-            meta.partitions[m.label] = Partition(label=m.label, file=m.final_key)
+            p = Partition(label=m.label, file=m.final_key)
+            meta.partitions[m.label] = p
+            new_parts.append(p)
         # drop the now-empty staging dirs (derived from the messages —
         # executors may have staged under distinct commit ids)
         import posixpath
@@ -409,7 +418,14 @@ class PlateauBatchWriter(DataSourceArrowWriter):
                 store.delete(d)
             except Exception:
                 pass
-        meta.commit(store)
+        if not exists:
+            meta.commit(store)  # fresh dataset: nothing to race with
+        else:
+            # append-only by construction → concurrent committers merge
+            _commit_update_with_merge(
+                store, meta, new_partitions=new_parts, removed=[],
+                extra_metadata=None, **base,
+            )
 
     def abort(self, messages):
         from plateau_spark.core.store import Store
@@ -477,13 +493,20 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
             meta = DatasetMetadata(
                 uuid=self._uuid, partitions={}, partition_keys=[], schema=self._schema
             )
-        marker = meta.metadata.setdefault("stream_sink", {})
-        last = marker.get("last_batch")
+        last = meta.metadata.get("stream_sink", {}).get("last_batch")
         if last is not None and batchId <= last:
             # replayed micro-batch after a crash: already committed
             self.abort(messages, batchId)
             return
+        from plateau_spark.sources.dataset import (
+            _commit_base_snapshot,
+            _commit_update_with_merge,
+        )
+
+        base = _commit_base_snapshot(meta)
+        fresh = not DatasetMetadata.exists(store, self._uuid)
         seen: set[str] = set()
+        new_parts = []
         for m in files:
             if m.staged_key in seen:
                 continue
@@ -493,7 +516,9 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
             except FileNotFoundError:
                 if not store.exists(m.final_key):
                     raise
-            meta.partitions[m.label] = Partition(label=m.label, file=m.final_key)
+            p = Partition(label=m.label, file=m.final_key)
+            meta.partitions[m.label] = p
+            new_parts.append(p)
         import posixpath
 
         for d in {posixpath.dirname(m.staged_key) for m in files}:
@@ -501,8 +526,18 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
                 store.delete(d)
             except Exception:
                 pass
-        marker["last_batch"] = batchId
-        meta.commit(store)
+        if fresh:
+            meta.metadata.setdefault("stream_sink", {})["last_batch"] = batchId
+            meta.commit(store)
+        else:
+            # marker travels as an override so it survives BOTH commit
+            # paths (combine_metadata would drop the conflicting leaf)
+            _commit_update_with_merge(
+                store, meta, new_partitions=new_parts, removed=[],
+                extra_metadata=None,
+                override_metadata={"stream_sink": {"last_batch": batchId}},
+                **base,
+            )
 
     def abort(self, messages, batchId: int) -> None:
         from plateau_spark.core.store import Store
