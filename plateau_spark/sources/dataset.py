@@ -1358,8 +1358,10 @@ def commit_dataset(
     """
     _store_arg = store
     store = _ensure_store(store)
+    _base = None
     if DatasetMetadata.exists(store, dataset_uuid):
         meta = DatasetMetadata.load(store, dataset_uuid)
+        _base = _commit_base_snapshot(meta)
     else:
         if schema is None:
             raise ValueError("Committing a new dataset requires `schema`")
@@ -1382,9 +1384,17 @@ def commit_dataset(
         meta.explicit_partitions = True
 
     _merge_committed_indices(spark, store, meta, list(new_partitions or []), removed)
-    if metadata:
-        meta.metadata = combine_metadata(meta.metadata, metadata)
-    meta.commit(store)
+    if _base is None:
+        if metadata:
+            meta.metadata = combine_metadata(meta.metadata, metadata)
+        meta.commit(store)
+    else:
+        # the two-phase API exists FOR concurrent writers — merge
+        # append-only races, fail loudly otherwise
+        meta = _commit_update_with_merge(
+            store, meta, new_partitions=list(new_partitions or []),
+            removed=removed, extra_metadata=metadata, **_base,
+        )
     _invalidate_if_factory(_store_arg)
     return meta
 

@@ -639,3 +639,27 @@ def test_generation_counter_roundtrips(spark, lstore):
         spark, lstore, "gen", spark.createDataFrame([(2,)], "k long")
     )
     assert DatasetMetadata.load(lstore, "gen").generation == 2
+
+
+def test_two_phase_concurrent_commits_both_survive(spark, lstore):
+    """The write_single_partition + commit_dataset protocol with two
+    racing committers: the second commit merges instead of overwriting
+    (the reference's 'concurrent writers' workflow made safe)."""
+    from plateau_spark.sources.dataset import commit_dataset, write_single_partition
+
+    df = spark.createDataFrame([(1,)], "k long")
+    store_dataframe_as_dataset(spark, lstore, "tp", df)
+    # both writers stage files first
+    parts_a = write_single_partition(
+        spark, lstore, "tp", spark.createDataFrame([(2,)], "k long")
+    )
+    parts_b = write_single_partition(
+        spark, lstore, "tp", spark.createDataFrame([(3,)], "k long")
+    )
+    # A commits, then B commits (B loaded... in a real race B loaded
+    # before A's commit; simulate by committing sequentially — B's
+    # commit sees A's via the merge fast path, both must survive)
+    commit_dataset(spark, lstore, "tp", new_partitions=parts_a)
+    commit_dataset(spark, lstore, "tp", new_partitions=parts_b)
+    out = read_dataset_as_dataframe(spark, lstore, "tp")
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
