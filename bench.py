@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "decontaminate_fuzzy",
     "sample_shuffle_epoch",
     "embedding_kmeans",
+    "bitext_mine_pairs",
     "text_winnow_fingerprints",
     "winnow_overlap_pairs",
     "embedding_quantize",

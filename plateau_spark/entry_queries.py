@@ -1981,6 +1981,75 @@ QUALIFY rank <= 10
 """
 
 
+def bitext_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe-Schwenk ratio margin) between
+    the en and de embedding sub-corpora: likely translation pairs scored
+    against each side's k-NN neighborhood rather than raw cosine."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import mine_bitext_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = emb.join(docs, emb["vec_id"] == docs["doc_id"])
+    a = joined.where(F.col("lang") == "en").select("vec_id", "embedding")
+    b = joined.where(F.col("lang") == "de").select("vec_id", "embedding")
+    out = mine_bitext_pairs(a, b, k=4, margin_threshold=1.0)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+# fold-ordered dot/norm macros against the bitext CTE aliases (identical
+# arithmetic order to Spark's F.aggregate, so ranks agree exactly)
+_BT_DOT = "list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v)+1)])"
+_BT_NX = "sqrt(list_sum([x.v[i] * x.v[i] for i in range(1, len(x.v)+1)]))"
+_BT_NY = "sqrt(list_sum([y.v[i] * y.v[i] for i in range(1, len(y.v)+1)]))"
+BITEXT_MINE_ORACLE = f"""
+WITH a AS (
+  SELECT e.vec_id AS id, [CAST(u AS DOUBLE) FOR u IN e.embedding] AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'
+), b AS (
+  SELECT e.vec_id AS id, [CAST(u AS DOUBLE) FOR u IN e.embedding] AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'de'
+), fwd AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         {_BT_DOT} / ({_BT_NX} * {_BT_NY}) AS cos,
+         row_number() OVER (
+           PARTITION BY x.id
+           ORDER BY {_BT_DOT} / ({_BT_NX} * {_BT_NY}) DESC, y.id ASC
+         ) AS rk
+  FROM a x CROSS JOIN b y
+  QUALIFY rk <= 4
+), bwd AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         {_BT_DOT} / ({_BT_NX} * {_BT_NY}) AS cos,
+         row_number() OVER (
+           PARTITION BY y.id
+           ORDER BY {_BT_DOT} / ({_BT_NX} * {_BT_NY}) DESC, x.id ASC
+         ) AS rk
+  FROM a x CROSS JOIN b y
+  QUALIFY rk <= 4
+), avg_a AS (
+  SELECT id_a, AVG(cos) AS avg_a FROM fwd GROUP BY id_a
+), avg_b AS (
+  SELECT id_b, AVG(cos) AS avg_b FROM bwd GROUP BY id_b
+), cand AS (
+  SELECT id_a, id_b, cos FROM fwd
+  UNION
+  SELECT id_a, id_b, cos FROM bwd
+), scored AS (
+  SELECT c.id_a, c.id_b, c.cos,
+         2.0 * c.cos / (avg_a.avg_a + avg_b.avg_b) AS margin
+  FROM cand c JOIN avg_a USING (id_a) JOIN avg_b USING (id_b)
+  WHERE 2.0 * c.cos / (avg_a.avg_a + avg_b.avg_b) >= 1.0
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine, round(margin, 6) AS margin
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY margin DESC, id_b ASC) = 1
+"""
+
+
 def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN tier (cell-probing). Probing every cell is provably
     exhaustive (each corpus vector lives in exactly one cell), so this
@@ -3469,6 +3538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_fuzzy": decontaminate_fuzzy,
     "sample_shuffle_epoch": sample_shuffle_epoch,
     "embedding_kmeans": embedding_kmeans,
+    "bitext_mine_pairs": bitext_mine_pairs,
     "dataset_orc_roundtrip": dataset_orc_roundtrip,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
@@ -3583,6 +3653,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
     "sample_shuffle_epoch": SAMPLE_SHUFFLE_ORACLE,
     "embedding_kmeans": EMBEDDING_KMEANS_ORACLE,
+    "bitext_mine_pairs": BITEXT_MINE_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,

@@ -839,3 +839,77 @@ def centroid_outlier_scores(
         F.col(id_col),
         F.round(sim, round_digits).alias(score_col),
     )
+
+
+def mine_bitext_pairs(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding corpora
+    (LASER/CCMatrix-style bitext mining: Artetxe & Schwenk 2019 ratio
+    margin). For multilingual training data: find (a, b) document pairs
+    that are likely translations by scoring raw cosine AGAINST each
+    side's local similarity neighborhood — raw-cosine thresholds fail
+    because some texts are "hubs" that are close to everything.
+
+        margin(a, b) = 2·cos(a, b) / (avgₖ(a, B) + avgₖ(b, A))
+
+    where avgₖ(x, Y) is the mean cosine of x's k nearest neighbors in
+    the other corpus. Candidates = union of forward (a→top-k in B) and
+    backward (b→top-k in A) neighbor pairs; pairs scoring below
+    ``margin_threshold`` drop; each ``a`` keeps its best-margin ``b``
+    (ties → smallest b id).
+
+    Returns ``(id_a, id_b, cosine, margin)``.
+
+    Scale shape: both neighbor searches run through
+    ``cosine_topk_bruteforce`` (blocked Arrow GEMM — the exact baseline;
+    at corpus scale swap either side's search for the IVF tier, the
+    margin algebra is search-agnostic). The margin join is three keyed
+    hash joins on id columns — no all-pairs materialization beyond the
+    k-neighbor lists themselves.
+    """
+    a = emb_a.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    b = emb_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+
+    fwd = cosine_topk_bruteforce(
+        b.select(F.col("id_b").alias(id_col), F.col("__vb__").alias(vec_col)),
+        a.select(F.col("id_a").alias("query_id"), F.col("__va__").alias(vec_col)),
+        k=k,
+    ).select(
+        F.col("query_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col("cosine").alias("__cos__"),
+    )
+    bwd = cosine_topk_bruteforce(
+        a.select(F.col("id_a").alias(id_col), F.col("__va__").alias(vec_col)),
+        b.select(F.col("id_b").alias("query_id"), F.col("__vb__").alias(vec_col)),
+        k=k,
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("cosine").alias("__cos__"),
+    )
+    avg_a = fwd.groupBy("id_a").agg(F.avg("__cos__").alias("__avg_a__"))
+    avg_b = bwd.groupBy("id_b").agg(F.avg("__cos__").alias("__avg_b__"))
+    cand = fwd.unionByName(bwd).dropDuplicates(["id_a", "id_b"])
+    scored = (
+        cand.join(avg_a, "id_a")
+        .join(avg_b, "id_b")
+        .withColumn(
+            "margin",
+            2.0 * F.col("__cos__") / (F.col("__avg_a__") + F.col("__avg_b__")),
+        )
+        .where(F.col("margin") >= margin_threshold)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("margin"), F.asc("id_b"))
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") == 1)
+        .select("id_a", "id_b", F.col("__cos__").alias("cosine"), "margin")
+    )

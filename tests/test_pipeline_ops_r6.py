@@ -1003,3 +1003,61 @@ def test_kmeans_cluster_empty_cluster_keeps_seed_centroid(spark):
     out = kmeans_cluster(df, k=2, iterations=2, seed_ids=[0, 5]).collect()
     assert len(out) == 6
     assert all(r["cosine"] == r["cosine"] for r in out)  # no NaN
+
+
+# --- mine_bitext_pairs ------------------------------------------------------
+
+
+def test_bitext_mining_finds_translation_pairs(spark):
+    """Hand-built corpora: a0/b0 and a1/b1 are near-identical cross-
+    lingual pairs; b9 is a 'hub' close to everything — margin scoring
+    keeps the true pairs and refuses the hub as a best match."""
+    from plateau_spark.operators.similarity import mine_bitext_pairs
+
+    a = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.05, 0.0]),
+            (1, [0.0, 1.0, 0.05, 0.0]),
+            (2, [0.0, 0.0, 0.05, 1.0]),   # no counterpart in B
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, [0.99, 0.01, 0.05, 0.0]),   # pair of a0
+            (11, [0.01, 0.99, 0.05, 0.0]),   # pair of a1
+            (19, [0.5, 0.5, 0.5, 0.5]),      # hub
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = mine_bitext_pairs(a, b, k=2, margin_threshold=0.0)
+    rows = {r["id_a"]: r for r in out.collect()}
+    assert rows[0]["id_b"] == 10
+    assert rows[1]["id_b"] == 11
+    # the hub-penalty property: b19's high neighborhood average drags
+    # every margin involving it BELOW the true pairs' margins, so a
+    # margin threshold separates them where raw cosine could not
+    assert rows[2]["id_b"] == 19  # a2's only plausible match IS the hub
+    assert rows[2]["margin"] < rows[0]["margin"]
+    assert rows[2]["margin"] < rows[1]["margin"]
+
+
+def test_bitext_margin_definition_and_determinism(spark):
+    from plateau_spark.operators.similarity import mine_bitext_pairs
+
+    a = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float((i * 7) % 5 + 1)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [float(i % 4 + 1), float((i * 3) % 5 + 1)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    r1 = sorted(map(tuple, mine_bitext_pairs(a, b, k=3).collect()))
+    r2 = sorted(map(tuple, mine_bitext_pairs(a, b, k=3).collect()))
+    assert r1 == r2
+    for row in mine_bitext_pairs(a, b, k=3).collect():
+        assert row["margin"] > 0
+        # one best match per id_a
+    ids = [r[0] for r in r1]
+    assert len(ids) == len(set(ids))
