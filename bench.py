@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dataset_zorder_read",
     "dataset_json_roundtrip",
     "dataset_orc_roundtrip",
+    "dataset_delete_rows",
     "dataset_python_source_read",
     "text_c4_clean",
     "sample_mixture",

@@ -369,6 +369,36 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def dataset_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete (partition-granular copy-on-write): store the
+    documents table partitioned by lang, DELETE WHERE lang='en' AND
+    n_chars > 300, read back. plan_scan prunes the rewrite to the en
+    partition; NULL-predicate rows are kept (SQL DELETE semantics)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        delete_rows_from_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("delete-rows")
+    docs = load_table(spark, sf_dir, "documents")
+    store_dataframe_as_dataset(spark, store, "docs", docs, partition_on=["lang"])
+    delete_rows_from_dataset(
+        spark, store, "docs", [[("lang", "==", "en"), ("n_chars", ">", 300)]]
+    )
+    return read_table(spark, store, "docs").select(
+        "lang", "doc_id", "source", "n_chars"
+    )
+
+
+DATASET_DELETE_ROWS_ORACLE = """
+SELECT lang, doc_id, source, n_chars
+FROM documents
+WHERE NOT coalesce(lang = 'en' AND n_chars > 300, FALSE)
+"""
+
+
 def dataset_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC serializer (extension beyond the reference's parquet/csv):
     snappy ORC payload files, suffix-dispatched; Spark's vectorized ORC
@@ -3540,6 +3570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": embedding_kmeans,
     "bitext_mine_pairs": bitext_mine_pairs,
     "dataset_orc_roundtrip": dataset_orc_roundtrip,
+    "dataset_delete_rows": dataset_delete_rows,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
@@ -3655,6 +3686,7 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": EMBEDDING_KMEANS_ORACLE,
     "bitext_mine_pairs": BITEXT_MINE_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
+    "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,

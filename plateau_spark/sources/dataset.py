@@ -1475,6 +1475,83 @@ def update_dataset_from_dataframes(
     return update_dataset_from_dataframe(spark, store, dataset_uuid, df, **kwargs)
 
 
+def delete_rows_from_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    predicates: Predicates,
+    *,
+    compress: bool = True,
+) -> DatasetMetadata:
+    """ROW-level delete (GDPR/right-to-be-forgotten at scale) as
+    partition-granular copy-on-write — an extension beyond the
+    reference, whose finest delete unit is the partition
+    (``delete_scope``; plateau/io_components/update.py:1-54).
+
+    Semantics: rows where the DNF ``predicates`` evaluates TRUE are
+    removed; FALSE and NULL rows are kept (SQL DELETE WHERE semantics).
+
+    Plan shape, and why it scales:
+      1. ``plan_scan(predicates)`` selects the files that MAY hold
+         matching rows — partition keys, zone maps, and Bloom sidecars
+         all prune here, so a delete keyed to one user/tenant rewrites
+         O(matching files), never the corpus.
+      2. ONE Spark job reads only those files, keeps the complement
+         (``NOT coalesce(pred, false)`` — codegen), and writes
+         replacement files through the normal staging protocol.
+      3. ONE atomic commit swaps candidates for replacements (schema,
+         zone maps, indices and blooms refreshed for the touched
+         labels). Readers see either every old row or exactly the
+         post-delete state. Old files are reclaimed by
+         ``garbage_collect_dataset`` after in-flight readers drain.
+
+    Files whose rows ALL match simply drop (no empty-file litter).
+    Returns the new metadata; no-op (0 candidate files) returns the
+    current metadata untouched.
+    """
+    check_predicates(predicates)
+    _store_arg = store
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+    candidates = plan_scan(meta, store, predicates)
+    if not candidates:
+        return meta
+
+    from plateau_spark.core.predicates import dnf_to_column
+
+    base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
+    df = read_files(
+        spark, meta.schema, base, {p.file: store.url(p.file) for p in candidates}
+    )
+    keep = df.where(~F.coalesce(dnf_to_column(predicates), F.lit(False)))
+    new_partitions = _write_files(
+        keep,
+        store,
+        dataset_uuid,
+        meta.partition_keys,
+        compress=compress,
+    )
+    # zone maps: keep the columns the rewritten files were tracking
+    carried = sorted({c for p in candidates for c in p.stats})
+    carried = [c for c in carried if c in {f.name for f in meta.schema or []}]
+    if carried:
+        _attach_zone_maps(spark, store, keep.schema, new_partitions, carried)
+
+    removed = [p.label for p in candidates]
+    for label in removed:
+        del meta.partitions[label]
+    for p in new_partitions:
+        if p.label in meta.partitions:
+            raise RuntimeError(f"Duplicate partition label in commit: {p.label}")
+        meta.partitions[p.label] = p
+    _merge_committed_indices(spark, store, meta, new_partitions, removed)
+    _merge_committed_blooms(spark, store, meta, new_partitions, removed)
+    meta.explicit_partitions = True
+    meta.commit(store)
+    _invalidate_if_factory(_store_arg)
+    return meta
+
+
 def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
     """Delete store keys not referenced by the current commit (old index
     files, files from failed/uncommitted writes).

@@ -663,3 +663,63 @@ def test_two_phase_concurrent_commits_both_survive(spark, lstore):
     commit_dataset(spark, lstore, "tp", new_partitions=parts_b)
     out = read_dataset_as_dataframe(spark, lstore, "tp")
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
+# --- row-level delete (partition-granular CoW, extension) -------------------
+
+
+def test_delete_rows_semantics_and_pruned_rewrite(spark, lstore):
+    from plateau_spark.core.metadata import DatasetMetadata as DM
+    from plateau_spark.sources.dataset import delete_rows_from_dataset
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(30)],
+        "k long, g string, x double",
+    )
+    store_dataframe_as_dataset(spark, lstore, "dr", df, partition_on=["g"])
+    before = set(DM.load(lstore, "dr").partitions)
+    delete_rows_from_dataset(
+        spark, lstore, "dr", [[("g", "==", "g1"), ("x", ">=", 10.0)]]
+    )
+    out = read_dataset_as_dataframe(spark, lstore, "dr")
+    kept = sorted(r["k"] for r in out.collect())
+    assert kept == [k for k in range(30) if not (k % 3 == 1 and k >= 10.0)]
+    after = set(DM.load(lstore, "dr").partitions)
+    # only the g=g1 partition was rewritten
+    assert all("g=g1" in l for l in (before - after) | (after - before))
+    assert len(before & after) == 2
+
+
+def test_delete_rows_null_rows_survive(spark, lstore):
+    """SQL DELETE semantics: rows where the predicate is NULL are KEPT."""
+    from plateau_spark.sources.dataset import delete_rows_from_dataset
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 20.0)], "k long, x double"
+    )
+    store_dataframe_as_dataset(spark, lstore, "dn", df)
+    delete_rows_from_dataset(spark, lstore, "dn", [[("x", ">", 10.0)]])
+    out = read_dataset_as_dataframe(spark, lstore, "dn")
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]
+
+
+def test_delete_rows_drops_fully_matching_partition(spark, lstore):
+    from plateau_spark.sources.dataset import delete_rows_from_dataset
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    store_dataframe_as_dataset(spark, lstore, "dd", df, partition_on=["g"])
+    meta = delete_rows_from_dataset(spark, lstore, "dd", [[("g", "==", "a")]])
+    assert all("g=a" not in l for l in meta.partitions)
+    out = read_dataset_as_dataframe(spark, lstore, "dd")
+    assert [r["k"] for r in out.collect()] == [2]
+
+
+def test_delete_rows_noop_without_candidates(spark, lstore):
+    from plateau_spark.sources.dataset import delete_rows_from_dataset
+    from plateau_spark.core.metadata import DatasetMetadata as DM
+
+    df = spark.createDataFrame([(1, "a")], "k long, g string")
+    store_dataframe_as_dataset(spark, lstore, "dz", df, partition_on=["g"])
+    g0 = DM.load(lstore, "dz").generation
+    delete_rows_from_dataset(spark, lstore, "dz", [[("g", "==", "zzz")]])
+    assert DM.load(lstore, "dz").generation == g0  # no commit happened
