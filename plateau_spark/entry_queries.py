@@ -369,6 +369,45 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def dataset_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (MERGE INTO shape): every 25th document replaced
+    with source='merged', five brand-new doc_ids inserted; one atomic
+    swap commit, candidates pruned by the updates' key bounds."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        merge_upsert_into_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("upsert-read")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    store_dataframe_as_dataset(spark, store, "docs", docs, partition_on=["lang"])
+    ups = docs.where(F.col("doc_id") % 25 == 0).withColumn("source", F.lit("merged"))
+    new_rows = docs.where(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    merge_upsert_into_dataset(
+        spark, store, "docs", ups.unionByName(new_rows), "doc_id"
+    )
+    return read_table(spark, store, "docs")
+
+
+DATASET_UPSERT_ORACLE = """
+WITH ups AS (
+  SELECT doc_id, lang, 'merged' AS source, n_chars FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, source, n_chars FROM documents WHERE doc_id < 5
+)
+SELECT d.lang, d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN ups ON ups.doc_id = d.doc_id WHERE ups.doc_id IS NULL
+UNION ALL
+SELECT lang, doc_id, source, n_chars FROM ups
+"""
+
+
 def dataset_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level delete (partition-granular copy-on-write): store the
     documents table partitioned by lang, DELETE WHERE lang='en' AND
@@ -3571,6 +3610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mine_pairs": bitext_mine_pairs,
     "dataset_orc_roundtrip": dataset_orc_roundtrip,
     "dataset_delete_rows": dataset_delete_rows,
+    "dataset_upsert_read": dataset_upsert_read,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
@@ -3687,6 +3727,7 @@ ORACLES: dict[str, str] = {
     "bitext_mine_pairs": BITEXT_MINE_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
+    "dataset_upsert_read": DATASET_UPSERT_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,

@@ -1552,6 +1552,103 @@ def delete_rows_from_dataset(
     return meta
 
 
+def merge_upsert_into_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    updates: DataFrame,
+    key_columns: Sequence[str] | str,
+    *,
+    compress: bool = True,
+) -> DatasetMetadata:
+    """Keyed UPSERT (MERGE: update-or-insert by ``key_columns``) as
+    partition-granular copy-on-write — the lakehouse MERGE INTO shape
+    over the plain commit-file format (extension beyond the reference).
+
+    Semantics: a dataset row whose key tuple appears in ``updates`` is
+    REPLACED by the update row; update rows with unseen keys are
+    INSERTED. One atomic commit; readers see pre- or post-merge state.
+
+    Scale shape:
+      1. Candidate pruning WITHOUT touching data: the updates' per-key
+         min/max bounds (one tiny agg job → 2 literals per key column)
+         become a range conjunction for ``plan_scan`` — files whose
+         zone maps / partition keys provably exclude every update key
+         are never read or rewritten. (Track the merge key with
+         ``zone_map_columns`` or ``partition_on`` to make this bite;
+         untracked keys degrade to a full rewrite, loudly visible in
+         the commit diff.)
+      2. ONE job: candidates LEFT-ANTI-join updates on the key (drops
+         the superseded rows — hash join on fixed-width keys), union
+         ALL update rows, staged write.
+      3. One swap commit (indices/blooms/zone maps refreshed for the
+         touched labels), old files reclaimable by GC.
+
+    ``updates`` must carry the dataset's full schema and at most one
+    row per key tuple (enforced; duplicate update keys would make the
+    result order-dependent).
+    """
+    key_columns = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+    _store_arg = store
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+    updates = normalize_dataframe(updates, meta.partition_keys)
+    validate_compatible(meta.schema, updates.schema)
+    for c in key_columns:
+        if meta.schema is not None and c not in {f.name for f in meta.schema}:
+            raise ValueError(f"merge key column {c!r} not in dataset schema")
+
+    dup = (
+        updates.groupBy(*key_columns).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("updates carry duplicate merge-key tuples")
+
+    # key bounds → pruning conjunction (2 driver literals per key col)
+    bounds = updates.agg(
+        *[F.min(c).alias(f"__lo_{c}__") for c in key_columns],
+        *[F.max(c).alias(f"__hi_{c}__") for c in key_columns],
+    ).first()
+    conj = []
+    for c in key_columns:
+        lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
+        if lo is not None:
+            conj.append((c, ">=", lo))
+        if hi is not None:
+            conj.append((c, "<=", hi))
+    candidates = plan_scan(meta, store, [conj] if conj else None)
+
+    base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
+    keep = None
+    if candidates:
+        existing = read_files(
+            spark, meta.schema, base, {p.file: store.url(p.file) for p in candidates}
+        )
+        keep = existing.join(updates.select(*key_columns), key_columns, "left_anti")
+    merged = updates if keep is None else keep.unionByName(updates)
+    new_partitions = _write_files(
+        merged, store, dataset_uuid, meta.partition_keys, compress=compress
+    )
+    carried = sorted({c for p in candidates for c in p.stats})
+    carried = [c for c in carried if c in {f.name for f in meta.schema or []}]
+    if carried:
+        _attach_zone_maps(spark, store, merged.schema, new_partitions, carried)
+
+    removed = [p.label for p in candidates]
+    for label in removed:
+        del meta.partitions[label]
+    for p in new_partitions:
+        if p.label in meta.partitions:
+            raise RuntimeError(f"Duplicate partition label in commit: {p.label}")
+        meta.partitions[p.label] = p
+    _merge_committed_indices(spark, store, meta, new_partitions, removed)
+    _merge_committed_blooms(spark, store, meta, new_partitions, removed)
+    meta.explicit_partitions = True
+    meta.commit(store)
+    _invalidate_if_factory(_store_arg)
+    return meta
+
+
 def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
     """Delete store keys not referenced by the current commit (old index
     files, files from failed/uncommitted writes).

@@ -723,3 +723,58 @@ def test_delete_rows_noop_without_candidates(spark, lstore):
     g0 = DM.load(lstore, "dz").generation
     delete_rows_from_dataset(spark, lstore, "dz", [[("g", "==", "zzz")]])
     assert DM.load(lstore, "dz").generation == g0  # no commit happened
+
+
+# --- keyed upsert (MERGE INTO shape, extension) -----------------------------
+
+
+def test_upsert_replaces_and_inserts(spark, lstore):
+    from plateau_spark.sources.dataset import merge_upsert_into_dataset
+
+    df = spark.createDataFrame(
+        [(i, "old") for i in range(10)], "k long, v string"
+    )
+    store_dataframe_as_dataset(spark, lstore, "up", df)
+    ups = spark.createDataFrame(
+        [(3, "new"), (7, "new"), (100, "new")], "k long, v string"
+    )
+    merge_upsert_into_dataset(spark, lstore, "up", ups, "k")
+    out = {r["k"]: r["v"] for r in read_dataset_as_dataframe(spark, lstore, "up").collect()}
+    assert len(out) == 11
+    assert out[3] == "new" and out[7] == "new" and out[100] == "new"
+    assert out[0] == "old" and out[9] == "old"
+
+
+def test_upsert_prunes_rewrite_via_zone_maps(spark, lstore):
+    from plateau_spark.core.metadata import DatasetMetadata as DM
+    from plateau_spark.sources.dataset import merge_upsert_into_dataset
+
+    store_dataframe_as_dataset(
+        spark, lstore, "upz",
+        spark.range(0, 100).withColumn("v", F.lit("old")).coalesce(1),
+        zone_map_columns=["id"],
+    )
+    update_dataset_from_dataframe(
+        spark, lstore, "upz",
+        spark.range(100, 200).withColumn("v", F.lit("old")).coalesce(1),
+        zone_map_columns=["id"],
+    )
+    before = set(DM.load(lstore, "upz").partitions)
+    ups = spark.range(150, 155).withColumn("v", F.lit("new"))
+    merge_upsert_into_dataset(spark, lstore, "upz", ups, "id")
+    after = set(DM.load(lstore, "upz").partitions)
+    assert len(before & after) == 1  # the [0,99] file never rewritten
+    out = read_dataset_as_dataframe(spark, lstore, "upz")
+    assert out.where("v = 'new'").count() == 5
+    assert out.count() == 200
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, lstore):
+    from plateau_spark.sources.dataset import merge_upsert_into_dataset
+
+    store_dataframe_as_dataset(
+        spark, lstore, "updup", spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    ups = spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate merge-key"):
+        merge_upsert_into_dataset(spark, lstore, "updup", ups, "k")
