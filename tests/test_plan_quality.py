@@ -280,3 +280,27 @@ def test_zorder_value_is_pure_codegen(spark):
     assert plan.lstrip().startswith("*(")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_upsert_anti_join_is_hash_join(spark, tmp_path):
+    """The MERGE keep-side anti-join must plan as a hash join on the key
+    (fixed-width shuffle), never a nested loop."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+    from plateau_spark.sources.serializers import read_files
+    from plateau_spark.core.metadata import DatasetMetadata
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.range(0, 1000).withColumn("v", F.lit("old"))
+    store_dataframe_as_dataset(spark, store, "t", df)
+    meta = DatasetMetadata.load(store, "t")
+    base = store.url(f"t/table")
+    existing = read_files(
+        spark, meta.schema, base,
+        {p.file: store.url(p.file) for p in meta.partitions.values()},
+    )
+    ups = spark.range(10, 20).withColumn("v", F.lit("new"))
+    keep = existing.join(ups.select("id"), ["id"], "left_anti")
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
