@@ -29,7 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twins. Keys missing here (minhash,
-    simhash, xxhash64 dataset hashes, LSH-approximate pairs, mapInPandas
-    features) are non-SQL-expressible → driver's rows-only check."""
+    """DuckDB-runnable ANSI-SQL twins. Exactly two keys are absent
+    (minhash_pairs, simhash_fingerprints — the engine-specific siphash
+    production hash family): each is bounded by a fully-hash-checked md5
+    twin running the identical pipeline; the driver records a rows-only
+    check for the pair."""
     return dict(ORACLES)
