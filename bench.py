@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dataset_orc_roundtrip",
     "dataset_delete_rows",
     "dataset_upsert_read",
+    "dataset_time_travel_read",
     "dataset_python_source_read",
     "text_c4_clean",
     "sample_mixture",

@@ -188,12 +188,24 @@ class DatasetMetadata:
 
     # -- store round-trip ----------------------------------------------------
     @classmethod
-    def load(cls, store: Store, dataset_uuid: str) -> "DatasetMetadata":
+    def load(
+        cls, store: Store, dataset_uuid: str, generation: int | None = None
+    ) -> "DatasetMetadata":
         """Load the commit file: JSON first, then the reference's
         zstd-msgpack alternate (``.by-dataset-metadata.msgpack.zstd``) —
         same fallback order as the reference loader
         (plateau/core/dataset.py:556-569), so datasets written by the
         reference engine with either storage format open here."""
+        if generation is not None:
+            hkey = naming.history_key(dataset_uuid, generation)
+            if not store.exists(hkey):
+                raise KeyError(
+                    f"Dataset {dataset_uuid!r} generation {generation} is not "
+                    f"available: never committed, or its snapshot was "
+                    f"reclaimed by garbage_collect_dataset (time travel is "
+                    f"valid until GC)"
+                )
+            return cls.from_json(store.get_json(hkey))
         json_key = naming.metadata_key(dataset_uuid)
         if store.exists(json_key):
             return cls.from_json(store.get_json(json_key))
@@ -222,6 +234,11 @@ class DatasetMetadata:
         if storage_format == "json":
             store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
             stale = naming.msgpack_metadata_key(self.uuid)
+            # time-travel snapshot (valid until GC; see naming.history_key)
+            store.put_json(
+                naming.history_key(self.uuid, self.generation), self.to_json(),
+                atomic=True,
+            )
         elif storage_format == "msgpack":
             from plateau_spark.core.msgpack_codec import pack_zstd
 
@@ -263,6 +280,10 @@ class DatasetMetadata:
         keys = {p.file for p in self.partitions.values()}
         keys.update(self.indices.values())
         keys.update(b["key"] for b in self.blooms.values())
+        # the CURRENT generation's time-travel snapshot stays readable
+        # across GC (it references exactly the surviving files); older
+        # snapshots are reclaimed — the VACUUM contract
+        keys.add(naming.history_key(self.uuid, self.generation))
         return keys
 
 

@@ -75,6 +75,15 @@ def metadata_key(dataset_uuid: str) -> str:
     return f"{dataset_uuid}{METADATA_SUFFIX}"
 
 
+def history_key(dataset_uuid: str, generation: int) -> str:
+    """Per-commit metadata snapshot (time travel): one JSON document per
+    generation under ``<uuid>/history/``. Snapshots are NOT referenced
+    by the current commit, so ``garbage_collect_dataset`` reclaims them
+    (and the old payload files they point to) — time travel is valid
+    until GC, exactly the lakehouse VACUUM contract."""
+    return f"{dataset_uuid}/history/g{generation:010d}.json"
+
+
 def msgpack_metadata_key(dataset_uuid: str) -> str:
     return f"{dataset_uuid}{MSGPACK_METADATA_SUFFIX}"
 

@@ -369,6 +369,40 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def dataset_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: store orders < 1000, append the rest, then read the
+    FIRST commit's snapshot (generation=1) — the pre-append state, with
+    a predicate pruning against the snapshot's own metadata."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("time-travel")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "o", orders.where(F.col("o_orderkey") < 1000)
+    )
+    update_dataset_from_dataframe(
+        spark, store, "o", orders.where(F.col("o_orderkey") >= 1000)
+    )
+    return read_table(
+        spark, store, "o", generation=1,
+        predicates=[[("o_totalprice", ">", 100000.0)]],
+    )
+
+
+DATASET_TIME_TRAVEL_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey < 1000 AND o_totalprice > 100000.0
+"""
+
+
 def dataset_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed upsert (MERGE INTO shape): every 25th document replaced
     with source='merged', five brand-new doc_ids inserted; one atomic
@@ -3612,6 +3646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_orc_roundtrip": dataset_orc_roundtrip,
     "dataset_delete_rows": dataset_delete_rows,
     "dataset_upsert_read": dataset_upsert_read,
+    "dataset_time_travel_read": dataset_time_travel_read,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
@@ -3729,6 +3764,7 @@ ORACLES: dict[str, str] = {
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,
+    "dataset_time_travel_read": DATASET_TIME_TRAVEL_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,

@@ -863,6 +863,7 @@ def read_dataset_as_dataframe(
     categories: Sequence[str] | None = None,
     dates_as_object: bool | None = None,
     predicate_pushdown_to_io: bool = True,
+    generation: int | None = None,
 ) -> DataFrame:
     """Pruned scan → one distributed DataFrame.
 
@@ -929,7 +930,14 @@ def read_dataset_as_dataframe(
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")
     factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)
-    meta = factory.metadata
+    if generation is not None:
+        # time travel: plan against the requested commit snapshot
+        # (valid until garbage_collect_dataset reclaims it). Index-based
+        # pruning uses the snapshot's own index keys — still present
+        # until GC for the same reason the old payload files are.
+        meta = DatasetMetadata.load(store, dataset_uuid, generation=generation)
+    else:
+        meta = factory.metadata
     check_predicates(predicates)
 
     if columns is not None and meta.schema is not None:
@@ -939,7 +947,10 @@ def read_dataset_as_dataframe(
             raise ValueError(f"Columns not found in dataset: {missing}")
 
     surviving = plan_scan(
-        meta, store, predicates, index_loader=factory.secondary_index
+        meta, store, predicates,
+        # a snapshot read must consult the SNAPSHOT's index files, not
+        # the factory's cache of the current commit's
+        index_loader=None if generation is not None else factory.secondary_index,
     )
     base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
 

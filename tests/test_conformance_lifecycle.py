@@ -778,3 +778,45 @@ def test_upsert_rejects_duplicate_update_keys(spark, lstore):
     ups = spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string")
     with pytest.raises(ValueError, match="duplicate merge-key"):
         merge_upsert_into_dataset(spark, lstore, "updup", ups, "k")
+
+
+# --- time travel (generation snapshots, extension) --------------------------
+
+
+def test_time_travel_reads_each_generation(spark, lstore):
+    from plateau_spark.sources.dataset import delete_rows_from_dataset
+
+    store_dataframe_as_dataset(
+        spark, lstore, "tt", spark.range(0, 10).withColumnRenamed("id", "k")
+    )
+    update_dataset_from_dataframe(
+        spark, lstore, "tt", spark.range(10, 20).withColumnRenamed("id", "k")
+    )
+    delete_rows_from_dataset(spark, lstore, "tt", [[("k", "<", 5)]])
+    g1 = read_dataset_as_dataframe(spark, lstore, "tt", generation=1)
+    g2 = read_dataset_as_dataframe(spark, lstore, "tt", generation=2)
+    g3 = read_dataset_as_dataframe(spark, lstore, "tt", generation=3)
+    assert sorted(r["k"] for r in g1.collect()) == list(range(10))
+    assert g2.count() == 20
+    assert sorted(r["k"] for r in g3.collect()) == list(range(5, 20))
+    # predicates still prune/apply against a snapshot
+    old_pred = read_dataset_as_dataframe(
+        spark, lstore, "tt", generation=1, predicates=[[("k", "<", 3)]]
+    )
+    assert old_pred.count() == 3
+
+
+def test_time_travel_invalidated_by_gc_current_survives(spark, lstore):
+    store_dataframe_as_dataset(
+        spark, lstore, "ttg", spark.range(0, 5).withColumnRenamed("id", "k")
+    )
+    update_dataset_from_dataframe(
+        spark, lstore, "ttg", spark.range(5, 8).withColumnRenamed("id", "k")
+    )
+    garbage_collect_dataset(lstore, "ttg")
+    with pytest.raises(KeyError, match="not\\s+available"):
+        read_dataset_as_dataframe(spark, lstore, "ttg", generation=1).count()
+    # the CURRENT generation's snapshot survives GC
+    cur = read_dataset_as_dataframe(spark, lstore, "ttg", generation=2)
+    assert cur.count() == 8
+    assert read_dataset_as_dataframe(spark, lstore, "ttg").count() == 8
