@@ -1765,6 +1765,7 @@ def compact_dataset(
     *,
     target_files_per_key: int = 1,
     gc: bool = False,
+    zorder_by: Sequence[str] | None = None,
 ) -> DatasetMetadata:
     """Merge a fragmented dataset's many small files into at most
     ``target_files_per_key`` files per partition-key combination —
@@ -1783,21 +1784,44 @@ def compact_dataset(
     immediately when no concurrent readers exist. No-op (no write,
     no commit) when no key group exceeds the target file count.
 
+    ``zorder_by`` turns the pass into the OPTIMIZE shape: the rewritten
+    data is Morton-z-order clustered on the given columns
+    (plans/zorder.py) into ``target_files_per_key`` range-disjoint
+    files, and those columns join the zone-map set — multi-column box
+    predicates prune files driver-side afterwards. Keyless datasets
+    only (z-ordering WITHIN hive partitions would fragment the
+    per-key file guarantee); runs even when file counts are already at
+    target (re-clustering is the point).
+
     Not in the reference (its datasets get compacted by full rewrite);
     north-star lifecycle extension, SURVEY.md §2.7.
     """
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    if zorder_by and meta.partition_keys:
+        raise ValueError(
+            "zorder_by compaction applies to keyless datasets (hive keys "
+            "already cluster the layout); drop partition_on or zorder_by"
+        )
 
     per_key: dict[tuple, int] = {}
     for p in meta.partitions.values():
         k = tuple(sorted((c, str(v)) for c, v in p.key_values.items()))
         per_key[k] = per_key.get(k, 0) + 1
-    if not per_key or max(per_key.values()) <= target_files_per_key:
+    if not zorder_by and (
+        not per_key or max(per_key.values()) <= target_files_per_key
+    ):
         return meta
 
     df = read_dataset_as_dataframe(spark, store, dataset_uuid)
-    if meta.partition_keys:
+    if zorder_by:
+        from plateau_spark.plans.zorder import cluster_by_zorder
+
+        clustered = cluster_by_zorder(
+            df, list(zorder_by), num_partitions=max(int(target_files_per_key), 1)
+        )
+        partitions = _write_files(clustered, store, dataset_uuid, [])
+    elif meta.partition_keys:
         partitions = _write_files(
             df,
             store,
@@ -1815,7 +1839,9 @@ def compact_dataset(
 
     # recollect zone maps over the compacted files for every column the
     # old partitions tracked (compaction must not silently drop pruning)
-    zm_cols = sorted({c for p in meta.partitions.values() for c in p.stats})
+    zm_cols = sorted(
+        {c for p in meta.partitions.values() for c in p.stats} | set(zorder_by or [])
+    )
     _attach_zone_maps(spark, store, meta.schema, partitions, zm_cols)
 
     new_meta = DatasetMetadata(

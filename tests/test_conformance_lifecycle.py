@@ -820,3 +820,31 @@ def test_time_travel_invalidated_by_gc_current_survives(spark, lstore):
     cur = read_dataset_as_dataframe(spark, lstore, "ttg", generation=2)
     assert cur.count() == 8
     assert read_dataset_as_dataframe(spark, lstore, "ttg").count() == 8
+
+
+def test_compact_with_zorder_reclusters_and_prunes(spark, lstore):
+    """OPTIMIZE shape: compaction that z-order-reclusters a keyless
+    dataset; a 2-D box predicate afterwards prunes to a corner file."""
+    from plateau_spark.core.metadata import DatasetMetadata as DM
+    from plateau_spark.sources.dataset import compact_dataset
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+        F.col("id").alias("k"),
+    )
+    store_dataframe_as_dataset(spark, lstore, "opt", df.repartition(6))
+    m = compact_dataset(spark, lstore, "opt", target_files_per_key=8, zorder_by=["x", "y"])
+    assert len(m.partitions) == 8
+    out = read_dataset_as_dataframe(
+        spark, lstore, "opt", predicates=[[("x", "<", 8.0), ("y", "<", 8.0)]]
+    )
+    assert len(out.inputFiles()) < 8
+    assert out.count() == df.where("x < 8 and y < 8").count()
+    # zorder_by on a hive-partitioned dataset is a typed error
+    store_dataframe_as_dataset(
+        spark, lstore, "optkeyed",
+        spark.createDataFrame([(1, "a")], "k long, g string"), partition_on=["g"],
+    )
+    with pytest.raises(ValueError, match="keyless"):
+        compact_dataset(spark, lstore, "optkeyed", zorder_by=["k"])
