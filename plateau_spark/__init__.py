@@ -42,6 +42,8 @@ from plateau_spark.sources.dataset import (
     commit_dataset,
     copy_dataset,
     compact_dataset,
+    delete_rows_from_dataset,
+    merge_upsert_into_dataset,
     create_empty_dataset_header,
     delete_dataset,
     garbage_collect_dataset,
@@ -54,6 +56,8 @@ from plateau_spark.plans.index import (
 from plateau_spark.core.utils import combine_metadata
 
 __all__ = [
+    "delete_rows_from_dataset",
+    "merge_upsert_into_dataset",
     "check_predicates",
     "columns_in_predicates",
     "dnf_to_column",
