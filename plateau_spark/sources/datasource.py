@@ -148,12 +148,17 @@ class PlateauBatchReader(DataSourceReader):
     def __init__(self, options):
         self._root = options["store"]
         self._uuid = options["dataset"]
+        # time travel: .option("generation", N) reads a commit snapshot
+        gen = options.get("generation")
+        self._generation = int(gen) if gen is not None else None
         self._predicates: list[list[tuple[str, str, Any]]] | None = None
         from plateau_spark.core.metadata import DatasetMetadata
         from plateau_spark.core.store import Store
 
         self._store = Store(self._root)
-        self._meta = DatasetMetadata.load(self._store, self._uuid)
+        self._meta = DatasetMetadata.load(
+            self._store, self._uuid, generation=self._generation
+        )
 
     def pushFilters(self, filters):
         conj = _filters_to_conjunction(filters)
@@ -178,7 +183,7 @@ class PlateauBatchReader(DataSourceReader):
         # workers re-load metadata lazily only for schema/keys; both are
         # small (the commit file) and cached by the OS page cache
         store = Store(self._root)
-        meta = DatasetMetadata.load(store, self._uuid)
+        meta = DatasetMetadata.load(store, self._uuid, generation=self._generation)
         yield from _read_partition_arrow(partition, meta.schema, meta.partition_keys)
 
 
@@ -254,7 +259,12 @@ class PlateauDataSource(DataSource):
         from plateau_spark.core.metadata import DatasetMetadata
         from plateau_spark.core.store import Store
 
-        meta = DatasetMetadata.load(Store(self.options["store"]), self.options["dataset"])
+        gen = self.options.get("generation")
+        meta = DatasetMetadata.load(
+            Store(self.options["store"]),
+            self.options["dataset"],
+            generation=int(gen) if gen is not None else None,
+        )
         if meta.schema is None:
             raise ValueError(
                 "Dataset carries no commit-file schema; pass .schema(...) explicitly"

@@ -334,3 +334,21 @@ def test_stream_sink_rejects_overwrite_mode(spark, tmp_path):
         PlateauStreamWriter(
             {"store": str(tmp_path), "dataset": "s"}, schema, True
         )
+
+
+def test_batch_read_generation_option(spark, tmp_path):
+    """Time travel through the data source: .option("generation", N)."""
+    root = str(tmp_path / "store")
+    store_dataframe_as_dataset(
+        spark, Store(root), "tt", spark.range(0, 5).withColumnRenamed("id", "k")
+    )
+    update_dataset_from_dataframe(
+        spark, Store(root), "tt", spark.range(5, 9).withColumnRenamed("id", "k")
+    )
+    old = (
+        spark.read.format("plateau")
+        .option("store", root).option("dataset", "tt").option("generation", "1")
+        .load()
+    )
+    assert sorted(r["k"] for r in old.collect()) == list(range(5))
+    assert _load(spark, root, "tt").count() == 9
