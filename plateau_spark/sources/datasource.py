@@ -472,6 +472,9 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
         self._uuid = options["dataset"]
         self._schema = schema
         self._commit_id = _uuidlib.uuid4().hex[:16]
+        # two independent streaming queries appending to ONE dataset each
+        # need their own replay marker — name them with .option("sink_id")
+        self._sink_id = options.get("sink_id", "default")
         if options.get("partition_on"):
             raise ValueError(
                 "The plateau sink is flat-layout only; for partitioned "
@@ -503,7 +506,11 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
             meta = DatasetMetadata(
                 uuid=self._uuid, partitions={}, partition_keys=[], schema=self._schema
             )
-        last = meta.metadata.get("stream_sink", {}).get("last_batch")
+        last = (
+            meta.metadata.get("stream_sink", {})
+            .get(self._sink_id, {})
+            .get("last_batch")
+        )
         if last is not None and batchId <= last:
             # replayed micro-batch after a crash: already committed
             self.abort(messages, batchId)
@@ -537,7 +544,9 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
             except Exception:
                 pass
         if fresh:
-            meta.metadata.setdefault("stream_sink", {})["last_batch"] = batchId
+            meta.metadata.setdefault("stream_sink", {})[self._sink_id] = {
+                "last_batch": batchId
+            }
             meta.commit(store)
         else:
             # marker travels as an override so it survives BOTH commit
@@ -545,7 +554,9 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
             _commit_update_with_merge(
                 store, meta, new_partitions=new_parts, removed=[],
                 extra_metadata=None,
-                override_metadata={"stream_sink": {"last_batch": batchId}},
+                override_metadata={
+                    "stream_sink": {self._sink_id: {"last_batch": batchId}}
+                },
                 **base,
             )
 

@@ -293,8 +293,8 @@ def test_stream_sink_appends_exactly_once(spark, tmp_path):
     from plateau_spark.core.metadata import DatasetMetadata
 
     assert DatasetMetadata.load(Store(root), "sink").metadata["stream_sink"][
-        "last_batch"
-    ] == 1
+        "default"
+    ]["last_batch"] == 1
 
 
 def test_stream_sink_replayed_batch_is_dropped(spark, tmp_path):
