@@ -244,6 +244,11 @@ class DatasetMetadata:
 
             store.put_bytes(naming.msgpack_metadata_key(self.uuid), pack_zstd(self.to_json()))
             stale = naming.metadata_key(self.uuid)
+            # history snapshots are always JSON (read path is format-agnostic)
+            store.put_json(
+                naming.history_key(self.uuid, self.generation), self.to_json(),
+                atomic=True,
+            )
         else:
             raise ValueError(f"Unknown storage_format: {storage_format!r}")
         if store.exists(stale):
