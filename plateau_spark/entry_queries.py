@@ -3481,6 +3481,47 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 
 
+def text_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score (Jelinek-Mercer over the
+    corpus-fit bigram + unigram models) — one rung up the perplexity
+    ladder from text_lm_score; fully hash-checked closed form."""
+    _prep(spark)
+    from plateau_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text", lam=0.7)
+
+
+TEXT_LM2_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), pairs AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+), big AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2
+), lft AS (
+  SELECT w1, SUM(cb) AS cl FROM big GROUP BY w1
+), uni AS (
+  SELECT t AS w2, COUNT(*) AS cu
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+), n AS (
+  SELECT SUM(cu) AS n FROM uni
+), model AS (
+  SELECT big.w1, big.w2,
+         -ln(0.7 * (cb * 1.0 / cl) + 0.3 * (cu * 1.0 / n)) AS nll
+  FROM big JOIN lft USING (w1) JOIN uni USING (w2) CROSS JOIN n
+), s AS (
+  SELECT p.doc_id, AVG(m.nll) AS av
+  FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, round(s.av, 6) AS nll2
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c4_clean_lines: C4's public line-level cleaning rules (terminal
     punctuation, ≥5 words, no javascript; page gate ≥3 surviving lines,
@@ -3648,6 +3689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_delete_rows": dataset_delete_rows,
     "dataset_upsert_read": dataset_upsert_read,
     "dataset_time_travel_read": dataset_time_travel_read,
+    "text_lm2_score": text_lm2_score,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
@@ -3766,6 +3808,7 @@ ORACLES: dict[str, str] = {
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,
     "dataset_time_travel_read": DATASET_TIME_TRAVEL_ORACLE,
+    "text_lm2_score": TEXT_LM2_SCORE_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,

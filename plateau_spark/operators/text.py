@@ -577,6 +577,80 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lam: float = 0.7,
+    score_col: str = "nll2",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated-bigram LM quality score — one rung up the CCNet
+    perplexity ladder from ``unigram_logprob``: per-document mean
+    negative log-probability of each bigram position under
+
+        p(w2 | w1) = lam · c(w1,w2)/c(w1·) + (1-lam) · c(w2)/N
+
+    (Jelinek-Mercer interpolation with the corpus-MLE unigram as the
+    backoff — closed-form, smoothing-free for self-scoring since every
+    observed bigram is in the model, and bit-reproducible in SQL).
+    Documents with < 2 tokens score NULL.
+
+    100 TB shape (mirrors the unigram operator): one explode pass into
+    (w1, w2) position pairs, TWO keyed count aggs (bigram and
+    left-context — both map-side combined, so "of the" collapses per
+    task), one hash join position→bigram-model (one model row per
+    distinct bigram; probe skew harmless), one broadcast of the scalar
+    N, and a keyed mean. No window, no Python, no driver state; model
+    size is O(distinct bigrams) ROWS, never driver-resident.
+    """
+    toks = df.select(F.col(id_col), _word_tokens(text_col).alias("__ts__"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__ts__") >= 2,
+                F.zip_with(
+                    F.slice("__ts__", 1, F.size("__ts__") - 1),
+                    F.slice("__ts__", 2, F.size("__ts__") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array())
+        ).alias("__p__"),
+    ).select(id_col, F.col("__p__.w1").alias("__w1__"), F.col("__p__.w2").alias("__w2__"))
+
+    big = pairs.groupBy("__w1__", "__w2__").agg(F.count("*").alias("__cb__"))
+    left = big.groupBy("__w1__").agg(F.sum("__cb__").alias("__cl__"))
+    uni = df.select(F.explode(_word_tokens(text_col)).alias("__t__")).groupBy(
+        "__t__"
+    ).agg(F.count("*").alias("__cu__"))
+    total = uni.agg(F.sum("__cu__").alias("__n__"))
+    model = (
+        big.join(left, "__w1__")
+        .join(uni.withColumnRenamed("__t__", "__w2__"), "__w2__")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__w1__",
+            "__w2__",
+            (
+                -F.log(
+                    F.lit(float(lam)) * (F.col("__cb__") / F.col("__cl__"))
+                    + F.lit(1.0 - float(lam)) * (F.col("__cu__") / F.col("__n__"))
+                )
+            ).alias("__nll__"),
+        )
+    )
+    scored = pairs.join(model, ["__w1__", "__w2__"]).groupBy(id_col).agg(
+        F.avg("__nll__").alias("__avg__")
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(F.col(id_col), F.round("__avg__", round_digits).alias(score_col))
+    )
+
+
 def c4_clean_lines(
     df: DataFrame,
     id_col: str,

@@ -1061,3 +1061,44 @@ def test_bitext_margin_definition_and_determinism(spark):
         # one best match per id_a
     ids = [r[0] for r in r1]
     assert len(ids) == len(set(ids))
+
+
+# --- bigram_logprob ---------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from plateau_spark.operators.text import bigram_logprob
+
+    # corpus: "a b a b" + "a b" → bigrams: (a,b)x3, (b,a)x1; unigrams a:3 b:3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["nll2"] for r in bigram_logprob(df, "doc_id", "text", lam=0.5).collect()}
+    n = 6
+    p_ab = 0.5 * (3 / 4) + 0.5 * (3 / n)   # c(a,b)/c(a·)=3/4? c(a·)= bigrams starting a = 3
+    # careful: left counts come from bigram table: a→3, b→1
+    p_ab = 0.5 * (3 / 3) + 0.5 * (3 / n)
+    p_ba = 0.5 * (1 / 1) + 0.5 * (3 / n)
+    exp1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    exp2 = -math.log(p_ab)
+    assert abs(out[1] - exp1) < 1e-5
+    assert abs(out[2] - exp2) < 1e-5
+
+
+def test_bigram_logprob_short_docs_null_and_rare_higher(spark):
+    from plateau_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "common words common words common words"),
+            (2, "zxqv jkwp"),          # rare bigram
+            (3, "single"),              # <2 tokens → NULL
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["nll2"] for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[3] is None and out[4] is None
+    assert out[2] > out[1]  # rare wording scores higher NLL
