@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "dataset_upsert_read",
     "dataset_time_travel_read",
     "text_lm2_score",
+    "dataset_mixture_read",
     "dataset_python_source_read",
     "text_c4_clean",
     "sample_mixture",

@@ -369,6 +369,45 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def dataset_mixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-corpus weighted mixture read: two datasets (en docs / rest)
+    read as one frame with per-dataset md5-deterministic keep
+    probabilities and a source tag — the dataset-layer composition of
+    the `sample_mixture` operator."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_datasets_weighted,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("mixture-read")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    store_dataframe_as_dataset(spark, store, "en", docs.where(F.col("lang") == "en"))
+    store_dataframe_as_dataset(spark, store, "rest", docs.where(F.col("lang") != "en"))
+    return read_datasets_weighted(
+        spark, store, {"en": 0.5, "rest": 1.0}, key_col="doc_id",
+        source_col="corpus",
+    )
+
+
+DATASET_MIXTURE_READ_ORACLE = """
+WITH en AS (
+  SELECT doc_id, lang, source, n_chars, 'en' AS corpus FROM documents
+  WHERE lang = 'en'
+    AND CAST(('0x' || substr(md5('mix:en|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < 0.5
+), rest AS (
+  SELECT doc_id, lang, source, n_chars, 'rest' AS corpus FROM documents
+  WHERE lang <> 'en'
+    AND CAST(('0x' || substr(md5('mix:rest|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < 1.0
+)
+SELECT * FROM en UNION ALL SELECT * FROM rest
+"""
+
+
 def dataset_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: store orders < 1000, append the rest, then read the
     FIRST commit's snapshot (generation=1) — the pre-append state, with
@@ -3690,6 +3729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_upsert_read": dataset_upsert_read,
     "dataset_time_travel_read": dataset_time_travel_read,
     "text_lm2_score": text_lm2_score,
+    "dataset_mixture_read": dataset_mixture_read,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
@@ -3809,6 +3849,7 @@ ORACLES: dict[str, str] = {
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,
     "dataset_time_travel_read": DATASET_TIME_TRAVEL_ORACLE,
     "text_lm2_score": TEXT_LM2_SCORE_ORACLE,
+    "dataset_mixture_read": DATASET_MIXTURE_READ_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,

@@ -1660,6 +1660,56 @@ def merge_upsert_into_dataset(
     return meta
 
 
+def read_datasets_weighted(
+    spark: SparkSession,
+    store: Store | str,
+    weights: dict[str, float],
+    *,
+    key_col: str,
+    source_col: str = "__source__",
+    salt: str = "mix",
+    predicates: Predicates | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Multi-corpus training-mix reader: one DataFrame over SEVERAL
+    datasets, each independently downsampled to its mixture weight —
+    the multi-dataset composition of ``mixture_sample`` (there the
+    source is a column; here each source is its own dataset with its
+    own commit/pruning/indexes).
+
+    ``weights`` maps dataset_uuid → keep probability in (0, 1]. Row
+    fate is a pure md5 hash of ``key_col`` (salted per dataset), so the
+    mix is deterministic across reruns, engines, and corpus growth
+    within a source. ``predicates``/``columns`` push into EVERY member
+    read (each dataset prunes with its own metadata). The source uuid
+    rides along in ``source_col`` for downstream per-source accounting.
+
+    100 TB shape: per-dataset pruned scans unioned under one plan — no
+    shuffle is introduced by the union or the sampling filter (both are
+    narrow); schemas must be union-compatible (columns are aligned by
+    name; use ``columns=`` for a shared projection).
+    """
+    from plateau_spark.operators.sampling import _hash_unit
+
+    if not weights:
+        raise ValueError("weights must name at least one dataset")
+    parts = []
+    for uuid, keep_p in weights.items():
+        if not 0 < keep_p <= 1 + 1e-9:
+            raise ValueError(f"weight for {uuid!r} must be in (0, 1], got {keep_p}")
+        df = read_dataset_as_dataframe(
+            spark, store, uuid, predicates=predicates, columns=columns
+        )
+        u = _hash_unit(key_col, f"{salt}:{uuid}")
+        parts.append(
+            df.where(u < F.lit(float(keep_p))).withColumn(source_col, F.lit(uuid))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
     """Delete store keys not referenced by the current commit (old index
     files, files from failed/uncommitted writes).

@@ -848,3 +848,29 @@ def test_compact_with_zorder_reclusters_and_prunes(spark, lstore):
     )
     with pytest.raises(ValueError, match="keyless"):
         compact_dataset(spark, lstore, "optkeyed", zorder_by=["k"])
+
+
+def test_read_datasets_weighted_mixes_and_validates(spark, lstore):
+    from plateau_spark.sources.dataset import read_datasets_weighted
+
+    a = spark.createDataFrame([(i, "a") for i in range(200)], "k long, v string")
+    b = spark.createDataFrame([(i, "b") for i in range(200, 260)], "k long, v string")
+    store_dataframe_as_dataset(spark, lstore, "dsa", a)
+    store_dataframe_as_dataset(spark, lstore, "dsb", b)
+    out = read_datasets_weighted(
+        spark, lstore, {"dsa": 0.5, "dsb": 1.0}, key_col="k"
+    )
+    rows = out.collect()
+    srcs = {r["__source__"] for r in rows}
+    assert srcs == {"dsa", "dsb"}
+    n_a = sum(1 for r in rows if r["__source__"] == "dsa")
+    n_b = sum(1 for r in rows if r["__source__"] == "dsb")
+    assert n_b == 60                       # weight 1.0 keeps everything
+    assert 60 <= n_a <= 140                # ~50% of 200, hash-deterministic
+    # deterministic across calls
+    again = read_datasets_weighted(spark, lstore, {"dsa": 0.5, "dsb": 1.0}, key_col="k")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    with pytest.raises(ValueError, match="weight"):
+        read_datasets_weighted(spark, lstore, {"dsa": 1.5}, key_col="k")
+    with pytest.raises(ValueError, match="at least one"):
+        read_datasets_weighted(spark, lstore, {}, key_col="k")
