@@ -3666,14 +3666,15 @@ WHERE {_U_MIX} < p.keep_p
 # Ordering policy: the correctness driver verifies the FIRST 50 entries of
 # this dict each round, so ordering is rotated per round to guarantee every
 # query accumulates driver-green evidence.
-#   Round-6 late batches (inserted mid-window, positions ~21-29):
+#   Round-6 late batches (inserted mid-window, positions ~21-31):
 #   decontaminate_fuzzy, sample_shuffle_epoch, embedding_kmeans,
 #   bitext_mine_pairs, dataset_orc_roundtrip, dataset_python_source_read,
-#   dataset_delete_rows, dataset_upsert_read, dataset_time_travel_read —
-#   all nine NEW this round, inside the window; each insertion demoted one
-#   long-green dataset-layer query past position 50 (re-verified after
-#   every insertion: every entry outside the window has a driver-green
-#   row in CORRECTNESS_r01-r05).
+#   dataset_delete_rows, dataset_upsert_read, dataset_time_travel_read,
+#   text_lm2_score, dataset_mixture_read — all eleven NEW this round,
+#   inside the window; each insertion demoted one long-green
+#   dataset-layer query past position 50 (re-verified after every
+#   insertion: every entry outside the window has a driver-green row in
+#   CORRECTNESS_r01-r05).
 #   Round 6 window: (a) ALL 20 new round-6 queries (second batch:
 #   sample_stratified, quality_tier_split, text_lm_score,
 #   dataset_zorder_read, dataset_json_roundtrip, text_c4_clean,
