@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dataset_time_travel_read",
     "text_lm2_score",
     "dataset_mixture_read",
+    "sample_score_weighted",
     "dataset_python_source_read",
     "text_c4_clean",
     "sample_mixture",

@@ -369,6 +369,30 @@ FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def sample_score_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality-weighted sampling: keep probability = the document's
+    clamped quality signal (here a closed-form length-based score),
+    decided by a deterministic md5 hash — no RNG, fully hash-checked."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import score_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "q", (F.col("n_chars") / 1000.0)
+    )
+    return score_weighted_sample(
+        docs, "doc_id", "q", floor=0.05, ceiling=0.95
+    ).select("doc_id", "lang", F.round("q", 6).alias("q"))
+
+
+SAMPLE_SCORE_WEIGHTED_ORACLE = """
+SELECT doc_id, lang, round(n_chars / 1000.0, 6) AS q
+FROM documents
+WHERE CAST(('0x' || substr(md5('sws|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0
+      < least(greatest(n_chars / 1000.0, 0.05), 0.95)
+"""
+
+
 def dataset_mixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-corpus weighted mixture read: two datasets (en docs / rest)
     read as one frame with per-dataset md5-deterministic keep
@@ -3731,6 +3755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_time_travel_read": dataset_time_travel_read,
     "text_lm2_score": text_lm2_score,
     "dataset_mixture_read": dataset_mixture_read,
+    "sample_score_weighted": sample_score_weighted,
     "dataset_python_source_read": dataset_python_source_read,
     # --- never driver-verified before round 6 ---
     "asof_join_events": asof_join_events,
@@ -3851,6 +3876,7 @@ ORACLES: dict[str, str] = {
     "dataset_time_travel_read": DATASET_TIME_TRAVEL_ORACLE,
     "text_lm2_score": TEXT_LM2_SCORE_ORACLE,
     "dataset_mixture_read": DATASET_MIXTURE_READ_ORACLE,
+    "sample_score_weighted": SAMPLE_SCORE_WEIGHTED_ORACLE,
     "dataset_python_source_read": PYSOURCE_READ_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_top_orders": Q3_ORACLE,

@@ -431,3 +431,32 @@ def deterministic_shuffle(
     return df.withColumn("__shuffle_key__", key).orderBy(
         "__shuffle_key__", *id_cols
     )
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    *,
+    salt: str = "sws",
+    floor: float = 0.0,
+    ceiling: float = 1.0,
+) -> DataFrame:
+    """Soft quality filtering (FineWeb-style): keep each row with
+    probability equal to its per-row score (clamped to
+    ``[floor, ceiling]``) — a hard threshold throws away everything
+    below the line; weighting keeps a calibrated fraction of mid-quality
+    data, which matters when the filter model is imperfect.
+
+    Row fate is a pure md5 hash of ``key_col`` compared against the
+    row's own clamped score: deterministic across reruns/engines, no
+    RNG state, zero shuffle (one codegen filter). NULL scores drop
+    (an unscored row has no keep probability).
+    """
+    if not 0.0 <= floor <= ceiling <= 1.0:
+        raise ValueError(f"need 0 <= floor <= ceiling <= 1, got [{floor}, {ceiling}]")
+    p = F.least(
+        F.greatest(F.col(score_col).cast("double"), F.lit(float(floor))),
+        F.lit(float(ceiling)),
+    )
+    return df.where(_hash_unit(key_col, salt) < p)

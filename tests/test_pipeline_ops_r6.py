@@ -1102,3 +1102,28 @@ def test_bigram_logprob_short_docs_null_and_rare_higher(spark):
     out = {r["doc_id"]: r["nll2"] for r in bigram_logprob(df, "doc_id", "text").collect()}
     assert out[3] is None and out[4] is None
     assert out[2] > out[1]  # rare wording scores higher NLL
+
+
+# --- score_weighted_sample --------------------------------------------------
+
+
+def test_score_weighted_sample_properties(spark):
+    from plateau_spark.operators.sampling import score_weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else (0.0 if i < 200 else None)) for i in range(300)],
+        "k long, s double",
+    )
+    out = score_weighted_sample(df, "k", "s", floor=0.0)
+    kept = [r["k"] for r in out.collect()]
+    assert sorted(kept)[:100] == list(range(100))   # score 1.0 → always kept
+    assert all(k < 100 for k in kept)               # score 0.0 / NULL → dropped
+    # deterministic
+    again = [r["k"] for r in score_weighted_sample(df, "k", "s", floor=0.0).collect()]
+    assert sorted(again) == sorted(kept)
+    # mid-score keeps a calibrated fraction
+    mid = spark.createDataFrame([(i, 0.5) for i in range(2000)], "k long, s double")
+    frac = score_weighted_sample(mid, "k", "s").count() / 2000
+    assert 0.45 < frac < 0.55
+    with pytest.raises(ValueError, match="floor"):
+        score_weighted_sample(df, "k", "s", floor=0.9, ceiling=0.1)
