@@ -874,3 +874,50 @@ def test_read_datasets_weighted_mixes_and_validates(spark, lstore):
         read_datasets_weighted(spark, lstore, {"dsa": 1.5}, key_col="k")
     with pytest.raises(ValueError, match="at least one"):
         read_datasets_weighted(spark, lstore, {}, key_col="k")
+
+
+def test_concurrent_merge_fuzz_no_silent_loss(spark, lstore):
+    """Randomized interleavings of two append-only writers: every
+    committed partition must survive (no silent lost update — the bug
+    class the generation merge exists to kill), across several rounds
+    of load-stage-interleave-commit with varying sizes."""
+    import random
+
+    from plateau_spark.sources.dataset import (
+        _commit_base_snapshot,
+        _commit_update_with_merge,
+        write_single_partition,
+    )
+
+    rng = random.Random(20260814)
+    df0 = spark.createDataFrame([(0,)], "k long")
+    store_dataframe_as_dataset(spark, lstore, "fz", df0)
+    expected = {0}
+    next_k = 1
+    for _ in range(4):
+        # both writers load the same state
+        metas = [DatasetMetadata.load(lstore, "fz") for _ in range(2)]
+        bases = [_commit_base_snapshot(m) for m in metas]
+        staged = []
+        for w in range(2):
+            n = rng.randint(1, 3)
+            ks = list(range(next_k, next_k + n))
+            next_k += n
+            parts = write_single_partition(
+                spark, lstore, "fz",
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+            )
+            staged.append((ks, parts))
+            expected.update(ks)
+        order = [0, 1]
+        rng.shuffle(order)
+        for w in order:
+            ks, parts = staged[w]
+            for p in parts:
+                metas[w].partitions[p.label] = p
+            _commit_update_with_merge(
+                lstore, metas[w], new_partitions=parts, removed=[],
+                extra_metadata=None, **bases[w],
+            )
+    got = {r["k"] for r in read_dataset_as_dataframe(spark, lstore, "fz").collect()}
+    assert got == expected
