@@ -3766,7 +3766,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
     # --- outside the round-5 driver window ---
     "web_url_dedup": web_url_dedup,
-    "ngram_jaccard": ngram_jaccard,
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
     "decontaminate_ngrams": decontaminate_ngrams,
@@ -3778,6 +3777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "ngram_jaccard": ngram_jaccard,
     "pipeline_training_data": pipeline_training_data,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
