@@ -1431,6 +1431,7 @@ def build_dataset_indices(
     """
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    _base = _commit_base_snapshot(meta)
     known = {f.name for f in (meta.schema or [])} | set(meta.partition_keys)
     for col in columns:
         if known and col not in known:
@@ -1443,7 +1444,13 @@ def build_dataset_indices(
     built = _build_index_dataframes(spark, store, meta, parts, list(columns))
     for col, idx_df in built.items():
         meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
-    meta.commit(store)
+    # an index built over a stale partition list must not be committed
+    # over a concurrent append (the new files would be invisibly missing
+    # from the index) — the merge helper raises on any concurrent commit
+    # here because our indices diverged from the base snapshot
+    meta = _commit_update_with_merge(
+        store, meta, new_partitions=[], removed=[], extra_metadata=None, **_base,
+    )
     return meta
 
 
@@ -1524,6 +1531,7 @@ def delete_rows_from_dataset(
     _store_arg = store
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    _base = _commit_base_snapshot(meta)
     candidates = plan_scan(meta, store, predicates)
     if not candidates:
         return meta
@@ -1558,7 +1566,14 @@ def delete_rows_from_dataset(
     _merge_committed_indices(spark, store, meta, new_partitions, removed)
     _merge_committed_blooms(spark, store, meta, new_partitions, removed)
     meta.explicit_partitions = True
-    meta.commit(store)
+    # the rewrite job runs for minutes at scale — a blind commit here
+    # would silently drop any append committed in that window; the merge
+    # helper raises ConcurrentCommitError instead (removed is non-empty,
+    # so the race is never mergeable)
+    meta = _commit_update_with_merge(
+        store, meta, new_partitions=new_partitions, removed=removed,
+        extra_metadata=None, **_base,
+    )
     _invalidate_if_factory(_store_arg)
     return meta
 
@@ -1603,6 +1618,7 @@ def merge_upsert_into_dataset(
     _store_arg = store
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    _base = _commit_base_snapshot(meta)
     updates = normalize_dataframe(updates, meta.partition_keys)
     validate_compatible(meta.schema, updates.schema)
     for c in key_columns:
@@ -1655,7 +1671,15 @@ def merge_upsert_into_dataset(
     _merge_committed_indices(spark, store, meta, new_partitions, removed)
     _merge_committed_blooms(spark, store, meta, new_partitions, removed)
     meta.explicit_partitions = True
-    meta.commit(store)
+    # MERGE rewrites candidate files over a long job window — commit via
+    # the optimistic-concurrency path so a concurrent append raises
+    # ConcurrentCommitError instead of being silently dropped. (A pure
+    # insert-only merge with zero candidates still merges append-vs-append
+    # races because removed == [].)
+    meta = _commit_update_with_merge(
+        store, meta, new_partitions=new_partitions, removed=removed,
+        extra_metadata=None, **_base,
+    )
     _invalidate_if_factory(_store_arg)
     return meta
 
@@ -1848,6 +1872,7 @@ def compact_dataset(
     """
     store = _ensure_store(store)
     meta = DatasetMetadata.load(store, dataset_uuid)
+    _base = _commit_base_snapshot(meta)
     if zorder_by and meta.partition_keys:
         raise ValueError(
             "zorder_by compaction applies to keyless datasets (hive keys "
@@ -1900,6 +1925,12 @@ def compact_dataset(
         partition_keys=list(meta.partition_keys),
         schema=meta.schema,
         metadata=dict(meta.metadata),
+        # SAME dataset, next generation: the counter must carry forward or
+        # commit() restarts at 1 and overwrites the g0000000001 time-travel
+        # snapshot (and every later commit re-uses + clobbers 2..N), while
+        # _commit_update_with_merge's fast-path generation check can falsely
+        # pass for a writer still holding pre-compaction metadata
+        generation=meta.generation,
     )
     indexed_cols = sorted(set(meta.indices) | set(meta.embedded_indices))
     built = _build_index_dataframes(spark, store, new_meta, partitions, indexed_cols)
@@ -1915,7 +1946,14 @@ def compact_dataset(
                 partitions, [col], n_bits=info["n_bits"], k=info["k"],
             )
         )
-    new_meta.commit(store)
+    # compaction swaps EVERY old partition for the rewritten set, so a
+    # concurrent commit can never be merged — the merge helper detects the
+    # race (removed != []) and raises instead of silently reverting the
+    # other writer's commit or orphaning its files
+    new_meta = _commit_update_with_merge(
+        store, new_meta, new_partitions=partitions,
+        removed=sorted(meta.partitions), extra_metadata=None, **_base,
+    )
     if gc:
         garbage_collect_dataset(store, dataset_uuid)
     return new_meta
