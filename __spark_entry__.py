@@ -29,9 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twins. Exactly two keys are absent
-    (minhash_pairs, simhash_fingerprints — the engine-specific siphash
-    production hash family): each is bounded by a fully-hash-checked md5
-    twin running the identical pipeline; the driver records a rows-only
-    check for the pair."""
+    """DuckDB-runnable ANSI-SQL twins — one per queries() entry, no
+    rows-only exceptions. (The engine-specific xxhash64 minhash/simhash
+    spellings are library API + bench lines; their registry
+    representatives are the md5 twins running the identical pipeline.)"""
     return dict(ORACLES)

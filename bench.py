@@ -18,8 +18,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from plateau_spark.entry_queries import QUERIES  # noqa: E402
+from plateau_spark.entry_queries import (  # noqa: E402
+    QUERIES,
+    minhash_pairs,
+    simhash_fingerprints,
+)
 from plateau_spark.session import get_spark  # noqa: E402
+
+# Bench-only queries: the xxhash64 production-hash minhash/simhash
+# spellings are not DuckDB-replayable so they live outside the verified
+# registry (their md5 twins are the value-checked tier), but the
+# production hash family is what runs at scale — keep its perf measured.
+BENCH_ONLY = {
+    "minhash_pairs": minhash_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+}
 
 # Headline set: the scan/join/agg relational core, the dataset write+
 # pruned-read lifecycle, and one of each north-star family. Kept to the
@@ -232,7 +245,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.time()
         try:
-            fn = QUERIES[name]
+            fn = QUERIES.get(name) or BENCH_ONLY[name]
             n = fn(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             msg = f"{type(exc).__name__}: {exc}"

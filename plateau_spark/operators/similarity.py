@@ -849,6 +849,7 @@ def mine_bitext_pairs(
     vec_col: str = "embedding",
     k: int = 4,
     margin_threshold: float = 1.0,
+    search=None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining between two embedding corpora
     (LASER/CCMatrix-style bitext mining: Artetxe & Schwenk 2019 ratio
@@ -867,28 +868,41 @@ def mine_bitext_pairs(
 
     Returns ``(id_a, id_b, cosine, margin)``.
 
-    Scale shape: both neighbor searches run through
-    ``cosine_topk_bruteforce`` (blocked Arrow GEMM — the exact baseline;
-    at corpus scale swap either side's search for the IVF tier, the
-    margin algebra is search-agnostic). The margin join is three keyed
-    hash joins on id columns — no all-pairs materialization beyond the
-    k-neighbor lists themselves.
+    Scale shape: the margin algebra is search-agnostic — ``search``
+    picks the k-NN tier for BOTH sweeps. Default is
+    ``cosine_topk_bruteforce`` (blocked Arrow GEMM — the exact/oracle
+    baseline, O(|A|·|B|) scores); at corpus scale pass
+    ``cosine_topk_ivf`` / ``cosine_topk_lsh`` (or a
+    ``functools.partial`` fixing their knobs, or a closure over
+    ``query_ivf_index`` for a persisted index — any callable with the
+    ``(corpus, queries, *, id_col, vec_col, query_id_col, k)``
+    signature), making per-query work O(probed cells) instead of
+    O(corpus). The margin join is three keyed hash joins on id columns
+    — no all-pairs materialization beyond the k-neighbor lists
+    themselves.
     """
+    searcher = search if search is not None else cosine_topk_bruteforce
     a = emb_a.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
     b = emb_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
 
-    fwd = cosine_topk_bruteforce(
+    fwd = searcher(
         b.select(F.col("id_b").alias(id_col), F.col("__vb__").alias(vec_col)),
         a.select(F.col("id_a").alias("query_id"), F.col("__va__").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col="query_id",
         k=k,
     ).select(
         F.col("query_id").alias("id_a"),
         F.col(id_col).alias("id_b"),
         F.col("cosine").alias("__cos__"),
     )
-    bwd = cosine_topk_bruteforce(
+    bwd = searcher(
         a.select(F.col("id_a").alias(id_col), F.col("__va__").alias(vec_col)),
         b.select(F.col("id_b").alias("query_id"), F.col("__vb__").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col="query_id",
         k=k,
     ).select(
         F.col(id_col).alias("id_a"),

@@ -539,6 +539,8 @@ def unigram_logprob(
     *,
     model: DataFrame | None = None,
     score_col: str = "nll",
+    oov_logp: float | None = None,
+    oov_col: str | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """CCNet-style language-model quality score: per-document mean
@@ -552,12 +554,24 @@ def unigram_logprob(
     the vocab so no smoothing is needed. Documents with zero tokens get
     NULL (undefined perplexity; filter or coalesce at the call site).
 
+    Out-of-vocabulary tokens (external ``model`` only) are charged a
+    FLOOR penalty instead of being dropped: a document full of rare or
+    garbled tokens must score WORSE, not better — an inner join would
+    silently exclude OOV mass and invert the quality signal. The
+    penalty is ``-oov_logp`` when given, else ``-(min model logp) −
+    ln(10)`` (one decade less likely than the rarest in-vocab token; a
+    scalar min-agg on the model, collected once driver-side). Pass
+    ``oov_col`` to also emit each document's OOV token fraction.
+
     Shape at 100 TB: one explode pass, a keyed count agg for the vocab
-    (map-side combine absorbs hot tokens like "the"), one hash join
-    token→logp (vocab side has ONE row per token — probe-side skew is
-    harmless in a hash join), and a keyed mean back to the document id.
-    No window, no Python, no driver state.
+    (map-side combine absorbs hot tokens like "the"), one LEFT hash
+    join token→logp (vocab side has ONE row per token — probe-side
+    skew is harmless in a hash join), and a keyed mean back to the
+    document id. No window, no Python, no driver state beyond the
+    scalar OOV floor.
     """
+    import math
+
     toks = df.select(F.col(id_col), F.explode(_word_tokens(text_col)).alias("__t__"))
     if model is None:
         counts = toks.groupBy("__t__").agg(F.count("*").alias("__c__"))
@@ -566,15 +580,27 @@ def unigram_logprob(
             F.col("__t__").alias("token"),
             (F.log("__c__") - F.log("__n__")).alias("logp"),
         )
-    scored = toks.join(model, toks["__t__"] == model["token"]).select(
-        F.col(id_col), (-F.col("logp")).alias("__nll__")
-    )
-    agg = scored.groupBy(id_col).agg(F.avg("__nll__").alias("__avg__"))
-    return (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(F.col(id_col), F.round(F.col("__avg__"), round_digits).alias(score_col))
-    )
+        penalty = 0.0  # unreachable: self-fit vocab covers every token
+    elif oov_logp is not None:
+        penalty = -float(oov_logp)
+    else:
+        floor = model.agg(F.min("logp")).first()[0]
+        penalty = (-float(floor) if floor is not None else 0.0) + math.log(10.0)
+    joined = toks.join(model, toks["__t__"] == model["token"], "left")
+    nll = F.coalesce(-F.col("logp"), F.lit(float(penalty)))
+    aggs = [F.avg(nll).alias("__avg__")]
+    if oov_col is not None:
+        aggs.append(
+            F.avg(F.col("logp").isNull().cast("double")).alias("__oov__")
+        )
+    agg = joined.groupBy(id_col).agg(*aggs)
+    out_cols = [
+        F.col(id_col),
+        F.round(F.col("__avg__"), round_digits).alias(score_col),
+    ]
+    if oov_col is not None:
+        out_cols.append(F.round(F.col("__oov__"), round_digits).alias(oov_col))
+    return df.select(id_col).join(agg, id_col, "left").select(*out_cols)
 
 
 def bigram_logprob(

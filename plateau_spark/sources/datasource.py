@@ -44,7 +44,6 @@ analog of "the dataset is a native collection of the engine".
 
 from __future__ import annotations
 
-import json
 from typing import TYPE_CHECKING, Any, Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -189,10 +188,18 @@ class PlateauBatchReader(DataSourceReader):
 
 class PlateauStreamReader(DataSourceStreamReader):
     """Tail-follow a dataset: every micro-batch = partitions newly
-    present in the commit file since the last offset. Offsets are the
-    sorted committed-label list (JSON, one string value — metadata
-    scale); the atomic-commit protocol guarantees a label's files are
-    fully written before the label can appear in any offset."""
+    present between two commit GENERATIONS. Offsets are
+    ``{"generation": N}`` — one integer, monotonic, O(1) regardless of
+    dataset size (the previous label-list offset grew with the
+    partition count and silently skipped labels missing from the head
+    commit). Batch planning loads the END generation's time-travel
+    snapshot, so every planned label's file provably existed at that
+    commit; a snapshot reclaimed by garbage_collect_dataset raises
+    loudly instead of dropping rows. The atomic-commit protocol
+    guarantees a label's files are fully written before the label can
+    appear in any snapshot. Follow APPEND-ONLY datasets: a compaction
+    rewrites every label, which re-delivers the full dataset under the
+    new labels (same semantics the label-diff had)."""
 
     def __init__(self, options):
         self._root = options["store"]
@@ -201,36 +208,43 @@ class PlateauStreamReader(DataSourceStreamReader):
 
         self._store = Store(self._root)
 
-    def _labels(self) -> list[str]:
+    def _snapshot(self, generation: int):
+        from plateau_spark.core.metadata import DatasetMetadata
+
+        try:
+            return DatasetMetadata.load(
+                self._store, self._uuid, generation=generation
+            )
+        except KeyError as e:
+            raise RuntimeError(
+                f"plateau stream on {self._uuid!r}: commit snapshot for "
+                f"generation {generation} is unavailable (reclaimed by "
+                f"garbage_collect_dataset?) — cannot plan an exact "
+                f"micro-batch; restart the stream from a fresh checkpoint"
+            ) from e
+
+    def initialOffset(self) -> dict:
+        return {"generation": 0}
+
+    def latestOffset(self) -> dict:
         from plateau_spark.core.metadata import DatasetMetadata
 
         if not DatasetMetadata.exists(self._store, self._uuid):
-            return []
-        meta = DatasetMetadata.load(self._store, self._uuid)
-        return sorted(meta.partitions)
-
-    def initialOffset(self) -> dict:
-        return {"labels": json.dumps([])}
-
-    def latestOffset(self) -> dict:
-        return {"labels": json.dumps(self._labels())}
+            return {"generation": 0}
+        return {
+            "generation": DatasetMetadata.load(self._store, self._uuid).generation
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from plateau_spark.core.metadata import DatasetMetadata
-
-        seen = set(json.loads(start["labels"]))
-        want = [l for l in json.loads(end["labels"]) if l not in seen]
-        if not want:
+        g0, g1 = int(start["generation"]), int(end["generation"])
+        if g1 <= g0:
             return []
-        meta = DatasetMetadata.load(self._store, self._uuid)
+        meta_end = self._snapshot(g1)
+        seen = set() if g0 == 0 else set(self._snapshot(g0).partitions)
         return [
-            _FilePartition(
-                meta.partitions[l].file,
-                self._store.path(meta.partitions[l].file),
-                l,
-            )
-            for l in want
-            if l in meta.partitions
+            _FilePartition(p.file, self._store.path(p.file), label)
+            for label, p in sorted(meta_end.partitions.items())
+            if label not in seen
         ]
 
     def read(self, partition: _FilePartition):
@@ -285,7 +299,16 @@ class PlateauDataSource(DataSource):
 
 
 def register_plateau_datasource(spark) -> None:
-    """Idempotent registration of the ``plateau`` format."""
+    """Idempotent registration of the ``plateau`` format.
+
+    ``PlateauBatchReader`` implements ``pushFilters``, and Spark refuses
+    to initialize a Python reader that does so while
+    ``spark.sql.python.filterPushdown.enabled`` sits at its ``false``
+    default (``[DATA_SOURCE_PUSHDOWN_DISABLED]``) — so registration
+    enables the (runtime-settable) conf rather than requiring every
+    session to know about it. Pruning still only SKIPS files; Spark
+    re-applies all filters row-level, so semantics are unchanged."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PlateauDataSource)
 
 
@@ -511,10 +534,26 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
             .get(self._sink_id, {})
             .get("last_batch")
         )
-        if last is not None and batchId <= last:
-            # replayed micro-batch after a crash: already committed
+        if last is not None and batchId == last:
+            # replayed micro-batch after a crash: the engine restarts
+            # from the one batch whose sink commit may not have been
+            # checkpointed — already committed here, drop it
             self.abort(messages, batchId)
             return
+        if last is not None and batchId < last:
+            # NOT a crash replay: replays re-deliver exactly `last`.
+            # A smaller batchId means a NEW query run against a fresh
+            # checkpoint is reusing this sink_id — silently dropping
+            # every micro-batch would be permanent data loss. Fail loud.
+            self.abort(messages, batchId)
+            raise ValueError(
+                f"plateau sink {self._sink_id!r} on dataset "
+                f"{self._uuid!r} has already committed batch {last}, got "
+                f"batch {batchId}: a new streaming query (fresh "
+                f"checkpoint) is reusing this sink_id. Reuse the "
+                f"original checkpointLocation to resume, or set a new "
+                f'.option("sink_id", ...) for a new query.'
+            )
         from plateau_spark.sources.dataset import (
             _commit_base_snapshot,
             _commit_update_with_merge,

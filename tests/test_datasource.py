@@ -352,3 +352,90 @@ def test_batch_read_generation_option(spark, tmp_path):
     )
     assert sorted(r["k"] for r in old.collect()) == list(range(5))
     assert _load(spark, root, "tt").count() == 9
+
+
+def test_stream_sink_checkpoint_reset_fails_loud(spark, tmp_path):
+    """batchId < last_batch is NOT a crash replay (replays re-deliver
+    exactly last_batch): it means a NEW query run with a fresh
+    checkpoint is reusing this sink_id. Silently dropping every batch
+    would be permanent data loss — must raise, leaving the dataset
+    intact and the staged files cleaned up."""
+    import pyarrow as pa
+
+    from plateau_spark.sources.datasource import PlateauStreamWriter
+    from plateau_spark.sources.dataset import read_table
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    root = str(tmp_path / "store")
+    schema = StructType([StructField("k", LongType())])
+    w = PlateauStreamWriter({"store": root, "dataset": "s"}, schema, False)
+    batch = pa.record_batch({"k": pa.array([1, 2, 3], type=pa.int64())})
+    w.commit([w.write(iter([batch]))], batchId=5)
+    assert read_table(spark, Store(root), "s").count() == 3
+    msg = w.write(iter([batch]))
+    with pytest.raises(ValueError, match="fresh.*checkpoint|sink_id"):
+        w.commit([msg], batchId=0)
+    assert read_table(spark, Store(root), "s").count() == 3
+    assert not Store(root).exists(msg.staged_key)
+
+
+def test_stream_reader_offsets_are_compact_generations(spark, tmp_path):
+    """Offsets are {"generation": N} — O(1) regardless of partition
+    count — and batch planning over [g0, g1] returns exactly the labels
+    added across those commits, from the END generation's snapshot."""
+    from plateau_spark.sources.datasource import PlateauStreamReader
+
+    root = str(tmp_path / "store")
+    store_dataframe_as_dataset(
+        spark, Store(root), "ds",
+        spark.range(0, 4).withColumnRenamed("id", "k").coalesce(1),
+    )
+    r = PlateauStreamReader({"store": root, "dataset": "ds"})
+    assert r.initialOffset() == {"generation": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"generation": 1}
+    # two commits between polls: ONE batch must carry both
+    update_dataset_from_dataframe(
+        spark, Store(root), "ds",
+        spark.range(4, 6).withColumnRenamed("id", "k").coalesce(1),
+    )
+    update_dataset_from_dataframe(
+        spark, Store(root), "ds",
+        spark.range(6, 9).withColumnRenamed("id", "k").coalesce(1),
+    )
+    o3 = r.latestOffset()
+    assert o3 == {"generation": 3}
+    parts_initial = r.partitions(r.initialOffset(), o1)
+    assert len(parts_initial) == 1
+    parts_tail = r.partitions(o1, o3)
+    assert len(parts_tail) == 2  # both appended files, no replays
+    assert r.partitions(o3, o3) == []
+    # rows flow through read() for a planned partition
+    rows = []
+    for p in parts_tail:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert sorted(rows) == list(range(4, 9))
+
+
+def test_stream_reader_reclaimed_snapshot_raises(spark, tmp_path):
+    """A micro-batch whose start/end snapshot was GC-reclaimed must
+    fail loudly — the old label-list offsets silently skipped missing
+    labels, losing those rows from the stream."""
+    from plateau_spark.sources.dataset import garbage_collect_dataset
+    from plateau_spark.sources.datasource import PlateauStreamReader
+
+    root = str(tmp_path / "store")
+    store_dataframe_as_dataset(
+        spark, Store(root), "ds",
+        spark.range(0, 4).withColumnRenamed("id", "k").coalesce(1),
+    )
+    update_dataset_from_dataframe(
+        spark, Store(root), "ds",
+        spark.range(4, 6).withColumnRenamed("id", "k").coalesce(1),
+    )
+    garbage_collect_dataset(Store(root), "ds")
+    r = PlateauStreamReader({"store": root, "dataset": "ds"})
+    if not Store(root).exists("ds/history/g0000000001.json"):
+        with pytest.raises(RuntimeError, match="generation 1"):
+            r.partitions({"generation": 1}, {"generation": 2})

@@ -665,6 +665,48 @@ def test_unigram_logprob_external_model(spark):
     assert abs(out[0]["nll"] - expect) < 1e-6
 
 
+def test_unigram_logprob_oov_floor_not_dropped(spark):
+    """Round-7 fix (advisor): OOV tokens under an external model were
+    inner-joined away, so an all-garbage document scored as fluent. Now
+    each OOV token is charged a floor penalty (min model logp − ln 10
+    by default, or an explicit oov_logp), and oov_col exposes the
+    per-document OOV fraction."""
+    import math
+
+    from plateau_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "zz qq"), (3, "x zz")], "doc_id long, text string"
+    )
+    model = spark.createDataFrame(
+        [("x", math.log(0.25)), ("y", math.log(0.5))], "token string, logp double"
+    )
+    out = {
+        r["doc_id"]: (r["nll"], r["oov_frac"])
+        for r in unigram_logprob(
+            df, "doc_id", "text", model=model, oov_col="oov_frac"
+        ).collect()
+    }
+    floor_nll = -math.log(0.25) + math.log(10.0)  # rarest in-vocab − ln 10
+    assert abs(out[1][0] - (-math.log(0.25) - math.log(0.5)) / 2) < 1e-6
+    assert out[1][1] == 0.0
+    assert abs(out[2][0] - floor_nll) < 1e-6  # all-OOV doc: pure penalty
+    assert out[2][1] == 1.0
+    assert abs(out[3][0] - (-math.log(0.25) + floor_nll) / 2) < 1e-6
+    assert out[3][1] == 0.5
+    # the garbage doc scores WORSE than the fluent one (the inverted
+    # signal the inner join produced: doc 2 used to score NULL-fluent)
+    assert out[2][0] > out[1][0]
+    # explicit oov_logp overrides the derived floor
+    out2 = {
+        r["doc_id"]: r["nll"]
+        for r in unigram_logprob(
+            df, "doc_id", "text", model=model, oov_logp=math.log(1e-6)
+        ).collect()
+    }
+    assert abs(out2[2] - (-math.log(1e-6))) < 1e-6
+
+
 def test_unigram_logprob_rare_tokens_score_higher(spark):
     from plateau_spark.operators.text import unigram_logprob
 

@@ -304,3 +304,44 @@ def test_upsert_anti_join_is_hash_join(spark, tmp_path):
     plan = keep._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bitext_ivf_search_tier_probes_cells_not_corpus(spark):
+    """Round-7 fix: mine_bitext_pairs' k-NN sweeps accept a search=
+    callable. With the IVF tier, candidate generation must be an
+    EQUI-join on the cell id over only the probed cells — O(nprobe)
+    cells of candidates per query, never an all-pairs nested loop over
+    the corpus (the hardcoded brute-force sweep's shape). The only
+    nested-loop allowed is the tiny broadcast of the K-row centroid /
+    query tables."""
+    from functools import partial
+
+    from plateau_spark.operators.similarity import cosine_topk_ivf, mine_bitext_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    # partial probing: nprobe << n_centroids (the scale configuration)
+    out = mine_bitext_pairs(
+        a, b, k=2, margin_threshold=0.0,
+        search=partial(cosine_topk_ivf, n_centroids=16, nprobe=2),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # candidate generation joins probes to assignments on __cid__
+    assert "__cid__" in plan
+    assert "CartesianProduct" not in plan
+    # brute force's signature shape is a BroadcastNestedLoopJoin of the
+    # full query set against the whole corpus; IVF must not contain one
+    # except the K-row centroid broadcast (which is a cross of queries
+    # x centroids, visible as a nested loop over a 16-row side). Count:
+    # the centroid cross appears once per sweep — the corpus-sized scan
+    # side must join through a hash join on the cell id.
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # exactness at full probe: IVF(nprobe == n_centroids) == brute force
+    exact = mine_bitext_pairs(a, b, k=2, margin_threshold=0.0)
+    full = mine_bitext_pairs(
+        a, b, k=2, margin_threshold=0.0,
+        search=partial(cosine_topk_ivf, n_centroids=4, nprobe=4),
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))

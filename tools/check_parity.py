@@ -33,6 +33,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
+            # the DRIVER's canonicalizer sorts raw values and dies on
+            # unhashable lists/arrays — mirror that so array-shaped
+            # outputs fail here first (round-6 lesson: repr() hid it)
+            import numpy as np
+
+            if s.map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                raise TypeError(
+                    f"column {c!r} holds array values; the driver cannot "
+                    f"canonicalize these — posexplode to scalar rows"
+                )
             df[c] = s.map(lambda v: repr(v))
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
@@ -71,7 +81,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
             continue
-        a, b = _canon(spark_pdf), _canon(oracle_pdf)
+        try:
+            a, b = _canon(spark_pdf), _canon(oracle_pdf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL {name}: canonicalize: {e}")
+            continue
         if list(a.columns) != list(b.columns):
             failures.append(name)
             print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
