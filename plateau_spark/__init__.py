@@ -34,6 +34,7 @@ from plateau_spark.sources.dataset import (
     read_dataset_as_dataframe_iterator,
     read_dataset_as_dataframe_groups,
     read_table,
+    read_table_as_pandas,
     register_dataset_as_view,
     update_dataset_from_dataframe,
     update_dataset_from_dataframes,
@@ -76,6 +77,7 @@ __all__ = [
     "read_dataset_as_dataframe_iterator",
     "read_dataset_as_dataframe_groups",
     "read_table",
+    "read_table_as_pandas",
     "register_dataset_as_view",
     "register_plateau_datasource",
     "update_dataset_from_dataframe",

@@ -898,20 +898,28 @@ def read_dataset_as_dataframe(
             "dtype (parquet dictionary encoding covers the storage/scan "
             "benefit natively). Read the columns plainly instead."
         )
-    if dates_as_object is not None:
-        # The reference's default-True kwarg returns date columns as
-        # pandas object arrays of datetime.date
-        # (/root/reference/plateau/io_components/metapartition.py:596).
-        # Spark reads them as DateType (datetime.date per row on
-        # collect) — there is no object-dtype in-flight representation
-        # to toggle, so the kwarg is a typed divergence error
-        # (documented in SURVEY.md §7 hard-part 4) rather than a
-        # silently-unknown keyword.
-        raise NotImplementedError(
-            "dates_as_object= is not supported: Spark always reads date "
-            "columns as DateType (rows yield datetime.date on collect; "
-            "there is no pandas object-dtype toggle). Drop the kwarg."
+    if dates_as_object is False:
+        # The reference's legacy dates_as_object=False returned date
+        # columns as datetime64 (timestamps) and now deprecation-warns
+        # (/root/reference/plateau/io_components/metapartition.py:629-634);
+        # mirrored exactly: warn, and cast DateType columns to timestamp
+        # so the pandas materialization is datetime64[ns] — the legacy
+        # dtype — instead of object datetime.date.
+        import warnings
+
+        warnings.warn(
+            "The argument `date_as_object` is set to False. This argument "
+            "will be deprecated and the future behaviour will be as if the "
+            "parameter was set to `True`. Please migrate your code "
+            "accordingly ahead of time.",
+            DeprecationWarning,
+            stacklevel=2,
         )
+    # dates_as_object=True (the reference's DEFAULT,
+    # /root/reference/plateau/io_components/metapartition.py:596) is the
+    # natural Spark contract already: DateType rows materialize as
+    # datetime.date on collect()/toPandas() (object dtype) — accepted as
+    # a no-op so ported reader code runs verbatim.
     if predicate_pushdown_to_io is False:
         # The reference's debugging escape hatch reads full row groups
         # and filters in pandas
@@ -973,6 +981,17 @@ def read_dataset_as_dataframe(
         df = df.where(filter_query)
     if columns is not None:
         df = df.select(*[c for c in normalized_column_order(columns, meta.partition_keys) if c in columns])
+    if dates_as_object is False:
+        from pyspark.sql import types as T
+
+        df = df.select(
+            *[
+                F.col(f.name).cast("timestamp").alias(f.name)
+                if isinstance(f.dataType, T.DateType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
     if dispatch_by:
         df = df.repartition(*dispatch_by)
     return df
@@ -980,6 +999,37 @@ def read_dataset_as_dataframe(
 
 # Alias matching the reference's primary entry point name.
 read_table = read_dataset_as_dataframe
+
+
+def read_table_as_pandas(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str | None = None,
+    *,
+    dates_as_object: bool = True,
+    **kwargs,
+):
+    """The reference's pandas-returning read surface: one pandas
+    DataFrame with the reference's dtype contract
+    (/root/reference/plateau/io/eager.py read_table →
+    io_components/metapartition.py:596 ``dates_as_object: bool = True``).
+
+    ``dates_as_object=True`` (reference default): date columns come back
+    as object arrays of ``datetime.date`` — which is exactly what
+    Spark's Arrow ``toPandas()`` produces for DateType, so the default
+    costs nothing. ``dates_as_object=False`` replays the reference's
+    deprecated legacy behavior (DeprecationWarning + datetime64[ns]
+    date columns). All other kwargs (columns/predicates/filter_query/
+    generation/...) pass through to ``read_table``.
+
+    Driver-memory surface — the result must fit on the driver, same as
+    the reference's eager reader; use ``read_table`` for distributed
+    work.
+    """
+    df = read_dataset_as_dataframe(
+        spark, store, dataset_uuid, dates_as_object=dates_as_object, **kwargs
+    )
+    return df.toPandas()
 
 
 def register_dataset_as_view(

@@ -222,14 +222,59 @@ def test_categories_kwarg_raises(spark, conf_store):
         read_dataset_as_dataframe(spark, conf_store, "conf", categories=["L"])
 
 
-def test_dates_as_object_kwarg_raises(spark, conf_store):
-    """dates_as_object= (reference default-True: date columns as pandas
-    object arrays of datetime.date) is a typed divergence error — Spark
-    always reads DateType; there is no object-dtype toggle. The message
-    must name the divergence, not be an unknown-keyword TypeError."""
-    for val in (True, False):
-        with pytest.raises(NotImplementedError, match="DateType"):
-            read_dataset_as_dataframe(spark, conf_store, "conf", dates_as_object=val)
+def test_dates_as_object_reference_default_accepted(spark, conf_store):
+    """dates_as_object=True is the reference's DEFAULT
+    (plateau/io_components/metapartition.py:596): date columns as object
+    arrays of datetime.date on the pandas surface — which is exactly
+    what Spark DateType materializes to, so the kwarg is an accepted
+    no-op and ported reader code runs verbatim (round-7 fix; this was a
+    typed divergence error before)."""
+    import datetime as dt
+
+    base = read_dataset_as_dataframe(spark, conf_store, "conf")
+    same = read_dataset_as_dataframe(spark, conf_store, "conf", dates_as_object=True)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, same.collect()))
+    pdf = same.toPandas()
+    assert pdf["DATE"].dtype == object
+    assert all(type(v) is dt.date for v in pdf["DATE"])
+
+
+def test_dates_as_object_false_legacy_warns_datetime64(spark, conf_store):
+    """dates_as_object=False replays the reference's deprecated legacy
+    behavior (metapartition.py:629-634): a DeprecationWarning and date
+    columns as datetime64 timestamps."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = read_dataset_as_dataframe(
+            spark, conf_store, "conf", dates_as_object=False
+        )
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert dict(df.dtypes)["DATE"] == "timestamp"
+    pdf = df.toPandas()
+    assert str(pdf["DATE"].dtype).startswith("datetime64")
+
+
+def test_read_table_as_pandas_surface(spark, conf_store):
+    """The reference's eager pandas read surface: read_table_as_pandas
+    returns one pandas frame with the reference dtype contract, full
+    kwarg passthrough (columns/predicates)."""
+    import datetime as dt
+
+    from plateau_spark.sources.dataset import read_table_as_pandas
+
+    pdf = read_table_as_pandas(spark, conf_store, "conf")
+    assert len(pdf) == len(ROWS)
+    assert pdf["DATE"].dtype == object and all(
+        type(v) is dt.date for v in pdf["DATE"]
+    )
+    sel = read_table_as_pandas(
+        spark, conf_store, "conf",
+        columns=["P", "TARGET"], predicates=[[("P", ">=", 2)]],
+    )
+    assert sorted(sel.columns) == ["P", "TARGET"]
+    assert sorted(sel["TARGET"]) == [3, 4]
 
 
 def test_predicate_pushdown_to_io_kwarg(spark, conf_store):
@@ -400,3 +445,114 @@ def test_file_structure_flat_dataset(spark, tmp_path):
     assert all("/" not in k[len("flat/table/"):] for k in payload)  # no subdirs
     assert store.exists(metadata_key("flat"))
     assert not [k for k in keys if "/.staging/" in k]
+
+
+# --- reference read-suite grid parity (round 7) -----------------------------
+# Mirrors /root/reference/plateau/io/testing/read.py's parametrized
+# grids: single-predicate operator variants (:216), key+content mixes
+# incl. disjunctions (:246), and the datetime-predicate × partition_on
+# × comparator grid under dates_as_object (:580).
+
+
+def _expected(pred):
+    """Evaluate a DNF predicate over ROWS driver-side (P, L, TARGET, DATE)."""
+    def row_ok(row, conj):
+        ops = {
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            "in": lambda a, b: a in b,
+        }
+        cols = {"P": 0, "L": 1, "TARGET": 2, "DATE": 3}
+        return all(ops[op](row[cols[c]], v) for c, op, v in conj)
+
+    return sorted(
+        (r[0], r[3], r[1], r[2])  # normalized order: P, DATE, L, TARGET
+        for r in ROWS
+        if any(row_ok(r, conj) for conj in pred)
+    )
+
+
+@pytest.mark.parametrize(
+    "predicates",
+    [
+        [[("P", "==", 2)]],
+        [[("P", "in", [2])]],
+        [[("P", "!=", 1)]],
+        [[("P", ">", 1)]],
+        [[("P", ">=", 2)]],
+        [[("P", "<", 2)]],
+        [[("P", "<=", 1)]],
+        [[("P", "in", [])]],
+    ],
+    ids=["eq", "in", "ne", "gt", "ge", "lt", "le", "in-empty"],
+)
+@pytest.mark.parametrize("mode", MODES)
+def test_predicate_operator_grid_on_partition_key(mode, spark, conf_store, predicates):
+    """Reference read.py:216 grid: every comparison operator against the
+    partition key, across all three read modes."""
+    assert _materialize(mode, spark, conf_store, predicates=predicates) == _expected(
+        predicates
+    )
+
+
+@pytest.mark.parametrize(
+    "predicates",
+    [
+        [[("P", "==", 2), ("TARGET", "==", 3)]],
+        [[("P", "in", [2]), ("TARGET", "==", 3)]],
+        [[("P", "!=", 1), ("L", "==", 2)]],
+        [[("P", "!=", 1), ("L", "in", [2])]],
+        [[("P", ">", 2)], [("TARGET", ">=", 2)]],
+        [[("P", ">=", 2)], [("TARGET", ">=", 2)]],
+        [[("P", "==", 1), ("DATE", ">", datetime.date(2010, 1, 1))]],
+    ],
+    ids=["key-content", "in-content", "ne-idx", "ne-in-idx", "disj-gt",
+         "disj-ge", "key-date"],
+)
+@pytest.mark.parametrize("mode", MODES)
+def test_predicate_key_content_mix_grid(mode, spark, conf_store, predicates):
+    """Reference read.py:246 grid: conjunctions splitting across
+    partition-key and content columns, plus disjunctions spanning both —
+    identical rows in every read mode."""
+    assert _materialize(mode, spark, conf_store, predicates=predicates) == _expected(
+        predicates
+    )
+
+
+@pytest.mark.parametrize("partition_on", [["a", "b"], ["c"], ["a", "b", "c"]])
+@pytest.mark.parametrize("comp", ["==", ">="])
+@pytest.mark.parametrize("dates_kw", [True, None])
+def test_datetime_predicate_with_dates_grid(
+    spark, tmp_path, partition_on, comp, dates_kw
+):
+    """Reference read.py:580 grid: a date column both AS a partition key
+    and as payload, filtered with ==/>= date literals, under the
+    reference's dates_as_object spellings. The full original frame must
+    come back (both rows share the predicate date)."""
+    import datetime as dt
+
+    from plateau_spark.core.store import Store
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, 1, dt.date(2000, 1, 1), 1), (1, 1, dt.date(2000, 1, 1), 2)],
+        "a long, b long, c date, d long",
+    )
+    uuid = (
+        "dategrid-" + "-".join(partition_on)
+        + ("-ge" if comp == ">=" else "-eq") + f"-{dates_kw}"
+    )
+    store_dataframe_as_dataset(spark, store, uuid, df, partition_on=partition_on)
+    kwargs = {} if dates_kw is None else {"dates_as_object": dates_kw}
+    out = read_dataset_as_dataframe(
+        spark, store, uuid,
+        predicates=[[("c", comp, dt.date(2000, 1, 1))]], **kwargs,
+    )
+    got = sorted((r["a"], r["b"], r["c"], r["d"]) for r in out.collect())
+    assert got == [(1, 1, dt.date(2000, 1, 1), 1), (1, 1, dt.date(2000, 1, 1), 2)]
+    # and the date column stays a real date on the pandas surface
+    assert all(type(v) is dt.date for v in out.toPandas()["c"])
