@@ -208,11 +208,28 @@ def dnf_to_sql(predicates: Predicates | None) -> str:
     return " OR ".join(disjuncts)
 
 
-def apply_predicates(df: DataFrame, predicates: Predicates | None) -> DataFrame:
-    """``df.where(dnf)`` — Catalyst pushes this down to the parquet scan."""
+def apply_predicates(
+    df: DataFrame, predicates: Predicates | None, *, pushdown_to_io: bool = True
+) -> DataFrame:
+    """``df.where(dnf)`` — Catalyst pushes this down to the parquet scan.
+
+    ``pushdown_to_io=False`` replays the reference's per-read debugging
+    escape hatch (plateau/serialization/_parquet.py:208-210: read full
+    row groups, filter after the fact): the DNF column is OR-composed
+    with a provably-false NONDETERMINISTIC disjunct
+    (``monotonically_increasing_id() < 0`` — ids are non-negative by
+    construction), which Catalyst cannot split or push into the scan,
+    so the filter runs post-scan while rows/NULL semantics are
+    bit-identical (``pred OR false ≡ pred``, including NULL → drop).
+    Driver-side partition/zone-map/index pruning is unaffected — same
+    as the reference, where the flag only bypasses row-group pushdown.
+    """
     if predicates is None:
         return df
-    return df.where(dnf_to_column(predicates))
+    cond = dnf_to_column(predicates)
+    if not pushdown_to_io:
+        cond = cond | (F.monotonically_increasing_id() < F.lit(0))
+    return df.where(cond)
 
 
 # ---------------------------------------------------------------------------

@@ -920,21 +920,13 @@ def read_dataset_as_dataframe(
     # natural Spark contract already: DateType rows materialize as
     # datetime.date on collect()/toPandas() (object dtype) — accepted as
     # a no-op so ported reader code runs verbatim.
-    if predicate_pushdown_to_io is False:
-        # The reference's debugging escape hatch reads full row groups
-        # and filters in pandas
-        # (/root/reference/plateau/serialization/_parquet.py:208-210).
-        # On Spark, predicate pushdown into the parquet reader is a
-        # Catalyst/session concern, not a per-read kwarg — the
-        # equivalent debugging switch is session-wide. Typed divergence
-        # error (same policy as categories= / dates_as_object=).
-        raise NotImplementedError(
-            "predicate_pushdown_to_io=False is not supported per-read: "
-            "Spark pushes parquet filters via Catalyst. For debugging, "
-            "disable it session-wide with "
-            "spark.conf.set('spark.sql.parquet.filterPushdown', 'false') "
-            "— driver-side partition/index pruning is unaffected."
-        )
+    # predicate_pushdown_to_io=False (the reference's per-read debugging
+    # escape hatch, /root/reference/plateau/serialization/_parquet.py:
+    # 208-210) is honored per-read since round 7: the residual predicate
+    # is applied post-scan via a non-pushable composition (see
+    # apply_predicates) instead of being pushed into the parquet reader.
+    # Driver-side partition/zone-map/index pruning still applies — the
+    # reference's flag likewise only bypasses row-group pushdown.
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")
     factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)
@@ -976,7 +968,7 @@ def read_dataset_as_dataframe(
         # canonical column order (partition keys first, payload alphabetical)
         df = df.select(*normalized_column_order(df.columns, meta.partition_keys))
 
-    df = apply_predicates(df, predicates)
+    df = apply_predicates(df, predicates, pushdown_to_io=predicate_pushdown_to_io)
     if filter_query:
         df = df.where(filter_query)
     if columns is not None:

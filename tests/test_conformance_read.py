@@ -279,19 +279,36 @@ def test_read_table_as_pandas_surface(spark, conf_store):
 
 def test_predicate_pushdown_to_io_kwarg(spark, conf_store):
     """predicate_pushdown_to_io: the reference's per-read debugging
-    escape hatch (plateau/serialization/_parquet.py:208-210). True (the
-    reference default) is accepted and identical to omitting it; False
-    is a typed divergence error naming the Spark session-wide switch —
-    pushdown is a Catalyst concern, not a per-read kwarg."""
-    baseline = read_dataset_as_dataframe(spark, conf_store, "conf").count()
-    same = read_dataset_as_dataframe(
-        spark, conf_store, "conf", predicate_pushdown_to_io=True
-    ).count()
-    assert same == baseline
-    with pytest.raises(NotImplementedError, match="filterPushdown"):
-        read_dataset_as_dataframe(
-            spark, conf_store, "conf", predicate_pushdown_to_io=False
-        )
+    escape hatch (plateau/serialization/_parquet.py:208-210), honored
+    per-read since round 7. True (the reference default) pushes the
+    residual predicate into the parquet scan; False applies it
+    POST-scan (PushedFilters empty) with bit-identical rows — and
+    driver-side partition pruning still applies in both spellings."""
+    import re
+
+    pred = [[("TARGET", ">=", 2), ("L", "==", 2)]]
+    pushed = read_dataset_as_dataframe(spark, conf_store, "conf", predicates=pred)
+    unpushed = read_dataset_as_dataframe(
+        spark, conf_store, "conf", predicates=pred, predicate_pushdown_to_io=False
+    )
+    assert sorted(map(tuple, pushed.collect())) == sorted(
+        map(tuple, unpushed.collect())
+    )
+
+    def pushed_filters(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return "".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+
+    assert "TARGET" in pushed_filters(pushed)
+    assert pushed_filters(unpushed).strip() == ""
+    # partition pruning is io-pushdown-independent: a key predicate
+    # still cuts the file list under predicate_pushdown_to_io=False
+    key_pred = [[("P", "==", 2)]]
+    files = read_dataset_as_dataframe(
+        spark, conf_store, "conf", predicates=key_pred,
+        predicate_pushdown_to_io=False,
+    ).inputFiles()
+    assert len(files) == 1
 
 
 @pytest.mark.parametrize("mode", ["eager", "iterator"])
