@@ -68,6 +68,38 @@ def _table_prefix(dataset_uuid: str) -> str:
     return f"{dataset_uuid}/{naming.TABLE_NAME}/"
 
 
+def _read_committed_files(
+    spark: SparkSession,
+    store: Store,
+    dataset_uuid: str,
+    schema,
+    partitions: Sequence[Partition],
+) -> DataFrame:
+    """Explicit-path scan over committed partition files with the RIGHT
+    ``basePath`` per table directory. Reference-written datasets may
+    store their single table under any name (``<uuid>/core/...`` —
+    plateau/core/dataset.py:134-140 accepts any single-table commit),
+    and after an update THIS engine appends under the v4 default
+    ``table/`` — so one dataset can legitimately hold files under two
+    directories. Spark rejects scan paths outside ``basePath``
+    (partition-value recovery is anchored there), so files are grouped
+    by table dir and scanned per group, unioned by name. The common
+    case is a single group — identical plan to before. (Uses the
+    module-global ``read_files`` so tests can intercept the scan.)"""
+    by_dir: dict[str, dict[str, str]] = {}
+    for p in partitions:
+        parts = p.file.split("/")
+        tdir = parts[1] if len(parts) >= 3 else naming.TABLE_NAME
+        by_dir.setdefault(tdir, {})[p.file] = store.url(p.file)
+    out = None
+    for tdir in sorted(by_dir):
+        df = read_files(
+            spark, schema, store.url(f"{dataset_uuid}/{tdir}"), by_dir[tdir]
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _ensure_store(store: Store | str) -> Store:
     from plateau_spark.core.factory import DatasetFactory
 
@@ -387,11 +419,8 @@ def _build_index_dataframes(
             continue
         if df is None:
             file_to_label = {store.url(p.file): p.label for p in partitions}
-            df = read_files(
-                spark,
-                metadata.schema,
-                store.url(_table_prefix(metadata.uuid).rstrip("/")),
-                {p.file: store.url(p.file) for p in partitions},
+            df = _read_committed_files(
+                spark, store, metadata.uuid, metadata.schema, partitions
             )
             mapping = spark.createDataFrame(
                 list(file_to_label.items()), "___file string, __label__ string"
@@ -952,7 +981,6 @@ def read_dataset_as_dataframe(
         # the factory's cache of the current commit's
         index_loader=None if generation is not None else factory.secondary_index,
     )
-    base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
 
     if not surviving:
         if meta.schema is None:
@@ -962,9 +990,7 @@ def read_dataset_as_dataframe(
             )
         df = spark.createDataFrame([], schema=meta.schema)
     else:
-        df = read_files(
-            spark, meta.schema, base, {p.file: store.url(p.file) for p in surviving}
-        )
+        df = _read_committed_files(spark, store, dataset_uuid, meta.schema, surviving)
         # canonical column order (partition keys first, payload alphabetical)
         df = df.select(*normalized_column_order(df.columns, meta.partition_keys))
 
@@ -1580,10 +1606,7 @@ def delete_rows_from_dataset(
 
     from plateau_spark.core.predicates import dnf_to_column
 
-    base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
-    df = read_files(
-        spark, meta.schema, base, {p.file: store.url(p.file) for p in candidates}
-    )
+    df = _read_committed_files(spark, store, dataset_uuid, meta.schema, candidates)
     keep = df.where(~F.coalesce(dnf_to_column(predicates), F.lit(False)))
     new_partitions = _write_files(
         keep,
@@ -1687,11 +1710,10 @@ def merge_upsert_into_dataset(
             conj.append((c, "<=", hi))
     candidates = plan_scan(meta, store, [conj] if conj else None)
 
-    base = store.url(_table_prefix(dataset_uuid).rstrip("/"))
     keep = None
     if candidates:
-        existing = read_files(
-            spark, meta.schema, base, {p.file: store.url(p.file) for p in candidates}
+        existing = _read_committed_files(
+            spark, store, dataset_uuid, meta.schema, candidates
         )
         keep = existing.join(updates.select(*key_columns), key_columns, "left_anti")
     merged = updates if keep is None else keep.unionByName(updates)

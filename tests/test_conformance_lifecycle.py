@@ -1193,3 +1193,104 @@ def test_upsert_vs_delete_fuzz_interleavings(spark, lstore, monkeypatch):
             for r in read_dataset_as_dataframe(spark, lstore, "fzl").collect()
         }
         assert got == live, f"round {round_i} ({op}, append={do_append})"
+
+
+# --- reference update/write suite mirrors (round 7) -------------------------
+
+
+def test_reference_table_dir_interop_read_update_delete(spark, lstore):
+    """A reference-written dataset stores its single table under ANY
+    directory name (e.g. <uuid>/core/ — plateau/core/dataset.py:134-140).
+    Reads must anchor basePath at the ACTUAL directory; an update then
+    appends under the v4 default table/ giving a mixed-dir dataset that
+    must still read, row-delete and upsert correctly (round-7 fix: the
+    scan hardcoded basePath=<uuid>/table and threw
+    'Wrong basePath' on reference layouts)."""
+    from plateau_spark.sources.dataset import (
+        delete_rows_from_dataset,
+        merge_upsert_into_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2)) for i in range(10)], "k long, g string"
+    )
+    store_dataframe_as_dataset(spark, lstore, "refcore", df, partition_on=["g"])
+    # relocate the payload to the reference's core/ layout
+    key = metadata_key("refcore")
+    payload = lstore.get_json(key)
+    for label, pj in payload["partitions"].items():
+        old = pj["files"]["table"]
+        new = old.replace("/table/", "/core/", 1)
+        lstore.move(old, new)
+        pj["files"] = {"core": new}
+    lstore.put_json(key, payload)
+
+    out = read_dataset_as_dataframe(spark, lstore, "refcore")
+    assert sorted(r["k"] for r in out.collect()) == list(range(10))
+    # hive keys recovered across the non-default dir
+    assert out.where("g = 'g1'").count() == 5
+
+    # update appends under table/ -> mixed dirs; read must union both
+    update_dataset_from_dataframe(
+        spark, lstore, "refcore",
+        spark.createDataFrame([(100, "g0")], "k long, g string"),
+    )
+    got = sorted(r["k"] for r in read_dataset_as_dataframe(spark, lstore, "refcore").collect())
+    assert got == list(range(10)) + [100]
+
+    # row-delete and upsert rewrite across both dirs
+    delete_rows_from_dataset(spark, lstore, "refcore", [[("k", "==", 3)]])
+    merge_upsert_into_dataset(
+        spark, lstore, "refcore",
+        spark.createDataFrame([(0, "g0")], "k long, g string"), "k",
+    )
+    got = sorted(r["k"] for r in read_dataset_as_dataframe(spark, lstore, "refcore").collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_update_sort_partitions_by(spark, lstore):
+    """Reference io/testing/update.py:396 test_sort_partitions_by: an
+    update with sort_partitions_by leaves every written FILE internally
+    sorted on that column (verified per committed file)."""
+    df1 = spark.createDataFrame([(3, 1, 1)], "P long, L long, TARGET long")
+    store_dataframe_as_dataset(spark, lstore, "srt", df1)
+    df2 = spark.createDataFrame(
+        [(p, 1, t) for p, t in zip([1, 2, 3, 1, 2, 3], [15, 14, 13, 12, 11, 10])],
+        "P long, L long, TARGET long",
+    )
+    meta = update_dataset_from_dataframe(
+        spark, lstore, "srt", df2.repartition(2), sort_partitions_by=["TARGET"]
+    )
+    for p in meta.partitions.values():
+        vals = [
+            r["TARGET"]
+            for r in spark.read.parquet(lstore.url(p.file)).select("TARGET").collect()
+        ]
+        assert vals == sorted(vals), f"file {p.file} not sorted"
+
+
+def test_update_after_schema_only_empty_dataset(spark, lstore):
+    """Reference update.py:695 shape (string dtype through an empty
+    first partition): a schema-only dataset (empty header) accepts a
+    later update without schema errors, round-trips NULL strings, and
+    REJECTS an incompatible retype with the schema-violation error."""
+    from pyspark.sql import types as T
+
+    from plateau_spark.sources.dataset import create_empty_dataset_header
+
+    schema = T.StructType([T.StructField("str", T.StringType())])
+    create_empty_dataset_header(spark, lstore, "emptyfirst", schema)
+    assert read_dataset_as_dataframe(spark, lstore, "emptyfirst").count() == 0
+    update_dataset_from_dataframe(
+        spark, lstore, "emptyfirst",
+        spark.createDataFrame([("a",), ("b",), (None,)], schema),
+    )
+    got = sorted(
+        (r["str"] or "") for r in read_dataset_as_dataframe(spark, lstore, "emptyfirst").collect()
+    )
+    assert got == ["", "a", "b"]
+    with pytest.raises(SchemaValidationError):
+        update_dataset_from_dataframe(
+            spark, lstore, "emptyfirst",
+            spark.createDataFrame([(1,)], "str long"),
+        )
