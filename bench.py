@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dataset_compact_read",
     "streaming_ingest_dataset",
     "dataset_zonemap_read",
+    "dsir_select",
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",

@@ -393,6 +393,103 @@ WHERE CAST(('0x' || substr(md5('sws|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIG
 """
 
 
+# same tokenizer twin as _TOKS (defined later in the file; f-strings
+# evaluate at definition time, so the macro is restated here)
+_TOKS_INLINE = r"list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> x <> '')"
+
+
+def dsir_logweights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): score every
+    document by how target-like its hashed uni+bigram profile is —
+    target = the English sub-corpus, raw = everything. Hashed n-gram
+    models with add-one smoothing, md5 bucketing → bit-reproducible."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_logweights(
+        docs.select("doc_id", "text"), target, "doc_id", "text", n_buckets=1024
+    )
+
+
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR selection: 100 documents sampled without
+    replacement proportional to softmax of the importance weights —
+    deterministic (md5 Gumbel noise keyed by doc id), so the selected
+    set itself is hash-checked against the SQL twin."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(
+        docs.select("doc_id", "text"), target, "doc_id", "text", 100,
+        n_buckets=1024, temperature=2.0,
+    )
+
+
+_DSIR_FEATS = r"""
+feats AS (
+  SELECT doc_id, unnest(ts) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS f
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+), bk AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('dsir|' || f), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM feats
+)"""
+
+_DSIR_MODEL = """
+rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM bk JOIN tgt USING (doc_id) GROUP BY b),
+nt AS (SELECT count(*) AS n FROM bk JOIN tgt USING (doc_id)),
+nr AS (SELECT count(*) AS n FROM bk),
+model AS (
+  SELECT rc.b,
+         (ln(coalesce(tc.ct, 0) + 1) - ln(nt.n + 1024.0))
+       - (ln(rc.cr + 1) - ln(nr.n + 1024.0)) AS diff
+  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT bk.doc_id, sum(model.diff) AS lw
+  FROM bk JOIN model ON bk.b = model.b
+  GROUP BY bk.doc_id
+)"""
+
+DSIR_LOGWEIGHTS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_INLINE} AS ts FROM documents
+), {_DSIR_FEATS.strip()},
+tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+{_DSIR_MODEL.strip()}
+SELECT d.doc_id, round(scored.lw, 6) AS logw
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+DSIR_SELECT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_INLINE} AS ts FROM documents
+), {_DSIR_FEATS.strip()},
+tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+{_DSIR_MODEL.strip()},
+keyed AS (
+  SELECT doc_id, round(lw, 6) AS logw,
+         round(lw, 6) / 2.0 + (-ln(-ln(
+           (CAST(('0x' || substr(md5('dsir:gumbel|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+           / 4294967296.0
+         ))) AS gk
+  FROM scored WHERE lw IS NOT NULL
+)
+SELECT doc_id, logw
+FROM keyed
+ORDER BY gk DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def dataset_mixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-corpus weighted mixture read: two datasets (en docs / rest)
     read as one frame with per-dataset md5-deterministic keep
@@ -3773,6 +3870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_zorder_read": dataset_zorder_read,
     "bitext_mine_pairs": bitext_mine_pairs,
     "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
+    "dsir_logweights": dsir_logweights_q,
+    "dsir_select": dsir_select_q,
     "text_lm_score": text_lm_score,
     "text_lm2_score": text_lm2_score,
     "streaming_ingest_dataset": streaming_ingest_dataset,
@@ -3899,6 +3998,8 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": EMBEDDING_KMEANS_ORACLE,
     "bitext_mine_pairs": BITEXT_MINE_ORACLE,
     "bitext_mine_pairs_ivf": BITEXT_MINE_ORACLE,
+    "dsir_logweights": DSIR_LOGWEIGHTS_ORACLE,
+    "dsir_select": DSIR_SELECT_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

@@ -460,3 +460,189 @@ def score_weighted_sample(
         F.lit(float(ceiling)),
     )
     return df.where(_hash_unit(key_col, salt) < p)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): select raw-corpus documents whose hashed n-gram profile looks
+# like a small high-quality TARGET corpus. The standard
+# pretraining-data curation shape: fit two hashed bag-of-ngrams models
+# (target and raw), score every raw document with its log importance
+# weight, then Gumbel-top-k resample (sampling without replacement
+# proportional to softmax of the weights).
+# ---------------------------------------------------------------------------
+
+
+def _hashed_ngram_features(text_col: str, salt: str, n_buckets: int) -> F.Column:
+    """Array of md5-hashed feature buckets (unigrams + bigrams, WITH
+    duplicates — DSIR counts feature occurrences). 15 hex chars = 60
+    bits, bit-reproducible in DuckDB as ('0x'||substr(md5(...),1,15))
+    ::BIGINT % n_buckets (both operands non-negative → % == pmod)."""
+    from plateau_spark.operators.text import _word_tokens
+
+    toks = _word_tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(
+        feats,
+        lambda t: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat_ws("|", F.lit(salt), t), "UTF-8")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_buckets)),
+        ),
+    )
+
+
+def _bucket_counts(df: DataFrame, text_col: str, salt: str, n_buckets: int) -> DataFrame:
+    """(bucket, count) over a corpus — one explode pass + one keyed agg
+    (map-side combine absorbs hot buckets); ≤ n_buckets result rows."""
+    return (
+        df.select(
+            F.explode(_hashed_ngram_features(text_col, salt, n_buckets)).alias("__b__")
+        )
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__c__"))
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+    score_col: str = "logw",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document DSIR log importance weight over ``raw``:
+
+        log w(x) = Σ_{f ∈ features(x)} [ log p̂_target(b(f)) − log p̂_raw(b(f)) ]
+
+    with hashed uni+bigram features and add-one smoothing per bucket
+    (log p̂(b) = log(c_b + 1) − log(N + n_buckets)) — the paper's hashed
+    n-gram generative model, closed-form so the whole fit + scoring is
+    oracle-checkable. High logw = looks like the target distribution.
+
+    100 TB shape: one explode pass per corpus for the two model fits
+    (keyed count aggs, ≤ n_buckets rows each — KBs, broadcast to the
+    scoring join); scoring = one explode pass over raw → broadcast
+    equi-join on the bucket id → keyed per-document sum. No Python, no
+    windows, no driver state. Documents with zero features score NULL.
+    """
+    import math
+
+    t_counts = _bucket_counts(target, text_col, salt, n_buckets)
+    r_counts = _bucket_counts(raw, text_col, salt, n_buckets)
+    n_t = target.select(
+        F.sum(F.size(_hashed_ngram_features(text_col, salt, n_buckets))).alias("n")
+    )
+    n_r = raw.select(
+        F.sum(F.size(_hashed_ngram_features(text_col, salt, n_buckets))).alias("n")
+    )
+    # every scored feature occurs in raw (the doc itself is raw), so the
+    # raw counts relation covers all buckets the join will probe; the
+    # target side null-fills to c=0 (pure smoothing mass)
+    model = (
+        r_counts.withColumnRenamed("__c__", "__cr__")
+        .join(t_counts.withColumnRenamed("__c__", "__ct__"), "__b__", "left")
+        .crossJoin(F.broadcast(n_t.withColumnRenamed("n", "__nt__")))
+        .crossJoin(F.broadcast(n_r.withColumnRenamed("n", "__nr__")))
+        .select(
+            "__b__",
+            (
+                (F.log(F.coalesce(F.col("__ct__"), F.lit(0)) + F.lit(1))
+                 - F.log(F.col("__nt__") + F.lit(float(n_buckets))))
+                - (F.log(F.col("__cr__") + F.lit(1))
+                   - F.log(F.col("__nr__") + F.lit(float(n_buckets))))
+            ).alias("__diff__"),
+        )
+    )
+    scored = (
+        raw.select(
+            F.col(id_col),
+            F.explode(_hashed_ngram_features(text_col, salt, n_buckets)).alias("__b__"),
+        )
+        .join(F.broadcast(model), "__b__")
+        .groupBy(id_col)
+        .agg(F.sum("__diff__").alias("__lw__"))
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(F.col(id_col), F.round("__lw__", round_digits).alias(score_col))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+    temperature: float = 1.0,
+    score_col: str = "logw",
+) -> DataFrame:
+    """Gumbel-top-k DSIR selection: keep the ``k`` raw documents with the
+    largest ``logw/temperature + Gumbel(doc)`` — exactly sampling k
+    documents WITHOUT replacement with probability proportional to
+    softmax(logw/temperature) (the Gumbel-top-k trick the paper uses).
+    The Gumbel noise is a pure md5 hash of the document id
+    (g = −ln(−ln(u)), u = (md5₃₂ + 0.5) / 2³²), so the selection is
+    deterministic across engines and reruns. temperature → 0 degrades
+    to plain top-k; large temperature → uniform sampling. The top-k is
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-task partial top-k, never a global sort materialization), the
+    scale-correct shape for k ≪ corpus. Zero-feature (NULL-logw)
+    documents are never selected."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    # the ranking key derives from the ROUNDED weight: both engines then
+    # key identical float operands (the md5 Gumbel term is bit-exact
+    # integer arithmetic), so the selected SET is cross-engine stable —
+    # ordering by the raw double sum would let last-ulp addition-order
+    # noise flip ranks at the k boundary
+    scored = dsir_logweights(
+        raw, target, id_col, text_col,
+        n_buckets=n_buckets, salt=salt, score_col=score_col, round_digits=6,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", F.lit(salt + ":gumbel"), F.col(id_col).cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    keyed = scored.where(F.col(score_col).isNotNull()).withColumn(
+        "__gk__", F.col(score_col) / F.lit(float(temperature)) + gumbel
+    )
+    return (
+        keyed.orderBy(F.col("__gk__").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(id_col, score_col)
+    )

@@ -1,0 +1,121 @@
+"""Round-7 operator tests: DSIR importance resampling.
+
+Reference anchor: none (north-star extension beyond
+/root/reference/plateau — the reference has no text-selection
+operators); method from Xie et al., NeurIPS 2023 "Data Selection for
+Language Models via Importance Resampling" (hashed n-gram importance
+weights + Gumbel-top-k resampling).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dsir_logweight_hand_computed(spark):
+    """One-token docs, one bucket per feature: log w must equal the
+    closed-form smoothed log-ratio."""
+    from plateau_spark.operators.sampling import (
+        _hashed_ngram_features,
+        dsir_logweights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(10, "aaa")], "doc_id long, text string")
+    out = {r["doc_id"]: r["logw"] for r in dsir_logweights(
+        raw, target, "doc_id", "text", n_buckets=64
+    ).collect()}
+    # bucket ids for the two features (md5-derived, engine-side)
+    b = {
+        r["t"]: r["b"][0]
+        for r in spark.createDataFrame([("aaa",), ("bbb",)], "t string")
+        .select("t", _hashed_ngram_features("t", "dsir", 64).alias("b"))
+        .collect()
+    }
+    assert b["aaa"] != b["bbb"]  # no collision at this size
+    # models: target N=1 (one 'aaa'), raw N=2 (one each)
+    def lp(c, n):
+        return math.log(c + 1) - math.log(n + 64)
+    expect_a = (lp(1, 1) - lp(1, 2))
+    expect_b = (lp(0, 1) - lp(1, 2))
+    assert abs(out[1] - round(expect_a, 6)) < 1e-6
+    assert abs(out[2] - round(expect_b, 6)) < 1e-6
+    assert out[1] > out[2]  # target-like doc scores higher
+
+
+def test_dsir_target_like_documents_rank_higher(spark):
+    from plateau_spark.operators.sampling import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(i, "science research method results" if i < 5 else "buy cheap pills now")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, "science research experiments and results") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["logw"] for r in dsir_logweights(
+        raw, target, "doc_id", "text"
+    ).collect()}
+    assert min(out[i] for i in range(5)) > max(out[i] for i in range(5, 10))
+
+
+def test_dsir_zero_feature_doc_scores_null_and_never_selected(spark):
+    from plateau_spark.operators.sampling import dsir_logweights, dsir_select
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "alpha")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    out = {r["doc_id"]: r["logw"] for r in dsir_logweights(
+        raw, target, "doc_id", "text"
+    ).collect()}
+    assert out[2] is None
+    sel = dsir_select(raw, target, "doc_id", "text", 3)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert 2 not in ids and len(ids) == 2  # only featured docs selectable
+
+
+def test_dsir_select_deterministic_and_bounded(spark):
+    from plateau_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    a = sorted(r["doc_id"] for r in dsir_select(docs, target, "doc_id", "text", 20).collect())
+    b = sorted(r["doc_id"] for r in dsir_select(docs, target, "doc_id", "text", 20).collect())
+    assert a == b and len(a) == 20
+    # temperature changes the draw (same weights, different softmax)
+    c = sorted(r["doc_id"] for r in dsir_select(
+        docs, target, "doc_id", "text", 20, temperature=100.0
+    ).collect())
+    assert c != a
+    with pytest.raises(ValueError, match="k must be positive"):
+        dsir_select(docs, target, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_select(docs, target, "doc_id", "text", 5, temperature=0.0)
+
+
+def test_dsir_plan_broadcast_model_and_take_ordered(spark):
+    """Scale shape: the bucket-model join must broadcast (model is
+    <= n_buckets rows), scoring must stay free of nested loops over the
+    corpus, and selection must plan TakeOrderedAndProject (partial
+    top-k), never a global sort materialization."""
+    from plateau_spark.operators.sampling import dsir_logweights, dsir_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    scored = dsir_logweights(docs, target, "doc_id", "text")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    sel = dsir_select(docs, target, "doc_id", "text", 10)
+    splan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan
