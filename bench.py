@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "streaming_ingest_dataset",
     "dataset_zonemap_read",
     "dsir_select",
+    "ccnet_buckets",
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",

@@ -398,6 +398,52 @@ WHERE CAST(('0x' || substr(md5('sws|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIG
 _TOKS_INLINE = r"list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> x <> '')"
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus bucketing (Wenzek et al. 2020): per-LANGUAGE unigram
+    LM fit + per-language NLL-CDF head/middle/tail thirds (head = most
+    fluent). Histogram-CDF formulation — no global sort — and fully
+    hash-checked: model fit, scoring and bucket assignment all replay
+    in SQL."""
+    _prep(spark)
+    from plateau_spark.operators.text import ccnet_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(docs, "doc_id", "text", "lang")
+    return out.select("doc_id", "lang", "nll", "bucket")
+
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKS_INLINE}) AS t FROM documents
+), cnt AS (
+  SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT lang, sum(c) AS n FROM cnt GROUP BY 1
+), model AS (
+  SELECT cnt.lang, t, ln(c) - ln(n) AS logp FROM cnt JOIN tot USING (lang)
+), scored AS (
+  SELECT toks.doc_id, toks.lang, round(avg(-model.logp), 6) AS nll
+  FROM toks JOIN model ON toks.lang = model.lang AND toks.t = model.t
+  GROUP BY 1, 2
+), hist AS (
+  SELECT lang, CAST(floor(nll * 100) AS BIGINT) AS b, count(*) AS c
+  FROM scored GROUP BY 1, 2
+), cdf AS (
+  SELECT lang, b,
+         SUM(c) OVER (PARTITION BY lang ORDER BY b ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 /
+         SUM(c) OVER (PARTITION BY lang) AS cf
+  FROM hist
+)
+SELECT s.doc_id, s.lang, s.nll,
+       CASE WHEN cf <= 1.0/3 THEN 'head'
+            WHEN cf <= 2.0/3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s
+JOIN cdf ON s.lang = cdf.lang AND CAST(floor(s.nll * 100) AS BIGINT) = cdf.b
+"""
+
+
 def dsir_logweights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al., NeurIPS 2023): score every
     document by how target-like its hashed uni+bigram profile is —
@@ -3872,6 +3918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
     "dsir_logweights": dsir_logweights_q,
     "dsir_select": dsir_select_q,
+    "ccnet_buckets": ccnet_buckets,
     "text_lm_score": text_lm_score,
     "text_lm2_score": text_lm2_score,
     "streaming_ingest_dataset": streaming_ingest_dataset,
@@ -4000,6 +4047,7 @@ ORACLES: dict[str, str] = {
     "bitext_mine_pairs_ivf": BITEXT_MINE_ORACLE,
     "dsir_logweights": DSIR_LOGWEIGHTS_ORACLE,
     "dsir_select": DSIR_SELECT_ORACLE,
+    "ccnet_buckets": CCNET_BUCKETS_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

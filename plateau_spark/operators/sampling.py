@@ -248,6 +248,8 @@ def quality_tiers(
     ),
     scale: int = 1000,
     tier_col: str = "tier",
+    best: str = "high",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """CCNet-style corpus tiering: label each row head/middle/tail by
     the empirical CDF of its quality score (head = best ``tiers[0][1]``
@@ -262,24 +264,37 @@ def quality_tiers(
     window over the histogram, and a broadcast join back. No global
     sort of the data ever happens — the shape CCNet's sort-by-perplexity
     formulation would need — so this holds at 100 TB.
+
+    ``best="high"`` (default) puts the LARGEST scores in the first
+    tier; ``best="low"`` the smallest (the perplexity/NLL orientation:
+    CCNet's head is the LOWEST-perplexity slice). ``group_cols``
+    computes the CDF within each group (CCNet tiers per LANGUAGE): the
+    histogram keys on (groups, bucket), the window partitions by the
+    groups — still ≤ O(|groups|·scale) histogram rows, still no data
+    sort.
     """
     tiers = list(tiers)
     if not tiers or abs(tiers[-1][1] - 1.0) > 1e-9:
         raise ValueError("tiers must be non-empty and end at boundary 1.0")
+    if best not in ("high", "low"):
+        raise ValueError(f"best must be 'high' or 'low', got {best!r}")
+    group_cols = list(group_cols)
     bucket = F.floor(F.col(score_col) * F.lit(int(scale))).cast("long")
     hist = (
-        df.select(bucket.alias("__b__"))
-        .groupBy("__b__")
+        df.select(*group_cols, bucket.alias("__b__"))
+        .groupBy(*group_cols, "__b__")
         .agg(F.count("*").alias("__c__"))
     )
-    # tiny table (≤ scale+1 rows): single-partition window is fine here
-    w = Window.orderBy(F.col("__b__").desc()).rowsBetween(
+    # tiny table (≤ |groups|·(scale+1) rows): per-group window is fine
+    order = F.col("__b__").desc() if best == "high" else F.col("__b__").asc()
+    w = Window.partitionBy(*group_cols).orderBy(order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    total = Window.rowsBetween(
+    total = Window.partitionBy(*group_cols).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cdf = hist.select(
+        *group_cols,
         "__b__",
         (
             F.sum("__c__").over(w) * F.lit(1.0) / F.sum("__c__").over(total)
@@ -288,10 +303,10 @@ def quality_tiers(
     expr = F.lit(tiers[-1][0])
     for name, bound in reversed(tiers[:-1]):
         expr = F.when(F.col("__cf__") <= F.lit(float(bound)), F.lit(name)).otherwise(expr)
-    labeled = cdf.select("__b__", expr.alias(tier_col))
+    labeled = cdf.select(*group_cols, "__b__", expr.alias(tier_col))
     return (
         df.withColumn("__b__", bucket)
-        .join(F.broadcast(labeled), "__b__")
+        .join(F.broadcast(labeled), [*group_cols, "__b__"])
         .drop("__b__")
     )
 

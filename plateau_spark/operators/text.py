@@ -724,3 +724,57 @@ def c4_clean_lines(
         F.size(kept).alias(kept_col),
         page_ok.cast("long").alias(page_ok_col),
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    tiers=(("head", 1.0 / 3), ("middle", 2.0 / 3), ("tail", 1.0)),
+    scale: int = 100,
+    score_col: str = "nll",
+    tier_col: str = "bucket",
+) -> DataFrame:
+    """CCNet corpus bucketing (Wenzek et al. 2020): fit a PER-GROUP
+    (per-language) unigram LM on the corpus itself, score every
+    document's mean NLL under its own group's model, and split each
+    group into head/middle/tail thirds by the group-local NLL CDF —
+    head = the LOWEST-perplexity (most fluent) slice. CCNet uses KenLM
+    5-grams; the unigram model keeps the whole fit + scoring
+    closed-form and cross-engine checkable while preserving the
+    bucketing semantics (monotone in the LM score).
+
+    100 TB shape: one explode pass; per-(group, token) count agg →
+    per-group totals (both map-side combined); one hash join
+    token→logp keyed on (group, token); keyed per-doc mean; then the
+    histogram-CDF tier split of ``quality_tiers(best="low",
+    group_cols=[group])`` — no global sort anywhere, no Python, no
+    driver state. Zero-token documents are excluded (undefined
+    perplexity — CCNet drops empty lines before scoring too).
+    """
+    from plateau_spark.operators.sampling import quality_tiers
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(_word_tokens(text_col)).alias("__t__"),
+    )
+    counts = toks.groupBy(group_col, "__t__").agg(F.count("*").alias("__c__"))
+    totals = counts.groupBy(group_col).agg(F.sum("__c__").alias("__n__"))
+    model = counts.join(totals, group_col).select(
+        F.col(group_col),
+        F.col("__t__"),
+        (F.log("__c__") - F.log("__n__")).alias("__logp__"),
+    )
+    scored = (
+        toks.join(model, [group_col, "__t__"])
+        .groupBy(id_col, group_col)
+        .agg(F.round(F.avg(-F.col("__logp__")), 6).alias(score_col))
+    )
+    return quality_tiers(
+        scored, score_col,
+        tiers=tiers, scale=scale, tier_col=tier_col,
+        best="low", group_cols=[group_col],
+    )

@@ -1294,3 +1294,70 @@ def test_update_after_schema_only_empty_dataset(spark, lstore):
             spark, lstore, "emptyfirst",
             spark.createDataFrame([(1,)], "str long"),
         )
+
+
+def test_build_indices_recreate_is_idempotent(spark, lstore):
+    """Reference io/testing/index.py:94 tail: re-running
+    build_dataset_indices over an unchanged dataset reproduces the SAME
+    index content (value → label map), not a corrupted or doubled one."""
+    from plateau_spark.plans.index import SecondaryIndex
+    from plateau_spark.sources.dataset import build_dataset_indices
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "k long, p long"
+    ).repartition(3)
+    store_dataframe_as_dataset(spark, lstore, "idemp", df)
+    m1 = build_dataset_indices(spark, lstore, "idemp", ["p"])
+    idx1 = SecondaryIndex.load(lstore, m1.indices["p"], "p")
+    d1 = {v: sorted(idx1.query(v)) for v in idx1.observed_values()}
+    m2 = build_dataset_indices(spark, lstore, "idemp", ["p"])
+    idx2 = SecondaryIndex.load(lstore, m2.indices["p"], "p")
+    d2 = {v: sorted(idx2.query(v)) for v in idx2.observed_values()}
+    assert d1 == d2 and len(d1) == 3
+
+
+def test_index_uint64_extremes_via_decimal(spark, lstore):
+    """Reference io/testing/index.py:94 test_indices_uints: index values
+    at uint64 extremes — 0, 2^64−1, and 17128351978467489013 (a value
+    float64 cannot round-trip) — must index and query EXACTLY. Spark has
+    no unsigned 64-bit, so the documented mapping is decimal(20,0)
+    (SURVEY §4); the index must preserve full precision through it."""
+    from decimal import Decimal
+
+    from plateau_spark.sources.dataset import build_dataset_indices
+
+    vals = [0, (1 << 64) - 1, 17128351978467489013]
+    df = spark.createDataFrame(
+        [(i, Decimal(v)) for i, v in enumerate(vals)],
+        "k long, p decimal(20,0)",
+    ).repartition(3)
+    store_dataframe_as_dataset(spark, lstore, "uidx", df)
+    build_dataset_indices(spark, lstore, "uidx", ["p"])
+    for i, v in enumerate(vals):
+        out = read_dataset_as_dataframe(
+            spark, lstore, "uidx", predicates=[[("p", "==", Decimal(v))]]
+        )
+        rows = out.collect()
+        assert [r["k"] for r in rows] == [i], f"value {v} lost precision"
+        assert int(rows[0]["p"]) == v
+
+
+def test_build_indices_all_null_partition_contributes_nothing(spark, lstore):
+    """Reference io/testing/index.py:144 test_empty_partitions shape: a
+    partition whose indexed column is entirely NULL builds cleanly and
+    simply contributes no index entries (SQL semantics — NULL never
+    matches equality)."""
+    from plateau_spark.plans.index import SecondaryIndex
+    from plateau_spark.sources.dataset import build_dataset_indices
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7)], "k long, p long"
+    ).repartition(2)
+    store_dataframe_as_dataset(spark, lstore, "nullidx", df)
+    meta = build_dataset_indices(spark, lstore, "nullidx", ["p"])
+    idx = SecondaryIndex.load(lstore, meta.indices["p"], "p")
+    assert list(idx.observed_values()) == [7]
+    out = read_dataset_as_dataframe(
+        spark, lstore, "nullidx", predicates=[[("p", "==", 7)]]
+    )
+    assert [r["k"] for r in out.collect()] == [3]

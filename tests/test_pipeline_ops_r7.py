@@ -119,3 +119,67 @@ def test_dsir_plan_broadcast_model_and_take_ordered(spark):
     sel = dsir_select(docs, target, "doc_id", "text", 10)
     splan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
+
+
+# --- CCNet per-language perplexity buckets ----------------------------------
+
+
+def test_ccnet_buckets_per_group_thirds(spark):
+    """Each language splits into thirds by ITS OWN NLL distribution —
+    a fluent doc in a sparse language may be 'head' there while the
+    same NLL would be 'tail' globally."""
+    from plateau_spark.operators.text import ccnet_perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ccnet_perplexity_buckets(docs, "doc_id", "text", "lang")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["nll"], r["bucket"]))
+    assert len(by_lang) >= 3
+    for lang, pairs in by_lang.items():
+        n = len(pairs)
+        heads = [x for x, b in pairs if b == "head"]
+        tails = [x for x, b in pairs if b == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails), lang  # head = lowest NLL
+        # thirds within tolerance of whole-bucket ties
+        assert len(heads) <= n * (1 / 3) + max(
+            sum(1 for x, _ in pairs if x == v) for v in set(x for x, _ in pairs)
+        )
+
+
+def test_ccnet_buckets_zero_token_docs_excluded(spark):
+    from plateau_spark.operators.text import ccnet_perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "", "en"), (3, "alpha", "en"),
+         (4, "gamma delta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = ccnet_perplexity_buckets(df, "doc_id", "text", "lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_quality_tiers_best_low_and_groups(spark):
+    """best='low' inverts the orientation; group_cols computes the CDF
+    per group."""
+    from plateau_spark.operators.sampling import quality_tiers
+
+    rows = [(i, "g1", float(i)) for i in range(10)] + [
+        (100 + i, "g2", float(100 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, s double")
+    out = quality_tiers(
+        df, "s",
+        tiers=(("head", 0.3), ("rest", 1.0)),
+        best="low", group_cols=["g"], scale=1,
+    )
+    got = {r["k"]: r["tier"] for r in out.collect()}
+    # per-group: the 3 SMALLEST scores of each group are head
+    assert [k for k in range(10) if got[k] == "head"] == [0, 1, 2]
+    assert [k for k in range(100, 110) if got[k] == "head"] == [100, 101, 102]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="best"):
+        quality_tiers(df, "s", best="sideways")
