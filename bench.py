@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dataset_zonemap_read",
     "dsir_select",
     "ccnet_buckets",
+    "multimodal_dhash_pairs",
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",

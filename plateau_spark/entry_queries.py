@@ -3591,6 +3591,82 @@ FROM rows_
 """
 
 
+def multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash of the synthesized 4x4 P6-PPM payloads
+    (the deterministic md5-derived images also used by
+    multimodal_resize): integer grayscale + horizontal-gradient bits
+    packed into one BIGINT. Numpy kernel over mapInPandas; the SQL twin
+    replays the identical integer arithmetic from the md5 hex."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("x"))),
+        F.md5(F.concat(F.col("text"), F.lit("y"))),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(b"P6\n4 4\n255\n")), F.unhex(raw)).alias("payload"),
+    )
+    return image_dhash(media)
+
+
+_DHASH_SQL = r"""
+raw AS (
+  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS rh FROM documents
+), gray AS (
+  SELECT doc_id,
+    [ (('0x' || substr(rh, 2*(3*p) + 1, 2))::BIGINT
+     + ('0x' || substr(rh, 2*(3*p+1) + 1, 2))::BIGINT
+     + ('0x' || substr(rh, 2*(3*p+2) + 1, 2))::BIGINT) // 3
+      FOR p IN range(0, 16) ] AS g
+  FROM raw
+), dh AS (
+  SELECT doc_id,
+    CAST(list_sum([ CASE WHEN g[(b//3)*4 + (b%3) + 1] > g[(b//3)*4 + (b%3) + 2]
+                    THEN 1 << b ELSE 0 END FOR b IN range(0, 12) ]) AS BIGINT) AS dhash
+  FROM gray
+)"""
+
+MULTIMODAL_DHASH_ORACLE = f"""
+WITH {_DHASH_SQL.strip()}
+SELECT doc_id AS media_id, dhash, CAST(12 AS INT) AS bits FROM dh
+"""
+
+
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs at hamming <= 1 over the dHash
+    fingerprints — banded equi-join candidates (pigeonhole-exact
+    recall) + codegen popcount verify; the oracle replays with an
+    all-pairs xor/bit_count filter."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import dhash_dup_pairs, image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("x"))),
+        F.md5(F.concat(F.col("text"), F.lit("y"))),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(b"P6\n4 4\n255\n")), F.unhex(raw)).alias("payload"),
+    )
+    hashes = image_dhash(media)
+    return dhash_dup_pairs(hashes, bits=12, max_hamming=1)
+
+
+MULTIMODAL_DHASH_PAIRS_ORACLE = f"""
+WITH {_DHASH_SQL.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
+"""
+
+
 EMBEDDING_QUANTIZE_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -3886,15 +3962,21 @@ WHERE {_U_MIX} < p.keep_p
 #   Round-7 window (first 50): (a) the three round-6 driver-red queries,
 #   now fixed (embedding_quantize / multimodal_resize posexploded to
 #   scalar rows; dataset_python_source_read enables the runtime
-#   filterPushdown conf at registration); (b) NEW round-7 queries;
-#   (c) the six stalest entries (last driver-green r2/r4: ngram_jaccard,
+#   filterPushdown conf at registration); (b) the four NEW round-7
+#   queries (bitext_mine_pairs_ivf — parameterized IVF search tier;
+#   dsir_logweights / dsir_select — DSIR importance resampling;
+#   ccnet_buckets — per-language perplexity thirds); (c) the six
+#   stalest entries (last driver-green r2/r4: ngram_jaccard,
 #   pipeline_training_data, multimodal_metadata, multimodal_features,
 #   streaming_sessionize, streaming_windowed_counts); (d) queries over
 #   code paths round 7 touches (compaction/time-travel generation fix,
 #   upsert/delete/build-indices merge commits, bitext search tier,
-#   unigram LM OOV floor); (e) the r5-green relational/dataset/text/
-#   pack/web tail rotated back in. The demoted block (every round-6
-#   window entry) is ALL driver-green in CORRECTNESS_r06.json.
+#   unigram LM OOV floor, per-table-dir basePath scan); (e) the
+#   r5-green relational/dataset/text/pack/web tail rotated back in.
+#   The demoted block (every round-6 window entry) is ALL driver-green
+#   in CORRECTNESS_r06.json, and the ENTIRE 108-entry registry was
+#   re-verified by tools/check_parity.py at sf0.01 during round 7
+#   (0 failures).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) round-6 driver-red, fixed this round ---
     "embedding_quantize": embedding_quantize,
@@ -3919,6 +4001,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_logweights": dsir_logweights_q,
     "dsir_select": dsir_select_q,
     "ccnet_buckets": ccnet_buckets,
+    "multimodal_dhash": multimodal_dhash,
+    "multimodal_dhash_pairs": multimodal_dhash_pairs,
     "text_lm_score": text_lm_score,
     "text_lm2_score": text_lm2_score,
     "streaming_ingest_dataset": streaming_ingest_dataset,
@@ -4048,6 +4132,8 @@ ORACLES: dict[str, str] = {
     "dsir_logweights": DSIR_LOGWEIGHTS_ORACLE,
     "dsir_select": DSIR_SELECT_ORACLE,
     "ccnet_buckets": CCNET_BUCKETS_ORACLE,
+    "multimodal_dhash": MULTIMODAL_DHASH_ORACLE,
+    "multimodal_dhash_pairs": MULTIMODAL_DHASH_PAIRS_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

@@ -293,3 +293,132 @@ def size_bucketed(df: DataFrame, *, target_bytes: int = 64 << 20) -> DataFrame:
     total = df.agg(F.sum(F.length("payload"))).first()[0] or 0
     n = max(1, int(total / target_bytes))
     return df.repartition(n, "media_id")
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of P6-PPM payloads: grayscale
+    each pixel (integer mean of R,G,B, floored), emit one bit per
+    horizontal neighbor pair — bit (i·(w−1)+j) set iff
+    gray[i][j] > gray[i][j+1] — packed into one BIGINT (row-major, LSB
+    first). Perceptually-similar images (re-encodes, small edits,
+    brightness shifts) land within a few bits of each other, which
+    exact content hashes (md5) cannot see.
+
+    The hash is computed over the image's OWN pixel grid — the
+    production composition is ``resize_images(df, 9, 8)`` → dhash (the
+    classic 8×8-bit dHash); keeping resize a separate stage keeps this
+    kernel exact and SQL-replayable at any grid. Grids are capped at
+    64 gradient bits (BIGINT); larger inputs must be resized first.
+
+    Same Arrow-batch contract as the other media kernels: payload
+    projected Spark-side, bounded batches, undecodable payloads drop.
+    Returns (id, dhash, grid bits) — feed to ``dhash_dup_pairs``.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(hash_col, T.LongType(), False),
+            T.StructField("bits", T.IntegerType(), False),
+        ]
+    )
+    narrow = df.select(F.col(id_col).alias("media_id"), payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, bits_out = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                parsed = _parse_ppm(bytes(payload)) if payload is not None else None
+                if parsed is None:
+                    continue
+                img = parsed[0]
+                h, w = img.shape[0], img.shape[1]
+                nbits = h * (w - 1)
+                if w < 2 or nbits > 64:
+                    continue
+                gray = np.floor(img.astype(np.int64).sum(axis=2) / 3).astype(np.int64)
+                diff = (gray[:, :-1] > gray[:, 1:]).astype(np.int64)
+                weights = 1 << np.arange(nbits, dtype=np.int64)
+                ids.append(media_id)
+                hashes.append(int((diff.reshape(-1) * weights).sum()))
+                bits_out.append(nbits)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    hash_col: pd.Series(hashes, dtype="int64"),
+                    "bits": pd.Series(bits_out, dtype="int32"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, out_schema)
+
+
+def dhash_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bits: int = 12,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs from dHash fingerprints:
+    (id_a < id_b, hamming) with hamming ≤ ``max_hamming``.
+
+    Banded, never all-pairs: the ``bits``-wide hash splits into
+    ``max_hamming + 1`` contiguous bands — two hashes within
+    ``max_hamming`` bits MUST agree on at least one whole band
+    (pigeonhole), so candidates come from an EQUI-join on
+    (band index, band value), then one codegen popcount
+    (``bit_count(a XOR b)``) verifies the exact distance. Identical to
+    the MinHash-LSH shape: bucketable, AQE-skew-splittable, zero
+    Python. Recall is EXACT (the band guarantee is a theorem, not a
+    probability).
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_bands = max_hamming + 1
+    band_w = (bits + n_bands - 1) // n_bands
+    mask = (1 << band_w) - 1
+    h = hashes.select(
+        F.col(id_col), F.col(hash_col).alias("__h__"), "bits"
+    ).where(F.col("bits") == bits)
+    banded = h.select(
+        id_col,
+        "__h__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__h__"), b * band_w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__bv__"),
+    ).select(id_col, "__h__", "__bv__.band", "__bv__.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__h__").alias("__ha__"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__h__").alias("__hb__"), "band", "val"
+    )
+    ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

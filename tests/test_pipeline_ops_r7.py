@@ -183,3 +183,98 @@ def test_quality_tiers_best_low_and_groups(spark):
 
     with _pytest.raises(ValueError, match="best"):
         quality_tiers(df, "s", best="sideways")
+
+
+# --- perceptual dHash near-dup ----------------------------------------------
+
+
+def _ppm(img_rows):
+    """bytes of a P6 PPM from [[(r,g,b), ...], ...]."""
+    h, w = len(img_rows), len(img_rows[0])
+    body = bytes(c for row in img_rows for px in row for c in px)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def test_image_dhash_hand_computed(spark):
+    from plateau_spark.operators.multimodal import image_dhash
+
+    # 2x3 image: gray rows [10, 20, 5] and [7, 7, 9]
+    img = [
+        [(10, 10, 10), (20, 20, 20), (5, 5, 5)],
+        [(7, 7, 7), (7, 7, 7), (9, 9, 9)],
+    ]
+    df = spark.createDataFrame([(1, bytearray(_ppm(img)))], "media_id long, payload binary")
+    out = image_dhash(df).collect()
+    assert len(out) == 1
+    # bits (LSB first): row0: 10>20=0, 20>5=1; row1: 7>7=0, 7>9=0 -> 0b0010 = 2
+    assert out[0]["dhash"] == 2 and out[0]["bits"] == 4
+
+
+def test_image_dhash_perceptual_property(spark):
+    """A one-pixel brightness nudge moves the hash by at most a couple
+    of bits; unrelated images are far apart — the property exact
+    content hashes (md5) cannot provide."""
+    from plateau_spark.operators.multimodal import image_dhash
+
+    base = [[(i * 16 + j * 8,) * 3 for j in range(4)] for i in range(4)]
+    nudged = [row[:] for row in base]
+    nudged[0][0] = (base[0][0][0] + 60,) * 3  # flips at most gradient bit 0
+    inverted = [[(255 - px[0],) * 3 for px in row] for row in base]
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(base))), (2, bytearray(_ppm(nudged))),
+         (3, bytearray(_ppm(inverted)))],
+        "media_id long, payload binary",
+    )
+    h = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert bin(h[1] ^ h[2]).count("1") <= 1
+    assert bin(h[1] ^ h[3]).count("1") >= 6  # gradient fully inverted
+
+
+def test_dhash_dup_pairs_banded_recall_equals_bruteforce(spark):
+    """Pigeonhole guarantee: the banded equi-join finds EVERY pair at
+    hamming <= max_hamming — compare against an all-pairs popcount."""
+    import itertools
+    import random
+
+    from plateau_spark.operators.multimodal import dhash_dup_pairs
+
+    rng = random.Random(7)
+    rows = [(i, rng.getrandbits(12), 12) for i in range(120)]
+    df = spark.createDataFrame(rows, "media_id long, dhash long, bits int")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dhash_dup_pairs(df, bits=12, max_hamming=2).collect()
+    )
+    expect = sorted(
+        (a, b, bin(ha ^ hb).count("1"))
+        for (a, ha, _), (b, hb, _) in itertools.combinations(rows, 2)
+        if bin(ha ^ hb).count("1") <= 2
+    )
+    assert got == expect and len(expect) > 0
+
+
+def test_dhash_dup_pairs_plan_is_equi_join(spark):
+    """Scale shape: candidates must come from a hash equi-join on the
+    (band, value) key — never a nested loop over all pairs."""
+    from plateau_spark.operators.multimodal import dhash_dup_pairs
+
+    df = spark.range(500).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") * 37 % 4096).alias("dhash"),
+        F.lit(12).alias("bits"),
+    )
+    out = dhash_dup_pairs(df, bits=12, max_hamming=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_dhash_validates_inputs(spark):
+    from plateau_spark.operators.multimodal import dhash_dup_pairs
+
+    df = spark.createDataFrame([(1, 3, 12)], "media_id long, dhash long, bits int")
+    with pytest.raises(ValueError, match="bits"):
+        dhash_dup_pairs(df, bits=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dhash_dup_pairs(df, bits=12, max_hamming=-1)
