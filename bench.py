@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "ccnet_buckets",
     "multimodal_dhash_pairs",
+    "multimodal_audio_features",
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",

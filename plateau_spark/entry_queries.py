@@ -3667,6 +3667,64 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio features (RMS energy + zero-crossing rate) over
+    synthesized PCM16-WAV payloads (32 md5-derived samples per doc,
+    8-sample frames): the library-free audio kernel — RIFF parse +
+    vectorized numpy frame reduce over mapInPandas — with the SQL twin
+    replaying the identical int16 little-endian arithmetic."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import audio_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("a"))),
+        F.md5(F.concat(F.col("text"), F.lit("b"))),
+        F.md5(F.concat(F.col("text"), F.lit("c"))),
+    )
+    hdr = (
+        b"RIFF" + (36 + 64).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + (64).to_bytes(4, "little")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(hdr)), F.unhex(raw)).alias("payload"),
+    )
+    return audio_frame_features(media, frame=8)
+
+
+MULTIMODAL_AUDIO_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c') AS rh
+  FROM documents
+), smp AS (
+  SELECT doc_id,
+    [ CASE WHEN ('0x' || substr(rh, 4*n + 3, 2))::BIGINT >= 128
+           THEN ('0x' || substr(rh, 4*n + 1, 2))::BIGINT
+                + 256 * ('0x' || substr(rh, 4*n + 3, 2))::BIGINT - 65536
+           ELSE ('0x' || substr(rh, 4*n + 1, 2))::BIGINT
+                + 256 * ('0x' || substr(rh, 4*n + 3, 2))::BIGINT END
+      FOR n IN range(0, 32) ] AS s
+  FROM raw
+), fr AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_no,
+         list_slice(s, 8*f + 1, 8*f + 8) AS w
+  FROM smp CROSS JOIN UNNEST(range(0, 4)) t(f)
+)
+SELECT doc_id AS media_id, frame_no,
+  round(sqrt(list_sum([x*x FOR x IN w]) / 8.0), 6) AS rms,
+  round(list_sum([ CASE WHEN (w[i] >= 0) <> (w[i+1] >= 0) THEN 1 ELSE 0 END
+                   FOR i IN range(1, 8) ]) / 7.0, 6) AS zcr
+FROM fr
+"""
+
+
 EMBEDDING_QUANTIZE_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -4003,6 +4061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": ccnet_buckets,
     "multimodal_dhash": multimodal_dhash,
     "multimodal_dhash_pairs": multimodal_dhash_pairs,
+    "multimodal_audio_features": multimodal_audio_features,
     "text_lm_score": text_lm_score,
     "text_lm2_score": text_lm2_score,
     "streaming_ingest_dataset": streaming_ingest_dataset,
@@ -4134,6 +4193,7 @@ ORACLES: dict[str, str] = {
     "ccnet_buckets": CCNET_BUCKETS_ORACLE,
     "multimodal_dhash": MULTIMODAL_DHASH_ORACLE,
     "multimodal_dhash_pairs": MULTIMODAL_DHASH_PAIRS_ORACLE,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

@@ -422,3 +422,107 @@ def dhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _parse_wav_pcm16(payload: bytes):
+    """Parse a minimal RIFF/WAVE file with one PCM16 mono 'data' chunk
+    (the library-free audio interchange twin of the P6-PPM image path).
+    Returns ``(np.ndarray int16 samples, sample_rate)`` or ``None`` for
+    anything else (compressed codecs would need decoders this container
+    lacks — same stub policy as JPEG/PNG)."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok, rate = 12, False, 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                return None
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                return None
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok or len(body) % 2:
+                return None
+            return np.frombuffer(body, dtype="<i2"), rate
+        pos += 8 + size + (size % 2)
+    return None
+
+
+def audio_frame_features(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame: int = 512,
+) -> DataFrame:
+    """Framewise audio features over PCM16-WAV payloads: per ``frame``
+    samples, RMS energy (loudness envelope) and zero-crossing rate (a
+    crude spectral brightness proxy) — the standard cheap features for
+    silence trimming, speech/music gating and energy-based dedup of
+    audio training corpora. Pure-numpy kernel (RIFF parse + vectorized
+    frame reduce) through the same Arrow-batched ``mapInPandas``
+    contract as the image kernels; non-PCM16 payloads drop.
+
+    Output is scalar rows (media_id, frame_no, rms, zcr) — join-able,
+    verifiable, and columnar-friendly; a trailing partial frame is
+    dropped (deterministic framing). rms/zcr round to 6 digits from
+    exact integer sums, so the values replay bit-for-bit in SQL.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("zcr", T.DoubleType(), False),
+        ]
+    )
+    if frame < 2:
+        raise ValueError(f"frame must be >= 2 samples, got {frame}")
+    narrow = df.select(F.col(id_col).alias("media_id"), payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fnos, rmss, zcrs = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                parsed = (
+                    _parse_wav_pcm16(bytes(payload)) if payload is not None else None
+                )
+                if parsed is None:
+                    continue
+                samples, _rate = parsed
+                n_frames = len(samples) // frame
+                if n_frames == 0:
+                    continue
+                x = samples[: n_frames * frame].astype(np.int64).reshape(n_frames, frame)
+                sq = (x * x).sum(axis=1)
+                rms = np.sqrt(sq / float(frame))
+                # sign with 0 counted as non-negative; changes per frame
+                sg = (x >= 0).astype(np.int8)
+                zc = (sg[:, 1:] != sg[:, :-1]).sum(axis=1)
+                zcr = zc / float(frame - 1)
+                for i in range(n_frames):
+                    ids.append(media_id)
+                    fnos.append(i)
+                    rmss.append(round(float(rms[i]), 6))
+                    zcrs.append(round(float(zcr[i]), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "zcr": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, out_schema)

@@ -278,3 +278,63 @@ def test_dhash_validates_inputs(spark):
         dhash_dup_pairs(df, bits=0)
     with pytest.raises(ValueError, match="max_hamming"):
         dhash_dup_pairs(df, bits=12, max_hamming=-1)
+
+
+# --- audio frame features ---------------------------------------------------
+
+
+def _wav(samples, rate=8000):
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+
+
+def test_audio_features_hand_computed(spark):
+    import math
+
+    from plateau_spark.operators.multimodal import audio_frame_features
+
+    # frame 4: [3, -3, 3, -3] -> rms 3, zcr 3/3; [0, 0, 0, 0] -> rms 0, zcr 0
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav([3, -3, 3, -3, 0, 0, 0, 0])))],
+        "media_id long, payload binary",
+    )
+    out = {r["frame_no"]: (r["rms"], r["zcr"]) for r in
+           audio_frame_features(df, frame=4).collect()}
+    assert out[0] == (3.0, 1.0)
+    assert out[1] == (0.0, 0.0)
+    # trailing partial frame dropped
+    df2 = spark.createDataFrame(
+        [(1, bytearray(_wav([1] * 10)))], "media_id long, payload binary"
+    )
+    assert audio_frame_features(df2, frame=4).count() == 2
+
+
+def test_audio_features_rejects_non_pcm16_mono(spark):
+    import struct
+
+    from plateau_spark.operators.multimodal import audio_frame_features
+
+    good = _wav([1, 2, 3, 4])
+    # stereo (channels=2) must drop
+    stereo = bytearray(good)
+    stereo[22:24] = struct.pack("<H", 2)
+    rows = [
+        (1, bytearray(good)),
+        (2, stereo),
+        (3, bytearray(b"not a wav at all")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = audio_frame_features(df, frame=4).collect()
+    assert {r["media_id"] for r in out} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frame"):
+        audio_frame_features(df, frame=1)
