@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "multimodal_dhash_pairs",
     "multimodal_audio_features",
+    "sample_cluster_balanced",
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",

@@ -3278,6 +3278,59 @@ SELECT vec_id, cid AS cluster_id, round(cos, 6) AS cosine FROM a1
 """
 
 
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity subsample: spherical k-means (k=8,
+    deterministic seeds) + at most 30 md5-drawn members per cluster —
+    caps over-represented embedding modes at a fixed budget. Fully
+    hash-checked: the oracle replays the k-means assignment AND the
+    per-cluster quota draw."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(
+        emb, 30, k=8, iterations=1, seed_ids=list(range(8))
+    )
+    return out.select("vec_id", "cluster_id", F.round("cosine", 6).alias("cosine"))
+
+
+# same CTE chain as EMBEDDING_KMEANS_ORACLE + the md5 quota draw
+SAMPLE_CLUSTER_BALANCED_ORACLE = f"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+), a0 AS (
+  SELECT e.vec_id, s.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cvec) AS cos
+  FROM embeddings e CROSS JOIN seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, s.cid ASC) = 1
+), comp AS (
+  SELECT a0.cid, g.i, AVG(CAST(e.embedding[g.i] AS DOUBLE)) AS m
+  FROM a0 JOIN embeddings e USING (vec_id)
+  CROSS JOIN generate_series(1, {_KM_DIM}) g(i)
+  GROUP BY a0.cid, g.i
+), c1 AS (
+  SELECT cid, list(m ORDER BY i) AS cvec FROM comp GROUP BY cid
+), cents AS (
+  SELECT s.cid, COALESCE(c1.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN c1 USING (cid)
+), a1 AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS cos
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid ASC) = 1
+)
+SELECT vec_id, cid AS cluster_id, round(cos, 6) AS cosine
+FROM a1
+QUALIFY row_number() OVER (
+  PARTITION BY cid
+  ORDER BY ('0x' || substr(md5('cbal|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+           vec_id ASC
+) <= 30
+"""
+
+
 def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle (portable md5 key family →
     fully hash-checked): first 100 documents of epoch seed=7 in shuffled
@@ -4064,6 +4117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_dhash": multimodal_dhash,
     "multimodal_dhash_pairs": multimodal_dhash_pairs,
     "multimodal_audio_features": multimodal_audio_features,
+    "sample_cluster_balanced": sample_cluster_balanced,
     "text_lm_score": text_lm_score,
     "text_lm2_score": text_lm2_score,
     "streaming_ingest_dataset": streaming_ingest_dataset,
@@ -4196,6 +4250,7 @@ ORACLES: dict[str, str] = {
     "multimodal_dhash": MULTIMODAL_DHASH_ORACLE,
     "multimodal_dhash_pairs": MULTIMODAL_DHASH_PAIRS_ORACLE,
     "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
+    "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

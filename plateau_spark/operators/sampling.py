@@ -562,12 +562,11 @@ def dsir_logweights(
 
     t_counts = _bucket_counts(target, text_col, salt, n_buckets)
     r_counts = _bucket_counts(raw, text_col, salt, n_buckets)
-    n_t = target.select(
-        F.sum(F.size(_hashed_ngram_features(text_col, salt, n_buckets))).alias("n")
-    )
-    n_r = raw.select(
-        F.sum(F.size(_hashed_ngram_features(text_col, salt, n_buckets))).alias("n")
-    )
+    # totals fold out of the bucket counts (≤ n_buckets rows) — scanning
+    # the corpora again for F.sum(F.size(features)) would double the
+    # explode passes for the same number
+    n_t = t_counts.agg(F.sum("__c__").alias("n"))
+    n_r = r_counts.agg(F.sum("__c__").alias("n"))
     # every scored feature occurs in raw (the doc itself is raw), so the
     # raw counts relation covers all buckets the join will probe; the
     # target side null-fills to c=0 (pure smoothing mass)

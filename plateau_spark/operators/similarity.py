@@ -927,3 +927,38 @@ def mine_bitext_pairs(
         .where(F.col("__rk__") == 1)
         .select("id_a", "id_b", F.col("__cos__").alias("cosine"), "margin")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    quota: int,
+    *,
+    k: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids: Sequence[int] | None = None,
+    salt: str = "cbal",
+) -> DataFrame:
+    """Diversity-preserving corpus subsample (the DataComp/DoReMi-family
+    cluster-balancing move): spherical-k-means the embeddings, keep at
+    most ``quota`` deterministically-drawn members PER CLUSTER. Caps
+    over-represented modes — the boilerplate cluster contributes the
+    same budget as a rare-topic cluster — which uniform sampling cannot
+    do and SemDeDup (near-dup removal WITHIN a cluster) only
+    approximates from below. Returns ``(id, cluster_id, cosine)`` for
+    the survivors; the md5 draw makes the selected set reproducible
+    across engines, reruns and corpus growth within a cluster.
+
+    Scale shape: clustering is the shared k-means machinery (K×dim
+    driver centroids, Arrow-GEMM assignment); the per-cluster quota is
+    the two-level tournament of ``quota_sample`` — no single task ever
+    sorts a whole hot cluster. No all-pairs work anywhere.
+    """
+    from plateau_spark.operators.sampling import quota_sample
+
+    assigned = kmeans_cluster(
+        corpus, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, seed_ids=seed_ids,
+    )
+    return quota_sample(assigned, ["cluster_id"], quota, key_col=id_col, salt=salt)

@@ -338,3 +338,35 @@ def test_audio_features_rejects_non_pcm16_mono(spark):
 
     with _pytest.raises(ValueError, match="frame"):
         audio_frame_features(df, frame=1)
+
+
+# --- cluster-balanced sampling ----------------------------------------------
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    from plateau_spark.operators.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = cluster_balanced_sample(emb, 5, k=4, iterations=1, seed_ids=[0, 1, 2, 3])
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r["cluster_id"]] = per.get(r["cluster_id"], 0) + 1
+    assert all(c <= 5 for c in per.values())
+    assert len(per) >= 2  # clusters actually form
+    # deterministic draw: same set on rerun
+    again = cluster_balanced_sample(emb, 5, k=4, iterations=1, seed_ids=[0, 1, 2, 3])
+    assert sorted(r["vec_id"] for r in rows) == sorted(
+        r["vec_id"] for r in again.collect()
+    )
+    # a small cluster below quota keeps all its members
+    full = {r["cluster_id"]: 0 for r in rows}
+    from plateau_spark.operators.similarity import kmeans_cluster
+
+    assigned = kmeans_cluster(emb, k=4, iterations=1, seed_ids=[0, 1, 2, 3])
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    for cid, n in sizes.items():
+        assert per.get(cid, 0) == min(n, 5)
