@@ -345,3 +345,35 @@ def test_bitext_ivf_search_tier_probes_cells_not_corpus(spark):
         search=partial(cosine_topk_ivf, n_centroids=4, nprobe=4),
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_ccnet_buckets_plan_no_global_sort(spark):
+    """The per-language LM fit must map-side combine; scoring must be a
+    hash join; the tier split must stay histogram-shaped — no
+    rangepartitioning exchange (a global sort of the corpus is the
+    naive CCNet shape this operator exists to avoid)."""
+    from plateau_spark.operators.text import ccnet_perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ccnet_perplexity_buckets(docs, "doc_id", "text", "lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_audio_features_plan_is_single_arrow_pass(spark):
+    """The audio kernel is one Arrow-batched Python stage over a narrow
+    projection — no shuffle before it, no row-at-a-time Python."""
+    from plateau_spark.operators.multimodal import audio_frame_features
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = audio_frame_features(df, frame=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # narrow end-to-end
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
