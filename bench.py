@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "multimodal_dhash_pairs",
     "multimodal_audio_features",
     "sample_cluster_balanced",
+    "streaming_ingest_dedup",
     "dataset_schema_evolution",
     "pack_sequences",
     "cosine_topk_ivf_persisted",

@@ -2727,6 +2727,44 @@ FROM events
 """
 
 
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online cross-batch dedup-on-ingest: the events file staged TWICE
+    as two source files, drained availableNow with maxFilesPerTrigger=1
+    (two micro-batches) — the second batch's rows all anti-join away
+    against the dataset committed by the first, so the sink holds
+    exactly one copy of every event. The dataset IS the dedup state
+    (exact at any lateness, unlike watermark-bounded stream dedup)."""
+    _prep(spark)
+    import os as _os
+    import shutil as _sh
+
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import open_parquet_stream, stream_ingest_dedup
+
+    store = _fresh_store("stream_ingest_dedup")
+    ckpt = _fresh_store("stream_ingest_dedup_ckpt")
+    src = _fresh_store("stream_ingest_dedup_src")
+    _os.makedirs(src, exist_ok=True)
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    _sh.copy(events_path, f"{src}/0.parquet")
+    _sh.copy(events_path, f"{src}/1.parquet")
+    stream = open_parquet_stream(
+        spark, src, reader_options={"maxFilesPerTrigger": "1"}
+    )
+    q = stream_ingest_dedup(
+        stream, store, "ev", key_cols=["event_id"],
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    q.awaitTermination()
+    return read_table(spark, store, "ev")
+
+
+STREAM_INGEST_DEDUP_ORACLE = """
+SELECT event_id, props, CAST(ts AS TIMESTAMP) AS ts, user_id, value, event_type
+FROM events
+"""
+
+
 def streaming_route_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate stream routing: one availableNow stream split by
     predicate into accept (value >= 0) and reject (value < 0) datasets,
@@ -4122,6 +4160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm2_score": text_lm2_score,
     "streaming_ingest_dataset": streaming_ingest_dataset,
     "streaming_route_datasets": streaming_route_datasets,
+    "streaming_ingest_dedup": streaming_ingest_dedup,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4251,6 +4290,7 @@ ORACLES: dict[str, str] = {
     "multimodal_dhash_pairs": MULTIMODAL_DHASH_PAIRS_ORACLE,
     "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
     "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_ORACLE,
+    "streaming_ingest_dedup": STREAM_INGEST_DEDUP_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

@@ -202,7 +202,11 @@ def sessionize_stream(
 
 
 def open_parquet_stream(
-    spark: SparkSession, source_parquet: str, *, ts_col: str = "ts"
+    spark: SparkSession,
+    source_parquet: str,
+    *,
+    ts_col: str = "ts",
+    reader_options: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """readStream over a parquet file or directory with the event-time
     column normalized to a watermark-capable TIMESTAMP, whatever the
@@ -217,6 +221,10 @@ def open_parquet_stream(
     """
     schema = spark.read.parquet(source_parquet).schema
     reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        # e.g. maxFilesPerTrigger: rate-limit so availableNow drains in
+        # several micro-batches (exercises cross-batch semantics)
+        reader = reader.option(k, v)
     if source_parquet.endswith(".parquet") and "/" in source_parquet:
         # FileStreamSource requires a directory: stream the parent dir
         # filtered down to this file
@@ -485,6 +493,68 @@ def stream_route_to_datasets(
                 )
         finally:
             batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_dedup(
+    stream: DataFrame,
+    store,
+    dataset_uuid: str,
+    *,
+    key_cols,
+    checkpoint_dir: str,
+    partition_on=None,
+    available_now: bool = False,
+):
+    """Online cross-batch exact dedup during ingestion: every
+    micro-batch drops rows whose dedup key tuple is ALREADY COMMITTED
+    to the target dataset (LEFT ANTI against a column-pruned key read),
+    dedups within the batch, and commits the survivors atomically —
+    the streaming twin of ``dedup_against_corpus`` where the dataset
+    itself is the dedup state.
+
+    Why not ``dropDuplicatesWithinWatermark``: its state is
+    watermark-bounded BY DESIGN (a duplicate arriving after the
+    watermark passes is let through). Here the committed dataset is
+    the state, so dedup is exact over the full ingest history at any
+    lateness, survives restarts via the commit protocol (replayed batch
+    ids are no-ops), and costs no state store.
+
+    Scale shape per batch: ONE pruned dataset read projecting ONLY the
+    key columns (parquet column pruning; declare the keys as
+    bloom_filter/zone-map columns to also skip files), one hash
+    anti-join (batch side is small by definition), one atomic commit.
+    Within-batch duplicates keep one row per key via dropDuplicates —
+    deterministic when duplicate rows are identical; for ordered picks
+    (keep latest by timestamp) pre-aggregate in the stream.
+
+    Returns the started StreamingQuery.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(key_cols)
+        from plateau_spark.core.store import Store
+
+        st = store if isinstance(store, Store) else Store(store)
+        if DatasetMetadata.exists(st, dataset_uuid):
+            seen = read_dataset_as_dataframe(
+                spark, st, dataset_uuid, columns=key_cols
+            )
+            fresh = fresh.join(seen, key_cols, "left_anti")
+        commit_stream_batch(
+            spark, st, dataset_uuid, fresh, batch_id, partition_on=partition_on
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

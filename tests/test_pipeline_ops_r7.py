@@ -370,3 +370,58 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
     }
     for cid, n in sizes.items():
         assert per.get(cid, 0) == min(n, 5)
+
+
+# --- online dedup-on-ingest ---------------------------------------------------
+
+
+def test_stream_ingest_dedup_cross_batch_first_write_wins(spark, tmp_path):
+    """Two micro-batches with overlapping keys but DIFFERENT payloads:
+    the committed dataset keeps the FIRST batch's row for every
+    already-seen key — the dataset is the dedup state, so no watermark
+    can expire it."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import stream_ingest_dedup
+
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(
+        ([(1, "batch0"), (2, "batch0")], [(2, "batch1"), (3, "batch1")])
+    ):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{i}.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = Store(str(tmp_path / "store"))
+    q = stream_ingest_dedup(
+        stream, store, "dd", key_cols="k",
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_table(spark, store, "dd").collect()}
+    assert got == {1: "batch0", 2: "batch0", 3: "batch1"}
+
+    # restart over the same checkpoint: nothing re-ingests
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = stream_ingest_dedup(
+        stream2, store, "dd", key_cols="k",
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert read_table(spark, store, "dd").count() == 3
