@@ -4111,12 +4111,14 @@ WHERE {_U_MIX} < p.keep_p
 #   Round-7 window (first 50): (a) the three round-6 driver-red queries,
 #   now fixed (embedding_quantize / multimodal_resize posexploded to
 #   scalar rows; dataset_python_source_read enables the runtime
-#   filterPushdown conf at registration); (b) the seven NEW round-7
+#   filterPushdown conf at registration); (b) the nine NEW round-7
 #   queries (bitext_mine_pairs_ivf — parameterized IVF search tier;
 #   dsir_logweights / dsir_select — DSIR importance resampling;
 #   ccnet_buckets — per-language perplexity thirds; multimodal_dhash /
 #   multimodal_dhash_pairs — perceptual near-dup;
-#   multimodal_audio_features — PCM16 frame features); (c) the six
+#   multimodal_audio_features — PCM16 frame features;
+#   sample_cluster_balanced — per-cluster quota diversity;
+#   streaming_ingest_dedup — online dedup-on-ingest); (c) the six
 #   stalest entries (last driver-green r2/r4: ngram_jaccard,
 #   pipeline_training_data, multimodal_metadata, multimodal_features,
 #   streaming_sessionize, streaming_windowed_counts); (d) queries over

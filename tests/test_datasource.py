@@ -439,3 +439,29 @@ def test_stream_reader_reclaimed_snapshot_raises(spark, tmp_path):
     if not Store(root).exists("ds/history/g0000000001.json"):
         with pytest.raises(RuntimeError, match="generation 1"):
             r.partitions({"generation": 1}, {"generation": 2})
+
+
+def test_batch_read_works_under_false_pushdown_conf(spark, tmp_path):
+    """Round-6 driver-red regression: a session with
+    spark.sql.python.filterPushdown.enabled at its false DEFAULT refused
+    to initialize the reader ([DATA_SOURCE_PUSHDOWN_DISABLED]) because
+    pushFilters is implemented. register_plateau_datasource now enables
+    the (runtime-settable) conf, so the read must work from such a
+    session."""
+    from plateau_spark.sources.datasource import register_plateau_datasource
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        root = str(tmp_path / "store")
+        store_dataframe_as_dataset(
+            spark, Store(root), "ds",
+            spark.range(0, 20).withColumnRenamed("id", "k"),
+        )
+        register_plateau_datasource(spark)
+        assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+        out = _load(spark, root, "ds").where("k >= 10")
+        assert out.count() == 10
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
