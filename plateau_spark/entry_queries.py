@@ -4058,6 +4058,95 @@ FROM f
 """
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_quality_signals: the Gopher/MassiveText document-quality
+    ruleset (Rae et al. 2021 A1.1) — word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    stop-word hits, combined keep gate. The corpus is single-line word
+    soup, so the query first synthesizes deterministic structure:
+    6-word lines, a '- ' bullet prefix on every (doc_id+i)%4==0 line,
+    a '...' suffix on every (doc_id+i)%5==0 line, and doc_id%13 ' #'
+    symbols appended — exercising every rule with varied outcomes."""
+    _prep(spark)
+    from plateau_spark.operators.text import gopher_quality_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(words) / F.lit(6.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - F.lit(1)),
+        lambda i: F.concat(
+            F.when((F.col("doc_id") + i) % 4 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(words, i * 6 + 1, 6)),
+            F.when((F.col("doc_id") + i) % 5 == 0, F.lit("...")).otherwise(F.lit("")),
+        ),
+    )
+    preamble = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.lit("the data to be of use with that we have and more\n"),
+    ).otherwise(F.lit(""))
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            preamble,
+            F.array_join(lines, "\n"),
+            F.repeat(F.lit(" #"), (F.col("doc_id") % 13).cast("int")),
+        ).alias("text"),
+    )
+    return gopher_quality_signals(lined, "doc_id", "text")
+
+
+_GOPHER_TOKS = r"list_filter(regexp_split_to_array(lower(trim(t)), '[^\p{L}\p{N}]+'), x -> x <> '')"
+TEXT_GOPHER_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), lined AS (
+  SELECT doc_id, array_to_string(
+    list_transform(range(0, CAST(ceil(len(ws) / 6.0) AS INT)),
+      i -> CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END ||
+           array_to_string(ws[i*6+1:i*6+6], ' ') ||
+           CASE WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END),
+    chr(10)) || repeat(' #', CAST(doc_id % 13 AS INT)) AS t0,
+    CASE WHEN doc_id % 3 <> 0
+         THEN 'the data to be of use with that we have and more' || chr(10)
+         ELSE '' END AS pre
+  FROM w
+), pl AS (
+  SELECT doc_id, pre || t0 AS t FROM lined
+), toks AS (
+  SELECT doc_id, t, {_GOPHER_TOKS} AS tk, string_split(t, chr(10)) AS ls
+  FROM pl
+), sig AS (
+  SELECT doc_id,
+    CAST(len(tk) AS INTEGER) AS word_count,
+    CASE WHEN len(tk) > 0
+         THEN round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 6)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(tk) > 0
+         THEN round((length(t) - length(replace(t, '#', ''))
+                     + length(t) - length(replace(t, '…', ''))
+                     + len(regexp_extract_all(t, '\.\.\.'))) * 1.0 / len(tk), 6)
+         ELSE 0.0 END AS symbol_word_ratio,
+    round(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[•*-]'))) * 1.0 / len(ls), 6) AS bullet_line_frac,
+    round(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) * 1.0 / len(ls), 6) AS ellipsis_line_frac,
+    CASE WHEN len(tk) > 0
+         THEN round(len(list_filter(tk, x -> regexp_matches(x, '\p{{L}}'))) * 1.0 / len(tk), 6)
+         ELSE 0.0 END AS alpha_word_frac,
+    CAST(len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS INTEGER) AS stopword_hits
+  FROM toks
+)
+SELECT *,
+  CAST(word_count BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND symbol_word_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND alpha_word_frac >= 0.8
+       AND stopword_hits >= 2 AS BIGINT) AS gopher_keep
+FROM sig
+"""
+
+
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixture_sample: token-budget corpus mixing — three named sources
     weighted 3:1:1 into a 300k-char budget (src0 clips at keep-all, the
@@ -4163,6 +4252,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_dataset": streaming_ingest_dataset,
     "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup": streaming_ingest_dedup,
+    # --- (b2) late round-7 additions ---
+    "text_gopher_rules": text_gopher_rules,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4266,6 +4357,7 @@ ORACLES: dict[str, str] = {
     "dataset_zorder_read": DATASET_ZORDER_ORACLE,
     "dataset_json_roundtrip": JSON_ROUNDTRIP_ORACLE,
     "text_c4_clean": TEXT_C4_CLEAN_ORACLE,
+    "text_gopher_rules": TEXT_GOPHER_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -778,3 +778,111 @@ def ccnet_perplexity_buckets(
         tiers=tiers, scale=scale, tier_col=tier_col,
         best="low", group_cols=[group_col],
     )
+
+
+# Gopher's published stop-word presence set (Rae et al. 2021 A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    keep_col: str = "gopher_keep",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1 —
+    the public ruleset): per-document word count, mean word length,
+    symbol-to-word ratio ('#', '…' and literal '...'), bullet-line and
+    ellipsis-line fractions, fraction of words containing a letter, and
+    the count of distinct Gopher stop words present — plus the combined
+    ``gopher_keep`` gate over the published thresholds.
+
+    Distinct from :func:`quality_score_col` (an ad-hoc blend) and
+    :func:`c4_clean_lines` (line-level edits): this is the document-
+    level KEEP/DROP filter stage of a Gopher/MassiveText-style pipeline.
+
+    Pure codegen — split + HOF reductions per row, ZERO shuffle; at
+    100 TB the cost is one scan and the filter composes with parquet
+    predicate pushdown on the emitted columns when materialized.
+    Fractions are rounded (default 6) and the gate compares the ROUNDED
+    values so a DuckDB oracle replays bit-identically.
+    """
+    toks = _word_tokens(text_col)
+    wc = F.size(toks)
+    one = F.lit(1.0)
+
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wlen = F.when(wc > 0, F.round(chars * one / wc, round_digits)).otherwise(
+        F.lit(0.0)
+    )
+
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_hell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_dots = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    sym_ratio = F.when(
+        wc > 0, F.round((n_hash + n_hell + n_dots) * one / wc, round_digits)
+    ).otherwise(F.lit(0.0))
+
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•*-]")))
+        * one
+        / n_lines,
+        round_digits,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        * one
+        / n_lines,
+        round_digits,
+    )
+
+    alpha_frac = F.when(
+        wc > 0,
+        F.round(
+            F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}"))) * one / wc,
+            round_digits,
+        ),
+    ).otherwise(F.lit(0.0))
+
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+
+    out = df.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("word_count").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn(keep_col, keep.cast("long"))

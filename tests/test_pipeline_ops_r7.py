@@ -425,3 +425,57 @@ def test_stream_ingest_dedup_cross_batch_first_write_wins(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_table(spark, store, "dd").count() == 3
+
+
+def test_gopher_signals_hand_computed(spark):
+    from plateau_spark.operators.text import gopher_quality_signals
+
+    df = spark.createDataFrame(
+        [
+            # 2 lines, one bulleted, one ellipsis-terminated; '##'
+            (1, "- the cat sat on of mat ##\nand that dogs have fun with it ..."),
+            # empty-ish doc
+            (2, ""),
+        ],
+        "id long, text string",
+    )
+    row = {
+        r["id"]: r
+        for r in gopher_quality_signals(df, "id", "text").collect()
+    }
+    r1 = row[1]
+    toks = "the cat sat on of mat and that dogs have fun with it".split()
+    assert r1["word_count"] == len(toks) == 13
+    assert r1["mean_word_len"] == round(sum(len(t) for t in toks) / 13, 6)
+    assert r1["bullet_line_frac"] == 0.5
+    assert r1["ellipsis_line_frac"] == 0.5
+    # present from the Gopher set: the, of, and, that, have, with
+    assert r1["stopword_hits"] == 6
+    assert r1["alpha_word_frac"] == 1.0
+    assert r1["gopher_keep"] == 0  # word_count < 50
+    r2 = row[2]
+    assert r2["word_count"] == 0
+    assert r2["gopher_keep"] == 0
+
+
+def test_gopher_keep_gate_passes_good_doc(spark):
+    from plateau_spark.operators.text import gopher_quality_signals
+
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs to be of and that have with it"] * 5
+    )
+    df = spark.createDataFrame([(1, good)], "id long, text string")
+    r = gopher_quality_signals(df, "id", "text").collect()[0]
+    assert r["word_count"] == 80
+    assert r["stopword_hits"] == 8
+    assert r["gopher_keep"] == 1
+
+
+def test_gopher_signals_zero_shuffle_plan(spark):
+    from plateau_spark.operators.text import gopher_quality_signals
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit("the be to of words here").alias("text")
+    )
+    plan = gopher_quality_signals(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
