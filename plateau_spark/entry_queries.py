@@ -4147,6 +4147,88 @@ FROM sig
 """
 
 
+_SPAN_PASSAGE = (
+    "shared boilerplate license header text appears at the bottom of every page"
+)
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_duplicate_spans: Lee-et-al-style exact substring dedup —
+    corpus-wide duplicated 8-token runs cut from every occurrence but
+    the canonical first. The word-soup corpus has no real duplicated
+    runs, so the query appends a fixed 12-word boilerplate passage to
+    every doc_id%4==0 document; doc 0 (the min (doc_id,pos) holder)
+    keeps it, every other planted doc loses exactly those 12 tokens.
+    Verified via md5 of the rebuilt text (hash-checked tier)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" " + _SPAN_PASSAGE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = remove_duplicate_spans(planted, "doc_id", "text", k=8)
+    return out.select(
+        "doc_id",
+        "total_tokens",
+        "removed_tokens",
+        F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_md5"),
+    )
+
+
+DEDUP_SPANS_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' {_SPAN_PASSAGE}' ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, {_GOPHER_TOKS} AS tk FROM base
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           CASE WHEN len(tk) >= 8 THEN range(0, len(tk) - 7) ELSE [] END,
+           i -> struct_pack(pos := i, dig := md5(array_to_string(tk[i+1:i+8], ' ')))
+         )) AS g
+  FROM toks
+), g2 AS (
+  SELECT doc_id, g.pos AS pos, g.dig AS dig FROM grams
+), dup AS (
+  SELECT dig, min(struct_pack(d := doc_id, p := pos)) AS first
+  FROM g2 GROUP BY dig HAVING count(*) > 1
+), covered AS (
+  SELECT DISTINCT g2.doc_id, unnest(range(g2.pos, g2.pos + 8)) AS cov
+  FROM g2 JOIN dup ON g2.dig = dup.dig
+  WHERE NOT (g2.doc_id = dup.first.d AND g2.pos = dup.first.p)
+), tokpos AS (
+  SELECT doc_id, len(tk) AS n,
+         unnest(tk) AS tok,
+         unnest(range(0, len(tk))) AS pos
+  FROM toks
+), kept AS (
+  SELECT tp.doc_id, tp.n, tp.pos, tp.tok, c.cov IS NOT NULL AS removed
+  FROM tokpos tp
+  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.cov
+), agg AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS total_tokens,
+         CAST(count(*) FILTER (WHERE NOT removed) AS BIGINT) AS kept_n,
+         coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.total_tokens, 0) AS total_tokens,
+       coalesce(a.total_tokens, 0) - coalesce(a.kept_n, 0) AS removed_tokens,
+       md5(coalesce(a.clean_text, '')) AS clean_md5
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixture_sample: token-budget corpus mixing — three named sources
     weighted 3:1:1 into a 300k-char budget (src0 clips at keep-all, the
@@ -4254,6 +4336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_dedup": streaming_ingest_dedup,
     # --- (b2) late round-7 additions ---
     "text_gopher_rules": text_gopher_rules,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4358,6 +4441,7 @@ ORACLES: dict[str, str] = {
     "dataset_json_roundtrip": JSON_ROUNDTRIP_ORACLE,
     "text_c4_clean": TEXT_C4_CLEAN_ORACLE,
     "text_gopher_rules": TEXT_GOPHER_ORACLE,
+    "dedup_duplicate_spans": DEDUP_SPANS_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

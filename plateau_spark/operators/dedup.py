@@ -1397,3 +1397,132 @@ def decontaminate_minhash(
         F.count("*").alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    keep_canonical: bool = True,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any run of ``k``
+    consecutive word tokens that occurs more than once in the corpus
+    (across documents OR repeated within one) is removed everywhere
+    except its canonical first occurrence — the min ``(doc_id, pos)``
+    over the span digest. Unlike document-level dedup (``exact_dedup``,
+    MinHash-LSH), this cuts shared boilerplate out of otherwise-unique
+    documents. Lee et al. use byte-level suffix arrays; token-level
+    k-gram coverage keeps the operator distributed-joinable and
+    oracle-replayable while preserving the span semantics.
+
+    Returns ``(id, total_tokens, removed_tokens, clean_text)`` where
+    ``clean_text`` is the surviving tokens rejoined with single spaces
+    (a token-level rewrite — original whitespace/punctuation between
+    removed spans is not reconstructed; the tokenizer is the corpus-wide
+    ``[^\\p{L}\\p{N}]+`` split shared with the jaccard/shingle tiers).
+
+    100 TB shape — all keyed, no driver state, no Python:
+      1. one scan emits (id, pos, md5-of-k-gram): n-k+1 grams/doc;
+      2. ``groupBy(digest)`` with count + ``min(struct(id,pos))`` —
+         partial aggregation absorbs hot boilerplate digests map-side
+         (same skew defense as paragraph dedup);
+      3. duplicated digests equi-join back to occurrences (high-
+         cardinality md5 keys — no skew hot-spot);
+      4. covered token positions = ``explode(sequence(pos, pos+k-1))``
+         per surviving duplicate occurrence, distinct per (id, pos) —
+         bounded by k × duplicate occurrences, NOT corpus size;
+      5. LEFT ANTI join of the token stream on covered positions, then
+         one keyed groupBy(id) rebuilds documents.
+    Docs shorter than ``k`` tokens emit no grams and pass through
+    whole.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    staged = df.select(F.col(id_col).alias("__id__"), toks.alias("__tk__"))
+    n = F.size("__tk__")
+
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(0), n - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        "__id__",
+        F.explode(
+            F.transform(
+                gram_idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.encode(F.concat_ws(" ", F.slice("__tk__", i + 1, k)), "UTF-8")
+                    ).alias("dig"),
+                ),
+            )
+        ).alias("__g__"),
+    ).select("__id__", F.col("__g__.pos").alias("__pos__"), F.col("__g__.dig").alias("__dig__"))
+
+    stats = grams.groupBy("__dig__").agg(
+        F.count("*").alias("__cnt__"),
+        F.min(F.struct(F.col("__id__"), F.col("__pos__"))).alias("__first__"),
+    )
+    dup = stats.where(F.col("__cnt__") > 1)
+
+    marked = grams.join(dup, "__dig__")
+    if keep_canonical:
+        marked = marked.where(
+            ~(
+                (F.col("__id__") == F.col("__first__.__id__"))
+                & (F.col("__pos__") == F.col("__first__.__pos__"))
+            )
+        )
+    covered = (
+        marked.select(
+            "__id__",
+            F.explode(F.sequence(F.col("__pos__"), F.col("__pos__") + F.lit(k - 1))).alias(
+                "__cov__"
+            ),
+        )
+        .dropDuplicates(["__id__", "__cov__"])
+    )
+
+    tokpos = staged.select(
+        "__id__",
+        n.alias("__n__"),
+        F.posexplode_outer("__tk__").alias("__pos__", "__tok__"),
+    )
+    # LEFT join + flag (not LEFT ANTI): a doc whose EVERY token is
+    # covered must still emit a row (empty clean_text), not vanish.
+    flagged = tokpos.alias("t").join(
+        covered.alias("c"),
+        (F.col("t.__id__") == F.col("c.__id__"))
+        & (F.col("t.__pos__") == F.col("c.__cov__")),
+        "left_outer",
+    ).select(
+        F.col("t.__id__").alias("__id__"),
+        F.col("t.__n__").alias("__n__"),
+        F.col("t.__pos__").alias("__pos__"),
+        F.col("t.__tok__").alias("__tok__"),
+        F.col("c.__cov__").isNotNull().alias("__removed__"),
+    )
+    surviving = F.col("__tok__").isNotNull() & ~F.col("__removed__")
+    out = flagged.groupBy("__id__").agg(
+        F.max("__n__").cast("long").alias("total_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(surviving, F.struct(F.col("__pos__"), F.col("__tok__")))
+                    )
+                ),
+                lambda s: s["__tok__"],
+            ),
+        ).alias("clean_text"),
+        F.sum(surviving.cast("long")).alias("__kept__"),
+    )
+    return out.select(
+        F.col("__id__").alias(id_col),
+        "total_tokens",
+        (F.col("total_tokens") - F.col("__kept__")).cast("long").alias("removed_tokens"),
+        "clean_text",
+    )

@@ -479,3 +479,73 @@ def test_gopher_signals_zero_shuffle_plan(spark):
     )
     plan = gopher_quality_signals(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    from plateau_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one two three"),
+            (2, "prefix words alpha beta gamma delta suffix tail"),
+            (3, "alpha beta gamma delta"),  # exactly the span — fully covered
+            (4, "totally different text with no duplicate runs"),
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(docs, "id", "text", k=4).collect()
+    }
+    # doc 1 holds the canonical (min (id,pos)) occurrence — kept whole
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["clean_text"] == "alpha beta gamma delta unique one two three"
+    assert out[2]["removed_tokens"] == 4
+    assert out[2]["clean_text"] == "prefix words suffix tail"
+    # fully-covered doc must still emit a row, not vanish
+    assert out[3]["total_tokens"] == 4
+    assert out[3]["removed_tokens"] == 4
+    assert out[3]["clean_text"] == ""
+    assert out[4]["removed_tokens"] == 0
+    assert out[5]["total_tokens"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from plateau_spark.operators.dedup import remove_duplicate_spans
+
+    # the 3-gram "a b c" occurs twice INSIDE one document: the first
+    # occurrence is canonical, the second is cut
+    docs = spark.createDataFrame(
+        [(1, "a b c x y z a b c")], "id long, text string"
+    )
+    r = remove_duplicate_spans(docs, "id", "text", k=3).collect()[0]
+    assert r["total_tokens"] == 9
+    assert r["removed_tokens"] == 3
+    assert r["clean_text"] == "a b c x y z"
+
+
+def test_remove_duplicate_spans_no_canonical_keeps_nothing(spark):
+    from plateau_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(
+            docs, "id", "text", k=4, keep_canonical=False
+        ).collect()
+    }
+    assert out[1]["removed_tokens"] == 4 and out[2]["removed_tokens"] == 4
+
+
+def test_remove_duplicate_spans_short_docs_pass_through(spark):
+    from plateau_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two")], "id long, text string"
+    )
+    out = remove_duplicate_spans(docs, "id", "text", k=4).collect()
+    assert all(r["removed_tokens"] == 0 for r in out)
