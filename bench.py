@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "dataset_bloom_read",
     "streaming_route_datasets",
     "embedding_outliers",
+    "text_gopher_rules",
+    "dedup_duplicate_spans",
 ]
 
 
