@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "text_gopher_rules",
     "dedup_duplicate_spans",
+    "export_jsonl_manifest",
 ]
 
 

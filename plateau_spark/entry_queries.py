@@ -4229,6 +4229,41 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+def export_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_with_manifest: the training-data export sink — documents
+    hash-sharded into 8 gzip JSONL shard dirs, then RE-READ to build a
+    per-shard manifest (count, modular + xor content signatures, file
+    count). The oracle replays shard assignment and signatures straight
+    from the source table, so a mismatch means the bytes on disk (or
+    the JSON round trip) are wrong — this verifies the sink, not the
+    plan. repartition(shard) before partitionBy ⇒ exactly one file per
+    shard, which the oracle pins as a literal."""
+    _prep(spark)
+    from plateau_spark.operators.export import export_with_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _fresh_store("jsonl-export")
+    return export_with_manifest(
+        docs, spark, path,
+        key_col="doc_id", sig_cols=["doc_id", "text"], n_shards=8,
+    )
+
+
+EXPORT_MANIFEST_ORACLE = """
+WITH s AS (
+  SELECT CAST(CAST(('0x' || substr(md5('export|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15)) AS BIGINT) AS sig
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_rows,
+       CAST(sum(sig % 10007) AS BIGINT) AS sig_sum,
+       bit_xor(sig) AS sig_xor,
+       CAST(1 AS BIGINT) AS n_files
+FROM s GROUP BY shard
+"""
+
+
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixture_sample: token-budget corpus mixing — three named sources
     weighted 3:1:1 into a 300k-char budget (src0 clips at keep-all, the
@@ -4337,6 +4372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (b2) late round-7 additions ---
     "text_gopher_rules": text_gopher_rules,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "export_jsonl_manifest": export_jsonl_manifest,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4442,6 +4478,7 @@ ORACLES: dict[str, str] = {
     "text_c4_clean": TEXT_C4_CLEAN_ORACLE,
     "text_gopher_rules": TEXT_GOPHER_ORACLE,
     "dedup_duplicate_spans": DEDUP_SPANS_ORACLE,
+    "export_jsonl_manifest": EXPORT_MANIFEST_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -549,3 +549,76 @@ def test_remove_duplicate_spans_short_docs_pass_through(spark):
     )
     out = remove_duplicate_spans(docs, "id", "text", k=4).collect()
     assert all(r["removed_tokens"] == 0 for r in out)
+
+
+# --- JSONL shard export ------------------------------------------------------
+
+
+def test_export_jsonl_roundtrip_and_manifest(spark, tmp_path):
+    from plateau_spark.operators.export import export_with_manifest
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    m = export_with_manifest(
+        df, spark, path, key_col="doc_id", sig_cols=["doc_id", "text"],
+        n_shards=4, compression=None,
+    )
+    rows = m.collect()
+    assert sum(r["n_rows"] for r in rows) == 4
+    assert all(r["n_files"] == 1 for r in rows)
+    # every row re-reads intact (NULL and '' both survive the JSON trip)
+    back = spark.read.schema("doc_id long, text string").json(path)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {1: "alpha", 2: "beta", 3: None, 4: ""}
+
+
+def test_export_layout_deterministic_across_runs(spark, tmp_path):
+    from plateau_spark.operators.export import export_with_manifest
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    a = export_with_manifest(
+        df, spark, str(tmp_path / "a"), key_col="doc_id",
+        sig_cols=["doc_id", "text"], n_shards=4, compression=None,
+    ).orderBy("shard").collect()
+    b = export_with_manifest(
+        df, spark, str(tmp_path / "b"), key_col="doc_id",
+        sig_cols=["doc_id", "text"], n_shards=4, compression=None,
+    ).orderBy("shard").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_export_shard_read_partition_prunes(spark, tmp_path):
+    from plateau_spark.operators.export import export_jsonl_shards
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    path = str(tmp_path / "shards")
+    export_jsonl_shards(df, path, key_col="doc_id", n_shards=4, compression=None)
+    back = spark.read.schema("doc_id long, text string").json(path)
+    one = back.where(F.col("shard") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # Hive-style shard dirs prune at plan time: the predicate lands in
+    # PartitionFilters, not a post-scan Filter over all shards
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:120]
+    total = back.count()
+    assert 0 < one.count() < total
+
+
+def test_export_rejects_bad_args_and_existing_path(spark, tmp_path):
+    from plateau_spark.operators.export import export_jsonl_shards
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="n_shards"):
+        export_jsonl_shards(df, str(tmp_path / "x"), key_col="doc_id", n_shards=0)
+    p = str(tmp_path / "dup")
+    export_jsonl_shards(df, p, key_col="doc_id", n_shards=2, compression=None)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        export_jsonl_shards(df, p, key_col="doc_id", n_shards=2, compression=None)
