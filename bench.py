@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "text_gopher_rules",
     "dedup_duplicate_spans",
     "export_jsonl_manifest",
+    "embedding_random_projection",
 ]
 
 

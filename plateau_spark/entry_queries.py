@@ -21,6 +21,7 @@ Cross-engine float parity rules (so value hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import math
 import shutil
 from collections.abc import Callable
 
@@ -4264,6 +4265,52 @@ FROM s GROUP BY shard
 """
 
 
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_project_embeddings: JL sign projection 64→16 (md5-parity
+    ±1 matrix baked into the plan as literals, scale 1/sqrt(16)=0.25 —
+    exactly representable, so both engines fold identical doubles).
+    Output posexploded to scalar (vec_id, pos, value) rows for the
+    driver canonicalizer."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import random_project_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_project_embeddings(
+        emb, "vec_id", "embedding", dim_out=16
+    )
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("pos", "value")
+    )
+
+
+def _rproj_oracle_sql(dim_in: int = 64, dim_out: int = 16) -> str:
+    scale = 1.0 / math.sqrt(dim_out)
+    comps = []
+    for j in range(dim_out):
+        sign = (
+            "CASE WHEN CAST(('0x' || substr(md5('rproj|' || CAST(i AS VARCHAR) "
+            f"|| '|' || '{j}'), 1, 8)) AS BIGINT) % 2 = 0 "
+            f"THEN {scale!r} ELSE {-scale!r} END"
+        )
+        comps.append(
+            f"round(list_sum(list_transform(range(0, {dim_in}), "
+            f"i -> embedding[i+1] * ({sign}))), 6)"
+        )
+    arr = ",\n    ".join(comps)
+    return f"""
+WITH p AS (
+  SELECT vec_id, [{arr}] AS pr FROM embeddings
+)
+SELECT vec_id,
+       CAST(unnest(range(0, {dim_out})) AS INT) AS pos,
+       unnest(pr) AS value
+FROM p
+"""
+
+
+EMBEDDING_RPROJ_ORACLE = _rproj_oracle_sql()
+
+
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixture_sample: token-budget corpus mixing — three named sources
     weighted 3:1:1 into a 300k-char budget (src0 clips at keep-all, the
@@ -4324,7 +4371,12 @@ WHERE {_U_MIX} < p.keep_p
 #   multimodal_dhash_pairs — perceptual near-dup;
 #   multimodal_audio_features — PCM16 frame features;
 #   sample_cluster_balanced — per-cluster quota diversity;
-#   streaming_ingest_dedup — online dedup-on-ingest); (c) the six
+#   streaming_ingest_dedup — online dedup-on-ingest; plus the late-
+#   round block (b2): text_gopher_rules — Rae-et-al A1.1 quality gate;
+#   dedup_duplicate_spans — Lee-et-al exact span dedup;
+#   export_jsonl_manifest — verified training-shard export sink, which
+#   push text_repetition/text_pii_scrub/text_token_histogram — all
+#   r5/r6-green — just past the 50-mark); (c) the six
 #   stalest entries (last driver-green r2/r4: ngram_jaccard,
 #   pipeline_training_data, multimodal_metadata, multimodal_features,
 #   streaming_sessionize, streaming_windowed_counts); (d) queries over
@@ -4373,6 +4425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_rules": text_gopher_rules,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "export_jsonl_manifest": export_jsonl_manifest,
+    "embedding_random_projection": embedding_random_projection,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4479,6 +4532,7 @@ ORACLES: dict[str, str] = {
     "text_gopher_rules": TEXT_GOPHER_ORACLE,
     "dedup_duplicate_spans": DEDUP_SPANS_ORACLE,
     "export_jsonl_manifest": EXPORT_MANIFEST_ORACLE,
+    "embedding_random_projection": EMBEDDING_RPROJ_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -24,6 +24,7 @@ No MLlib dependency (works on plain array<float>), no Python UDFs.
 
 from __future__ import annotations
 
+import math
 import random
 from typing import Sequence
 
@@ -962,3 +963,66 @@ def cluster_balanced_sample(
         id_col=id_col, vec_col=vec_col, seed_ids=seed_ids,
     )
     return quota_sample(assigned, ["cluster_id"], quota, key_col=id_col, salt=salt)
+
+
+def _rproj_sign(salt: str, i: int, j: int) -> float:
+    """Deterministic ±1 from md5 parity — engine-replayable (DuckDB
+    twin: CAST('0x'||substr(md5(...),1,8) AS BIGINT) % 2)."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()
+    return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+
+
+def random_project_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim_out: int,
+    salt: str = "rproj",
+    out_col: str = "projected",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random SIGN projection: reduce ``dim_in``
+    embeddings to ``dim_out`` via a deterministic ±1 matrix (md5-parity
+    entries, scaled 1/sqrt(dim_out)) — inner products and distances are
+    preserved in expectation, so the projected space is a drop-in
+    cheaper tier for the ANN/dup operators (shuffle bytes and GEMM cost
+    scale linearly with dim).
+
+    100 TB shape: the sign matrix is dim_in × dim_out literals BAKED
+    INTO THE PLAN (a 64→16 projection is 1 KB of plan) — zero joins,
+    zero shuffle, zero Python; each output component is a codegen'd
+    zip_with/aggregate fold. Deterministic in (salt, dims): any engine
+    (and the DuckDB oracle) reproduces the exact matrix from md5.
+
+    ``round_digits`` rounds each component for cross-engine hashing
+    (None = full precision). Rows whose vector length differs from the
+    inferred dim fail loudly (same contract as the LSH tier).
+    """
+    if dim_out <= 0:
+        raise ValueError(f"dim_out must be positive, got {dim_out}")
+    dim_in = infer_dim(df, vec_col)
+    scale = 1.0 / math.sqrt(dim_out)
+    vec = F.col(vec_col)
+    guarded = F.when(F.size(vec) == dim_in, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding length != projection dim {dim_in}: got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+    comps = []
+    for j in range(dim_out):
+        signs = F.array(
+            *[F.lit(_rproj_sign(salt, i, j) * scale) for i in range(dim_in)]
+        )
+        acc = F.aggregate(
+            F.zip_with(guarded, signs, lambda v, s: v * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        comps.append(F.round(acc, round_digits) if round_digits else acc)
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))

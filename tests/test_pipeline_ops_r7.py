@@ -622,3 +622,66 @@ def test_export_rejects_bad_args_and_existing_path(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         export_jsonl_shards(df, p, key_col="doc_id", n_shards=2, compression=None)
+
+
+# --- JL random sign projection ----------------------------------------------
+
+
+def test_random_projection_preserves_cosine_structure(spark):
+    """JL property: after 64→16 sign projection, the nearest neighbor
+    of a vector among {near-duplicate, unrelated} must stay the
+    near-duplicate for the overwhelming majority of test vectors."""
+    import numpy as np
+
+    from plateau_spark.operators.similarity import random_project_embeddings
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 64))
+    near = base + rng.normal(scale=0.05, size=(30, 64))
+    far = rng.normal(size=(30, 64))
+    rows = []
+    for i in range(30):
+        rows += [(i * 3, base[i].tolist()), (i * 3 + 1, near[i].tolist()),
+                 (i * 3 + 2, far[i].tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["projected"]) for r in
+           random_project_embeddings(df, "vec_id", "embedding", dim_out=16,
+                                     round_digits=None).collect()}
+    wins = 0
+    for i in range(30):
+        b, n, f = out[i * 3], out[i * 3 + 1], out[i * 3 + 2]
+        cos = lambda a, c: float(a @ c / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-12))  # noqa: E731
+        if cos(b, n) > cos(b, f):
+            wins += 1
+    assert wins >= 27  # ≥90% — sign-JL at 16 dims keeps neighbors
+
+
+def test_random_projection_deterministic_and_validated(spark):
+    from plateau_spark.operators.similarity import random_project_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], "vec_id long, embedding array<double>"
+    )
+    a = random_project_embeddings(df, "vec_id", "embedding", dim_out=4).collect()
+    b = random_project_embeddings(df, "vec_id", "embedding", dim_out=4).collect()
+    assert a == b
+    with pytest.raises(ValueError, match="dim_out"):
+        random_project_embeddings(df, "vec_id", "embedding", dim_out=0)
+    # length mismatch fails loudly
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        random_project_embeddings(bad, "vec_id", "embedding", dim_out=2).collect()
+
+
+def test_random_projection_zero_shuffle_plan(spark):
+    from plateau_spark.operators.similarity import random_project_embeddings
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = random_project_embeddings(df, "vec_id", "embedding", dim_out=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
