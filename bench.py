@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "dedup_duplicate_spans",
     "export_jsonl_manifest",
     "embedding_random_projection",
+    "dedup_span_stats",
 ]
 
 

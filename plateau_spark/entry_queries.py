@@ -4265,6 +4265,56 @@ FROM s GROUP BY shard
 """
 
 
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_span_stats: corpus boilerplate report — the top-20
+    most-duplicated 8-token spans with occurrence/document counts, over
+    the same planted passage as dedup_duplicate_spans (the 5 passage
+    8-grams dominate, corpus-native repeats fill the tail)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" " + _SPAN_PASSAGE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return duplicate_span_stats(planted, "doc_id", "text", k=8, top=20)
+
+
+DEDUP_SPAN_STATS_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' {_SPAN_PASSAGE}' ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, {_GOPHER_TOKS} AS tk FROM base
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           CASE WHEN len(tk) >= 8 THEN range(0, len(tk) - 7) ELSE [] END,
+           i -> array_to_string(tk[i+1:i+8], ' ')
+         )) AS span
+  FROM toks
+), per_doc AS (
+  SELECT span, doc_id, count(*) AS occ FROM grams GROUP BY 1, 2
+), stats AS (
+  SELECT span,
+         CAST(sum(occ) AS BIGINT) AS n_occurrences,
+         count(*) AS n_docs
+  FROM per_doc GROUP BY 1
+)
+SELECT span, n_occurrences, n_docs FROM stats
+WHERE n_occurrences > 1
+ORDER BY n_occurrences DESC, span
+LIMIT 20
+"""
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_project_embeddings: JL sign projection 64→16 (md5-parity
     ±1 matrix baked into the plan as literals, scale 1/sqrt(16)=0.25 —
@@ -4426,6 +4476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "export_jsonl_manifest": export_jsonl_manifest,
     "embedding_random_projection": embedding_random_projection,
+    "dedup_span_stats": dedup_span_stats,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4533,6 +4584,7 @@ ORACLES: dict[str, str] = {
     "dedup_duplicate_spans": DEDUP_SPANS_ORACLE,
     "export_jsonl_manifest": EXPORT_MANIFEST_ORACLE,
     "embedding_random_projection": EMBEDDING_RPROJ_ORACLE,
+    "dedup_span_stats": DEDUP_SPAN_STATS_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

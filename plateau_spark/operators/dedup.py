@@ -1526,3 +1526,58 @@ def remove_duplicate_spans(
         (F.col("total_tokens") - F.col("__kept__")).cast("long").alias("removed_tokens"),
         "clean_text",
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    top: int = 100,
+) -> DataFrame:
+    """Corpus boilerplate report: the ``top`` most-duplicated k-token
+    spans with occurrence count, distinct-document count, and the span
+    text — the analysis companion to :func:`remove_duplicate_spans`
+    (run this first to see WHAT would be cut; shared license headers,
+    navigation chrome and template sentences surface immediately).
+
+    Returns ``(span, n_occurrences, n_docs)`` ordered by
+    ``(n_occurrences DESC, span)`` — a deterministic total order, so
+    the top-N cut is rerun- and engine-stable.
+
+    100 TB shape: one scan emits (id, span-text) per k-gram;
+    ``groupBy(span)`` count + approx-free distinct-doc count via a
+    two-level agg (doc-level dedup first, so the hot-span groupBy
+    carries one row per (span, doc) — partial agg absorbs the rest);
+    the top-N is ``TakeOrderedAndProject``, never a global sort. The
+    shuffle key carries the span text (k × avg-token bytes) — for very
+    large k prefer digests + a second join; at the k≤20 curation range
+    the text key keeps it one pass.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    staged = df.select(F.col(id_col).alias("__id__"), toks.alias("__tk__"))
+    n = F.size("__tk__")
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(0), n - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        "__id__",
+        F.explode(
+            F.transform(
+                gram_idx, lambda i: F.concat_ws(" ", F.slice("__tk__", i + 1, k))
+            )
+        ).alias("span"),
+    )
+    per_doc = grams.groupBy("span", "__id__").agg(
+        F.count("*").alias("__occ__")
+    )
+    stats = per_doc.groupBy("span").agg(
+        F.sum("__occ__").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        stats.where(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), F.col("span"))
+        .limit(top)
+    )

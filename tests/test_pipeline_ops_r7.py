@@ -685,3 +685,34 @@ def test_random_projection_zero_shuffle_plan(spark):
     out = random_project_embeddings(df, "vec_id", "embedding", dim_out=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_duplicate_span_stats_hand_computed(spark):
+    from plateau_spark.operators.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d tail one"),
+            (2, "x y a b c d more"),
+            (3, "a b c d a b c d"),  # 2 occurrences in one doc
+        ],
+        "id long, text string",
+    )
+    out = {r["span"]: r for r in duplicate_span_stats(docs, "id", "text", k=4).collect()}
+    s = out["a b c d"]
+    assert s["n_occurrences"] == 4 and s["n_docs"] == 3
+    # spans occurring once never appear
+    assert "x y a b" not in out
+
+
+def test_duplicate_span_stats_top_n_plan(spark):
+    from plateau_spark.operators.dedup import duplicate_span_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = duplicate_span_stats(docs, "doc_id", "text", k=3, top=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-N, no global sort
+    rows = out.collect()
+    assert len(rows) <= 10
+    occ = [r["n_occurrences"] for r in rows]
+    assert occ == sorted(occ, reverse=True)
