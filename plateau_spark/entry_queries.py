@@ -4423,10 +4423,12 @@ WHERE {_U_MIX} < p.keep_p
 #   sample_cluster_balanced — per-cluster quota diversity;
 #   streaming_ingest_dedup — online dedup-on-ingest; plus the late-
 #   round block (b2): text_gopher_rules — Rae-et-al A1.1 quality gate;
-#   dedup_duplicate_spans — Lee-et-al exact span dedup;
-#   export_jsonl_manifest — verified training-shard export sink, which
-#   push text_repetition/text_pii_scrub/text_token_histogram — all
-#   r5/r6-green — just past the 50-mark); (c) the six
+#   dedup_duplicate_spans / dedup_span_stats — Lee-et-al exact span
+#   dedup + boilerplate report; export_jsonl_manifest — verified
+#   training-shard export sink; embedding_random_projection — JL sign
+#   projection. The six b2 entries push the r5/r6-green
+#   text_bpe_tokens/tfidf/repetition/pii_scrub/token_histogram tail
+#   just past the 50-mark); (c) the six
 #   stalest entries (last driver-green r2/r4: ngram_jaccard,
 #   pipeline_training_data, multimodal_metadata, multimodal_features,
 #   streaming_sessionize, streaming_windowed_counts); (d) queries over

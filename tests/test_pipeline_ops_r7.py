@@ -716,3 +716,48 @@ def test_duplicate_span_stats_top_n_plan(spark):
     assert len(rows) <= 10
     occ = [r["n_occurrences"] for r in rows]
     assert occ == sorted(occ, reverse=True)
+
+
+def test_remove_duplicate_spans_fuzz_vs_python_twin(spark):
+    """Property fuzz: the distributed span-removal pipeline must agree
+    with a direct single-process implementation of the spec on random
+    small corpora (small vocab forces heavy span collisions)."""
+    import random
+
+    def twin(docs, k):
+        toks = {i: [w for w in t.lower().strip().split() if w] for i, t in docs}
+        occ = {}
+        for i, tk in toks.items():
+            for p in range(max(len(tk) - k, -1) + 1):
+                if len(tk) >= k:
+                    occ.setdefault(tuple(tk[p:p + k]), []).append((i, p))
+        covered = {i: set() for i, _ in docs}
+        for g, places in occ.items():
+            if len(places) > 1:
+                first = min(places)
+                for (i, p) in places:
+                    if (i, p) != first:
+                        covered[i].update(range(p, p + k))
+        out = {}
+        for i, tk in toks.items():
+            kept = [w for j, w in enumerate(tk) if j not in covered[i]]
+            out[i] = (len(tk), len(tk) - len(kept), " ".join(kept))
+        return out
+
+    from plateau_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(5):
+        k = rng.choice([2, 3])
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+            for i in range(rng.randint(2, 7))
+        ]
+        expect = twin(docs, k)
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {
+            r["id"]: (r["total_tokens"], r["removed_tokens"], r["clean_text"])
+            for r in remove_duplicate_spans(df, "id", "text", k=k).collect()
+        }
+        assert got == expect, f"trial {trial} k={k} docs={docs}"
