@@ -1361,3 +1361,24 @@ def test_build_indices_all_null_partition_contributes_nothing(spark, lstore):
         spark, lstore, "nullidx", predicates=[[("p", "==", 7)]]
     )
     assert [r["k"] for r in out.collect()] == [3]
+
+
+@pytest.mark.parametrize("mode", WRITE_MODES)
+def test_store_all_empty_dataframes_partition_on(mode, spark, lstore):
+    """ALL-empty input with partition_on still creates a schema-only
+    dataset: schema preserved, zero partitions, reads back empty with
+    the right columns; overwrite replaces the schema wholesale
+    (reference: test_store_empty_dataframes_partition_on)."""
+    df = spark.createDataFrame([], "x long, y string")
+    meta = _store_ds(mode, spark, lstore, "allempty", df, partition_on=["x"])
+    assert len(meta.partitions) == 0
+    assert [f.name for f in meta.schema.fields] == ["x", "y"]
+    out = read_dataset_as_dataframe(spark, lstore, "allempty")
+    assert out.count() == 0 and out.columns == ["x", "y"]
+    df2 = spark.createDataFrame([], "x long, y string, z double")
+    meta2 = _store_ds(
+        mode, spark, lstore, "allempty", df2, partition_on=["x"], overwrite=True
+    )
+    assert [f.name for f in meta2.schema.fields] == ["x", "y", "z"]
+    out2 = read_dataset_as_dataframe(spark, lstore, "allempty")
+    assert out2.count() == 0 and out2.columns == ["x", "y", "z"]

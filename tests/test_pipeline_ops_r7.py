@@ -761,3 +761,25 @@ def test_remove_duplicate_spans_fuzz_vs_python_twin(spark):
             for r in remove_duplicate_spans(df, "id", "text", k=k).collect()
         }
         assert got == expect, f"trial {trial} k={k} docs={docs}"
+
+
+def test_export_jsonl_escapes_hostile_text(spark, tmp_path):
+    """Newlines, quotes, backslashes and non-ASCII must survive the
+    JSONL round trip — a raw newline would split a record in half."""
+    from plateau_spark.operators.export import export_with_manifest
+
+    hostile = [
+        (1, 'line one\nline "two"\ttabbed'),
+        (2, "back\\slash and emoji é中"),
+        (3, "{\"fake\": \"json\"}"),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    m = export_with_manifest(
+        df, spark, path, key_col="doc_id", sig_cols=["doc_id", "text"],
+        n_shards=2, compression=None,
+    )
+    assert sum(r["n_rows"] for r in m.collect()) == 3
+    back = spark.read.schema("doc_id long, text string").json(path)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(hostile)
