@@ -490,7 +490,8 @@ feats AS (
 )"""
 
 _DSIR_MODEL = """
-rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+db AS (SELECT doc_id, b, count(*) AS k FROM bk GROUP BY doc_id, b),
+rc AS (SELECT b, sum(k) AS cr FROM db GROUP BY b),
 tc AS (SELECT b, count(*) AS ct FROM bk JOIN tgt USING (doc_id) GROUP BY b),
 nt AS (SELECT count(*) AS n FROM bk JOIN tgt USING (doc_id)),
 nr AS (SELECT count(*) AS n FROM bk),
@@ -500,10 +501,12 @@ model AS (
        - (ln(rc.cr + 1) - ln(nr.n + 1024.0)) AS diff
   FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN nt CROSS JOIN nr
 ),
+-- scoring mirrors the engine's one-pass shape: k·diff over the deduped
+-- (doc, bucket) rows, not a per-feature-occurrence sum
 scored AS (
-  SELECT bk.doc_id, sum(model.diff) AS lw
-  FROM bk JOIN model ON bk.b = model.b
-  GROUP BY bk.doc_id
+  SELECT db.doc_id, sum(model.diff * db.k) AS lw
+  FROM db JOIN model ON db.b = model.b
+  GROUP BY db.doc_id
 )"""
 
 DSIR_LOGWEIGHTS_ORACLE = f"""

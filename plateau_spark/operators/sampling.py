@@ -552,16 +552,29 @@ def dsir_logweights(
     n-gram generative model, closed-form so the whole fit + scoring is
     oracle-checkable. High logw = looks like the target distribution.
 
-    100 TB shape: one explode pass per corpus for the two model fits
-    (keyed count aggs, ≤ n_buckets rows each — KBs, broadcast to the
-    scoring join); scoring = one explode pass over raw → broadcast
-    equi-join on the bucket id → keyed per-document sum. No Python, no
+    100 TB shape: ONE explode pass over raw feeds both the model fit
+    and the scoring — per-(doc, bucket) counts are aggregated once
+    (keyed, map-side combined), the raw bucket model folds out of them
+    (≤ n_buckets rows — KBs, broadcast to the scoring join), and
+    scoring joins the deduped (doc, bucket) rows (never the raw feature
+    stream) against the broadcast model with a k·diff weighted sum.
+    The expensive part — scanning the corpus and md5-hashing every
+    uni+bigram — happens exactly once; the target corpus (small by
+    construction in DSIR) gets its own single pass. No Python, no
     windows, no driver state. Documents with zero features score NULL.
     """
     import math
 
+    doc_buckets = (
+        raw.select(
+            F.col(id_col),
+            F.explode(_hashed_ngram_features(text_col, salt, n_buckets)).alias("__b__"),
+        )
+        .groupBy(id_col, "__b__")
+        .agg(F.count("*").alias("__k__"))
+    )
     t_counts = _bucket_counts(target, text_col, salt, n_buckets)
-    r_counts = _bucket_counts(raw, text_col, salt, n_buckets)
+    r_counts = doc_buckets.groupBy("__b__").agg(F.sum("__k__").alias("__c__"))
     # totals fold out of the bucket counts (≤ n_buckets rows) — scanning
     # the corpora again for F.sum(F.size(features)) would double the
     # explode passes for the same number
@@ -586,13 +599,9 @@ def dsir_logweights(
         )
     )
     scored = (
-        raw.select(
-            F.col(id_col),
-            F.explode(_hashed_ngram_features(text_col, salt, n_buckets)).alias("__b__"),
-        )
-        .join(F.broadcast(model), "__b__")
+        doc_buckets.join(F.broadcast(model), "__b__")
         .groupBy(id_col)
-        .agg(F.sum("__diff__").alias("__lw__"))
+        .agg(F.sum(F.col("__diff__") * F.col("__k__")).alias("__lw__"))
     )
     return (
         raw.select(id_col)
