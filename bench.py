@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "export_jsonl_manifest",
     "embedding_random_projection",
     "dedup_span_stats",
+    "pipeline_pack_export",
 ]
 
 

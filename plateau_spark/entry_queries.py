@@ -4268,6 +4268,62 @@ FROM s GROUP BY shard
 """
 
 
+def pipeline_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline composition: pack documents into (lang, bin)
+    training sequences (concat_pack_bins → materialize), then ship them
+    through export_with_manifest as 4 gzip JSONL shards and return the
+    verified manifest. The oracle recomputes the packed sequences AND
+    the shard/signature algebra straight from the documents table, so a
+    mismatch implicates the pack step, the JSON round trip, or the
+    bytes on disk — the full pack→ship path end-to-end."""
+    _prep(spark)
+    from plateau_spark.operators.export import export_with_manifest
+    from plateau_spark.operators.packing import (
+        concat_pack_bins,
+        materialize_packed_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = concat_pack_bins(docs, ["lang"], "n_chars", 4000, order_col="doc_id")
+    packed = materialize_packed_sequences(
+        binned, ["lang"], "text", order_col="doc_id", sep="\n\n"
+    )
+    rows = packed.select(
+        F.concat_ws(":", F.col("lang"), F.col("bin_id").cast("string")).alias("key"),
+        F.col("packed_text").alias("text"),
+    )
+    path = _fresh_store("pack-export")
+    return export_with_manifest(
+        rows, spark, path, key_col="key", sig_cols=["key", "text"], n_shards=4
+    )
+
+
+PIPELINE_PACK_EXPORT_ORACLE = """
+WITH binned AS (
+  SELECT doc_id, lang, text,
+         CAST(greatest(CAST(ceil(
+             COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING), 0) / 4000.0
+         ) AS BIGINT) - 1, 0) AS BIGINT) AS bin_id
+  FROM documents
+), packed AS (
+  SELECT lang || ':' || CAST(bin_id AS VARCHAR) AS key,
+         string_agg(text, E'\\n\\n' ORDER BY doc_id) AS text
+  FROM binned GROUP BY lang, bin_id
+), s AS (
+  SELECT CAST(CAST(('0x' || substr(md5('export|' || key), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+         CAST(('0x' || substr(md5(key || chr(1) || text), 1, 15)) AS BIGINT) AS sig
+  FROM packed
+)
+SELECT shard,
+       count(*) AS n_rows,
+       CAST(sum(sig % 10007) AS BIGINT) AS sig_sum,
+       bit_xor(sig) AS sig_xor,
+       CAST(1 AS BIGINT) AS n_files
+FROM s GROUP BY shard
+"""
+
+
 def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate_span_stats: corpus boilerplate report — the top-20
     most-duplicated 8-token spans with occurrence/document counts, over
@@ -4482,6 +4538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_jsonl_manifest": export_jsonl_manifest,
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_stats": dedup_span_stats,
+    "pipeline_pack_export": pipeline_pack_export,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4590,6 +4647,7 @@ ORACLES: dict[str, str] = {
     "export_jsonl_manifest": EXPORT_MANIFEST_ORACLE,
     "embedding_random_projection": EMBEDDING_RPROJ_ORACLE,
     "dedup_span_stats": DEDUP_SPAN_STATS_ORACLE,
+    "pipeline_pack_export": PIPELINE_PACK_EXPORT_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,
