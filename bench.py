@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "embedding_random_projection",
     "dedup_span_stats",
     "pipeline_pack_export",
+    "pack_sequence_boundaries",
 ]
 
 

@@ -4268,6 +4268,47 @@ FROM s GROUP BY shard
 """
 
 
+def pack_sequence_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """materialize_packed_sequences(boundaries_col=...): per-document
+    character start offsets inside each packed training sequence — the
+    metadata a loader needs for loss masking / block-diagonal attention.
+    Posexploded to scalar (lang, bin_id, doc_index, offset) rows."""
+    _prep(spark)
+    from plateau_spark.operators.packing import (
+        concat_pack_bins,
+        materialize_packed_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = concat_pack_bins(docs, ["lang"], "n_chars", 4000, order_col="doc_id")
+    packed = materialize_packed_sequences(
+        binned, ["lang"], "text", order_col="doc_id", sep="\n\n",
+        boundaries_col="doc_offsets",
+    )
+    return packed.select(
+        "lang", "bin_id",
+        F.posexplode("doc_offsets").alias("doc_index", "offset"),
+    )
+
+
+PACK_BOUNDARIES_ORACLE = """
+WITH binned AS (
+  SELECT doc_id, lang, text,
+         CAST(greatest(CAST(ceil(
+             COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING), 0) / 4000.0
+         ) AS BIGINT) - 1, 0) AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT lang, bin_id,
+       CAST(row_number() OVER (PARTITION BY lang, bin_id ORDER BY doc_id) - 1 AS INT) AS doc_index,
+       CAST(COALESCE(SUM(length(text) + 2) OVER (
+         PARTITION BY lang, bin_id ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+FROM binned
+"""
+
+
 def pipeline_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-of-pipeline composition: pack documents into (lang, bin)
     training sequences (concat_pack_bins → materialize), then ship them
@@ -4539,6 +4580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_stats": dedup_span_stats,
     "pipeline_pack_export": pipeline_pack_export,
+    "pack_sequence_boundaries": pack_sequence_boundaries,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4648,6 +4690,7 @@ ORACLES: dict[str, str] = {
     "embedding_random_projection": EMBEDDING_RPROJ_ORACLE,
     "dedup_span_stats": DEDUP_SPAN_STATS_ORACLE,
     "pipeline_pack_export": PIPELINE_PACK_EXPORT_ORACLE,
+    "pack_sequence_boundaries": PACK_BOUNDARIES_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -143,10 +143,18 @@ def materialize_packed_sequences(
     order_col: str | Sequence[str],
     sep: str = "\n\n",
     out_col: str = "packed_text",
+    boundaries_col: str | None = None,
 ) -> DataFrame:
     """Finish a pack: concatenate each bin's documents (in ``order_col``
     order) into one training sequence — (group_cols..., bin_col,
     packed_text, n_docs).
+
+    ``boundaries_col``: when set, also emit the character START offset
+    of each document inside ``packed_text`` (``array<long>``, one entry
+    per document, first is 0) — the per-document boundary metadata a
+    training loader needs for loss masking / block-diagonal attention
+    over packed sequences. Computed as a codegen ``aggregate`` prefix
+    fold over the sorted texts; no extra shuffle.
 
     One keyed aggregation on (group, bin): collect (order, text)
     structs, array_sort (struct ordering = field order, so the order
@@ -158,16 +166,25 @@ def materialize_packed_sequences(
     order_cols = _order_list(order_col)
     key = [*group_cols, bin_col]
     pair = F.struct(*[F.col(c) for c in order_cols], F.col(text_col).alias("__t__"))
-    return (
-        df.groupBy(*key)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(pair)), lambda s: s["__t__"]
-                ),
-                sep,
-            ).alias(out_col),
+    texts = F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["__t__"])
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.array_join(texts, sep).alias(out_col),
+    ]
+    out_cols = [*key, out_col, "n_docs"]
+    if boundaries_col is not None:
+        offsets = F.aggregate(
+            texts,
+            F.struct(
+                F.array().cast("array<long>").alias("o"),
+                F.lit(0).cast("long").alias("c"),
+            ),
+            lambda acc, t: F.struct(
+                F.concat(acc["o"], F.array(acc["c"])).alias("o"),
+                (acc["c"] + F.length(t) + F.lit(len(sep))).alias("c"),
+            ),
+            lambda acc: acc["o"],
         )
-        .select(*key, out_col, "n_docs")
-    )
+        aggs.append(offsets.alias(boundaries_col))
+        out_cols.append(boundaries_col)
+    return df.groupBy(*key).agg(*aggs).select(*out_cols)

@@ -139,3 +139,29 @@ def test_materialize_packed_sequences(spark):
     got = {r["bin_id"]: (r["packed_text"], r["n_docs"]) for r in out}
     # prefix sums 600,1200,1800 -> bins 0,1,1
     assert got == {0: ("one", 1), 1: ("two|three", 2)}
+
+
+def test_materialize_boundaries_point_at_document_starts(spark):
+    """boundaries_col offsets must index the first character of each
+    document inside packed_text (the loss-mask contract)."""
+    from plateau_spark.operators.packing import materialize_packed_sequences
+
+    df = spark.createDataFrame(
+        [("en", 0, 1, "alpha"), ("en", 0, 2, "bee"), ("en", 0, 3, "c"),
+         ("en", 1, 4, "solo")],
+        "lang string, bin_id long, doc_id long, text string",
+    )
+    out = materialize_packed_sequences(
+        df, ["lang"], "text", order_col="doc_id", sep="\n\n",
+        boundaries_col="doc_offsets",
+    ).collect()
+    for r in out:
+        texts = r["packed_text"].split("\n\n")
+        assert len(r["doc_offsets"]) == r["n_docs"] == len(texts)
+        for off, t in zip(r["doc_offsets"], texts):
+            assert r["packed_text"][off:off + len(t)] == t
+    # default: no boundaries column
+    plain = materialize_packed_sequences(
+        df, ["lang"], "text", order_col="doc_id"
+    )
+    assert "doc_offsets" not in plain.columns
