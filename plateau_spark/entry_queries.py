@@ -3275,6 +3275,58 @@ WHERE c.id IS NULL OR c.id = c.cluster_id
 """
 
 
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_keep_representatives(score_col=...): same near-dup clusters
+    as dedup_cluster_keep but keeping the LONGEST member per cluster
+    (n_chars, ties toward the larger id) — the "keep the best copy"
+    policy real pipelines want instead of min-id."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import (
+        dedup_keep_representatives,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, jaccard_threshold=0.12
+    )
+    return dedup_keep_representatives(
+        docs, pairs, "doc_id", score_col="n_chars", best="max"
+    ).select("doc_id")
+
+
+DEDUP_CLUSTER_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.12
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(v, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src WHERE w.lbl < e.dst
+), clusters AS (
+  SELECT v AS id, MIN(lbl) AS cluster_id FROM walk GROUP BY v
+), keepers AS (
+  SELECT c.cluster_id,
+         (max(struct_pack(f := 1, s := d.n_chars, i := c.id))).i AS keep
+  FROM clusters c JOIN documents d ON c.id = d.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.id IN (SELECT keep FROM keepers)
+"""
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (k=8, one Lloyd step, explicit
     seeds vec_id 0-7 for cross-engine determinism): every vector's
@@ -4522,13 +4574,15 @@ WHERE {_U_MIX} < p.keep_p
 #   multimodal_audio_features — PCM16 frame features;
 #   sample_cluster_balanced — per-cluster quota diversity;
 #   streaming_ingest_dedup — online dedup-on-ingest; plus the late-
-#   round block (b2): text_gopher_rules — Rae-et-al A1.1 quality gate;
-#   dedup_duplicate_spans / dedup_span_stats — Lee-et-al exact span
-#   dedup + boilerplate report; export_jsonl_manifest — verified
-#   training-shard export sink; embedding_random_projection — JL sign
-#   projection. The six b2 entries push the r5/r6-green
-#   text_bpe_tokens/tfidf/repetition/pii_scrub/token_histogram tail
-#   just past the 50-mark); (c) the six
+#   round block (b2, positions 30-36): text_gopher_rules — Rae-et-al
+#   A1.1 quality gate; dedup_duplicate_spans / dedup_span_stats —
+#   Lee-et-al exact span dedup + boilerplate report;
+#   export_jsonl_manifest / pipeline_pack_export — verified
+#   training-shard export sink, alone and composed with packing;
+#   embedding_random_projection — JL sign projection;
+#   pack_sequence_boundaries — loss-mask offsets. The seven b2 entries
+#   push the r5/r6-green text_quality.../text_token_histogram tail just
+#   past the 50-mark); (c) the six
 #   stalest entries (last driver-green r2/r4: ngram_jaccard,
 #   pipeline_training_data, multimodal_metadata, multimodal_features,
 #   streaming_sessionize, streaming_windowed_counts); (d) queries over
@@ -4581,6 +4635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_stats": dedup_span_stats,
     "pipeline_pack_export": pipeline_pack_export,
     "pack_sequence_boundaries": pack_sequence_boundaries,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4691,6 +4746,7 @@ ORACLES: dict[str, str] = {
     "dedup_span_stats": DEDUP_SPAN_STATS_ORACLE,
     "pipeline_pack_export": PIPELINE_PACK_EXPORT_ORACLE,
     "pack_sequence_boundaries": PACK_BOUNDARIES_ORACLE,
+    "dedup_cluster_keep_best": DEDUP_CLUSTER_KEEP_BEST_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -1209,26 +1209,64 @@ def dedup_keep_representatives(
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    score_col: str | None = None,
+    best: str = "max",
 ) -> DataFrame:
     """The last mile of fuzzy dedup: collapse a near-duplicate PAIR set
     into disjoint clusters (``duplicate_clusters`` connected components)
-    and keep exactly ONE representative per cluster — the smallest id —
-    returning the surviving rows of ``df`` with all columns.
+    and keep exactly ONE representative per cluster, returning the
+    surviving rows of ``df`` with all columns. Default representative is
+    the smallest id; pass ``score_col`` to instead keep the member with
+    the best score (``best='max'`` keeps the highest — e.g. a quality
+    or length column — ties broken toward the larger id; ``'min'`` the
+    lowest, ties toward the smaller id; either way a deterministic
+    total order). Rows with a NULL score lose to any scored member.
 
     Unlike the keep-first pair rule (``semantic_dedup_keep``), this is
-    transitive-closure-exact: a chain A~B~C keeps only A even when A and
-    C never paired directly. Pairs may come from any tier — MinHash-LSH
-    (`minhash_lsh_pairs`, the 100 TB path), exact n-gram Jaccard, or
-    embedding cosine — the composition is source-agnostic.
+    transitive-closure-exact: a chain A~B~C keeps only one doc even when
+    A and C never paired directly. Pairs may come from any tier —
+    MinHash-LSH (`minhash_lsh_pairs`, the 100 TB path), exact n-gram
+    Jaccard, or embedding cosine — the composition is source-agnostic.
 
     Shape: components are O(log diameter) keyed shuffles (or the
-    size-gated driver union-find for small graphs); the final step is
-    one LEFT ANTI hash join on the id against the non-representative
-    set (fixed-width keys, pre-deduplicated by construction).
+    size-gated driver union-find for small graphs); the scored pick is
+    one ``groupBy(cluster).agg(max(struct(score, id)))`` — a REAL
+    aggregate with map-side combine, never a window; the final step is
+    one LEFT ANTI hash join on the id against the dropped set
+    (fixed-width keys, pre-deduplicated by construction).
     """
     clusters = duplicate_clusters(pairs, id_a, id_b)
-    drops = clusters.where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
+    if score_col is None:
+        drops = clusters.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drops, id_col, "left_anti")
+    if best not in ("max", "min"):
+        raise ValueError(f"best must be 'max' or 'min', got {best!r}")
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s__")), "id"
+    )
+    # leading null-flag makes "NULL score loses" hold under BOTH
+    # orientations (bare struct comparison would rank NULL smallest and
+    # let it win under best='min')
+    if best == "max":
+        agg, key = F.max, F.struct(
+            F.col("__s__").isNotNull().cast("int").alias("__f__"),
+            F.col("__s__"), F.col("id"),
+        )
+    else:
+        agg, key = F.min, F.struct(
+            F.col("__s__").isNull().cast("int").alias("__f__"),
+            F.col("__s__"), F.col("id"),
+        )
+    keepers = (
+        scored.groupBy("cluster_id")
+        .agg(agg(key).alias("__k__"))
+        .select(F.col("__k__.id").alias("__keep__"))
+    )
+    drops = (
+        clusters.join(keepers, clusters["id"] == keepers["__keep__"], "left_anti")
+        .select(F.col("id").alias(id_col))
     )
     return df.join(drops, id_col, "left_anti")
 

@@ -783,3 +783,54 @@ def test_export_jsonl_escapes_hostile_text(spark, tmp_path):
     back = spark.read.schema("doc_id long, text string").json(path)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(hostile)
+
+
+def test_keep_representatives_by_score(spark):
+    from plateau_spark.operators.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (9, 7.0)],
+        "id long, q double",
+    )
+    # chain 1~2~3 one cluster; 4 alone-paired with nobody; 9 unpaired
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    best = sorted(
+        r["id"]
+        for r in dedup_keep_representatives(
+            df, pairs, "id", score_col="q", best="max"
+        ).collect()
+    )
+    assert best == [3, 4, 9]  # 9.0 tie between 2 and 3 → larger id
+    worst = sorted(
+        r["id"]
+        for r in dedup_keep_representatives(
+            df, pairs, "id", score_col="q", best="min"
+        ).collect()
+    )
+    assert worst == [1, 4, 9]  # min score 5.0 in cluster {1,2,3}
+    default = sorted(
+        r["id"] for r in dedup_keep_representatives(df, pairs, "id").collect()
+    )
+    assert default == [1, 4, 9]  # min-id policy unchanged
+    with pytest.raises(ValueError, match="best"):
+        dedup_keep_representatives(df, pairs, "id", score_col="q", best="median")
+
+
+def test_keep_representatives_null_scores_lose(spark):
+    from plateau_spark.operators.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.0), (10, None), (11, None)],
+        "id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    for best in ("max", "min"):
+        kept = sorted(
+            r["id"]
+            for r in dedup_keep_representatives(
+                df, pairs, "id", score_col="q", best=best
+            ).collect()
+        )
+        # cluster {1,2}: 2 (the only scored member) wins either way;
+        # cluster {10,11}: all-null still keeps exactly one (by id)
+        assert kept[0] == 2 and len(kept) == 2 and kept[1] in (10, 11)
