@@ -834,3 +834,48 @@ def test_keep_representatives_null_scores_lose(spark):
         # cluster {1,2}: 2 (the only scored member) wins either way;
         # cluster {10,11}: all-null still keeps exactly one (by id)
         assert kept[0] == 2 and len(kept) == 2 and kept[1] in (10, 11)
+
+
+def test_shard_manifest_detects_corruption(spark, tmp_path):
+    """The manifest is a verification artifact: silently corrupting one
+    row in one shard file must change that shard's signature (and only
+    that shard's)."""
+    import glob
+
+    from plateau_spark.operators.export import export_jsonl_shards, shard_manifest
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    export_jsonl_shards(df, path, key_col="doc_id", n_shards=4, compression=None)
+    before = {
+        r["shard"]: (r["n_rows"], r["sig_sum"], r["sig_xor"])
+        for r in shard_manifest(
+            spark, path, "doc_id long, text string", ["doc_id", "text"]
+        ).collect()
+    }
+    victim = sorted(glob.glob(path + "/shard=2/*.json"))[0]
+    lines = open(victim).read().splitlines()
+    # SIZE-PRESERVING corruption — undetectable by file length or count
+    lines[0] = lines[0].replace("payload-", "paXload-")
+    open(victim, "w").write("\n".join(lines) + "\n")
+    # drop Hadoop's local .crc sidecar: it would catch the rewrite
+    # first — the point here is corruption the transport layer misses
+    import os
+
+    crc = os.path.join(os.path.dirname(victim), "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(path)
+    after = {
+        r["shard"]: (r["n_rows"], r["sig_sum"], r["sig_xor"])
+        for r in shard_manifest(
+            spark, path, "doc_id long, text string", ["doc_id", "text"]
+        ).collect()
+    }
+    assert after[2] != before[2]          # tampering detected
+    assert after[2][0] == before[2][0]    # same row count — sigs did the work
+    for s in (0, 1, 3):
+        assert after[s] == before[s]      # other shards untouched
