@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dedup_span_stats",
     "pipeline_pack_export",
     "pack_sequence_boundaries",
+    "text_script_profile",
 ]
 
 

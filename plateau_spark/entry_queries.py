@@ -4417,6 +4417,60 @@ FROM s GROUP BY shard
 """
 
 
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_profile: per-document Unicode-script composition + the
+    dominant script. The ASCII corpus is all-Latin, so the query plants
+    deterministic Cyrillic (doc_id%3==1) and Han (doc_id%3==2) suffixes
+    — identical literals in the oracle — exercising the mixed-script
+    fractions and the dominance tie-break."""
+    _prep(spark)
+    from plateau_spark.operators.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(" привет мир снова и снова"))
+            .when(F.col("doc_id") % 3 == 2, F.lit(" 漢字漢字漢字"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(planted, "doc_id", "text")
+
+
+TEXT_SCRIPT_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 1 THEN ' привет мир снова и снова'
+                      WHEN doc_id % 3 = 2 THEN ' 漢字漢字漢字'
+                      ELSE '' END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS n_letters,
+         length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS c_latin,
+         length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS c_cyr,
+         length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS c_han,
+         length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) AS c_ar
+  FROM planted
+)
+SELECT doc_id,
+       CAST(n_letters AS INT) AS n_letters,
+       CASE WHEN n_letters > 0 THEN round(c_latin * 1.0 / n_letters, 6) ELSE 0.0 END AS latin_frac,
+       CASE WHEN n_letters > 0 THEN round(c_cyr * 1.0 / n_letters, 6) ELSE 0.0 END AS cyrillic_frac,
+       CASE WHEN n_letters > 0 THEN round(c_han * 1.0 / n_letters, 6) ELSE 0.0 END AS han_frac,
+       CASE WHEN n_letters > 0 THEN round(c_ar * 1.0 / n_letters, 6) ELSE 0.0 END AS arabic_frac,
+       CASE WHEN n_letters = 0 THEN 'none'
+            WHEN c_ar > greatest(c_latin, c_cyr, c_han) THEN 'arabic'
+            WHEN c_han > greatest(c_latin, c_cyr) THEN 'han'
+            WHEN c_cyr > c_latin THEN 'cyrillic'
+            WHEN c_latin > 0 THEN 'latin'
+            ELSE 'none' END AS dominant
+FROM c
+"""
+
+
 def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate_span_stats: corpus boilerplate report — the top-20
     most-duplicated 8-token spans with occurrence/document counts, over
@@ -4636,6 +4690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pack_export": pipeline_pack_export,
     "pack_sequence_boundaries": pack_sequence_boundaries,
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
+    "text_script_profile": text_script_profile,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4747,6 +4802,7 @@ ORACLES: dict[str, str] = {
     "pipeline_pack_export": PIPELINE_PACK_EXPORT_ORACLE,
     "pack_sequence_boundaries": PACK_BOUNDARIES_ORACLE,
     "dedup_cluster_keep_best": DEDUP_CLUSTER_KEEP_BEST_ORACLE,
+    "text_script_profile": TEXT_SCRIPT_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -886,3 +886,60 @@ def gopher_quality_signals(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn(keep_col, keep.cast("long"))
+
+
+# (Java regex spelling, RE2/DuckDB spelling) per script — same Unicode
+# script property, different syntax in the two engines.
+SCRIPT_CLASSES: dict[str, tuple[str, str]] = {
+    "latin": (r"\p{IsLatin}", r"\p{Latin}"),
+    "cyrillic": (r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    "han": (r"\p{IsHan}", r"\p{Han}"),
+    "arabic": (r"\p{IsArabic}", r"\p{Arabic}"),
+}
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    scripts: tuple[str, ...] = ("latin", "cyrillic", "han", "arabic"),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Unicode-script composition per document: the letter count and,
+    per requested script, the fraction of letters in that script, plus
+    the dominant script (most letters; ties broken by the ``scripts``
+    order; 'none' for letterless docs). The standard multilingual
+    curation signal next to :func:`lang_id_col` — mixed-script documents
+    (spam, mojibake, wrong-language boilerplate) show up as fractions
+    far from 1.0.
+
+    Pure codegen — each count is one ``regexp_replace`` strip +
+    ``length`` (Java ``\\p{IsXxx}`` script classes; the DuckDB oracle
+    uses RE2's ``\\p{Xxx}`` spelling of the same Unicode property) —
+    zero shuffle, one scan at any corpus size.
+    """
+    unknown = [s for s in scripts if s not in SCRIPT_CLASSES]
+    if unknown:
+        raise ValueError(f"unknown scripts {unknown}; known: {list(SCRIPT_CLASSES)}")
+    t = F.col(text_col)
+    letters = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    counts = {
+        s: F.length(F.regexp_replace(t, f"[^{SCRIPT_CLASSES[s][0]}]", ""))
+        for s in scripts
+    }
+    one = F.lit(1.0)
+    cols = [F.col(id_col), letters.alias("n_letters")]
+    for s in scripts:
+        cols.append(
+            F.when(letters > 0, F.round(counts[s] * one / letters, round_digits))
+            .otherwise(F.lit(0.0))
+            .alias(f"{s}_frac")
+        )
+    dominant = F.lit("none")
+    best = F.lit(0)
+    for s in scripts:  # later script wins only on STRICTLY greater count
+        dominant = F.when(counts[s] > best, F.lit(s)).otherwise(dominant)
+        best = F.greatest(best, counts[s])
+    cols.append(F.when(letters > 0, dominant).otherwise(F.lit("none")).alias("dominant"))
+    return df.select(*cols)

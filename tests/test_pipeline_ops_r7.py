@@ -879,3 +879,33 @@ def test_shard_manifest_detects_corruption(spark, tmp_path):
     assert after[2][0] == before[2][0]    # same row count — sigs did the work
     for s in (0, 1, 3):
         assert after[s] == before[s]      # other shards untouched
+
+
+def test_script_profile_hand_computed(spark):
+    from plateau_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "привет мир hello"), (3, "漢字テスト 123"),
+         (4, "!!! 123"), (5, "مرحبا")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in script_profile(df, "id", "text").collect()}
+    assert out[1]["dominant"] == "latin" and out[1]["latin_frac"] == 1.0
+    # 9 cyrillic vs 5 latin letters of 14
+    assert out[2]["dominant"] == "cyrillic"
+    assert out[2]["cyrillic_frac"] == round(9 / 14, 6)
+    # katakana letters count in n_letters but belong to no tracked script
+    assert out[3]["n_letters"] == 5 and out[3]["han_frac"] == 0.4
+    assert out[3]["dominant"] == "han"
+    assert out[4]["n_letters"] == 0 and out[4]["dominant"] == "none"
+    assert out[5]["dominant"] == "arabic"
+    with pytest.raises(ValueError, match="unknown scripts"):
+        script_profile(df, "id", "text", scripts=("latin", "klingon"))
+
+
+def test_script_profile_zero_shuffle(spark):
+    from plateau_spark.operators.text import script_profile
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = script_profile(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
