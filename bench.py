@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "pipeline_pack_export",
     "pack_sequence_boundaries",
     "text_script_profile",
+    "dedup_span_novelty",
 ]
 
 

@@ -4417,6 +4417,59 @@ FROM s GROUP BY shard
 """
 
 
+def dedup_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_novelty_scores: per-document fraction of corpus-unique
+    8-token spans, over the same planted boilerplate as
+    dedup_duplicate_spans (planted docs score low; clean docs 1.0
+    except corpus-native repeats)."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import span_novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" " + _SPAN_PASSAGE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return span_novelty_scores(planted, "doc_id", "text", k=8)
+
+
+DEDUP_SPAN_NOVELTY_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' {_SPAN_PASSAGE}' ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, {_GOPHER_TOKS} AS tk FROM base
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           CASE WHEN len(tk) >= 8 THEN range(0, len(tk) - 7) ELSE [] END,
+           i -> md5(array_to_string(tk[i+1:i+8], ' '))
+         )) AS dig
+  FROM toks
+), counts AS (
+  SELECT dig, count(*) AS cnt FROM grams GROUP BY dig
+), per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_spans
+  FROM grams g JOIN counts c ON g.dig = c.dig
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.novel_spans, 0) AS novel_spans,
+       CASE WHEN coalesce(p.n_spans, 0) > 0
+            THEN round(p.novel_spans * 1.0 / p.n_spans, 6) END AS novelty
+FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
 def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """script_profile: per-document Unicode-script composition + the
     dominant script. The ASCII corpus is all-Latin, so the query plants
@@ -4691,6 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequence_boundaries": pack_sequence_boundaries,
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "text_script_profile": text_script_profile,
+    "dedup_span_novelty": dedup_span_novelty,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4803,6 +4857,7 @@ ORACLES: dict[str, str] = {
     "pack_sequence_boundaries": PACK_BOUNDARIES_ORACLE,
     "dedup_cluster_keep_best": DEDUP_CLUSTER_KEEP_BEST_ORACLE,
     "text_script_profile": TEXT_SCRIPT_ORACLE,
+    "dedup_span_novelty": DEDUP_SPAN_NOVELTY_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

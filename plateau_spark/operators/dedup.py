@@ -1619,3 +1619,68 @@ def duplicate_span_stats(
         .orderBy(F.col("n_occurrences").desc(), F.col("span"))
         .limit(top)
     )
+
+
+def span_novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-level novelty per document: of the doc's k-token spans,
+    what fraction occurs NOWHERE else in the corpus (count == 1 over
+    all occurrences, including within-doc repeats). 1.0 = fully novel
+    text; low values = template/boilerplate-heavy documents — the
+    corpus-wide complement of the within-doc
+    :func:`~plateau_spark.operators.text.duplicate_ngram_fraction_col`,
+    and the before/after metric for a span-dedup pass
+    (:func:`remove_duplicate_spans` drives novelty toward 1.0).
+
+    Returns ``(id, n_spans, novel_spans, novelty)``; docs shorter than
+    ``k`` tokens have 0 spans and a NULL novelty.
+
+    100 TB shape: the same digest ``groupBy`` as the span-dedup tier
+    (map-side combine absorbs hot boilerplate), one equi-join back on
+    the high-cardinality digest, one keyed per-doc agg — no driver
+    state, no Python.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    staged = df.select(F.col(id_col).alias("__id__"), toks.alias("__tk__"))
+    n = F.size("__tk__")
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(0), n - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        "__id__",
+        F.explode(
+            F.transform(
+                gram_idx,
+                lambda i: F.md5(
+                    F.encode(F.concat_ws(" ", F.slice("__tk__", i + 1, k)), "UTF-8")
+                ),
+            )
+        ).alias("__dig__"),
+    )
+    counts = grams.groupBy("__dig__").agg(F.count("*").alias("__cnt__"))
+    per_doc = (
+        grams.join(counts, "__dig__")
+        .groupBy("__id__")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("__cnt__") == 1).cast("long")).alias("novel_spans"),
+        )
+    )
+    return (
+        staged.select("__id__")
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("novel_spans", F.lit(0)).alias("novel_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("novel_spans") * F.lit(1.0) / F.col("n_spans"), 6),
+            ).alias("novelty"),
+        )
+    )

@@ -909,3 +909,47 @@ def test_script_profile_zero_shuffle(spark):
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = script_profile(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_span_novelty_hand_computed(spark):
+    from plateau_spark.operators.dedup import span_novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one"),   # 3 spans, 2 novel
+            (2, "x y alpha beta gamma delta"),          # 3 spans, 2 novel
+            (3, "one two"),                             # too short: 0 spans
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in span_novelty_scores(docs, "id", "text", k=4).collect()}
+    # "alpha beta gamma delta" occurs in docs 1 and 2 → non-novel there
+    assert out[1]["n_spans"] == 3 and out[1]["novel_spans"] == 2
+    assert out[1]["novelty"] == round(2 / 3, 6)
+    assert out[2]["n_spans"] == 3 and out[2]["novel_spans"] == 2
+    assert out[3]["n_spans"] == 0 and out[3]["novelty"] is None
+
+
+def test_span_novelty_rises_after_span_dedup(spark):
+    """The before/after contract: removing duplicate spans then
+    re-scoring must not lower any document's novelty."""
+    from plateau_spark.operators.dedup import (
+        remove_duplicate_spans,
+        span_novelty_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f tail"), (2, "pre a b c d e f"), (3, "a b c d e f")],
+        "id long, text string",
+    )
+    before = {r["id"]: r["novelty"] for r in
+              span_novelty_scores(docs, "id", "text", k=4).collect()}
+    cleaned = remove_duplicate_spans(docs, "id", "text", k=4).select(
+        "id", F.col("clean_text").alias("text")
+    )
+    after = {r["id"]: r["novelty"] for r in
+             span_novelty_scores(cleaned, "id", "text", k=4).collect()}
+    for i, b in before.items():
+        a = after.get(i)
+        if a is not None and b is not None:
+            assert a >= b
