@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "pack_sequence_boundaries",
     "text_script_profile",
     "dedup_span_novelty",
+    "streaming_distinct_users",
 ]
 
 

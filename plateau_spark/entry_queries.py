@@ -2660,6 +2660,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowed_distinct_counts: EXACT distinct users per hour as two
+    chained stateful streaming operators (watermarked window-key dedup
+    → windowed count); availableNow batch-equivalence bridges to the
+    COUNT(DISTINCT) oracle."""
+    _prep(spark)
+    from plateau_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_distinct_counts,
+    )
+
+    return run_stream_to_memory(
+        spark,
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        lambda s: windowed_distinct_counts(s, window="1 hour", watermark="2 hours"),
+    )
+
+
+STREAM_DISTINCT_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream dedup on event_id within the watermark horizon, aggregated
     to a stable shape."""
@@ -4745,6 +4770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "text_script_profile": text_script_profile,
     "dedup_span_novelty": dedup_span_novelty,
+    "streaming_distinct_users": streaming_distinct_users,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4858,6 +4884,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_keep_best": DEDUP_CLUSTER_KEEP_BEST_ORACLE,
     "text_script_profile": TEXT_SCRIPT_ORACLE,
     "dedup_span_novelty": DEDUP_SPAN_NOVELTY_ORACLE,
+    "streaming_distinct_users": STREAM_DISTINCT_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -562,3 +562,36 @@ def stream_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_distinct_counts(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT distinct-key count per tumbling window (distinct active
+    users per hour) as two chained stateful operators: watermarked
+    ``dropDuplicates`` on (window, key) — state bounded by distinct
+    keys inside the watermark horizon, evicted as the watermark
+    advances — feeding a watermarked windowed count. Chained stateful
+    operators are a Structured Streaming capability (Spark ≥3.5);
+    exactness (vs an HLL ``approx_count_distinct``) keeps the result
+    batch-equivalent and oracle-replayable as COUNT(DISTINCT).
+
+    Works on a static frame with the identical plan (dropDuplicates →
+    groupBy), which is the batch-equivalence bridge the harness uses.
+    """
+    w = F.window(ts_col, window)
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .select(w.alias("w"), F.col(ts_col), F.col(key_col))
+        .dropDuplicates(["w", key_col])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count("*").alias("n_distinct"))
+        .select(F.col("w.start").alias("window_start"), "n_distinct")
+    )

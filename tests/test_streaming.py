@@ -527,3 +527,49 @@ def test_stream_route_to_datasets_split_and_replay(spark, tmp_path):
     ) is True
     qr = read_dataset_as_dataframe(spark, store, "quarantine")
     assert qr.count() == 10
+
+
+def test_windowed_distinct_counts_match_batch(spark):
+    from plateau_spark.streaming.events import windowed_distinct_counts
+
+    streamed = run_stream_to_memory(
+        spark, EVENTS, lambda s: windowed_distinct_counts(s)
+    )
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select(F.window("ts", "1 hour")["start"].alias("ws"), "user_id")
+        .dropDuplicates()
+        .groupBy("ws")
+        .count()
+    )
+    got = {r["window_start"]: r["n_distinct"] for r in streamed.collect()}
+    want = {r["ws"]: r["count"] for r in batch.collect()}
+    assert got == want
+
+
+def test_windowed_distinct_dedups_across_batches(spark, tmp_path):
+    """The same user re-appearing in a LATER micro-batch inside the same
+    window must not double-count — the window-key dedup state carries
+    across batches."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 7, "x", _t(0, 10), 1.0), (2, 8, "x", _t(0, 20), 1.0)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        f"{d}/b.parquet",
+        [(3, 7, "x", _t(0, 40), 1.0), (4, 9, "x", _t(0, 50), 1.0),
+         (5, 7, "x", _t(3), 1.0)],
+        mtime=1_700_000_100,
+    )
+    from plateau_spark.streaming.events import windowed_distinct_counts
+
+    out = _run_file_per_batch(
+        spark, d,
+        lambda s: windowed_distinct_counts(s, window="1 hour", watermark="1 hour"),
+    )
+    rows = {r.window_start: r.n_distinct for r in out.collect()}
+    # users 7, 8, 9 in the 00:00 window — user 7 appears in both batches
+    assert rows.get(_t(0)) == 3
