@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "text_script_profile",
     "dedup_span_novelty",
     "streaming_distinct_users",
+    "sample_weighted_quota",
 ]
 
 

@@ -2660,6 +2660,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sample_weighted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_quota_sample: Efraimidis-Spirakis fixed-size weighted
+    sampling — 20 docs per language, probability ∝ n_chars, md5-
+    deterministic lottery replayed exactly by the oracle's window."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import weighted_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_quota_sample(
+        docs, ["lang"], 20, key_col="doc_id", weight_col="n_chars"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_WQUOTA_ORACLE = """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         (-ln((CAST(('0x' || substr(md5('wquota|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+              / 4294967296.0)) / n_chars AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY es, doc_id) AS rk
+  FROM u
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20
+"""
+
+
 def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowed_distinct_counts: EXACT distinct users per hour as two
     chained stateful streaming operators (watermarked window-key dedup
@@ -4771,6 +4801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_script_profile": text_script_profile,
     "dedup_span_novelty": dedup_span_novelty,
     "streaming_distinct_users": streaming_distinct_users,
+    "sample_weighted_quota": sample_weighted_quota,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4885,6 +4916,7 @@ ORACLES: dict[str, str] = {
     "text_script_profile": TEXT_SCRIPT_ORACLE,
     "dedup_span_novelty": DEDUP_SPAN_NOVELTY_ORACLE,
     "streaming_distinct_users": STREAM_DISTINCT_ORACLE,
+    "sample_weighted_quota": SAMPLE_WQUOTA_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -669,3 +669,64 @@ def dsir_select(
         .limit(int(k))
         .select(id_col, score_col)
     )
+
+
+def weighted_quota_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    quota: int,
+    *,
+    key_col: str,
+    weight_col: str,
+    salt: str = "wquota",
+) -> DataFrame:
+    """At most ``quota`` rows per group, sampled WITHOUT replacement
+    with probability proportional to ``weight_col`` — the
+    Efraimidis-Spirakis one-pass scheme (rank by ``-ln(u)/w`` with a
+    deterministic md5 uniform ``u``, keep the per-group smallest
+    ``quota``), so "keep the k best-weighted-lottery docs per
+    language/domain" is rerun- and engine-stable. The weighted
+    counterpart of :func:`quota_sample` (uniform) and the fixed-SIZE
+    counterpart of :func:`score_weighted_sample` (expected-fraction).
+
+    Rows with NULL or non-positive weight are excluded (zero-weight
+    items are unsampleable by definition). Ties (identical keys) break
+    by ``key_col``.
+
+    Scale shape: the same TWO-LEVEL tournament as ``quota_sample`` —
+    per-(group, hash-bucket) top-``quota`` first, then the bounded
+    ≤ buckets×quota survivors re-rank per group — because groups (a
+    language, a domain) are hot by definition and a single
+    group-partitioned window would sort a whole group in one task.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)  # (0,1) — never exactly 0
+    es = -F.log(u) / F.col(weight_col).cast("double")
+    eligible = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    rank_keys = [es.asc(), F.col(key_col).asc()]
+    buckets = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    w1 = Window.partitionBy(*group_cols, "__bkt__").orderBy(*rank_keys)
+    survivors = (
+        eligible.withColumn("__bkt__", bucket)
+        .withColumn("__rk__", F.row_number().over(w1))
+        .where(F.col("__rk__") <= quota)
+        .drop("__bkt__", "__rk__")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*rank_keys)
+    return (
+        survivors.withColumn("__rk__", F.row_number().over(w2))
+        .where(F.col("__rk__") <= quota)
+        .drop("__rk__")
+    )

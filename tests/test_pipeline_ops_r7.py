@@ -953,3 +953,64 @@ def test_span_novelty_rises_after_span_dedup(spark):
         a = after.get(i)
         if a is not None and b is not None:
             assert a >= b
+
+
+def test_weighted_quota_equals_single_window_and_is_deterministic(spark):
+    from plateau_spark.operators.sampling import weighted_quota_sample
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_quota_sample(
+            docs, ["lang"], 7, key_col="doc_id", weight_col="n_chars"
+        ).collect()
+    )
+    # single-window reference formulation
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.concat_ws("|", F.lit("wquota"),
+            F.col("doc_id").cast("string")), "UTF-8")), 1, 8), 16, 10
+    ).cast("double")
+    es = -F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(es.asc(), F.col("doc_id").asc())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("n_chars") > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 7)
+        .collect()
+    )
+    assert got == want
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_quota_sample(
+            docs, ["lang"], 7, key_col="doc_id", weight_col="n_chars"
+        ).collect()
+    )
+    assert again == got
+
+
+def test_weighted_quota_prefers_heavy_rows(spark):
+    """Statistical property: with weights 100 vs 1, heavy rows must win
+    far more of the per-group slots (deterministic given the salt)."""
+    from plateau_spark.operators.sampling import weighted_quota_sample
+
+    rows = [(g * 1000 + i, f"g{g}", 100.0 if i < 10 else 1.0)
+            for g in range(20) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    kept = weighted_quota_sample(df, ["g"], 5, key_col="id", weight_col="w").collect()
+    heavy = sum(1 for r in kept if r["w"] == 100.0)
+    assert len(kept) == 100
+    assert heavy >= 80  # ~91 expected; uniform would give ~50
+
+
+def test_weighted_quota_excludes_nonpositive_weights(spark):
+    from plateau_spark.operators.sampling import weighted_quota_sample
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 0.0), (3, "g", -1.0), (4, "g", None)],
+        "id long, g string, w double",
+    )
+    kept = [r["id"] for r in
+            weighted_quota_sample(df, ["g"], 10, key_col="id", weight_col="w").collect()]
+    assert kept == [1]
