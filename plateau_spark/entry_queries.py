@@ -4736,15 +4736,23 @@ WHERE {_U_MIX} < p.keep_p
 #   multimodal_audio_features — PCM16 frame features;
 #   sample_cluster_balanced — per-cluster quota diversity;
 #   streaming_ingest_dedup — online dedup-on-ingest; plus the late-
-#   round block (b2, positions 30-36): text_gopher_rules — Rae-et-al
-#   A1.1 quality gate; dedup_duplicate_spans / dedup_span_stats —
-#   Lee-et-al exact span dedup + boilerplate report;
-#   export_jsonl_manifest / pipeline_pack_export — verified
-#   training-shard export sink, alone and composed with packing;
-#   embedding_random_projection — JL sign projection;
-#   pack_sequence_boundaries — loss-mask offsets. The seven b2 entries
-#   push the r5/r6-green text_quality.../text_token_histogram tail just
-#   past the 50-mark); (c) the six
+#   round block (b2, positions 30-41): text_gopher_rules — Rae-et-al
+#   A1.1 quality gate; dedup_duplicate_spans / dedup_span_stats /
+#   dedup_span_novelty — Lee-et-al exact span dedup + boilerplate
+#   report + corpus novelty; export_jsonl_manifest /
+#   pipeline_pack_export — verified training-shard export sink, alone
+#   and composed with packing; embedding_random_projection — JL sign
+#   projection; pack_sequence_boundaries — loss-mask offsets;
+#   dedup_cluster_keep_best — best-scoring cluster representative;
+#   text_script_profile — Unicode-script composition;
+#   streaming_distinct_users — chained stateful window distinct;
+#   sample_weighted_quota — Efraimidis-Spirakis weighted quota. The
+#   twelve b2 entries push the r5/r6-green dataset/text tail
+#   (dataset_copy/msgpack/factory/sql_view, text_quality...
+#   text_token_histogram, pack/web lines) just past the 50-mark — all
+#   of those were driver-green within the last two rounds and the FULL
+#   registry was re-parity-swept at sf0.01 this round, 0 failures);
+#   (c) the six
 #   stalest entries (last driver-green r2/r4: ngram_jaccard,
 #   pipeline_training_data, multimodal_metadata, multimodal_features,
 #   streaming_sessionize, streaming_windowed_counts); (d) queries over
