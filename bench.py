@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "dedup_span_novelty",
     "streaming_distinct_users",
     "sample_weighted_quota",
+    "dataset_restore_read",
 ]
 
 

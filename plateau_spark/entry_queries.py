@@ -2660,6 +2660,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def dataset_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """restore_dataset: Delta-RESTORE rollback — store gen-1 (doc_id%3
+    ==0), append gen-2 (%3==1), row-delete gen-3 (doc_id<100 removed),
+    then RESTORE generation 2 and read: the deleted rows return, purely
+    via metadata (no rewrite). Oracle = the gen-2 content expressed
+    directly over the source table."""
+    _prep(spark)
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        delete_rows_from_dataset,
+        read_dataset_as_dataframe,
+        restore_dataset,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(_fresh_store("restore-read"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "docs", docs.where(F.col("doc_id") % 3 == 0)
+    )
+    update_dataset_from_dataframe(
+        spark, store, "docs", docs.where(F.col("doc_id") % 3 == 1)
+    )
+    delete_rows_from_dataset(
+        spark, store, "docs", predicates=[[("doc_id", "<", 100)]]
+    )
+    restore_dataset(store, "docs", 2)
+    return read_dataset_as_dataframe(spark, store, "docs")
+
+
+DATASET_RESTORE_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)
+"""
+
+
 def sample_weighted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weighted_quota_sample: Efraimidis-Spirakis fixed-size weighted
     sampling — 20 docs per language, probability ∝ n_chars, md5-
@@ -4810,6 +4848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_novelty": dedup_span_novelty,
     "streaming_distinct_users": streaming_distinct_users,
     "sample_weighted_quota": sample_weighted_quota,
+    "dataset_restore_read": dataset_restore_read,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4925,6 +4964,7 @@ ORACLES: dict[str, str] = {
     "dedup_span_novelty": DEDUP_SPAN_NOVELTY_ORACLE,
     "streaming_distinct_users": STREAM_DISTINCT_ORACLE,
     "sample_weighted_quota": SAMPLE_WQUOTA_ORACLE,
+    "dataset_restore_read": DATASET_RESTORE_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -2023,6 +2023,65 @@ def compact_dataset(
     return new_meta
 
 
+def restore_dataset(
+    store: Store | str, dataset_uuid: str, generation: int
+) -> DatasetMetadata:
+    """Delta-RESTORE-style rollback: re-commit snapshot ``generation``'s
+    content (partitions, schema, indices, blooms) as a NEW generation —
+    history stays monotonic, so the pre-restore state remains time-
+    travel-readable and a restore can itself be restored away. Purely a
+    metadata operation: no data is rewritten; the snapshot's files are
+    simply referenced again.
+
+    Fails loudly when the snapshot is unavailable (reclaimed by GC —
+    the VACUUM contract) or when any file it references was garbage-
+    collected after a later commit superseded it; and, because a
+    restore usually REMOVES partitions relative to the current state,
+    a concurrent commit during the restore raises
+    ``ConcurrentCommitError`` instead of being silently reverted
+    (the same optimistic-concurrency path every rewrite commit uses).
+
+    The existence validation is O(referenced keys) driver-side HEADs —
+    RESTORE is a maintenance operation; at very large partition counts
+    run it from a node close to the store.
+    """
+    store = _ensure_store(store)
+    snap = DatasetMetadata.load(store, dataset_uuid, generation=generation)
+    latest = DatasetMetadata.load(store, dataset_uuid)
+    if generation == latest.generation:
+        return latest  # restoring to the present is a no-op
+    base = _commit_base_snapshot(latest)
+    missing = sorted(
+        k
+        for k in snap.referenced_keys()
+        if k != naming.history_key(dataset_uuid, generation)
+        and not store.exists(k)
+    )
+    if missing:
+        raise RuntimeError(
+            f"Dataset {dataset_uuid!r}: cannot restore generation "
+            f"{generation} — {len(missing)} referenced file(s) were "
+            f"garbage-collected (first: {missing[0]!r}). Snapshots older "
+            f"than the last GC are metadata-only."
+        )
+    removed = [l for l in latest.partitions if l not in snap.partitions]
+    added = [p for l, p in snap.partitions.items() if l not in latest.partitions]
+    latest.partitions = dict(snap.partitions)
+    latest.partition_keys = list(snap.partition_keys)
+    latest.schema = snap.schema
+    latest.indices = dict(snap.indices)
+    latest.blooms = {k: dict(v) for k, v in snap.blooms.items()}
+    return _commit_update_with_merge(
+        store,
+        latest,
+        **base,
+        new_partitions=added,
+        removed=removed,
+        extra_metadata=None,
+        override_metadata={"restored_from_generation": generation},
+    )
+
+
 def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     """Delete a dataset: indices → payload files → metadata file, ordered
     for crash consistency (reference: plateau/io/eager.py:63-93)."""

@@ -1382,3 +1382,77 @@ def test_store_all_empty_dataframes_partition_on(mode, spark, lstore):
     assert [f.name for f in meta2.schema.fields] == ["x", "y", "z"]
     out2 = read_dataset_as_dataframe(spark, lstore, "allempty")
     assert out2.count() == 0 and out2.columns == ["x", "y", "z"]
+
+
+def test_restore_rolls_back_and_preserves_history(spark, lstore):
+    from plateau_spark.sources.dataset import (
+        delete_rows_from_dataset,
+        restore_dataset,
+    )
+
+    _store_ds("eager", spark, lstore, "rst",
+              spark.createDataFrame([(i,) for i in range(10)], "k long"))
+    update_dataset_from_dataframe(
+        spark, lstore, "rst",
+        spark.createDataFrame([(i,) for i in range(10, 20)], "k long"),
+    )
+    delete_rows_from_dataset(spark, lstore, "rst", predicates=[[("k", "<", 5)]])
+    assert read_dataset_as_dataframe(spark, lstore, "rst").count() == 15
+    m = restore_dataset(lstore, "rst", 1)
+    assert m.generation == 4  # history stays monotonic
+    assert read_dataset_as_dataframe(spark, lstore, "rst").count() == 10
+    # the pre-restore state is still time-travel readable…
+    assert read_dataset_as_dataframe(spark, lstore, "rst", generation=3).count() == 15
+    # …and the restore itself can be restored away
+    restore_dataset(lstore, "rst", 3)
+    assert read_dataset_as_dataframe(spark, lstore, "rst").count() == 15
+    # restoring to the present is a no-op (no generation bump)
+    latest = DatasetMetadata.load(lstore, "rst")
+    assert restore_dataset(lstore, "rst", latest.generation).generation == latest.generation
+
+
+def test_restore_fails_after_gc_reclaims_files(spark, lstore):
+    from plateau_spark.sources.dataset import (
+        delete_rows_from_dataset,
+        restore_dataset,
+    )
+
+    _store_ds("eager", spark, lstore, "rgc",
+              spark.createDataFrame([(i,) for i in range(10)], "k long"))
+    delete_rows_from_dataset(spark, lstore, "rgc", predicates=[[("k", "<", 9)]])
+    garbage_collect_dataset(lstore, "rgc")  # reclaims gen-1 snapshot+file
+    # GC reclaims the old snapshot itself, so the load fails with the
+    # typed time-travel message (the file-existence check inside
+    # restore_dataset is the defense for partial/racing GC)
+    with pytest.raises((RuntimeError, KeyError), match="reclaimed"):
+        restore_dataset(lstore, "rgc", 1)
+
+
+def test_restore_concurrent_commit_raises(spark, lstore, monkeypatch):
+    """A writer that commits between restore's load and its commit must
+    surface as ConcurrentCommitError, never be silently reverted."""
+    import plateau_spark.sources.dataset as ds
+
+    _store_ds("eager", spark, lstore, "rcc",
+              spark.createDataFrame([(1,)], "k long"))
+    update_dataset_from_dataframe(
+        spark, lstore, "rcc", spark.createDataFrame([(2,)], "k long")
+    )
+
+    real_snapshot = ds._commit_base_snapshot
+    fired = {"done": False}
+
+    def sneaky(meta):
+        snap = real_snapshot(meta)
+        if not fired["done"]:
+            fired["done"] = True
+            update_dataset_from_dataframe(
+                spark, lstore, "rcc", spark.createDataFrame([(3,)], "k long")
+            )
+        return snap
+
+    monkeypatch.setattr(ds, "_commit_base_snapshot", sneaky)
+    with pytest.raises(ds.ConcurrentCommitError):
+        ds.restore_dataset(lstore, "rcc", 1)
+    # the concurrent append survived
+    assert read_dataset_as_dataframe(spark, lstore, "rcc").count() == 3
