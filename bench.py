@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "streaming_distinct_users",
     "sample_weighted_quota",
     "dataset_restore_read",
+    "dataset_history_read",
 ]
 
 

@@ -2698,6 +2698,62 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)
 """
 
 
+def dataset_history_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset_history: DESCRIBE-HISTORY over the restore fixture —
+    store, append, row-delete, RESTORE(2); each generation's row count
+    is read via time travel and the restore marker surfaces on gen 4.
+    The oracle recomputes every generation's content from the source
+    table."""
+    _prep(spark)
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        dataset_history,
+        delete_rows_from_dataset,
+        read_dataset_as_dataframe,
+        restore_dataset,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(_fresh_store("history-read"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "docs", docs.where(F.col("doc_id") % 3 == 0))
+    update_dataset_from_dataframe(spark, store, "docs", docs.where(F.col("doc_id") % 3 == 1))
+    delete_rows_from_dataset(spark, store, "docs", predicates=[[("doc_id", "<", 100)]])
+    restore_dataset(store, "docs", 2)
+    hist = dataset_history(spark, store, "docs")
+    counts = []
+    for r in hist.collect():
+        n = (
+            read_dataset_as_dataframe(spark, store, "docs", generation=r["generation"]).count()
+            if r["available"]
+            else None
+        )
+        counts.append((r["generation"], bool(r["available"]), n, r["restored_from"]))
+    return spark.createDataFrame(
+        counts, "generation int, available boolean, n_rows long, restored_from int"
+    )
+
+
+DATASET_HISTORY_ORACLE = """
+SELECT 1 AS generation, TRUE AS available,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_rows,
+       CAST(NULL AS INT) AS restored_from
+UNION ALL
+SELECT 2, TRUE,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1)),
+       NULL
+UNION ALL
+SELECT 3, TRUE,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id >= 100),
+       NULL
+UNION ALL
+SELECT 4, TRUE,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1)),
+       2
+"""
+
+
 def sample_weighted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weighted_quota_sample: Efraimidis-Spirakis fixed-size weighted
     sampling — 20 docs per language, probability ∝ n_chars, md5-
@@ -4849,6 +4905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_distinct_users": streaming_distinct_users,
     "sample_weighted_quota": sample_weighted_quota,
     "dataset_restore_read": dataset_restore_read,
+    "dataset_history_read": dataset_history_read,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4965,6 +5022,7 @@ ORACLES: dict[str, str] = {
     "streaming_distinct_users": STREAM_DISTINCT_ORACLE,
     "sample_weighted_quota": SAMPLE_WQUOTA_ORACLE,
     "dataset_restore_read": DATASET_RESTORE_ORACLE,
+    "dataset_history_read": DATASET_HISTORY_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

@@ -2082,6 +2082,39 @@ def restore_dataset(
     )
 
 
+def dataset_history(spark, store: Store | str, dataset_uuid: str):
+    """DESCRIBE-HISTORY: one row per generation up to the current one —
+    whether its snapshot is still readable (GC reclaims old ones: the
+    VACUUM contract), its partition/column counts, and the
+    ``restored_from`` marker a :func:`restore_dataset` commit carries.
+    Driver-side O(generations) metadata GETs (a maintenance query, like
+    RESTORE); returns a small DataFrame so it composes with SQL.
+    """
+    store = _ensure_store(store)
+    latest = DatasetMetadata.load(store, dataset_uuid)
+    rows = []
+    for g in range(1, latest.generation + 1):
+        try:
+            m = DatasetMetadata.load(store, dataset_uuid, generation=g)
+        except KeyError:
+            rows.append((g, False, None, None, None))
+            continue
+        rows.append(
+            (
+                g,
+                True,
+                len(m.partitions),
+                len(m.schema.fields) if m.schema is not None else None,
+                m.metadata.get("restored_from_generation"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "generation int, available boolean, n_partitions int, "
+        "n_columns int, restored_from int",
+    )
+
+
 def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     """Delete a dataset: indices → payload files → metadata file, ordered
     for crash consistency (reference: plateau/io/eager.py:63-93)."""

@@ -1456,3 +1456,27 @@ def test_restore_concurrent_commit_raises(spark, lstore, monkeypatch):
         ds.restore_dataset(lstore, "rcc", 1)
     # the concurrent append survived
     assert read_dataset_as_dataframe(spark, lstore, "rcc").count() == 3
+
+
+def test_dataset_history_reflects_gc_and_restore(spark, lstore):
+    from plateau_spark.sources.dataset import (
+        dataset_history,
+        delete_rows_from_dataset,
+        restore_dataset,
+    )
+
+    _store_ds("eager", spark, lstore, "hist",
+              spark.createDataFrame([(i,) for i in range(6)], "k long"))
+    update_dataset_from_dataframe(
+        spark, lstore, "hist", spark.createDataFrame([(9,)], "k long")
+    )
+    delete_rows_from_dataset(spark, lstore, "hist", predicates=[[("k", "<", 3)]])
+    restore_dataset(lstore, "hist", 2)
+    rows = {r["generation"]: r for r in dataset_history(spark, lstore, "hist").collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert all(rows[g]["available"] for g in (1, 2, 3, 4))
+    assert rows[4]["restored_from"] == 2 and rows[3]["restored_from"] is None
+    garbage_collect_dataset(lstore, "hist")
+    after = {r["generation"]: r for r in dataset_history(spark, lstore, "hist").collect()}
+    assert after[4]["available"]            # current snapshot survives GC
+    assert not after[1]["available"]        # reclaimed → listed, unavailable
