@@ -45,6 +45,7 @@ from plateau_spark.sources.dataset import (
     compact_dataset,
     delete_rows_from_dataset,
     merge_upsert_into_dataset,
+    dataset_history,
     restore_dataset,
     read_datasets_weighted,
     create_empty_dataset_header,
@@ -61,6 +62,7 @@ from plateau_spark.core.utils import combine_metadata
 __all__ = [
     "delete_rows_from_dataset",
     "merge_upsert_into_dataset",
+    "dataset_history",
     "restore_dataset",
     "read_datasets_weighted",
     "check_predicates",

@@ -4840,8 +4840,9 @@ WHERE {_U_MIX} < p.keep_p
 #   dedup_cluster_keep_best — best-scoring cluster representative;
 #   text_script_profile — Unicode-script composition;
 #   streaming_distinct_users — chained stateful window distinct;
-#   sample_weighted_quota — Efraimidis-Spirakis weighted quota. The
-#   twelve b2 entries push the r5/r6-green dataset/text tail
+#   sample_weighted_quota — Efraimidis-Spirakis weighted quota;
+#   dataset_restore_read / dataset_history_read — Delta-style RESTORE
+#   + DESCRIBE HISTORY. The fourteen b2 entries push the r5/r6-green dataset/text tail
 #   (dataset_copy/msgpack/factory/sql_view, text_quality...
 #   text_token_histogram, pack/web lines) just past the 50-mark — all
 #   of those were driver-green within the last two rounds and the FULL
