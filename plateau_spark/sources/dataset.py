@@ -168,6 +168,36 @@ def _deep_override(dst: dict, src: dict) -> None:
             dst[k] = v
 
 
+class ConstraintViolationError(RuntimeError):
+    """Incoming data violates a CHECK constraint declared on the
+    dataset; nothing was committed."""
+
+
+def _validate_constraints(df: DataFrame, constraints: dict | None) -> None:
+    """Enforce Delta-style CHECK constraints: a row violates a
+    constraint only when its expression evaluates to FALSE (NULL —
+    unknown — passes, standard SQL CHECK semantics). One aggregate job
+    counts every constraint's violations in a single pass; any
+    violation fails the write BEFORE files are staged."""
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))).cast("long")
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).first()
+    bad = {name: row[name] for name in constraints if row[name]}
+    if bad:
+        detail = ", ".join(
+            f"{name!r} ({constraints[name]}): {n} row(s)" for name, n in bad.items()
+        )
+        raise ConstraintViolationError(
+            f"CHECK constraint violation — {detail}. Nothing was committed."
+        )
+
+
 class ConcurrentCommitError(RuntimeError):
     """Two writers raced on the commit file and the changes cannot be
     merged automatically (one side deleted partitions, evolved the
@@ -587,8 +617,18 @@ def store_dataframe_as_dataset(
     bloom_filter_columns: Sequence[str] | None = None,
     bloom_n_bits: int | None = None,
     bloom_k: int | None = None,
+    check_constraints: dict[str, str] | None = None,
 ) -> DatasetMetadata:
     """Create a new dataset from a DataFrame (one write job + one commit).
+
+    ``check_constraints``: Delta-style CHECK constraints — a dict of
+    ``name -> SQL boolean expression`` validated against the incoming
+    data (one aggregate job; a row violates only when the expression is
+    FALSE — NULL passes, standard SQL CHECK). Violations raise
+    ``ConstraintViolationError`` before any file is staged. The
+    constraints are persisted in the commit metadata and re-enforced on
+    every ``update_dataset_from_dataframe`` append. Extension beyond
+    the reference (which has no constraint surface).
 
     ``bloom_filter_columns``: build a per-file Bloom sidecar for these
     integer/string columns (plans/blooms.py) — ==/IN predicates then
@@ -631,6 +671,10 @@ def store_dataframe_as_dataset(
 
     partition_on = list(partition_on or [])
     df = normalize_dataframe(df, partition_on)
+    _validate_constraints(df, check_constraints)
+    if check_constraints:
+        metadata = dict(metadata or {})
+        metadata["constraints"] = dict(check_constraints)
 
     partitions = _write_files(
         df,
@@ -1321,6 +1365,8 @@ def update_dataset_from_dataframe(
 
     new_partitions: list[Partition] = []
     if df is not None:
+        # CHECK constraints declared at store time gate every append
+        _validate_constraints(df, meta.metadata.get("constraints"))
         df = normalize_dataframe(df, meta.partition_keys)
         if schema_evolution:
             if file_format != "parquet":

@@ -1480,3 +1480,39 @@ def test_dataset_history_reflects_gc_and_restore(spark, lstore):
     after = {r["generation"]: r for r in dataset_history(spark, lstore, "hist").collect()}
     assert after[4]["available"]            # current snapshot survives GC
     assert not after[1]["available"]        # reclaimed → listed, unavailable
+
+
+def test_check_constraints_gate_store_and_update(spark, lstore):
+    from plateau_spark.sources.dataset import ConstraintViolationError
+
+    good = spark.createDataFrame([(1, 10.0), (2, None)], "k long, v double")
+    # NULL passes (SQL CHECK: only FALSE violates)
+    store_dataframe_as_dataset(
+        spark, lstore, "cons", good,
+        check_constraints={"v_positive": "v > 0", "k_known": "k IS NOT NULL"},
+    )
+    assert read_dataset_as_dataframe(spark, lstore, "cons").count() == 2
+    # appends re-enforce the persisted constraints
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        update_dataset_from_dataframe(
+            spark, lstore, "cons",
+            spark.createDataFrame([(3, -1.0)], "k long, v double"),
+        )
+    # nothing was committed by the failed append
+    assert read_dataset_as_dataframe(spark, lstore, "cons").count() == 2
+    update_dataset_from_dataframe(
+        spark, lstore, "cons",
+        spark.createDataFrame([(3, 1.0)], "k long, v double"),
+    )
+    assert read_dataset_as_dataframe(spark, lstore, "cons").count() == 3
+
+
+def test_check_constraints_block_initial_store(spark, lstore):
+    from plateau_spark.sources.dataset import ConstraintViolationError
+
+    bad = spark.createDataFrame([(1, -5.0)], "k long, v double")
+    with pytest.raises(ConstraintViolationError, match="1 row"):
+        store_dataframe_as_dataset(
+            spark, lstore, "cons2", bad, check_constraints={"pos": "v > 0"}
+        )
+    assert not DatasetMetadata.exists(lstore, "cons2")
