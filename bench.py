@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "sample_weighted_quota",
     "dataset_restore_read",
     "dataset_history_read",
+    "multimodal_audio_dup_pairs",
 ]
 
 

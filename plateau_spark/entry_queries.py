@@ -3994,6 +3994,73 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(media, frame=8)
 
 
+def multimodal_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio_fingerprint → dhash_dup_pairs: energy-contour audio
+    near-dup. Payloads synthesize 40 distinct 'recordings' keyed by
+    doc_id%40 (so each clip recurs ~n/40 times); identical clips hash
+    identically (hamming 0) and chance cross-clip contour collisions
+    within hamming ≤ 2 are counted by BOTH engines. The banded join is
+    hash-agnostic — the same pigeonhole machinery as the image tier."""
+    _prep(spark)
+    from plateau_spark.operators.multimodal import audio_fingerprint, dhash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    gid = (F.col("doc_id") % 40).cast("string")
+    raw = F.concat(
+        F.md5(gid),
+        F.md5(F.concat(gid, F.lit("a"))),
+        F.md5(F.concat(gid, F.lit("b"))),
+        F.md5(F.concat(gid, F.lit("c"))),
+    )
+    hdr = (
+        b"RIFF" + (36 + 64).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + (64).to_bytes(4, "little")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(bytearray(hdr)), F.unhex(raw)).alias("payload"),
+    )
+    fps = audio_fingerprint(media, bits=12)
+    return dhash_dup_pairs(fps, hash_col="afp", bits=12, max_hamming=2)
+
+
+MULTIMODAL_AUDIO_DUP_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         md5(CAST(doc_id % 40 AS VARCHAR)) || md5(CAST(doc_id % 40 AS VARCHAR) || 'a')
+         || md5(CAST(doc_id % 40 AS VARCHAR) || 'b') || md5(CAST(doc_id % 40 AS VARCHAR) || 'c') AS rh
+  FROM documents
+), smp AS (
+  SELECT doc_id,
+    [ CASE WHEN ('0x' || substr(rh, 4*n + 3, 2))::BIGINT >= 128
+           THEN ('0x' || substr(rh, 4*n + 1, 2))::BIGINT
+                + 256 * ('0x' || substr(rh, 4*n + 3, 2))::BIGINT - 65536
+           ELSE ('0x' || substr(rh, 4*n + 1, 2))::BIGINT
+                + 256 * ('0x' || substr(rh, 4*n + 3, 2))::BIGINT END
+      FOR n IN range(0, 32) ] AS s
+  FROM raw
+), win AS (
+  SELECT doc_id,
+         [ list_sum([x*x FOR x IN list_slice(s, 2*w + 1, 2*w + 2)])
+           FOR w IN range(0, 13) ] AS e
+  FROM smp
+), fp AS (
+  SELECT doc_id,
+         list_sum([ CASE WHEN e[b+2] > e[b+1] THEN (1::BIGINT << b) ELSE 0 END
+                    FOR b IN range(0, 12) ]) AS afp
+  FROM win
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 2
+"""
+
+
 MULTIMODAL_AUDIO_ORACLE = """
 WITH raw AS (
   SELECT doc_id,
@@ -4907,6 +4974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_quota": sample_weighted_quota,
     "dataset_restore_read": dataset_restore_read,
     "dataset_history_read": dataset_history_read,
+    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
     # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -5024,6 +5092,7 @@ ORACLES: dict[str, str] = {
     "sample_weighted_quota": SAMPLE_WQUOTA_ORACLE,
     "dataset_restore_read": DATASET_RESTORE_ORACLE,
     "dataset_history_read": DATASET_HISTORY_ORACLE,
+    "multimodal_audio_dup_pairs": MULTIMODAL_AUDIO_DUP_ORACLE,
     "sample_mixture": SAMPLE_MIXTURE_ORACLE,
     "dataset_bloom_read": DATASET_BLOOM_ORACLE,
     "streaming_route_datasets": STREAM_ROUTE_ORACLE,

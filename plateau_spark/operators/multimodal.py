@@ -526,3 +526,73 @@ def audio_frame_features(
             )
 
     return narrow.mapInPandas(batches, out_schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bits: int = 12,
+) -> DataFrame:
+    """Energy-delta audio fingerprint over PCM16-WAV payloads: split the
+    clip into ``bits + 1`` equal windows, compute each window's mean
+    energy (sum of squared samples / n), and set bit ``b`` when window
+    ``b+1`` is louder than window ``b`` — the rising/falling loudness
+    contour, a Shazam-style sign-of-delta fingerprint reduced to its
+    energy-envelope form (no FFT libs in this container; the contour is
+    robust to gain changes since only COMPARISONS between windows
+    matter, never absolute levels).
+
+    Output ``(media_id, afp, bits)`` feeds :func:`dhash_dup_pairs`
+    unchanged — the banded hamming join is hash-agnostic — so audio
+    near-dup = ``dhash_dup_pairs(audio_fingerprint(df), hash_col="afp")``.
+    Clips with fewer than ``bits + 1`` samples (or non-PCM16 payloads)
+    drop. Same Arrow-batched ``mapInPandas`` contract as every
+    multimodal kernel; integer energy sums (int64 of int32 squares) so
+    the comparison replays exactly cross-engine.
+    """
+    import numpy as np
+
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+            T.StructField("bits", T.IntegerType(), False),
+        ]
+    )
+    narrow = df.select(F.col(id_col).alias("media_id"), payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                parsed = (
+                    _parse_wav_pcm16(bytes(payload)) if payload is not None else None
+                )
+                if parsed is None:
+                    continue
+                samples, _rate = parsed
+                n = len(samples) // (bits + 1)
+                if n == 0:
+                    continue
+                sq = samples[: n * (bits + 1)].astype(np.int64) ** 2
+                # mean energy per window from exact integer sums
+                e = sq.reshape(bits + 1, n).sum(axis=1)
+                fp = 0
+                for b in range(bits):
+                    if e[b + 1] > e[b]:
+                        fp |= 1 << b
+                ids.append(int(media_id))
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                    "bits": pd.Series([bits] * len(ids), dtype="int32"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, out_schema)

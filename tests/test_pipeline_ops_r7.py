@@ -1014,3 +1014,57 @@ def test_weighted_quota_excludes_nonpositive_weights(spark):
     kept = [r["id"] for r in
             weighted_quota_sample(df, ["g"], 10, key_col="id", weight_col="w").collect()]
     assert kept == [1]
+
+
+def _wav(samples):
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+
+
+def test_audio_fingerprint_hand_computed(spark):
+    from plateau_spark.operators.multimodal import audio_fingerprint
+
+    # bits=3 → 4 windows; with 8 samples, 2 per window.
+    # energies: [1+1, 100²+100², 1+1, 200²+200²] → rising,falling,rising = 0b101
+    quiet, loud, louder = [1, 1], [100, 100], [200, 200]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(quiet + loud + quiet + louder))),
+         (2, bytearray(b"not a wav")),
+         (3, bytearray(_wav([5])))],  # too short for 4 windows
+        "media_id long, payload binary",
+    )
+    rows = audio_fingerprint(df, bits=3).collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 1
+    assert rows[0]["afp"] == 0b101 and rows[0]["bits"] == 3
+
+
+def test_audio_fingerprint_gain_invariant_and_pairs(spark):
+    """Scaling the whole clip (volume change) preserves the contour
+    fingerprint; dhash_dup_pairs finds the pair at hamming 0."""
+    from plateau_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_dup_pairs,
+    )
+
+    base = [1, 2, 50, 60, 3, 1, 90, 80, 2, 2, 120, 110, 4, 3]
+    half = [s // 2 for s in base]
+    noise = [7, 1, 2, 1, 3, 2, 1, 2, 1, 1, 2, 1, 1, 1]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(base))), (2, bytearray(_wav(half))),
+         (3, bytearray(_wav(noise)))],
+        "media_id long, payload binary",
+    )
+    fps = audio_fingerprint(df, bits=6)
+    got = {r["media_id"]: r["afp"] for r in fps.collect()}
+    assert got[1] == got[2]  # gain-invariant contour
+    pairs = dhash_dup_pairs(fps, hash_col="afp", bits=6, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
