@@ -27,6 +27,7 @@ from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from plateau_spark.core import naming
 from plateau_spark.core.metadata import DatasetMetadata, Partition
@@ -173,29 +174,45 @@ class ConstraintViolationError(RuntimeError):
     dataset; nothing was committed."""
 
 
-def _validate_constraints(df: DataFrame, constraints: dict | None) -> None:
-    """Enforce Delta-style CHECK constraints: a row violates a
-    constraint only when its expression evaluates to FALSE (NULL —
-    unknown — passes, standard SQL CHECK semantics). One aggregate job
-    counts every constraint's violations in a single pass; any
-    violation fails the write BEFORE files are staged."""
+_CHECK_MARKER = "CHECK constraint violation"
+
+
+def _constraint_guard(df: DataFrame, constraints: dict | None) -> DataFrame:
+    """Fold Delta-style CHECK validation INTO the write job: wrap the
+    frame in a filter whose predicate evaluates to TRUE for every
+    conforming row and ``raise_error``s on the first violating one.
+    A row violates only when the expression evaluates to FALSE (NULL —
+    unknown — passes, standard SQL CHECK semantics).
+
+    Why a filter and not a pre-pass ``df.agg``: (a) validation costs
+    ZERO extra jobs — it rides the write's own whole-stage-codegen
+    projection, so a 100 TB append is validated for free; (b) it
+    validates the exact rows being written — a separate validation job
+    re-executing a non-deterministic lazy plan (rand(), files changing
+    between jobs) could pass rows the write then persists in violation.
+    The error surfaces inside the write job; ``_write_files`` converts
+    it to :class:`ConstraintViolationError` and cleans the staging
+    prefix, so nothing is ever committed. The message carries the first
+    offending row as JSON (better diagnostics than a count).
+    """
     if not constraints:
-        return
-    aggs = [
-        F.sum(
-            (~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))).cast("long")
-        ).alias(name)
-        for name, expr in constraints.items()
-    ]
-    row = df.agg(*aggs).first()
-    bad = {name: row[name] for name in constraints if row[name]}
-    if bad:
-        detail = ", ".join(
-            f"{name!r} ({constraints[name]}): {n} row(s)" for name, n in bad.items()
-        )
-        raise ConstraintViolationError(
-            f"CHECK constraint violation — {detail}. Nothing was committed."
-        )
+        return df
+    cond = None
+    for name, expr in constraints.items():
+        violated = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        check = F.when(
+            violated,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{_CHECK_MARKER} — {name!r} ({expr}) on row: "
+                    ),
+                    F.to_json(F.struct("*")),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        cond = check if cond is None else cond & check
+    return df.where(cond)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -317,8 +334,17 @@ def _write_files(
     repartition: bool = True,
     file_format: str = "parquet",
     compress: bool = True,
+    constraints: dict | None = None,
 ) -> list[Partition]:
     """One Spark write job; returns the new Partition entries.
+
+    ``constraints``: CHECK constraints folded into the write job as a
+    ``raise_error`` filter (``_constraint_guard``) — a violation aborts
+    the job, the staging prefix is deleted, and
+    :class:`ConstraintViolationError` is raised before any commit.
+    EVERY dataset write path routes through here, so passing the loaded
+    ``meta.metadata["constraints"]`` gives each path enforcement with
+    zero extra jobs.
 
     Shuffle strategy (shuffle_store_dask_partitions,
     plateau/io/dask/_shuffle.py:41-153, re-expressed):
@@ -368,10 +394,22 @@ def _write_files(
         # disjoint row-group stats for better pushdown
         # (sort_values_categorical, plateau/io_components/utils.py:399-410)
         out = out.sortWithinPartitions(*sort_partitions_by)
+    out = _constraint_guard(out, constraints)
 
-    write_staged(
-        out, store.url(staging), partition_on, file_format=file_format, compress=compress
-    )
+    try:
+        write_staged(
+            out, store.url(staging), partition_on, file_format=file_format, compress=compress
+        )
+    except Exception as e:  # noqa: BLE001 — classify then re-raise
+        msg = str(e)
+        if _CHECK_MARKER in msg:
+            store.delete(staging)
+            # slice our raise_error payload out of the Py4J stack noise
+            detail = msg[msg.index(_CHECK_MARKER) :].splitlines()[0]
+            raise ConstraintViolationError(
+                f"{detail} — nothing was committed; staged files were removed."
+            ) from e
+        raise
 
     key_types = {f.name: f.dataType for f in df.schema.fields if f.name in partition_on}
     staged = sorted(store.iter_keys(staging + "/"))
@@ -623,11 +661,15 @@ def store_dataframe_as_dataset(
 
     ``check_constraints``: Delta-style CHECK constraints — a dict of
     ``name -> SQL boolean expression`` validated against the incoming
-    data (one aggregate job; a row violates only when the expression is
-    FALSE — NULL passes, standard SQL CHECK). Violations raise
-    ``ConstraintViolationError`` before any file is staged. The
-    constraints are persisted in the commit metadata and re-enforced on
-    every ``update_dataset_from_dataframe`` append. Extension beyond
+    data INSIDE the write job (a codegen ``raise_error`` filter, zero
+    extra passes; a row violates only when the expression is FALSE —
+    NULL passes, standard SQL CHECK). Violations raise
+    ``ConstraintViolationError``; staged files are removed and nothing
+    is committed. The constraints are persisted in the commit metadata
+    and re-enforced on EVERY subsequent write path — appends (plain and
+    ``__iter``), ``merge_upsert_into_dataset``, the two-phase
+    ``write_single_partition`` protocol, and the streaming sinks (which
+    route through the append path per micro-batch). Extension beyond
     the reference (which has no constraint surface).
 
     ``bloom_filter_columns``: build a per-file Bloom sidecar for these
@@ -671,7 +713,6 @@ def store_dataframe_as_dataset(
 
     partition_on = list(partition_on or [])
     df = normalize_dataframe(df, partition_on)
-    _validate_constraints(df, check_constraints)
     if check_constraints:
         metadata = dict(metadata or {})
         metadata["constraints"] = dict(check_constraints)
@@ -687,6 +728,7 @@ def store_dataframe_as_dataset(
         file_format=file_format,
         compress=compress,
         repartition=repartition,
+        constraints=check_constraints,
     )
     _attach_zone_maps(spark, store, df.schema, partitions, zone_map_columns)
 
@@ -747,11 +789,18 @@ def store_dataframes_as_dataset__iter(
     file_format: str = "parquet",
     compress: bool = True,
     metadata_version: int = naming.METADATA_VERSION,
+    check_constraints: dict[str, str] | None = None,
 ) -> DatasetMetadata:
     """Generator-driven bounded-memory ingestion: each yielded DataFrame
     is written immediately (one job per element, its staging files
     renamed into place), nothing is retained but partition entries;
     ONE commit at exhaustion. Readers see nothing until that commit.
+
+    ``check_constraints``: same contract as
+    :func:`store_dataframe_as_dataset` — enforced inside each element's
+    write job; a violation in ANY element aborts before the commit, so
+    earlier elements' files stay invisible (GC-reclaimable staging
+    leftovers only).
 
     Reference: store_dataframes_as_dataset__iter
     (/root/reference/plateau/io/iter.py:166-245).
@@ -770,6 +819,9 @@ def store_dataframes_as_dataset__iter(
         delete_dataset(store, dataset_uuid)
 
     partition_on = list(partition_on or [])
+    if check_constraints:
+        metadata = dict(metadata or {})
+        metadata["constraints"] = dict(check_constraints)
     partitions: list[Partition] = []
     schema = None
     for df in df_generator:
@@ -787,6 +839,7 @@ def store_dataframes_as_dataset__iter(
                 sort_partitions_by=sort_partitions_by,
                 file_format=file_format,
                 compress=compress,
+                constraints=check_constraints,
             )
         )
     if schema is None:
@@ -863,6 +916,8 @@ def update_dataset_from_dataframes__iter(
                 sort_partitions_by=sort_partitions_by,
                 file_format=file_format,
                 compress=compress,
+                # persisted CHECK constraints gate the __iter append too
+                constraints=meta.metadata.get("constraints"),
             )
         )
 
@@ -1365,8 +1420,6 @@ def update_dataset_from_dataframe(
 
     new_partitions: list[Partition] = []
     if df is not None:
-        # CHECK constraints declared at store time gate every append
-        _validate_constraints(df, meta.metadata.get("constraints"))
         df = normalize_dataframe(df, meta.partition_keys)
         if schema_evolution:
             if file_format != "parquet":
@@ -1387,6 +1440,8 @@ def update_dataset_from_dataframe(
             bucket_by=bucket_by,
             file_format=file_format,
             compress=compress,
+            # CHECK constraints declared at store time gate every append
+            constraints=meta.metadata.get("constraints"),
         )
         # zone maps: requested columns ∪ columns existing partitions
         # already track (an update must not silently leave new files
@@ -1453,15 +1508,85 @@ def write_single_partition(
     """Write files WITHOUT touching metadata — pair with ``commit_dataset``
     for concurrent-writer workflows (reference:
     plateau/io/eager.py:555-626). Uncommitted files are invisible to
-    readers (explicit-path scans) and reclaimable by GC."""
+    readers (explicit-path scans) and reclaimable by GC.
+
+    When the dataset already exists, the staged frame is validated
+    BEFORE staging against the dataset's committed contract — schema
+    compatibility (the reference validates every staged partition's
+    schema at commit, plateau/io_components/write.py:103-134; failing
+    at stage time is the cheaper end of the same guarantee — and
+    ``commit_dataset`` independently re-checks staged parquet footers,
+    closing the drifted-concurrent-writer hole) and CHECK constraints
+    (folded into the write job). A not-yet-created dataset defers both
+    to ``commit_dataset``, which requires an explicit ``schema``."""
     store = _ensure_store(store)
     partition_on = list(partition_on or [])
     df = normalize_dataframe(df, partition_on)
+    constraints = None
+    if DatasetMetadata.exists(store, dataset_uuid):
+        meta = DatasetMetadata.load(store, dataset_uuid)
+        validate_compatible(meta.schema, df.schema)
+        constraints = meta.metadata.get("constraints")
     return _write_files(
         df, store, dataset_uuid, partition_on,
         sort_partitions_by=sort_partitions_by,
         file_format=file_format, compress=compress,
+        constraints=constraints,
     )
+
+
+def _validate_staged_schemas(
+    store: Store, meta: DatasetMetadata, new_partitions: Sequence[Partition]
+) -> None:
+    """Commit-time schema gate for the two-phase protocol — reference
+    parity: ``store_dataset_from_partitions`` validates every staged
+    partition's schema against the dataset schema before the swap
+    (/root/reference/plateau/io_components/write.py:103-134). Here the
+    staged files' parquet FOOTERS are read (never row data — O(new
+    files) metadata round-trips, thread-pooled like the staged-rename
+    loop) and each is `validate_compatible`d against the commit-file
+    schema, so a concurrent writer whose frame drifted fails AT COMMIT
+    with a schema diff instead of committing files that surface later
+    as scan failures or null-filled columns. Hive-partitioned files
+    omit the partition-key columns (they live in directory names), so
+    the expectation is the payload schema. Non-parquet payloads carry
+    no footer — for those ``write_single_partition``'s pre-staging
+    validation is the guard (documented format bound)."""
+    if meta.schema is None or not new_partitions:
+        return
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from plateau_spark.core.schema import SchemaValidationError
+    from plateau_spark.operators.dataflow import _pyarrow_location
+
+    pk = set(meta.partition_keys)
+    expected = T.StructType([f for f in meta.schema.fields if f.name not in pk])
+
+    def _check(p: Partition) -> None:
+        if not p.file.endswith(".parquet"):
+            return
+        footer = _pq.read_schema(_pyarrow_location(store.url(p.file)))
+        try:
+            actual = from_arrow_schema(footer)
+        except Exception as e:  # unconvertible arrow type = drift by definition
+            raise SchemaValidationError(
+                f"Staged partition {p.label!r}: parquet footer schema "
+                f"{footer} cannot map onto the dataset schema ({e})"
+            ) from e
+        try:
+            validate_compatible(expected, actual)
+        except SchemaValidationError as e:
+            raise SchemaValidationError(
+                f"Staged partition {p.label!r} drifted from the dataset "
+                f"schema — refusing to commit:\n{e}"
+            ) from e
+
+    with ThreadPoolExecutor(
+        max_workers=min(32, max(1, len(new_partitions)))
+    ) as pool:
+        list(pool.map(_check, new_partitions))
 
 
 @normalize_args("partition_on", "secondary_indices", "sort_partitions_by", "bucket_by", "columns", "dispatch_by")
@@ -1497,6 +1622,11 @@ def commit_dataset(
             partition_keys=list(partition_on or []),
             schema=normalize_schema(schema),
         )
+
+    # refuse drifted staged files BEFORE any mutation (reference parity:
+    # io_components/write.py:103-134) — on failure the staged files stay
+    # invisible and GC-reclaimable, and the commit file is untouched
+    _validate_staged_schemas(store, meta, list(new_partitions or []))
 
     removed = _resolve_delete_scope(meta, store, delete_scope)
     for label in removed:
@@ -1756,6 +1886,11 @@ def merge_upsert_into_dataset(
             conj.append((c, "<=", hi))
     candidates = plan_scan(meta, store, [conj] if conj else None)
 
+    # CHECK constraints gate the INCOMING rows only (kept rows were
+    # validated when first written; after restore_dataset's documented
+    # escape hatch they may predate a constraint, and a MERGE must not
+    # spuriously fail on rows it merely rewrites unchanged)
+    updates = _constraint_guard(updates, meta.metadata.get("constraints"))
     keep = None
     if candidates:
         existing = _read_committed_files(

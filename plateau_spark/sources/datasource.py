@@ -231,11 +231,39 @@ class PlateauStreamReader(DataSourceStreamReader):
 
         if not DatasetMetadata.exists(self._store, self._uuid):
             return {"generation": 0}
-        return {
-            "generation": DatasetMetadata.load(self._store, self._uuid).generation
-        }
+        gen = DatasetMetadata.load(self._store, self._uuid).generation
+        if gen == 0:
+            # a commit file without a generation counter (written by the
+            # reference implementation or another tool): every commit
+            # looks like generation 0 and no snapshot history exists, so
+            # tail-follow would silently yield zero micro-batches forever
+            # — fail loudly instead of losing data invisibly
+            raise RuntimeError(
+                f"plateau stream on {self._uuid!r}: the dataset's commit "
+                f"file carries no generation counter (written by a "
+                f"non-generation-aware tool?) — tail-follow needs "
+                f"generation history; rewrite the dataset through this "
+                f"library's write API or read it as a batch source"
+            )
+        return {"generation": gen}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if "generation" not in start and "labels" in start:
+            # checkpoint written by the pre-generation offset format
+            # ({"labels": [...]}): migrate in place — its label set IS
+            # the seen set; everything in the end snapshot beyond it is
+            # the next micro-batch, after which the checkpoint advances
+            # to generation offsets
+            g1 = int(end["generation"])
+            if g1 <= 0:
+                return []
+            meta_end = self._snapshot(g1)
+            seen_legacy = set(start["labels"])
+            return [
+                _FilePartition(p.file, self._store.path(p.file), label)
+                for label, p in sorted(meta_end.partitions.items())
+                if label not in seen_legacy
+            ]
         g0, g1 = int(start["generation"]), int(end["generation"])
         if g1 <= g0:
             return []
@@ -307,8 +335,26 @@ def register_plateau_datasource(spark) -> None:
     default (``[DATA_SOURCE_PUSHDOWN_DISABLED]``) — so registration
     enables the (runtime-settable) conf rather than requiring every
     session to know about it. Pruning still only SKIPS files; Spark
-    re-applies all filters row-level, so semantics are unchanged."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    re-applies all filters row-level, so semantics are unchanged.
+
+    NOTE the session-wide effect: the conf applies to EVERY Python data
+    source in this session, not just ``plateau`` (Spark has no per-source
+    switch). It is only flipped when not already true, and the flip is
+    logged, so a session that deliberately runs with pushdown disabled
+    sees why it changed."""
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false").lower()
+        != "true"
+    ):
+        import logging
+
+        logging.getLogger(__name__).info(
+            "register_plateau_datasource: enabling session conf "
+            "spark.sql.python.filterPushdown.enabled (required for the "
+            "plateau reader's pushFilters; applies to all Python data "
+            "sources in this session)"
+        )
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PlateauDataSource)
 
 
@@ -407,6 +453,18 @@ class PlateauBatchWriter(DataSourceArrowWriter):
                 raise ValueError(
                     "plateau writer cannot append to a dataset with secondary "
                     "indices; use update_dataset_from_dataframe()"
+                )
+            if meta.metadata.get("constraints"):
+                # by commit time the rows are already staged parquet; the
+                # writer hook runs no Spark jobs, so it cannot evaluate the
+                # constraint expressions — refuse rather than silently
+                # bypass the dataset's CHECK invariant
+                self.abort(messages)
+                raise ValueError(
+                    "plateau writer cannot append to a dataset with CHECK "
+                    "constraints (no Spark job runs in the writer hook to "
+                    "evaluate them); use update_dataset_from_dataframe(), "
+                    "which enforces constraints inside the write job"
                 )
             if meta.partition_keys:
                 self.abort(messages)
@@ -522,6 +580,15 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
                 raise ValueError(
                     "plateau streaming sink requires a flat, index-free "
                     "dataset; use stream_to_dataset() for richer layouts"
+                )
+            if meta.metadata.get("constraints"):
+                # same CHECK-constraint bound as the batch writer: the sink
+                # hook runs no Spark jobs, so enforcement is impossible here
+                self.abort(messages, batchId)
+                raise ValueError(
+                    "plateau streaming sink cannot append to a dataset with "
+                    "CHECK constraints; ingest via stream_to_dataset(), whose "
+                    "foreachBatch commit enforces them per micro-batch"
                 )
             if meta.schema is not None:
                 validate_compatible(meta.schema, self._schema)

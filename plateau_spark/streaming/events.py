@@ -502,6 +502,41 @@ def stream_route_to_datasets(
     return writer.start()
 
 
+def _batch_key_predicates(batch_df: DataFrame, key_cols, *, max_keys: int = 100_000):
+    """Turn a micro-batch's distinct dedup-key values into a pruning
+    conjunction (``[(col, "in", values), ...]``) for the dataset read.
+
+    Per-column IN-lists admit a SUPERSET of the exact tuple set (the
+    cross product), which is safe: the anti-join is still exact; the
+    predicate only has to retain every committed key that COULD match.
+    With the keys tracked as partition keys / bloom filters / zone
+    maps, the per-batch read then touches O(files containing batch
+    keys) instead of the whole corpus — the difference between O(batch)
+    and O(corpus) per micro-batch at a 10⁹-row dataset.
+
+    Returns ``None`` (→ full-scan fallback, the pre-round-8 behavior)
+    when a column holds NULL keys (SQL ``IN`` would drop committed NULL
+    keys and re-admit their duplicates) or when the batch carries more
+    than ``max_keys`` distinct values per column (the IN-list is driver
+    state and plan size; a batch that large shouldn't be one batch).
+    """
+    rows = (
+        batch_df.select(*key_cols)
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_keys:
+        return None
+    conj = []
+    for c in key_cols:
+        vals = {r[c] for r in rows}
+        if None in vals:
+            return None
+        conj.append((c, "in", sorted(vals)))
+    return [conj]
+
+
 def stream_ingest_dedup(
     stream: DataFrame,
     store,
@@ -526,10 +561,19 @@ def stream_ingest_dedup(
     lateness, survives restarts via the commit protocol (replayed batch
     ids are no-ops), and costs no state store.
 
-    Scale shape per batch: ONE pruned dataset read projecting ONLY the
-    key columns (parquet column pruning; declare the keys as
-    bloom_filter/zone-map columns to also skip files), one hash
-    anti-join (batch side is small by definition), one atomic commit.
+    Scale shape per batch: the batch's distinct key values (small by
+    definition — they just arrived) become an IN-conjunction for the
+    dataset read, so partition keys / bloom filters / zone maps
+    declared on the key columns prune the file list to the files that
+    could hold a colliding key — O(batch-relevant files) per batch,
+    NOT O(corpus). The read projects ONLY the key columns (parquet
+    column pruning), then one hash anti-join (batch side small), one
+    atomic commit. Batches with NULL keys or >100k distinct keys fall
+    back to the full key-column scan (documented in
+    ``_batch_key_predicates``). For UNBOUNDED key domains where even
+    bloomed files saturate, maintain a compacted key-index side
+    dataset (store the key columns alone, ``compact_dataset`` on a
+    schedule) and point this sink's anti-join at it.
     Within-batch duplicates keep one row per key via dropDuplicates —
     deterministic when duplicate rows are identical; for ordered picks
     (keep latest by timestamp) pre-aggregate in the stream.
@@ -547,14 +591,24 @@ def stream_ingest_dedup(
         from plateau_spark.core.store import Store
 
         st = store if isinstance(store, Store) else Store(store)
-        if DatasetMetadata.exists(st, dataset_uuid):
-            seen = read_dataset_as_dataframe(
-                spark, st, dataset_uuid, columns=key_cols
+        if not DatasetMetadata.exists(st, dataset_uuid):
+            commit_stream_batch(
+                spark, st, dataset_uuid, fresh, batch_id, partition_on=partition_on
             )
-            fresh = fresh.join(seen, key_cols, "left_anti")
-        commit_stream_batch(
-            spark, st, dataset_uuid, fresh, batch_id, partition_on=partition_on
-        )
+            return
+        fresh = fresh.persist()  # read twice: key collect + anti-join
+        try:
+            preds = _batch_key_predicates(fresh, key_cols)
+            seen = read_dataset_as_dataframe(
+                spark, st, dataset_uuid, columns=key_cols, predicates=preds
+            )
+            commit_stream_batch(
+                spark, st, dataset_uuid,
+                fresh.join(seen, key_cols, "left_anti"), batch_id,
+                partition_on=partition_on,
+            )
+        finally:
+            fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -1511,8 +1511,163 @@ def test_check_constraints_block_initial_store(spark, lstore):
     from plateau_spark.sources.dataset import ConstraintViolationError
 
     bad = spark.createDataFrame([(1, -5.0)], "k long, v double")
-    with pytest.raises(ConstraintViolationError, match="1 row"):
+    # the inline guard reports the first offending row as JSON
+    with pytest.raises(ConstraintViolationError, match="on row"):
         store_dataframe_as_dataset(
             spark, lstore, "cons2", bad, check_constraints={"pos": "v > 0"}
         )
     assert not DatasetMetadata.exists(lstore, "cons2")
+    # ... and the staging prefix was cleaned up — no invisible leftovers
+    assert not list(lstore.iter_keys("cons2/"))
+
+
+def _cons_ds(spark, lstore, uuid):
+    good = spark.createDataFrame([(1, 10.0), (2, 5.0)], "k long, v double")
+    store_dataframe_as_dataset(
+        spark, lstore, uuid, good, check_constraints={"pos": "v > 0"}
+    )
+    return good
+
+
+def test_check_constraints_gate_upsert(spark, lstore):
+    from plateau_spark.sources.dataset import (
+        ConstraintViolationError,
+        merge_upsert_into_dataset,
+    )
+
+    _cons_ds(spark, lstore, "consm")
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        merge_upsert_into_dataset(
+            spark, lstore, "consm",
+            spark.createDataFrame([(3, -1.0)], "k long, v double"), "k",
+        )
+    assert read_dataset_as_dataframe(spark, lstore, "consm").count() == 2
+    # a conforming upsert still lands (update row 1, insert row 3)
+    merge_upsert_into_dataset(
+        spark, lstore, "consm",
+        spark.createDataFrame([(1, 99.0), (3, 1.0)], "k long, v double"), "k",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in read_dataset_as_dataframe(spark, lstore, "consm").collect()
+    }
+    assert got == {1: 99.0, 2: 5.0, 3: 1.0}
+
+
+def test_check_constraints_gate_iter_update(spark, lstore):
+    from plateau_spark.sources.dataset import ConstraintViolationError
+
+    _cons_ds(spark, lstore, "consi")
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        update_dataset_from_dataframes__iter(
+            spark, lstore, "consi",
+            iter([spark.createDataFrame([(3, -2.0)], "k long, v double")]),
+        )
+    assert read_dataset_as_dataframe(spark, lstore, "consi").count() == 2
+
+
+def test_check_constraints_gate_iter_store(spark, lstore):
+    from plateau_spark.sources.dataset import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        store_dataframes_as_dataset__iter(
+            spark, lstore, "consis",
+            iter([spark.createDataFrame([(1, -2.0)], "k long, v double")]),
+            check_constraints={"pos": "v > 0"},
+        )
+    assert not DatasetMetadata.exists(lstore, "consis")
+    # constraints persist through the __iter create path
+    store_dataframes_as_dataset__iter(
+        spark, lstore, "consis",
+        iter([spark.createDataFrame([(1, 2.0)], "k long, v double")]),
+        check_constraints={"pos": "v > 0"},
+    )
+    meta = DatasetMetadata.load(lstore, "consis")
+    assert meta.metadata["constraints"] == {"pos": "v > 0"}
+
+
+def test_check_constraints_gate_two_phase_write(spark, lstore):
+    from plateau_spark.sources.dataset import (
+        ConstraintViolationError,
+        write_single_partition,
+    )
+
+    _cons_ds(spark, lstore, "cons2p")
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        write_single_partition(
+            spark, lstore, "cons2p",
+            spark.createDataFrame([(9, -3.0)], "k long, v double"),
+        )
+    # nothing staged or committed; dataset readable and unchanged
+    assert read_dataset_as_dataframe(spark, lstore, "cons2p").count() == 2
+
+
+def test_check_constraints_gate_streaming_sink(spark, lstore, tmp_path):
+    from plateau_spark.streaming.events import stream_to_dataset
+
+    _cons_ds(spark, lstore, "conss")
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame([(3, -1.0)], "k long, v double").write.parquet(src_dir)
+    bad = spark.readStream.schema("k long, v double").parquet(src_dir)
+    q = stream_to_dataset(
+        bad, lstore, "conss",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    with pytest.raises(Exception, match="CHECK constraint violation"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    # the violating micro-batch committed nothing
+    assert read_dataset_as_dataframe(spark, lstore, "conss").count() == 2
+
+
+def test_check_constraints_reject_datasource_writer(spark, lstore):
+    from plateau_spark.sources.datasource import register_plateau_datasource
+
+    register_plateau_datasource(spark)
+    _cons_ds(spark, lstore, "consw")
+    df = spark.createDataFrame([(3, -1.0)], "k long, v double")
+    with pytest.raises(Exception, match="CHECK"):
+        (
+            df.write.format("plateau")
+            .option("store", lstore.root)
+            .option("dataset", "consw")
+            .mode("append")
+            .save()
+        )
+    assert read_dataset_as_dataframe(spark, lstore, "consw").count() == 2
+
+
+def test_two_phase_commit_schema_validation(spark, lstore):
+    from plateau_spark.sources.dataset import (
+        _write_files,
+        commit_dataset,
+        write_single_partition,
+    )
+
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double").coalesce(1)
+    store_dataframe_as_dataset(spark, lstore, "tp", base)
+    n0 = len(DatasetMetadata.load(lstore, "tp").partitions)
+
+    # write_single_partition validates BEFORE staging (cheap end)
+    drifted = spark.createDataFrame([(2, "oops")], "k long, v string")
+    with pytest.raises(SchemaValidationError):
+        write_single_partition(spark, lstore, "tp", drifted)
+
+    # a writer that bypassed validation (raw _write_files = a drifted
+    # concurrent writer): commit_dataset reads the staged parquet
+    # FOOTERS and refuses the swap — reference parity with
+    # io_components/write.py:103-134
+    rogue = _write_files(drifted, lstore, "tp", [])
+    with pytest.raises(SchemaValidationError, match="drifted"):
+        commit_dataset(spark, lstore, "tp", new_partitions=rogue)
+    meta = DatasetMetadata.load(lstore, "tp")
+    assert len(meta.partitions) == n0  # nothing was attached
+    assert read_dataset_as_dataframe(spark, lstore, "tp").count() == 1
+
+    # the happy path still commits
+    ok = write_single_partition(
+        spark, lstore, "tp", spark.createDataFrame([(2, 20.0)], "k long, v double")
+    )
+    commit_dataset(spark, lstore, "tp", new_partitions=ok)
+    assert read_dataset_as_dataframe(spark, lstore, "tp").count() == 2
