@@ -2222,7 +2222,22 @@ def restore_dataset(
     ``ConcurrentCommitError`` instead of being silently reverted
     (the same optimistic-concurrency path every rewrite commit uses).
 
-    The existence validation is O(referenced keys) driver-side HEADs —
+    USER METADATA — INCLUDING CHECK CONSTRAINTS — IS NOT RESTORED: the
+    latest commit's ``metadata`` (constraints, user annotations) is
+    kept while the CONTENT (partitions, schema, indices, blooms) rolls
+    back — the same choice Delta makes (RESTORE keeps table
+    properties). Consequence, documented as the escape hatch: restoring
+    to a generation written BEFORE a constraint was declared can
+    resurrect rows that violate it — restore re-references files, it
+    never re-reads them, and re-validating terabytes of history would
+    make rollback a data job instead of a metadata op. Every
+    subsequent WRITE still enforces the constraint; run a
+    ``read → filter → overwrite`` pass if restored history must
+    conform.
+
+    The existence validation is O(referenced keys) driver-side HEADs,
+    thread-pooled like the staged-rename loop (wall-time O(keys /
+    pool width) — on an object store each HEAD is a round-trip) —
     RESTORE is a maintenance operation; at very large partition counts
     run it from a node close to the store.
     """
@@ -2232,12 +2247,14 @@ def restore_dataset(
     if generation == latest.generation:
         return latest  # restoring to the present is a no-op
     base = _commit_base_snapshot(latest)
-    missing = sorted(
+    to_check = [
         k
         for k in snap.referenced_keys()
         if k != naming.history_key(dataset_uuid, generation)
-        and not store.exists(k)
-    )
+    ]
+    with ThreadPoolExecutor(max_workers=min(32, max(1, len(to_check)))) as pool:
+        exists = list(pool.map(store.exists, to_check))
+    missing = sorted(k for k, ok in zip(to_check, exists) if not ok)
     if missing:
         raise RuntimeError(
             f"Dataset {dataset_uuid!r}: cannot restore generation "
@@ -2268,27 +2285,30 @@ def dataset_history(spark, store: Store | str, dataset_uuid: str):
     whether its snapshot is still readable (GC reclaims old ones: the
     VACUUM contract), its partition/column counts, and the
     ``restored_from`` marker a :func:`restore_dataset` commit carries.
-    Driver-side O(generations) metadata GETs (a maintenance query, like
-    RESTORE); returns a small DataFrame so it composes with SQL.
+    Driver-side O(generations) metadata GETs, thread-pooled (each GET
+    is an object-store round-trip; a 10⁵-commit history would otherwise
+    take minutes serially — a maintenance query, like RESTORE); returns
+    a small DataFrame so it composes with SQL.
     """
     store = _ensure_store(store)
     latest = DatasetMetadata.load(store, dataset_uuid)
-    rows = []
-    for g in range(1, latest.generation + 1):
+    gens = list(range(1, latest.generation + 1))
+
+    def _row(g: int):
         try:
             m = DatasetMetadata.load(store, dataset_uuid, generation=g)
         except KeyError:
-            rows.append((g, False, None, None, None))
-            continue
-        rows.append(
-            (
-                g,
-                True,
-                len(m.partitions),
-                len(m.schema.fields) if m.schema is not None else None,
-                m.metadata.get("restored_from_generation"),
-            )
+            return (g, False, None, None, None)
+        return (
+            g,
+            True,
+            len(m.partitions),
+            len(m.schema.fields) if m.schema is not None else None,
+            m.metadata.get("restored_from_generation"),
         )
+
+    with ThreadPoolExecutor(max_workers=min(32, max(1, len(gens) or 1))) as pool:
+        rows = list(pool.map(_row, gens))
     return spark.createDataFrame(
         rows,
         "generation int, available boolean, n_partitions int, "

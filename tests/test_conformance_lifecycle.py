@@ -1671,3 +1671,53 @@ def test_two_phase_commit_schema_validation(spark, lstore):
     )
     commit_dataset(spark, lstore, "tp", new_partitions=ok)
     assert read_dataset_as_dataframe(spark, lstore, "tp").count() == 2
+
+
+def test_restore_keeps_constraints_and_documents_escape_hatch(spark, lstore):
+    """RESTORE semantics (documented in restore_dataset): user metadata
+    — including CHECK constraints — stays at the LATEST commit's values
+    while content rolls back (Delta keeps table properties the same
+    way). A restore to a pre-constraint generation may therefore
+    resurrect violating rows (metadata-only rollback never re-reads
+    files — the documented escape hatch), but every subsequent WRITE
+    still enforces the constraint."""
+    from plateau_spark.sources.dataset import (
+        ConstraintViolationError,
+        restore_dataset,
+    )
+
+    # g1: constraint not yet declared; contains a (soon-)violating row
+    df1 = spark.createDataFrame([(1, -5.0), (2, 2.0)], "k long, v double")
+    store_dataframe_as_dataset(spark, lstore, "rcons", df1, partition_on=["k"])
+    # g2: violating partition removed, constraint declared via commit metadata
+    update_dataset_from_dataframe(
+        spark, lstore, "rcons",
+        spark.createDataFrame([(3, 3.0)], "k long, v double"),
+        delete_scope=[{"k": 1}],
+        metadata={"constraints": {"pos": "v > 0"}},
+    )
+    vals = {
+        r["v"] for r in read_dataset_as_dataframe(spark, lstore, "rcons").collect()
+    }
+    assert vals == {2.0, 3.0}
+    # constraint is live
+    with pytest.raises(ConstraintViolationError):
+        update_dataset_from_dataframe(
+            spark, lstore, "rcons",
+            spark.createDataFrame([(4, -1.0)], "k long, v double"),
+        )
+    # restore to g1: succeeds, resurrects the pre-constraint row...
+    restore_dataset(lstore, "rcons", 1)
+    vals = {
+        r["v"] for r in read_dataset_as_dataframe(spark, lstore, "rcons").collect()
+    }
+    assert vals == {-5.0, 2.0}
+    # ...while the constraint METADATA survives and still gates writes
+    assert DatasetMetadata.load(lstore, "rcons").metadata["constraints"] == {
+        "pos": "v > 0"
+    }
+    with pytest.raises(ConstraintViolationError):
+        update_dataset_from_dataframe(
+            spark, lstore, "rcons",
+            spark.createDataFrame([(5, -2.0)], "k long, v double"),
+        )

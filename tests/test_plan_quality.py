@@ -377,3 +377,66 @@ def test_audio_features_plan_is_single_arrow_pass(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan  # narrow end-to-end
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+
+
+def test_stream_ingest_dedup_batch_read_prunes_files(spark, tmp_path):
+    """Round-8 scale fix: stream_ingest_dedup's per-batch anti-join read
+    must NOT scan the whole committed corpus. The batch's distinct keys
+    become an IN-conjunction, and zone maps (or blooms / partition keys)
+    on the key column then cut the file list to the files that could
+    hold a colliding key. Structural assert: with two committed files of
+    disjoint key ranges, a batch whose keys fall in one range plans a
+    1-of-2-file scan."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.plans.pruning import plan_scan
+    from plateau_spark.sources.dataset import update_dataset_from_dataframe
+    from plateau_spark.streaming.events import _batch_key_predicates
+
+    st = Store(str(tmp_path / "store"))
+    lo = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit("lo").alias("v")
+    ).coalesce(1)
+    hi = spark.range(1000, 1050).select(
+        F.col("id").alias("k"), F.lit("hi").alias("v")
+    ).coalesce(1)
+    store_dataframe_as_dataset(spark, st, "z", lo, zone_map_columns=["k"])
+    update_dataset_from_dataframe(spark, st, "z", hi)
+    meta = DatasetMetadata.load(st, "z")
+    assert len(meta.partitions) == 2
+
+    batch = spark.createDataFrame([(3, "x"), (7, "y")], "k long, v string")
+    preds = _batch_key_predicates(batch, ["k"])
+    assert preds is not None
+    assert len(plan_scan(meta, st, preds)) == 1  # only the lo-range file
+
+    # documented full-scan fallbacks: NULL keys, oversized batches
+    nullbatch = spark.createDataFrame([(None, "x")], "k long, v string")
+    assert _batch_key_predicates(nullbatch, ["k"]) is None
+    assert _batch_key_predicates(batch, ["k"], max_keys=1) is None
+
+
+def test_persisted_ivf_probe_scans_nprobe_cell_files(spark, tmp_path):
+    """Regression guard for the persisted-IVF scale tier: a probe must
+    read O(nprobe) cell files via partition pruning, never the whole
+    index. Asserted on the ACTUAL files backing the query result
+    (inputFiles), so a regression to a full-corpus read fails
+    structurally, not by wall time."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    st = Store(str(tmp_path / "store"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    build_ivf_index(spark, st, "ivfp", emb, n_centroids=8)
+    n_files = len(DatasetMetadata.load(st, "ivfp").partitions)
+    assert n_files >= 4  # one file per non-empty cell
+
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = query_ivf_index(spark, st, "ivfp", queries, k=3, nprobe=2)
+    index_files = [f for f in out.inputFiles() if "/ivfp/" in f]
+    assert 1 <= len(index_files) <= 2  # nprobe=2 cells, not the corpus
+    assert len(index_files) < n_files
+    assert out.count() == 3
