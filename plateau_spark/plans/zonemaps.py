@@ -62,6 +62,73 @@ def validate_zone_map_columns(
     return list(columns)
 
 
+# Below this many files, footers are read on the driver (thread pool —
+# the cost is object-store GET latency, not CPU) instead of paying a
+# Spark job + Python-worker round trip (~2 s fixed overhead on local
+# mode). A streaming micro-batch commits a handful of files; compaction
+# and bulk writes cross the threshold and go distributed.
+DRIVER_FOOTER_TIER = 64
+
+
+def _footer_stats_for_file(url: str, columns: Sequence[str]):
+    """Per-file footer harvest: [(col, mn_repr, mx_repr, nulls)].
+
+    No data pages touched. A column chunk without recorded min/max
+    yields ``(None, None, null_count)`` — the planner treats missing
+    bounds as unprunable, never wrong.
+    """
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from plateau_spark.operators.dataflow import _pyarrow_location
+
+    def _nan(v):
+        return isinstance(v, float) and math.isnan(v)
+
+    pf = _pq.ParquetFile(_pyarrow_location(url))
+    names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+    out = []
+    for col in columns:
+        ci = names.get(col)
+        if ci is None:
+            continue  # pre-evolution file: column absent
+        mn = mx = None
+        nulls: int | None = 0
+        have_bounds = True
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ci).statistics
+            if st is None:
+                have_bounds = False
+                nulls = None
+                break
+            if st.null_count is None:
+                nulls = None
+            elif nulls is not None:
+                nulls += st.null_count
+            if not st.has_min_max:
+                # all-null chunk records no bounds; only an
+                # all-null chunk may omit them safely
+                if st.null_count is None or (
+                    st.null_count != pf.metadata.row_group(rg).num_rows
+                ):
+                    have_bounds = False
+                continue
+            if _nan(st.min) or _nan(st.max):
+                # A NaN bound poisons interval reasoning (every
+                # comparison against it is False in Python, and Spark
+                # sorts NaN above all values) — treat the file as
+                # unbounded.
+                have_bounds = False
+                continue
+            mn = st.min if mn is None or st.min < mn else mn
+            mx = st.max if mx is None or st.max > mx else mx
+        if not have_bounds:
+            mn = mx = None
+        out.append((col, repr_stat(mn), repr_stat(mx), nulls))
+    return out
+
+
 def collect_partition_stats(
     spark: SparkSession,
     store: Store,
@@ -70,10 +137,11 @@ def collect_partition_stats(
 ) -> dict[str, dict[str, list]]:
     """label → {column: [min, max, null_count]} from parquet footers.
 
-    One distributed footer-read job (no data pages touched); non-parquet
-    files are skipped. A column chunk without recorded min/max yields
-    ``[None, None, null_count]`` — the planner treats missing bounds as
-    unprunable, never wrong.
+    Size-tiered: ≤ ``DRIVER_FOOTER_TIER`` files are read by a driver
+    thread pool (micro-batch commits — saves a fixed Spark-job +
+    Python-worker round trip per batch); larger file lists go through
+    one distributed footer-read job. Same harvest code either way
+    (``_footer_stats_for_file``); non-parquet files are skipped.
     """
     columns = list(columns)
     rows = [
@@ -83,71 +151,40 @@ def collect_partition_stats(
     ]
     if not rows or not columns:
         return {}
-    paths_df = spark.createDataFrame(rows, "label string, url string").repartition(
-        min(len(rows), 256)
-    )
 
-    def footer_stats(batches):
-        import pandas as pd
-        import pyarrow.parquet as _pq
+    if len(rows) <= DRIVER_FOOTER_TIER:
+        from concurrent.futures import ThreadPoolExecutor
 
-        from plateau_spark.operators.dataflow import _pyarrow_location
-
-        for pdf in batches:
-            out = []
-            for label, url in zip(pdf["label"], pdf["url"]):
-                pf = _pq.ParquetFile(_pyarrow_location(url))
-                names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
-                def _nan(v):
-                    import math
-
-                    return isinstance(v, float) and math.isnan(v)
-
-                for col in columns:
-                    ci = names.get(col)
-                    if ci is None:
-                        continue  # pre-evolution file: column absent
-                    mn = mx = None
-                    nulls: int | None = 0
-                    have_bounds = True
-                    for rg in range(pf.metadata.num_row_groups):
-                        st = pf.metadata.row_group(rg).column(ci).statistics
-                        if st is None:
-                            have_bounds = False
-                            nulls = None
-                            break
-                        if st.null_count is None:
-                            nulls = None
-                        elif nulls is not None:
-                            nulls += st.null_count
-                        if not st.has_min_max:
-                            # all-null chunk records no bounds; only an
-                            # all-null chunk may omit them safely
-                            if st.null_count is None or (
-                                st.null_count
-                                != pf.metadata.row_group(rg).num_rows
-                            ):
-                                have_bounds = False
-                            continue
-                        if _nan(st.min) or _nan(st.max):
-                            # A NaN bound poisons interval reasoning
-                            # (every comparison against it is False in
-                            # Python, and Spark sorts NaN above all
-                            # values) — treat the file as unbounded.
-                            have_bounds = False
-                            continue
-                        mn = st.min if mn is None or st.min < mn else mn
-                        mx = st.max if mx is None or st.max > mx else mx
-                    if not have_bounds:
-                        mn = mx = None
-                    out.append((label, col, repr_stat(mn), repr_stat(mx), nulls))
-            yield pd.DataFrame(
-                out, columns=["label", "col", "mn", "mx", "nulls"]
+        with ThreadPoolExecutor(max_workers=min(len(rows), 16)) as pool:
+            per_file = pool.map(
+                lambda lr: (lr[0], _footer_stats_for_file(lr[1], columns)), rows
             )
+        collected = [
+            {"label": label, "col": col, "mn": mn, "mx": mx, "nulls": nulls}
+            for label, stats in per_file
+            for col, mn, mx, nulls in stats
+        ]
+    else:
+        paths_df = spark.createDataFrame(
+            rows, "label string, url string"
+        ).repartition(min(len(rows), 256))
 
-    collected = paths_df.mapInPandas(
-        footer_stats, "label string, col string, mn string, mx string, nulls long"
-    ).collect()
+        def footer_stats(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for label, url in zip(pdf["label"], pdf["url"]):
+                    for col, mn, mx, nulls in _footer_stats_for_file(url, columns):
+                        out.append((label, col, mn, mx, nulls))
+                yield pd.DataFrame(
+                    out, columns=["label", "col", "mn", "mx", "nulls"]
+                )
+
+        collected = paths_df.mapInPandas(
+            footer_stats, "label string, col string, mn string, mx string, nulls long"
+        ).collect()
+
     out: dict[str, dict[str, list]] = {}
     for r in collected:
         out.setdefault(r["label"], {})[r["col"]] = [

@@ -502,39 +502,91 @@ def stream_route_to_datasets(
     return writer.start()
 
 
-def _batch_key_predicates(batch_df: DataFrame, key_cols, *, max_keys: int = 100_000):
-    """Turn a micro-batch's distinct dedup-key values into a pruning
-    conjunction (``[(col, "in", values), ...]``) for the dataset read.
+def _batch_key_predicates(batch_df: DataFrame, key_cols, *, in_cap: int = 512):
+    """Turn a micro-batch's dedup-key values into a pruning conjunction
+    for the dataset read, at O(1) driver cost regardless of batch size.
 
-    Per-column IN-lists admit a SUPERSET of the exact tuple set (the
-    cross product), which is safe: the anti-join is still exact; the
-    predicate only has to retain every committed key that COULD match.
-    With the keys tracked as partition keys / bloom filters / zone
-    maps, the per-batch read then touches O(files containing batch
-    keys) instead of the whole corpus — the difference between O(batch)
-    and O(corpus) per micro-batch at a 10⁹-row dataset.
+    Soundness bar: the anti-join is exact as long as the predicate
+    retains every committed row whose key tuple some batch row could
+    EQUAL. Since the anti-join's equality is null-unsafe (a NULL batch
+    key never matches anything, so those rows always survive), only the
+    batch's NON-NULL key values matter, and any superset of them — a
+    per-column cross product, a per-column value range — is safe.
 
-    Returns ``None`` (→ full-scan fallback, the pre-round-8 behavior)
-    when a column holds NULL keys (SQL ``IN`` would drop committed NULL
-    keys and re-admit their duplicates) or when the batch carries more
-    than ``max_keys`` distinct values per column (the IN-list is driver
-    state and plan size; a batch that large shouldn't be one batch).
+    Two tiers, decided by ONE aggregation job (distinct-tuple count +
+    per-column min/max/has-null in a single row — never a large
+    ``collect``):
+
+    - ``≤ in_cap`` distinct, null-free keys → per-column IN-lists.
+      Prunes via bloom filters, zone maps, secondary indexes AND
+      partition keys. Capped because a ``Column.isin`` with N Python
+      literals costs O(N) Py4J plan construction (measured ~39 s at
+      100k literals — the round-8 regression); the reference's own
+      guidance caps IN-lists at ~100 values
+      (/root/reference/docs/spec/efficient_querying.rst:57-60).
+    - otherwise → per-column min/max range conjunctions
+      ``[(c, ">=", mn), (c, "<=", mx)]``. O(1) plan size at any batch
+      size; zone maps and partition keys prune ranges exactly as well
+      as IN-lists for range-clustered files. All-NULL columns carry no
+      range (no committed row can match on them anyway).
+
+    Returns ``None`` (full-scan fallback) only when no column yields a
+    usable constraint (e.g. every key column all-NULL, or an empty
+    batch).
     """
-    rows = (
-        batch_df.select(*key_cols)
-        .distinct()
-        .limit(max_keys + 1)
-        .collect()
-    )
-    if len(rows) > max_keys:
-        return None
+    key_cols = list(key_cols)
+    # approx is sound for a TIER decision: both tiers are exact; an
+    # off-by-5% estimate only moves the IN/range cutoff slightly, and
+    # HLL partials skip the distinct-shuffle an exact count would pay
+    aggs = [F.approx_count_distinct(F.struct(*key_cols)).alias("__n")]
+    for i, c in enumerate(key_cols):
+        aggs.append(F.min(c).alias(f"__mn{i}"))
+        aggs.append(F.max(c).alias(f"__mx{i}"))
+        aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nul{i}"))
+    stats = batch_df.agg(*aggs).collect()[0]
+    has_null = any(stats[f"__nul{i}"] for i in range(len(key_cols)))
+    if 0 < stats["__n"] <= in_cap and not has_null:
+        rows = batch_df.select(*key_cols).distinct().collect()
+        return [[(c, "in", sorted({r[c] for r in rows})) for c in key_cols]]
     conj = []
+    for i, c in enumerate(key_cols):
+        mn, mx = stats[f"__mn{i}"], stats[f"__mx{i}"]
+        if mn is None:  # all-NULL column: constrains nothing
+            continue
+        conj.append((c, ">=", mn))
+        conj.append((c, "<=", mx))
+    return [conj] if conj else None
+
+
+def _auto_key_stats_columns(schema, key_cols, partition_on):
+    """Split the dedup key columns into (zone_map, bloom) declarations
+    so the sink's own commits create the pruning substrate its per-batch
+    reads consult — pruning must work BY DEFAULT, not only on datasets
+    that declared stats externally.
+
+    Policy: partition keys are already pruned exactly → no stats;
+    numeric/date/timestamp/boolean keys → zone maps (footer-harvested,
+    near-free, prune both the IN and the range predicate tier when
+    ingest keys are range-clustered — the common monotonic-id case);
+    remaining string/integer keys → per-file Bloom sidecars (the only
+    thing that prunes hash-scattered keys; one map-side agg per batch).
+    Unsupported types (e.g. binary) get no stats — reads stay correct,
+    just unpruned.
+    """
+    from plateau_spark.plans.blooms import _BLOOM_OK_TYPES
+    from plateau_spark.plans.zonemaps import _STATS_OK_TYPES
+
+    part = set(partition_on or [])
+    types = {f.name: f.dataType for f in schema.fields}
+    zone, bloom = [], []
     for c in key_cols:
-        vals = {r[c] for r in rows}
-        if None in vals:
-            return None
-        conj.append((c, "in", sorted(vals)))
-    return [conj]
+        if c in part:
+            continue
+        if isinstance(types[c], _STATS_OK_TYPES):
+            zone.append(c)
+        elif isinstance(types[c], _BLOOM_OK_TYPES):
+            bloom.append(c)
+    return zone, bloom
 
 
 def stream_ingest_dedup(
@@ -545,6 +597,7 @@ def stream_ingest_dedup(
     key_cols,
     checkpoint_dir: str,
     partition_on=None,
+    key_stats: str | None = "auto",
     available_now: bool = False,
 ):
     """Online cross-batch exact dedup during ingestion: every
@@ -561,19 +614,21 @@ def stream_ingest_dedup(
     lateness, survives restarts via the commit protocol (replayed batch
     ids are no-ops), and costs no state store.
 
-    Scale shape per batch: the batch's distinct key values (small by
-    definition — they just arrived) become an IN-conjunction for the
-    dataset read, so partition keys / bloom filters / zone maps
-    declared on the key columns prune the file list to the files that
-    could hold a colliding key — O(batch-relevant files) per batch,
-    NOT O(corpus). The read projects ONLY the key columns (parquet
-    column pruning), then one hash anti-join (batch side small), one
-    atomic commit. Batches with NULL keys or >100k distinct keys fall
-    back to the full key-column scan (documented in
-    ``_batch_key_predicates``). For UNBOUNDED key domains where even
-    bloomed files saturate, maintain a compacted key-index side
-    dataset (store the key columns alone, ``compact_dataset`` on a
-    schedule) and point this sink's anti-join at it.
+    Scale shape per batch: the batch's key values become a pruning
+    conjunction for the dataset read — an IN-list for small null-free
+    key sets, per-column min/max ranges otherwise (O(1) plan size at
+    any batch size; see ``_batch_key_predicates``) — and the sink's own
+    commits declare zone maps / Bloom sidecars on the key columns
+    (``key_stats="auto"``, see ``_auto_key_stats_columns``; pass
+    ``key_stats=None`` to skip), so the per-batch read prunes the file
+    list to the files that could hold a colliding key BY DEFAULT —
+    O(batch-relevant files) per batch, NOT O(corpus). The read projects
+    ONLY the key columns (parquet column pruning), then one hash
+    anti-join (batch side small), one atomic commit. For UNBOUNDED key
+    domains where even bloomed files saturate, maintain a compacted
+    key-index side dataset (store the key columns alone,
+    ``compact_dataset`` on a schedule) and point this sink's anti-join
+    at it.
     Within-batch duplicates keep one row per key via dropDuplicates —
     deterministic when duplicate rows are identical; for ordered picks
     (keep latest by timestamp) pre-aggregate in the stream.
@@ -585,6 +640,15 @@ def stream_ingest_dedup(
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = stream.sparkSession
+    stats_kwargs = {}
+    if key_stats == "auto":
+        zone, bloom = _auto_key_stats_columns(stream.schema, key_cols, partition_on)
+        if zone:
+            stats_kwargs["zone_map_columns"] = zone
+        if bloom:
+            stats_kwargs["bloom_filter_columns"] = bloom
+    elif key_stats is not None:
+        raise ValueError(f"key_stats must be 'auto' or None, got {key_stats!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates(key_cols)
@@ -593,7 +657,8 @@ def stream_ingest_dedup(
         st = store if isinstance(store, Store) else Store(store)
         if not DatasetMetadata.exists(st, dataset_uuid):
             commit_stream_batch(
-                spark, st, dataset_uuid, fresh, batch_id, partition_on=partition_on
+                spark, st, dataset_uuid, fresh, batch_id,
+                partition_on=partition_on, **stats_kwargs,
             )
             return
         fresh = fresh.persist()  # read twice: key collect + anti-join
@@ -605,7 +670,7 @@ def stream_ingest_dedup(
             commit_stream_batch(
                 spark, st, dataset_uuid,
                 fresh.join(seen, key_cols, "left_anti"), batch_id,
-                partition_on=partition_on,
+                partition_on=partition_on, **stats_kwargs,
             )
         finally:
             fresh.unpersist()

@@ -407,13 +407,69 @@ def test_stream_ingest_dedup_batch_read_prunes_files(spark, tmp_path):
 
     batch = spark.createDataFrame([(3, "x"), (7, "y")], "k long, v string")
     preds = _batch_key_predicates(batch, ["k"])
-    assert preds is not None
+    assert preds == [[("k", "in", [3, 7])]]
     assert len(plan_scan(meta, st, preds)) == 1  # only the lo-range file
 
-    # documented full-scan fallbacks: NULL keys, oversized batches
+    # above the IN cap → O(1)-plan range conjunction, still prunes
+    preds = _batch_key_predicates(batch, ["k"], in_cap=1)
+    assert preds == [[("k", ">=", 3), ("k", "<=", 7)]]
+    assert len(plan_scan(meta, st, preds)) == 1
+
+    # NULL keys never match in the null-unsafe anti-join → the range
+    # tier over non-null values stays sound; all-NULL keys → full scan
+    mixed = spark.createDataFrame([(None, "x"), (5, "y")], "k long, v string")
+    assert _batch_key_predicates(mixed, ["k"]) == [[("k", ">=", 5), ("k", "<=", 5)]]
     nullbatch = spark.createDataFrame([(None, "x")], "k long, v string")
     assert _batch_key_predicates(nullbatch, ["k"]) is None
-    assert _batch_key_predicates(batch, ["k"], max_keys=1) is None
+
+
+def test_stream_ingest_dedup_sink_creates_pruning_substrate(spark, tmp_path):
+    """Round-9 fix: the ingest-dedup sink must declare zone maps /
+    blooms on its OWN commits so per-batch pruning works by default —
+    not only on datasets whose stats a fixture declared externally.
+    Asserts on a dataset the sink itself created: key-column zone maps
+    present, and a disjoint-range batch predicate prunes the file list."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.plans.pruning import plan_scan
+    from plateau_spark.streaming.events import (
+        _batch_key_predicates,
+        open_parquet_stream,
+        stream_ingest_dedup,
+    )
+
+    import glob as _glob
+    import shutil as _sh
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, lo, hi in [("a", 0, 100), ("b", 1000, 1100)]:
+        out = tmp_path / f"w_{name}"
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).coalesce(1).write.parquet(str(out))
+        _sh.copy(_glob.glob(str(out / "part-*.parquet"))[0], str(src / f"{name}.parquet"))
+    st = Store(str(tmp_path / "store"))
+    stream = open_parquet_stream(
+        spark, str(src), reader_options={"maxFilesPerTrigger": "1"}
+    )
+    q = stream_ingest_dedup(
+        stream, st, "ing", key_cols=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+
+    meta = DatasetMetadata.load(st, "ing")
+    assert len(meta.partitions) >= 2
+    stats = [p.stats for p in meta.partitions.values()]
+    assert all("k" in s for s in stats)  # sink declared its own zone maps
+    batch = spark.createDataFrame([(1005, 0)], "k long, v long")
+    preds = _batch_key_predicates(batch, ["k"])
+    surviving = plan_scan(meta, st, preds)
+    assert len(surviving) < len(meta.partitions)  # pruned by default
+    for p in surviving:  # every surviving file could actually hold key 1005
+        mn, mx, _ = p.stats["k"]
+        assert mn <= 1005 <= mx
 
 
 def test_persisted_ivf_probe_scans_nprobe_cell_files(spark, tmp_path):
