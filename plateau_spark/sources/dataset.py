@@ -174,7 +174,12 @@ class ConstraintViolationError(RuntimeError):
     dataset; nothing was committed."""
 
 
-_CHECK_MARKER = "CHECK constraint violation"
+# Collision-proof sentinel for classifying write failures as CHECK
+# violations: matching on human-prose text alone would misclassify an
+# unrelated failure whose message happens to echo it (e.g. user string
+# data). The random suffix never occurs in organic data; the prose that
+# follows it in the payload keeps the message readable.
+_CHECK_MARKER = "PLATEAU_CHECK_VIOLATION_7f3a:"
 
 
 def _constraint_guard(df: DataFrame, constraints: dict | None) -> DataFrame:
@@ -197,17 +202,28 @@ def _constraint_guard(df: DataFrame, constraints: dict | None) -> DataFrame:
     """
     if not constraints:
         return df
+    import re as _re
+
     cond = None
     for name, expr in constraints.items():
         violated = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        # Diagnostic payload: only the columns the expression references
+        # (a wide row with binary/embedding columns would bloat the task
+        # failure message — replicated across task retries and the Py4J
+        # traceback — and could truncate the diagnostic), capped at 1 KB.
+        ref_cols = [
+            c for c in df.columns
+            if _re.search(rf"\b{_re.escape(c)}\b", expr)
+        ] or df.columns[:1]
         check = F.when(
             violated,
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"{_CHECK_MARKER} — {name!r} ({expr}) on row: "
+                        f"{_CHECK_MARKER} CHECK constraint violation — "
+                        f"{name!r} ({expr}) on row: "
                     ),
-                    F.to_json(F.struct("*")),
+                    F.substring(F.to_json(F.struct(*ref_cols)), 1, 1024),
                 )
             ).cast("boolean"),
         ).otherwise(F.lit(True))
@@ -405,7 +421,12 @@ def _write_files(
         if _CHECK_MARKER in msg:
             store.delete(staging)
             # slice our raise_error payload out of the Py4J stack noise
-            detail = msg[msg.index(_CHECK_MARKER) :].splitlines()[0]
+            # (drop the machine sentinel, keep the prose that follows)
+            detail = (
+                msg[msg.index(_CHECK_MARKER) + len(_CHECK_MARKER) :]
+                .splitlines()[0]
+                .strip()
+            )
             raise ConstraintViolationError(
                 f"{detail} — nothing was committed; staged files were removed."
             ) from e
@@ -1564,6 +1585,40 @@ def _validate_staged_schemas(
     pk = set(meta.partition_keys)
     expected = T.StructType([f for f in meta.schema.fields if f.name not in pk])
 
+    def _fold_ntz(exp: T.DataType, act: T.DataType) -> T.DataType:
+        """A parquet footer cannot distinguish Spark's TIMESTAMP_NTZ
+        from a tz-naive TIMESTAMP (pyarrow reports a tz-less timestamp
+        for both, INT96 included), so from_arrow_schema's choice of
+        TimestampType must not fail a dataset whose declared field is
+        TimestampNTZType (or vice versa): where the ONLY difference is
+        NTZ-ness, adopt the expected type. Recurses through
+        struct/array/map so nested timestamps fold too."""
+        ts = (T.TimestampType, T.TimestampNTZType)
+        if isinstance(exp, ts) and isinstance(act, ts):
+            return exp
+        if isinstance(exp, T.StructType) and isinstance(act, T.StructType):
+            by_name = {f.name: f for f in exp.fields}
+            return T.StructType([
+                T.StructField(
+                    f.name,
+                    _fold_ntz(by_name[f.name].dataType, f.dataType)
+                    if f.name in by_name else f.dataType,
+                    f.nullable,
+                )
+                for f in act.fields
+            ])
+        if isinstance(exp, T.ArrayType) and isinstance(act, T.ArrayType):
+            return T.ArrayType(
+                _fold_ntz(exp.elementType, act.elementType), act.containsNull
+            )
+        if isinstance(exp, T.MapType) and isinstance(act, T.MapType):
+            return T.MapType(
+                _fold_ntz(exp.keyType, act.keyType),
+                _fold_ntz(exp.valueType, act.valueType),
+                act.valueContainsNull,
+            )
+        return act
+
     def _check(p: Partition) -> None:
         if not p.file.endswith(".parquet"):
             return
@@ -1575,6 +1630,7 @@ def _validate_staged_schemas(
                 f"Staged partition {p.label!r}: parquet footer schema "
                 f"{footer} cannot map onto the dataset schema ({e})"
             ) from e
+        actual = _fold_ntz(expected, actual)
         try:
             validate_compatible(expected, actual)
         except SchemaValidationError as e:

@@ -254,6 +254,36 @@ class PlateauStreamReader(DataSourceStreamReader):
             # the seen set; everything in the end snapshot beyond it is
             # the next micro-batch, after which the checkpoint advances
             # to generation offsets
+            if "generation" not in end and "labels" in end:
+                # restart replaying an IN-FLIGHT batch whose end offset
+                # was also written by the legacy format: both offsets
+                # are label sets, so the batch is their diff, resolved
+                # against the latest snapshot (the legacy format had no
+                # snapshot history — same resolution it used itself)
+                from plateau_spark.core.metadata import DatasetMetadata
+
+                meta_now = DatasetMetadata.load(self._store, self._uuid)
+                seen_legacy = set(start["labels"])
+                batch = [l for l in end["labels"] if l not in seen_legacy]
+                missing = [l for l in batch if l not in meta_now.partitions]
+                if missing:
+                    raise RuntimeError(
+                        f"plateau stream on {self._uuid!r}: replaying a "
+                        f"legacy-format in-flight batch, but {len(missing)} "
+                        f"of its partitions are gone from the current "
+                        f"snapshot (compacted/GC'd since the checkpoint "
+                        f"was written): {sorted(missing)[:5]}... — the "
+                        f"batch can no longer be reproduced; restart from "
+                        f"a fresh checkpoint to resync"
+                    )
+                return [
+                    _FilePartition(
+                        meta_now.partitions[l].file,
+                        self._store.path(meta_now.partitions[l].file),
+                        l,
+                    )
+                    for l in sorted(batch)
+                ]
             g1 = int(end["generation"])
             if g1 <= 0:
                 return []
@@ -363,6 +393,62 @@ def register_plateau_datasource(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _load_constraints(root: str, uuid: str):
+    """Driver-side (writer __init__): the dataset's CHECK constraints,
+    shipped to executors inside the pickled writer so per-batch
+    enforcement needs no store round-trips from tasks."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+
+    st = Store(root)
+    if not DatasetMetadata.exists(st, uuid):
+        return None
+    return DatasetMetadata.load(st, uuid).metadata.get("constraints") or None
+
+
+def _enforce_constraints_arrow(table, constraints: dict) -> None:
+    """Mirror ``_constraint_guard`` semantics on one Arrow batch,
+    executor-side: a row violates only when the expression evaluates to
+    FALSE (NULL — unknown — passes). The writer hook runs no Spark
+    jobs, so the expression is evaluated by DuckDB over the Arrow batch
+    zero-copy; CHECK expressions are the ANSI-SQL subset both engines
+    share (comparisons, arithmetic, LENGTH/CASE/IN...). An expression
+    DuckDB cannot parse raises — correct-by-refusal, never a silent
+    bypass of the dataset's invariant. Raises before the task stages
+    its file, so there is nothing to clean up."""
+    import json
+
+    import duckdb
+
+    from plateau_spark.sources.dataset import ConstraintViolationError
+
+    con = duckdb.connect()
+    try:
+        con.register("__batch", table)
+        for name, expr in constraints.items():
+            try:
+                bad = con.execute(
+                    "SELECT * FROM __batch WHERE NOT coalesce("
+                    f"CAST(({expr}) AS boolean), true) LIMIT 1"
+                ).arrow()
+            except duckdb.Error as e:
+                raise ValueError(
+                    f"plateau writer cannot evaluate CHECK constraint "
+                    f"{name!r} ({expr}) outside a Spark job; use "
+                    f"update_dataset_from_dataframe(), which enforces it "
+                    f"inside the write job"
+                ) from e
+            if bad.num_rows:
+                row = {k: v[0] for k, v in bad.to_pydict().items()}
+                raise ConstraintViolationError(
+                    f"CHECK constraint violation — {name!r} ({expr}) on "
+                    f"row: {json.dumps(row, default=str)[:1024]} — nothing "
+                    f"was committed."
+                )
+    finally:
+        con.close()
+
+
 class _WrittenFile(WriterCommitMessage):
     """Per-task commit message: the staged file this task wrote."""
 
@@ -393,6 +479,12 @@ class PlateauBatchWriter(DataSourceArrowWriter):
         self._schema = schema
         self._overwrite = overwrite
         self._commit_id = _uuidlib.uuid4().hex[:16]
+        # constraints snapshot at plan time; enforced per Arrow batch in
+        # write() (an overwrite replaces the dataset, old invariants die
+        # with it)
+        self._constraints = (
+            None if overwrite else _load_constraints(self._root, self._uuid)
+        )
         if options.get("partition_on"):
             raise ValueError(
                 "The plateau writer is flat-layout only; for partition_on "
@@ -415,6 +507,8 @@ class PlateauBatchWriter(DataSourceArrowWriter):
             # empty task: a sentinel message (the API requires one)
             return _WrittenFile("", "", "")
         table = pa.Table.from_batches(batches)
+        if getattr(self, "_constraints", None):
+            _enforce_constraints_arrow(table, self._constraints)
         name = f"{self._commit_id}-part-{_uuidlib.uuid4().hex}.parquet"
         staged = f"{self._uuid}/{naming.STAGING_DIR}/{self._commit_id}/{name}"
         final = f"{self._uuid}/{naming.TABLE_NAME}/{name}"
@@ -454,17 +548,16 @@ class PlateauBatchWriter(DataSourceArrowWriter):
                     "plateau writer cannot append to a dataset with secondary "
                     "indices; use update_dataset_from_dataframe()"
                 )
-            if meta.metadata.get("constraints"):
-                # by commit time the rows are already staged parquet; the
-                # writer hook runs no Spark jobs, so it cannot evaluate the
-                # constraint expressions — refuse rather than silently
-                # bypass the dataset's CHECK invariant
+            if (meta.metadata.get("constraints") or None) != self._constraints:
+                # the executor tasks enforced the constraint set snapshotted
+                # at plan time; a set that appeared or changed since (a
+                # concurrent ALTER) was NOT what the staged rows were
+                # validated against — refuse rather than commit unvalidated
                 self.abort(messages)
                 raise ValueError(
-                    "plateau writer cannot append to a dataset with CHECK "
-                    "constraints (no Spark job runs in the writer hook to "
-                    "evaluate them); use update_dataset_from_dataframe(), "
-                    "which enforces constraints inside the write job"
+                    "plateau writer: the dataset's CHECK constraints changed "
+                    "between write planning and commit — staged rows were "
+                    "validated against a stale constraint set; retry the write"
                 )
             if meta.partition_keys:
                 self.abort(messages)
@@ -521,13 +614,32 @@ class PlateauBatchWriter(DataSourceArrowWriter):
     def abort(self, messages):
         from plateau_spark.core.store import Store
 
-        store = Store(self._root)
-        for m in messages:
-            if m is not None and m.staged_key:
-                try:
-                    store.delete(m.staged_key)
-                except Exception:
-                    pass
+        _drop_staged(Store(self._root), messages, self._uuid, self._commit_id)
+
+
+def _drop_staged(store, messages, uuid: str, commit_id: str) -> None:
+    """Delete staged files and their per-commit staging dirs. Message
+    keys alone are not enough: a sibling task killed AFTER staging but
+    BEFORE delivering its commit message leaves a file no message names
+    — every task of this write staged under the writer's own commit id,
+    so sweeping that prefix catches them (recursive store delete)."""
+    import posixpath
+
+    from plateau_spark.core import naming
+
+    dirs = {f"{uuid}/{naming.STAGING_DIR}/{commit_id}"}
+    for m in messages:
+        if m is not None and m.staged_key:
+            dirs.add(posixpath.dirname(m.staged_key))
+            try:
+                store.delete(m.staged_key)
+            except Exception:
+                pass
+    for d in dirs:
+        try:
+            store.delete(d)
+        except Exception:
+            pass
 
 
 class PlateauStreamWriter(DataSourceStreamArrowWriter):
@@ -556,6 +668,9 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
         # two independent streaming queries appending to ONE dataset each
         # need their own replay marker — name them with .option("sink_id")
         self._sink_id = options.get("sink_id", "default")
+        # enforced per Arrow batch in write(); re-snapshotted never — a
+        # constraint change mid-stream is caught at commit (drift check)
+        self._constraints = _load_constraints(self._root, self._uuid)
         if options.get("partition_on"):
             raise ValueError(
                 "The plateau sink is flat-layout only; for partitioned "
@@ -581,14 +696,16 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
                     "plateau streaming sink requires a flat, index-free "
                     "dataset; use stream_to_dataset() for richer layouts"
                 )
-            if meta.metadata.get("constraints"):
-                # same CHECK-constraint bound as the batch writer: the sink
-                # hook runs no Spark jobs, so enforcement is impossible here
+            if (meta.metadata.get("constraints") or None) != self._constraints:
+                # executor tasks enforced the constraint set snapshotted at
+                # stream start; a set that appeared or changed since was not
+                # what this batch's rows were validated against — stop the
+                # stream rather than commit unvalidated rows
                 self.abort(messages, batchId)
                 raise ValueError(
-                    "plateau streaming sink cannot append to a dataset with "
-                    "CHECK constraints; ingest via stream_to_dataset(), whose "
-                    "foreachBatch commit enforces them per micro-batch"
+                    "plateau streaming sink: the dataset's CHECK constraints "
+                    "changed while the stream was running — restart the "
+                    "stream so the sink re-snapshots and enforces them"
                 )
             if meta.schema is not None:
                 validate_compatible(meta.schema, self._schema)
@@ -669,10 +786,4 @@ class PlateauStreamWriter(DataSourceStreamArrowWriter):
     def abort(self, messages, batchId: int) -> None:
         from plateau_spark.core.store import Store
 
-        store = Store(self._root)
-        for m in messages:
-            if m is not None and m.staged_key:
-                try:
-                    store.delete(m.staged_key)
-                except Exception:
-                    pass
+        _drop_staged(Store(self._root), messages, self._uuid, self._commit_id)

@@ -1673,6 +1673,33 @@ def test_two_phase_commit_schema_validation(spark, lstore):
     assert read_dataset_as_dataframe(spark, lstore, "tp").count() == 2
 
 
+def test_two_phase_commit_accepts_timestamp_ntz(spark, lstore):
+    """Round-9 advice fix: parquet footers report tz-less timestamps
+    for Spark-written TIMESTAMP_NTZ, which from_arrow_schema maps to
+    TimestampType — commit-time footer validation must fold NTZ/TZ
+    together or every two-phase commit of an NTZ dataset is refused."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from plateau_spark.sources.dataset import commit_dataset, write_single_partition
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    rows = [(1, datetime.datetime(2024, 1, 1, 12, 0))]
+    store_dataframe_as_dataset(
+        spark, lstore, "ntz", spark.createDataFrame(rows, schema)
+    )
+    more = spark.createDataFrame([(2, datetime.datetime(2024, 2, 2, 9, 30))], schema)
+    parts = write_single_partition(spark, lstore, "ntz", more)
+    commit_dataset(spark, lstore, "ntz", new_partitions=parts)  # must not refuse
+    out = read_dataset_as_dataframe(spark, lstore, "ntz")
+    assert out.count() == 2
+    assert isinstance(out.schema["ts"].dataType, T.TimestampNTZType)
+
+
 def test_restore_keeps_constraints_and_documents_escape_hatch(spark, lstore):
     """RESTORE semantics (documented in restore_dataset): user metadata
     — including CHECK constraints — stays at the LATEST commit's values

@@ -256,6 +256,71 @@ def test_writer_schema_mismatch_rejected_nothing_committed(spark, tmp_path):
     assert read_table(spark, Store(root), "w").count() == 1
 
 
+def test_writer_enforces_check_constraints(spark, tmp_path):
+    """Round-9 fix: the Python DataSource writer ENFORCES the dataset's
+    CHECK constraints per Arrow batch executor-side (previously it
+    refused constraint-bearing targets outright). Violations raise with
+    nothing committed and no staging leftovers; conforming appends —
+    including NULLs, which pass SQL CHECK — land normally."""
+    import glob
+
+    from plateau_spark.sources.dataset import read_table
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    store_dataframe_as_dataset(
+        spark, Store(root), "c", base,
+        metadata={"constraints": {"pos": "v > 0"}},
+    )
+
+    def w(df):
+        (
+            df.write.format("plateau")
+            .option("store", root).option("dataset", "c")
+            .mode("append").save()
+        )
+
+    # conforming append (NULL passes CHECK per SQL semantics)
+    ok = spark.createDataFrame([(2, 7.5), (3, None)], "k long, v double")
+    w(ok)
+    assert read_table(spark, Store(root), "c").count() == 3
+
+    # violating append: surfaced as an error, nothing committed
+    bad = spark.createDataFrame([(4, 1.0), (5, -2.0)], "k long, v double")
+    with pytest.raises(Exception, match="CHECK constraint violation"):
+        w(bad)
+    assert read_table(spark, Store(root), "c").count() == 3
+    assert glob.glob(root + "/c/.staging/*") == []
+
+
+def test_stream_sink_enforces_check_constraints(spark, tmp_path):
+    """The streaming sink path shares the batch writer's per-batch
+    constraint enforcement."""
+    from plateau_spark.sources.dataset import read_table
+
+    root = str(tmp_path / "store")
+    store_dataframe_as_dataset(
+        spark, Store(root), "sc",
+        spark.createDataFrame([(1, 5.0)], "k long, v double"),
+        metadata={"constraints": {"pos": "v > 0"}},
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(2, 3.0), (3, -1.0)], "k long, v double").coalesce(
+        1
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v double").parquet(src)
+        .writeStream.format("plateau")
+        .option("store", root).option("dataset", "sc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="CHECK constraint violation"):
+        q.awaitTermination()
+    assert read_table(spark, Store(root), "sc").count() == 1  # nothing landed
+
+
 # --- streaming sink: writeStream.format("plateau") --------------------------
 
 
