@@ -258,9 +258,32 @@ def _coerce(val: Any, proto: Any) -> Any:
     return val
 
 
+def _align_temporal(actual: Any, val: Any) -> tuple[Any, Any]:
+    """date vs datetime comparisons: Spark (and the reference's pyarrow
+    kernels) cast the date side to a midnight timestamp, so a
+    ``datetime.datetime`` literal against a DATE partition key is legal
+    (reference read suite, io/testing/read.py:580-629). Python raises
+    on the mixed comparison instead — lift the date side to midnight."""
+    if (
+        isinstance(actual, datetime.date)
+        and not isinstance(actual, datetime.datetime)
+        and isinstance(val, datetime.datetime)
+    ):
+        return datetime.datetime.combine(actual, datetime.time()), val
+    if (
+        isinstance(val, datetime.date)
+        and not isinstance(val, datetime.datetime)
+        and isinstance(actual, datetime.datetime)
+    ):
+        return actual, datetime.datetime.combine(val, datetime.time())
+    return actual, val
+
+
 def evaluate_literal(actual: Any, op: str, val: Any) -> bool:
     """Evaluate one literal against a concrete partition-key value (SQL
     three-valued logic collapsed: unknown → False)."""
+    if actual is not None and val is not None and not isinstance(val, (list, tuple, set, frozenset)):
+        actual, val = _align_temporal(actual, val)
     if op in ("==", "="):
         return (actual is None) if val is None else (actual is not None and actual == _coerce(val, actual))
     if op == "!=":
@@ -279,10 +302,16 @@ def evaluate_literal(actual: Any, op: str, val: Any) -> bool:
         return actual > _coerce(val, actual)
     if op == "in":
         values = [v for v in val if v is not None]
-        return actual in [_coerce(v, actual) for v in values]
+        return any(
+            (lambda a, v: a == v)(*_align_temporal(actual, _coerce(v, actual)))
+            for v in values
+        )
     if op == "not in":
         values = [v for v in val if v is not None]
-        return actual not in [_coerce(v, actual) for v in values]
+        return not any(
+            (lambda a, v: a == v)(*_align_temporal(actual, _coerce(v, actual)))
+            for v in values
+        )
     raise ValueError(f"Unknown operator {op!r}")
 
 

@@ -4927,18 +4927,98 @@ WHERE {_U_MIX} < p.keep_p
 #   re-verified by tools/check_parity.py at sf0.01 during round 7
 #   (0 failures).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) round-6 driver-red, fixed this round ---
+    # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
+    #     lifecycle/dataset/streaming lines first — the code paths the
+    #     r8 constraint fold-in and r9 zone-map/commit changes touch ---
+    "dataset_multi_store_iter": dataset_multi_store_iter,
+    "dataset_dispatch_groups": dataset_dispatch_groups,
+    "dataset_index_view": dataset_index_view,
+    "dataset_copy": dataset_copy,
+    "dataset_msgpack_read": dataset_msgpack_read,
+    "dataset_factory_read": dataset_factory_read,
+    "dataset_sql_view": dataset_sql_view,
+    "dataset_json_roundtrip": dataset_json_roundtrip,
+    "dataset_bloom_read": dataset_bloom_read,
+    "dataset_orc_roundtrip": dataset_orc_roundtrip,
+    "dataset_mixture_read": dataset_mixture_read,
+    "dataset_zonemap_read": dataset_zonemap_read,
+    "dataset_pruned_read": dataset_pruned_read,
+    "dataset_commit_protocol": dataset_commit_protocol,
+    "dataset_bucketed_write": dataset_bucketed_write,
+    "dataset_roundtrip_read": dataset_roundtrip_read,
+    "dataset_append_update": dataset_append_update,
+    "dataset_update_delete_scope": dataset_update_delete_scope,
+    "dataset_gc_roundtrip": dataset_gc_roundtrip,
+    "dataset_schema_evolution": dataset_schema_evolution,
+    "dataset_filter_query_read": dataset_filter_query_read,
+    "dataset_metadata_stats": dataset_metadata_stats,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_dedup": streaming_dedup,
+    "streaming_enrich_dim": streaming_enrich_dim,
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_lang_agg": text_lang_agg,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_tfidf_terms": text_tfidf_terms,
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
+    "text_token_histogram": text_token_histogram,
+    "pack_documents_bins": pack_documents_bins,
+    "pack_sequences": pack_sequences,
+    "web_domain_stats": web_domain_stats,
+    "web_blocklist_filter": web_blocklist_filter,
+    "sample_stratified": sample_stratified,
+    "quality_tier_split": quality_tier_split,
+    "text_c4_clean": text_c4_clean,
+    "sample_mixture": sample_mixture,
+    "embedding_outliers": embedding_outliers,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "semdedup_keep": semdedup_keep,
+    "decontaminate_bloom": decontaminate_bloom,
+    "text_quality_classifier": text_quality_classifier,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "decontaminate_substring": decontaminate_substring,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    # --- next-stalest 28: r10 rotation picks these up ---
+    "sample_shuffle_epoch": sample_shuffle_epoch,
+    "embedding_kmeans": embedding_kmeans,
+    "sample_score_weighted": sample_score_weighted,
+    "asof_join_events": asof_join_events,
+    "range_join_windows": range_join_windows,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
+    "web_url_dedup": web_url_dedup,
+    "ngram_jaccard_capped": ngram_jaccard_capped,
+    "dedup_clusters": dedup_clusters,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "simhash_md5": simhash_md5,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "dedup_paragraphs_docs": dedup_paragraphs_docs,
+    "sample_temperature": sample_temperature,
+    "dedup_corpus_docs": dedup_corpus_docs,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_keep_last": dedup_keep_last,
+    "profile_lineitem": profile_lineitem,
+    "sample_split_assign": sample_split_assign,
+    "sample_quota_rows": sample_quota_rows,
+    "merge_robust": merge_robust,
+    "hash_dataset_groups": hash_dataset_groups,
+    "agg_to_lists": agg_to_lists,
+    "text_chunks": text_chunks,
+    # --- r7/r8 window (driver-green in CORRECTNESS_r08) rotated back ---
     "embedding_quantize": embedding_quantize,
     "multimodal_resize": multimodal_resize,
     "dataset_python_source_read": dataset_python_source_read,
-    # --- (c) stalest driver-green evidence (r2/r4) ---
     "ngram_jaccard": ngram_jaccard,
     "pipeline_training_data": pipeline_training_data,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "streaming_sessionize": streaming_sessionize,
     "streaming_windowed_counts": streaming_windowed_counts,
-    # --- (d) round-7-touched code paths (re-verify after changes) ---
     "dataset_compact_read": dataset_compact_read,
     "dataset_time_travel_read": dataset_time_travel_read,
     "dataset_upsert_read": dataset_upsert_read,
@@ -4959,7 +5039,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_dataset": streaming_ingest_dataset,
     "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup": streaming_ingest_dedup,
-    # --- (b2) late round-7 additions ---
     "text_gopher_rules": text_gopher_rules,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "export_jsonl_manifest": export_jsonl_manifest,
@@ -4975,93 +5054,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_restore_read": dataset_restore_read,
     "dataset_history_read": dataset_history_read,
     "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
-    # --- (e) r5-green tail rotated back into the window ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
     "window_top_order_per_customer": window_top_order_per_customer,
     "sort_topk_orders": sort_topk_orders,
     "dataset_csv_roundtrip": dataset_csv_roundtrip,
-    "dataset_multi_store_iter": dataset_multi_store_iter,
-    "dataset_dispatch_groups": dataset_dispatch_groups,
-    "dataset_index_view": dataset_index_view,
-    "dataset_copy": dataset_copy,
-    "dataset_msgpack_read": dataset_msgpack_read,
-    "dataset_factory_read": dataset_factory_read,
-    "dataset_sql_view": dataset_sql_view,
-    "text_stats": text_stats,
-    "text_quality": text_quality,
-    "text_lang_agg": text_lang_agg,
-    "text_bpe_tokens": text_bpe_tokens,
-    "text_tfidf_terms": text_tfidf_terms,
-    "text_repetition": text_repetition,
-    "text_pii_scrub": text_pii_scrub,
-    "text_token_histogram": text_token_histogram,
-    "pack_documents_bins": pack_documents_bins,
-    "pack_sequences": pack_sequences,
-    "web_domain_stats": web_domain_stats,
-    "web_blocklist_filter": web_blocklist_filter,
-    # --- demoted: round-6 window, ALL driver-green in CORRECTNESS_r06 ---
-    "sample_stratified": sample_stratified,
-    "quality_tier_split": quality_tier_split,
-    "dataset_json_roundtrip": dataset_json_roundtrip,
-    "text_c4_clean": text_c4_clean,
-    "sample_mixture": sample_mixture,
-    "dataset_bloom_read": dataset_bloom_read,
-    "embedding_outliers": embedding_outliers,
-    "text_winnow_fingerprints": text_winnow_fingerprints,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
-    "streaming_interval_join": streaming_interval_join,
-    "semdedup_keep": semdedup_keep,
-    "decontaminate_bloom": decontaminate_bloom,
-    "text_quality_classifier": text_quality_classifier,
-    "dedup_cluster_keep": dedup_cluster_keep,
-    "decontaminate_substring": decontaminate_substring,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
-    "sample_shuffle_epoch": sample_shuffle_epoch,
-    "embedding_kmeans": embedding_kmeans,
-    "dataset_orc_roundtrip": dataset_orc_roundtrip,
-    "dataset_mixture_read": dataset_mixture_read,
-    "sample_score_weighted": sample_score_weighted,
-    "asof_join_events": asof_join_events,
-    "range_join_windows": range_join_windows,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enrich_dim": streaming_enrich_dim,
-    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
-    "web_url_dedup": web_url_dedup,
-    "ngram_jaccard_capped": ngram_jaccard_capped,
-    "dedup_clusters": dedup_clusters,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_md5": simhash_md5,
-    "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    # --- demoted: r5-green dataset/dedup/sample block ---
-    "dedup_paragraphs_docs": dedup_paragraphs_docs,
-    "sample_temperature": sample_temperature,
-    "dataset_zonemap_read": dataset_zonemap_read,
-    "dataset_pruned_read": dataset_pruned_read,
-    "dataset_commit_protocol": dataset_commit_protocol,
-    "dataset_bucketed_write": dataset_bucketed_write,
-    "dataset_roundtrip_read": dataset_roundtrip_read,
-    "dataset_append_update": dataset_append_update,
-    "dataset_update_delete_scope": dataset_update_delete_scope,
-    "dataset_gc_roundtrip": dataset_gc_roundtrip,
-    "dataset_schema_evolution": dataset_schema_evolution,
-    "dataset_filter_query_read": dataset_filter_query_read,
-    "dataset_metadata_stats": dataset_metadata_stats,
-    "dedup_corpus_docs": dedup_corpus_docs,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_keep_last": dedup_keep_last,
-    "profile_lineitem": profile_lineitem,
-    "sample_split_assign": sample_split_assign,
-    "sample_quota_rows": sample_quota_rows,
-    "merge_robust": merge_robust,
-    "hash_dataset_groups": hash_dataset_groups,
-    "agg_to_lists": agg_to_lists,
-    "text_chunks": text_chunks,
 }
 
 # Every registry entry has a bit-reproducible ANSI-SQL oracle twin —

@@ -573,3 +573,150 @@ def test_datetime_predicate_with_dates_grid(
     assert got == [(1, 1, dt.date(2000, 1, 1), 1), (1, 1, dt.date(2000, 1, 1), 2)]
     # and the date column stays a real date on the pandas surface
     assert all(type(v) is dt.date for v in out.toPandas()["c"])
+
+
+# ---------------------------------------------------------------------------
+# Generative read grid — the round-9 widening of this suite toward the
+# reference's full parametrization (/root/reference/plateau/io/testing/
+# read.py:216-629: predicate placement × dispatch_by × dates ×
+# projection × output shape). Every case is checked against a
+# Python-side oracle evaluated directly over ROWS, so the grid scales
+# by adding a DNF or a layout, not by hand-writing expectations.
+# ---------------------------------------------------------------------------
+
+_D = datetime.date
+
+# layout → (partition_on, secondary_indices); dispatch col for "groups"
+# mode must be a partition key or indexed in every layout
+GRID_LAYOUTS = {
+    "flat_idx": ([], ["P", "L"]),
+    "part_P": (["P"], ["L"]),
+    "part_PL": (["P", "L"], []),
+    "part_DATE": (["DATE"], ["P"]),
+}
+
+# the reference's two predicate tables (read.py:216-246) + dates grid
+# (read.py:580-583) + empty/IN/NOT-IN edges, expressed over ROWS' cols
+GRID_PREDICATES = [
+    None,
+    [[("P", "==", 2)]],
+    [[("P", "in", [2])]],
+    [[("P", "!=", 1)]],
+    [[("P", ">", 1)]],
+    [[("P", ">=", 2)]],
+    [[("P", "in", [])]],
+    [[("P", "in", [1, 3])]],
+    [[("P", "not in", [1, 3])]],
+    [[("P", "==", 2), ("TARGET", "==", 3)]],
+    [[("P", "in", [2]), ("TARGET", "==", 3)]],
+    [[("P", "!=", 1), ("L", "==", 2)]],
+    [[("P", "!=", 1), ("L", "in", [2])]],
+    [[("P", ">", 2)], [("TARGET", ">=", 2)]],
+    [[("L", "==", 2)]],
+    [[("L", "in", [1, 3])]],
+    [[("TARGET", "<", 3)]],
+    [[("DATE", "==", _D(2010, 1, 1))]],
+    [[("DATE", ">=", _D(2010, 1, 1))]],
+    [[("DATE", "<", _D(2010, 1, 1)), ("P", "<=", 2)]],
+]
+
+GRID_COLUMNS = [None, ["P", "TARGET"], ["TARGET"]]
+
+_COLS = ["P", "L", "TARGET", "DATE"]
+_ROWDICTS = [dict(zip(_COLS, (p, l, t, d))) for p, l, t, d in ROWS]
+
+
+def _oracle_literal(row, col, op, val):
+    x = row[col]
+    if op in ("==", "="):
+        return x == val
+    if op == "!=":
+        return x != val
+    if op == "in":
+        return x in list(val)
+    if op == "not in":
+        return x not in list(val)
+    return {"<": x < val, "<=": x <= val, ">": x > val, ">=": x >= val}[op]
+
+
+def _oracle_rows(predicates, columns):
+    keep = [
+        r for r in _ROWDICTS
+        if predicates is None
+        or any(
+            all(_oracle_literal(r, *lit) for lit in conj) for conj in predicates
+        )
+    ]
+    cols = columns if columns is not None else _COLS
+    return sorted(tuple(r[c] for c in sorted(cols)) for r in keep)
+
+
+@pytest.fixture(scope="module", params=sorted(GRID_LAYOUTS))
+def grid_store(request, spark, tmp_path_factory):
+    from plateau_spark.core.store import Store
+
+    partition_on, indices = GRID_LAYOUTS[request.param]
+    store = Store(str(tmp_path_factory.mktemp(f"grid_{request.param}") / "s"))
+    df = spark.createDataFrame(ROWS, "P long, L long, TARGET long, DATE date")
+    store_dataframe_as_dataset(
+        spark, store, "grid", df,
+        partition_on=partition_on or None,
+        secondary_indices=indices or None,
+    )
+    return request.param, store
+
+
+def _grid_read(mode, spark, store, predicates, columns):
+    kwargs = {"predicates": predicates, "columns": columns}
+    if mode == "eager":
+        rows = read_dataset_as_dataframe(spark, store, "grid", **kwargs).collect()
+    elif mode == "iterator":
+        rows = list(
+            read_dataset_as_dataframe_iterator(spark, store, "grid", **kwargs)
+        )
+    else:  # groups dispatched by P (key or indexed in every layout)
+        rows = []
+        for _k, df in read_dataset_as_dataframe_groups(
+            spark, store, "grid", ["P"], **kwargs
+        ):
+            rows.extend(df.collect())
+    # normalize to column-name-sorted tuples (Row preserves select order)
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(tuple(d[c] for c in sorted(d)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("columns", GRID_COLUMNS, ids=lambda c: "all" if c is None else "-".join(c))
+@pytest.mark.parametrize("predicates", GRID_PREDICATES, ids=range(len(GRID_PREDICATES)))
+def test_grid_eager(grid_store, spark, predicates, columns):
+    _layout, store = grid_store
+    got = _grid_read("eager", spark, store, predicates, columns)
+    assert got == _oracle_rows(predicates, columns)
+
+
+# iterator/groups: the same semantics on a predicate subset (the
+# reference likewise restricts most predicate cases to the dataframe
+# output type — read.py:229-230 pytest.skip for other shapes)
+_MODE_PREDS = [GRID_PREDICATES[i] for i in (0, 1, 4, 11, 13, 19)]
+
+
+@pytest.mark.parametrize("mode", ["iterator", "groups"])
+@pytest.mark.parametrize("predicates", _MODE_PREDS, ids=range(len(_MODE_PREDS)))
+def test_grid_modes(grid_store, spark, mode, predicates):
+    _layout, store = grid_store
+    got = _grid_read(mode, spark, store, predicates, None)
+    assert got == _oracle_rows(predicates, None)
+
+
+@pytest.mark.parametrize("datetype", [datetime.date, datetime.datetime])
+def test_grid_datetime_vs_date_literal(grid_store, spark, datetype):
+    """Reference read.py:580-629: a predicate literal may be a
+    datetime.datetime against a date column (midnight equivalence) —
+    both engines cast; driver-side key pruning must not choke on the
+    mixed comparison either (part_DATE layout)."""
+    _layout, store = grid_store
+    val = datetype(2010, 1, 2) if datetype is datetime.date else datetype(2010, 1, 2, 0, 0)
+    got = _grid_read("eager", spark, store, [[("DATE", ">=", val)]], None)
+    assert got == _oracle_rows([[("DATE", ">=", _D(2010, 1, 2))]], None)
