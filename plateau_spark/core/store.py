@@ -104,6 +104,78 @@ class Store:
         else:  # pragma: no cover
             self._hadoop_fs().delete(self._hadoop_path(key), True)
 
+    def commit_lock(self, dataset_uuid: str, *, timeout: float = 30.0, stale: float = 60.0):
+        """Mutual exclusion for the metadata read-merge-put critical
+        section of concurrent commits (``_commit_update_with_merge``).
+
+        The optimistic merge's conflict re-read leaves a residual
+        window of one metadata round-trip; this closes it. Local/HDFS:
+        an O_EXCL lock file under ``<uuid>/`` (atomic create), spun on
+        with backoff and broken when older than ``stale`` seconds (a
+        crashed writer must not wedge the dataset forever). Object
+        stores with conditional puts (S3 If-None-Match, ABS ETag)
+        should instead make ``DatasetMetadata.commit`` itself a CAS on
+        the generation — the lock is the portable fallback, held for
+        milliseconds (the merge + one put), never for the write job.
+        """
+        import contextlib
+        import time as _time
+
+        key = f"{dataset_uuid}/.commit.lock"
+
+        @contextlib.contextmanager
+        def _lock():
+            if not self._is_local:  # pragma: no cover - cluster path
+                # Hadoop create(path, overwrite=False) is atomic-exclusive
+                # on HDFS; emulate the same spin
+                fs, p = self._hadoop_fs(), self._hadoop_path(key)
+                deadline = _time.monotonic() + timeout
+                while True:
+                    try:
+                        fs.create(p, False).close()
+                        break
+                    except Exception:
+                        if _time.monotonic() > deadline:
+                            raise TimeoutError(f"commit lock on {dataset_uuid!r}")
+                        _time.sleep(0.05)
+                try:
+                    yield
+                finally:
+                    fs.delete(p, False)
+                return
+            target = self.path(key)
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            deadline = _time.monotonic() + timeout
+            delay = 0.005
+            while True:
+                try:
+                    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:  # stale-break: holder crashed mid-commit
+                        if _time.time() - os.path.getmtime(target) > stale:
+                            os.unlink(target)
+                            continue
+                    except FileNotFoundError:
+                        continue  # released between open and stat — retry now
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock on {dataset_uuid!r} not acquired in "
+                            f"{timeout}s (holder crashed? stale-break at {stale}s)"
+                        )
+                    _time.sleep(delay)
+                    delay = min(delay * 2, 0.1)
+            try:
+                yield
+            finally:
+                try:
+                    os.unlink(target)
+                except FileNotFoundError:
+                    pass  # stale-broken by a waiter after we overran
+
+        return _lock()
+
     def move(self, src_key: str, dst_key: str) -> None:
         """Rename a file within the store (atomic on POSIX/HDFS; a
         copy+delete on S3 — same cost profile as the reference's

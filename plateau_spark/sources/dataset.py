@@ -241,6 +241,32 @@ class ConcurrentCommitError(RuntimeError):
 def _commit_update_with_merge(
     store: Store,
     meta: DatasetMetadata,
+    **kwargs,
+) -> DatasetMetadata:
+    """Optimistic-concurrency commit for update paths (SURVEY §7
+    hard-part 1). Fast path: nobody committed since we loaded → one put.
+    Conflict path: when BOTH sides are append-only (no deletions, no
+    index/bloom/schema changes), the union of their partition maps is
+    the correct serialized outcome — re-apply our additions onto the
+    latest document and put that. Anything else raises
+    ``ConcurrentCommitError`` instead of silently dropping the other
+    writer's commit (which is what a blind read-modify-write does).
+
+    The whole read-merge-put critical section runs under
+    ``store.commit_lock`` (round 9): the conflict re-read alone left a
+    residual one-round-trip window in which two writers could both pass
+    the check and the later put clobbered the earlier merge — real
+    under N parallel appenders (the 8-writer race test). The lock is
+    held for the metadata merge + one put (ms), never the write job;
+    stores with conditional puts can replace it with a generation CAS.
+    """
+    with store.commit_lock(meta.uuid):
+        return _commit_update_with_merge_locked(store, meta, **kwargs)
+
+
+def _commit_update_with_merge_locked(
+    store: Store,
+    meta: DatasetMetadata,
     *,
     base_generation: int,
     base_labels: set[str],
@@ -252,20 +278,6 @@ def _commit_update_with_merge(
     extra_metadata: dict | None,
     override_metadata: dict | None = None,
 ) -> DatasetMetadata:
-    """Optimistic-concurrency commit for update paths (SURVEY §7
-    hard-part 1). Fast path: nobody committed since we loaded → one put.
-    Conflict path: when BOTH sides are append-only (no deletions, no
-    index/bloom/schema changes), the union of their partition maps is
-    the correct serialized outcome — re-apply our additions onto the
-    latest document and put that. Anything else raises
-    ``ConcurrentCommitError`` instead of silently dropping the other
-    writer's commit (which is what a blind read-modify-write does).
-
-    The residual window between the conflict re-read and the put is one
-    metadata round-trip (ms), down from the whole write job (minutes at
-    100 TB scale); stores with conditional puts (ETag/if-match) can
-    close it entirely inside ``Store.put_json``.
-    """
     from plateau_spark.core.schema import schema_to_json
 
     latest = DatasetMetadata.load(store, meta.uuid)
@@ -2056,6 +2068,8 @@ def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
     for key in list(store.iter_keys(f"{dataset_uuid}/")):
         if key in referenced:
             continue
+        if key.endswith("/.commit.lock"):
+            continue  # transient commit mutex (store.commit_lock)
         if any(key.startswith(ref.rstrip("/") + "/") for ref in referenced):
             continue  # member of a referenced directory-parquet
         if not meta.explicit_partitions and key.startswith(table_prefix):

@@ -603,6 +603,42 @@ def test_concurrent_append_only_commits_merge(spark, lstore):
     assert merged.generation == 3  # store, B's update, A's merge
 
 
+def test_eight_parallel_appenders_land_exactly_once(spark, lstore):
+    """Round-9 hard-part-1 stress: N writer THREADS drive full
+    update_dataset_from_dataframe appends through the store to
+    completion concurrently (not hand-interleaved). Every row must land
+    exactly once and the final generation must count every commit —
+    the commit_lock closes the residual clobber window the conflict
+    re-read alone left open."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store_dataframe_as_dataset(
+        spark, lstore, "race", spark.createDataFrame([(-1, -1)], "w long, i long")
+    )
+
+    N, ROWS_EACH = 8, 25
+
+    def appender(w: int):
+        df = spark.createDataFrame(
+            [(w, i) for i in range(ROWS_EACH)], "w long, i long"
+        )
+        update_dataset_from_dataframe(spark, lstore, "race", df)
+        return w
+
+    with ThreadPoolExecutor(max_workers=N) as pool:
+        done = list(pool.map(appender, range(N)))
+    assert sorted(done) == list(range(N))
+
+    out = read_dataset_as_dataframe(spark, lstore, "race").collect()
+    got = sorted((r["w"], r["i"]) for r in out)
+    want = sorted([(-1, -1)] + [(w, i) for w in range(N) for i in range(ROWS_EACH)])
+    assert got == want  # every append exactly once, none clobbered
+    meta = DatasetMetadata.load(lstore, "race")
+    assert meta.generation == 1 + N  # one bump per committed append
+    # the commit mutex is transient — released after the last commit
+    assert not lstore.exists("race/.commit.lock")
+
+
 def test_concurrent_delete_conflict_raises(spark, lstore):
     """A delete-carrying update racing another commit is NOT mergeable —
     it must fail loudly rather than resurrect or drop partitions."""
