@@ -2918,6 +2918,38 @@ FROM events
 """
 
 
+def streaming_ingest_dedup_keyindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-key-domain tier of dedup-on-ingest: the sink
+    maintains a NARROW keys-only side dataset (``key_index_dataset``)
+    and anti-joins against it instead of the corpus — O(total keys)
+    bytes per batch read regardless of corpus row width, compactable on
+    a schedule. Same two-staged-copies fixture as streaming_ingest_dedup
+    → identical result set, same oracle."""
+    _prep(spark)
+    import os as _os
+    import shutil as _sh
+
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import open_parquet_stream, stream_ingest_dedup
+
+    store = _fresh_store("stream_ingest_dedup_ki")
+    ckpt = _fresh_store("stream_ingest_dedup_ki_ckpt")
+    src = _fresh_store("stream_ingest_dedup_ki_src")
+    _os.makedirs(src, exist_ok=True)
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    _sh.copy(events_path, f"{src}/0.parquet")
+    _sh.copy(events_path, f"{src}/1.parquet")
+    stream = open_parquet_stream(
+        spark, src, reader_options={"maxFilesPerTrigger": "1"}
+    )
+    q = stream_ingest_dedup(
+        stream, store, "ev", key_cols=["event_id"],
+        checkpoint_dir=ckpt, key_index_dataset="ev_keys", available_now=True,
+    )
+    q.awaitTermination()
+    return read_table(spark, store, "ev")
+
+
 def streaming_route_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate stream routing: one availableNow stream split by
     predicate into accept (value >= 0) and reject (value < 0) datasets,
@@ -5039,6 +5071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_dataset": streaming_ingest_dataset,
     "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup": streaming_ingest_dedup,
+    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
     "text_gopher_rules": text_gopher_rules,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "export_jsonl_manifest": export_jsonl_manifest,
@@ -5118,6 +5151,7 @@ ORACLES: dict[str, str] = {
     "multimodal_audio_features": MULTIMODAL_AUDIO_ORACLE,
     "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_ORACLE,
     "streaming_ingest_dedup": STREAM_INGEST_DEDUP_ORACLE,
+    "streaming_ingest_dedup_keyindex": STREAM_INGEST_DEDUP_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

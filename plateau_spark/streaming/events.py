@@ -598,6 +598,7 @@ def stream_ingest_dedup(
     checkpoint_dir: str,
     partition_on=None,
     key_stats: str | None = "auto",
+    key_index_dataset: str | None = None,
     available_now: bool = False,
 ):
     """Online cross-batch exact dedup during ingestion: every
@@ -625,10 +626,17 @@ def stream_ingest_dedup(
     O(batch-relevant files) per batch, NOT O(corpus). The read projects
     ONLY the key columns (parquet column pruning), then one hash
     anti-join (batch side small), one atomic commit. For UNBOUNDED key
-    domains where even bloomed files saturate, maintain a compacted
-    key-index side dataset (store the key columns alone,
-    ``compact_dataset`` on a schedule) and point this sink's anti-join
-    at it.
+    domains where even bloomed files saturate, pass
+    ``key_index_dataset``: the sink then maintains a NARROW side
+    dataset holding only the key columns and anti-joins against THAT —
+    its size is O(total keys) bytes independent of corpus row width,
+    and ``compact_dataset`` on a schedule keeps its file count low, so
+    the per-batch read stays cheap at any corpus size. Exactly-once
+    holds per dataset (each carries its own batch marker); a crash
+    between the two commits replays the batch, whose main-dataset
+    commit is then a no-op while the key-index commit completes —
+    the anti-join state is the key index, so the recomputed survivor
+    set is identical on replay.
     Within-batch duplicates keep one row per key via dropDuplicates —
     deterministic when duplicate rows are identical; for ordered picks
     (keep latest by timestamp) pre-aggregate in the stream.
@@ -655,25 +663,37 @@ def stream_ingest_dedup(
         from plateau_spark.core.store import Store
 
         st = store if isinstance(store, Store) else Store(store)
-        if not DatasetMetadata.exists(st, dataset_uuid):
-            commit_stream_batch(
-                spark, st, dataset_uuid, fresh, batch_id,
-                partition_on=partition_on, **stats_kwargs,
-            )
-            return
-        fresh = fresh.persist()  # read twice: key collect + anti-join
+        # the dedup state: the dataset itself, or the narrow key index
+        state_uuid = key_index_dataset or dataset_uuid
+        pinned = []
         try:
-            preds = _batch_key_predicates(fresh, key_cols)
-            seen = read_dataset_as_dataframe(
-                spark, st, dataset_uuid, columns=key_cols, predicates=preds
-            )
+            if DatasetMetadata.exists(st, state_uuid):
+                fresh = fresh.persist()  # read twice: key stats + anti-join
+                pinned.append(fresh)
+                preds = _batch_key_predicates(fresh, key_cols)
+                seen = read_dataset_as_dataframe(
+                    spark, st, state_uuid, columns=key_cols, predicates=preds
+                )
+                survivors = fresh.join(seen, key_cols, "left_anti")
+            else:
+                survivors = fresh
+            if key_index_dataset:
+                survivors = survivors.persist()  # two commits + isEmpty
+                pinned.append(survivors)
             commit_stream_batch(
-                spark, st, dataset_uuid,
-                fresh.join(seen, key_cols, "left_anti"), batch_id,
+                spark, st, dataset_uuid, survivors, batch_id,
                 partition_on=partition_on, **stats_kwargs,
             )
+            if key_index_dataset:
+                # second commit, own batch marker: a replay after a crash
+                # between the two finishes this one while the first no-ops
+                commit_stream_batch(
+                    spark, st, key_index_dataset,
+                    survivors.select(*key_cols), batch_id, **stats_kwargs,
+                )
         finally:
-            fresh.unpersist()
+            for df in pinned:
+                df.unpersist()
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -427,6 +427,56 @@ def test_stream_ingest_dedup_cross_batch_first_write_wins(spark, tmp_path):
     assert read_table(spark, store, "dd").count() == 3
 
 
+def test_stream_ingest_dedup_key_index_tier(spark, tmp_path):
+    """Round-9 scale tier: with ``key_index_dataset`` the sink
+    anti-joins a NARROW keys-only side dataset instead of the corpus —
+    O(total keys) bytes regardless of row width. Same dedup semantics
+    (first write wins across batches); the side dataset holds every
+    committed key exactly once and stays compactable."""
+    import glob
+    import shutil
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import stream_ingest_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(
+        ([(1, "b0"), (2, "b0")], [(2, "b1"), (3, "b1")])
+    ):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.copy(
+            glob.glob(str(stage / "part-*.parquet"))[0], str(src / f"{i}.parquet")
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = Store(str(tmp_path / "store"))
+    q = stream_ingest_dedup(
+        stream, store, "dd", key_cols="k",
+        checkpoint_dir=str(tmp_path / "ck"),
+        key_index_dataset="dd_keys", available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_table(spark, store, "dd").collect()}
+    assert got == {1: "b0", 2: "b0", 3: "b1"}
+    # narrow side dataset: keys only, one row per committed key, with
+    # its own pruning stats (zone maps on the long key)
+    keys = read_table(spark, store, "dd_keys")
+    assert keys.columns == ["k"]
+    assert sorted(r["k"] for r in keys.collect()) == [1, 2, 3]
+    kmeta = DatasetMetadata.load(store, "dd_keys")
+    assert all("k" in p.stats for p in kmeta.partitions.values())
+
+
 def test_gopher_signals_hand_computed(spark):
     from plateau_spark.operators.text import gopher_quality_signals
 
