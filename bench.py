@@ -255,6 +255,20 @@ def main() -> None:
         _warm(col("s"))
     ).count()
 
+    # mapInPandas + numpy warm-up: the Arrow-kernel queries (bitext,
+    # resize, k-means) otherwise pay every Python worker's numpy import
+    # + Arrow stream setup on whichever of them the bench order hits
+    # first — measured ~2-4s of cold cost attributed to one arbitrary
+    # line (round-9 quiet-machine decomposition in BENCH_NOTES.md)
+    def _np_warm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf["id"] = np.asarray(pdf["id"]) * 1
+            yield pdf
+
+    spark.range(256, numPartitions=32).mapInPandas(_np_warm, "id long").count()
+
     # One broken query must never null the whole bench (rounds 3 and 4
     # produced zero perf signal because a streaming crash aborted the
     # loop): every query runs inside try/except, errors are recorded

@@ -1784,3 +1784,104 @@ def test_restore_keeps_constraints_and_documents_escape_hatch(spark, lstore):
             spark, lstore, "rcons",
             spark.createDataFrame([(5, -2.0)], "k long, v double"),
         )
+
+
+def test_lifecycle_operation_sequence_fuzz(spark, lstore):
+    """Round-9 generative lifecycle fuzz: random SEQUENCES of lifecycle
+    operations (append / delete_scope / partition-replace / row-delete
+    / compact / gc / index-build) against one dataset, checked after
+    every step against a plain-Python row model plus invariants
+    (generation strictly increases; a random predicate read matches the
+    model; GC never removes referenced data). Sequences catch the
+    interaction bugs single-feature tests cannot — e.g. compact after
+    delete_scope after an index build."""
+    import random
+
+    from plateau_spark.sources.dataset import (
+        build_dataset_indices,
+        compact_dataset,
+        delete_rows_from_dataset,
+        garbage_collect_dataset,
+    )
+
+    for seed in (7, 23, 61):
+        rng = random.Random(seed)
+        uuid = f"fz{seed}"
+        model: dict[int, int] = {}  # k -> p
+        next_k = 0
+
+        def mkdf(rows):
+            return spark.createDataFrame(rows, "k long, p long")
+
+        def fresh_rows(n, pvals):
+            nonlocal next_k
+            rows = [(next_k + i, rng.choice(pvals)) for i in range(n)]
+            next_k += n
+            return rows
+
+        rows = fresh_rows(rng.randint(3, 8), [0, 1, 2])
+        store_dataframe_as_dataset(
+            spark, lstore, uuid, mkdf(rows), partition_on=["p"]
+        )
+        model.update({k: p for k, p in rows})
+        last_gen = DatasetMetadata.load(lstore, uuid).generation
+
+        for _step in range(10):
+            op = rng.choice(
+                ["append", "delete_scope", "replace", "delete_rows",
+                 "compact", "gc", "index"]
+            )
+            if op == "append":
+                rows = fresh_rows(rng.randint(1, 6), [0, 1, 2, 3])
+                update_dataset_from_dataframe(spark, lstore, uuid, mkdf(rows))
+                model.update({k: p for k, p in rows})
+            elif op == "delete_scope":
+                p = rng.choice([0, 1, 2, 3])
+                update_dataset_from_dataframe(
+                    spark, lstore, uuid, None, delete_scope=[{"p": p}]
+                )
+                model = {k: v for k, v in model.items() if v != p}
+            elif op == "replace":
+                p = rng.choice([0, 1, 2])
+                rows = fresh_rows(rng.randint(1, 4), [p])
+                update_dataset_from_dataframe(
+                    spark, lstore, uuid, mkdf(rows), delete_scope=[{"p": p}]
+                )
+                model = {k: v for k, v in model.items() if v != p}
+                model.update({k: q for k, q in rows})
+            elif op == "delete_rows" and model:
+                cut = rng.choice(sorted(model))
+                delete_rows_from_dataset(
+                    spark, lstore, uuid, [[("k", "<=", cut)]]
+                )
+                model = {k: v for k, v in model.items() if k > cut}
+            elif op == "compact":
+                compact_dataset(spark, lstore, uuid, target_files_per_key=1)
+            elif op == "gc":
+                garbage_collect_dataset(lstore, uuid)
+            elif op == "index":
+                build_dataset_indices(spark, lstore, uuid, ["k"])
+
+            meta = DatasetMetadata.load(lstore, uuid)
+            # generation never regresses; ops that always mutate
+            # (append/replace/delete_scope) always bump it; compact/
+            # delete_rows/gc/index may legitimately no-op
+            assert meta.generation >= last_gen, f"generation regressed (seed {seed}, op {op})"
+            if op in ("append", "replace", "delete_scope"):
+                assert meta.generation > last_gen, f"mutating {op} did not commit (seed {seed})"
+            last_gen = meta.generation
+
+            got = {
+                r["k"]: r["p"]
+                for r in read_dataset_as_dataframe(spark, lstore, uuid).collect()
+            }
+            assert got == model, f"model drift after {op} (seed {seed})"
+            # random predicate read parity
+            pv = rng.choice([0, 1, 2, 3])
+            got_p = sorted(
+                r["k"]
+                for r in read_dataset_as_dataframe(
+                    spark, lstore, uuid, predicates=[[("p", "==", pv)]]
+                ).collect()
+            )
+            assert got_p == sorted(k for k, v in model.items() if v == pv)
