@@ -1049,15 +1049,18 @@ def read_dataset_as_dataframe(
     """
     if categories:
         # The reference reads selected columns as pandas categoricals
-        # (/root/reference/plateau/serialization/_parquet.py:129-143).
-        # Spark has no categorical dtype — low-cardinality strings are
-        # dictionary-encoded in parquet and Tungsten already; the kwarg
-        # is surfaced as a typed error (documented divergence, SURVEY.md
-        # §4) instead of being silently absent.
+        # (/root/reference/plateau/serialization/_parquet.py:129-143) —
+        # a PANDAS-output contract. A Spark DataFrame has no categorical
+        # dtype (low-cardinality strings are dictionary-encoded in
+        # parquet and Tungsten already), so on THIS surface the kwarg is
+        # a typed error pointing at the surface that honors it:
+        # ``read_table_as_pandas(categories=...)``.
         raise NotImplementedError(
-            "categories= is not supported: Spark has no pandas-categorical "
-            "dtype (parquet dictionary encoding covers the storage/scan "
-            "benefit natively). Read the columns plainly instead."
+            "categories= has no meaning on the Spark DataFrame surface "
+            "(no categorical dtype; parquet dictionary encoding covers "
+            "the storage/scan benefit natively). Use "
+            "read_table_as_pandas(categories=...), which returns the "
+            "reference's pandas-categorical contract."
         )
     if dates_as_object is False:
         # The reference's legacy dates_as_object=False returned date
@@ -1157,6 +1160,7 @@ def read_table_as_pandas(
     dataset_uuid: str | None = None,
     *,
     dates_as_object: bool = True,
+    categories: Sequence[str] | None = None,
     **kwargs,
 ):
     """The reference's pandas-returning read surface: one pandas
@@ -1169,17 +1173,34 @@ def read_table_as_pandas(
     Spark's Arrow ``toPandas()`` produces for DateType, so the default
     costs nothing. ``dates_as_object=False`` replays the reference's
     deprecated legacy behavior (DeprecationWarning + datetime64[ns]
-    date columns). All other kwargs (columns/predicates/filter_query/
-    generation/...) pass through to ``read_table``.
+    date columns).
 
-    Driver-memory surface — the result must fit on the driver, same as
-    the reference's eager reader; use ``read_table`` for distributed
-    work.
+    ``categories``: the named columns come back as
+    ``pandas.Categorical`` — the reference's ``categories=`` contract
+    (/root/reference/plateau/serialization/_parquet.py:129-143). The
+    reference's cross-partition category alignment
+    (io_components/utils.py:296-396) is satisfied by construction here:
+    the frame is materialized as ONE pandas object, so every partition
+    shares one category set. Scan/transfer stays Arrow-dictionary-
+    encoded; the astype is a driver-side view change.
+
+    All other kwargs (columns/predicates/filter_query/generation/...)
+    pass through to ``read_table``. Driver-memory surface — the result
+    must fit on the driver, same as the reference's eager reader; use
+    ``read_table`` for distributed work.
     """
     df = read_dataset_as_dataframe(
         spark, store, dataset_uuid, dates_as_object=dates_as_object, **kwargs
     )
-    return df.toPandas()
+    pdf = df.toPandas()
+    if categories:
+        categories = [categories] if isinstance(categories, str) else list(categories)
+        missing = [c for c in categories if c not in pdf.columns]
+        if missing:
+            raise ValueError(f"categories columns not in result: {missing}")
+        for c in categories:
+            pdf[c] = pdf[c].astype("category")
+    return pdf
 
 
 def register_dataset_as_view(

@@ -215,11 +215,39 @@ def test_multi_table_dataset_rejected(spark, tmp_path):
 
 
 def test_categories_kwarg_raises(spark, conf_store):
-    """categories= is a documented divergence (SURVEY.md §4): Spark has
-    no pandas-categorical dtype, so the kwarg raises instead of being
-    silently absent."""
-    with pytest.raises(NotImplementedError, match="categorical"):
+    """categories= on the Spark DATAFRAME surface is a typed error
+    (no categorical dtype) pointing at the pandas surface that honors
+    it — never silently absent."""
+    with pytest.raises(NotImplementedError, match="read_table_as_pandas"):
         read_dataset_as_dataframe(spark, conf_store, "conf", categories=["L"])
+
+
+def test_categories_on_pandas_surface(spark, conf_store):
+    """Round-9: the reference's categories= contract
+    (serialization/_parquet.py:129-143) is honored where it actually
+    lives — the pandas-returning reader. Named columns come back
+    categorical with ONE category set across all partitions; values
+    are unchanged; combines with predicates/projection."""
+    import pandas as pd
+
+    from plateau_spark.sources.dataset import read_table_as_pandas
+
+    pdf = read_table_as_pandas(spark, conf_store, "conf", categories=["L"])
+    assert isinstance(pdf["L"].dtype, pd.CategoricalDtype)
+    assert sorted(pdf["L"].cat.categories) == [1, 2, 3]
+    assert sorted(pdf["L"]) == sorted(l for _p, l, _t, _d in ROWS)
+
+    narrowed = read_table_as_pandas(
+        spark, conf_store, "conf",
+        columns=["P", "L"], predicates=[[("P", ">", 1)]], categories=["L"],
+    )
+    assert isinstance(narrowed["L"].dtype, pd.CategoricalDtype)
+    assert sorted(narrowed["L"]) == sorted(l for p, l, _t, _d in ROWS if p > 1)
+
+    with pytest.raises(ValueError, match="not in result"):
+        read_table_as_pandas(
+            spark, conf_store, "conf", columns=["P"], categories=["L"]
+        )
 
 
 def test_dates_as_object_reference_default_accepted(spark, conf_store):
