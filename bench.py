@@ -269,6 +269,28 @@ def main() -> None:
 
     spark.range(256, numPartitions=32).mapInPandas(_np_warm, "id long").count()
 
+    # Python DataSource warm-up: format("plateau") runs in its own
+    # worker kind (plan/read datasource workers), which neither UDF
+    # warm-up touches — cold-measured 6.8s vs 1.4s warm on the
+    # dataset_python_source_read line
+    try:
+        import tempfile
+
+        from plateau_spark.core.store import Store
+        from plateau_spark.sources.dataset import store_dataframe_as_dataset
+        from plateau_spark.sources.datasource import register_plateau_datasource
+
+        register_plateau_datasource(spark)
+        _wd = tempfile.mkdtemp(prefix="bench-warm-")
+        store_dataframe_as_dataset(
+            spark, Store(_wd), "warm", spark.range(8).withColumnRenamed("id", "k")
+        )
+        spark.read.format("plateau").option("store", _wd).option(
+            "dataset", "warm"
+        ).load().count()
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the bench
+        print(f"# datasource warm-up skipped ({exc})", file=sys.stderr)
+
     # One broken query must never null the whole bench (rounds 3 and 4
     # produced zero perf signal because a streaming crash aborted the
     # loop): every query runs inside try/except, errors are recorded
