@@ -24,7 +24,7 @@ from plateau_spark.core.predicates import (
     filter_predicates_by_column,
 )
 from plateau_spark.core.schema import normalize_schema, normalize_dataframe
-from plateau_spark.core.metadata import DatasetMetadata
+from plateau_spark.core.metadata import DatasetMetadata, MetadataConsistencyError
 from plateau_spark.sources.dataset import (
     store_dataframe_as_dataset,
     store_dataframes_as_dataset,
@@ -60,6 +60,7 @@ from plateau_spark.plans.index import (
 from plateau_spark.core.utils import combine_metadata
 
 __all__ = [
+    "MetadataConsistencyError",
     "delete_rows_from_dataset",
     "merge_upsert_into_dataset",
     "dataset_history",

@@ -31,6 +31,14 @@ from plateau_spark.core.store import Store
 from plateau_spark.core.urlencode import decode_partition_label
 
 
+class MetadataConsistencyError(RuntimeError):
+    """The commit file exists but cannot be parsed/understood — a
+    half-written or corrupted metadata document (the reference's
+    metadata-consistency failure class, surfaced with the store key so
+    the operator knows WHAT to inspect, instead of a bare JSON parse
+    error with no context)."""
+
+
 @dataclass
 class Partition:
     """label + file key (relative to store root) + partition-key values.
@@ -205,16 +213,42 @@ class DatasetMetadata:
                     f"reclaimed by garbage_collect_dataset (time travel is "
                     f"valid until GC)"
                 )
-            return cls.from_json(store.get_json(hkey))
+            return cls._parse(store.get_json, hkey)
         json_key = naming.metadata_key(dataset_uuid)
         if store.exists(json_key):
-            return cls.from_json(store.get_json(json_key))
+            return cls._parse(store.get_json, json_key)
         mp_key = naming.msgpack_metadata_key(dataset_uuid)
         if store.exists(mp_key):
             from plateau_spark.core.msgpack_codec import unpack_zstd
 
-            return cls.from_json(unpack_zstd(store.get_bytes(mp_key)))
+            return cls._parse(
+                lambda k: unpack_zstd(store.get_bytes(k)), mp_key
+            )
         raise KeyError(f"Dataset does not exist. Tried {json_key} and {mp_key}")
+
+    @classmethod
+    def _parse(cls, get, key: str) -> "DatasetMetadata":
+        """Decode + validate one commit document, converting parse/shape
+        failures into :class:`MetadataConsistencyError` naming the key.
+        A corrupt commit file must fail with WHAT is corrupt — the
+        atomic-put protocol means this only happens through outside
+        interference (partial manual copy, bit rot), and the operator's
+        next step is inspecting/restoring that specific key."""
+        try:
+            doc = get(key)
+            if not isinstance(doc, dict):
+                raise ValueError(f"expected a JSON object, got {type(doc).__name__}")
+            return cls.from_json(doc)
+        except FileNotFoundError:
+            raise  # raced with a delete: the caller's not-exists path
+        except Exception as e:
+            raise MetadataConsistencyError(
+                f"Commit document {key!r} exists but cannot be parsed "
+                f"({type(e).__name__}: {e}). The file is corrupt or "
+                f"half-copied; restore it from a history snapshot "
+                f"(restore_dataset / read generation=N) or re-copy the "
+                f"dataset."
+            ) from e
 
     @classmethod
     def exists(cls, store: Store, dataset_uuid: str) -> bool:

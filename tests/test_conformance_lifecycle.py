@@ -1885,3 +1885,24 @@ def test_lifecycle_operation_sequence_fuzz(spark, lstore):
                 ).collect()
             )
             assert got_p == sorted(k for k, v in model.items() if v == pv)
+
+
+def test_corrupt_commit_file_fails_typed(spark, lstore):
+    """Reference parity (shared-suite test_metadata_consistency_errors):
+    a commit document that exists but cannot be parsed must fail with a
+    typed error NAMING the corrupt key and the recovery path — not a
+    bare JSONDecodeError with no context."""
+    from plateau_spark.core import naming
+    from plateau_spark.core.metadata import MetadataConsistencyError
+
+    store_dataframe_as_dataset(
+        spark, lstore, "corrupt", spark.createDataFrame([(1,)], "k long")
+    )
+    lstore.put_bytes(naming.metadata_key("corrupt"), b"{not json!!")
+    with pytest.raises(MetadataConsistencyError, match="corrupt.by-dataset"):
+        read_dataset_as_dataframe(spark, lstore, "corrupt").collect()
+
+    # valid JSON, wrong shape: same typed failure class
+    lstore.put_json(naming.metadata_key("corrupt"), {"not": "a commit"})
+    with pytest.raises(MetadataConsistencyError):
+        DatasetMetadata.load(lstore, "corrupt")
