@@ -599,6 +599,7 @@ def stream_ingest_dedup(
     partition_on=None,
     key_stats: str | None = "auto",
     key_index_dataset: str | None = None,
+    compact_key_index_every: int | None = 64,
     available_now: bool = False,
 ):
     """Online cross-batch exact dedup during ingestion: every
@@ -630,8 +631,10 @@ def stream_ingest_dedup(
     ``key_index_dataset``: the sink then maintains a NARROW side
     dataset holding only the key columns and anti-joins against THAT —
     its size is O(total keys) bytes independent of corpus row width,
-    and ``compact_dataset`` on a schedule keeps its file count low, so
-    the per-batch read stays cheap at any corpus size. Exactly-once
+    and the sink compacts it every ``compact_key_index_every`` batches
+    (micro-batches accrete one file per batch; compaction is idempotent
+    maintenance, so replays are harmless), keeping the per-batch read
+    cheap at any corpus size. Exactly-once
     holds per dataset (each carries its own batch marker); a crash
     between the two commits replays the batch, whose main-dataset
     commit is then a no-op while the key-index commit completes —
@@ -691,6 +694,21 @@ def stream_ingest_dedup(
                     spark, st, key_index_dataset,
                     survivors.select(*key_cols), batch_id, **stats_kwargs,
                 )
+                if (
+                    compact_key_index_every
+                    and batch_id > 0
+                    and batch_id % compact_key_index_every == 0
+                ):
+                    # micro-batches accrete one file per batch; without
+                    # maintenance the side dataset's planning cost grows
+                    # linearly in batches. Compaction is idempotent
+                    # maintenance (atomic swap, generation-stamped), so a
+                    # replayed trigger batch just re-compacts a no-op.
+                    from plateau_spark.sources.dataset import compact_dataset
+
+                    compact_dataset(
+                        spark, st, key_index_dataset, target_files_per_key=1
+                    )
         finally:
             for df in pinned:
                 df.unpersist()

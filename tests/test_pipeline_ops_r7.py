@@ -477,6 +477,54 @@ def test_stream_ingest_dedup_key_index_tier(spark, tmp_path):
     assert all("k" in p.stats for p in kmeta.partitions.values())
 
 
+def test_stream_ingest_dedup_key_index_compaction(spark, tmp_path):
+    """The sink compacts its key index on the configured cadence:
+    three micro-batches with compact_key_index_every=1 end with ONE
+    key-index file (not one per batch), dedup stays exact, and the
+    compacted index keeps its zone-map stats."""
+    import glob
+    import shutil
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import stream_ingest_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [[(1, "a"), (2, "a")], [(2, "b"), (3, "b")], [(3, "c"), (4, "c")]]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.copy(
+            glob.glob(str(stage / "part-*.parquet"))[0], str(src / f"{i}.parquet")
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = Store(str(tmp_path / "store"))
+    q = stream_ingest_dedup(
+        stream, store, "dd", key_cols="k",
+        checkpoint_dir=str(tmp_path / "ck"),
+        key_index_dataset="dd_keys", compact_key_index_every=1,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_table(spark, store, "dd").collect()}
+    assert got == {1: "a", 2: "a", 3: "b", 4: "c"}
+    kmeta = DatasetMetadata.load(store, "dd_keys")
+    assert len(kmeta.partitions) == 1  # compacted after the last batch
+    assert all("k" in p.stats for p in kmeta.partitions.values())
+    assert sorted(
+        r["k"] for r in read_table(spark, store, "dd_keys").collect()
+    ) == [1, 2, 3, 4]
+
+
 def test_gopher_signals_hand_computed(spark):
     from plateau_spark.operators.text import gopher_quality_signals
 
