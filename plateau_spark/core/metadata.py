@@ -237,8 +237,9 @@ class DatasetMetadata:
         try:
             doc = get(key)
             if not isinstance(doc, dict):
-                raise ValueError(f"expected a JSON object, got {type(doc).__name__}")
-            return cls.from_json(doc)
+                raise TypeError(
+                    f"expected a JSON object, got {type(doc).__name__}"
+                )
         except FileNotFoundError:
             raise  # raced with a delete: the caller's not-exists path
         except Exception as e:
@@ -248,6 +249,20 @@ class DatasetMetadata:
                 f"half-copied; restore it from a history snapshot "
                 f"(restore_dataset / read generation=N) or re-copy the "
                 f"dataset."
+            ) from e
+        # from_json's own typed errors (future metadata version,
+        # multi-table layout, ...) are deliberate contracts — pass them
+        # through; only structural decode garbage wraps
+        try:
+            return cls.from_json(doc)
+        except (NotImplementedError, ValueError):
+            raise
+        except Exception as e:
+            raise MetadataConsistencyError(
+                f"Commit document {key!r} parsed but does not describe a "
+                f"dataset ({type(e).__name__}: {e}). The file is corrupt "
+                f"or half-copied; restore it from a history snapshot or "
+                f"re-copy the dataset."
             ) from e
 
     @classmethod
