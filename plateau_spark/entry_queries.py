@@ -1834,6 +1834,68 @@ QUALIFY rank <= 3
 """
 
 
+_BM25_QUERIES = {
+    "q_spark": "spark window merge",
+    "q_scan": "fast table scan",
+    "q_cust": "customer query order",
+}
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk: Okapi BM25 (Lucene idf) sparse-retrieval top-5 per
+    query — the lexical counterpart to the dense cosine_topk tier. One
+    explode + two map-side-combined aggs; the broadcast query-term join
+    prunes before scoring; round(score, 6) + doc-id tie-break keeps the
+    selected rows engine-deterministic."""
+    _prep(spark)
+    from plateau_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=5)
+
+
+_BM25_QVALUES = ", ".join(f"('{k}', '{v}')" for k, v in _BM25_QUERIES.items())
+TEXT_BM25_ORACLE = f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_QVALUES}),
+qtoks AS (
+  SELECT query_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(qtext)), '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')) AS term
+  FROM q
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM qtoks
+), toks AS (
+  SELECT doc_id, unnest({_TFIDF_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT n.n, COALESCE(t.toklen, 0) * 1.0 / n.n AS avgdl
+  FROM (SELECT COUNT(DISTINCT doc_id) AS n FROM documents) n
+  CROSS JOIN (SELECT SUM(dl) AS toklen FROM dl) t
+), scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(SUM(
+             ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qterms.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup / similarity (north-star; operators/dedup.py, similarity.py)
 # ---------------------------------------------------------------------------
@@ -4992,6 +5054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_agg": text_lang_agg,
     "text_bpe_tokens": text_bpe_tokens,
     "text_tfidf_terms": text_tfidf_terms,
+    "text_bm25_topk": text_bm25_topk,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
     "text_token_histogram": text_token_histogram,
@@ -5202,6 +5265,7 @@ ORACLES: dict[str, str] = {
     "text_lang_agg": TEXT_LANG_AGG_ORACLE,
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
+    "text_bm25_topk": TEXT_BM25_ORACLE,
     "pack_documents_bins": PACK_BINS_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,

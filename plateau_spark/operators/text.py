@@ -391,6 +391,110 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """BM25 sparse-retrieval top-k: for each query, the ``k``
+    highest-scoring documents under Okapi BM25 (Lucene idf variant:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the classic lexical
+    retrieval counterpart to the dense ANN tier in
+    ``operators/similarity.py``.
+
+    ``queries`` is a small mapping ``{query_id: query_text}`` (or an
+    iterable of ``(query_id, query_text)``) — the query side of a
+    retrieval workload is human-scale, so it rides the plan as a
+    broadcast. Query text is tokenized IN Spark with the same
+    expression as the corpus side, so both sides stay bit-identical
+    with zero driver-side string processing.
+
+    Scale shape (the part that matters at 100 TB corpus):
+    one explode over document tokens → two map-side-combined keyed aggs
+    (per-(doc,term) tf — doc length and corpus df both derive from it)
+    → a BROADCAST semi-join on the query terms that prunes the tf frame
+    to matching terms before any further work → one broadcast of the
+    2-scalar corpus stats row → windowed top-k per query. No Python
+    anywhere; the only wide exchanges are the two aggs, both combine
+    map-side. N counts all documents; empty documents contribute 0
+    length to avgdl.
+
+    Ranking uses round(score, 6) with doc id as tie-break so the
+    selected rows are deterministic across engines.
+
+    Returns (query_id, <id_col>, score, rank).
+    """
+    from pyspark.sql import Window
+
+    qrows = list(queries.items()) if isinstance(queries, dict) else list(queries)
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qrows, f"{query_id_col} string, __qtext__ string")
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+    qtoks = F.filter(
+        F.split(F.lower(F.trim(F.col("__qtext__"))), r"[^\p{L}\p{N}]+"),
+        lambda t: t != "",
+    )
+    qterms = qdf.select(
+        query_id_col, F.explode(qtoks).alias("term")
+    ).dropDuplicates([query_id_col, "term"])
+
+    exploded = df.select(F.col(id_col).alias("__id__"), F.explode(toks).alias("term"))
+    # tf feeds three consumers (scores, doc length, corpus df) — checkpoint
+    # so the explode+agg computes once and reuses from block storage
+    tf = (
+        exploded.groupBy("__id__", "term")
+        .agg(F.count("*").alias("__tf__"))
+        .localCheckpoint(eager=False)
+    )
+    # doc length + corpus df both derive from tf — no second explode pass
+    dl = tf.groupBy("__id__").agg(F.sum("__tf__").alias("__dl__"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df__"))
+    stats = df.agg(
+        F.countDistinct(id_col).alias("__n__"),
+    ).crossJoin(
+        dl.agg(F.sum("__dl__").alias("__toklen__"))
+    ).select(
+        "__n__",
+        (F.coalesce(F.col("__toklen__"), F.lit(0)) / F.col("__n__")).alias("__avgdl__"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n__") - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
+    )
+    tf_part = (F.col("__tf__") * (k1 + 1)) / (
+        F.col("__tf__")
+        + k1 * (1 - b + b * F.col("__dl__") / F.col("__avgdl__"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")  # prune to query terms FIRST
+        .join(dfreq, "term")
+        .join(dl, "__id__")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, "__id__")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("__id__").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, F.col("__id__").alias(id_col), "score", "rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
