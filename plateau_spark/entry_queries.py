@@ -3012,6 +3012,87 @@ def streaming_ingest_dedup_keyindex(spark: SparkSession, sf_dir: str) -> DataFra
     return read_table(spark, store, "ev")
 
 
+def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online NEAR-dup dedup-on-ingest (fuzzy twin of
+    streaming_ingest_dedup): documents staged as two id-ordered halves,
+    drained availableNow with maxFilesPerTrigger=1; each batch drops
+    docs whose md5-MinHash band signature collides with any previously
+    SEEN doc (kept or dropped — the seen-index contract, so the kept
+    set is a non-recursive function of arrival order and fully
+    SQL-expressible), dedups within the batch by id order, and commits
+    survivors + the batch's fingerprints atomically. The persisted
+    fingerprint side-dataset IS the dedup state."""
+    _prep(spark)
+    import glob as _glob
+    import os as _os
+    import shutil as _sh
+
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        stream_ingest_neardup,
+    )
+
+    store = _fresh_store("stream_ingest_neardup")
+    ckpt = _fresh_store("stream_ingest_neardup_ckpt")
+    src = _fresh_store("stream_ingest_neardup_src")
+    _os.makedirs(src, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.count() // 2
+    for i, batch in enumerate(
+        (docs.where(F.col("doc_id") < half), docs.where(F.col("doc_id") >= half))
+    ):
+        stage = f"{src}/stage{i}"
+        batch.coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/{i}.parquet"
+        _sh.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order = id order
+        _sh.rmtree(stage)
+    stream = open_parquet_stream(
+        spark, src, reader_options={"maxFilesPerTrigger": "1"}
+    )
+    q = stream_ingest_neardup(
+        stream, store, "docs",
+        id_col="doc_id", text_col="text",
+        checkpoint_dir=ckpt, fingerprint_dataset="docs_fp",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_table(spark, store, "docs").select("doc_id", "lang", "n_chars")
+
+
+# kept iff no smaller-doc_id document shares a band signature (arrival
+# order = doc_id order by fixture construction); same md5 minhash CTEs
+# as MINHASH_MD5_ORACLE
+STREAM_INGEST_NEARDUP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s FROM sh WHERE len(s) > 0
+), exploded AS (
+  SELECT doc_id, unnest(s) AS shingle FROM nonempty
+), mins AS (
+  SELECT doc_id, p.i,
+         MIN(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || shingle), 1, 15)) AS UBIGINT)) AS mh
+  FROM exploded CROSS JOIN generate_series(0, {_MH_PERM - 1}) p(i)
+  GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, i // {_MH_PERM // _MH_BANDS} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bandsig
+  FROM mins GROUP BY doc_id, i // {_MH_PERM // _MH_BANDS}
+), dups AS (
+  SELECT DISTINCT r.doc_id
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bandsig = r.bandsig AND l.doc_id < r.doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 def streaming_route_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate stream routing: one availableNow stream split by
     predicate into accept (value >= 0) and reject (value < 0) datasets,
@@ -5023,7 +5104,12 @@ WHERE {_U_MIX} < p.keep_p
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
-    #     r8 constraint fold-in and r9 zone-map/commit changes touch ---
+    #     r8 constraint fold-in and r9 zone-map/commit changes touch;
+    #     plus the two queries NEW this round (text_bm25_topk,
+    #     streaming_ingest_neardup — no driver evidence yet). The two
+    #     entries they displace (decontaminate_substring/_fuzzy, r6
+    #     driver-green, code untouched) were re-swept by
+    #     tools/check_parity.py at sf0.01 this round ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5049,6 +5135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": streaming_interval_join,
     "streaming_dedup": streaming_dedup,
     "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_ingest_neardup": streaming_ingest_neardup,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_lang_agg": text_lang_agg,
@@ -5215,6 +5302,7 @@ ORACLES: dict[str, str] = {
     "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_ORACLE,
     "streaming_ingest_dedup": STREAM_INGEST_DEDUP_ORACLE,
     "streaming_ingest_dedup_keyindex": STREAM_INGEST_DEDUP_ORACLE,
+    "streaming_ingest_neardup": STREAM_INGEST_NEARDUP_ORACLE,
     "dataset_orc_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,

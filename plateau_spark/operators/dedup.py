@@ -443,6 +443,73 @@ def _md5_minhash_col(shingle: F.Column, perm: int) -> F.Column:
     ).cast("long")
 
 
+def _md5_band_frame(
+    shingled: DataFrame, shingles_col: str, *, num_perm: int, bands: int
+) -> DataFrame:
+    """(__id__, band, bandsig) LSH band signatures in the md5 family
+    over an already-shingled frame — the shared banding stage of
+    ``minhash_lsh_pairs_md5`` and the streaming near-dup ingest sink
+    (``streaming/events.py:stream_ingest_neardup``).
+
+    Band signature = ','-joined decimal minhash values of the band's
+    permutations in order (DuckDB twin: string_agg(mh, ',' ORDER BY i)).
+    All codegen: explode → num_perm min-aggs (map-side combined) →
+    posexplode of the band array.
+    """
+    rows_per_band = num_perm // bands
+    ex = shingled.select("__id__", F.explode(shingles_col).alias("__s__"))
+    sigs = ex.groupBy("__id__").agg(
+        *[
+            F.min(_md5_minhash_col(F.col("__s__"), i)).alias(f"__m{i}__")
+            for i in range(num_perm)
+        ]
+    )
+    band_sigs = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"__m{b * rows_per_band + j}__").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "__id__", F.posexplode(F.array(*band_sigs)).alias("band", "bandsig")
+    )
+
+
+def md5_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-document MinHash-LSH band signatures in the PORTABLE md5
+    hash family: (<id_col>, band, bandsig), one row per (doc, band).
+    Documents with at most ``shingle_size`` tokens (including empty
+    text) contribute their whole token sequence as a single shingle —
+    the same degenerate-case contract as every shingle consumer here —
+    so exact-duplicate short docs still collide.
+
+    Two documents are near-dup candidates iff they share ≥1 (band,
+    bandsig) pair — this frame is the persistable form of that
+    relation, used as the incremental dedup state by
+    ``stream_ingest_neardup`` (the fingerprint side-dataset) and
+    reusable for batch bucket-joins. Bit-reproducible in ANSI SQL
+    (every hash is a pure function of md5), so oracle-checkable.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    base = shingled_frame(df, id_col, text_col, shingle_size, materialize=False)
+    return _md5_band_frame(base, "__sh__", num_perm=num_perm, bands=bands).select(
+        F.col("__id__").alias(id_col), "band", "bandsig"
+    )
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     id_col: str,
@@ -469,27 +536,12 @@ def minhash_lsh_pairs_md5(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
     base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
         "__sh__", "__shingles__"
     )
-    ex = base.select("__id__", F.explode("__shingles__").alias("__s__"))
-    sigs = ex.groupBy("__id__").agg(
-        *[F.min(_md5_minhash_col(F.col("__s__"), i)).alias(f"__m{i}__") for i in range(num_perm)]
-    )
-    band_sigs = [
-        F.concat_ws(
-            ",",
-            *[
-                F.col(f"__m{b * rows_per_band + j}__").cast("string")
-                for j in range(rows_per_band)
-            ],
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "__id__", F.posexplode(F.array(*band_sigs)).alias("__band__", "__bandsig__")
-    )
+    banded = _md5_band_frame(
+        base, "__shingles__", num_perm=num_perm, bands=bands
+    ).select("__id__", F.col("band").alias("__band__"), F.col("bandsig").alias("__bandsig__"))
     candidates = (
         banded.alias("l")
         .join(

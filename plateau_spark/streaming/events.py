@@ -20,6 +20,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def windowed_event_counts(
@@ -712,6 +713,153 @@ def stream_ingest_dedup(
         finally:
             for df in pinned:
                 df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_neardup(
+    stream: DataFrame,
+    store,
+    dataset_uuid: str,
+    *,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    fingerprint_dataset: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    partition_on=None,
+    compact_fingerprint_every: int | None = 64,
+    available_now: bool = False,
+):
+    """Online cross-batch NEAR-duplicate dedup during ingestion — the
+    fuzzy-content twin of ``stream_ingest_dedup``: every micro-batch
+    drops documents whose MinHash-LSH band signature collides with any
+    PREVIOUSLY SEEN document, dedups within the batch (earlier id
+    wins), and commits the survivors atomically. The persisted
+    ``fingerprint_dataset`` — the narrow (band, bandsig) frame from
+    ``operators/dedup.py:md5_band_signatures`` — IS the dedup state:
+    exact over the full ingest history at any lateness, restart-safe
+    via the commit protocol, no state store.
+
+    Semantics (the "seen index" contract): a document is dropped iff it
+    shares ≥1 band signature with any document of earlier arrival order
+    (earlier batch, or smaller ``id_col`` within the same batch) —
+    KEPT OR DROPPED. Remembering dropped documents' fingerprints makes
+    chains collapse to the first member (A~B dropped, C~B also drops
+    even if C≁A, like a Bloom-style seen-filter) and, deliberately,
+    makes the kept set a non-recursive pure function of arrival order —
+    so it is oracle-checkable in ANSI SQL. Short documents (at most
+    ``shingle_size`` tokens, including empty text) shingle to their
+    whole token sequence, so exact-duplicate short docs still dedup and
+    all empty docs collapse to the first.
+
+    Scale shape per batch: band signatures are codegen md5 min-aggs
+    over the batch only; the fingerprint read prunes with the batch's
+    (band, bandsig) values via the same O(1)-plan predicate tier as
+    exact ingest dedup (``_batch_key_predicates``) against the stats
+    the sink itself declares (zone map on band, Bloom on bandsig); the
+    collision check is one LEFT SEMI equi-join on (band, bandsig) —
+    bucketed, never all-pairs. The fingerprint dataset is
+    O(bands × documents-seen) narrow rows regardless of corpus row
+    width, and the sink compacts it every
+    ``compact_fingerprint_every`` batches (idempotent maintenance).
+
+    Exactly-once holds per dataset (each carries its own batch
+    marker). The dedup decision reads ONLY the fingerprint dataset, so
+    a crash between the two commits replays the batch deterministically:
+    the recomputed survivor set is identical, the main-dataset commit
+    no-ops, and the fingerprint commit completes.
+
+    Returns the started StreamingQuery.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.operators.dedup import md5_band_signatures
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    spark = stream.sparkSession
+    band_cols = ["band", "bandsig"]
+    stats_kwargs = {}
+    zone, bloom = _auto_key_stats_columns(
+        T.StructType(
+            [
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bandsig", T.StringType()),
+            ]
+        ),
+        band_cols,
+        None,
+    )
+    if zone:
+        stats_kwargs["zone_map_columns"] = zone
+    if bloom:
+        stats_kwargs["bloom_filter_columns"] = bloom
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from plateau_spark.core.store import Store
+
+        st = store if isinstance(store, Store) else Store(store)
+        banded = md5_band_signatures(
+            batch_df,
+            id_col,
+            text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_size=shingle_size,
+        ).persist()  # consumed 3-4×: predicates, semi-join, self-join, index commit
+        try:
+            dup_ids = (
+                banded.alias("l")
+                .join(
+                    banded.alias("r"),
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.bandsig") == F.col("r.bandsig"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+                )
+                .select(F.col(f"r.{id_col}").alias(id_col))
+            )
+            if DatasetMetadata.exists(st, fingerprint_dataset):
+                preds = _batch_key_predicates(banded, band_cols)
+                seen = read_dataset_as_dataframe(
+                    spark, st, fingerprint_dataset,
+                    columns=band_cols, predicates=preds,
+                )
+                dup_ids = dup_ids.unionByName(
+                    banded.join(seen, band_cols, "left_semi").select(id_col)
+                )
+            # anti-join tolerates duplicate ids on the right — no distinct pass
+            survivors = batch_df.join(dup_ids, id_col, "left_anti")
+            commit_stream_batch(
+                spark, st, dataset_uuid, survivors, batch_id,
+                partition_on=partition_on,
+            )
+            # ALL batch docs' fingerprints (kept or dropped) join the seen
+            # index — second commit, own batch marker (see exactly-once note)
+            commit_stream_batch(
+                spark, st, fingerprint_dataset,
+                banded.select(*band_cols).dropDuplicates(band_cols),
+                batch_id, **stats_kwargs,
+            )
+            if (
+                compact_fingerprint_every
+                and batch_id > 0
+                and batch_id % compact_fingerprint_every == 0
+            ):
+                from plateau_spark.sources.dataset import compact_dataset
+
+                compact_dataset(
+                    spark, st, fingerprint_dataset, target_files_per_key=1
+                )
+        finally:
+            banded.unpersist()
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -87,3 +87,212 @@ def test_bm25_tie_break_deterministic(spark):
 def test_bm25_rejects_empty_queries(spark, corpus):
     with pytest.raises(ValueError):
         bm25_topk(corpus, "doc_id", "text", {})
+
+
+# ---------------------------------------------------------------------------
+# near-dup-on-ingest (streaming/events.py:stream_ingest_neardup)
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text, n=3):
+    """Pure-Python twin of the shared shingle contract (incl. the
+    short-text single-shingle degenerate case)."""
+    import re
+
+    toks = [w for w in re.split(r"[^\w]+|_+", (text or "").strip().lower()) if w]
+    if len(toks) <= n:
+        return [" ".join(toks)]
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def _py_bandsigs(text, *, num_perm=16, bands=4, shingle_size=3):
+    import hashlib
+
+    sh = _py_shingles(text, shingle_size)
+    mins = [
+        min(
+            int(hashlib.md5(f"{p}|{s}".encode()).hexdigest()[:15], 16)
+            for s in sh
+        )
+        for p in range(num_perm)
+    ]
+    rpb = num_perm // bands
+    return {
+        (b, ",".join(str(mins[b * rpb + j]) for j in range(rpb)))
+        for b in range(bands)
+    }
+
+
+def _py_seen_index_kept(rows, **kw):
+    """The seen-index contract: doc dropped iff it shares a band sig
+    with ANY earlier-arrival doc (kept or dropped)."""
+    seen: set = set()
+    kept = []
+    for i, text in rows:
+        sigs = _py_bandsigs(text, **kw)
+        if not (sigs & seen):
+            kept.append(i)
+        seen |= sigs
+    return kept
+
+
+def test_md5_band_signatures_match_python_twin(spark):
+    from plateau_spark.operators.dedup import md5_band_signatures
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short doc"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = md5_band_signatures(df, "doc_id", "text", num_perm=8, bands=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add((r.band, r.bandsig))
+    for i, text in rows:
+        assert got[i] == _py_bandsigs(text, num_perm=8, bands=4), f"doc {i}"
+
+
+def _run_neardup(spark, tmp_path, batches, **neardup_kw):
+    import glob
+    import os
+    import shutil
+
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import stream_ingest_neardup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = str(src / f"{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # force batch order
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = Store(str(tmp_path / "store"))
+    q = stream_ingest_neardup(
+        stream,
+        store,
+        "docs",
+        id_col="doc_id",
+        text_col="text",
+        checkpoint_dir=str(tmp_path / "ck"),
+        fingerprint_dataset="docs_fp",
+        available_now=True,
+        **neardup_kw,
+    )
+    q.awaitTermination(180)
+    return store, read_table(spark, store, "docs")
+
+
+def test_neardup_ingest_matches_seen_index_contract(spark, tmp_path):
+    """Randomized-but-seeded corpus with exact repeats, mutations, and
+    short docs across 3 batches — the committed kept set must equal the
+    pure-Python seen-index reference (catches chain semantics: a match
+    with a DROPPED doc also drops)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base_texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(12, 25)))
+        for _ in range(8)
+    ]
+    rows = []
+    for i in range(30):
+        kind = rng.random()
+        if kind < 0.4:  # exact or near repeat of an earlier base
+            t = base_texts[rng.randrange(len(base_texts))]
+            if rng.random() < 0.5:
+                words = t.split()
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+                t = " ".join(words)
+        elif kind < 0.5:  # short doc
+            t = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 3)))
+        else:  # fresh text
+            t = " ".join(rng.choice(vocab) for _ in range(rng.randint(12, 25)))
+        rows.append((i, t))
+    batches = [rows[:10], rows[10:20], rows[20:]]
+    _, out = _run_neardup(spark, tmp_path, batches)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == _py_seen_index_kept(rows)
+
+
+def test_neardup_ingest_basic_and_fingerprint_state(spark, tmp_path):
+    long_a = "one two three four five six seven eight nine ten eleven twelve"
+    long_b = "red orange yellow green blue indigo violet ultra infra deep dark light"
+    batches = [
+        [(1, long_a), (2, long_a)],               # 2 drops within batch
+        [(3, long_a), (4, long_b), (5, long_b)],  # 3 drops cross-batch, 5 within
+    ]
+    store, out = _run_neardup(spark, tmp_path, batches)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+    # the fingerprint dataset remembers ALL seen docs' bands (kept or
+    # dropped): distinct sigs of docs 1..5 = sigs(long_a) ∪ sigs(long_b)
+    from plateau_spark.sources.dataset import read_table
+
+    fp = read_table(spark, store, "docs_fp")
+    got_sigs = {(r.band, r.bandsig) for r in fp.collect()}
+    assert got_sigs == _py_bandsigs(long_a) | _py_bandsigs(long_b)
+
+
+def test_neardup_ingest_restart_is_noop(spark, tmp_path):
+    long_a = "one two three four five six seven eight nine ten eleven twelve"
+    batches = [[(1, long_a)], [(2, long_a + " extra"), (3, "fresh words entirely different tokens here now today indeed truly")]]
+    store, out = _run_neardup(spark, tmp_path, batches)
+    first = sorted(r.doc_id for r in out.collect())
+
+    # second run over the same checkpoint: replays nothing, result stable
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import stream_ingest_neardup
+
+    schema = out.schema
+    stream2 = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "src")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q2 = stream_ingest_neardup(
+        stream2, store, "docs",
+        id_col="doc_id", text_col="text",
+        checkpoint_dir=str(tmp_path / "ck"),
+        fingerprint_dataset="docs_fp", available_now=True,
+    )
+    q2.awaitTermination(180)
+    assert sorted(r.doc_id for r in read_table(spark, store, "docs").collect()) == first
+
+
+def test_neardup_ingest_compaction_cadence(spark, tmp_path):
+    """compact_fingerprint_every=1 → the fingerprint dataset compacts
+    after batch 1+: still one row per distinct sig, readable, and the
+    final batch's commit survives the swap."""
+    texts = [
+        "aa bb cc dd ee ff gg hh ii jj kk ll",
+        "mm nn oo pp qq rr ss tt uu vv ww xx",
+        "yy zz a1 b2 c3 d4 e5 f6 g7 h8 i9 j0",
+    ]
+    batches = [[(i, texts[i])] for i in range(3)]
+    store, out = _run_neardup(
+        spark, tmp_path, batches, compact_fingerprint_every=1
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+    from plateau_spark.sources.dataset import read_table
+
+    fp = read_table(spark, store, "docs_fp")
+    expect = set()
+    for t in texts:
+        expect |= _py_bandsigs(t)
+    assert {(r.band, r.bandsig) for r in fp.collect()} == expect
