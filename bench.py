@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "dataset_restore_read",
     "dataset_history_read",
     "multimodal_audio_dup_pairs",
+    # new in round 9
+    "text_bm25_topk",
+    "streaming_ingest_neardup",
 ]
 
 

@@ -444,25 +444,40 @@ def _md5_minhash_col(shingle: F.Column, perm: int) -> F.Column:
 
 
 def _md5_band_frame(
-    shingled: DataFrame, shingles_col: str, *, num_perm: int, bands: int
+    shingled: DataFrame,
+    shingles_col: str,
+    *,
+    num_perm: int,
+    bands: int,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(__id__, band, bandsig) LSH band signatures in the md5 family
-    over an already-shingled frame — the shared banding stage of
+    """(__id__, band, bandsig) LSH band signatures over an
+    already-shingled frame — the shared banding stage of
     ``minhash_lsh_pairs_md5`` and the streaming near-dup ingest sink
     (``streaming/events.py:stream_ingest_neardup``).
+
+    ``hash_family="md5"`` is the portable tier (bit-reproducible in any
+    engine with md5 — oracle-checkable, ~num_perm md5 calls per
+    shingle); ``"siphash"`` swaps the minhash atom for seeded murmur3
+    (``F.hash``) — same pipeline shape, ~2× cheaper banding, JVM-only.
 
     Band signature = ','-joined decimal minhash values of the band's
     permutations in order (DuckDB twin: string_agg(mh, ',' ORDER BY i)).
     All codegen: explode → num_perm min-aggs (map-side combined) →
     posexplode of the band array.
     """
+    if hash_family == "md5":
+        def _atom(i: int) -> F.Column:
+            return _md5_minhash_col(F.col("__s__"), i)
+    elif hash_family == "siphash":
+        def _atom(i: int) -> F.Column:
+            return F.hash(F.col("__s__"), F.lit(i)).cast("long")
+    else:
+        raise ValueError(f"hash_family must be 'md5' or 'siphash', got {hash_family!r}")
     rows_per_band = num_perm // bands
     ex = shingled.select("__id__", F.explode(shingles_col).alias("__s__"))
     sigs = ex.groupBy("__id__").agg(
-        *[
-            F.min(_md5_minhash_col(F.col("__s__"), i)).alias(f"__m{i}__")
-            for i in range(num_perm)
-        ]
+        *[F.min(_atom(i)).alias(f"__m{i}__") for i in range(num_perm)]
     )
     band_sigs = [
         F.concat_ws(
@@ -487,9 +502,12 @@ def md5_band_signatures(
     num_perm: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """Per-document MinHash-LSH band signatures in the PORTABLE md5
-    hash family: (<id_col>, band, bandsig), one row per (doc, band).
+    """Per-document MinHash-LSH band signatures: (<id_col>, band,
+    bandsig), one row per (doc, band). Default ``hash_family="md5"``
+    is the PORTABLE tier (oracle-checkable); ``"siphash"`` is the
+    cheaper JVM-only production tier for scale ingest.
     Documents with at most ``shingle_size`` tokens (including empty
     text) contribute their whole token sequence as a single shingle —
     the same degenerate-case contract as every shingle consumer here —
@@ -505,9 +523,9 @@ def md5_band_signatures(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     base = shingled_frame(df, id_col, text_col, shingle_size, materialize=False)
-    return _md5_band_frame(base, "__sh__", num_perm=num_perm, bands=bands).select(
-        F.col("__id__").alias(id_col), "band", "bandsig"
-    )
+    return _md5_band_frame(
+        base, "__sh__", num_perm=num_perm, bands=bands, hash_family=hash_family
+    ).select(F.col("__id__").alias(id_col), "band", "bandsig")
 
 
 def minhash_lsh_pairs_md5(

@@ -734,6 +734,7 @@ def stream_ingest_neardup(
     num_perm: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    hash_family: str = "md5",
     partition_on=None,
     compact_fingerprint_every: int | None = 64,
     available_now: bool = False,
@@ -760,8 +761,11 @@ def stream_ingest_neardup(
     whole token sequence, so exact-duplicate short docs still dedup and
     all empty docs collapse to the first.
 
-    Scale shape per batch: band signatures are codegen md5 min-aggs
-    over the batch only; the fingerprint read prunes with the batch's
+    Scale shape per batch: band signatures are codegen min-aggs over
+    the batch only (default ``hash_family="md5"`` is the
+    oracle-portable tier at ~num_perm md5 calls per shingle; pass
+    ``"siphash"`` for ~2× cheaper seeded-murmur3 banding in production
+    where cross-engine replay isn't needed); the fingerprint read prunes with the batch's
     (band, bandsig) values via the same O(1)-plan predicate tier as
     exact ingest dedup (``_batch_key_predicates``) against the stats
     the sink itself declares (zone map on band, Bloom on bandsig); the
@@ -814,6 +818,7 @@ def stream_ingest_neardup(
             num_perm=num_perm,
             bands=bands,
             shingle_size=shingle_size,
+            hash_family=hash_family,
         ).persist()  # consumed 3-4×: predicates, semi-join, self-join, index commit
         try:
             dup_ids = (

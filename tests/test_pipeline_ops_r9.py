@@ -275,6 +275,25 @@ def test_neardup_ingest_restart_is_noop(spark, tmp_path):
     assert sorted(r.doc_id for r in read_table(spark, store, "docs").collect()) == first
 
 
+def test_neardup_ingest_siphash_production_tier(spark, tmp_path):
+    """hash_family='siphash' runs the same pipeline with seeded-murmur3
+    minhash atoms: exact-duplicate texts still collide cross-batch and
+    within batch; fresh texts survive."""
+    long_a = "one two three four five six seven eight nine ten eleven twelve"
+    long_b = "red orange yellow green blue indigo violet ultra infra deep dark light"
+    batches = [[(1, long_a), (2, long_a)], [(3, long_a), (4, long_b)]]
+    _, out = _run_neardup(spark, tmp_path, batches, hash_family="siphash")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+
+def test_band_signatures_rejects_bad_family(spark):
+    from plateau_spark.operators.dedup import md5_band_signatures
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        md5_band_signatures(df, "doc_id", "text", hash_family="xxhash")
+
+
 def test_neardup_ingest_compaction_cadence(spark, tmp_path):
     """compact_fingerprint_every=1 → the fingerprint dataset compacts
     after batch 1+: still one row per distinct sig, readable, and the
