@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "multimodal_audio_dup_pairs",
     # new in round 9
     "text_bm25_topk",
+    "text_bm25_indexed",
     "streaming_ingest_neardup",
 ]
 

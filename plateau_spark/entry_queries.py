@@ -1854,6 +1854,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=5)
 
 
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_text_index → query_text_index: the persisted-inverted-index
+    serving tier — posting lists term-clustered with Bloom sidecars, a
+    query's terms prune the file list, scores identical to the batch
+    scorer (same oracle as text_bm25_topk)."""
+    _prep(spark)
+    from plateau_spark.operators.retrieval import build_text_index, query_text_index
+
+    store = _fresh_store("bm25_index")
+    docs = load_table(spark, sf_dir, "documents")
+    build_text_index(spark, store, "idx", docs, id_col="doc_id", text_col="text")
+    return query_text_index(spark, store, "idx", _BM25_QUERIES, k=5)
+
+
 _BM25_QVALUES = ", ".join(f"('{k}', '{v}')" for k, v in _BM25_QUERIES.items())
 TEXT_BM25_ORACLE = f"""
 WITH q(query_id, qtext) AS (VALUES {_BM25_QVALUES}),
@@ -5105,10 +5119,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the two queries NEW this round (text_bm25_topk,
-    #     streaming_ingest_neardup — no driver evidence yet). The two
-    #     entries they displace (decontaminate_substring/_fuzzy, r6
-    #     driver-green, code untouched) were re-swept by
+    #     plus the three queries NEW this round (text_bm25_topk,
+    #     text_bm25_indexed, streaming_ingest_neardup — no driver
+    #     evidence yet). The three entries they displace
+    #     (decontaminate_substring/_fuzzy, sample_shuffle_epoch — r6
+    #     driver-green, code untouched) were re-swept green by
     #     tools/check_parity.py at sf0.01 this round ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
@@ -5136,6 +5151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     "streaming_enrich_dim": streaming_enrich_dim,
     "streaming_ingest_neardup": streaming_ingest_neardup,
+    "text_bm25_indexed": text_bm25_indexed,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_lang_agg": text_lang_agg,
@@ -5354,6 +5370,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": TEXT_BPE_ORACLE,
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
+    "text_bm25_indexed": TEXT_BM25_ORACLE,
     "pack_documents_bins": PACK_BINS_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,

@@ -1,0 +1,182 @@
+"""Sparse-retrieval index operators: a persisted BM25 inverted index
+as a plateau dataset.
+
+The batch scorer (``operators/text.py:bm25_topk``) re-derives term
+statistics from the corpus on every call — right for one-off scoring,
+wrong for a serving path over a 100 TB corpus. Here the classic
+build-once/query-many split: ``build_text_index`` materializes the
+posting lists (term, doc, tf, dl) ONCE as a term-clustered dataset
+with term zone maps + Bloom sidecars, and ``query_text_index`` turns a
+query batch into a file-pruned dataset read that touches O(query
+terms) files, never the corpus — the lexical twin of the persisted IVF
+ANN index (``operators/similarity.py:build_ivf_index``). The index IS
+a dataset: atomic commit, GC, compaction, time travel all apply.
+
+Reference parity note: the reference engine has no retrieval tier;
+this is a north-star extension (SURVEY.md §7 Phase 3) built entirely
+on the dataset layer's pruning substrate (plans/zonemaps.py,
+plans/blooms.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BM25 parameters (Okapi defaults; Lucene idf variant).
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tokens(col: str) -> F.Column:
+    """The shared corpus tokenizer (identical to text.py/bm25_topk)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+
+
+def build_text_index(
+    spark,
+    store,
+    index_uuid: str,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    index_files: int = 32,
+    overwrite: bool = False,
+):
+    """Build and persist a BM25 inverted index over ``corpus``.
+
+    One explode + one map-side-combined (doc, term) count agg; doc
+    length rides every posting row (denormalized — the classic posting
+    design, one fewer join per query) via a window sum over the doc
+    key. Postings are RANGE-CLUSTERED BY TERM into ``index_files``
+    files (repartitionByRange + sortWithinPartitions) so each term's
+    postings co-locate in one or two files, and per-file Bloom sidecars
+    on term (the string-column pruning substrate — zone maps are
+    numeric-only here because parquet writers may truncate string
+    min/max) let a query's term IN-predicate prune the file list to the
+    files actually holding its terms.
+    Corpus-level stats (N, avgdl) land in user metadata — df per term
+    is NOT stored: a pruned read returns every posting of the probed
+    terms, so df is one count-agg over the already-pruned frame.
+
+    Documents with no tokens contribute no postings but count in N and
+    in the avgdl denominator (same contract as ``bm25_topk``).
+    """
+    from pyspark.sql import Window
+
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    exploded = corpus.select(
+        F.col(id_col).alias("__id__"), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = exploded.groupBy("__id__", "term").agg(F.count("*").alias("tf"))
+    postings = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("__id__"))
+    ).select("term", F.col("__id__").alias(id_col), "tf", "dl")
+
+    stats = (
+        corpus.agg(F.countDistinct(id_col).alias("n"))
+        .crossJoin(
+            corpus.select(F.size(_tokens(text_col)).alias("__len__")).agg(
+                F.sum("__len__").alias("toklen")
+            )
+        )
+        .select("n", (F.coalesce(F.col("toklen"), F.lit(0)) / F.col("n")).alias("avgdl"))
+        .collect()[0]
+    )
+
+    clustered = postings.repartitionByRange(index_files, "term").sortWithinPartitions(
+        "term"
+    )
+    return store_dataframe_as_dataset(
+        spark,
+        store,
+        index_uuid,
+        clustered,
+        bloom_filter_columns=["term"],
+        overwrite=overwrite,
+        metadata={
+            "bm25": {
+                "id_col": id_col,
+                "n_docs": int(stats["n"]),
+                "avgdl": float(stats["avgdl"]),
+            }
+        },
+    )
+
+
+def query_text_index(
+    spark,
+    store,
+    index_uuid: str,
+    queries,
+    *,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """BM25 top-k over a persisted inverted index (``build_text_index``).
+
+    The query batch's distinct terms (human-scale — bounded driver
+    state, like IVF probe cells) become an IN-predicate on the
+    posting dataset's term column: per-file Bloom sidecars prune the
+    file list to the posting files actually holding those terms, the
+    scan reads only (term, id, tf, dl), and scoring is a broadcast
+    query-term join + one keyed agg over the pruned frame. Identical
+    scores to ``bm25_topk`` on the same corpus (same formula, same
+    round(…, 6) + doc-id tie-break).
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_dataset_as_dataframe
+    from pyspark.sql import Window
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, index_uuid)
+    bm25 = meta.metadata["bm25"]
+    id_col, n_docs, avgdl = bm25["id_col"], int(bm25["n_docs"]), float(bm25["avgdl"])
+
+    qrows = list(queries.items()) if isinstance(queries, dict) else list(queries)
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    qdf = spark.createDataFrame(qrows, f"{query_id_col} string, __qtext__ string")
+    qterms = qdf.select(
+        query_id_col, F.explode(_tokens("__qtext__")).alias("term")
+    ).dropDuplicates([query_id_col, "term"])
+    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+    if not terms:
+        raise ValueError("queries tokenize to no terms")
+
+    postings = read_dataset_as_dataframe(
+        spark,
+        st,
+        index_uuid,
+        columns=["term", id_col, "tf", "dl"],
+        predicates=[[("term", "in", terms)]],
+    )
+    # df per probed term: the pruned read holds ALL postings of these terms
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("__df__"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

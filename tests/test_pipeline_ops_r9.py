@@ -90,6 +90,79 @@ def test_bm25_rejects_empty_queries(spark, corpus):
 
 
 # ---------------------------------------------------------------------------
+# persisted BM25 inverted index (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def test_text_index_matches_batch_scorer(spark, tmp_path):
+    """query_text_index over a persisted index returns IDENTICAL rows
+    to the batch bm25_topk on the same corpus (same formula, rounding,
+    tie-break)."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.retrieval import build_text_index, query_text_index
+
+    rows = [
+        (i, f"alpha beta gamma doc{i % 7} " * (1 + i % 5) + ("delta " * (i % 3)))
+        for i in range(40)
+    ] + [(40, ""), (41, None)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    store = Store(str(tmp_path / "store"))
+    build_text_index(spark, store, "idx", corpus, id_col="doc_id", text_col="text")
+
+    queries = {"a": "alpha delta", "b": "doc3 gamma", "c": "absent"}
+    got = query_text_index(spark, store, "idx", queries, k=5)
+    want = bm25_topk(corpus, "doc_id", "text", queries, k=5)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(got) == canon(want)
+
+
+def test_text_index_query_prunes_files(spark, tmp_path):
+    """The probed terms' IN-predicate must prune the posting files:
+    term-range-clustered files + zone maps → a one-term query touches
+    fewer files than the index holds."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.retrieval import build_text_index, query_text_index
+
+    # 26 disjoint vocabularies a..z → range clustering separates them
+    rows = [
+        (i, f"{chr(97 + i % 26)}word{j} {chr(97 + i % 26)}term{j}" + " filler" * 3)
+        for i in range(260)
+        for j in (i % 4,)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    store = Store(str(tmp_path / "store"))
+    meta = build_text_index(
+        spark, store, "idx", corpus, id_col="doc_id", text_col="text", index_files=8
+    )
+    n_index_files = len(meta.partitions)
+    assert n_index_files > 1
+
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    probed = read_dataset_as_dataframe(
+        spark, store, "idx", columns=["term", "doc_id", "tf", "dl"],
+        predicates=[[("term", "in", ["aword0", "aterm0"])]],
+    )
+    assert 0 < len(probed.inputFiles()) < n_index_files
+
+    out = query_text_index(spark, store, "idx", {"q": "aword0"}, k=3)
+    assert all(r.doc_id % 26 == 0 for r in out.collect())
+
+
+def test_text_index_rejects_empty(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.retrieval import build_text_index, query_text_index
+
+    corpus = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    store = Store(str(tmp_path / "store"))
+    build_text_index(spark, store, "idx", corpus, id_col="doc_id", text_col="text")
+    with pytest.raises(ValueError):
+        query_text_index(spark, store, "idx", {})
+    with pytest.raises(ValueError):
+        query_text_index(spark, store, "idx", {"q": "..."})
+
+
+# ---------------------------------------------------------------------------
 # near-dup-on-ingest (streaming/events.py:stream_ingest_neardup)
 # ---------------------------------------------------------------------------
 
