@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     # new in round 9
     "text_bm25_topk",
     "text_bm25_indexed",
+    "hybrid_search_rrf",
     "streaming_ingest_neardup",
 ]
 

@@ -2370,6 +2370,95 @@ QUALIFY rank <= 10
 """
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense (exact cosine top-10 over embeddings) +
+    sparse (BM25 top-10 by-example, query = the query doc's own text)
+    fused with reciprocal-rank fusion (rrf_k=60). Rank-only fusion over
+    two engine-deterministic rankings — the fused list is fully
+    oracle-checkable."""
+    _prep(spark)
+    from plateau_spark.operators.retrieval import rrf_fuse
+    from plateau_spark.operators.similarity import cosine_topk_bruteforce
+    from plateau_spark.operators.text import bm25_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qvecs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk_bruteforce(emb, qvecs, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    qtexts = {
+        str(r["doc_id"]): r["text"]
+        for r in docs.where(F.col("doc_id") < 3).select("doc_id", "text").collect()
+    }
+    sparse = bm25_topk(docs, "doc_id", "text", qtexts, k=10)
+    return rrf_fuse([dense, sparse], id_col="doc_id", k=10)
+
+
+HYBRID_RRF_ORACLE = f"""
+WITH dense_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         {_DOT} / ({_NA} * {_NB}) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 3
+), dense AS (
+  SELECT CAST(query_id AS VARCHAR) AS query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS INT) AS rank
+  FROM dense_scored
+  QUALIFY rank <= 10
+), qtoks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS query_id, unnest({_TOKS}) AS term
+  FROM documents WHERE doc_id < 3
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM qtoks
+), toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT n.n, COALESCE(t.toklen, 0) * 1.0 / n.n AS avgdl
+  FROM (SELECT COUNT(DISTINCT doc_id) AS n FROM documents) n
+  CROSS JOIN (SELECT SUM(dl) AS toklen FROM dl) t
+), bm25_scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(SUM(
+             ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qterms.query_id, tf.doc_id
+), sparse AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM bm25_scored
+  QUALIFY rank <= 10
+), contrib AS (
+  SELECT query_id, doc_id, rank FROM dense
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM sparse
+), fused AS (
+  SELECT query_id, doc_id,
+         round(SUM(1.0 / (60 + rank)), 6) AS rrf_score,
+         COUNT(*) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_lists,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 def bitext_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (Artetxe-Schwenk ratio margin) between
     the en and de embedding sub-corpora: likely translation pairs scored
@@ -5119,12 +5208,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the three queries NEW this round (text_bm25_topk,
-    #     text_bm25_indexed, streaming_ingest_neardup — no driver
-    #     evidence yet). The three entries they displace
-    #     (decontaminate_substring/_fuzzy, sample_shuffle_epoch — r6
-    #     driver-green, code untouched) were re-swept green by
-    #     tools/check_parity.py at sf0.01 this round ---
+    #     plus the four queries NEW this round (text_bm25_topk,
+    #     text_bm25_indexed, hybrid_search_rrf,
+    #     streaming_ingest_neardup — no driver evidence yet). The four
+    #     entries they displace (decontaminate_substring/_fuzzy,
+    #     sample_shuffle_epoch, embedding_kmeans — r6 driver-green,
+    #     code untouched) were re-swept green by tools/check_parity.py
+    #     at sf0.01 this round ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5152,6 +5242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enrich_dim": streaming_enrich_dim,
     "streaming_ingest_neardup": streaming_ingest_neardup,
     "text_bm25_indexed": text_bm25_indexed,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_lang_agg": text_lang_agg,
@@ -5371,6 +5462,7 @@ ORACLES: dict[str, str] = {
     "text_tfidf_terms": TEXT_TFIDF_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_bm25_indexed": TEXT_BM25_ORACLE,
+    "hybrid_search_rrf": HYBRID_RRF_ORACLE,
     "pack_documents_bins": PACK_BINS_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,

@@ -108,6 +108,60 @@ def build_text_index(
     )
 
 
+def rrf_fuse(
+    rankings,
+    *,
+    id_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings — the standard hybrid-search combiner for dense (cosine
+    top-k) + sparse (BM25) retrieval: each list contributes
+    ``1/(rrf_k + rank)`` per (query, doc), summed across lists.
+    Rank-only fusion sidesteps score-scale mismatch between retrievers
+    and — because every input rank is already engine-deterministic —
+    keeps the fused ranking fully deterministic too (round(score, 6) +
+    doc-id tie-break, same convention as the retrievers).
+
+    ``rankings``: DataFrames each holding (query_id_col, id_col, rank).
+    Returns (query_id, <id_col>, rrf_score, n_lists, rank) — ``n_lists``
+    is how many input rankings contained the doc.
+
+    Scale shape: a union of the (already small — O(queries × k) rows)
+    ranking frames + one keyed agg + windowed top-k. The heavy lifting
+    stays in the retrievers.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            F.col(query_id_col).cast("string").alias(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("__c__"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("__c__"), 6).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rrf_score", "n_lists", "rank")
+    )
+
+
 def query_text_index(
     spark,
     store,

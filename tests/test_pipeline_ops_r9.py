@@ -149,6 +149,42 @@ def test_text_index_query_prunes_files(spark, tmp_path):
     assert all(r.doc_id % 26 == 0 for r in out.collect())
 
 
+def test_rrf_fuse_hand_checked(spark):
+    from plateau_spark.operators.retrieval import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    sparse = spark.createDataFrame(
+        [("q", 20, 1), ("q", 40, 2)], "query_id string, doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([dense, sparse], id_col="doc_id", rrf_k=60).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61; doc 40: 1/62; doc 30: 1/63
+    assert out[20].rrf_score == round(1 / 62 + 1 / 61, 6) and out[20].n_lists == 2
+    assert out[20].rank == 1
+    assert out[10].rank == 2 and out[10].n_lists == 1  # 1/61 > 1/62
+    assert out[40].rank == 3 and out[30].rank == 4
+
+
+def test_rrf_fuse_tie_break_and_k(spark):
+    from plateau_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 2, 1), ("q", 1, 2)], "query_id string, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id long, rank int"
+    )
+    out = rrf_fuse([a, b], id_col="doc_id", k=1).collect()
+    assert len(out) == 1 and out[0].doc_id == 1  # equal scores → lower id wins
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], id_col="doc_id")
+
+
 def test_text_index_rejects_empty(spark, tmp_path):
     from plateau_spark.core.store import Store
     from plateau_spark.operators.retrieval import build_text_index, query_text_index
