@@ -84,9 +84,11 @@ def build_text_index(
                 F.sum("__len__").alias("toklen")
             )
         )
-        .select("n", (F.coalesce(F.col("toklen"), F.lit(0)) / F.col("n")).alias("avgdl"))
+        .select("n", "toklen", (F.coalesce(F.col("toklen"), F.lit(0)) / F.col("n")).alias("avgdl"))
         .collect()[0]
     )
+    if not stats["n"]:
+        raise ValueError("cannot build a text index over an empty corpus")
 
     clustered = postings.repartitionByRange(index_files, "term").sortWithinPartitions(
         "term"
@@ -101,10 +103,78 @@ def build_text_index(
         metadata={
             "bm25": {
                 "id_col": id_col,
+                "text_col": text_col,
                 "n_docs": int(stats["n"]),
+                # total token count rides along so incremental appends
+                # (update_text_index) can recompute avgdl EXACTLY
+                "toklen": int(stats["toklen"] or 0),
                 "avgdl": float(stats["avgdl"]),
             }
         },
+    )
+
+
+def update_text_index(
+    spark,
+    store,
+    index_uuid: str,
+    new_docs: DataFrame,
+):
+    """Append new documents to a persisted BM25 index incrementally —
+    O(new docs) work, no rebuild: the new postings (same explode + tf
+    agg + windowed doc length as the build) land as an ordinary dataset
+    append (atomic commit; the dataset-level Bloom declaration builds
+    sidecars for the new files automatically), and the corpus stats in
+    user metadata advance exactly (n_docs += new docs, toklen += new
+    tokens, avgdl recomputed from the totals). Because per-term df is
+    derived from the pruned read at query time — never stored — a
+    post-append ``query_text_index`` returns EXACTLY what a fresh
+    ``bm25_topk``/rebuild over the full corpus would (test-asserted).
+
+    Append-only contract (like the dataset layer's update semantics):
+    the caller must not re-add an already-indexed ``id_col`` value —
+    postings are keyed by (term, id) and a duplicate id would
+    double-count its terms. New files span the term range until the
+    next ``compact_dataset`` restores term clustering; Bloom pruning
+    is per-file, so reads stay correct and pruned either way.
+    """
+    from pyspark.sql import Window
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        update_dataset_from_dataframe,
+    )
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, index_uuid)
+    bm25 = dict(meta.metadata["bm25"])
+    id_col, text_col = bm25["id_col"], bm25["text_col"]
+
+    exploded = new_docs.select(
+        F.col(id_col).alias("__id__"), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = exploded.groupBy("__id__", "term").agg(F.count("*").alias("tf"))
+    postings = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("__id__"))
+    ).select("term", F.col("__id__").alias(id_col), "tf", "dl")
+
+    stats = (
+        new_docs.agg(F.countDistinct(id_col).alias("n"))
+        .crossJoin(
+            new_docs.select(F.size(_tokens(text_col)).alias("__len__")).agg(
+                F.sum("__len__").alias("toklen")
+            )
+        )
+        .collect()[0]
+    )
+    n2 = int(bm25["n_docs"]) + int(stats["n"])
+    toklen2 = int(bm25["toklen"]) + int(stats["toklen"] or 0)
+    bm25.update(n_docs=n2, toklen=toklen2, avgdl=toklen2 / n2)
+    # override (not merge): user-metadata merge DROPS conflicting leaves
+    # by the reference rule, but index stats MUST advance on append
+    return update_dataset_from_dataframe(
+        spark, st, index_uuid, postings, override_metadata={"bm25": bm25}
     )
 
 

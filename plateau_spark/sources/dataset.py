@@ -1408,6 +1408,7 @@ def update_dataset_from_dataframe(
     num_buckets: int | None = None,
     bucket_by: Sequence[str] | None = None,
     metadata: dict[str, Any] | None = None,
+    override_metadata: dict[str, Any] | None = None,
     file_format: str = "parquet",
     compress: bool = True,
     schema_evolution: bool = False,
@@ -1417,6 +1418,12 @@ def update_dataset_from_dataframe(
     bloom_k: int | None = None,
 ) -> DatasetMetadata:
     """Add partitions and/or delete partitions in ONE atomic commit.
+
+    ``metadata`` merges under the reference's user-metadata rule
+    (conflicting leaves are DROPPED — combine_metadata);
+    ``override_metadata`` instead deep-overrides, for system-owned
+    markers that must advance on update (streaming batch ids, the BM25
+    index's corpus stats). Both land in the same atomic commit.
 
     A first-time update CREATES the dataset (reference semantics:
     update on a nonexistent uuid is a store —
@@ -1458,7 +1465,9 @@ def update_dataset_from_dataframe(
             sort_partitions_by=sort_partitions_by,
             num_buckets=num_buckets,
             bucket_by=bucket_by,
-            metadata=metadata,
+            # first-time create: no existing leaves to conflict with, so
+            # the override degrades to a plain merge
+            metadata=combine_metadata(metadata or {}, override_metadata or {}),
             file_format=file_format,
             compress=compress,
             zone_map_columns=zone_map_columns,
@@ -1541,7 +1550,7 @@ def update_dataset_from_dataframe(
     meta.explicit_partitions = True
     meta = _commit_update_with_merge(
         store, meta, new_partitions=new_partitions, removed=removed,
-        extra_metadata=metadata, **_base,
+        extra_metadata=metadata, override_metadata=override_metadata, **_base,
     )
     _invalidate_if_factory(_store_arg)
     return meta

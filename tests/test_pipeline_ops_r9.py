@@ -149,6 +149,37 @@ def test_text_index_query_prunes_files(spark, tmp_path):
     assert all(r.doc_id % 26 == 0 for r in out.collect())
 
 
+def test_update_override_metadata_wins_where_merge_drops(spark, tmp_path):
+    """Dataset-layer contract behind incremental index stats: metadata=
+    merges under the reference rule (conflicting leaves DROPPED);
+    override_metadata= deep-overrides in the same atomic commit."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store_dataframe_as_dataset(
+        spark, store, "ds", df, metadata={"stats": {"n": 1, "kept": "x"}}
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ds", df.withColumn("k", F.col("k") + 1),
+        metadata={"stats": {"n": 2}},
+    )
+    got = DatasetMetadata.load(store, "ds").metadata["stats"]
+    assert "n" not in got and got["kept"] == "x"  # merge dropped the conflict
+
+    update_dataset_from_dataframe(
+        spark, store, "ds", df.withColumn("k", F.col("k") + 2),
+        override_metadata={"stats": {"n": 3}},
+    )
+    got = DatasetMetadata.load(store, "ds").metadata["stats"]
+    assert got["n"] == 3 and got["kept"] == "x"  # override advanced the leaf
+
+
 def test_rrf_fuse_hand_checked(spark):
     from plateau_spark.operators.retrieval import rrf_fuse
 
@@ -183,6 +214,40 @@ def test_rrf_fuse_tie_break_and_k(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([], id_col="doc_id")
+
+
+def test_text_index_incremental_update_matches_rebuild(spark, tmp_path):
+    """update_text_index appends postings + advances corpus stats
+    exactly: the post-append query equals a fresh bm25_topk over the
+    FULL corpus (scores, ranks, everything)."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+        update_text_index,
+    )
+
+    rows1 = [(i, f"alpha beta word{i % 5} gamma " * (1 + i % 3)) for i in range(25)]
+    rows2 = [(100 + i, f"delta alpha word{i % 4} zeta " * (2 + i % 2)) for i in range(15)]
+    rows2 += [(200, ""), (201, None)]
+    corpus1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    corpus2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    store = Store(str(tmp_path / "store"))
+    build_text_index(spark, store, "idx", corpus1, id_col="doc_id", text_col="text")
+    update_text_index(spark, store, "idx", corpus2)
+
+    queries = {"a": "alpha word3", "b": "delta zeta"}
+    got = query_text_index(spark, store, "idx", queries, k=8)
+    want = bm25_topk(corpus1.unionByName(corpus2), "doc_id", "text", queries, k=8)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(got) == canon(want)
+
+    # stats advanced exactly in the SAME commit (override, not merge)
+    from plateau_spark.core.metadata import DatasetMetadata
+
+    bm25 = DatasetMetadata.load(store, "idx").metadata["bm25"]
+    assert bm25["n_docs"] == 42
+    assert bm25["avgdl"] == bm25["toklen"] / 42
 
 
 def test_text_index_rejects_empty(spark, tmp_path):
