@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "text_bm25_indexed",
     "hybrid_search_rrf",
+    "retrieval_hard_negatives",
     "streaming_ingest_neardup",
 ]
 

@@ -2459,6 +2459,64 @@ QUALIFY rank <= 10
 """
 
 
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mine_hard_negatives: DPR-style BM25 hard negatives for the
+    by-example training pairs (query = doc text, positive = the doc
+    itself — the classic self-match exclusion), top-10 per query."""
+    _prep(spark)
+    from plateau_spark.operators.retrieval import mine_hard_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("text").alias("query_text"),
+        F.col("doc_id").alias("positive_id"),
+    )
+    return mine_hard_negatives(docs, "doc_id", "text", pairs, k=10)
+
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH qtoks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS query_id, unnest({_TOKS}) AS term
+  FROM documents WHERE doc_id < 3
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM qtoks
+), toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT n.n, COALESCE(t.toklen, 0) * 1.0 / n.n AS avgdl
+  FROM (SELECT COUNT(DISTINCT doc_id) AS n FROM documents) n
+  CROSS JOIN (SELECT SUM(dl) AS toklen FROM dl) t
+), bm25_scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(SUM(
+             ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qterms.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM bm25_scored
+  WHERE doc_id <> CAST(query_id AS BIGINT)
+)
+WHERE rank <= 10
+"""
+
+
 def bitext_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (Artetxe-Schwenk ratio margin) between
     the en and de embedding sub-corpora: likely translation pairs scored
@@ -5208,13 +5266,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the four queries NEW this round (text_bm25_topk,
+    #     plus the five queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
-    #     streaming_ingest_neardup — no driver evidence yet). The four
-    #     entries they displace (decontaminate_substring/_fuzzy,
-    #     sample_shuffle_epoch, embedding_kmeans — r6 driver-green,
-    #     code untouched) were re-swept green by tools/check_parity.py
-    #     at sf0.01 this round ---
+    #     retrieval_hard_negatives, streaming_ingest_neardup — no
+    #     driver evidence yet). The five entries they displace
+    #     (decontaminate_bloom, text_quality_classifier,
+    #     dedup_cluster_keep, decontaminate_substring/_fuzzy — r6
+    #     driver-green, code untouched) were re-swept green by
+    #     tools/check_parity.py at sf0.01 this round, as were
+    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5243,6 +5303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_neardup": streaming_ingest_neardup,
     "text_bm25_indexed": text_bm25_indexed,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "retrieval_hard_negatives": retrieval_hard_negatives,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_lang_agg": text_lang_agg,
@@ -5463,6 +5524,7 @@ ORACLES: dict[str, str] = {
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_bm25_indexed": TEXT_BM25_ORACLE,
     "hybrid_search_rrf": HYBRID_RRF_ORACLE,
+    "retrieval_hard_negatives": HARD_NEGATIVES_ORACLE,
     "pack_documents_bins": PACK_BINS_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,

@@ -178,6 +178,61 @@ def update_text_index(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    *,
+    query_text_col: str = "query_text",
+    positive_id_col: str = "positive_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """BM25 hard-negative mining for retrieval/embedding training
+    (DPR-style): for each (query, positive document) training pair,
+    the top-``k`` BM25-scored corpus documents EXCLUDING the positive —
+    the lexically-confusable negatives that make contrastive training
+    hard. ``pairs`` holds (query_id, query_text, positive_id).
+
+    Composition: ``bm25_topk`` over the corpus with the pair queries
+    (broadcast — training-pair batches are small next to the corpus),
+    then an anti-filter on the pair's own positive id and a re-rank, so
+    every query still yields ``k`` negatives when available. Scale cost
+    is the one BM25 pass; the positive filter is a broadcast join.
+
+    Returns (query_id, <id_col>, score, rank) with rank 1..k per query
+    over the negatives only.
+    """
+    from pyspark.sql import Window
+
+    from plateau_spark.operators.text import bm25_topk
+
+    qrows = pairs.select(query_id_col, query_text_col, positive_id_col).collect()
+    if not qrows:
+        raise ValueError("pairs must be non-empty")
+    queries = {str(r[query_id_col]): r[query_text_col] for r in qrows}
+    if len(queries) != len(qrows):
+        raise ValueError("query ids in pairs must be unique")
+    # k+1 candidates: dropping the positive must still leave k
+    scored = bm25_topk(corpus, id_col, text_col, queries, k=k + 1, k1=k1, b=b)
+    positives = pairs.select(
+        F.col(query_id_col).cast("string").alias(query_id_col),
+        F.col(positive_id_col).alias(id_col),
+    )
+    negatives = scored.join(F.broadcast(positives), [query_id_col, id_col], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        negatives.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def rrf_fuse(
     rankings,
     *,

@@ -250,6 +250,50 @@ def test_text_index_incremental_update_matches_rebuild(spark, tmp_path):
     assert bm25["avgdl"] == bm25["toklen"] / 42
 
 
+def test_mine_hard_negatives_excludes_positive(spark, corpus):
+    from plateau_spark.operators.retrieval import mine_hard_negatives
+
+    pairs = spark.createDataFrame(
+        [("p1", "lazy dog", 4)], "query_id string, query_text string, positive_id long"
+    )
+    out = mine_hard_negatives(corpus, "doc_id", "text", pairs, k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids  # the positive (top BM25 hit for "lazy dog") is excluded
+    assert ids[0] == 1  # next-best lexical match becomes negative #1
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_mine_hard_negatives_still_k_when_positive_outside(spark, corpus):
+    """If the positive is not among the BM25 candidates, the top-k
+    negatives are just the top-k BM25 hits (k+1 over-fetch covers the
+    drop case)."""
+    from plateau_spark.operators.retrieval import mine_hard_negatives
+
+    pairs = spark.createDataFrame(
+        [("p1", "lazy dog", 3)],  # doc 3 has no query terms
+        "query_id string, query_text string, positive_id long",
+    )
+    out = mine_hard_negatives(corpus, "doc_id", "text", pairs, k=2)
+    want = bm25_topk(corpus, "doc_id", "text", {"p1": "lazy dog"}, k=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_mine_hard_negatives_rejects_bad_pairs(spark, corpus):
+    from plateau_spark.operators.retrieval import mine_hard_negatives
+
+    empty = spark.createDataFrame(
+        [], "query_id string, query_text string, positive_id long"
+    )
+    with pytest.raises(ValueError):
+        mine_hard_negatives(corpus, "doc_id", "text", empty)
+    dup = spark.createDataFrame(
+        [("p", "a", 1), ("p", "b", 2)],
+        "query_id string, query_text string, positive_id long",
+    )
+    with pytest.raises(ValueError):
+        mine_hard_negatives(corpus, "doc_id", "text", dup)
+
+
 def test_text_index_rejects_empty(spark, tmp_path):
     from plateau_spark.core.store import Store
     from plateau_spark.operators.retrieval import build_text_index, query_text_index
