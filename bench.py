@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "text_bm25_indexed",
     "hybrid_search_rrf",
     "retrieval_hard_negatives",
+    "web_html_extract",
     "streaming_ingest_neardup",
 ]
 

@@ -2015,6 +2015,77 @@ FROM documents GROUP BY 1
 """
 
 
+# The documents fixture is plain text, so the entry synthesizes a
+# deterministic HTML wrapping (script/style/comment blocks, entities,
+# links) and extracts it back — the oracle performs the IDENTICAL wrap
+# + rule chain, so every regexp in the chain is cross-engine-verified.
+_HTML_HEAD = (
+    '<html><head><title>page</title><script type="text/javascript">'
+    "var x = 1; if (x < 3) { x = 4; }</script>"
+    "<style>.nav { color: red; }</style></head><body><!-- header --><p>"
+)
+_HTML_MID = '</p><a href="https://example.com/'
+_HTML_TAIL = '">more</a><div class="footer">&copy; 2026 &quot;plateau&quot;</div></body></html>'
+
+
+def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html_text_col + html_boilerplate_signals over a synthesized HTML
+    wrapping of every document: visible text recovered (md5-compared),
+    markup-density and content-ratio signals alongside."""
+    _prep(spark)
+    from plateau_spark.operators.web import html_boilerplate_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_HEAD),
+            F.col("text"),
+            F.lit(_HTML_MID),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_TAIL),
+        ).alias("html"),
+    )
+    out = html_boilerplate_signals(wrapped, "html")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("extracted_text"), "UTF-8")).alias("extracted_md5"),
+        F.col("n_tags").cast("long").alias("n_tags"),
+        F.col("n_links").cast("long").alias("n_links"),
+        "text_ratio",
+    )
+
+
+WEB_HTML_EXTRACT_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         '{_HTML_HEAD.replace("'", "''")}' || text || '{_HTML_MID}'
+           || CAST(doc_id AS VARCHAR) || '{_HTML_TAIL.replace("'", "''")}' AS html
+  FROM documents
+), step AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS extracted
+  FROM raw
+)
+SELECT doc_id, md5(extracted) AS extracted_md5,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+       CAST(len(regexp_extract_all(html, '(?i)<a\\b')) AS BIGINT) AS n_links,
+       round(len(extracted) * 1.0 / nullif(len(html), 0), 6) AS text_ratio
+FROM step
+"""
+
+
 def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style domain blocklist: blocking a registrable domain also
     blocks every subdomain (suffix-chain match, zero-join codegen
@@ -5266,15 +5337,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the five queries NEW this round (text_bm25_topk,
+    #     plus the six queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
-    #     retrieval_hard_negatives, streaming_ingest_neardup — no
-    #     driver evidence yet). The five entries they displace
-    #     (decontaminate_bloom, text_quality_classifier,
-    #     dedup_cluster_keep, decontaminate_substring/_fuzzy — r6
-    #     driver-green, code untouched) were re-swept green by
-    #     tools/check_parity.py at sf0.01 this round, as were
-    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs ---
+    #     retrieval_hard_negatives, streaming_ingest_neardup,
+    #     web_html_extract — no driver evidence yet). The six entries
+    #     they displace (semdedup_keep, decontaminate_bloom,
+    #     text_quality_classifier, dedup_cluster_keep,
+    #     decontaminate_substring/_fuzzy — r6 driver-green, code
+    #     untouched) were re-swept green by tools/check_parity.py at
+    #     sf0.01 this round, as were sample_shuffle_epoch,
+    #     embedding_kmeans, bitext_mine_pairs ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5317,6 +5389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": pack_sequences,
     "web_domain_stats": web_domain_stats,
     "web_blocklist_filter": web_blocklist_filter,
+    "web_html_extract": web_html_extract,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5529,6 +5602,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "web_domain_stats": WEB_DOMAIN_STATS_ORACLE,
     "web_blocklist_filter": WEB_BLOCKLIST_ORACLE,
+    "web_html_extract": WEB_HTML_EXTRACT_ORACLE,
     "web_url_dedup": WEB_URL_DEDUP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ngram_jaccard_capped": NGRAM_JACCARD_CAPPED_ORACLE,

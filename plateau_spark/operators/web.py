@@ -124,3 +124,61 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
         .groupBy(F.col("__domain__").alias("domain"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# Raw-HTML text extraction: deliberately a regexp-rule chain (not a DOM
+# parser) — trafilatura-class extraction needs an HTML library this
+# container doesn't ship, and a rule chain is what stays whole-stage
+# codegen at corpus scale. Patterns are RE2/Java-compatible (inline
+# (?is) flags, non-greedy spans, no lookaround) so a DuckDB oracle runs
+# the same chain verbatim.
+_HTML_DROP_BLOCKS = (
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST, so '&amp;lt;' decodes to '&lt;' not '<'
+)
+
+
+def html_text_col(html_col) -> Column:
+    """Visible text of an HTML payload — the ingest step between a raw
+    crawl and every text operator in this package: drop script/style/
+    comment blocks, strip remaining tags to spaces, decode the common
+    entities, collapse whitespace. Pure codegen regexp chain with an
+    identical DuckDB spelling (see _HTML_DROP_BLOCKS note); NULL html
+    yields NULL."""
+    t = F.col(html_col) if isinstance(html_col, str) else html_col
+    for pat in _HTML_DROP_BLOCKS:
+        t = F.regexp_replace(t, pat, " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_boilerplate_signals(df: DataFrame, html_col: str) -> DataFrame:
+    """Page-level boilerplate signals next to the extracted text:
+    ``n_tags`` / ``n_links`` (markup density), ``text_ratio``
+    (extracted/raw chars — jusText-style content-vs-chrome signal,
+    rounded to 6). One narrow codegen pass, no shuffle."""
+    raw = F.col(html_col)
+    extracted = html_text_col(html_col)
+    return df.select(
+        "*",
+        extracted.alias("extracted_text"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"<[^>]+>"), F.lit(0))).alias("n_tags"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"(?i)<a\b"), F.lit(0))).alias(
+            "n_links"
+        ),
+        F.round(
+            F.length(extracted) / F.nullif(F.length(raw).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("text_ratio"),
+    )

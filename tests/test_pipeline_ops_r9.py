@@ -308,6 +308,47 @@ def test_text_index_rejects_empty(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# HTML text extraction (operators/web.py)
+# ---------------------------------------------------------------------------
+
+
+def test_html_text_extraction_rules(spark):
+    from plateau_spark.operators.web import html_text_col
+
+    rows = [
+        (1, '<html><head><script>if (x < 3) { alert("hi") }</script>'
+            "<style>.a{color:red}</style></head><body><p>Hello   world</p>"
+            "<!-- note --><div>bye</div></body></html>"),
+        (2, "no markup at all"),
+        (3, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
+        (4, "double &amp;lt; escape"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {r.i: r.t for r in df.select("i", html_text_col("html").alias("t")).collect()}
+    assert got[1] == "Hello world bye"  # script/style/comment gone, tags to spaces
+    assert got[2] == "no markup at all"
+    assert got[3] == 'a & b <tag> "q" \'s\' x y'
+    assert got[4] == "double &lt; escape"  # double-escape decodes ONE level
+    assert got[5] is None
+    assert got[6] == ""
+
+
+def test_html_boilerplate_signals(spark):
+    from plateau_spark.operators.web import html_boilerplate_signals
+
+    df = spark.createDataFrame(
+        [(1, '<p>text</p><a href="x">l</a><A HREF="y">L</A>'), (2, "")],
+        "i long, html string",
+    )
+    out = {r.i: r for r in html_boilerplate_signals(df, "html").collect()}
+    assert out[1].n_tags == 6 and out[1].n_links == 2  # case-insensitive <a
+    assert out[1].extracted_text == "text l L"
+    assert out[2].n_tags == 0 and out[2].text_ratio is None  # 0-length raw
+
+
+# ---------------------------------------------------------------------------
 # near-dup-on-ingest (streaming/events.py:stream_ingest_neardup)
 # ---------------------------------------------------------------------------
 
