@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "retrieval_hard_negatives",
     "web_html_extract",
+    "dataset_changes_read",
     "streaming_ingest_neardup",
 ]
 

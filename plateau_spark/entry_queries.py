@@ -613,6 +613,45 @@ FROM orders WHERE o_orderkey < 1000 AND o_totalprice > 100000.0
 """
 
 
+def dataset_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between snapshots (read_dataset_changes, Delta
+    CDF analog): store documents partitioned by lang, then one commit
+    deletes the 'de' partitions and appends re-keyed 'en' rows; the
+    gen1→gen2 diff returns exactly those rows tagged insert/delete —
+    reading ONLY the changed partitions (untouched langs never enter
+    the plan)."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_dataset_changes,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("changes")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    store_dataframe_as_dataset(spark, store, "d", docs, partition_on=["lang"])
+    update_dataset_from_dataframe(
+        spark, store, "d",
+        docs.where(F.col("lang") == "en").withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        ),
+        delete_scope=[{"lang": "de"}],
+    )
+    out = read_dataset_changes(spark, store, "d", from_generation=1)
+    return out.select("doc_id", "lang", "n_chars", "_change_type")
+
+
+DATASET_CHANGES_ORACLE = """
+SELECT doc_id + 100000 AS doc_id, lang, n_chars, 'insert' AS _change_type
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+FROM documents WHERE lang = 'de'
+"""
+
+
 def dataset_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed upsert (MERGE INTO shape): every 25th document replaced
     with source='merged', five brand-new doc_ids inserted; one atomic
@@ -5337,16 +5376,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the six queries NEW this round (text_bm25_topk,
+    #     plus the seven queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
-    #     web_html_extract — no driver evidence yet). The six entries
-    #     they displace (semdedup_keep, decontaminate_bloom,
-    #     text_quality_classifier, dedup_cluster_keep,
-    #     decontaminate_substring/_fuzzy — r6 driver-green, code
-    #     untouched) were re-swept green by tools/check_parity.py at
-    #     sf0.01 this round, as were sample_shuffle_epoch,
-    #     embedding_kmeans, bitext_mine_pairs ---
+    #     web_html_extract, dataset_changes_read — no driver evidence
+    #     yet). The seven entries they displace (winnow_overlap_pairs,
+    #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
+    #     dedup_cluster_keep, decontaminate_substring/_fuzzy — r6/r8
+    #     driver-green, code untouched) were re-swept green by
+    #     tools/check_parity.py at sf0.01 this round, as were
+    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs,
+    #     text_winnow_fingerprints ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5369,6 +5409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_schema_evolution": dataset_schema_evolution,
     "dataset_filter_query_read": dataset_filter_query_read,
     "dataset_metadata_stats": dataset_metadata_stats,
+    "dataset_changes_read": dataset_changes_read,
     "streaming_interval_join": streaming_interval_join,
     "streaming_dedup": streaming_dedup,
     "streaming_enrich_dim": streaming_enrich_dim,
@@ -5548,6 +5589,7 @@ ORACLES: dict[str, str] = {
     "dataset_delete_rows": DATASET_DELETE_ROWS_ORACLE,
     "dataset_upsert_read": DATASET_UPSERT_ORACLE,
     "dataset_time_travel_read": DATASET_TIME_TRAVEL_ORACLE,
+    "dataset_changes_read": DATASET_CHANGES_ORACLE,
     "text_lm2_score": TEXT_LM2_SCORE_ORACLE,
     "dataset_mixture_read": DATASET_MIXTURE_READ_ORACLE,
     "sample_score_weighted": SAMPLE_SCORE_WEIGHTED_ORACLE,

@@ -2416,6 +2416,93 @@ def dataset_history(spark, store: Store | str, dataset_uuid: str):
     )
 
 
+def read_dataset_changes(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    *,
+    from_generation: int,
+    to_generation: int | None = None,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Row-level changes between two time-travel snapshots — a
+    change-data-feed over the commit history (Delta CDF analog, derived
+    rather than logged): rows present in ``to`` but not ``from`` are
+    tagged ``insert``, rows present in ``from`` but not ``to`` are
+    tagged ``delete``. An updated row (partition-level CoW rewrite)
+    appears as its delete + insert pair. Multiset semantics
+    (``exceptAll``): duplicate rows diff by count.
+
+    Scale shape — the part that matters on a long-lived 100 TB dataset:
+    partitions are immutable, so a label present in BOTH snapshots
+    contributes identical rows to both sides and cancels; the diff
+    therefore reads ONLY the partitions added or removed between the
+    two snapshots — O(changed files), never the corpus. The label
+    comparison itself is two metadata GETs. Additive schema evolution
+    between the snapshots is handled by NULL-filling the older side
+    (same contract as reading evolved datasets).
+
+    Both snapshots must still be readable (GC reclaims old ones — the
+    VACUUM contract; a reclaimed ``from_generation`` raises the same
+    typed error as time travel).
+    """
+    store = _ensure_store(store)
+    meta_a = DatasetMetadata.load(store, dataset_uuid, generation=from_generation)
+    meta_b = DatasetMetadata.load(store, dataset_uuid, generation=to_generation)
+
+    schema = meta_b.schema if meta_b.schema is not None else meta_a.schema
+    labels_a, labels_b = set(meta_a.partitions), set(meta_b.partitions)
+
+    def _side(meta, labels):
+        parts = [meta.partitions[label] for label in sorted(labels)]
+        if not parts:
+            return spark.createDataFrame([], schema=schema)
+        df = _read_committed_files(spark, store, dataset_uuid, meta.schema, parts)
+        # align evolved schemas: NULL-fill columns the snapshot predates
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    removed_df = _side(meta_a, labels_a - labels_b)
+    added_df = _side(meta_b, labels_b - labels_a)
+    inserts = added_df.exceptAll(removed_df).withColumn(change_col, F.lit("insert"))
+    deletes = removed_df.exceptAll(added_df).withColumn(change_col, F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
+def dataset_generation_diff(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    *,
+    from_generation: int,
+    to_generation: int | None = None,
+) -> DataFrame:
+    """Partition-level diff between two snapshots — the metadata-only
+    tier of :func:`read_dataset_changes` (two metadata GETs, zero file
+    reads): one row per partition label added or removed, with its
+    payload file key. The pre-flight a maintenance job runs before
+    deciding whether the row-level diff is worth reading."""
+    store = _ensure_store(store)
+    meta_a = DatasetMetadata.load(store, dataset_uuid, generation=from_generation)
+    meta_b = DatasetMetadata.load(store, dataset_uuid, generation=to_generation)
+    rows = [
+        (label, "added", meta_b.partitions[label].file)
+        for label in sorted(set(meta_b.partitions) - set(meta_a.partitions))
+    ] + [
+        (label, "removed", meta_a.partitions[label].file)
+        for label in sorted(set(meta_a.partitions) - set(meta_b.partitions))
+    ]
+    return spark.createDataFrame(
+        rows, "partition_label string, change string, file string"
+    )
+
+
 def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     """Delete a dataset: indices → payload files → metadata file, ordered
     for crash consistency (reference: plateau/io/eager.py:63-93)."""

@@ -308,6 +308,110 @@ def test_text_index_rejects_empty(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# change-data reads between generations (sources/dataset.py)
+# ---------------------------------------------------------------------------
+
+
+def test_read_dataset_changes_insert_delete_and_pruning(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        dataset_generation_diff,
+        read_dataset_changes,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(9)],
+        "k long, part string, v long",
+    )
+    store_dataframe_as_dataset(spark, store, "ds", base, partition_on=["part"])  # gen 1
+    update_dataset_from_dataframe(
+        spark, store, "ds",
+        spark.createDataFrame([(100, "a", 1), (101, "a", 2)], "k long, part string, v long"),
+        delete_scope=[{"part": "b"}],
+    )  # gen 2
+
+    changes = read_dataset_changes(spark, store, "ds", from_generation=1)
+    got = {(r.k, r._change_type) for r in changes.collect()}
+    want = {(100, "insert"), (101, "insert")} | {
+        (i, "delete") for i in range(9) if i % 3 == 1
+    }
+    assert got == want
+    # scale contract: only changed partitions' files are read — the
+    # untouched 'c' (and surviving 'a') files never enter the plan
+    assert all("part=b" in f or "part=a" in f for f in changes.inputFiles())
+    assert not any("part=c" in f for f in changes.inputFiles())
+
+    meta_diff = [
+        (r.change, r.file)
+        for r in dataset_generation_diff(spark, store, "ds", from_generation=1).collect()
+    ]
+    adds = [f for c, f in meta_diff if c == "added"]
+    drops = [f for c, f in meta_diff if c == "removed"]
+    assert len(adds) >= 1 and all("part=a" in f for f in adds)
+    assert len(drops) >= 1 and all("part=b" in f for f in drops)
+
+
+def test_read_dataset_changes_multiset_and_noop(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        read_dataset_changes,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k long, v string")
+    store_dataframe_as_dataset(spark, store, "ds", df)  # gen 1
+    # append an exact duplicate of an existing row: multiset insert of 1
+    update_dataset_from_dataframe(
+        spark, store, "ds", spark.createDataFrame([(1, "x")], "k long, v string")
+    )  # gen 2
+    rows = read_dataset_changes(spark, store, "ds", from_generation=1).collect()
+    assert [(r.k, r.v, r._change_type) for r in rows] == [(1, "x", "insert")]
+
+    # same generation both sides → empty diff
+    assert (
+        read_dataset_changes(
+            spark, store, "ds", from_generation=2, to_generation=2
+        ).count()
+        == 0
+    )
+
+
+def test_read_dataset_changes_schema_evolution_nullfills(spark, tmp_path):
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        read_dataset_changes,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+        delete_rows_from_dataset,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    store_dataframe_as_dataset(
+        spark, store, "ds", spark.createDataFrame([(1, "a")], "k long, v string")
+    )  # gen 1
+    update_dataset_from_dataframe(
+        spark, store, "ds",
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, extra double"),
+        schema_evolution=True,
+    )  # gen 2
+    delete_rows_from_dataset(spark, store, "ds", [[("k", "==", 1)]])  # gen 3
+
+    # gen1 → gen3: the pre-evolution deleted row reads with extra NULL
+    rows13 = {
+        (r.k, r._change_type): r.extra
+        for r in read_dataset_changes(
+            spark, store, "ds", from_generation=1, to_generation=3
+        ).collect()
+    }
+    assert rows13 == {(2, "insert"): 9.5, (1, "delete"): None}
+
+
+# ---------------------------------------------------------------------------
 # HTML text extraction (operators/web.py)
 # ---------------------------------------------------------------------------
 
