@@ -47,6 +47,8 @@ from plateau_spark.sources.dataset import (
     merge_upsert_into_dataset,
     dataset_history,
     restore_dataset,
+    read_dataset_changes,
+    dataset_generation_diff,
     read_datasets_weighted,
     create_empty_dataset_header,
     delete_dataset,
@@ -65,6 +67,8 @@ __all__ = [
     "merge_upsert_into_dataset",
     "dataset_history",
     "restore_dataset",
+    "read_dataset_changes",
+    "dataset_generation_diff",
     "read_datasets_weighted",
     "check_predicates",
     "columns_in_predicates",
