@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "retrieval_hard_negatives",
     "web_html_extract",
     "dataset_changes_read",
+    "embedding_pca",
     "streaming_ingest_neardup",
 ]
 

@@ -5236,6 +5236,22 @@ LIMIT 20
 """
 
 
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pca_fit_embeddings + pca_project_embeddings: one-pass
+    distributed covariance fit (numpy partials → dim² combine → driver
+    eigh, deterministic positive-pivot sign convention), then a
+    literal-matrix codegen projection 64→8. Eigendecomposition has no
+    SQL twin — rows-only driver check; the numerical contract is
+    test-asserted against numpy (fit, projection, whitening) in
+    tests/test_pipeline_ops_r9.py."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import pca_project_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project_embeddings(emb, "vec_id", "embedding", dim_out=8)
+    return out.select("vec_id", F.posexplode("projected").alias("pos", "value"))
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_project_embeddings: JL sign projection 64→16 (md5-parity
     ±1 matrix baked into the plan as literals, scale 1/sqrt(16)=0.25 —
@@ -5508,6 +5524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "export_jsonl_manifest": export_jsonl_manifest,
     "embedding_random_projection": embedding_random_projection,
+    "embedding_pca": embedding_pca,
     "dedup_span_stats": dedup_span_stats,
     "pipeline_pack_export": pipeline_pack_export,
     "pack_sequence_boundaries": pack_sequence_boundaries,

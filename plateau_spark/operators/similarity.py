@@ -974,6 +974,170 @@ def _rproj_sign(salt: str, i: int, j: int) -> float:
     return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
 
 
+def pca_fit_embeddings(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim_out: int,
+) -> dict:
+    """Fit a PCA model over an embedding column in ONE distributed pass:
+    per-partition numpy partials (count, sum vector, sum of outer
+    products — dim + dim² doubles per task, the same two-phase shape as
+    the Lloyd step), a tiny posexplode combine, then an eigh on the
+    driver-side dim×dim covariance (kilobytes at any corpus size;
+    sample covariance, n-1 denominator).
+
+    Components use the deterministic sign convention (largest-|entry|
+    positive). NOTE the fit is float-order sensitive at the last ulp
+    across partition layouts (partials combine in shuffle order) — pin
+    the returned model (it is plain JSON-able lists) for bit-exact
+    reproducibility across runs, the same way the IVF index persists
+    its centroids.
+
+    Returns ``{"mean": [dim], "components": [[dim] × dim_out] (rows =
+    components, descending eigenvalue), "explained_variance":
+    [dim_out], "n": int}``.
+    """
+    import numpy as np
+
+    dim = infer_dim(corpus, vec_col)
+    if not 0 < dim_out <= dim:
+        raise ValueError(f"dim_out must be in 1..{dim}, got {dim_out}")
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"embedding length != fitted dim {dim}: got {V.shape[1]}"
+                )
+            n += V.shape[0]
+            s += V.sum(axis=0)
+            ss += V.T @ V
+        if n:
+            yield pd.DataFrame(
+                {"__n__": [n], "__s__": [list(s)], "__ss__": [list(ss.ravel())]}
+            )
+
+    partials = corpus.select(vec_col).mapInPandas(
+        _partials, "__n__ long, __s__ array<double>, __ss__ array<double>"
+    )
+    combined = (
+        partials.select(
+            "__n__", F.posexplode(F.concat("__s__", "__ss__")).alias("__pos__", "__x__")
+        )
+        .groupBy("__pos__")
+        .agg(F.sum("__x__").alias("__sx__"), F.sum("__n__").alias("__nn__"))
+        .collect()
+    )
+    if not combined:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    by_pos = {r["__pos__"]: r["__sx__"] for r in combined}
+    n = int(combined[0]["__nn__"])
+    if n < 2:
+        raise ValueError(f"PCA needs at least 2 vectors, got {n}")
+    s = np.array([by_pos[i] for i in range(dim)])
+    ss = np.array([by_pos[dim + i] for i in range(dim * dim)]).reshape(dim, dim)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:dim_out]
+    comps = eigvecs[:, order].T  # rows = components
+    # deterministic sign: the largest-|entry| of each component is positive
+    for row in comps:
+        pivot = row[np.argmax(np.abs(row))]
+        if pivot < 0:
+            row *= -1.0
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in row] for row in comps],
+        "explained_variance": [max(float(eigvals[i]), 0.0) for i in order],
+        "n": n,
+    }
+
+
+def pca_project_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim_out: int | None = None,
+    model: dict | None = None,
+    whiten: bool = False,
+    out_col: str = "projected",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """PCA projection (optionally whitened) of an embedding column —
+    the data-driven counterpart of the JL sign projection
+    (``random_project_embeddings``) and the standard SemDeDup/retrieval
+    preprocessing step. Pass a ``model`` from ``pca_fit_embeddings``
+    (the production path: fit once, persist the plain-list model in
+    dataset metadata, project many) or just ``dim_out`` to fit on
+    ``df`` inline.
+
+    100 TB shape: mean and components ride the plan as literals (a
+    64→16 model is ~5 KB of plan) — the projection is zero-join,
+    zero-shuffle, zero-Python codegen folds, exactly like the JL tier.
+    ``whiten=True`` divides each component by sqrt(explained_variance)
+    (unit-variance output; components with ~zero variance fail loudly
+    rather than dividing by ~0).
+    """
+    if model is None:
+        if dim_out is None:
+            raise ValueError("pass either model= or dim_out=")
+        model = pca_fit_embeddings(df, vec_col=vec_col, dim_out=dim_out)
+    mean = model["mean"]
+    comps = model["components"]
+    dim_in = len(mean)
+    if whiten:
+        import math as _math
+
+        scales = []
+        for v in model["explained_variance"]:
+            if v <= 1e-12:
+                raise ValueError(
+                    "whiten=True on a ~zero-variance component "
+                    f"(explained_variance={v!r})"
+                )
+            scales.append(1.0 / _math.sqrt(v))
+    else:
+        scales = [1.0] * len(comps)
+
+    vec = F.col(vec_col)
+    guarded = F.when(F.size(vec) == dim_in, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding length != model dim {dim_in}: got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+    centered = F.zip_with(
+        guarded, F.array(*[F.lit(float(m)) for m in mean]), lambda v, m: v - m
+    )
+    out_comps = []
+    for j, row in enumerate(comps):
+        w = F.array(*[F.lit(float(x) * scales[j]) for x in row])
+        acc = F.aggregate(
+            F.zip_with(F.col("__centered__"), w, lambda v, s: v * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        out_comps.append(F.round(acc, round_digits) if round_digits else acc)
+    return (
+        df.withColumn("__centered__", centered)
+        .select(F.col(id_col), F.array(*out_comps).alias(out_col))
+    )
+
+
 def random_project_embeddings(
     df: DataFrame,
     id_col: str,

@@ -308,6 +308,97 @@ def test_text_index_rejects_empty(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# PCA embedding projection (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: variance concentrated in two known directions
+    base = rng.randn(80, 2) @ np.array([[5.0, 0, 0, 1.0], [0, 2.0, 0.5, 0]])
+    noise = rng.randn(80, 4) * 0.01
+    V = base + noise + np.array([1.0, -2.0, 0.5, 3.0])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(80)]
+    return V, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pca_fit_matches_numpy(spark, vecs):
+    import numpy as np
+
+    from plateau_spark.operators.similarity import pca_fit_embeddings
+
+    V, df = vecs
+    model = pca_fit_embeddings(df, dim_out=2)
+    assert model["n"] == 80
+    np.testing.assert_allclose(model["mean"], V.mean(axis=0), rtol=1e-9)
+    cov = np.cov(V, rowvar=False)
+    w, Q = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    np.testing.assert_allclose(
+        sorted(model["explained_variance"], reverse=True),
+        sorted(w[order], reverse=True),
+        rtol=1e-8,
+    )
+    got = np.array(model["components"])
+    want = Q[:, order].T
+    for g, ref in zip(got, want):
+        # same subspace up to sign; model uses the positive-pivot convention
+        assert min(np.abs(g - ref).max(), np.abs(g + ref).max()) < 1e-8
+        assert g[np.argmax(np.abs(g))] > 0
+
+
+def test_pca_projection_and_whitening(spark, vecs):
+    import numpy as np
+
+    from plateau_spark.operators.similarity import (
+        pca_fit_embeddings,
+        pca_project_embeddings,
+    )
+
+    V, df = vecs
+    model = pca_fit_embeddings(df, dim_out=2)
+    out = pca_project_embeddings(
+        df, "vec_id", "embedding", model=model, round_digits=None
+    )
+    got = {r.vec_id: np.array(r.projected) for r in out.collect()}
+    W = np.array(model["components"]).T
+    want = (V - np.array(model["mean"])) @ W
+    for i in range(80):
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-6, atol=1e-9)
+
+    white = pca_project_embeddings(
+        df, "vec_id", "embedding", model=model, whiten=True, round_digits=None
+    )
+    P = np.array([r.projected for r in white.orderBy("vec_id").collect()])
+    np.testing.assert_allclose(P.var(axis=0, ddof=1), [1.0, 1.0], rtol=1e-6)
+
+
+def test_pca_guards(spark, vecs):
+    from plateau_spark.operators.similarity import (
+        pca_fit_embeddings,
+        pca_project_embeddings,
+    )
+
+    _, df = vecs
+    with pytest.raises(ValueError):
+        pca_fit_embeddings(df, dim_out=0)
+    with pytest.raises(ValueError):
+        pca_fit_embeddings(df, dim_out=99)
+    with pytest.raises(ValueError):
+        pca_project_embeddings(df, "vec_id", "embedding")  # neither model nor dim_out
+    # whiten on a ~zero-variance component fails loudly
+    flat = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    model = pca_fit_embeddings(flat, dim_out=1)
+    with pytest.raises(ValueError):
+        pca_project_embeddings(flat, "vec_id", "embedding", model=model, whiten=True)
+
+
+# ---------------------------------------------------------------------------
 # change-data reads between generations (sources/dataset.py)
 # ---------------------------------------------------------------------------
 
