@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "dataset_changes_read",
     "embedding_pca",
     "streaming_ingest_neardup",
+    "sketch_distinct_users",
+    "sketch_incremental_lifecycle",
+    "score_calibrate_pct",
 ]
 
 

@@ -5388,21 +5388,138 @@ WHERE {_U_MIX} < p.keep_p
 #   in CORRECTNESS_r06.json, and the ENTIRE 108-entry registry was
 #   re-verified by tools/check_parity.py at sf0.01 during round 7
 #   (0 failures).
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """estimate_distinct (operators/sketches.py): per-event-type
+    distinct-user HLL estimate (hll_sketch_agg, lg_k=13 — map-side
+    partial sketches, no raw-value shuffle). Emitted as (event_type,
+    ndv_exact, est_ok): ndv_exact is oracle-compared exactly; est_ok
+    hash-matches TRUE only when the estimate lands within 5% (>4σ for
+    lg_k=13) of the exact count — the cross-engine tolerance contract,
+    since DuckDB's HLL cannot replay DataSketches registers."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import estimate_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = estimate_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ndv_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "ndv_exact",
+        (
+            F.abs(F.col("ndv_estimate") - F.col("ndv_exact"))
+            <= 0.05 * F.col("ndv_exact")
+        ).alias("est_ok"),
+    )
+
+
+SKETCH_DISTINCT_USERS_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS ndv_exact,
+       TRUE AS est_ok
+FROM events GROUP BY event_type
+"""
+
+
+def sketch_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build/update/read_distinct_sketches lifecycle: sketch the even
+    doc_ids into a persisted side dataset, APPEND the odd half's
+    sketches (O(batch) — one new row per group, never a rewrite), then
+    union-read. est_ok asserts the three-way contract: merged estimate
+    EQUALS the direct full-corpus estimate (HLL union over disjoint
+    batches is register-identical), exact n_rows tallies add up, and
+    the estimate is within 5% of the exact distinct count."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import (
+        build_distinct_sketches,
+        estimate_distinct,
+        read_distinct_estimates,
+        update_distinct_sketches,
+    )
+
+    store = _fresh_store("sketches")
+    docs = load_table(spark, sf_dir, "documents")
+    build_distinct_sketches(
+        spark, store, "sk", docs.where(F.col("doc_id") % 2 == 0),
+        ["lang"], "doc_id",
+    )
+    update_distinct_sketches(
+        spark, store, "sk", docs.where(F.col("doc_id") % 2 == 1)
+    )
+    merged = read_distinct_estimates(spark, store, "sk")
+    direct = estimate_distinct(docs, ["lang"], "doc_id").withColumnRenamed(
+        "ndv_estimate", "ndv_direct"
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("ndv_exact"),
+        F.count("doc_id").alias("n_rows_exact"),
+    )
+    return (
+        merged.join(direct, "lang")
+        .join(exact, "lang")
+        .select(
+            "lang",
+            "ndv_exact",
+            (
+                (F.col("ndv_estimate") == F.col("ndv_direct"))
+                & (F.col("n_rows") == F.col("n_rows_exact"))
+                & (
+                    F.abs(F.col("ndv_estimate") - F.col("ndv_exact"))
+                    <= 0.05 * F.col("ndv_exact")
+                )
+            ).alias("est_ok"),
+        )
+    )
+
+
+SKETCH_INCREMENTAL_ORACLE = """
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS ndv_exact,
+       TRUE AS est_ok
+FROM documents GROUP BY lang
+"""
+
+
+def score_calibrate_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calibrate_percent_rank (operators/sampling.py): per-language
+    percentile-rank normalization of a quality score — exact
+    PERCENT_RANK semantics computed over the distinct (lang, score)
+    aggregate (3-column payload through the sort, duplicates collapsed)
+    instead of a full-row single-partition-per-group window."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import calibrate_percent_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = calibrate_percent_rank(docs, "n_chars", ["lang"])
+    return out.select("doc_id", "lang", "n_chars", "pct_rank")
+
+
+SCORE_CALIBRATE_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the seven queries NEW this round (text_bm25_topk,
+    #     plus the ten queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
-    #     web_html_extract, dataset_changes_read — no driver evidence
-    #     yet). The seven entries they displace (winnow_overlap_pairs,
-    #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
-    #     dedup_cluster_keep, decontaminate_substring/_fuzzy — r6/r8
-    #     driver-green, code untouched) were re-swept green by
-    #     tools/check_parity.py at sf0.01 this round, as were
-    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs,
-    #     text_winnow_fingerprints ---
+    #     web_html_extract, dataset_changes_read,
+    #     sketch_distinct_users, sketch_incremental_lifecycle,
+    #     score_calibrate_pct — no driver evidence yet). The ten
+    #     entries they displace (winnow_overlap_pairs, semdedup_keep,
+    #     decontaminate_bloom, text_quality_classifier,
+    #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
+    #     sample_mixture, embedding_outliers,
+    #     text_winnow_fingerprints — r5–r8 driver-green, code
+    #     untouched) were re-swept green by tools/check_parity.py at
+    #     sf0.01 this round, as were sample_shuffle_epoch,
+    #     embedding_kmeans, bitext_mine_pairs ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5447,6 +5564,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_stats": web_domain_stats,
     "web_blocklist_filter": web_blocklist_filter,
     "web_html_extract": web_html_extract,
+    "sketch_distinct_users": sketch_distinct_users,
+    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
+    "score_calibrate_pct": score_calibrate_pct,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5552,6 +5672,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # registry representatives are the md5 twins running the identical
 # banded pipeline (minhash_pairs_md5 / simhash_md5).
 ORACLES: dict[str, str] = {
+    "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
+    "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
+    "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

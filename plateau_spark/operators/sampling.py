@@ -730,3 +730,57 @@ def weighted_quota_sample(
         .where(F.col("__rk__") <= quota)
         .drop("__rk__")
     )
+
+
+def calibrate_percent_rank(
+    df: DataFrame,
+    score_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Calibrate a raw quality score to its per-group percentile rank
+    in [0, 1] — EXACT ``percent_rank()`` semantics ((#rows with a
+    strictly smaller score) / (n - 1)), the normalization step before
+    mixing scores from different scorers/languages into one corpus
+    ordering (a raw perplexity of 80 means different things in 'en'
+    and 'zh'; its within-language percentile does not).
+
+    Scale shape — why not ``F.percent_rank().over(...)`` directly: a
+    window over ``partitionBy(group)`` sorts EVERY row of a group in
+    ONE task, full row payload included — the single-partition-per-
+    group trap (a 100 TB corpus with 40% English puts 40 TB through
+    one task). Here the window runs over the DISTINCT (group, score)
+    aggregate instead: a keyed count agg (map-side combined), a
+    running sum over score-distinct rows only, and a join back on
+    (group, score). Payload through the sort is three small columns;
+    duplicates collapse. Worst case (all-distinct continuous scores)
+    degrades to the same cardinality as the naive window but still
+    carries only the 3-column frame — discretize upstream (e.g.
+    ``F.round(score, 3)``) when that matters.
+
+    NULL scores get a NULL rank (they never participate — matching
+    ``PERCENT_RANK`` over a NULLS-excluded frame is undefined across
+    engines, so they are excluded outright). Single-row groups get 0.0
+    (the SQL convention: (1-1)/max(n-1, 1)).
+    """
+    gcols = list(group_cols)
+    nn = df.where(F.col(score_col).isNotNull())
+    counts = nn.groupBy(*gcols, score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_run = Window.partitionBy(*gcols).orderBy(F.col(score_col).asc())
+    w_all = Window.partitionBy(*gcols)
+    pct = (
+        counts.withColumn("__below", F.sum("__cnt").over(w_run) - F.col("__cnt"))
+        .withColumn("__n", F.sum("__cnt").over(w_all))
+        .select(
+            *gcols,
+            score_col,
+            F.when(
+                F.col("__n") > 1,
+                F.col("__below").cast("double") / (F.col("__n") - F.lit(1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+    )
+    return df.join(pct, on=[*gcols, score_col], how="left")

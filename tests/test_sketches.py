@@ -1,0 +1,133 @@
+"""HLL sketch statistics (operators/sketches.py) and percentile-rank
+score calibration (operators/sampling.py:calibrate_percent_rank)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from plateau_spark.operators.sampling import calibrate_percent_rank
+from plateau_spark.operators.sketches import (
+    build_distinct_sketches,
+    estimate_distinct,
+    read_distinct_estimates,
+    sketch_distinct,
+    update_distinct_sketches,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_estimate_within_tolerance(spark, docs):
+    est = estimate_distinct(docs, ["lang"], "doc_id")
+    exact = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("exact"))
+    rows = est.join(exact, "lang").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.ndv_estimate - r.exact) / r.exact < 0.05, r
+
+
+def test_sketch_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None)], "g string, v int"
+    )
+    est = {r.g: r.ndv_estimate for r in
+           estimate_distinct(df, ["g"], "v").collect()}
+    # an all-null group still yields a row, with an empty sketch
+    assert est == {"a": 2, "b": 0}
+    sk = {r.g: (r.sketch, r.n_rows) for r in
+          sketch_distinct(df, ["g"], "v").collect()}
+    assert sk["b"][0] is not None  # empty sketch, not NULL
+    # n_rows counts non-null values only (COUNT(col) semantics)
+    assert sk["a"][1] == 2 and sk["b"][1] == 0
+
+
+def test_incremental_union_equals_full_sketch(spark, docs, tmp_path):
+    """HLL union over disjoint batches has IDENTICAL registers to one
+    sketch of the full corpus — the merged estimate must equal the
+    direct estimate exactly, not just within tolerance."""
+    store = str(tmp_path / "sk")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    build_distinct_sketches(spark, store, "sk", even, ["lang"], "doc_id")
+    update_distinct_sketches(spark, store, "sk", odd)
+    merged = {
+        r.lang: (r.ndv_estimate, r.n_rows)
+        for r in read_distinct_estimates(spark, store, "sk").collect()
+    }
+    direct = {
+        r.lang: r.ndv_estimate
+        for r in estimate_distinct(docs, ["lang"], "doc_id").collect()
+    }
+    counts = {r.lang: r.cnt for r in
+              docs.groupBy("lang").agg(F.count("doc_id").alias("cnt")).collect()}
+    assert set(merged) == set(direct)
+    for lang, (est, n_rows) in merged.items():
+        assert est == direct[lang]
+        assert n_rows == counts[lang]
+
+
+def test_update_is_o_batch_append_not_rewrite(spark, docs, tmp_path):
+    """Each update appends one row per touched group — existing rows
+    are never rewritten (concurrent readers see either N or N+1 sketch
+    rows per group, both of which union to a valid estimate)."""
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    store = str(tmp_path / "sk")
+    build_distinct_sketches(
+        spark, store, "sk", docs.where("doc_id % 2 = 0"), ["lang"], "doc_id"
+    )
+    n1 = read_dataset_as_dataframe(spark, store, "sk").count()
+    update_distinct_sketches(spark, store, "sk", docs.where("doc_id % 2 = 1"))
+    n2 = read_dataset_as_dataframe(spark, store, "sk").count()
+    langs = docs.select("lang").distinct().count()
+    assert n1 == langs and n2 == 2 * langs
+
+
+def test_sketch_requires_group_cols(docs):
+    with pytest.raises(ValueError):
+        sketch_distinct(docs, [], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# calibrate_percent_rank
+
+
+def test_calibrate_matches_window_percent_rank(spark, docs):
+    """The agg-shape computation must equal F.percent_rank() exactly,
+    including ties (every duplicate score shares one rank)."""
+    out = calibrate_percent_rank(docs, "n_chars", ["lang"])
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ref = docs.withColumn("expected", F.percent_rank().over(w))
+    joined = out.join(ref.select("doc_id", "expected"), "doc_id")
+    bad = joined.where(F.col("pct_rank") != F.col("expected")).count()
+    assert bad == 0
+    assert out.count() == docs.count()
+
+
+def test_calibrate_single_row_group_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("solo", 7.0, 1), ("g", 1.0, 2), ("g", None, 3), ("g", 2.0, 4)],
+        "grp string, score double, id int",
+    )
+    out = {r.id: r.pct_rank for r in
+           calibrate_percent_rank(df, "score", ["grp"]).collect()}
+    assert out[1] == 0.0          # single-row group
+    assert out[3] is None         # null score never participates
+    assert out[2] == 0.0 and out[4] == 1.0  # n=2 after null exclusion
+
+
+def test_calibrate_no_groups(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(9)], "id int, score double"
+    )
+    out = calibrate_percent_rank(df, "score")
+    # 3 distinct scores × 3 rows each: ranks 0/8, 3/8, 6/8
+    vals = sorted({r.pct_rank for r in out.collect()})
+    assert vals == [0.0, 3 / 8, 6 / 8]
