@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "sketch_distinct_users",
     "sketch_incremental_lifecycle",
     "score_calibrate_pct",
+    "histogram_quantiles",
 ]
 
 

@@ -5502,6 +5502,53 @@ FROM documents
 """
 
 
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build/update/read_histogram_stats lifecycle (operators/
+    sketches.py): equi-width histogram sketches — floor(value/width)
+    buckets, EXACT integer/IEEE ops, so unlike t-digest/KLL the
+    persisted-merged quantile estimates are bit-reproducible in any
+    engine. Built on even doc_ids, advanced with the odds (O(batch)
+    append), union-read: counts are additive, so the merged read is
+    hash-compared EXACTLY against DuckDB computing the same histogram
+    over the full corpus in one pass — the strongest cross-engine
+    claim an approximate-quantile tier can make."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import (
+        build_histogram_stats,
+        read_quantile_estimates,
+        update_histogram_stats,
+    )
+
+    store = _fresh_store("histogram")
+    docs = load_table(spark, sf_dir, "documents")
+    build_histogram_stats(
+        spark, store, "h", docs.where(F.col("doc_id") % 2 == 0),
+        ["lang"], "n_chars", width=50.0,
+    )
+    update_histogram_stats(
+        spark, store, "h", docs.where(F.col("doc_id") % 2 == 1)
+    )
+    return read_quantile_estimates(spark, store, "h", qs=(0.5, 0.9, 0.99))
+
+
+HISTOGRAM_QUANTILES_ORACLE = """
+WITH hist AS (
+  SELECT lang,
+         CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+), qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT lang, q, CAST((MIN(bucket) + 1) * 50.0 AS DOUBLE) AS value_estimate
+FROM cum, qq WHERE c >= ceil(q * n)
+GROUP BY lang, q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
@@ -5567,6 +5614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_users": sketch_distinct_users,
     "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
     "score_calibrate_pct": score_calibrate_pct,
+    "histogram_quantiles": histogram_quantiles,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5675,6 +5723,7 @@ ORACLES: dict[str, str] = {
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,
+    "histogram_quantiles": HISTOGRAM_QUANTILES_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: DataSketches default; ~1.15% standard error, 8 KB dense sketch.
@@ -171,3 +171,169 @@ def read_distinct_estimates(spark, store, dataset_uuid: str) -> DataFrame:
         F.hll_sketch_estimate("sketch").alias("ndv_estimate"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram quantile statistics
+#
+# The quantile counterpart of the HLL tier above, with a stronger
+# cross-engine property: the sketch is an equi-width bucket histogram —
+# floor(value/width) — built from EXACT integer/IEEE operations, so the
+# histogram AND the quantile estimates derived from it are
+# bit-reproducible in any engine (unlike t-digest/KLL/GK summaries,
+# whose estimates depend on implementation-private compaction). Merge =
+# adding counts per (group, bucket): commutative, associative, O(range/
+# width) state per group. Estimate error is bounded by ±width by
+# construction. Spark's own percentile_approx is a GK summary — great
+# for ad-hoc queries, but not persistable or engine-reproducible.
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    width: float,
+) -> DataFrame:
+    """Equi-width histogram: (group_cols..., bucket BIGINT, cnt
+    BIGINT) with ``bucket = floor(value / width)``. One map-side-
+    combined keyed aggregation; NULL values are excluded (quantiles
+    over a NULLs-excluded frame, matching SQL percentile functions)."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    bucket = F.floor(
+        F.col(value_col).cast("double") / F.lit(float(width))
+    ).cast("bigint")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _histogram_quantiles(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    width: float,
+    qs: Sequence[float],
+) -> DataFrame:
+    """(group_cols..., q, value_estimate): smallest bucket whose
+    cumulative count reaches ceil(q·n), reported at its UPPER edge —
+    the estimate is ≥ the true quantile and within one bucket width.
+    The window runs over O(buckets) histogram rows, never the data."""
+    if not qs or not all(0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be fractions in (0, 1], got {qs}")
+    gcols = list(group_cols)
+    w_run = Window.partitionBy(*gcols).orderBy("bucket")
+    w_all = Window.partitionBy(*gcols)
+    cum = hist.withColumn("__cum", F.sum("cnt").over(w_run)).withColumn(
+        "__n", F.sum("cnt").over(w_all)
+    )
+    exp = cum.select(
+        *gcols,
+        "bucket",
+        "__cum",
+        "__n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    hit = exp.where(F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+    return hit.groupBy(*gcols, "q").agg(
+        ((F.min("bucket") + 1) * F.lit(float(width))).alias("value_estimate")
+    )
+
+
+def estimate_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    width: float,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from one histogram pass:
+    (group_cols..., q, value_estimate), each estimate within ``width``
+    above the true quantile. The direct (non-persisted) tier."""
+    hist = histogram_sketch(df, group_cols, value_col, width=width)
+    return _histogram_quantiles(hist, group_cols, width, qs)
+
+
+_HIST_META_KEY = "histogram_sketch"
+
+
+def build_histogram_stats(
+    spark,
+    store,
+    dataset_uuid: str,
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    width: float,
+    overwrite: bool = False,
+):
+    """Persist the per-group histogram as a plateau dataset (one row
+    per (group, bucket)); width/columns ride in user metadata so
+    updates bucket new batches identically."""
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    hist = histogram_sketch(df, group_cols, value_col, width=width)
+    return store_dataframe_as_dataset(
+        spark,
+        store,
+        dataset_uuid,
+        hist,
+        overwrite=overwrite,
+        metadata={
+            _HIST_META_KEY: {
+                "group_cols": list(group_cols),
+                "value_col": value_col,
+                "width": float(width),
+            }
+        },
+    )
+
+
+def update_histogram_stats(spark, store, dataset_uuid: str, new_df: DataFrame):
+    """Advance the persisted histogram with a new batch — O(batch)
+    work, appended as new (group, bucket, cnt) rows (atomic commit, no
+    read-merge-rewrite); the read side sums counts per bucket, so
+    append order never matters. Unlike the HLL tier there is no
+    idempotence caveat: counts are additive, so re-submitting rows
+    double-counts — same contract as any COUNT."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        update_dataset_from_dataframe,
+    )
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, dataset_uuid).metadata[_HIST_META_KEY]
+    hist = histogram_sketch(
+        new_df, meta["group_cols"], meta["value_col"], width=meta["width"]
+    )
+    return update_dataset_from_dataframe(spark, st, dataset_uuid, hist)
+
+
+def read_quantile_estimates(
+    spark,
+    store,
+    dataset_uuid: str,
+    *,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Merge the persisted per-batch histograms (sum counts per
+    (group, bucket)) and estimate quantiles — reads O(buckets) rows,
+    never the source corpus. Merged estimates are IDENTICAL to a
+    single-pass histogram over the full corpus (counts are exact)."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_table
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, dataset_uuid).metadata[_HIST_META_KEY]
+    gcols = meta["group_cols"]
+    merged = (
+        read_table(spark, st, dataset_uuid)
+        .groupBy(*gcols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _histogram_quantiles(merged, gcols, meta["width"], qs)

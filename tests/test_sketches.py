@@ -131,3 +131,84 @@ def test_calibrate_no_groups(spark):
     # 3 distinct scores × 3 rows each: ranks 0/8, 3/8, 6/8
     vals = sorted({r.pct_rank for r in out.collect()})
     assert vals == [0.0, 3 / 8, 6 / 8]
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile tier
+
+
+def test_histogram_quantile_error_bound(spark, docs):
+    """Every estimate must sit within `width` ABOVE the order statistic
+    it targets (the ceil(q*n)-th value), per group and quantile."""
+    import math
+
+    from plateau_spark.operators.sketches import estimate_quantiles
+
+    out = estimate_quantiles(docs, ["lang"], "n_chars", width=50.0)
+    est = {(r.lang, r.q): r.value_estimate for r in out.collect()}
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, g in pdf.groupby("lang"):
+        vals = sorted(g.n_chars)
+        for q in (0.5, 0.9, 0.99):
+            true = vals[math.ceil(q * len(vals)) - 1]
+            assert true <= est[(lang, q)] <= true + 50, (lang, q)
+
+
+def test_histogram_incremental_equals_direct(spark, docs, tmp_path):
+    """Histogram counts are additive — the merged persisted read must
+    EQUAL the single-pass full-corpus estimate, bit for bit."""
+    from plateau_spark.operators.sketches import (
+        build_histogram_stats,
+        estimate_quantiles,
+        read_quantile_estimates,
+        update_histogram_stats,
+    )
+
+    store = str(tmp_path / "h")
+    build_histogram_stats(
+        spark, store, "h", docs.where("doc_id % 2 = 0"),
+        ["lang"], "n_chars", width=50.0,
+    )
+    update_histogram_stats(spark, store, "h", docs.where("doc_id % 2 = 1"))
+    merged = sorted(
+        tuple(r) for r in read_quantile_estimates(spark, store, "h").collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in estimate_quantiles(
+            docs, ["lang"], "n_chars", width=50.0
+        ).collect()
+    )
+    assert merged == direct and merged
+
+
+def test_histogram_nulls_and_guards(spark):
+    from plateau_spark.operators.sketches import (
+        estimate_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("a", -5.0)],
+        "g string, v double",
+    )
+    hist = {r.bucket: r.cnt for r in
+            histogram_sketch(df, ["g"], "v", width=10.0).collect()}
+    # -5.0 → floor(-0.5) = -1; NULL excluded
+    assert hist == {-1: 1, 1: 1, 2: 1}
+    with pytest.raises(ValueError):
+        histogram_sketch(df, ["g"], "v", width=0)
+    with pytest.raises(ValueError):
+        estimate_quantiles(df, ["g"], "v", width=10.0, qs=[0.0, 0.5])
+
+
+def test_histogram_q1_is_min_bucket_edge(spark):
+    """q=1.0 targets the max value's bucket upper edge."""
+    from plateau_spark.operators.sketches import estimate_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 5, 99)], "g string, v double"
+    )
+    out = {r.q: r.value_estimate for r in
+           estimate_quantiles(df, ["g"], "v", width=10.0, qs=[1.0]).collect()}
+    assert out[1.0] == 100.0
