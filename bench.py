@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "sketch_incremental_lifecycle",
     "score_calibrate_pct",
     "histogram_quantiles",
+    "streaming_histogram_monitor",
 ]
 
 

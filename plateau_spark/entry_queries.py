@@ -5549,6 +5549,74 @@ GROUP BY lang, q
 """
 
 
+def streaming_histogram_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_monitor_histogram: the online tier of the histogram
+    statistics — events staged as TWO source files, drained availableNow
+    with maxFilesPerTrigger=1 (two micro-batches), each batch reduced to
+    its per-(event_type, bucket) counts and committed atomically. The
+    final quantile read is hash-compared EXACTLY against DuckDB's
+    single-pass histogram over all events: additive counts + the
+    commit protocol's exactly-once batch marker make the streaming
+    result bit-identical to the batch one."""
+    _prep(spark)
+    import os as _os
+    import shutil as _sh
+
+    from plateau_spark.operators.sketches import read_quantile_estimates
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        stream_monitor_histogram,
+    )
+
+    staged = _fresh_store("hist_monitor_src")
+    _os.makedirs(staged, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{staged}/even")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{staged}/odd")
+    src = _fresh_store("hist_monitor_files")
+    _os.makedirs(src, exist_ok=True)
+    for half in ("even", "odd"):
+        part = [
+            f for f in _os.listdir(f"{staged}/{half}") if f.endswith(".parquet")
+        ][0]
+        _sh.copy(f"{staged}/{half}/{part}", f"{src}/{half}.parquet")
+
+    store = _fresh_store("hist_monitor")
+    ckpt = _fresh_store("hist_monitor_ckpt")
+    stream = open_parquet_stream(
+        spark, src, reader_options={"maxFilesPerTrigger": "1"}
+    )
+    q = stream_monitor_histogram(
+        stream, store, "hist", ["event_type"], "value",
+        width=25.0, checkpoint_dir=ckpt, available_now=True,
+    )
+    q.awaitTermination()
+    return read_quantile_estimates(spark, store, "hist", qs=(0.5, 0.9, 0.99))
+
+
+STREAMING_HISTOGRAM_ORACLE = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) / 25.0) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS c,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT event_type, q,
+       CAST((MIN(bucket) + 1) * 25.0 AS DOUBLE) AS value_estimate
+FROM cum, qq WHERE c >= ceil(q * n)
+GROUP BY event_type, q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
@@ -5615,6 +5683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
     "score_calibrate_pct": score_calibrate_pct,
     "histogram_quantiles": histogram_quantiles,
+    "streaming_histogram_monitor": streaming_histogram_monitor,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5724,6 +5793,7 @@ ORACLES: dict[str, str] = {
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,
     "histogram_quantiles": HISTOGRAM_QUANTILES_ORACLE,
+    "streaming_histogram_monitor": STREAMING_HISTOGRAM_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

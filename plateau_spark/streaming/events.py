@@ -364,6 +364,7 @@ def commit_stream_batch(
     *,
     partition_on=None,
     secondary_indices=None,
+    extra_metadata=None,
     **write_kwargs,
 ) -> bool:
     """Idempotent micro-batch commit into a plateau-style dataset.
@@ -389,6 +390,10 @@ def commit_stream_batch(
 
     store = _ensure_store(store)
     marker = {"stream_batches": {str(batch_id): True}}
+    if extra_metadata:
+        # sink-level metadata (e.g. sketch/histogram parameters) rides
+        # every commit; the batch marker wins on key collision
+        marker = {**extra_metadata, **marker}
     if DatasetMetadata.exists(store, dataset_uuid):
         meta = DatasetMetadata.load(store, dataset_uuid)
         if str(batch_id) in meta.metadata.get("stream_batches", {}):
@@ -905,3 +910,64 @@ def windowed_distinct_counts(
         .agg(F.count("*").alias("n_distinct"))
         .select(F.col("w.start").alias("window_start"), "n_distinct")
     )
+
+
+def stream_monitor_histogram(
+    stream: DataFrame,
+    store,
+    dataset_uuid: str,
+    group_cols,
+    value_col: str,
+    *,
+    width: float,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming distribution monitor: maintain persisted equi-width
+    histogram statistics (operators/sketches.py) of a column as data
+    arrives — the online tier of ``build/update_histogram_stats``.
+
+    Each micro-batch is reduced to its per-(group, bucket) counts —
+    O(buckets) rows, not O(batch) — and APPENDED as one atomic commit
+    via ``commit_stream_batch``, so replayed batch ids are no-ops and
+    the merged histogram is EXACTLY the single-pass histogram of
+    everything ingested (counts are additive and the commit protocol
+    makes each batch count exactly once). Read the current distribution
+    any time with ``read_quantile_estimates`` — it touches only the
+    histogram rows, never the ingested corpus, and never blocks the
+    stream.
+
+    Scale shape: per-batch sink state is a keyed aggregation down to
+    O(groups × range/width) rows (KBs); the quantile read is O(total
+    histogram rows) = batches × buckets until ``compact_dataset`` (the
+    ordinary maintenance op — the read sums per bucket, so compaction
+    is purely a file-count concern). No watermark needed: this is a
+    running whole-corpus monitor, not an event-time window.
+    """
+    from plateau_spark.operators.sketches import (
+        _HIST_META_KEY,
+        histogram_sketch,
+    )
+
+    spark = stream.sparkSession
+    hist_meta = {
+        _HIST_META_KEY: {
+            "group_cols": list(group_cols),
+            "value_col": value_col,
+            "width": float(width),
+        }
+    }
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        hist = histogram_sketch(batch_df, group_cols, value_col, width=width)
+        commit_stream_batch(
+            spark, store, dataset_uuid, hist, batch_id,
+            extra_metadata=hist_meta,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -212,3 +212,57 @@ def test_histogram_q1_is_min_bucket_edge(spark):
     out = {r.q: r.value_estimate for r in
            estimate_quantiles(df, ["g"], "v", width=10.0, qs=[1.0]).collect()}
     assert out[1.0] == 100.0
+
+
+def test_stream_monitor_histogram_matches_batch(spark, tmp_path):
+    """Two-micro-batch drain must produce a merged histogram identical
+    to the single-pass batch histogram, and a replayed batch id must be
+    a no-op (exactly-once counts)."""
+    import os
+    import shutil
+
+    from plateau_spark.operators.sketches import (
+        estimate_quantiles,
+        histogram_sketch,
+        read_quantile_estimates,
+    )
+    from plateau_spark.streaming.events import (
+        commit_stream_batch,
+        open_parquet_stream,
+        stream_monitor_histogram,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for half, pred in (("even", "event_id % 2 = 0"), ("odd", "event_id % 2 = 1")):
+        out = str(tmp_path / half)
+        ev.where(pred).coalesce(1).write.parquet(out)
+        part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        shutil.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+
+    store = str(tmp_path / "store")
+    q = stream_monitor_histogram(
+        open_parquet_stream(spark, src, reader_options={"maxFilesPerTrigger": "1"}),
+        store, "hist", ["event_type"], "value",
+        width=25.0, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+    merged = sorted(
+        tuple(r)
+        for r in read_quantile_estimates(spark, store, "hist").collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in estimate_quantiles(ev, ["event_type"], "value", width=25.0).collect()
+    )
+    assert merged == direct and merged
+
+    # replaying an already-committed batch id must not double-count
+    replay = histogram_sketch(ev, ["event_type"], "value", width=25.0)
+    assert commit_stream_batch(spark, store, "hist", replay, 0) is False
+    after = sorted(
+        tuple(r)
+        for r in read_quantile_estimates(spark, store, "hist").collect()
+    )
+    assert after == merged
