@@ -5621,20 +5621,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the ten queries NEW this round (text_bm25_topk,
+    #     plus the twelve queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
     #     web_html_extract, dataset_changes_read,
     #     sketch_distinct_users, sketch_incremental_lifecycle,
-    #     score_calibrate_pct — no driver evidence yet). The ten
-    #     entries they displace (winnow_overlap_pairs, semdedup_keep,
-    #     decontaminate_bloom, text_quality_classifier,
+    #     score_calibrate_pct, histogram_quantiles,
+    #     streaming_histogram_monitor — no driver evidence yet). The
+    #     twelve entries they displace (winnow_overlap_pairs,
+    #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
     #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
-    #     sample_mixture, embedding_outliers,
-    #     text_winnow_fingerprints — r5–r8 driver-green, code
-    #     untouched) were re-swept green by tools/check_parity.py at
-    #     sf0.01 this round, as were sample_shuffle_epoch,
-    #     embedding_kmeans, bitext_mine_pairs ---
+    #     quality_tier_split, text_c4_clean, sample_mixture,
+    #     embedding_outliers, text_winnow_fingerprints — r5–r8
+    #     driver-green, code untouched) were re-swept green by
+    #     tools/check_parity.py at sf0.01 this round, as were
+    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs,
+    #     sample_stratified ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
