@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "score_calibrate_pct",
     "histogram_quantiles",
     "streaming_histogram_monitor",
+    "text_compression_signal",
 ]
 
 

@@ -5617,26 +5617,38 @@ GROUP BY event_type, q
 """
 
 
+def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compression_ratio_signals (operators/text.py): zlib deflate
+    compressibility quality filter — Arrow kernel emits byte counts,
+    ratio + keep gate are JVM expressions. Rows-only driver check (no
+    SQL engine exposes DEFLATE), with the byte counts asserted against
+    the python zlib twin in tests/test_pipeline_ops_r9.py."""
+    _prep(spark)
+    from plateau_spark.operators.text import compression_ratio_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio_signals(docs, "doc_id", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the twelve queries NEW this round (text_bm25_topk,
+    #     plus the thirteen queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
     #     web_html_extract, dataset_changes_read,
     #     sketch_distinct_users, sketch_incremental_lifecycle,
     #     score_calibrate_pct, histogram_quantiles,
-    #     streaming_histogram_monitor — no driver evidence yet). The
-    #     twelve entries they displace (winnow_overlap_pairs,
+    #     streaming_histogram_monitor, text_compression_signal — no
+    #     driver evidence yet). The thirteen entries they displace (winnow_overlap_pairs,
     #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
     #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
-    #     quality_tier_split, text_c4_clean, sample_mixture,
+    #     quality_tier_split, text_c4_clean, sample_stratified, sample_mixture,
     #     embedding_outliers, text_winnow_fingerprints — r5–r8
     #     driver-green, code untouched) were re-swept green by
     #     tools/check_parity.py at sf0.01 this round, as were
-    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs,
-    #     sample_stratified ---
+    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -5686,6 +5698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_calibrate_pct": score_calibrate_pct,
     "histogram_quantiles": histogram_quantiles,
     "streaming_histogram_monitor": streaming_histogram_monitor,
+    "text_compression_signal": text_compression_signal,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,

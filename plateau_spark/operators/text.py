@@ -1047,3 +1047,76 @@ def script_profile(
         best = F.greatest(best, counts[s])
     cols.append(F.when(letters > 0, dominant).otherwise(F.lit("none")).alias("dominant"))
     return df.select(*cols)
+
+
+def _deflate_sizes_udf(level: int):
+    """Arrow-batched zlib pass: (raw_bytes, deflate_bytes) per document.
+    BYTE COUNTS ONLY — the ratio division and the keep gate happen
+    JVM-side so float semantics are owned by the engine (same split as
+    _repetition_counts_udf). zlib output is deterministic for a given
+    (input, level) — the DEFLATE stream is fully specified by the
+    reference implementation's fixed heuristics — so the signal is
+    rerun- and cluster-stable."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sizes(texts):
+        rows = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            rows.append((len(raw), len(zlib.compress(raw, level)) if raw else 0))
+        return pd.DataFrame(rows, columns=["raw", "comp"], dtype="int64")
+
+    return pandas_udf(sizes, "raw long, comp long")
+
+
+def compression_ratio_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+    low: float = 0.30,
+    high: float = 1.20,
+) -> DataFrame:
+    """Compressibility quality signal (the classic zlib/gzip-ratio
+    filter used by large-scale web-corpus curation): documents whose
+    UTF-8 bytes deflate too well are boilerplate/template/repetitive
+    spam (a ratio near 0 means the text is mostly self-repetition);
+    documents that barely compress — or expand — are binary junk,
+    base64 blobs, or already-compressed payloads masquerading as text.
+    Natural prose lands in a broad middle band (~0.3–0.8 at level 6).
+
+    Output: (id_col, raw_bytes, deflate_bytes, compression_ratio,
+    keep_compression) — ratio is NULL (and keep false) for empty text.
+    The Arrow kernel emits byte COUNTS only; the ratio and the
+    [low, high] gate are JVM expressions.
+
+    Scale shape: one Arrow-batched linear pass, no shuffle, no state;
+    the zlib window (32 KB) bounds per-row memory regardless of
+    document size. 100 TB cost is the deflate CPU itself — level 1
+    halves it where the gate (not the exact ratio) is the product.
+    """
+    sizes = _deflate_sizes_udf(level)(F.col(text_col))
+    with_sizes = df.select(
+        F.col(id_col), sizes.alias("__z__")
+    ).select(
+        id_col,
+        F.col("__z__.raw").alias("raw_bytes"),
+        F.col("__z__.comp").alias("deflate_bytes"),
+    )
+    ratio = F.when(
+        F.col("raw_bytes") > 0,
+        F.col("deflate_bytes").cast("double") / F.col("raw_bytes"),
+    )
+    return with_sizes.select(
+        id_col,
+        "raw_bytes",
+        "deflate_bytes",
+        ratio.alias("compression_ratio"),
+        F.coalesce(
+            (ratio >= F.lit(low)) & (ratio <= F.lit(high)), F.lit(False)
+        ).alias("keep_compression"),
+    )

@@ -769,3 +769,56 @@ def test_neardup_ingest_compaction_cadence(spark, tmp_path):
     for t in texts:
         expect |= _py_bandsigs(t)
     assert {(r.band, r.bandsig) for r in fp.collect()} == expect
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal
+
+
+def test_compression_signal_matches_zlib_twin(spark):
+    import zlib
+
+    from plateau_spark.operators.text import compression_ratio_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = compression_ratio_signals(docs, "doc_id", "text").collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == len(texts)
+    for r in out:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.raw_bytes == len(raw)
+        assert r.deflate_bytes == (len(zlib.compress(raw, 6)) if raw else 0)
+        if raw:
+            assert r.compression_ratio == r.deflate_bytes / r.raw_bytes
+
+
+def test_compression_signal_edges(spark):
+    from plateau_spark.operators.text import compression_ratio_signals
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "spam " * 2000), (3, None),
+         (4, "A short but plainly ordinary English sentence level sample.")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            compression_ratio_signals(edge, "doc_id", "text").collect()}
+    # empty/NULL text: NULL ratio, keep=false (never NULL)
+    assert rows[1].compression_ratio is None and rows[1].keep_compression is False
+    assert rows[3].compression_ratio is None and rows[3].keep_compression is False
+    # degenerate repetition deflates below any sane low bound
+    assert rows[2].compression_ratio < 0.05 and rows[2].keep_compression is False
+    # short natural prose barely compresses but stays under high=1.2
+    assert rows[4].keep_compression is True
+
+
+def test_compression_signal_level_changes_bytes_not_contract(spark):
+    from plateau_spark.operators.text import compression_ratio_signals
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog. " * 200)],
+        "doc_id long, text string",
+    )
+    fast = compression_ratio_signals(df, "doc_id", "text", level=1).collect()[0]
+    best = compression_ratio_signals(df, "doc_id", "text", level=9).collect()[0]
+    assert fast.raw_bytes == best.raw_bytes
+    assert best.deflate_bytes <= fast.deflate_bytes
