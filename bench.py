@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "histogram_quantiles",
     "streaming_histogram_monitor",
     "text_compression_signal",
+    "dataset_stats_refresh",
 ]
 
 

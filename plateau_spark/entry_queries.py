@@ -5617,6 +5617,67 @@ GROUP BY event_type, q
 """
 
 
+def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """refresh_histogram_statistics (operators/sketches.py): statistics
+    maintenance driven by the change-data feed — the first refresh
+    builds the histogram, the source is then mutated (delete the 'de'
+    partitions + append re-keyed 'en' rows, one atomic commit), and
+    the second refresh reads ONLY the changed partitions, appending
+    the inserts' bucket counts and the deletes' counts NEGATED. The
+    quantile read is hash-compared EXACTLY against DuckDB computing
+    the histogram over the FINAL corpus state — the subtractive-monoid
+    property under real deletes, cross-engine."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import (
+        read_quantile_estimates,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import (
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("stats_refresh")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    store_dataframe_as_dataset(spark, store, "d", docs, partition_on=["lang"])
+    refresh_histogram_statistics(
+        spark, store, "d", "stats", ["lang"], "n_chars", width=50.0
+    )
+    update_dataset_from_dataframe(
+        spark, store, "d",
+        docs.where(F.col("lang") == "en").withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        ),
+        delete_scope=[{"lang": "de"}], partition_on=["lang"],
+    )
+    refresh_histogram_statistics(spark, store, "d", "stats")
+    return read_quantile_estimates(spark, store, "stats", qs=(0.5, 0.9, 0.99))
+
+
+DATASET_STATS_REFRESH_ORACLE = """
+WITH corpus AS (
+  SELECT lang, n_chars FROM documents WHERE lang <> 'de'
+  UNION ALL
+  SELECT lang, n_chars FROM documents WHERE lang = 'en'
+), hist AS (
+  SELECT lang,
+         CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM corpus WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+), qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT lang, q, CAST((MIN(bucket) + 1) * 50.0 AS DOUBLE) AS value_estimate
+FROM cum, qq WHERE c >= ceil(q * n)
+GROUP BY lang, q
+"""
+
+
 def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compression_ratio_signals (operators/text.py): zlib deflate
     compressibility quality filter — Arrow kernel emits byte counts,
@@ -5634,17 +5695,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the thirteen queries NEW this round (text_bm25_topk,
+    #     plus the fourteen queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
     #     web_html_extract, dataset_changes_read,
     #     sketch_distinct_users, sketch_incremental_lifecycle,
     #     score_calibrate_pct, histogram_quantiles,
-    #     streaming_histogram_monitor, text_compression_signal — no
-    #     driver evidence yet). The thirteen entries they displace (winnow_overlap_pairs,
+    #     streaming_histogram_monitor, text_compression_signal,
+    #     dataset_stats_refresh — no driver evidence yet;
+    #     text_compression_signal, rows-only by design, sits first
+    #     outside the window). The fourteen entries they displace (winnow_overlap_pairs,
     #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
     #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
-    #     quality_tier_split, text_c4_clean, sample_stratified, sample_mixture,
+    #     quality_tier_split, text_c4_clean, sample_stratified,
+    #     sample_mixture,
     #     embedding_outliers, text_winnow_fingerprints — r5–r8
     #     driver-green, code untouched) were re-swept green by
     #     tools/check_parity.py at sf0.01 this round, as were
@@ -5698,6 +5762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_calibrate_pct": score_calibrate_pct,
     "histogram_quantiles": histogram_quantiles,
     "streaming_histogram_monitor": streaming_histogram_monitor,
+    "dataset_stats_refresh": dataset_stats_refresh,
     "text_compression_signal": text_compression_signal,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
@@ -5809,6 +5874,7 @@ ORACLES: dict[str, str] = {
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,
     "histogram_quantiles": HISTOGRAM_QUANTILES_ORACLE,
     "streaming_histogram_monitor": STREAMING_HISTOGRAM_ORACLE,
+    "dataset_stats_refresh": DATASET_STATS_REFRESH_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

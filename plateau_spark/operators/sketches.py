@@ -229,6 +229,11 @@ def _histogram_quantiles(
     cum = hist.withColumn("__cum", F.sum("cnt").over(w_run)).withColumn(
         "__n", F.sum("cnt").over(w_all)
     )
+    # a group whose counts net to zero (e.g. fully deleted via the
+    # change-feed refresh) has no distribution — without this filter
+    # ceil(q·0)=0 is satisfied by cum=0 and every empty group would
+    # emit a spurious row per quantile
+    cum = cum.where(F.col("__n") > 0)
     exp = cum.select(
         *gcols,
         "bucket",
@@ -337,3 +342,186 @@ def read_quantile_estimates(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return _histogram_quantiles(merged, gcols, meta["width"], qs)
+
+
+# ---------------------------------------------------------------------------
+# Change-feed-driven statistics maintenance
+#
+# Ties the statistics tiers to the dataset layer's change-data feed
+# (sources/dataset.py:read_dataset_changes): a refresh reads ONLY the
+# partitions that changed since the last refresh — O(changed files),
+# never the corpus — and is exact because the histogram monoid is
+# SUBTRACTIVE (deletes append negated counts that net out on read).
+# HLL is not subtractive, so its refresh falls back to a full rebuild
+# whenever the diff contains deletes (the honest contract; insert-only
+# appends stay incremental).
+
+
+def refresh_histogram_statistics(
+    spark,
+    store,
+    source_uuid: str,
+    stats_uuid: str,
+    group_cols: Sequence[str] | None = None,
+    value_col: str | None = None,
+    *,
+    width: float | None = None,
+):
+    """Bring persisted histogram statistics of ``source_uuid`` up to
+    its current generation. First call: full build (group_cols /
+    value_col / width required), recording the source generation in
+    the stats dataset's metadata. Later calls: diff the source's
+    change feed since the recorded generation, append the inserts'
+    bucket counts and the deletes' counts NEGATED — one atomic commit
+    that also advances the recorded generation (override, not merge —
+    merge drops conflicting leaves by the reference rule). The merged
+    read then equals a from-scratch histogram of the source EXACTLY,
+    including through deletes, upserts, and compactions (a compaction
+    rewrites labels, so its rows appear as delete+insert pairs that
+    net to zero).
+
+    Returns the stats DatasetMetadata; a no-change refresh (source
+    generation unchanged) commits nothing.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        read_dataset_changes,
+        read_table,
+        update_dataset_from_dataframe,
+    )
+
+    st = _ensure_store(store)
+    src_gen = DatasetMetadata.load(st, source_uuid).generation
+
+    if not DatasetMetadata.exists(st, stats_uuid):
+        if group_cols is None or value_col is None or width is None:
+            raise ValueError(
+                "first refresh must pass group_cols, value_col and width"
+            )
+        hist = histogram_sketch(
+            read_table(spark, st, source_uuid), group_cols, value_col,
+            width=width,
+        )
+        from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+        return store_dataframe_as_dataset(
+            spark, st, stats_uuid, hist,
+            metadata={
+                _HIST_META_KEY: {
+                    "group_cols": list(group_cols),
+                    "value_col": value_col,
+                    "width": float(width),
+                    "source_uuid": source_uuid,
+                    "source_generation": int(src_gen),
+                }
+            },
+        )
+
+    stats_meta = DatasetMetadata.load(st, stats_uuid)
+    hmeta = dict(stats_meta.metadata[_HIST_META_KEY])
+    if hmeta.get("source_uuid") not in (None, source_uuid):
+        raise ValueError(
+            f"stats dataset {stats_uuid!r} tracks "
+            f"{hmeta['source_uuid']!r}, not {source_uuid!r}"
+        )
+    last_gen = int(hmeta["source_generation"])
+    if src_gen == last_gen:
+        return stats_meta
+    changes = read_dataset_changes(
+        spark, st, source_uuid,
+        from_generation=last_gen, to_generation=src_gen,
+    )
+    gcols, vcol, width_ = hmeta["group_cols"], hmeta["value_col"], hmeta["width"]
+    ins = histogram_sketch(
+        changes.where(F.col("_change_type") == "insert"), gcols, vcol,
+        width=width_,
+    )
+    dels = histogram_sketch(
+        changes.where(F.col("_change_type") == "delete"), gcols, vcol,
+        width=width_,
+    ).withColumn("cnt", -F.col("cnt"))
+    hmeta["source_generation"] = int(src_gen)
+    return update_dataset_from_dataframe(
+        spark, st, stats_uuid, ins.unionByName(dels),
+        override_metadata={_HIST_META_KEY: hmeta},
+    )
+
+
+def refresh_distinct_statistics(
+    spark,
+    store,
+    source_uuid: str,
+    stats_uuid: str,
+    group_cols: Sequence[str] | None = None,
+    value_col: str | None = None,
+    *,
+    lg_k: int = DEFAULT_LG_K,
+):
+    """HLL counterpart of :func:`refresh_histogram_statistics`.
+    Insert-only diffs append incrementally (O(changed files)); a diff
+    containing ANY delete triggers a full rebuild of the sketches —
+    HLL registers are max-merged and cannot be subtracted (stated
+    limitation of the sketch family, not of this implementation).
+    The rebuild is one overwrite commit; readers see old or new stats
+    atomically, never a mix."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        read_dataset_changes,
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    st = _ensure_store(store)
+    src_gen = DatasetMetadata.load(st, source_uuid).generation
+
+    def _full(overwrite: bool, gc, vc, k):
+        sk = sketch_distinct(
+            read_table(spark, st, source_uuid), gc, vc, lg_k=k
+        )
+        return store_dataframe_as_dataset(
+            spark, st, stats_uuid, sk, overwrite=overwrite,
+            metadata={
+                _META_KEY: {
+                    "group_cols": list(gc),
+                    "value_col": vc,
+                    "lg_k": int(k),
+                    "source_uuid": source_uuid,
+                    "source_generation": int(src_gen),
+                }
+            },
+        )
+
+    if not DatasetMetadata.exists(st, stats_uuid):
+        if group_cols is None or value_col is None:
+            raise ValueError("first refresh must pass group_cols and value_col")
+        return _full(False, group_cols, value_col, lg_k)
+
+    stats_meta = DatasetMetadata.load(st, stats_uuid)
+    smeta = dict(stats_meta.metadata[_META_KEY])
+    if smeta.get("source_uuid") not in (None, source_uuid):
+        raise ValueError(
+            f"stats dataset {stats_uuid!r} tracks "
+            f"{smeta['source_uuid']!r}, not {source_uuid!r}"
+        )
+    last_gen = int(smeta["source_generation"])
+    if src_gen == last_gen:
+        return stats_meta
+    changes = read_dataset_changes(
+        spark, st, source_uuid,
+        from_generation=last_gen, to_generation=src_gen,
+    )
+    gcols, vcol, k = smeta["group_cols"], smeta["value_col"], int(smeta["lg_k"])
+    if not changes.where(F.col("_change_type") == "delete").isEmpty():
+        return _full(True, gcols, vcol, k)
+    smeta["source_generation"] = int(src_gen)
+    return update_dataset_from_dataframe(
+        spark, st, stats_uuid,
+        sketch_distinct(
+            changes.where(F.col("_change_type") == "insert"), gcols, vcol,
+            lg_k=k,
+        ),
+        override_metadata={_META_KEY: smeta},
+    )

@@ -266,3 +266,124 @@ def test_stream_monitor_histogram_matches_batch(spark, tmp_path):
         for r in read_quantile_estimates(spark, store, "hist").collect()
     )
     assert after == merged
+
+
+# ---------------------------------------------------------------------------
+# change-feed-driven statistics refresh
+
+
+def test_refresh_histogram_exact_through_mutations(spark, docs, tmp_path):
+    """After delete_scope + append on the source, an incremental
+    refresh (reading only the change feed) must equal a from-scratch
+    histogram of the current corpus — including dropping the fully
+    deleted group."""
+    from plateau_spark.operators.sketches import (
+        estimate_quantiles,
+        read_quantile_estimates,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = str(tmp_path / "s")
+    d = docs.select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "d", d, partition_on=["lang"])
+    refresh_histogram_statistics(
+        spark, store, "d", "stats", ["lang"], "n_chars", width=50.0
+    )
+    update_dataset_from_dataframe(
+        spark, store, "d",
+        d.where(F.col("lang") == "en").withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        ),
+        delete_scope=[{"lang": "de"}], partition_on=["lang"],
+    )
+    refresh_histogram_statistics(spark, store, "d", "stats")
+    cur = read_table(spark, store, "d")
+    got = sorted(
+        tuple(r) for r in read_quantile_estimates(spark, store, "stats").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in estimate_quantiles(cur, ["lang"], "n_chars", width=50.0).collect()
+    )
+    assert got == want and got
+    assert not any(r[0] == "de" for r in got)
+    # no-op refresh commits nothing
+    g1 = refresh_histogram_statistics(spark, store, "d", "stats").generation
+    g2 = refresh_histogram_statistics(spark, store, "d", "stats").generation
+    assert g1 == g2
+
+
+def test_refresh_distinct_incremental_and_rebuild(spark, docs, tmp_path):
+    from plateau_spark.operators.sketches import (
+        estimate_distinct,
+        read_distinct_estimates,
+        refresh_distinct_statistics,
+    )
+    from plateau_spark.sources.dataset import (
+        read_dataset_as_dataframe,
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = str(tmp_path / "s")
+    d = docs.select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "d", d, partition_on=["lang"])
+    refresh_distinct_statistics(spark, store, "d", "ndv", ["lang"], "doc_id")
+    rows0 = read_dataset_as_dataframe(spark, store, "ndv").count()
+
+    # insert-only change: incremental append (one new row per group)
+    update_dataset_from_dataframe(
+        spark, store, "d",
+        d.where(F.col("lang") == "fr").withColumn(
+            "doc_id", F.col("doc_id") + 200000
+        ),
+        partition_on=["lang"],
+    )
+    refresh_distinct_statistics(spark, store, "d", "ndv")
+    rows1 = read_dataset_as_dataframe(spark, store, "ndv").count()
+    assert rows1 == rows0 + 1  # appended, not rebuilt
+
+    # delete: HLL cannot subtract — full rebuild (row count back to groups)
+    update_dataset_from_dataframe(
+        spark, store, "d", None, delete_scope=[{"lang": "zh"}]
+    )
+    refresh_distinct_statistics(spark, store, "d", "ndv")
+    cur = read_table(spark, store, "d")
+    got = sorted(
+        (r[0], r[1])
+        for r in read_distinct_estimates(spark, store, "ndv").collect()
+    )
+    want = sorted(
+        tuple(r) for r in estimate_distinct(cur, ["lang"], "doc_id").collect()
+    )
+    assert got == want
+    assert not any(lang == "zh" for lang, _ in got)
+
+
+def test_refresh_guards(spark, docs, tmp_path):
+    from plateau_spark.operators.sketches import (
+        refresh_distinct_statistics,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    store = str(tmp_path / "s")
+    d = docs.select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "a", d)
+    store_dataframe_as_dataset(spark, store, "b", d)
+    with pytest.raises(ValueError):  # first call needs the parameters
+        refresh_histogram_statistics(spark, store, "a", "stats")
+    refresh_histogram_statistics(
+        spark, store, "a", "stats", ["lang"], "n_chars", width=50.0
+    )
+    with pytest.raises(ValueError):  # stats dataset tracks a different source
+        refresh_histogram_statistics(spark, store, "b", "stats")
+    refresh_distinct_statistics(spark, store, "a", "ndv", ["lang"], "doc_id")
+    with pytest.raises(ValueError):
+        refresh_distinct_statistics(spark, store, "b", "ndv")
