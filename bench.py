@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "streaming_histogram_monitor",
     "text_compression_signal",
     "dataset_stats_refresh",
+    "events_skew_profile",
 ]
 
 

@@ -5617,6 +5617,44 @@ GROUP BY event_type, q
 """
 
 
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_profile (operators/dataflow.py): top-k heavy hitters per
+    column with share — the pre-join hot-key diagnostic. All columns in
+    ONE shuffle (stack → long format → one map-side-combined count
+    agg); top-k is two-phase (32-bucket local row_number cut, then a
+    global cut over ≤ 32k survivors) so no task ever sorts a full
+    column's distinct values."""
+    _prep(spark)
+    from plateau_spark.operators.dataflow import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, ["event_type", "user_id"], k=5)
+
+
+EVENTS_SKEW_PROFILE_ORACLE = """
+WITH longf AS (
+  SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS value
+  FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR)
+  FROM events WHERE user_id IS NOT NULL
+), counts AS (
+  SELECT col_name, value, COUNT(*) AS cnt FROM longf GROUP BY 1, 2
+), tot AS (SELECT col_name, SUM(cnt) AS n FROM counts GROUP BY 1),
+ranked AS (
+  SELECT c.col_name, c.value, c.cnt,
+         CAST(c.cnt AS DOUBLE) / t.n AS share,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.col_name ORDER BY c.cnt DESC, c.value ASC
+         ) AS rnk
+  FROM counts c JOIN tot t USING (col_name)
+)
+SELECT col_name, value, CAST(cnt AS BIGINT) AS cnt, share,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -5695,21 +5733,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the fourteen queries NEW this round (text_bm25_topk,
+    #     plus the fifteen queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
     #     web_html_extract, dataset_changes_read,
     #     sketch_distinct_users, sketch_incremental_lifecycle,
     #     score_calibrate_pct, histogram_quantiles,
     #     streaming_histogram_monitor, text_compression_signal,
-    #     dataset_stats_refresh — no driver evidence yet;
+    #     dataset_stats_refresh, events_skew_profile — no driver
+    #     evidence yet;
     #     text_compression_signal, rows-only by design, sits first
-    #     outside the window). The fourteen entries they displace (winnow_overlap_pairs,
+    #     outside the window). The displaced entries they displace (winnow_overlap_pairs,
     #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
     #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
     #     quality_tier_split, text_c4_clean, sample_stratified,
     #     sample_mixture,
-    #     embedding_outliers, text_winnow_fingerprints — r5–r8
+    #     embedding_outliers, text_winnow_fingerprints, text_token_histogram — r5–r8
     #     driver-green, code untouched) were re-swept green by
     #     tools/check_parity.py at sf0.01 this round, as were
     #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs ---
@@ -5751,7 +5790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
-    "text_token_histogram": text_token_histogram,
+    "events_skew_profile": events_skew_profile,
     "pack_documents_bins": pack_documents_bins,
     "pack_sequences": pack_sequences,
     "web_domain_stats": web_domain_stats,
@@ -5764,6 +5803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_histogram_monitor": streaming_histogram_monitor,
     "dataset_stats_refresh": dataset_stats_refresh,
     "text_compression_signal": text_compression_signal,
+    "text_token_histogram": text_token_histogram,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5875,6 +5915,7 @@ ORACLES: dict[str, str] = {
     "histogram_quantiles": HISTOGRAM_QUANTILES_ORACLE,
     "streaming_histogram_monitor": STREAMING_HISTOGRAM_ORACLE,
     "dataset_stats_refresh": DATASET_STATS_REFRESH_ORACLE,
+    "events_skew_profile": EVENTS_SKEW_PROFILE_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

@@ -292,3 +292,68 @@ def profile_numeric_columns(
         f"stack({len(columns)}, {stack}) as "
         "(column, min_value, max_value, null_count, distinct_count)"
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter profile: the top-``k`` most frequent values per
+    column with absolute count and share — the diagnostic to run
+    BEFORE keying a 100 TB join or aggregation on a column (a single
+    value holding >1% of rows means a straggler task at shuffle time;
+    the fix is salting, broadcast, or AQE skew handling — but only if
+    you know).
+
+    Output: (col_name, value STRING, cnt BIGINT, share DOUBLE,
+    rnk INT) — share is of the column's NON-NULL rows; ties break by
+    value ascending, so the result is deterministic.
+
+    Scale shape: all columns profile in ONE shuffle — values unpivot
+    to (col_name, value) long format via ``stack`` (a projection, not
+    a join), counts come from one map-side-combined aggregation, and
+    the top-k selection is TWO-PHASE: a bucket-local row_number cut
+    (32-way, so no single task ever sorts a full column's distinct
+    values — the all-distinct id-column worst case) followed by a
+    global cut over ≤ 32·k survivors per column. A plain
+    ``Window.partitionBy(col_name)`` would put every distinct value of
+    a column into one task.
+    """
+    from pyspark.sql import Window
+
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    stack = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in columns
+    )
+    longf = df.selectExpr(
+        f"stack({len(columns)}, {stack}) as (col_name, value)"
+    ).where(F.col("value").isNotNull())
+    counts = longf.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("col_name").agg(F.sum("cnt").alias("__n"))
+    order = [F.col("cnt").desc(), F.col("value").asc()]
+    w_local = Window.partitionBy(
+        "col_name", F.pmod(F.xxhash64("value"), F.lit(32))
+    ).orderBy(*order)
+    survivors = (
+        counts.withColumn("__rk", F.row_number().over(w_local))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    w_global = Window.partitionBy("col_name").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_global))
+        .where(F.col("rnk") <= k)
+        .join(F.broadcast(totals), "col_name")
+        .select(
+            "col_name",
+            "value",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__n")).alias("share"),
+            "rnk",
+        )
+    )

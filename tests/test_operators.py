@@ -766,3 +766,59 @@ def test_sample_video_frames_spark(spark):
 
     with _pytest.raises(ValueError, match="every_n"):
         sample_video_frames(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# skew_profile
+
+
+def test_skew_profile_matches_single_window_reference(spark):
+    from pyspark.sql import Window
+
+    from plateau_spark.operators.dataflow import skew_profile
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sorted(
+        tuple(r) for r in skew_profile(ev, ["event_type", "user_id"], k=5).collect()
+    )
+    # naive single-window reference (fine at test scale)
+    longf = ev.selectExpr(
+        "stack(2, 'event_type', CAST(event_type AS STRING), "
+        "'user_id', CAST(user_id AS STRING)) as (col_name, value)"
+    ).where(F.col("value").isNotNull())
+    counts = longf.groupBy("col_name", "value").count()
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    tot = counts.groupBy("col_name").agg(F.sum("count").alias("n"))
+    ref = sorted(
+        tuple(r)
+        for r in counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .join(tot, "col_name")
+        .select(
+            "col_name",
+            "value",
+            F.col("count").alias("cnt"),
+            (F.col("count") / F.col("n")).alias("share"),
+            "rnk",
+        )
+        .collect()
+    )
+    assert got == ref and len(got) == 10
+
+
+def test_skew_profile_ties_nulls_and_guards(spark):
+    from plateau_spark.operators.dataflow import skew_profile
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "key string"
+    )
+    rows = {r.rnk: r for r in skew_profile(df, ["key"], k=3).collect()}
+    # ties (a=2, b=2) break by value ascending; NULL excluded from share
+    assert (rows[1].value, rows[2].value, rows[3].value) == ("a", "b", "c")
+    assert rows[1].share == 2 / 5 and rows[3].share == 1 / 5
+    with pytest.raises(ValueError):
+        skew_profile(df, [], k=3)
+    with pytest.raises(ValueError):
+        skew_profile(df, ["key"], k=0)
