@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "text_compression_signal",
     "dataset_stats_refresh",
     "events_skew_profile",
+    "streaming_distinct_monitor",
 ]
 
 

@@ -5655,6 +5655,81 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def streaming_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_monitor_distinct: online HLL cardinality monitor — events
+    staged as two source files, drained availableNow two micro-batches;
+    each batch appends one KB-size sketch row per group, committed
+    exactly-once. est_ok asserts merged == direct full-corpus estimate
+    (disjoint-batch HLL union is register-identical), exact n_rows
+    tallies, and ≤5% error vs the exact count (oracle-compared)."""
+    _prep(spark)
+    import os as _os
+    import shutil as _sh
+
+    from plateau_spark.operators.sketches import (
+        estimate_distinct,
+        read_distinct_estimates,
+    )
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        stream_monitor_distinct,
+    )
+
+    staged = _fresh_store("ndv_monitor_src")
+    _os.makedirs(staged, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    src = _fresh_store("ndv_monitor_files")
+    _os.makedirs(src, exist_ok=True)
+    for half, mod in (("even", 0), ("odd", 1)):
+        out = f"{staged}/{half}"
+        ev.where(F.col("event_id") % 2 == mod).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        part = [f for f in _os.listdir(out) if f.endswith(".parquet")][0]
+        _sh.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+
+    store = _fresh_store("ndv_monitor")
+    ckpt = _fresh_store("ndv_monitor_ckpt")
+    q = stream_monitor_distinct(
+        open_parquet_stream(spark, src, reader_options={"maxFilesPerTrigger": "1"}),
+        store, "ndv", ["event_type"], "user_id",
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    q.awaitTermination()
+    merged = read_distinct_estimates(spark, store, "ndv")
+    direct = estimate_distinct(ev, ["event_type"], "user_id").withColumnRenamed(
+        "ndv_estimate", "ndv_direct"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ndv_exact"),
+        F.count("user_id").alias("n_rows_exact"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "ndv_exact",
+            (
+                (F.col("ndv_estimate") == F.col("ndv_direct"))
+                & (F.col("n_rows") == F.col("n_rows_exact"))
+                & (
+                    F.abs(F.col("ndv_estimate") - F.col("ndv_exact"))
+                    <= 0.05 * F.col("ndv_exact")
+                )
+            ).alias("est_ok"),
+        )
+    )
+
+
+STREAMING_DISTINCT_MONITOR_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS ndv_exact,
+       TRUE AS est_ok
+FROM events GROUP BY event_type
+"""
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -5733,7 +5808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the fifteen queries NEW this round (text_bm25_topk,
+    #     plus the sixteen queries NEW this round (text_bm25_topk,
     #     text_bm25_indexed, hybrid_search_rrf,
     #     retrieval_hard_negatives, streaming_ingest_neardup,
     #     web_html_extract, dataset_changes_read,
@@ -5742,8 +5817,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     streaming_histogram_monitor, text_compression_signal,
     #     dataset_stats_refresh, events_skew_profile — no driver
     #     evidence yet;
-    #     text_compression_signal, rows-only by design, sits first
-    #     outside the window). The displaced entries they displace (winnow_overlap_pairs,
+    #     text_compression_signal (rows-only by design) and
+    #     streaming_distinct_monitor (tier twin of in-window
+    #     streaming_histogram_monitor) sit first outside the window). The displaced entries they displace (winnow_overlap_pairs,
     #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
     #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
     #     quality_tier_split, text_c4_clean, sample_stratified,
@@ -5804,6 +5880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_stats_refresh": dataset_stats_refresh,
     "text_compression_signal": text_compression_signal,
     "text_token_histogram": text_token_histogram,
+    "streaming_distinct_monitor": streaming_distinct_monitor,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5916,6 +5993,7 @@ ORACLES: dict[str, str] = {
     "streaming_histogram_monitor": STREAMING_HISTOGRAM_ORACLE,
     "dataset_stats_refresh": DATASET_STATS_REFRESH_ORACLE,
     "events_skew_profile": EVENTS_SKEW_PROFILE_ORACLE,
+    "streaming_distinct_monitor": STREAMING_DISTINCT_MONITOR_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

@@ -971,3 +971,60 @@ def stream_monitor_histogram(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_monitor_distinct(
+    stream: DataFrame,
+    store,
+    dataset_uuid: str,
+    group_cols,
+    value_col: str,
+    *,
+    lg_k: int | None = None,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming cardinality monitor: maintain persisted per-group HLL
+    distinct-count sketches (operators/sketches.py) as data arrives —
+    the online twin of :func:`stream_monitor_histogram` for the
+    "how many unique users/domains/docs so far" question that exact
+    streaming COUNT(DISTINCT) cannot answer with bounded state.
+
+    Each micro-batch appends ONE sketch row per group touched (KBs —
+    2^lg_k registers), committed atomically with the batch-id marker so
+    replays are no-ops. Because HLL union over per-batch sketches is
+    register-identical to one sketch of everything ingested, the
+    merged ``read_distinct_estimates`` equals the batch estimate
+    EXACTLY — and unlike the watermark-bounded
+    ``windowed_distinct_counts``, state never grows with the key
+    domain and late data is never dropped (there is no event-time
+    horizon; the monitor answers over ALL ingested data).
+    """
+    from plateau_spark.operators.sketches import (
+        DEFAULT_LG_K,
+        _META_KEY,
+        sketch_distinct,
+    )
+
+    k = DEFAULT_LG_K if lg_k is None else int(lg_k)
+    spark = stream.sparkSession
+    sk_meta = {
+        _META_KEY: {
+            "group_cols": list(group_cols),
+            "value_col": value_col,
+            "lg_k": k,
+        }
+    }
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = sketch_distinct(batch_df, group_cols, value_col, lg_k=k)
+        commit_stream_batch(
+            spark, store, dataset_uuid, sk, batch_id, extra_metadata=sk_meta
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

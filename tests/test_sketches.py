@@ -387,3 +387,52 @@ def test_refresh_guards(spark, docs, tmp_path):
     refresh_distinct_statistics(spark, store, "a", "ndv", ["lang"], "doc_id")
     with pytest.raises(ValueError):
         refresh_distinct_statistics(spark, store, "b", "ndv")
+
+
+def test_stream_monitor_distinct_matches_batch(spark, tmp_path):
+    """Two-micro-batch drain: merged HLL estimate must EQUAL the
+    single-pass batch estimate (disjoint-batch union is register-
+    identical), and n_rows must tally exactly-once."""
+    import os
+    import shutil
+
+    from plateau_spark.operators.sketches import (
+        estimate_distinct,
+        read_distinct_estimates,
+    )
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        stream_monitor_distinct,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for half, pred in (("even", "event_id % 2 = 0"), ("odd", "event_id % 2 = 1")):
+        out = str(tmp_path / half)
+        ev.where(pred).coalesce(1).write.parquet(out)
+        part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        shutil.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+
+    store = str(tmp_path / "store")
+    q = stream_monitor_distinct(
+        open_parquet_stream(spark, src, reader_options={"maxFilesPerTrigger": "1"}),
+        store, "ndv", ["event_type"], "user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+    merged = {
+        r.event_type: (r.ndv_estimate, r.n_rows)
+        for r in read_distinct_estimates(spark, store, "ndv").collect()
+    }
+    direct = {
+        r.event_type: r.ndv_estimate
+        for r in estimate_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    counts = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type").agg(F.count("user_id").alias("cnt")).collect()
+    }
+    assert set(merged) == set(direct)
+    for et, (est, n) in merged.items():
+        assert est == direct[et] and n == counts[et]
