@@ -436,3 +436,64 @@ def test_stream_monitor_distinct_matches_batch(spark, tmp_path):
     assert set(merged) == set(direct)
     for et, (est, n) in merged.items():
         assert est == direct[et] and n == counts[et]
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the histogram monoid's contracts hold on
+# arbitrary inputs, not just the fixtures
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VALS = st.lists(
+    st.one_of(
+        st.integers(min_value=-10_000, max_value=10_000).map(float),
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_VALS, width=st.sampled_from([0.5, 7.0, 100.0]), q=st.sampled_from([0.1, 0.5, 0.99, 1.0]))
+def test_histogram_quantile_bound_property(spark, vals, width, q):
+    """For ANY value multiset: the estimate sits in (target, target +
+    width] where target is the ceil(q*n)-th order statistic, and
+    splitting the data arbitrarily then merging gives the SAME answer
+    as one pass (monoid law)."""
+    import math
+
+    from plateau_spark.operators.sketches import (
+        estimate_quantiles,
+        histogram_sketch,
+        _histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, v double")
+    non_null = sorted(v for v in vals if v is not None)
+    direct = {
+        r.q: r.value_estimate
+        for r in estimate_quantiles(df, [], "v", width=width, qs=[q]).collect()
+    }
+    if not non_null:
+        assert direct == {}
+        return
+    target = non_null[math.ceil(q * len(non_null)) - 1]
+    assert target <= direct[q] <= target + width + 1e-9
+
+    # monoid: histogram(split A) + histogram(split B) == histogram(all)
+    a = histogram_sketch(df.where("id % 2 = 0"), [], "v", width=width)
+    b = histogram_sketch(df.where("id % 2 = 1"), [], "v", width=width)
+    merged = a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    got = {r.q: r.value_estimate
+           for r in _histogram_quantiles(merged, [], width, [q]).collect()}
+    assert got == direct
