@@ -497,3 +497,97 @@ def test_histogram_quantile_bound_property(spark, vals, width, q):
     got = {r.q: r.value_estimate
            for r in _histogram_quantiles(merged, [], width, [q]).collect()}
     assert got == direct
+
+
+def test_stats_refresh_operation_sequence_fuzz(spark, tmp_path):
+    """Generative fuzz of the change-feed refresh: random SEQUENCES of
+    source mutations (append / delete_scope / partition-replace /
+    compact), with a histogram AND an HLL refresh after every step —
+    each checked exactly against a from-scratch computation over the
+    current corpus. Sequences catch the interaction bugs single-step
+    tests cannot (e.g. a compact immediately after a delete nets
+    rewritten labels against removed ones)."""
+    import random
+
+    from plateau_spark.operators.sketches import (
+        estimate_distinct,
+        estimate_quantiles,
+        read_distinct_estimates,
+        read_quantile_estimates,
+        refresh_distinct_statistics,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import (
+        compact_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    for seed in (11, 47):
+        rng = random.Random(seed)
+        store = str(tmp_path / f"s{seed}")
+        uuid = "src"
+        next_k = 0
+
+        def fresh(n, groups):
+            nonlocal next_k
+            rows = [
+                (next_k + i, rng.choice(groups), float(rng.randint(0, 400)))
+                for i in range(n)
+            ]
+            next_k += n
+            return spark.createDataFrame(rows, "k long, g string, v double")
+
+        store_dataframe_as_dataset(
+            spark, store, uuid, fresh(20, ["a", "b", "c"]), partition_on=["g"]
+        )
+        refresh_histogram_statistics(
+            spark, store, uuid, "hist", ["g"], "v", width=50.0
+        )
+        refresh_distinct_statistics(spark, store, uuid, "ndv", ["g"], "k")
+
+        for _step in range(6):
+            op = rng.choice(["append", "delete", "replace", "compact"])
+            if op == "append":
+                update_dataset_from_dataframe(
+                    spark, store, uuid,
+                    fresh(rng.randint(3, 10), ["a", "b", "c", "d"]),
+                    partition_on=["g"],
+                )
+            elif op == "delete":
+                update_dataset_from_dataframe(
+                    spark, store, uuid, None,
+                    delete_scope=[{"g": rng.choice(["a", "b", "c", "d"])}],
+                )
+            elif op == "replace":
+                g = rng.choice(["a", "b", "c"])
+                update_dataset_from_dataframe(
+                    spark, store, uuid,
+                    fresh(rng.randint(2, 6), [g]),
+                    delete_scope=[{"g": g}], partition_on=["g"],
+                )
+            else:
+                compact_dataset(spark, store, uuid)
+
+            refresh_histogram_statistics(spark, store, uuid, "hist")
+            refresh_distinct_statistics(spark, store, uuid, "ndv")
+            cur = read_table(spark, store, uuid)
+            got_h = sorted(
+                tuple(r)
+                for r in read_quantile_estimates(spark, store, "hist").collect()
+            )
+            want_h = sorted(
+                tuple(r)
+                for r in estimate_quantiles(cur, ["g"], "v", width=50.0).collect()
+            )
+            assert got_h == want_h, (seed, _step, op)
+            got_d = sorted(
+                (r[0], r[1])
+                for r in read_distinct_estimates(spark, store, "ndv").collect()
+            )
+            want_d = sorted(
+                tuple(r)
+                for r in estimate_distinct(cur, ["g"], "k").collect()
+            )
+            assert got_d == want_d, (seed, _step, op)
