@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "dataset_stats_refresh",
     "events_skew_profile",
     "streaming_distinct_monitor",
+    "score_calibrate_from_stats",
 ]
 
 

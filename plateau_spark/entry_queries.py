@@ -5730,6 +5730,48 @@ FROM events GROUP BY event_type
 """
 
 
+def score_calibrate_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calibrate_from_histogram (operators/sketches.py): percentile
+    calibration served from PERSISTED histogram statistics — one
+    broadcast join against O(buckets) CDF rows per scoring batch,
+    nothing corpus-shaped; the production twin of the exact in-corpus
+    `score_calibrate_pct`. Deterministic integer arithmetic, so the
+    estimate hash-matches the DuckDB twin exactly."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import (
+        build_histogram_stats,
+        calibrate_from_histogram,
+    )
+
+    store = _fresh_store("calib_stats")
+    docs = load_table(spark, sf_dir, "documents")
+    build_histogram_stats(
+        spark, store, "h", docs, ["lang"], "n_chars", width=50.0
+    )
+    out = calibrate_from_histogram(docs, spark, store, "h")
+    return out.select("doc_id", "lang", "n_chars", "pct_rank_est")
+
+
+SCORE_CALIBRATE_STATS_ORACLE = """
+WITH hist AS (
+  SELECT lang,
+         CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), cdf AS (
+  SELECT lang, bucket,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) - cnt AS DOUBLE)
+           / CAST(SUM(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS pct_rank_est
+  FROM hist
+)
+SELECT d.doc_id, d.lang, d.n_chars, c.pct_rank_est
+FROM documents d
+JOIN cdf c
+  ON d.lang = c.lang
+ AND CAST(floor(CAST(d.n_chars AS DOUBLE) / 50.0) AS BIGINT) = c.bucket
+"""
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -5881,6 +5923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_compression_signal": text_compression_signal,
     "text_token_histogram": text_token_histogram,
     "streaming_distinct_monitor": streaming_distinct_monitor,
+    "score_calibrate_from_stats": score_calibrate_from_stats,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -5994,6 +6037,7 @@ ORACLES: dict[str, str] = {
     "dataset_stats_refresh": DATASET_STATS_REFRESH_ORACLE,
     "events_skew_profile": EVENTS_SKEW_PROFILE_ORACLE,
     "streaming_distinct_monitor": STREAMING_DISTINCT_MONITOR_ORACLE,
+    "score_calibrate_from_stats": SCORE_CALIBRATE_STATS_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

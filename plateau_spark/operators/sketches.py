@@ -525,3 +525,61 @@ def refresh_distinct_statistics(
         ),
         override_metadata={_META_KEY: smeta},
     )
+
+
+def calibrate_from_histogram(
+    df: DataFrame,
+    spark,
+    store,
+    stats_uuid: str,
+    *,
+    out_col: str = "pct_rank_est",
+) -> DataFrame:
+    """Serve percentile-rank calibration FROM the persisted histogram
+    statistics instead of recomputing the corpus CDF per scoring run —
+    the production twin of ``sampling.calibrate_percent_rank``: that
+    operator is exact but re-aggregates the corpus every call; this one
+    joins incoming rows against the maintained histogram (kept current
+    by :func:`update_histogram_stats` / :func:`refresh_histogram_
+    statistics`), so calibrating a batch costs one broadcast-size join
+    against O(buckets) rows — nothing corpus-shaped.
+
+    The estimate is the fraction of sketched rows in strictly LOWER
+    buckets: ``cum_below / n`` — deterministic integer arithmetic, so
+    the result is engine-reproducible; the approximation error is
+    bounded by the row's own bucket mass (≤ width resolution). Rows in
+    buckets the histogram has never seen (values newer than the last
+    refresh) and NULL scores get a NULL estimate — surfacing staleness
+    beats silently extrapolating.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_table
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, stats_uuid).metadata[_HIST_META_KEY]
+    gcols, vcol, width = meta["group_cols"], meta["value_col"], meta["width"]
+    merged = (
+        read_table(spark, st, stats_uuid)
+        .groupBy(*gcols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+    w_run = Window.partitionBy(*gcols).orderBy("bucket")
+    w_all = Window.partitionBy(*gcols)
+    cdf = (
+        merged.withColumn("__below", F.sum("cnt").over(w_run) - F.col("cnt"))
+        .withColumn("__n", F.sum("cnt").over(w_all))
+        .select(
+            *gcols,
+            "bucket",
+            (F.col("__below").cast("double") / F.col("__n")).alias(out_col),
+        )
+    )
+    bucket = F.floor(
+        F.col(vcol).cast("double") / F.lit(float(width))
+    ).cast("bigint")
+    return df.withColumn("__bucket__", bucket).join(
+        F.broadcast(cdf.withColumnRenamed("bucket", "__bucket__")),
+        on=[*gcols, "__bucket__"],
+        how="left",
+    ).drop("__bucket__")

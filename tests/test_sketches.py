@@ -591,3 +591,37 @@ def test_stats_refresh_operation_sequence_fuzz(spark, tmp_path):
                 for r in estimate_distinct(cur, ["g"], "k").collect()
             )
             assert got_d == want_d, (seed, _step, op)
+
+
+def test_calibrate_from_histogram_matches_model(spark, docs, tmp_path):
+    """Stats-served calibration equals the python CDF model (fraction
+    of sketched rows in strictly lower buckets); unseen buckets and
+    NULL scores surface as NULL rather than extrapolating."""
+    import collections
+    import math
+
+    from plateau_spark.operators.sketches import (
+        build_histogram_stats,
+        calibrate_from_histogram,
+    )
+
+    store = str(tmp_path / "h")
+    build_histogram_stats(spark, store, "h", docs, ["lang"], "n_chars", width=50.0)
+    rows = calibrate_from_histogram(docs, spark, store, "h").collect()
+    pdf = docs.select("lang", "n_chars").toPandas()
+    hist = collections.Counter(
+        (l, math.floor(c / 50.0)) for l, c in zip(pdf.lang, pdf.n_chars)
+    )
+    n_per = collections.Counter(pdf.lang)
+    for r in rows:
+        b = math.floor(r.n_chars / 50.0)
+        below = sum(v for (l, bb), v in hist.items() if l == r.lang and bb < b)
+        assert r.pct_rank_est == below / n_per[r.lang]
+    assert len(rows) == docs.count()
+
+    unseen = spark.createDataFrame(
+        [(1, "en", 10**9), (2, "xx", 100)], "doc_id long, lang string, n_chars long"
+    )
+    got = {r.doc_id: r.pct_rank_est
+           for r in calibrate_from_histogram(unseen, spark, store, "h").collect()}
+    assert got == {1: None, 2: None}
