@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "events_skew_profile",
     "streaming_distinct_monitor",
     "score_calibrate_from_stats",
+    "streaming_topk_monitor",
 ]
 
 

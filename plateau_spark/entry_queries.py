@@ -5772,6 +5772,60 @@ JOIN cdf c
 """
 
 
+def streaming_topk_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_monitor_topk + read_topk_counts: exact online heavy
+    hitters — two availableNow micro-batches append per-batch value
+    counts exactly-once; counts are additive so the merged top-k
+    hash-matches the batch computation (and this oracle) exactly.
+    Tier twin of the in-window events_skew_profile."""
+    _prep(spark)
+    import os as _os
+    import shutil as _sh
+
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        read_topk_counts,
+        stream_monitor_topk,
+    )
+
+    staged = _fresh_store("topk_monitor_src")
+    src = _fresh_store("topk_monitor_files")
+    _os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    for half, mod in (("even", 0), ("odd", 1)):
+        out = f"{staged}/{half}"
+        ev.where(F.col("event_id") % 2 == mod).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        part = [f for f in _os.listdir(out) if f.endswith(".parquet")][0]
+        _sh.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+
+    store = _fresh_store("topk_monitor")
+    ckpt = _fresh_store("topk_monitor_ckpt")
+    q = stream_monitor_topk(
+        open_parquet_stream(spark, src, reader_options={"maxFilesPerTrigger": "1"}),
+        store, "topk", [], "event_type",
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    q.awaitTermination()
+    return read_topk_counts(spark, store, "topk", k=3)
+
+
+STREAMING_TOPK_MONITOR_ORACLE = """
+WITH counts AS (
+  SELECT CAST(event_type AS VARCHAR) AS value, COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+), tot AS (SELECT SUM(cnt) AS n FROM counts),
+ranked AS (
+  SELECT value, cnt, CAST(cnt AS DOUBLE) / t.n AS share,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rnk
+  FROM counts, tot t
+)
+SELECT value, CAST(cnt AS BIGINT) AS cnt, share, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -5924,6 +5978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_histogram": text_token_histogram,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "score_calibrate_from_stats": score_calibrate_from_stats,
+    "streaming_topk_monitor": streaming_topk_monitor,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -6038,6 +6093,7 @@ ORACLES: dict[str, str] = {
     "events_skew_profile": EVENTS_SKEW_PROFILE_ORACLE,
     "streaming_distinct_monitor": STREAMING_DISTINCT_MONITOR_ORACLE,
     "score_calibrate_from_stats": SCORE_CALIBRATE_STATS_ORACLE,
+    "streaming_topk_monitor": STREAMING_TOPK_MONITOR_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

@@ -1028,3 +1028,106 @@ def stream_monitor_distinct(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_monitor_topk(
+    stream: DataFrame,
+    store,
+    dataset_uuid: str,
+    group_cols,
+    value_col: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming heavy-hitter monitor: maintain EXACT per-group value
+    counts as data arrives, for the "which domains/event types dominate
+    the ingest so far" question — the online tier of
+    ``dataflow.skew_profile``. Each micro-batch appends its
+    (group, value, cnt) counts — O(distinct values in the batch) rows —
+    through the exactly-once commit protocol; counts are additive, so
+    the merged top-k (:func:`read_topk_counts`) is exact at any point,
+    unlike sketch-based heavy hitters (Misra-Gries/SpaceSaving trade
+    exactness for bounded state; here state is bounded by the VALUE
+    DOMAIN instead, the right trade for categorical monitoring columns
+    — domains, event types, languages, status codes; do not point it at
+    an id-like column). ``compact_dataset`` on a cadence collapses the
+    per-batch rows."""
+    from pyspark.sql import functions as _F
+
+    spark = stream.sparkSession
+    meta = {
+        "topk_monitor": {
+            "group_cols": list(group_cols),
+            "value_col": value_col,
+        }
+    }
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.where(_F.col(value_col).isNotNull())
+            .groupBy(*group_cols, _F.col(value_col).cast("string").alias("value"))
+            .agg(_F.count(_F.lit(1)).alias("cnt"))
+        )
+        commit_stream_batch(
+            spark, store, dataset_uuid, counts, batch_id, extra_metadata=meta
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topk_counts(spark, store, dataset_uuid: str, *, k: int = 10) -> DataFrame:
+    """Merge the persisted per-batch counts and return the exact top-k
+    values per group: (group_cols..., value, cnt, share, rnk) — same
+    columns and tie-break (cnt desc, value asc) as
+    ``dataflow.skew_profile``. Reads O(batches × distinct values)
+    count rows, never the ingested corpus; the two-phase top-k cut
+    mirrors skew_profile so no task sorts a full value domain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_table
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, dataset_uuid).metadata["topk_monitor"]
+    gcols = meta["group_cols"]
+    merged = (
+        read_table(spark, st, dataset_uuid)
+        .groupBy(*gcols, "value")
+        .agg(_F.sum("cnt").alias("cnt"))
+    )
+    totals = merged.groupBy(*gcols).agg(_F.sum("cnt").alias("__n"))
+    order = [_F.col("cnt").desc(), _F.col("value").asc()]
+    w_local = Window.partitionBy(
+        *gcols, _F.pmod(_F.xxhash64("value"), _F.lit(32))
+    ).orderBy(*order)
+    survivors = (
+        merged.withColumn("__rk", _F.row_number().over(w_local))
+        .where(_F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    w_global = Window.partitionBy(*gcols).orderBy(*order)
+    topk = survivors.withColumn("rnk", _F.row_number().over(w_global)).where(
+        _F.col("rnk") <= k
+    )
+    joined = (
+        topk.crossJoin(_F.broadcast(totals))
+        if not gcols
+        else topk.join(_F.broadcast(totals), list(gcols))
+    )
+    return (
+        joined
+        .select(
+            *gcols,
+            "value",
+            "cnt",
+            (_F.col("cnt").cast("double") / _F.col("__n")).alias("share"),
+            "rnk",
+        )
+    )

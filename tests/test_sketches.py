@@ -625,3 +625,43 @@ def test_calibrate_from_histogram_matches_model(spark, docs, tmp_path):
     got = {r.doc_id: r.pct_rank_est
            for r in calibrate_from_histogram(unseen, spark, store, "h").collect()}
     assert got == {1: None, 2: None}
+
+
+def test_stream_monitor_topk_matches_batch_skew_profile(spark, tmp_path):
+    """Two-micro-batch drain: merged exact top-k must equal the batch
+    skew_profile over the same column (same tie-break contract)."""
+    import os
+    import shutil
+
+    from plateau_spark.operators.dataflow import skew_profile
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        read_topk_counts,
+        stream_monitor_topk,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for half, pred in (("even", "event_id % 2 = 0"), ("odd", "event_id % 2 = 1")):
+        out = str(tmp_path / half)
+        ev.where(pred).coalesce(1).write.parquet(out)
+        part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        shutil.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+
+    store = str(tmp_path / "store")
+    q = stream_monitor_topk(
+        open_parquet_stream(spark, src, reader_options={"maxFilesPerTrigger": "1"}),
+        store, "topk", [], "event_type",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.value, r.cnt, r.share, r.rnk)
+        for r in read_topk_counts(spark, store, "topk", k=3).collect()
+    )
+    want = sorted(
+        (r.value, r.cnt, r.share, r.rnk)
+        for r in skew_profile(ev, ["event_type"], k=3).collect()
+    )
+    assert got == want and len(got) == 3
