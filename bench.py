@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "streaming_distinct_monitor",
     "score_calibrate_from_stats",
     "streaming_topk_monitor",
+    "dataset_join_broadcast",
 ]
 
 

@@ -54,6 +54,8 @@ from plateau_spark.sources.dataset import (
     delete_dataset,
     garbage_collect_dataset,
     build_dataset_indices,
+    join_datasets,
+    dataset_size_bytes,
 )
 from plateau_spark.plans.index import (
     get_indices_as_dataframe,
@@ -99,6 +101,8 @@ __all__ = [
     "delete_dataset",
     "garbage_collect_dataset",
     "build_dataset_indices",
+    "join_datasets",
+    "dataset_size_bytes",
     "get_indices_as_dataframe",
     "index_as_flat_dataframe",
     "combine_metadata",

@@ -94,6 +94,14 @@ class Store:
             return os.path.exists(self.path(key))
         return self._hadoop_fs().exists(self._hadoop_path(key))  # pragma: no cover
 
+    def size(self, key: str) -> int:
+        """File size in bytes (one metadata stat — no data read)."""
+        if self._is_local:
+            return os.stat(self.path(key)).st_size
+        return self._hadoop_fs().getFileStatus(  # pragma: no cover
+            self._hadoop_path(key)
+        ).getLen()
+
     def delete(self, key: str) -> None:
         if self._is_local:
             target = self.path(key)

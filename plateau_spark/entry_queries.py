@@ -5826,6 +5826,40 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def dataset_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_datasets (sources/dataset.py): metadata-driven join
+    planning — the commit metadata's exact on-store byte sizes
+    (thread-pooled stats, no data read) broadcast-hint the smaller
+    side BEFORE the plan is built, where Spark's static estimator
+    misjudges many-small-file datasets and AQE would only recover
+    after the first shuffle. Plan-asserted in
+    tests/test_plan_quality.py with autoBroadcastJoinThreshold
+    disabled; values here are oracle-compared against the plain SQL
+    join."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        join_datasets,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("join_bcast")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    store_dataframe_as_dataset(spark, store, "orders", orders)
+    store_dataframe_as_dataset(spark, store, "cust", cust)
+    j = join_datasets(
+        spark, store, "orders", "cust",
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.select("o_orderkey", "c_name", "o_totalprice")
+
+
+DATASET_JOIN_BROADCAST_ORACLE = """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -5979,6 +6013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "score_calibrate_from_stats": score_calibrate_from_stats,
     "streaming_topk_monitor": streaming_topk_monitor,
+    "dataset_join_broadcast": dataset_join_broadcast,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -6094,6 +6129,7 @@ ORACLES: dict[str, str] = {
     "streaming_distinct_monitor": STREAMING_DISTINCT_MONITOR_ORACLE,
     "score_calibrate_from_stats": SCORE_CALIBRATE_STATS_ORACLE,
     "streaming_topk_monitor": STREAMING_TOPK_MONITOR_ORACLE,
+    "dataset_join_broadcast": DATASET_JOIN_BROADCAST_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

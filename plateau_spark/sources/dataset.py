@@ -2517,3 +2517,63 @@ def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     mp_key = naming.msgpack_metadata_key(dataset_uuid)
     if store.exists(mp_key):
         store.delete(mp_key)
+
+
+def dataset_size_bytes(store: Store | str, dataset_uuid: str) -> int:
+    """Exact on-store byte size of a dataset's current generation —
+    thread-pooled file stats over the committed file list (metadata-
+    scale driver work, no data read, no Spark job)."""
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, dataset_uuid)
+    files = [p.file for p in meta.partitions.values()]
+    if not files:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+        return sum(pool.map(st.size, files))
+
+
+def join_datasets(
+    spark: SparkSession,
+    store: Store | str,
+    left_uuid: str,
+    right_uuid: str,
+    on,
+    *,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 * 1024 * 1024,
+    left_kwargs: dict | None = None,
+    right_kwargs: dict | None = None,
+) -> DataFrame:
+    """Join two datasets with METADATA-DRIVEN broadcast planning: the
+    commit metadata knows each side's exact on-store byte size
+    (:func:`dataset_size_bytes` — thread-pooled stats, no data read),
+    so the smaller side is broadcast-hinted BEFORE the plan is built
+    whenever it fits under ``broadcast_threshold_bytes``.
+
+    Why not leave it to Spark: the static estimator inflates many-
+    small-file datasets past ``autoBroadcastJoinThreshold`` (per-file
+    overhead) and explicit-path scans of pruned reads can carry no
+    size at all, so the static planner picks a sort-merge join; AQE
+    can recover it, but only AFTER the first shuffle of both sides has
+    been written. Exact sizes from the commit turn that into a pre-
+    plan decision — at 100 TB, skipping one full shuffle of the big
+    side is the single largest join win available.
+
+    ``left_kwargs`` / ``right_kwargs`` pass through to
+    ``read_dataset_as_dataframe`` (predicates, columns, ...) — note
+    the size check is of the COMMITTED dataset, the conservative bound
+    for a predicate-pruned read (pruning only shrinks it).
+    """
+    st = _ensure_store(store)
+    left = read_dataset_as_dataframe(spark, st, left_uuid, **(left_kwargs or {}))
+    right = read_dataset_as_dataframe(spark, st, right_uuid, **(right_kwargs or {}))
+    lsize = dataset_size_bytes(st, left_uuid)
+    rsize = dataset_size_bytes(st, right_uuid)
+    if min(lsize, rsize) <= broadcast_threshold_bytes:
+        from pyspark.sql.functions import broadcast as _broadcast
+
+        if rsize <= lsize:
+            right = _broadcast(right)
+        else:
+            left = _broadcast(left)
+    return left.join(right, on, how)

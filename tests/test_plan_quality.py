@@ -496,3 +496,50 @@ def test_persisted_ivf_probe_scans_nprobe_cell_files(spark, tmp_path):
     assert 1 <= len(index_files) <= 2  # nprobe=2 cells, not the corpus
     assert len(index_files) < n_files
     assert out.count() == 3
+
+
+def test_join_datasets_broadcasts_from_commit_metadata(spark, tmp_path):
+    """Metadata-driven join planning: with Spark's own broadcast
+    threshold DISABLED (the many-small-files misestimate scenario),
+    join_datasets must still produce a BroadcastHashJoin from the
+    commit metadata's exact sizes — and a threshold of 0 must fall
+    back to the shuffle join."""
+    from pyspark.sql import functions as F
+
+    from plateau_spark.sources.dataset import (
+        dataset_size_bytes,
+        join_datasets,
+        store_dataframe_as_dataset,
+    )
+
+    store = str(tmp_path / "s")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    store_dataframe_as_dataset(spark, store, "orders", orders)
+    store_dataframe_as_dataset(spark, store, "cust", cust)
+    assert 0 < dataset_size_bytes(store, "cust") < dataset_size_bytes(
+        store, "orders"
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = join_datasets(
+            spark, store, "orders", "cust",
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert j.count() == orders.join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+
+        smj = join_datasets(
+            spark, store, "orders", "cust",
+            on=F.col("o_custkey") == F.col("c_custkey"),
+            broadcast_threshold_bytes=0,
+        )
+        plan2 = smj._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
