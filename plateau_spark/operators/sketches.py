@@ -381,42 +381,47 @@ def refresh_histogram_statistics(
     net to zero).
 
     Returns the stats DatasetMetadata; a no-change refresh (source
-    generation unchanged) commits nothing.
+    generation unchanged) commits nothing. If garbage collection has
+    reclaimed the recorded generation's snapshot (the VACUUM contract
+    — the change feed is no longer derivable), the refresh falls back
+    to one atomic full rebuild instead of failing: always correct,
+    just not incremental.
     """
     from plateau_spark.core.metadata import DatasetMetadata
     from plateau_spark.sources.dataset import (
         _ensure_store,
         read_dataset_changes,
         read_table,
+        store_dataframe_as_dataset,
         update_dataset_from_dataframe,
     )
 
     st = _ensure_store(store)
     src_gen = DatasetMetadata.load(st, source_uuid).generation
 
-    if not DatasetMetadata.exists(st, stats_uuid):
-        if group_cols is None or value_col is None or width is None:
-            raise ValueError(
-                "first refresh must pass group_cols, value_col and width"
-            )
+    def _full(overwrite: bool, gc, vc, w):
         hist = histogram_sketch(
-            read_table(spark, st, source_uuid), group_cols, value_col,
-            width=width,
+            read_table(spark, st, source_uuid), gc, vc, width=w
         )
-        from plateau_spark.sources.dataset import store_dataframe_as_dataset
-
         return store_dataframe_as_dataset(
-            spark, st, stats_uuid, hist,
+            spark, st, stats_uuid, hist, overwrite=overwrite,
             metadata={
                 _HIST_META_KEY: {
-                    "group_cols": list(group_cols),
-                    "value_col": value_col,
-                    "width": float(width),
+                    "group_cols": list(gc),
+                    "value_col": vc,
+                    "width": float(w),
                     "source_uuid": source_uuid,
                     "source_generation": int(src_gen),
                 }
             },
         )
+
+    if not DatasetMetadata.exists(st, stats_uuid):
+        if group_cols is None or value_col is None or width is None:
+            raise ValueError(
+                "first refresh must pass group_cols, value_col and width"
+            )
+        return _full(False, group_cols, value_col, width)
 
     stats_meta = DatasetMetadata.load(st, stats_uuid)
     hmeta = dict(stats_meta.metadata[_HIST_META_KEY])
@@ -428,10 +433,17 @@ def refresh_histogram_statistics(
     last_gen = int(hmeta["source_generation"])
     if src_gen == last_gen:
         return stats_meta
-    changes = read_dataset_changes(
-        spark, st, source_uuid,
-        from_generation=last_gen, to_generation=src_gen,
-    )
+    try:
+        changes = read_dataset_changes(
+            spark, st, source_uuid,
+            from_generation=last_gen, to_generation=src_gen,
+        )
+    except KeyError:
+        # GC reclaimed the recorded snapshot — incremental diff is
+        # gone; rebuild from the current corpus in one overwrite commit
+        return _full(
+            True, hmeta["group_cols"], hmeta["value_col"], hmeta["width"]
+        )
     gcols, vcol, width_ = hmeta["group_cols"], hmeta["value_col"], hmeta["width"]
     ins = histogram_sketch(
         changes.where(F.col("_change_type") == "insert"), gcols, vcol,
@@ -509,11 +521,16 @@ def refresh_distinct_statistics(
     last_gen = int(smeta["source_generation"])
     if src_gen == last_gen:
         return stats_meta
-    changes = read_dataset_changes(
-        spark, st, source_uuid,
-        from_generation=last_gen, to_generation=src_gen,
-    )
     gcols, vcol, k = smeta["group_cols"], smeta["value_col"], int(smeta["lg_k"])
+    try:
+        changes = read_dataset_changes(
+            spark, st, source_uuid,
+            from_generation=last_gen, to_generation=src_gen,
+        )
+    except KeyError:
+        # GC reclaimed the recorded snapshot — rebuild (same fallback
+        # as refresh_histogram_statistics)
+        return _full(True, gcols, vcol, k)
     if not changes.where(F.col("_change_type") == "delete").isEmpty():
         return _full(True, gcols, vcol, k)
     smeta["source_generation"] = int(src_gen)

@@ -665,3 +665,62 @@ def test_stream_monitor_topk_matches_batch_skew_profile(spark, tmp_path):
         for r in skew_profile(ev, ["event_type"], k=3).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_refresh_rebuilds_when_gc_reclaimed_snapshot(spark, docs, tmp_path):
+    """GC reclaiming the recorded source generation kills the change
+    feed — the refresh must fall back to one atomic full rebuild, not
+    fail (and the rebuilt stats must match from-scratch)."""
+    from plateau_spark.operators.sketches import (
+        estimate_distinct,
+        estimate_quantiles,
+        read_distinct_estimates,
+        read_quantile_estimates,
+        refresh_distinct_statistics,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import (
+        compact_dataset,
+        garbage_collect_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = str(tmp_path / "s")
+    d = docs.select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "d", d, partition_on=["lang"])
+    refresh_histogram_statistics(
+        spark, store, "d", "hist", ["lang"], "n_chars", width=50.0
+    )
+    refresh_distinct_statistics(spark, store, "d", "ndv", ["lang"], "doc_id")
+    # advance the source several generations, then GC old snapshots
+    update_dataset_from_dataframe(
+        spark, store, "d",
+        d.where(F.col("lang") == "en").withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        ),
+        partition_on=["lang"],
+    )
+    compact_dataset(spark, store, "d")
+    garbage_collect_dataset(store, "d")
+
+    refresh_histogram_statistics(spark, store, "d", "hist")
+    refresh_distinct_statistics(spark, store, "d", "ndv")
+    cur = read_table(spark, store, "d")
+    got_h = sorted(
+        tuple(r) for r in read_quantile_estimates(spark, store, "hist").collect()
+    )
+    want_h = sorted(
+        tuple(r)
+        for r in estimate_quantiles(cur, ["lang"], "n_chars", width=50.0).collect()
+    )
+    assert got_h == want_h
+    got_d = sorted(
+        (r[0], r[1])
+        for r in read_distinct_estimates(spark, store, "ndv").collect()
+    )
+    want_d = sorted(
+        tuple(r) for r in estimate_distinct(cur, ["lang"], "doc_id").collect()
+    )
+    assert got_d == want_d
