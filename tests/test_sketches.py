@@ -724,3 +724,70 @@ def test_refresh_rebuilds_when_gc_reclaimed_snapshot(spark, docs, tmp_path):
         tuple(r) for r in estimate_distinct(cur, ["lang"], "doc_id").collect()
     )
     assert got_d == want_d
+
+
+def test_stream_monitor_histogram_restart_processes_only_new_files(spark, tmp_path):
+    """Checkpointed restart: a second availableNow run with the SAME
+    checkpoint must process only files added since the first run —
+    the merged histogram equals the batch histogram over everything,
+    with no double counting of the first file."""
+    import os
+    import shutil
+
+    from plateau_spark.operators.sketches import (
+        estimate_quantiles,
+        read_quantile_estimates,
+    )
+    from plateau_spark.streaming.events import (
+        open_parquet_stream,
+        stream_monitor_histogram,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    halves = {}
+    for half, pred in (("even", "event_id % 2 = 0"), ("odd", "event_id % 2 = 1")):
+        out = str(tmp_path / half)
+        ev.where(pred).coalesce(1).write.parquet(out)
+        part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        halves[half] = f"{out}/{part}"
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    shutil.copy(halves["even"], f"{src}/even.parquet")
+    q1 = stream_monitor_histogram(
+        open_parquet_stream(spark, src), store, "hist",
+        ["event_type"], "value", width=25.0,
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    q1.awaitTermination()
+    first = sorted(
+        tuple(r)
+        for r in read_quantile_estimates(spark, store, "hist").collect()
+    )
+    even_only = sorted(
+        tuple(r)
+        for r in estimate_quantiles(
+            ev.where("event_id % 2 = 0"), ["event_type"], "value", width=25.0
+        ).collect()
+    )
+    assert first == even_only
+
+    shutil.copy(halves["odd"], f"{src}/odd.parquet")
+    q2 = stream_monitor_histogram(
+        open_parquet_stream(spark, src), store, "hist",
+        ["event_type"], "value", width=25.0,
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    q2.awaitTermination()
+    merged = sorted(
+        tuple(r)
+        for r in read_quantile_estimates(spark, store, "hist").collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in estimate_quantiles(ev, ["event_type"], "value", width=25.0).collect()
+    )
+    assert merged == full
