@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "score_calibrate_from_stats",
     "streaming_topk_monitor",
     "dataset_join_broadcast",
+    "text_normalize_nfc",
 ]
 
 

@@ -5860,6 +5860,32 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_documents (operators/text.py): Unicode NFC
+    normalization — combining-sequence suffixes planted on every doc
+    so the kernel does real composition work; python's unicodedata and
+    DuckDB's nfc_normalize both implement the Unicode-standard
+    algorithm, so the outputs hash-match exactly."""
+    _prep(spark)
+    from plateau_spark.operators.text import normalize_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" cafe\u0301 nai\u0308ve A\u030a")).alias(
+            "text"
+        ),
+    )
+    return normalize_documents(planted, "text")
+
+
+TEXT_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       nfc_normalize(text || ' cafe\u0301 nai\u0308ve A\u030a') AS text
+FROM documents
+"""
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -6014,6 +6040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_calibrate_from_stats": score_calibrate_from_stats,
     "streaming_topk_monitor": streaming_topk_monitor,
     "dataset_join_broadcast": dataset_join_broadcast,
+    "text_normalize_nfc": text_normalize_nfc,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,
@@ -6130,6 +6157,7 @@ ORACLES: dict[str, str] = {
     "score_calibrate_from_stats": SCORE_CALIBRATE_STATS_ORACLE,
     "streaming_topk_monitor": STREAMING_TOPK_MONITOR_ORACLE,
     "dataset_join_broadcast": DATASET_JOIN_BROADCAST_ORACLE,
+    "text_normalize_nfc": TEXT_NORMALIZE_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "quality_tier_split": QUALITY_TIER_ORACLE,
     "text_lm_score": TEXT_LM_SCORE_ORACLE,

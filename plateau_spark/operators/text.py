@@ -1120,3 +1120,44 @@ def compression_ratio_signals(
             (ratio >= F.lit(low)) & (ratio <= F.lit(high)), F.lit(False)
         ).alias("keep_compression"),
     )
+
+
+def normalize_text_col_udf(form: str = "NFC"):
+    """Arrow-batched Unicode normalization kernel (NFC/NFD/NFKC/NFKD
+    via python's unicodedata — the Unicode-standard algorithm, so NFC
+    output is bit-identical to DuckDB's ``nfc_normalize``, which makes
+    the op oracle-checkable). Spark has no built-in normalizer; a
+    raw web crawl mixes precomposed and combining-sequence encodings
+    of the SAME text, which silently breaks exact dedup, shingling,
+    and every string equi-join — normalize FIRST, then fingerprint.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def norm(texts):
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return pandas_udf(norm, "string")
+
+
+def normalize_documents(
+    df: DataFrame,
+    text_col: str,
+    *,
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Normalize a text column to a canonical Unicode form (default
+    NFC; NFKC additionally folds compatibility characters — ligatures,
+    fullwidth forms, Roman numerals — the usual choice before
+    tokenization). One linear Arrow pass, no shuffle; NULL passes
+    through. Writes ``out_col`` (default: in place)."""
+    out = out_col or text_col
+    return df.withColumn(out, normalize_text_col_udf(form)(F.col(text_col)))

@@ -822,3 +822,36 @@ def test_compression_signal_level_changes_bytes_not_contract(spark):
     best = compression_ratio_signals(df, "doc_id", "text", level=9).collect()[0]
     assert fast.raw_bytes == best.raw_bytes
     assert best.deflate_bytes <= fast.deflate_bytes
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+
+
+def test_normalize_documents_forms_and_nulls(spark):
+    import unicodedata
+
+    from plateau_spark.operators.text import (
+        normalize_documents,
+        normalize_text_col_udf,
+    )
+
+    decomposed = "café naïve Å"
+    compat = "Ⅳ Ａ ﬁ"  # Ⅳ Ａ ﬁ
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, compat), (3, None)], "id long, text string"
+    )
+    nfc = {r.id: r.text for r in normalize_documents(df, "text").collect()}
+    assert nfc[1] == unicodedata.normalize("NFC", decomposed) == "café naïve Å"
+    assert nfc[2] == compat  # NFC leaves compatibility chars alone
+    assert nfc[3] is None
+    nfkc = {r.id: r.text
+            for r in normalize_documents(df, "text", form="NFKC").collect()}
+    assert nfkc[2] == "IV A fi"
+    # out_col leaves the source column untouched
+    both = normalize_documents(df, "text", out_col="norm").collect()
+    assert {r.id: (r.text, r.norm) for r in both}[1][0] == decomposed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_text_col_udf("NFX")
