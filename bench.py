@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "streaming_topk_monitor",
     "dataset_join_broadcast",
     "text_normalize_nfc",
+    "embedding_pq_topk",
 ]
 
 

@@ -5886,6 +5886,30 @@ FROM documents
 """
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fit_pq_model / encode_pq / pq_topk (operators/similarity.py):
+    product-quantization ANN — per-subspace k-means codebooks (xxhash64
+    seeding, deterministic), 8-code compressed corpus, ADC lookup-table
+    scan over the code column only, exact re-rank of the over-fetched
+    shortlist. Rows-only driver check (codebook k-means has no SQL
+    twin); the ADC arithmetic and encode argmins are asserted against
+    numpy twins and recall≥0.9 in tests/test_pipeline_ops_r9.py."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import (
+        encode_pq,
+        fit_pq_model,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pq_model(emb, m=8, k=32, refine_iterations=1)
+    codes = encode_pq(emb, model)
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(codes, queries, model, k=10, refine_with=emb, overfetch=4)
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -6041,6 +6065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_topk_monitor": streaming_topk_monitor,
     "dataset_join_broadcast": dataset_join_broadcast,
     "text_normalize_nfc": text_normalize_nfc,
+    "embedding_pq_topk": embedding_pq_topk,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,

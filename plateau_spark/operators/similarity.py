@@ -1190,3 +1190,231 @@ def random_project_embeddings(
         )
         comps.append(F.round(acc, round_digits) if round_digits else acc)
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+
+
+def fit_pq_model(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    refine_iterations: int = 2,
+    id_col: str = "vec_id",
+) -> dict:
+    """Fit product-quantization codebooks: the dim axis splits into
+    ``m`` contiguous subvectors and each subspace gets its own ``k``
+    centroids (per-subspace k-means — deterministic xxhash64(id)
+    seeding + the shared two-phase Lloyd refinement, so the model is a
+    pure function of the corpus). A vector then encodes as ``m`` small
+    codes — 8 bytes at m=8 — a 32× storage/shuffle compression of a
+    64-dim float32 embedding, queried in the compressed domain via ADC
+    (:func:`pq_topk`).
+
+    The model is plain JSON-able lists (m × k × dim/m floats — KBs),
+    persistable in dataset metadata exactly like the IVF centroids.
+    At 100 TB fit on a SAMPLE (``corpus.sample(...)``) — codebook
+    quality converges long before millions of training vectors, and
+    every pass here scans the frame it is given ``m·iterations`` times.
+
+    Returns ``{"m", "k", "dim", "sub_dim", "codebooks": [[...k
+    centroids...] per subspace]}``.
+    """
+    dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        sub_df = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub__"),
+        )
+        cents = ivf_centroids(
+            sub_df, id_col=id_col, vec_col="__sub__",
+            n_centroids=k, refine_iterations=refine_iterations,
+        )
+        codebooks.append([c for _, c in cents])
+    return {"m": m, "k": k, "dim": dim, "sub_dim": sub, "codebooks": codebooks}
+
+
+def encode_pq(
+    df: DataFrame,
+    model: dict,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id_col, out_col array<int>) — one
+    Arrow pass computing all ``m`` sub-argmins per vector in numpy
+    (codebooks ride into the closure: KBs). No shuffle."""
+    import numpy as np
+
+    m, sub = model["m"], model["sub_dim"]
+    books = [np.array(b, dtype=np.float64) for b in model["codebooks"]]
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub:(j + 1) * sub]
+                # (n,k) squared L2 via ||s||² - 2s·c + ||c||²
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * S @ books[j].T
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [list(map(int, c)) for c in codes]}
+            )
+
+    schema = f"{id_col} long, {out_col} array<int>"
+    return df.select(id_col, vec_col).mapInPandas(_encode, schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_digits: int = 6,
+    refine_with: DataFrame | None = None,
+    refine_vec_col: str = "embedding",
+    overfetch: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k in the COMPRESSED domain:
+    (query_id, vec_id, dist2, rank). Per task, each query becomes an
+    m×k lookup table (squared L2 from the query subvector to every
+    codebook centroid) and a corpus vector's distance is ``m`` table
+    gathers — no decompression, no float vectors shuffled, the scan
+    reads only the code column (8-ish bytes/vector).
+
+    Two-phase top-k: numpy partition-local top-k per query inside the
+    Arrow pass (P × Q × k candidate rows leave the scan), then one tiny
+    global window. Distances round to ``round_digits`` and tie-break on
+    id, so results are deterministic. Queries must be a driver-size
+    frame (they broadcast into the closure).
+
+    ``refine_with`` (the original vector frame) switches on the
+    shortlist-then-rerank pattern: ADC over-fetches ``overfetch·k``
+    candidates, ONLY those rows' true vectors are joined back (an
+    equi-join on id — O(queries·k·overfetch) rows against the corpus),
+    and the final top-k uses exact squared L2. Quantization error then
+    only costs recall a candidate missed in the shortlist — the
+    standard compressed-ANN serving shape: scan bytes stay
+    code-column-size, full vectors are read for a few dozen rows per
+    query."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    m, sub = model["m"], model["sub_dim"]
+    books = [np.array(b, dtype=np.float64) for b in model["codebooks"]]
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = [r[0] for r in qrows]
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    tables = np.empty((len(qids), m, model["k"]), dtype=np.float64)
+    for j in range(m):
+        S = Q[:, j * sub:(j + 1) * sub]
+        tables[:, j, :] = (
+            (S * S).sum(axis=1)[:, None]
+            - 2.0 * S @ books[j].T
+            + (books[j] * books[j]).sum(axis=1)[None, :]
+        )
+
+    fetch = k * overfetch if refine_with is not None else k
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(list(pdf[code_col]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids)):
+                d = np.zeros(len(C))
+                for j in range(m):
+                    d += tables[qi, j, C[:, j]]
+                take = min(fetch, len(d))
+                part = np.argpartition(d, take - 1)[:take]
+                out_q.extend([qids[qi]] * take)
+                out_i.extend(ids[part])
+                out_d.extend(d[part])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "dist2": out_d}
+            )
+
+    cand = codes.select(id_col, code_col).mapInPandas(
+        _scan, f"{query_id_col} long, {id_col} long, dist2 double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("dist2"), round_digits).asc(), F.col(id_col).asc()
+    )
+    shortlist = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= fetch
+    )
+    if refine_with is None:
+        return shortlist.select(
+            query_id_col,
+            id_col,
+            F.round(F.col("dist2"), round_digits).alias("dist2"),
+            "rank",
+        )
+
+    # exact re-rank: only the shortlist's true vectors are read — the
+    # tiny shortlist broadcasts, so the corpus-side join is map-side
+    vec_col = refine_vec_col
+    exact = (
+        refine_with.select(id_col, F.col(vec_col).alias("__v__"))
+        .join(F.broadcast(shortlist.select(query_id_col, id_col)), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(query_vec_col).alias("__qv__"))
+            ),
+            query_id_col,
+        )
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "__v__", "__qv__",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("dist2"), round_digits).asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("dist2"), round_digits).alias("dist2"),
+            "rank",
+        )
+    )

@@ -855,3 +855,115 @@ def test_normalize_documents_forms_and_nulls(spark):
 
     with _pytest.raises(ValueError):
         normalize_text_col_udf("NFX")
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_fit_deterministic_and_guards(spark, emb):
+    from plateau_spark.operators.similarity import fit_pq_model
+
+    m1 = fit_pq_model(emb, m=8, k=16, refine_iterations=1)
+    m2 = fit_pq_model(emb, m=8, k=16, refine_iterations=1)
+    assert m1 == m2
+    assert m1["sub_dim"] == 8 and len(m1["codebooks"]) == 8
+    assert all(len(b) == 16 for b in m1["codebooks"])
+    with pytest.raises(ValueError):
+        fit_pq_model(emb, m=7, k=16)  # 64 % 7 != 0
+
+
+def test_pq_encode_matches_numpy_twin(spark, emb):
+    import numpy as np
+
+    from plateau_spark.operators.similarity import encode_pq, fit_pq_model
+
+    model = fit_pq_model(emb, m=8, k=16, refine_iterations=1)
+    codes = {r.vec_id: r.pq_code for r in encode_pq(emb, model).collect()}
+    books = [np.array(b) for b in model["codebooks"]]
+    sub = model["sub_dim"]
+    for r in emb.limit(50).collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        want = [
+            int(((v[j * sub:(j + 1) * sub] - books[j]) ** 2).sum(axis=1).argmin())
+            for j in range(8)
+        ]
+        assert codes[r.vec_id] == want
+
+
+def test_pq_topk_adc_matches_python_twin(spark, emb):
+    import numpy as np
+
+    from plateau_spark.operators.similarity import (
+        encode_pq,
+        fit_pq_model,
+        pq_topk,
+    )
+
+    model = fit_pq_model(emb, m=8, k=16, refine_iterations=1)
+    codes = encode_pq(emb, model)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(codes, queries, model, k=10)
+    got = {}
+    for r in top.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+
+    books = [np.array(b) for b in model["codebooks"]]
+    sub = model["sub_dim"]
+    all_codes = {r.vec_id: r.pq_code for r in codes.collect()}
+    for q in queries.collect():
+        qv = np.array(q.embedding, dtype=np.float64)
+        tables = [
+            ((qv[j * sub:(j + 1) * sub] - books[j]) ** 2).sum(axis=1)
+            for j in range(8)
+        ]
+        dist = {
+            i: sum(tables[j][c[j]] for j in range(8))
+            for i, c in all_codes.items()
+        }
+        want = [i for _, i in sorted((round(d, 6), i) for i, d in dist.items())[:10]]
+        assert got[q.query_id] == want
+
+
+def test_pq_rerank_lifts_recall(spark, emb):
+    import numpy as np
+
+    from plateau_spark.operators.similarity import (
+        encode_pq,
+        fit_pq_model,
+        pq_topk,
+    )
+
+    V = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    ids = [r.vec_id for r in emb.collect()]
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = fit_pq_model(emb, m=8, k=64, refine_iterations=2)
+    codes = encode_pq(emb, model)
+
+    def recall(top):
+        got = {}
+        for r in top.collect():
+            got.setdefault(r.query_id, []).append(r.vec_id)
+        recs = []
+        for q in queries.collect():
+            qv = np.array(q.embedding, dtype=np.float64)
+            d = ((V - qv) ** 2).sum(axis=1)
+            exact = {ids[i] for i in np.argsort(d)[:10]}
+            recs.append(len(exact & set(got[q.query_id])) / 10)
+        return sum(recs) / len(recs)
+
+    adc = recall(pq_topk(codes, queries, model, k=10))
+    rer = recall(
+        pq_topk(codes, queries, model, k=10, refine_with=emb, overfetch=8)
+    )
+    assert rer >= 0.9
+    assert rer >= adc
