@@ -30,11 +30,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins — one per queries() entry, with
-    exactly three rows-only exceptions where no SQL engine can replay
-    the computation: embedding_pca (eigendecomposition),
-    text_compression_signal (zlib DEFLATE) and embedding_pq_topk
-    (k-means codebooks); all numerically asserted against python twins
-    in tests. (The engine-specific
+    rows-only exceptions ONLY where no SQL engine can replay the
+    computation: embedding_pca (eigendecomposition),
+    text_compression_signal (zlib DEFLATE), and
+    embedding_pq_topk / embedding_pq_persisted (k-means codebooks);
+    all numerically asserted against python twins in tests. (The engine-specific
     xxhash64 minhash/simhash spellings are library API + bench lines;
     their registry representatives are the md5 twins running the
     identical pipeline.)"""

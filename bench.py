@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "dataset_join_broadcast",
     "text_normalize_nfc",
     "embedding_pq_topk",
+    "embedding_pq_persisted",
 ]
 
 

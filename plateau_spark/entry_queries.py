@@ -5910,6 +5910,34 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, queries, model, k=10, refine_with=emb, overfetch=4)
 
 
+def embedding_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build/update/query_pq_index lifecycle: codes persisted as a
+    plateau dataset (codebooks in metadata, like IVF centroids), the
+    second half appended with FROZEN codebooks, then an ADC+rerank
+    query against the index. Rows-only; equivalence to the direct
+    pq_topk path is test-asserted."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+        update_pq_index,
+    )
+
+    store = _fresh_store("pq_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_pq_index(
+        spark, store, "pq", emb.where(F.col("vec_id") % 2 == 0),
+        m=8, k=32, refine_iterations=1,
+    )
+    update_pq_index(spark, store, "pq", emb.where(F.col("vec_id") % 2 == 1))
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return query_pq_index(
+        spark, store, "pq", queries, k=10, refine_with=emb, overfetch=4
+    )
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -6066,6 +6094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_join_broadcast": dataset_join_broadcast,
     "text_normalize_nfc": text_normalize_nfc,
     "embedding_pq_topk": embedding_pq_topk,
+    "embedding_pq_persisted": embedding_pq_persisted,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,

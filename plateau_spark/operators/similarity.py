@@ -1418,3 +1418,85 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def build_pq_index(
+    spark,
+    store,
+    index_uuid: str,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 64,
+    refine_iterations: int = 2,
+    overwrite: bool = False,
+):
+    """Persist a PQ index as a plateau dataset: the code column is the
+    data (8-ish bytes/vector — the 32×-compressed serving copy of the
+    corpus), the codebooks ride in user metadata (KBs, exactly like the
+    IVF centroids and BM25 stats). Atomic commit, GC, time travel and
+    compaction all apply."""
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    model = fit_pq_model(
+        corpus, vec_col=vec_col, m=m, k=k,
+        refine_iterations=refine_iterations, id_col=id_col,
+    )
+    codes = encode_pq(corpus, model, id_col=id_col, vec_col=vec_col)
+    return store_dataframe_as_dataset(
+        spark, store, index_uuid, codes, overwrite=overwrite,
+        metadata={"pq": {**model, "id_col": id_col, "vec_col": vec_col}},
+    )
+
+
+def update_pq_index(spark, store, index_uuid: str, new_vectors: DataFrame):
+    """Append new vectors to a persisted PQ index — O(new vectors):
+    encode with the FROZEN codebooks from the index metadata and append
+    (the standard PQ maintenance contract: codebooks fixed at build
+    time; re-fit via a fresh ``build_pq_index(overwrite=True)`` when
+    the vector distribution drifts). Append-only on ``id_col``."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        update_dataset_from_dataframe,
+    )
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, index_uuid).metadata["pq"]
+    codes = encode_pq(
+        new_vectors, meta, id_col=meta["id_col"], vec_col=meta["vec_col"]
+    )
+    return update_dataset_from_dataframe(spark, st, index_uuid, codes)
+
+
+def query_pq_index(
+    spark,
+    store,
+    index_uuid: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_vec_col: str = "embedding",
+    overfetch: int = 4,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: reads the code column
+    only; pass ``refine_with=`` (the original vector frame or a
+    ``read_table`` of it) for the shortlist-then-exact-rerank tier."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_table
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, index_uuid).metadata["pq"]
+    codes = read_table(spark, st, index_uuid)
+    return pq_topk(
+        codes, queries, meta, k=k,
+        id_col=meta["id_col"], code_col="pq_code",
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        refine_with=refine_with, refine_vec_col=refine_vec_col,
+        overfetch=overfetch,
+    )

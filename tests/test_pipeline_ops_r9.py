@@ -967,3 +967,50 @@ def test_pq_rerank_lifts_recall(spark, emb):
     )
     assert rer >= 0.9
     assert rer >= adc
+
+
+def test_pq_index_persist_query_and_incremental_append(spark, emb, tmp_path):
+    """Persisted index query equals the direct pq_topk; appending new
+    vectors with the frozen codebooks equals a full re-encode."""
+    from plateau_spark.operators.similarity import (
+        build_pq_index,
+        encode_pq,
+        fit_pq_model,
+        pq_topk,
+        query_pq_index,
+        update_pq_index,
+    )
+
+    store = str(tmp_path / "s")
+    half = emb.where("vec_id % 2 = 0")
+    build_pq_index(spark, store, "pq", half, m=8, k=16, refine_iterations=1)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r)
+        for r in query_pq_index(spark, store, "pq", queries, k=5).collect()
+    )
+    model = fit_pq_model(half, m=8, k=16, refine_iterations=1)
+    want = sorted(
+        tuple(r)
+        for r in pq_topk(encode_pq(half, model), queries, model, k=5).collect()
+    )
+    assert got == want and got
+
+    # incremental append with frozen codebooks == full re-encode
+    update_pq_index(spark, store, "pq", emb.where("vec_id % 2 = 1"))
+    got2 = sorted(
+        tuple(r)
+        for r in query_pq_index(spark, store, "pq", queries, k=5).collect()
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in pq_topk(encode_pq(emb, model), queries, model, k=5).collect()
+    )
+    assert got2 == want2
+    # rerank tier through the index
+    rer = query_pq_index(
+        spark, store, "pq", queries, k=5, refine_with=emb, overfetch=4
+    )
+    assert rer.count() == 15
