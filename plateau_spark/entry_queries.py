@@ -6016,26 +6016,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
     #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus the sixteen queries NEW this round (text_bm25_topk,
-    #     text_bm25_indexed, hybrid_search_rrf,
-    #     retrieval_hard_negatives, streaming_ingest_neardup,
-    #     web_html_extract, dataset_changes_read,
-    #     sketch_distinct_users, sketch_incremental_lifecycle,
-    #     score_calibrate_pct, histogram_quantiles,
-    #     streaming_histogram_monitor, text_compression_signal,
-    #     dataset_stats_refresh, events_skew_profile — no driver
-    #     evidence yet;
-    #     text_compression_signal (rows-only by design) and
-    #     streaming_distinct_monitor (tier twin of in-window
-    #     streaming_histogram_monitor) sit first outside the window). The displaced entries they displace (winnow_overlap_pairs,
-    #     semdedup_keep, decontaminate_bloom, text_quality_classifier,
-    #     dedup_cluster_keep, decontaminate_substring/_fuzzy,
-    #     quality_tier_split, text_c4_clean, sample_stratified,
-    #     sample_mixture,
-    #     embedding_outliers, text_winnow_fingerprints, text_token_histogram — r5–r8
-    #     driver-green, code untouched) were re-swept green by
-    #     tools/check_parity.py at sf0.01 this round, as were
-    #     sample_shuffle_epoch, embedding_kmeans, bitext_mine_pairs ---
+    #     plus 14 of the 22 queries NEW this round, none with prior
+    #     driver evidence (text_bm25_topk, text_bm25_indexed,
+    #     hybrid_search_rrf, retrieval_hard_negatives,
+    #     streaming_ingest_neardup, web_html_extract,
+    #     dataset_changes_read, sketch_distinct_users,
+    #     sketch_incremental_lifecycle, score_calibrate_pct,
+    #     histogram_quantiles, streaming_histogram_monitor,
+    #     dataset_stats_refresh, events_skew_profile). The other 8 new
+    #     queries sit first after the window — each is either
+    #     rows-only by design (text_compression_signal,
+    #     embedding_pq_topk, embedding_pq_persisted) or the tier twin
+    #     of an in-window representative (streaming_distinct_monitor,
+    #     streaming_topk_monitor, score_calibrate_from_stats,
+    #     dataset_join_broadcast, text_normalize_nfc) — ALL 22 were
+    #     parity-verified green by tools/check_parity.py at sf0.01
+    #     this round, as was the ENTIRE 50-entry window in one sweep
+    #     (50/50, third session). The displaced old entries
+    #     (winnow_overlap_pairs, semdedup_keep, decontaminate_bloom,
+    #     text_quality_classifier, dedup_cluster_keep,
+    #     decontaminate_substring/_fuzzy, quality_tier_split,
+    #     text_c4_clean, sample_stratified, sample_mixture,
+    #     embedding_outliers, text_winnow_fingerprints,
+    #     text_token_histogram — r5–r8 driver-green, code untouched)
+    #     were also re-swept green, as were sample_shuffle_epoch,
+    #     embedding_kmeans, bitext_mine_pairs ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
