@@ -33,7 +33,8 @@ def oracle_sql() -> dict[str, str]:
     rows-only exceptions ONLY where no SQL engine can replay the
     computation: embedding_pca (eigendecomposition),
     text_compression_signal (zlib DEFLATE), and
-    embedding_pq_topk / embedding_pq_persisted (k-means codebooks);
+    embedding_pq_topk / embedding_pq_persisted /
+    embedding_ivfpq_query (k-means codebooks);
     all numerically asserted against python twins in tests. (The engine-specific
     xxhash64 minhash/simhash spellings are library API + bench lines;
     their registry representatives are the md5 twins running the

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "text_normalize_nfc",
     "embedding_pq_topk",
     "embedding_pq_persisted",
+    "embedding_ivfpq_query",
 ]
 
 

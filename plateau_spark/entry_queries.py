@@ -5938,6 +5938,34 @@ def embedding_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build/query_ivfpq_index: the full compressed-serving
+    composition — coarse cells as the partition key (probing = a
+    partition-pruned read of O(nprobe) files), residuals
+    product-quantized with shared codebooks (no float vectors stored),
+    per-(query, cell) ADC tables, exact re-rank of the over-fetched
+    shortlist. Rows-only; recall and pruning are test-asserted."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    store = _fresh_store("ivfpq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivfpq_index(
+        spark, store, "ix", emb, n_centroids=8, m=8, pq_k=32,
+        pq_refine_iterations=1,
+    )
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return query_ivfpq_index(
+        spark, store, "ix", queries, k=10, nprobe=8,
+        refine_with=emb, overfetch=4,
+    )
+
+
 def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """refresh_histogram_statistics (operators/sketches.py): statistics
     maintenance driven by the change-data feed — the first refresh
@@ -6100,6 +6128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize_nfc": text_normalize_nfc,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_pq_persisted": embedding_pq_persisted,
+    "embedding_ivfpq_query": embedding_ivfpq_query,
     "sample_stratified": sample_stratified,
     "quality_tier_split": quality_tier_split,
     "text_c4_clean": text_c4_clean,

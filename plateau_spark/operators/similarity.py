@@ -1500,3 +1500,237 @@ def query_pq_index(
         refine_with=refine_with, refine_vec_col=refine_vec_col,
         overfetch=overfetch,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-pruned compressed-domain ANN (the full serving composition)
+
+
+def build_ivfpq_index(
+    spark,
+    store,
+    index_uuid: str,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    refine_iterations: int = 1,
+    m: int = 8,
+    pq_k: int = 64,
+    pq_refine_iterations: int = 2,
+    overwrite: bool = False,
+):
+    """Persist an IVF-PQ index: corpus vectors assign to their nearest
+    coarse cell (partition key, as in :func:`build_ivf_index`) and the
+    RESIDUAL ``v - centroid`` is product-quantized with codebooks
+    SHARED across cells (the classic IVF-PQ layout — residuals
+    concentrate near the origin, so one codebook set fits all cells).
+    The stored rows are (cell, id, pq_code): the index holds NO float
+    vectors — 8-ish bytes per vector plus the KB-scale centroids +
+    codebooks in user metadata. Query = partition-pruned read of
+    O(nprobe) cell files × ADC over codes (:func:`query_ivfpq_index`)
+    — both the file list AND the bytes per file shrink, the
+    composition a 100 TB serving corpus actually needs."""
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    centroids = ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, refine_iterations=refine_iterations,
+    )
+    cent = _centroid_df(spark, centroids)
+    resid = (
+        _assign_to_centroids(corpus, vec_col, [id_col], centroids)
+        .join(F.broadcast(cent), "__cid__")
+        .select(
+            F.col("__cid__").alias("cell"),
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col), F.col("__cvec__"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("__res__"),
+        )
+    )
+    model = fit_pq_model(
+        resid, vec_col="__res__", m=m, k=pq_k,
+        refine_iterations=pq_refine_iterations, id_col=id_col,
+    )
+    codes = encode_pq(
+        resid.select("cell", F.col(id_col), F.col("__res__")).withColumnRenamed(
+            "__res__", "__res__"
+        ),
+        model, id_col=id_col, vec_col="__res__",
+    )
+    # encode_pq projects to (id, code); re-attach the cell by id join
+    with_cell = resid.select("cell", id_col).join(codes, id_col)
+    return store_dataframe_as_dataset(
+        spark, store, index_uuid,
+        with_cell.select("cell", F.col(id_col), "pq_code"),
+        partition_on=["cell"],
+        overwrite=overwrite,
+        metadata={
+            "ivfpq": {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": [
+                    [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+                ],
+                **{k_: model[k_] for k_ in ("m", "k", "dim", "sub_dim", "codebooks")},
+            }
+        },
+    )
+
+
+def query_ivfpq_index(
+    spark,
+    store,
+    index_uuid: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 8,
+    refine_with: DataFrame | None = None,
+    refine_vec_col: str = "embedding",
+    overfetch: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k over a persisted IVF-PQ index: each query keeps its
+    ``nprobe`` nearest cells (L2 to the KB-scale centroids,
+    driver-side numpy); the probed cells become an IN-predicate on the
+    partition key (O(nprobe) files enter the scan — plan-asserted);
+    inside the scan each (query, cell) pair gets an m×k ADC table
+    built from the query RESIDUAL against that cell's centroid, and a
+    code's distance is m gathers. ``refine_with`` re-ranks the
+    over-fetched shortlist with exact L2 against the true vectors —
+    recall then only depends on the shortlist, not the quantization.
+
+    Output: (query_id, vec_id, dist2, rank); deterministic
+    (round + id tie-break)."""
+    import numpy as np
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _ensure_store,
+        read_dataset_as_dataframe,
+    )
+
+    st = _ensure_store(store)
+    meta = DatasetMetadata.load(st, index_uuid).metadata["ivfpq"]
+    id_col = meta["id_col"]
+    m, sub, K = meta["m"], meta["sub_dim"], meta["k"]
+    books = [np.array(b, dtype=np.float64) for b in meta["codebooks"]]
+    cent = {int(cid): np.array(v, dtype=np.float64) for cid, v in meta["centroids"]}
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = [r[0] for r in qrows]
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+
+    # nprobe nearest cells per query (numpy over KB-scale centroids)
+    cids = sorted(cent)
+    C = np.array([cent[c] for c in cids])
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (nq, K)
+    probe_sets: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, d2[qi]))[:nprobe]
+        probe_sets[qi] = [cids[i] for i in order]
+    probed_cells = sorted({c for cs in probe_sets.values() for c in cs})
+
+    # ADC tables per (query, probed cell): residual q - centroid_cell
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(qids)):
+        for c in probe_sets[qi]:
+            r = Q[qi] - cent[c]
+            t = np.empty((m, K))
+            for j in range(m):
+                S = r[j * sub:(j + 1) * sub]
+                t[j] = ((S[None, :] - books[j]) ** 2).sum(axis=1)
+            tables[(qi, c)] = t
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe_sets[qi]:
+            by_cell.setdefault(c, []).append(qi)
+
+    fetch = k * overfetch if refine_with is not None else k
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_i, out_d = [], [], []
+            for c, grp in pdf.groupby("cell"):
+                qis = by_cell.get(int(c))
+                if not qis:
+                    continue
+                Cc = np.array(list(grp["pq_code"]), dtype=np.int64)
+                ids = grp[id_col].to_numpy()
+                for qi in qis:
+                    t = tables[(qi, int(c))]
+                    d = np.zeros(len(Cc))
+                    for j in range(m):
+                        d += t[j, Cc[:, j]]
+                    take = min(fetch, len(d))
+                    part = np.argpartition(d, take - 1)[:take]
+                    out_q.extend([qids[qi]] * take)
+                    out_i.extend(ids[part])
+                    out_d.extend(d[part])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_i, "dist2": out_d}
+                )
+
+    cells_df = read_dataset_as_dataframe(
+        spark, st, index_uuid, predicates=[[("cell", "in", probed_cells)]]
+    )
+    cand = cells_df.select("cell", id_col, "pq_code").mapInPandas(
+        _scan, f"{query_id_col} long, {id_col} long, dist2 double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("dist2"), round_digits).asc(), F.col(id_col).asc()
+    )
+    shortlist = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= fetch
+    )
+    if refine_with is None:
+        return shortlist.where(F.col("rank") <= k).select(
+            query_id_col, id_col,
+            F.round(F.col("dist2"), round_digits).alias("dist2"), "rank",
+        )
+    exact = (
+        refine_with.select(id_col, F.col(refine_vec_col).alias("__v__"))
+        .join(F.broadcast(shortlist.select(query_id_col, id_col)), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(query_vec_col).alias("__qv__"))
+            ),
+            query_id_col,
+        )
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "__v__", "__qv__",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("dist2"), round_digits).asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col,
+            F.round(F.col("dist2"), round_digits).alias("dist2"), "rank",
+        )
+    )

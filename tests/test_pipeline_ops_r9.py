@@ -1014,3 +1014,54 @@ def test_pq_index_persist_query_and_incremental_append(spark, emb, tmp_path):
         spark, store, "pq", queries, k=5, refine_with=emb, overfetch=4
     )
     assert rer.count() == 15
+
+
+def test_ivfpq_index_recall_pruning_and_no_float_vectors(spark, emb, tmp_path):
+    """IVF-PQ capstone: the index stores ONLY (cell, id, code) — no
+    float vectors; probing prunes the file list to the probed cells;
+    recall with exact re-rank ≥0.9 when probing all cells (pure
+    PQ+rerank) and ≥0.6 at half the cells."""
+    import numpy as np
+
+    from plateau_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    store = str(tmp_path / "s")
+    build_ivfpq_index(spark, store, "ix", emb, n_centroids=16, m=8, pq_k=64)
+    idx = read_dataset_as_dataframe(spark, store, "ix")
+    assert set(idx.columns) == {"cell", "vec_id", "pq_code"}
+    all_files = len(idx.inputFiles())
+    pruned = len(
+        read_dataset_as_dataframe(
+            spark, store, "ix", predicates=[[("cell", "in", [0, 1, 2, 3])]]
+        ).inputFiles()
+    )
+    assert pruned < all_files
+
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    V = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    ids = [r.vec_id for r in emb.collect()]
+
+    def recall(nprobe):
+        top = query_ivfpq_index(
+            spark, store, "ix", queries, k=10, nprobe=nprobe,
+            refine_with=emb, overfetch=8,
+        )
+        got = {}
+        for r in top.collect():
+            got.setdefault(r.query_id, []).append(r.vec_id)
+        recs = []
+        for q in queries.collect():
+            qv = np.array(q.embedding, dtype=np.float64)
+            d = ((V - qv) ** 2).sum(axis=1)
+            exact = {ids[i] for i in np.argsort(d)[:10]}
+            recs.append(len(exact & set(got[q.query_id])) / 10)
+        return sum(recs) / len(recs)
+
+    assert recall(16) >= 0.9   # all cells probed: pure PQ+rerank quality
+    assert recall(8) >= 0.6    # half the cells: coarse-quantizer recall
