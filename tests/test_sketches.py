@@ -791,3 +791,35 @@ def test_stream_monitor_histogram_restart_processes_only_new_files(spark, tmp_pa
         for r in estimate_quantiles(ev, ["event_type"], "value", width=25.0).collect()
     )
     assert merged == full
+
+
+def test_refresh_across_metadata_only_commit(spark, docs, tmp_path):
+    """A source generation advance that changes no rows (e.g. a
+    post-hoc index build) yields an empty change feed — the refresh
+    must commit the empty diff cleanly and keep the stats exact."""
+    from plateau_spark.operators.sketches import (
+        estimate_quantiles,
+        read_quantile_estimates,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import (
+        build_dataset_indices,
+        store_dataframe_as_dataset,
+    )
+
+    store = str(tmp_path / "s")
+    d = docs.select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "d", d, partition_on=["lang"])
+    refresh_histogram_statistics(
+        spark, store, "d", "h", ["lang"], "n_chars", width=50.0
+    )
+    build_dataset_indices(spark, store, "d", ["doc_id"])  # metadata-only
+    refresh_histogram_statistics(spark, store, "d", "h")
+    got = sorted(
+        tuple(r) for r in read_quantile_estimates(spark, store, "h").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in estimate_quantiles(d, ["lang"], "n_chars", width=50.0).collect()
+    )
+    assert got == want and got
