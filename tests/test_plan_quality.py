@@ -543,3 +543,53 @@ def test_join_datasets_broadcasts_from_commit_metadata(spark, tmp_path):
         assert "BroadcastHashJoin" not in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hll_sketch_agg_is_map_side_partial(spark):
+    """estimate_distinct must shuffle sketch BUFFERS, not raw values:
+    a partial hll_sketch_agg below the exchange, and the scan pruned
+    to exactly the group + value columns."""
+    from plateau_spark.operators.sketches import estimate_distinct
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        estimate_distinct(docs, ["lang"], "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_hll_sketch_agg" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_calibrate_percent_rank_windows_over_aggregate_not_rows(spark):
+    """The calibration window must run over the DISTINCT (group, score)
+    aggregate — never a full-row per-group sort: no native percent_rank
+    in the plan, an aggregate below the window, and the window frame
+    free of the wide text column."""
+    from plateau_spark.operators.sampling import calibrate_percent_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qe = calibrate_percent_rank(docs, "n_chars", ["lang"])._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "percent_rank" not in plan
+    # the Window node's required sort carries only the 3-column agg frame
+    win_at = plan.index("Window")
+    window_section = plan[win_at: win_at + 600]
+    assert "text" not in window_section
+    assert "HashAggregate" in plan
+
+
+def test_histogram_quantiles_window_is_bucket_sized(spark):
+    """The quantile window runs over O(buckets) histogram rows — the
+    aggregate sits below the window and the scan reads only the two
+    needed columns."""
+    from plateau_spark.operators.sketches import estimate_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        estimate_quantiles(docs, ["lang"], "n_chars", width=50.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan
+    # physical plans print top-down: the aggregate must appear BELOW
+    # (after) the Window line, i.e. the window consumes the aggregate
+    assert "HashAggregate" in plan[plan.index("Window"):]
