@@ -5956,6 +5956,9 @@ def embedding_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivfpq_index(
         spark, store, "ix", emb, n_centroids=8, m=8, pq_k=32,
         pq_refine_iterations=1,
+        # the fit-on-a-sample contract: codebooks train on a quarter,
+        # the full corpus is encoded
+        fit_corpus=emb.where(F.col("vec_id") % 4 == 0),
     )
     queries = emb.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"

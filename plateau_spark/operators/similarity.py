@@ -1431,17 +1431,20 @@ def build_pq_index(
     m: int = 8,
     k: int = 64,
     refine_iterations: int = 2,
+    fit_corpus: DataFrame | None = None,
     overwrite: bool = False,
 ):
     """Persist a PQ index as a plateau dataset: the code column is the
     data (8-ish bytes/vector — the 32×-compressed serving copy of the
     corpus), the codebooks ride in user metadata (KBs, exactly like the
     IVF centroids and BM25 stats). Atomic commit, GC, time travel and
-    compaction all apply."""
+    compaction all apply. ``fit_corpus`` trains the codebooks on a
+    sample while encoding the full corpus (the 100 TB contract)."""
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
 
     model = fit_pq_model(
-        corpus, vec_col=vec_col, m=m, k=k,
+        corpus if fit_corpus is None else fit_corpus,
+        vec_col=vec_col, m=m, k=k,
         refine_iterations=refine_iterations, id_col=id_col,
     )
     codes = encode_pq(corpus, model, id_col=id_col, vec_col=vec_col)
@@ -1519,6 +1522,7 @@ def build_ivfpq_index(
     m: int = 8,
     pq_k: int = 64,
     pq_refine_iterations: int = 2,
+    fit_corpus: DataFrame | None = None,
     overwrite: bool = False,
 ):
     """Persist an IVF-PQ index: corpus vectors assign to their nearest
@@ -1531,36 +1535,42 @@ def build_ivfpq_index(
     codebooks in user metadata. Query = partition-pruned read of
     O(nprobe) cell files × ADC over codes (:func:`query_ivfpq_index`)
     — both the file list AND the bytes per file shrink, the
-    composition a 100 TB serving corpus actually needs."""
+    composition a 100 TB serving corpus actually needs.
+
+    ``fit_corpus``: train centroids + codebooks on this (typically a
+    ``corpus.sample(...)``) while encoding the FULL corpus — the
+    fit-on-a-sample contract at 100 TB, where every training pass here
+    scans its input m·iterations times but codebook quality converges
+    long before millions of vectors."""
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
 
+    fit_src = corpus if fit_corpus is None else fit_corpus
     centroids = ivf_centroids(
-        corpus, id_col=id_col, vec_col=vec_col,
+        fit_src, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, refine_iterations=refine_iterations,
     )
     cent = _centroid_df(spark, centroids)
-    resid = (
-        _assign_to_centroids(corpus, vec_col, [id_col], centroids)
-        .join(F.broadcast(cent), "__cid__")
-        .select(
-            F.col("__cid__").alias("cell"),
-            F.col(id_col),
-            F.zip_with(
-                F.col(vec_col), F.col("__cvec__"),
-                lambda a, b: a.cast("double") - b,
-            ).alias("__res__"),
+
+    def _residuals(frame):
+        return (
+            _assign_to_centroids(frame, vec_col, [id_col], centroids)
+            .join(F.broadcast(cent), "__cid__")
+            .select(
+                F.col("__cid__").alias("cell"),
+                F.col(id_col),
+                F.zip_with(
+                    F.col(vec_col), F.col("__cvec__"),
+                    lambda a, b: a.cast("double") - b,
+                ).alias("__res__"),
+            )
         )
-    )
+
     model = fit_pq_model(
-        resid, vec_col="__res__", m=m, k=pq_k,
+        _residuals(fit_src), vec_col="__res__", m=m, k=pq_k,
         refine_iterations=pq_refine_iterations, id_col=id_col,
     )
-    codes = encode_pq(
-        resid.select("cell", F.col(id_col), F.col("__res__")).withColumnRenamed(
-            "__res__", "__res__"
-        ),
-        model, id_col=id_col, vec_col="__res__",
-    )
+    resid = _residuals(corpus)
+    codes = encode_pq(resid, model, id_col=id_col, vec_col="__res__")
     # encode_pq projects to (id, code); re-attach the cell by id join
     with_cell = resid.select("cell", id_col).join(codes, id_col)
     return store_dataframe_as_dataset(

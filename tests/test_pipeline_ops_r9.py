@@ -1065,3 +1065,43 @@ def test_ivfpq_index_recall_pruning_and_no_float_vectors(spark, emb, tmp_path):
 
     assert recall(16) >= 0.9   # all cells probed: pure PQ+rerank quality
     assert recall(8) >= 0.6    # half the cells: coarse-quantizer recall
+
+
+def test_pq_fit_on_sample_encodes_full_corpus(spark, emb, tmp_path):
+    """fit_corpus= trains codebooks on a sample while the FULL corpus
+    is encoded — index row count covers everything, and re-ranked
+    recall stays high (codebook quality, not coverage, takes the
+    hit)."""
+    import numpy as np
+
+    from plateau_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    store = str(tmp_path / "s")
+    build_ivfpq_index(
+        spark, store, "ix", emb, n_centroids=16, m=8, pq_k=64,
+        fit_corpus=emb.where("vec_id % 4 = 0"),
+    )
+    assert read_dataset_as_dataframe(spark, store, "ix").count() == emb.count()
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = query_ivfpq_index(
+        spark, store, "ix", queries, k=10, nprobe=16,
+        refine_with=emb, overfetch=8,
+    )
+    V = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    ids = [r.vec_id for r in emb.collect()]
+    got = {}
+    for r in top.collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    recs = []
+    for q in queries.collect():
+        qv = np.array(q.embedding, dtype=np.float64)
+        d = ((V - qv) ** 2).sum(axis=1)
+        exact = {ids[i] for i in np.argsort(d)[:10]}
+        recs.append(len(exact & set(got[q.query_id])) / 10)
+    assert sum(recs) / len(recs) >= 0.8
