@@ -24,6 +24,8 @@ from plateau_spark.operators.text import (
     winnow_fingerprints_col,
 )
 from plateau_spark.operators.dedup import shingles_col, tokens_col
+from plateau_spark.operators.text import normalize_text_col_udf
+
 
 __all__ = [
     "cosine_sim_col",
@@ -41,4 +43,5 @@ __all__ = [
     "winnow_fingerprints_col",
     "shingles_col",
     "tokens_col",
+    "normalize_text_col_udf",
 ]
