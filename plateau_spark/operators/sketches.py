@@ -600,3 +600,69 @@ def calibrate_from_histogram(
         on=[*gcols, "__bucket__"],
         how="left",
     ).drop("__bucket__")
+
+
+def consolidate_statistics(spark, store, stats_uuid: str):
+    """Collapse a statistics dataset's accumulated per-batch rows into
+    ONE row per group(/bucket) — the row-level counterpart of
+    ``compact_dataset`` (which collapses files but not rows). After
+    thousands of refreshes/monitor batches the read-side merge scans
+    batches × groups rows; consolidation resets that to the group
+    count in one atomic overwrite commit that carries the statistics
+    metadata forward unchanged. Correct for both tiers because both
+    merges are associative: histogram counts re-SUM (negated delete
+    rows net out and vanish), HLL sketches re-UNION (register-
+    identical). Zero-netted histogram buckets are dropped.
+
+    Same swap mechanics as ``compact_dataset``: the merged rows land
+    in NEW staged files while the old files stay untouched (the read
+    plan reads them during the write job — an in-place overwrite would
+    pull files out from under its own scan), then ONE atomic commit
+    replaces every old partition; a concurrent refresh racing the swap
+    surfaces as a commit conflict to retry, never silent loss. Old
+    files are reclaimed by the next ``garbage_collect_dataset``."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        _commit_base_snapshot,
+        _commit_update_with_merge,
+        _ensure_store,
+        _write_files,
+        read_table,
+    )
+
+    st = _ensure_store(store)
+    meta_obj = DatasetMetadata.load(st, stats_uuid)
+    meta = meta_obj.metadata
+    rows = read_table(spark, st, stats_uuid)
+    if _HIST_META_KEY in meta:
+        gcols = meta[_HIST_META_KEY]["group_cols"]
+        merged = (
+            rows.groupBy(*gcols, "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") != 0)
+        )
+    elif _META_KEY in meta:
+        gcols = meta[_META_KEY]["group_cols"]
+        merged = rows.groupBy(*gcols).agg(
+            F.hll_union_agg("sketch", F.lit(True)).alias("sketch"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    else:
+        raise ValueError(
+            f"dataset {stats_uuid!r} carries neither histogram nor "
+            f"distinct-sketch statistics metadata"
+        )
+    base = _commit_base_snapshot(meta_obj)
+    partitions = _write_files(merged, st, stats_uuid, [])
+    new_meta = DatasetMetadata(
+        uuid=stats_uuid,
+        partitions={p.label: p for p in partitions},
+        partition_keys=[],
+        schema=meta_obj.schema,
+        metadata=dict(meta),
+        generation=meta_obj.generation,
+    )
+    return _commit_update_with_merge(
+        st, new_meta, new_partitions=partitions,
+        removed=sorted(meta_obj.partitions), extra_metadata=None, **base,
+    )

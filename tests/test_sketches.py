@@ -823,3 +823,68 @@ def test_refresh_across_metadata_only_commit(spark, docs, tmp_path):
         for r in estimate_quantiles(d, ["lang"], "n_chars", width=50.0).collect()
     )
     assert got == want and got
+
+
+def test_consolidate_statistics_resets_row_count_and_preserves_results(
+    spark, docs, tmp_path
+):
+    """After N updates the stats dataset holds N rows per group;
+    consolidation collapses to one row per group(/bucket) with
+    IDENTICAL read results for both tiers, preserving metadata so
+    later refreshes keep working."""
+    from plateau_spark.operators.sketches import (
+        build_distinct_sketches,
+        build_histogram_stats,
+        consolidate_statistics,
+        read_distinct_estimates,
+        read_quantile_estimates,
+        update_distinct_sketches,
+        update_histogram_stats,
+    )
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    store = str(tmp_path / "s")
+    thirds = [docs.where(f"doc_id % 3 = {i}") for i in range(3)]
+    build_histogram_stats(
+        spark, store, "h", thirds[0], ["lang"], "n_chars", width=50.0
+    )
+    build_distinct_sketches(spark, store, "n", thirds[0], ["lang"], "doc_id")
+    for part in thirds[1:]:
+        update_histogram_stats(spark, store, "h", part)
+        update_distinct_sketches(spark, store, "n", part)
+
+    before_h = sorted(
+        tuple(r) for r in read_quantile_estimates(spark, store, "h").collect()
+    )
+    before_n = sorted(
+        tuple(r) for r in read_distinct_estimates(spark, store, "n").collect()
+    )
+    langs = docs.select("lang").distinct().count()
+    assert read_dataset_as_dataframe(spark, store, "n").count() == 3 * langs
+
+    consolidate_statistics(spark, store, "h")
+    consolidate_statistics(spark, store, "n")
+    assert read_dataset_as_dataframe(spark, store, "n").count() == langs
+    after_h = sorted(
+        tuple(r) for r in read_quantile_estimates(spark, store, "h").collect()
+    )
+    after_n = sorted(
+        tuple(r) for r in read_distinct_estimates(spark, store, "n").collect()
+    )
+    assert after_h == before_h and after_n == before_n
+
+    # metadata survives: another update + read still works
+    update_histogram_stats(spark, store, "h", docs.where("doc_id % 3 = 0"))
+    assert read_quantile_estimates(spark, store, "h").count() > 0
+
+
+def test_consolidate_rejects_non_stats_dataset(spark, docs, tmp_path):
+    from plateau_spark.operators.sketches import consolidate_statistics
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    store = str(tmp_path / "s")
+    store_dataframe_as_dataset(
+        spark, store, "plain", docs.select("doc_id", "lang")
+    )
+    with pytest.raises(ValueError):
+        consolidate_statistics(spark, store, "plain")
