@@ -6005,6 +6005,12 @@ def dataset_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_scope=[{"lang": "de"}], partition_on=["lang"],
     )
     refresh_histogram_statistics(spark, store, "d", "stats")
+    # row-level compaction of the accumulated per-batch rows (negated
+    # delete rows net out and vanish) — the oracle hash-match below
+    # therefore ALSO proves consolidation preserves results exactly
+    from plateau_spark.operators.sketches import consolidate_statistics
+
+    consolidate_statistics(spark, store, "stats")
     return read_quantile_estimates(spark, store, "stats", qs=(0.5, 0.9, 0.99))
 
 
