@@ -888,3 +888,38 @@ def test_consolidate_rejects_non_stats_dataset(spark, docs, tmp_path):
     )
     with pytest.raises(ValueError):
         consolidate_statistics(spark, store, "plain")
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.integers(min_value=-50, max_value=50).map(float), st.none()),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_calibrate_percent_rank_property(spark, rows):
+    """For ANY (group, score) multiset, the agg-shape calibration
+    equals F.percent_rank() on non-null scores and yields NULL for
+    null scores."""
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id int, g string, v double",
+    )
+    out = {r.id: r.pct_rank
+           for r in calibrate_percent_rank(df, "v", ["g"]).collect()}
+    ref_rows = df.where(F.col("v").isNotNull()).withColumn(
+        "expected",
+        F.percent_rank().over(Window.partitionBy("g").orderBy("v")),
+    ).collect()
+    for r in ref_rows:
+        assert out[r.id] == r.expected
+    for i, (g, v) in enumerate(rows):
+        if v is None:
+            assert out[i] is None
