@@ -430,6 +430,13 @@ def refresh_histogram_statistics(
             f"stats dataset {stats_uuid!r} tracks "
             f"{hmeta['source_uuid']!r}, not {source_uuid!r}"
         )
+    if "source_generation" not in hmeta:
+        raise ValueError(
+            f"stats dataset {stats_uuid!r} is not generation-tracked (it "
+            f"was built via build_histogram_stats, the manual tier) — "
+            f"advance it with update_histogram_stats, or rebuild it via "
+            f"a fresh refresh_histogram_statistics under a new uuid"
+        )
     last_gen = int(hmeta["source_generation"])
     if src_gen == last_gen:
         return stats_meta
@@ -517,6 +524,13 @@ def refresh_distinct_statistics(
         raise ValueError(
             f"stats dataset {stats_uuid!r} tracks "
             f"{smeta['source_uuid']!r}, not {source_uuid!r}"
+        )
+    if "source_generation" not in smeta:
+        raise ValueError(
+            f"stats dataset {stats_uuid!r} is not generation-tracked (it "
+            f"was built via build_distinct_sketches, the manual tier) — "
+            f"advance it with update_distinct_sketches, or rebuild it via "
+            f"a fresh refresh_distinct_statistics under a new uuid"
         )
     last_gen = int(smeta["source_generation"])
     if src_gen == last_gen:

@@ -923,3 +923,30 @@ def test_calibrate_percent_rank_property(spark, rows):
     for i, (g, v) in enumerate(rows):
         if v is None:
             assert out[i] is None
+
+
+def test_refresh_rejects_manually_built_stats(spark, docs, tmp_path):
+    """A stats dataset built via the manual tier carries no source
+    generation — refreshing it must raise a typed, actionable error,
+    not a bare KeyError."""
+    from plateau_spark.operators.sketches import (
+        build_distinct_sketches,
+        build_histogram_stats,
+        refresh_distinct_statistics,
+        refresh_histogram_statistics,
+    )
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    store = str(tmp_path / "s")
+    d = docs.select("doc_id", "lang", "n_chars")
+    store_dataframe_as_dataset(spark, store, "d", d)
+    build_histogram_stats(spark, store, "h", d, ["lang"], "n_chars", width=50.0)
+    build_distinct_sketches(spark, store, "n", d, ["lang"], "doc_id")
+    # force a generation difference so the guard (not the no-op path) runs
+    store_dataframe_as_dataset(
+        spark, store, "d", d.limit(10), overwrite=True
+    )
+    with pytest.raises(ValueError, match="not generation-tracked"):
+        refresh_histogram_statistics(spark, store, "d", "h")
+    with pytest.raises(ValueError, match="not generation-tracked"):
+        refresh_distinct_statistics(spark, store, "d", "n")
