@@ -6077,7 +6077,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     embedding_outliers, text_winnow_fingerprints,
     #     text_token_histogram — r5–r8 driver-green, code untouched)
     #     were also re-swept green, as were sample_shuffle_epoch,
-    #     embedding_kmeans, bitext_mine_pairs ---
+    #     embedding_kmeans, bitext_mine_pairs. Round-9 close: the
+    #     ENTIRE registry (50-entry window + 103-entry tail, 153
+    #     queries) was re-verified green by tools/check_parity.py at
+    #     sf0.01 in two sweeps, 0 failures ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
