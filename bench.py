@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "embedding_pq_topk",
     "embedding_pq_persisted",
     "embedding_ivfpq_query",
+    "histogram_drift_psi",
 ]
 
 

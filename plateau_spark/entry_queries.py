@@ -6036,6 +6036,64 @@ GROUP BY lang, q
 """
 
 
+def histogram_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """population_stability (operators/sketches.py): PSI drift gate
+    between two corpus snapshots' value distributions — each side
+    reduces to an equi-width histogram, buckets full-outer align, and
+    PSI = Σ (p−q)·ln(p/q) with epsilon floor-smoothing. A +200-char
+    shift is planted on the 'en' current half so the drift is
+    non-trivial; all arithmetic hash-matches DuckDB exactly (the
+    ln/round spelling is shared with the driver-green dsir/LM
+    oracles)."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import population_stability
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "n_chars",
+        F.when(F.col("lang") == "en", F.col("n_chars") + 200).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return population_stability(cur, ref, ["lang"], "n_chars", width=50.0)
+
+
+HISTOGRAM_DRIFT_ORACLE = """
+WITH cur AS (
+  SELECT lang, CASE WHEN lang = 'en' THEN n_chars + 200 ELSE n_chars END AS v
+  FROM documents WHERE doc_id % 2 = 1
+), refr AS (
+  SELECT lang, n_chars AS v FROM documents WHERE doc_id % 2 = 0
+), ha AS (
+  SELECT lang, CAST(floor(CAST(v AS DOUBLE) / 50.0) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM cur WHERE v IS NOT NULL GROUP BY 1, 2
+), hb AS (
+  SELECT lang, CAST(floor(CAST(v AS DOUBLE) / 50.0) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM refr WHERE v IS NOT NULL GROUP BY 1, 2
+), na AS (SELECT lang, SUM(c) AS n FROM ha GROUP BY 1),
+nb AS (SELECT lang, SUM(c) AS n FROM hb GROUP BY 1),
+j AS (
+  SELECT COALESCE(ha.lang, hb.lang) AS lang, COALESCE(ha.b, hb.b) AS b,
+         COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb
+  FROM ha FULL OUTER JOIN hb ON ha.lang = hb.lang AND ha.b = hb.b
+)
+SELECT j.lang,
+       ROUND(SUM(
+         (GREATEST(CAST(ca AS DOUBLE) / na.n, 1e-6)
+            - GREATEST(CAST(cb AS DOUBLE) / nb.n, 1e-6))
+         * ln(GREATEST(CAST(ca AS DOUBLE) / na.n, 1e-6)
+              / GREATEST(CAST(cb AS DOUBLE) / nb.n, 1e-6))
+       ), 6) AS psi,
+       CAST(MAX(na.n) AS BIGINT) AS n_current,
+       CAST(MAX(nb.n) AS BIGINT) AS n_reference
+FROM j JOIN na ON j.lang = na.lang JOIN nb ON j.lang = nb.lang
+GROUP BY j.lang
+"""
+
+
 def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compression_ratio_signals (operators/text.py): zlib deflate
     compressibility quality filter — Arrow kernel emits byte counts,
@@ -6134,6 +6192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_compression_signal": text_compression_signal,
     "text_token_histogram": text_token_histogram,
     "streaming_distinct_monitor": streaming_distinct_monitor,
+    "histogram_drift_psi": histogram_drift_psi,
     "score_calibrate_from_stats": score_calibrate_from_stats,
     "streaming_topk_monitor": streaming_topk_monitor,
     "dataset_join_broadcast": dataset_join_broadcast,
@@ -6254,6 +6313,7 @@ ORACLES: dict[str, str] = {
     "dataset_stats_refresh": DATASET_STATS_REFRESH_ORACLE,
     "events_skew_profile": EVENTS_SKEW_PROFILE_ORACLE,
     "streaming_distinct_monitor": STREAMING_DISTINCT_MONITOR_ORACLE,
+    "histogram_drift_psi": HISTOGRAM_DRIFT_ORACLE,
     "score_calibrate_from_stats": SCORE_CALIBRATE_STATS_ORACLE,
     "streaming_topk_monitor": STREAMING_TOPK_MONITOR_ORACLE,
     "dataset_join_broadcast": DATASET_JOIN_BROADCAST_ORACLE,

@@ -680,3 +680,128 @@ def consolidate_statistics(spark, store, stats_uuid: str):
         st, new_meta, new_partitions=partitions,
         removed=sorted(meta_obj.partitions), extra_metadata=None, **base,
     )
+
+
+def population_stability(
+    current: DataFrame,
+    reference: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    width: float,
+    epsilon: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group between two frames' value
+    distributions — the standard drift gate before training on a new
+    crawl snapshot (rule of thumb: <0.1 stable, 0.1–0.25 moderate
+    shift, >0.25 investigate). Both sides reduce to equi-width
+    histograms (one keyed agg each — never a row-level comparison), a
+    full outer join aligns buckets, and
+    ``PSI = Σ (p−q)·ln(p/q)`` over bucket shares with ``epsilon``
+    floor-smoothing for buckets present on one side only (PSI is
+    undefined at zero mass; the floor is the standard correction and
+    keeps the result finite and deterministic).
+
+    Output: (group_cols..., psi DOUBLE, n_current BIGINT,
+    n_reference BIGINT). Groups present on only one side are dropped
+    (no distribution to compare — surface them via ``n_*`` joins
+    upstream if needed). All arithmetic is engine-reproducible; psi
+    rounds to ``round_digits`` at the output surface.
+    """
+    gcols = list(group_cols)
+    hc = histogram_sketch(current, gcols, value_col, width=width)
+    hr = histogram_sketch(reference, gcols, value_col, width=width)
+    nc = hc.groupBy(*gcols).agg(F.sum("cnt").alias("__nc"))
+    nr = hr.groupBy(*gcols).agg(F.sum("cnt").alias("__nr"))
+    joined = (
+        hc.withColumnRenamed("cnt", "__ca")
+        .join(
+            hr.withColumnRenamed("cnt", "__cb"),
+            on=[*gcols, "bucket"],
+            how="full_outer",
+        )
+        .join(nc, gcols)
+        .join(nr, gcols)
+    )
+    p = F.greatest(
+        F.coalesce(F.col("__ca"), F.lit(0)).cast("double") / F.col("__nc"),
+        F.lit(float(epsilon)),
+    )
+    q = F.greatest(
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("double") / F.col("__nr"),
+        F.lit(float(epsilon)),
+    )
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.round(F.sum(term), round_digits).alias("psi"),
+            F.first("__nc").alias("n_current"),
+            F.first("__nr").alias("n_reference"),
+        )
+    )
+
+
+def population_stability_from_stats(
+    spark,
+    store,
+    current_uuid: str,
+    reference_uuid: str,
+    *,
+    epsilon: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI between two PERSISTED histogram statistics datasets (e.g.
+    the maintained stats of two crawl snapshots) — zero corpus reads:
+    the comparison touches only O(buckets) count rows per side. Both
+    sides must share group_cols, value_col and width (checked)."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_table
+
+    st = _ensure_store(store)
+    ma = DatasetMetadata.load(st, current_uuid).metadata[_HIST_META_KEY]
+    mb = DatasetMetadata.load(st, reference_uuid).metadata[_HIST_META_KEY]
+    for key in ("group_cols", "value_col", "width"):
+        if ma[key] != mb[key]:
+            raise ValueError(
+                f"statistics are not comparable: {key} differs "
+                f"({ma[key]!r} vs {mb[key]!r})"
+            )
+    gcols = ma["group_cols"]
+
+    def _merged(uuid):
+        return (
+            read_table(spark, st, uuid)
+            .groupBy(*gcols, "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") > 0)
+        )
+
+    hc, hr = _merged(current_uuid), _merged(reference_uuid)
+    nc = hc.groupBy(*gcols).agg(F.sum("cnt").alias("__nc"))
+    nr = hr.groupBy(*gcols).agg(F.sum("cnt").alias("__nr"))
+    joined = (
+        hc.withColumnRenamed("cnt", "__ca")
+        .join(
+            hr.withColumnRenamed("cnt", "__cb"),
+            on=[*gcols, "bucket"],
+            how="full_outer",
+        )
+        .join(nc, gcols)
+        .join(nr, gcols)
+    )
+    p = F.greatest(
+        F.coalesce(F.col("__ca"), F.lit(0)).cast("double") / F.col("__nc"),
+        F.lit(float(epsilon)),
+    )
+    q = F.greatest(
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("double") / F.col("__nr"),
+        F.lit(float(epsilon)),
+    )
+    term = (p - q) * F.log(p / q)
+    return joined.groupBy(*gcols).agg(
+        F.round(F.sum(term), round_digits).alias("psi"),
+        F.first("__nc").alias("n_current"),
+        F.first("__nr").alias("n_reference"),
+    )

@@ -950,3 +950,58 @@ def test_refresh_rejects_manually_built_stats(spark, docs, tmp_path):
         refresh_histogram_statistics(spark, store, "d", "h")
     with pytest.raises(ValueError, match="not generation-tracked"):
         refresh_distinct_statistics(spark, store, "d", "n")
+
+
+# ---------------------------------------------------------------------------
+# population stability (PSI drift)
+
+
+def test_population_stability_detects_planted_shift(spark, docs, tmp_path):
+    from plateau_spark.operators.sketches import (
+        build_histogram_stats,
+        population_stability,
+        population_stability_from_stats,
+    )
+
+    ref = docs.where("doc_id % 2 = 0")
+    cur = docs.where("doc_id % 2 = 1").withColumn(
+        "n_chars",
+        F.when(F.col("lang") == "en", F.col("n_chars") + 300).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    out = {r.lang: r.psi
+           for r in population_stability(
+               cur, ref, ["lang"], "n_chars", width=50.0
+           ).collect()}
+    assert out["en"] == max(out.values())  # the shifted group dominates
+
+    # identical distributions → psi 0 exactly (same frame both sides)
+    same = {r.lang: r.psi
+            for r in population_stability(
+                ref, ref, ["lang"], "n_chars", width=50.0
+            ).collect()}
+    assert all(v == 0.0 for v in same.values())
+
+    # stats-dataset variant equals the direct computation
+    store = str(tmp_path / "s")
+    build_histogram_stats(spark, store, "cur", cur, ["lang"], "n_chars", width=50.0)
+    build_histogram_stats(spark, store, "ref", ref, ["lang"], "n_chars", width=50.0)
+    from_stats = {r.lang: r.psi
+                  for r in population_stability_from_stats(
+                      spark, store, "cur", "ref"
+                  ).collect()}
+    assert from_stats == out
+
+
+def test_population_stability_from_stats_rejects_mismatched(spark, docs, tmp_path):
+    from plateau_spark.operators.sketches import (
+        build_histogram_stats,
+        population_stability_from_stats,
+    )
+
+    store = str(tmp_path / "s")
+    build_histogram_stats(spark, store, "a", docs, ["lang"], "n_chars", width=50.0)
+    build_histogram_stats(spark, store, "b", docs, ["lang"], "n_chars", width=25.0)
+    with pytest.raises(ValueError, match="not comparable"):
+        population_stability_from_stats(spark, store, "a", "b")
