@@ -6136,9 +6136,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     text_token_histogram — r5–r8 driver-green, code untouched)
     #     were also re-swept green, as were sample_shuffle_epoch,
     #     embedding_kmeans, bitext_mine_pairs. Round-9 close: the
-    #     ENTIRE registry (50-entry window + 103-entry tail, 153
-    #     queries) was re-verified green by tools/check_parity.py at
-    #     sf0.01 in two sweeps, 0 failures ---
+    #     ENTIRE registry was re-verified green by
+    #     tools/check_parity.py at sf0.01 (one full 50-window sweep,
+    #     one full tail sweep, plus per-query checks for the entries
+    #     added after those sweeps), 0 failures ---
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
