@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "embedding_pq_persisted",
     "embedding_ivfpq_query",
     "histogram_drift_psi",
+    "streaming_sliding_counts",
 ]
 
 

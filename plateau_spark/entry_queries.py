@@ -6036,6 +6036,52 @@ GROUP BY lang, q
 """
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowed_event_counts(slide=...): sliding-window aggregate —
+    each event lands in window/slide = 2 overlapping windows; run
+    availableNow into a memory sink (batch-equivalence oracle trick)
+    and hash-compared against DuckDB materializing both window starts
+    per event. DECIMAL sum discipline shared with the tumbling twin."""
+    _prep(spark)
+    from plateau_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    def transform(stream):
+        stream = stream.withColumn(
+            "value", F.col("value").cast("decimal(18,2)")
+        )
+        return windowed_event_counts(
+            stream, window="2 hours", slide="1 hour", watermark="2 hours"
+        )
+
+    out = run_stream_to_memory(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", transform
+    )
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+STREAM_SLIDING_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+  FROM events
+), w AS (
+  SELECT event_type, v, h - i * INTERVAL '1 hour' AS window_start
+  FROM ev, (SELECT unnest([0, 1]) AS i)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def histogram_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """population_stability (operators/sketches.py): PSI drift gate
     between two corpus snapshots' value distributions — each side
@@ -6194,6 +6240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_histogram": text_token_histogram,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
+    "streaming_sliding_counts": streaming_sliding_counts,
     "score_calibrate_from_stats": score_calibrate_from_stats,
     "streaming_topk_monitor": streaming_topk_monitor,
     "dataset_join_broadcast": dataset_join_broadcast,
@@ -6315,6 +6362,7 @@ ORACLES: dict[str, str] = {
     "events_skew_profile": EVENTS_SKEW_PROFILE_ORACLE,
     "streaming_distinct_monitor": STREAMING_DISTINCT_MONITOR_ORACLE,
     "histogram_drift_psi": HISTOGRAM_DRIFT_ORACLE,
+    "streaming_sliding_counts": STREAM_SLIDING_ORACLE,
     "score_calibrate_from_stats": SCORE_CALIBRATE_STATS_ORACLE,
     "streaming_topk_monitor": STREAMING_TOPK_MONITOR_ORACLE,
     "dataset_join_broadcast": DATASET_JOIN_BROADCAST_ORACLE,

@@ -27,17 +27,25 @@ def windowed_event_counts(
     events: DataFrame,
     *,
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Tumbling-window per-event-type aggregate with late-data watermark.
+    """Tumbling- (default) or sliding-window (``slide=`` shorter than
+    ``window``) per-event-type aggregate with late-data watermark. A
+    sliding window emits one row per (window_start, event_type) with
+    each event counted in window/slide overlapping windows — state
+    grows by that same factor, still watermark-bounded.
 
     Works on both a static and a streaming DataFrame (identical plan —
     that's the point of Structured Streaming).
     """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("sum_value"),

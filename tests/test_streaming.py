@@ -573,3 +573,25 @@ def test_windowed_distinct_dedups_across_batches(spark, tmp_path):
     rows = {r.window_start: r.n_distinct for r in out.collect()}
     # users 7, 8, 9 in the 00:00 window — user 7 appears in both batches
     assert rows.get(_t(0)) == 3
+
+
+def test_sliding_window_counts_overlap(spark):
+    """slide= puts each event in window/slide overlapping windows; the
+    per-window totals must equal the tumbling twin summed over the
+    member hours, and total event mass doubles."""
+    from pyspark.sql import functions as F
+
+    from plateau_spark.streaming.events import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tumble = windowed_event_counts(ev, window="1 hour").collect()
+    slide = windowed_event_counts(ev, window="2 hours", slide="1 hour").collect()
+    t = {(r.window_start, r.event_type): r.n_events for r in tumble}
+    import datetime as dt
+
+    for r in slide:
+        expect = t.get((r.window_start, r.event_type), 0) + t.get(
+            (r.window_start + dt.timedelta(hours=1), r.event_type), 0
+        )
+        assert r.n_events == expect, r
+    assert sum(r.n_events for r in slide) == 2 * sum(r.n_events for r in tumble)
