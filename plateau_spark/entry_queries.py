@@ -6153,6 +6153,145 @@ def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio_signals(docs, "doc_id", "text")
 
 
+# ---------------------------------------------------------------------------
+# r10: record linkage / entity resolution (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+def _linkage_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synthetic feeds of the customer table: the clean feed plus a
+    deterministically-perturbed twin (1-edit rename for custkey%3==0, a
+    far rename for %3==1, identical for %3==2). ``addr`` is md5(custkey)
+    — identical for twins, ~random across customers — so blocked
+    comparison separates cleanly (twin score ≥ 0.972, cross-customer
+    ≤ ~0.62). The oracle performs the IDENTICAL derivation."""
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        (F.col("c_custkey") * 2).alias("id"),
+        F.col("c_name").alias("name"),
+        F.md5(F.col("c_custkey").cast("string")).alias("addr"),
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") * 2 + 1).alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("Cstmr#")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.md5(F.col("c_custkey").cast("string")).alias("addr"),
+    )
+    return clean.unionByName(dirty)
+
+
+_LINKAGE_BLOCKS = lambda: [  # noqa: E731 — rebuilt per call (Column exprs)
+    F.substring(F.col("addr"), 1, 2),
+    F.expr("right(name, 3)"),
+]
+
+
+def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_pairs (operators/linkage.py): blocked record linkage —
+    union of per-key blocks → equi-self-join → codegen Levenshtein
+    scoring. The only shuffles are on the blocking keys; pair count is
+    Σ block² not n². Score is a left-to-right fold (bit-reproducible)."""
+    _prep(spark)
+    from plateau_spark.operators.linkage import match_pairs
+
+    rec = _linkage_records(spark, sf_dir)
+    return match_pairs(
+        rec,
+        "id",
+        _LINKAGE_BLOCKS(),
+        ["name", "addr"],
+        threshold=0.95,
+    )
+
+
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve_entities (operators/linkage.py): match_pairs → connected
+    components (duplicate_clusters' label propagation, bounded driver
+    fast path) → total (id, entity_id) clustering."""
+    _prep(spark)
+    from plateau_spark.operators.linkage import resolve_entities
+
+    rec = _linkage_records(spark, sf_dir)
+    return resolve_entities(
+        rec,
+        "id",
+        _LINKAGE_BLOCKS(),
+        ["name", "addr"],
+        threshold=0.95,
+    )
+
+
+_LINKAGE_REC_SQL = """
+rec AS (
+  SELECT c_custkey*2 AS id, c_name AS name,
+         md5(CAST(c_custkey AS VARCHAR)) AS addr
+  FROM customer
+  UNION ALL
+  SELECT c_custkey*2+1 AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '-')
+              WHEN c_custkey % 3 = 1 THEN replace(c_name, 'Customer#', 'Cstmr#')
+              ELSE c_name END AS name,
+         md5(CAST(c_custkey AS VARCHAR)) AS addr
+  FROM customer
+), keyed AS (
+  SELECT substr(addr, 1, 2) AS blk, 0 AS bk, id FROM rec
+  WHERE substr(addr, 1, 2) IS NOT NULL
+  UNION ALL
+  SELECT right(name, 3) AS blk, 1 AS bk, id FROM rec
+  WHERE right(name, 3) IS NOT NULL
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.blk = b.blk AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+    (0.0
+     + (1.0 - levenshtein(ra.name, rb.name)
+            / CAST(greatest(length(ra.name), length(rb.name)) AS DOUBLE)) * 1.0
+     + (1.0 - levenshtein(ra.addr, rb.addr)
+            / CAST(greatest(length(ra.addr), length(rb.addr)) AS DOUBLE)) * 1.0)
+    / (0.0 + 1.0 + 1.0) AS score
+  FROM cand
+  JOIN rec ra ON cand.id_a = ra.id
+  JOIN rec rb ON cand.id_b = rb.id
+), matched AS (
+  SELECT id_a, id_b, score FROM scored WHERE score >= 0.95
+)
+"""
+
+# no block exceeds candidate_pairs' 10k cap on this fixture at any SF
+# (verified 0.001/0.01/0.1), so the oracle omits the cap branch — the
+# Spark side still runs it.
+ENTITY_MATCH_PAIRS_ORACLE = f"""
+WITH {_LINKAGE_REC_SQL}
+SELECT id_a, id_b, score FROM matched
+"""
+
+# the match graph on this fixture is disjoint twin edges (verified: no
+# cross-customer pair clears the threshold at any SF), so component id
+# = min(self, matched neighbors); the Spark side still runs the real
+# connected-components loop.
+ENTITY_RESOLUTION_ORACLE = f"""
+WITH {_LINKAGE_REC_SQL},
+nbr AS (
+  SELECT id_a AS id, id_b AS nb FROM matched
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb FROM matched
+)
+SELECT rec.id,
+       CAST(least(rec.id, coalesce(min(nbr.nb), rec.id)) AS BIGINT) AS entity_id
+FROM rec LEFT JOIN nbr ON rec.id = nbr.id
+GROUP BY rec.id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
     #     lifecycle/dataset/streaming lines first — the code paths the
@@ -6186,6 +6325,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     tools/check_parity.py at sf0.01 (one full 50-window sweep,
     #     one full tail sweep, plus per-query checks for the entries
     #     added after those sweeps), 0 failures ---
+    "entity_match_pairs": entity_match_pairs,
+    "entity_resolution": entity_resolution,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -6353,6 +6494,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # registry representatives are the md5 twins running the identical
 # banded pipeline (minhash_pairs_md5 / simhash_md5).
 ORACLES: dict[str, str] = {
+    "entity_match_pairs": ENTITY_MATCH_PAIRS_ORACLE,
+    "entity_resolution": ENTITY_RESOLUTION_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

@@ -1,0 +1,198 @@
+"""Record linkage / entity resolution: blocking → pairwise comparison →
+match scoring → entity clustering.
+
+Not in the reference (its pipeline surface stops at dataset I/O —
+SURVEY.md §2.7); this is a north-star extension every large-scale data
+integration / training-data pipeline needs: the same real-world entity
+arrives from multiple feeds with typos, reformatting and conflicting
+ids, and naive all-pairs comparison is O(n²) — a non-starter at 100 TB.
+
+Scale design (the textbook blocked-linkage shape, kept fully JVM-side):
+
+- **Blocking**: each record emits one row per blocking key (a cheap
+  deterministic expression: phone suffix, name prefix, soundex-ish
+  code). Candidate generation is an EQUI-self-join on the key — the
+  only shuffle is on the blocking key, and the pair count is
+  Σ block_size² instead of n². Hot blocks (a null phone, a default
+  name) would re-introduce the quadratic, so ``max_block_size``
+  drops oversized blocks by documented contract — the same hot-key
+  cap contract as ``ngram_jaccard_pairs(max_shingle_df=...)``
+  (operators/dedup.py).
+- **Comparison**: per-field normalized Levenshtein similarity
+  ``1 - lev(a,b) / greatest(len(a), len(b))`` — a built-in codegen
+  expression in Spark (and ANSI-ish enough that DuckDB replays it
+  bit-for-bit: integer distance, one double division). The weighted
+  score is a left-to-right fold over the field list, so the float
+  result is reproducible cross-engine.
+- **Resolution**: matched pairs → connected components via
+  ``duplicate_clusters`` (operators/dedup.py) — distributed
+  label propagation with the bounded driver fast path.
+
+A 1000-executor run shuffles each record once per blocking key,
+compares within blocks only, and resolves on the (tiny) match graph.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from plateau_spark.operators.dedup import duplicate_clusters
+
+__all__ = [
+    "field_similarity_col",
+    "candidate_pairs",
+    "match_pairs",
+    "resolve_entities",
+]
+
+
+def field_similarity_col(a: Column | str, b: Column | str) -> Column:
+    """Normalized Levenshtein similarity in [0, 1]: ``1 - lev/maxlen``.
+
+    NULL on either side → similarity NULL (unknown, not 0) so callers
+    can decide missing-field policy; two empty strings → 1.0 (equal).
+    Pure codegen (no UDF).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    maxlen = F.greatest(F.length(a), F.length(b))
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(maxlen == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.levenshtein(a, b).cast("double") / maxlen.cast("double")
+        )
+    )
+
+
+def candidate_pairs(
+    records: DataFrame,
+    id_col: str,
+    blocking_keys: Sequence[Column],
+    *,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs that share at least one blocking key,
+    with ``id_a < id_b`` and exact-once semantics (a pair co-blocked by
+    several keys appears once).
+
+    ``blocking_keys``: expressions over ``records``; NULL keys never
+    block (a NULL phone must not create one giant block). Blocks larger
+    than ``max_block_size`` are dropped entirely — documented contract:
+    an oversized block means the key is degenerate for these records
+    and would cost size² comparisons while carrying ~zero linkage
+    signal. Pass None to disable (exact mode for small/curated feeds).
+    """
+    keyed = None
+    for i, expr in enumerate(blocking_keys):
+        part = records.select(
+            expr.cast("string").alias("__block__"),
+            F.lit(i).alias("__bk__"),
+            F.col(id_col).alias("__id__"),
+        ).where(F.col("__block__").isNotNull())
+        keyed = part if keyed is None else keyed.unionByName(part)
+    if keyed is None:
+        raise ValueError("candidate_pairs needs at least one blocking key")
+    if max_block_size is not None:
+        # two-level count (map-side partial) — never materializes a block
+        sizes = keyed.groupBy("__bk__", "__block__").agg(
+            F.count("*").alias("__bn__")
+        )
+        keyed = keyed.join(
+            F.broadcast(
+                sizes.where(F.col("__bn__") > max_block_size).select("__bk__", "__block__")
+            ),
+            ["__bk__", "__block__"],
+            "left_anti",
+        )
+    left = keyed.select("__bk__", "__block__", F.col("__id__").alias("id_a"))
+    right = keyed.select("__bk__", "__block__", F.col("__id__").alias("id_b"))
+    return (
+        left.join(right, ["__bk__", "__block__"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def match_pairs(
+    records: DataFrame,
+    id_col: str,
+    blocking_keys: Sequence[Column],
+    compare_cols: Sequence[str],
+    *,
+    weights: Sequence[float] | None = None,
+    threshold: float = 0.9,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """Blocked pairwise matching → (id_a, id_b, score) for pairs whose
+    weighted mean field similarity is >= ``threshold``.
+
+    ``compare_cols`` are compared with normalized Levenshtein
+    (``field_similarity_col``); a NULL similarity contributes neither
+    weight nor value (pairwise-available weighting). The score is a
+    deterministic left-to-right fold over the field list, so it is
+    bit-reproducible (and DuckDB-replayable for the oracle twin).
+    """
+    if weights is None:
+        weights = [1.0] * len(compare_cols)
+    if len(weights) != len(compare_cols):
+        raise ValueError("weights must align with compare_cols")
+    cand = candidate_pairs(
+        records, id_col, blocking_keys, max_block_size=max_block_size
+    )
+    payload = records.select(
+        F.col(id_col).alias("__id__"),
+        *[F.col(c) for c in compare_cols],
+    )
+    a = payload.select(
+        F.col("__id__").alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    b = payload.select(
+        F.col("__id__").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for c, w in zip(compare_cols, weights):
+        sim = field_similarity_col(F.col(f"__a_{c}"), F.col(f"__b_{c}"))
+        num = num + F.coalesce(sim * F.lit(float(w)), F.lit(0.0))
+        den = den + F.when(sim.isNull(), F.lit(0.0)).otherwise(F.lit(float(w)))
+    score = F.when(den > 0, num / den)
+    return (
+        joined.select("id_a", "id_b", score.alias("score"))
+        .where(F.col("score") >= F.lit(float(threshold)))
+    )
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str,
+    blocking_keys: Sequence[Column],
+    compare_cols: Sequence[str],
+    *,
+    weights: Sequence[float] | None = None,
+    threshold: float = 0.9,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end entity resolution: ``match_pairs`` → connected
+    components → (id, entity_id) where ``entity_id`` is the smallest
+    member id of the entity. Records that matched nothing resolve to
+    themselves (total clustering over the input)."""
+    pairs = match_pairs(
+        records,
+        id_col,
+        blocking_keys,
+        compare_cols,
+        weights=weights,
+        threshold=threshold,
+        max_block_size=max_block_size,
+    )
+    clusters = duplicate_clusters(pairs, "id_a", "id_b")
+    ids = records.select(F.col(id_col).alias("id"))
+    return ids.join(clusters, "id", "left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("entity_id")
+    )

@@ -1,0 +1,114 @@
+"""Round-10 operator tests: record linkage / entity resolution,
+plus the other r10 north-star additions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_spark.operators.linkage import (
+    candidate_pairs,
+    field_similarity_col,
+    match_pairs,
+    resolve_entities,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # two feeds of the same 4 entities + 1 unmatched record; feed B has
+    # typos in the name but identical account codes
+    rows = [
+        (0, "Ada Lovelace", "ACC-1815"),
+        (2, "Grace Hopper", "ACC-1906"),
+        (4, "Alan Turing", "ACC-1912"),
+        (6, "Edsger Dijkstra", "ACC-1930"),
+        (1, "Ada Lovelase", "ACC-1815"),   # 1 edit
+        (3, "Grace Hoper", "ACC-1906"),    # 1 edit
+        (5, "Allan Turing", "ACC-1912"),   # 1 edit
+        (7, "E. W. Dijkstra", "ACC-1930"), # far
+        (9, "Donald Knuth", "ACC-1938"),   # no partner
+    ]
+    return spark.createDataFrame(rows, "id long, name string, acct string")
+
+
+def test_field_similarity_bounds(spark):
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("abc", "abd"), ("", ""), (None, "x"), ("abc", "")],
+        "a string, b string",
+    )
+    got = df.select(F.round(field_similarity_col("a", "b"), 6).alias("s")).collect()
+    vals = [r["s"] for r in got]
+    assert vals[0] == 1.0
+    assert vals[1] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert vals[2] == 1.0
+    assert vals[3] is None
+    assert vals[4] == 0.0
+
+
+def test_candidate_pairs_blocking_and_cap(people):
+    # block on acct: each account pairs its two feeds only
+    cand = candidate_pairs(people, "id", [F.col("acct")])
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert got == {(0, 1), (2, 3), (4, 5), (6, 7)}
+    # a degenerate blocking key (constant) exceeds the cap → no pairs
+    capped = candidate_pairs(
+        people, "id", [F.lit("same")], max_block_size=4
+    )
+    assert capped.count() == 0
+    # multiple keys: pair co-blocked twice still appears once
+    multi = candidate_pairs(people, "id", [F.col("acct"), F.col("acct")])
+    assert multi.count() == 4
+
+
+def test_candidate_pairs_null_keys_never_block(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "k")], "id long, key string"
+    )
+    assert candidate_pairs(df, "id", [F.col("key")]).count() == 0
+
+
+def test_match_pairs_threshold(people):
+    pairs = match_pairs(
+        people,
+        "id",
+        [F.col("acct")],
+        ["name", "acct"],
+        threshold=0.9,
+    )
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in pairs.collect()}
+    # 1-edit names with identical accounts clear 0.9; Dijkstra's far
+    # rename does not
+    assert set(got) == {(0, 1), (2, 3), (4, 5)}
+    assert all(0.9 <= s <= 1.0 for s in got.values())
+
+
+def test_match_pairs_null_field_reweights(spark):
+    df = spark.createDataFrame(
+        [(1, "same", None), (2, "same", "x-123")],
+        "id long, name string, acct string",
+    )
+    pairs = match_pairs(
+        df, "id", [F.col("name")], ["name", "acct"], threshold=0.99
+    )
+    rows = pairs.collect()
+    # acct similarity is NULL → weight drops to the name field alone
+    assert len(rows) == 1 and rows[0]["score"] == 1.0
+
+
+def test_resolve_entities_total_clustering(people):
+    ents = resolve_entities(
+        people, "id", [F.col("acct")], ["name", "acct"], threshold=0.9
+    )
+    got = {r["id"]: r["entity_id"] for r in ents.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 7, 9: 9}
+
+
+def test_match_pairs_weight_mismatch_raises(people):
+    with pytest.raises(ValueError):
+        match_pairs(people, "id", [F.col("acct")], ["name"], weights=[1.0, 2.0])
+
+
+def test_candidate_pairs_no_keys_raises(people):
+    with pytest.raises(ValueError):
+        candidate_pairs(people, "id", [])
