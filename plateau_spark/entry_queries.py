@@ -6229,6 +6229,45 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join (operators/joins.py): the events fact (Zipf user_id —
+    see events_skew_profile) enriched with a per-user dim via a salted
+    equi-join on (user_id, salt), then rolled up per event_type. The
+    hot user's rows spread over 16 reducers instead of one; the result
+    is row-identical to the plain join (the oracle runs the plain
+    join). All metrics are integer-exact."""
+    _prep(spark)
+    from plateau_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n_events_user"))
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dim,
+        ["user_id"],
+        num_salts=16,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("n_events_user").alias("weight_sum"),
+        )
+    )
+
+
+JOIN_SKEW_SALTED_ORACLE = """
+WITH dim AS (
+  SELECT user_id, COUNT(*) AS n_events_user FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(d.n_events_user) AS weight_sum
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type
+"""
+
+
 _LINKAGE_REC_SQL = """
 rec AS (
   SELECT c_custkey*2 AS id, c_name AS name,
@@ -6327,6 +6366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     added after those sweeps), 0 failures ---
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
+    "join_skew_salted": join_skew_salted,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -6496,6 +6536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "entity_match_pairs": ENTITY_MATCH_PAIRS_ORACLE,
     "entity_resolution": ENTITY_RESOLUTION_ORACLE,
+    "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

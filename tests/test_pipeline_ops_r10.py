@@ -112,3 +112,69 @@ def test_match_pairs_weight_mismatch_raises(people):
 def test_candidate_pairs_no_keys_raises(people):
     with pytest.raises(ValueError):
         candidate_pairs(people, "id", [])
+
+
+# --- salted skew join -------------------------------------------------------
+
+from plateau_spark.operators.joins import salted_join  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("row_id"),
+        # 80% of rows hit key 7 (extreme skew), the rest spread
+        F.when(F.col("id") % 5 != 0, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("name")
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_inner(skewed):
+    left, right = skewed
+    plain = left.join(right, "k").select("row_id", "k", "payload", "name")
+    salted = salted_join(left, right, ["k"], num_salts=8).select(
+        "row_id", "k", "payload", "name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain_left(spark, skewed):
+    left, right = skewed
+    # drop some dim keys so unmatched-left multiplicity is exercised
+    right = right.where(F.col("k") % 2 == 0)
+    plain = left.join(right, "k", "left").select("row_id", "k", "name")
+    salted = salted_join(left, right, ["k"], num_salts=8, how="left").select(
+        "row_id", "k", "name"
+    )
+    assert sorted(
+        map(tuple, salted.fillna("", "name").collect())
+    ) == sorted(map(tuple, plain.fillna("", "name").collect()))
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    left, right = skewed
+    # the salt column must split key 7's rows across multiple values
+    salt_spread = (
+        left.withColumn(
+            "s", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+        )
+        .where(F.col("k") == 7)
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salt_spread == 8
+
+
+def test_salted_join_rejects_bad_args(skewed):
+    left, right = skewed
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], num_salts=0)
