@@ -6262,7 +6262,7 @@ WITH dim AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(d.n_events_user) AS weight_sum
+       CAST(SUM(d.n_events_user) AS BIGINT) AS weight_sum
 FROM events e JOIN dim d ON e.user_id = d.user_id
 GROUP BY e.event_type
 """
