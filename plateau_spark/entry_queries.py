@@ -6268,6 +6268,70 @@ GROUP BY e.event_type
 """
 
 
+def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anomaly_zscore (operators/sketches.py) over the streaming
+    windowed-counts monitor: availableNow watermarked hourly counts per
+    event_type (stateful streaming agg), then trailing-12-window
+    z-score scoring with the INTEGER-exact gate
+    (k·x−S)² > 9·(k·Q−S²) — no float accumulation anywhere, the float
+    z itself is one divide+sqrt over exact ints (bit-reproducible).
+    The scoring is a window analytic over the tiny monitor series, not
+    the event stream."""
+    _prep(spark)
+    from plateau_spark.operators.sketches import anomaly_zscore
+    from plateau_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    counts = run_stream_to_memory(
+        spark,
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        lambda s: windowed_event_counts(s, window="1 hour", watermark="2 hours"),
+    ).select("window_start", "event_type", "n_events")
+    scored = anomaly_zscore(
+        counts,
+        ["event_type"],
+        "window_start",
+        "n_events",
+        baseline=12,
+        min_baseline=4,
+        z_threshold=3.0,
+    )
+    # nullable booleans round-trip as pandas NaN on one engine and None
+    # on the other — ship the flag as double (1.0/0.0/NULL) for the
+    # hash compare
+    return scored.withColumn("is_anomaly", F.col("is_anomaly").cast("double"))
+
+
+STREAMING_ANOMALY_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, window_start, n_events,
+         COUNT(n_events) OVER w AS k,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT) AS q
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n_events,
+       k AS n_baseline,
+       s AS baseline_sum,
+       CASE WHEN k >= 4 AND k * q - s * s > 0
+            THEN CAST(k * n_events - s AS DOUBLE)
+                 / sqrt(CAST(k * q - s * s AS DOUBLE)) END AS zscore,
+       CAST(CASE WHEN k >= 4 AND k * q - s * s > 0
+            THEN (k * n_events - s) * (k * n_events - s)
+                 > 9 * (k * q - s * s) END AS DOUBLE) AS is_anomaly
+FROM f
+"""
+
+
 _LINKAGE_REC_SQL = """
 rec AS (
   SELECT c_custkey*2 AS id, c_name AS name,
@@ -6367,6 +6431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
+    "streaming_anomaly_zscore": streaming_anomaly_zscore,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -6537,6 +6602,7 @@ ORACLES: dict[str, str] = {
     "entity_match_pairs": ENTITY_MATCH_PAIRS_ORACLE,
     "entity_resolution": ENTITY_RESOLUTION_ORACLE,
     "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
+    "streaming_anomaly_zscore": STREAMING_ANOMALY_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

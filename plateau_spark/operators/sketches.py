@@ -805,3 +805,75 @@ def population_stability_from_stats(
         F.first("__nc").alias("n_current"),
         F.first("__nr").alias("n_reference"),
     )
+
+
+def anomaly_zscore(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    *,
+    baseline: int = 12,
+    min_baseline: int = 4,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-baseline z-score anomaly detection over a windowed
+    metric series (the scoring stage of a streaming monitor: the
+    stateful windowed aggregate produces ``counts``, this flags the
+    windows that deviate from their own recent history).
+
+    Per group, each row's value ``x`` is compared against the previous
+    ``baseline`` rows (ordered by ``time_col``): with frame stats
+    ``k`` (rows), ``S = Σxᵢ``, ``Q = Σxᵢ²``, the population z-score is
+
+        z = (k·x − S) / sqrt(k·Q − S²)
+
+    and the anomaly gate is evaluated in INTEGER arithmetic —
+    ``(k·x − S)² > T²·(k·Q − S²)`` — so the flag is exact (no float
+    accumulation order anywhere; the float ``z`` itself is a single
+    division+sqrt over exact integers, bit-reproducible cross-engine).
+    Rows with fewer than ``min_baseline`` history rows or zero variance
+    emit NULL ``zscore`` and a NULL flag (unknown, not false).
+
+    One window shuffle on the group keys — the same partitioning the
+    upstream windowed aggregate already produced; at scale the series
+    table is tiny relative to the event stream (one row per
+    group × window), so this is a metadata-scale analytic.
+
+    ``z_threshold`` must be integer-valued (the exactness contract);
+    values are compared two-sided.
+    """
+    t2 = int(round(z_threshold * z_threshold))
+    if abs(z_threshold * z_threshold - t2) > 1e-12:
+        raise ValueError(
+            "z_threshold² must be integer-valued for the exact gate "
+            f"(got z_threshold={z_threshold!r})"
+        )
+    if baseline < min_baseline:
+        raise ValueError("baseline must be >= min_baseline")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(F.col(time_col))
+        .rowsBetween(-baseline, -1)
+    )
+    x = F.col(value_col).cast("bigint")
+    k = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    q = F.sum(x * x).over(w)
+    dev = k * x - s  # k·x − S
+    var_k = k * q - s * s  # k²·σ² ≥ 0
+    usable = (k >= int(min_baseline)) & (var_k > 0)
+    zscore = F.when(
+        usable,
+        dev.cast("double") / F.sqrt(var_k.cast("double")),
+    )
+    flag = F.when(usable, (dev * dev) > (F.lit(t2) * var_k))
+    return counts.select(
+        *group_cols,
+        time_col,
+        value_col,
+        k.alias("n_baseline"),
+        F.coalesce(s, F.lit(0).cast("bigint")).alias("baseline_sum"),
+        zscore.alias("zscore"),
+        flag.alias("is_anomaly"),
+    )

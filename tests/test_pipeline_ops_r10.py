@@ -178,3 +178,46 @@ def test_salted_join_rejects_bad_args(skewed):
         salted_join(left, right, ["k"], how="full")
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], num_salts=0)
+
+
+# --- trailing-baseline anomaly z-score --------------------------------------
+
+from plateau_spark.operators.sketches import anomaly_zscore  # noqa: E402
+
+
+def test_anomaly_zscore_flags_spike(spark):
+    # flat series of 10s with one 100 spike at the end
+    rows = [("a", t, 10) for t in range(8)] + [("a", 8, 100)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = anomaly_zscore(df, ["g"], "t", "x", baseline=8, min_baseline=4)
+    got = {r["t"]: (r["is_anomaly"], r["zscore"]) for r in out.collect()}
+    # flat history has zero variance -> NULL gates everywhere before the
+    # spike; the spike row's baseline is also flat -> NULL too
+    assert got[8] == (None, None)
+    # add jitter so variance is nonzero
+    rows = [("a", t, 10 + (t % 2)) for t in range(8)] + [("a", 8, 100)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = anomaly_zscore(df, ["g"], "t", "x", baseline=8, min_baseline=4)
+    got = {r["t"]: r for r in out.collect()}
+    assert got[8]["is_anomaly"] is True and got[8]["zscore"] > 3
+    assert got[7]["is_anomaly"] is False
+    # early rows below min_baseline stay NULL
+    assert got[2]["is_anomaly"] is None
+
+
+def test_anomaly_zscore_exact_gate_matches_float(spark):
+    # property-ish check: integer gate == float z comparison on jittered data
+    rows = [("g", t, 50 + ((t * 7919) % 23) - 11) for t in range(200)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = anomaly_zscore(df, ["g"], "t", "x", baseline=12, min_baseline=4).collect()
+    for r in out:
+        if r["zscore"] is not None:
+            assert r["is_anomaly"] == (abs(r["zscore"]) > 3.0), r
+
+
+def test_anomaly_zscore_validates_args(spark):
+    df = spark.createDataFrame([("g", 1, 1)], "g string, t long, x long")
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, ["g"], "t", "x", z_threshold=3.5)
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, ["g"], "t", "x", baseline=2, min_baseline=4)
