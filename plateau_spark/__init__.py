@@ -45,6 +45,7 @@ from plateau_spark.sources.dataset import (
     compact_dataset,
     delete_rows_from_dataset,
     merge_upsert_into_dataset,
+    merge_into_dataset,
     dataset_history,
     restore_dataset,
     read_dataset_changes,
@@ -67,6 +68,7 @@ __all__ = [
     "MetadataConsistencyError",
     "delete_rows_from_dataset",
     "merge_upsert_into_dataset",
+    "merge_into_dataset",
     "dataset_history",
     "restore_dataset",
     "read_dataset_changes",

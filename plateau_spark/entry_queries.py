@@ -6304,6 +6304,85 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("is_anomaly", F.col("is_anomaly").cast("double"))
 
 
+def dataset_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_into_dataset (sources/dataset.py): full conditional MERGE —
+    matched+delete-condition rows dropped, matched+update-condition rows
+    replaced, other matched rows kept, unmatched source rows inserted
+    under an insert condition. Candidates pruned by source key bounds;
+    one keyed shuffle; one atomic swap commit."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        merge_into_dataset,
+        read_table,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("merge-into")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    store_dataframe_as_dataset(spark, store, "docs", docs, partition_on=["lang"])
+    matched_src = docs.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        "lang",
+        F.lit("merged").alias("source"),
+        F.when(F.col("doc_id") % 60 == 0, F.lit(-1))
+        .when(F.col("doc_id") % 40 == 20, F.lit(0))
+        .otherwise(F.col("n_chars") + 1000)
+        .cast("long")
+        .alias("n_chars"),
+    )
+    insert_src = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.lit("new").alias("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+        .otherwise(F.lit(-5))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    merge_into_dataset(
+        spark,
+        store,
+        "docs",
+        matched_src.unionByName(insert_src),
+        "doc_id",
+        when_matched_delete="s.n_chars = -1",
+        when_matched_update="s.n_chars > t.n_chars",
+        when_not_matched_insert="s.n_chars >= 0",
+    )
+    return read_table(spark, store, "docs")
+
+
+DATASET_MERGE_INTO_ORACLE = """
+WITH src AS (
+  SELECT doc_id, lang, 'merged' AS source,
+         CAST(CASE WHEN doc_id % 60 = 0 THEN -1
+                   WHEN doc_id % 40 = 20 THEN 0
+                   ELSE n_chars + 1000 END AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, 'new',
+         CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE -5 END AS BIGINT)
+  FROM documents WHERE doc_id < 10
+)
+SELECT d.lang, d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN src ON src.doc_id = d.doc_id
+WHERE src.doc_id IS NULL
+UNION ALL
+SELECT d.lang, d.doc_id, 'merged' AS source, s.n_chars
+FROM documents d JOIN src s ON s.doc_id = d.doc_id
+WHERE s.n_chars <> -1 AND s.n_chars > d.n_chars
+UNION ALL
+SELECT d.lang, d.doc_id, d.source, d.n_chars
+FROM documents d JOIN src s ON s.doc_id = d.doc_id
+WHERE s.n_chars <> -1 AND NOT (s.n_chars > d.n_chars)
+UNION ALL
+SELECT lang, doc_id, source, n_chars FROM src
+WHERE doc_id >= 1000000 AND n_chars >= 0
+"""
+
+
 STREAMING_ANOMALY_ORACLE = """
 WITH c AS (
   SELECT event_type,
@@ -6432,6 +6511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
+    "dataset_merge_into": dataset_merge_into,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -6603,6 +6683,7 @@ ORACLES: dict[str, str] = {
     "entity_resolution": ENTITY_RESOLUTION_ORACLE,
     "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
     "streaming_anomaly_zscore": STREAMING_ANOMALY_ORACLE,
+    "dataset_merge_into": DATASET_MERGE_INTO_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

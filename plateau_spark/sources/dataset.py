@@ -1971,18 +1971,7 @@ def merge_upsert_into_dataset(
         raise ValueError("updates carry duplicate merge-key tuples")
 
     # key bounds → pruning conjunction (2 driver literals per key col)
-    bounds = updates.agg(
-        *[F.min(c).alias(f"__lo_{c}__") for c in key_columns],
-        *[F.max(c).alias(f"__hi_{c}__") for c in key_columns],
-    ).first()
-    conj = []
-    for c in key_columns:
-        lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
-        if lo is not None:
-            conj.append((c, ">=", lo))
-        if hi is not None:
-            conj.append((c, "<=", hi))
-    candidates = plan_scan(meta, store, [conj] if conj else None)
+    candidates = _merge_key_candidates(meta, store, updates, key_columns)
 
     # CHECK constraints gate the INCOMING rows only (kept rows were
     # validated when first written; after restore_dataset's documented
@@ -1996,8 +1985,28 @@ def merge_upsert_into_dataset(
         )
         keep = existing.join(updates.select(*key_columns), key_columns, "left_anti")
     merged = updates if keep is None else keep.unionByName(updates)
+    meta = _cow_swap_commit(
+        spark, store, meta, merged, candidates, compress=compress, base=_base
+    )
+    _invalidate_if_factory(_store_arg)
+    return meta
+
+
+def _cow_swap_commit(
+    spark: SparkSession,
+    store: Store,
+    meta: DatasetMetadata,
+    merged: DataFrame,
+    candidates,
+    *,
+    compress: bool,
+    base: dict,
+) -> DatasetMetadata:
+    """Shared copy-on-write tail of MERGE-shaped mutations: stage the
+    rewritten candidate rows, carry zone maps, swap the candidate
+    labels for the new ones in ONE optimistic commit."""
     new_partitions = _write_files(
-        merged, store, dataset_uuid, meta.partition_keys, compress=compress
+        merged, store, meta.uuid, meta.partition_keys, compress=compress
     )
     carried = sorted({c for p in candidates for c in p.stats})
     carried = [c for c in carried if c in {f.name for f in meta.schema or []}]
@@ -2019,9 +2028,141 @@ def merge_upsert_into_dataset(
     # ConcurrentCommitError instead of being silently dropped. (A pure
     # insert-only merge with zero candidates still merges append-vs-append
     # races because removed == [].)
-    meta = _commit_update_with_merge(
+    return _commit_update_with_merge(
         store, meta, new_partitions=new_partitions, removed=removed,
-        extra_metadata=None, **_base,
+        extra_metadata=None, **base,
+    )
+
+
+def _merge_key_candidates(meta: DatasetMetadata, store: Store, source: DataFrame, key_columns):
+    """Candidate files for a keyed MERGE: the source's per-key min/max
+    bounds (one tiny agg job → 2 driver literals per key column) become
+    a range conjunction for ``plan_scan`` — files whose zone maps /
+    partition values provably exclude every source key are never read
+    or rewritten."""
+    bounds = source.agg(
+        *[F.min(c).alias(f"__lo_{c}__") for c in key_columns],
+        *[F.max(c).alias(f"__hi_{c}__") for c in key_columns],
+    ).first()
+    conj = []
+    for c in key_columns:
+        lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
+        if lo is not None:
+            conj.append((c, ">=", lo))
+        if hi is not None:
+            conj.append((c, "<=", hi))
+    return plan_scan(meta, store, [conj] if conj else None)
+
+
+def merge_into_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    source: DataFrame,
+    key_columns: Sequence[str] | str,
+    *,
+    when_matched_update: str | None = "true",
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: str | None = "true",
+    compress: bool = True,
+) -> DatasetMetadata:
+    """Full MERGE INTO over a plateau dataset (ANSI/Delta-shaped
+    conditional merge; extension beyond the reference, which stops at
+    append/delete — ``merge_upsert_into_dataset`` is the
+    unconditional fast path of this operator).
+
+    For every dataset row whose key tuple matches a ``source`` row:
+      1. ``when_matched_delete`` (SQL boolean over aliases ``t`` =
+         target row, ``s`` = source row) — row is DROPPED;
+      2. else ``when_matched_update`` — row is REPLACED by the source
+         row;
+      3. else the target row is kept unchanged.
+    Source rows with no key match are INSERTED when
+    ``when_not_matched_insert`` (over ``s``) holds. Each clause may be
+    None (= never fires). Defaults reproduce plain upsert.
+
+    Scale shape: candidate files pruned by the source's key bounds
+    (zone maps / partition values — untouched files are never read);
+    ONE shuffle of candidates against the source on the key (hash
+    join); one staged write + one atomic optimistic-concurrency swap
+    commit. ``source`` must carry the dataset's full schema and unique
+    key tuples.
+    """
+    key_columns = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+    _store_arg = store
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+    _base = _commit_base_snapshot(meta)
+    source = normalize_dataframe(source, meta.partition_keys)
+    validate_compatible(meta.schema, source.schema)
+    schema_cols = [f.name for f in meta.schema or source.schema]
+    for c in key_columns:
+        if c not in schema_cols:
+            raise ValueError(f"merge key column {c!r} not in dataset schema")
+    dup = (
+        source.groupBy(*key_columns).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("source carries duplicate merge-key tuples")
+
+    candidates = _merge_key_candidates(meta, store, source, key_columns)
+
+    delete_cond = (
+        F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
+    )
+    update_cond = (
+        F.expr(when_matched_update) if when_matched_update else F.lit(False)
+    )
+    insert_cond = (
+        F.expr(when_not_matched_insert) if when_not_matched_insert else F.lit(False)
+    )
+
+    src = source.alias("s")
+    pieces = []
+    if candidates:
+        existing = _read_committed_files(
+            spark, store, dataset_uuid, meta.schema, candidates
+        ).alias("t")
+        key_eq = [
+            F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_columns
+        ]
+        matched = existing.join(src, key_eq, "inner")
+        survivors = matched.where(~F.coalesce(delete_cond, F.lit(False)))
+        updated = survivors.where(
+            F.coalesce(update_cond, F.lit(False))
+        ).select([F.col(f"s.{c}").alias(c) for c in schema_cols])
+        kept_matched = survivors.where(
+            ~F.coalesce(update_cond, F.lit(False))
+        ).select([F.col(f"t.{c}").alias(c) for c in schema_cols])
+        unmatched_target = existing.join(
+            src.select(*[F.col(f"s.{k}").alias(k) for k in key_columns]),
+            key_columns,
+            "left_anti",
+        ).select(*schema_cols)
+        # incoming (source-derived) rows pass the CHECK constraints; kept
+        # target rows were validated when first written
+        updated = _constraint_guard(updated, meta.metadata.get("constraints"))
+        pieces += [kept_matched, unmatched_target, updated]
+        inserts_base = src.join(
+            existing.select(
+                *[F.col(f"t.{k}").alias(k) for k in key_columns]
+            ),
+            key_columns,
+            "left_anti",
+        )
+    else:
+        inserts_base = src
+    inserts = (
+        inserts_base.where(F.coalesce(insert_cond, F.lit(False)))
+        .select([F.col(c) for c in schema_cols])
+    )
+    inserts = _constraint_guard(inserts, meta.metadata.get("constraints"))
+    pieces.append(inserts)
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    meta = _cow_swap_commit(
+        spark, store, meta, merged, candidates, compress=compress, base=_base
     )
     _invalidate_if_factory(_store_arg)
     return meta

@@ -221,3 +221,116 @@ def test_anomaly_zscore_validates_args(spark):
         anomaly_zscore(df, ["g"], "t", "x", z_threshold=3.5)
     with pytest.raises(ValueError):
         anomaly_zscore(df, ["g"], "t", "x", baseline=2, min_baseline=4)
+
+
+# --- full MERGE INTO ---------------------------------------------------------
+
+from plateau_spark.sources.dataset import (  # noqa: E402
+    merge_into_dataset,
+    merge_upsert_into_dataset,
+    read_table,
+    store_dataframe_as_dataset,
+)
+
+
+@pytest.fixture()
+def merge_ds(spark, store):
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(10)], "id long, tag string, qty long"
+    )
+    store_dataframe_as_dataset(spark, store, "m", base)
+    return store
+
+
+def _rows(spark, store):
+    return {
+        r["id"]: (r["tag"], r["qty"])
+        for r in read_table(spark, store, "m").collect()
+    }
+
+
+def test_merge_into_default_is_upsert(spark, merge_ds):
+    src = spark.createDataFrame(
+        [(3, "new3", 999), (42, "new42", 1)], "id long, tag string, qty long"
+    )
+    merge_into_dataset(spark, merge_ds, "m", src, "id")
+    got = _rows(spark, merge_ds)
+    assert got[3] == ("new3", 999) and got[42] == ("new42", 1)
+    assert len(got) == 11
+
+
+def test_merge_into_conditional_update(spark, merge_ds):
+    # only update rows whose incoming qty beats the existing one
+    src = spark.createDataFrame(
+        [(2, "up", 999), (4, "down", 1)], "id long, tag string, qty long"
+    )
+    merge_into_dataset(
+        spark, merge_ds, "m", src, "id",
+        when_matched_update="s.qty > t.qty",
+        when_not_matched_insert=None,
+    )
+    got = _rows(spark, merge_ds)
+    assert got[2] == ("up", 999)       # 999 > 20 → updated
+    assert got[4] == ("v4", 40)        # 1 < 40 → kept
+    assert len(got) == 10              # insert clause off
+
+
+def test_merge_into_delete_clause(spark, merge_ds):
+    src = spark.createDataFrame(
+        [(5, "del", 0), (6, "keepish", 999), (77, "ins", 7)],
+        "id long, tag string, qty long",
+    )
+    merge_into_dataset(
+        spark, merge_ds, "m", src, "id",
+        when_matched_delete="s.qty = 0",
+        when_matched_update="true",
+        when_not_matched_insert="s.qty > 5",
+    )
+    got = _rows(spark, merge_ds)
+    assert 5 not in got                 # deleted
+    assert got[6] == ("keepish", 999)   # delete didn't fire → updated
+    assert got[77] == ("ins", 7)        # insert condition held
+    assert len(got) == 10
+
+
+def test_merge_into_insert_condition_filters(spark, merge_ds):
+    src = spark.createDataFrame(
+        [(100, "a", 1), (101, "b", 50)], "id long, tag string, qty long"
+    )
+    merge_into_dataset(
+        spark, merge_ds, "m", src, "id",
+        when_matched_update=None,
+        when_not_matched_insert="s.qty >= 10",
+    )
+    got = _rows(spark, merge_ds)
+    assert 100 not in got and got[101] == ("b", 50)
+
+
+def test_merge_into_matches_upsert_exactly(spark, store):
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, tag string"
+    )
+    store_dataframe_as_dataset(spark, store, "a", base)
+    store_dataframe_as_dataset(spark, store, "b", base)
+    src = spark.createDataFrame(
+        [(5, "X"), (15, "Y"), (99, "Z")], "id long, tag string"
+    )
+    merge_upsert_into_dataset(spark, store, "a", src, "id")
+    merge_into_dataset(spark, store, "b", src, "id")
+    a = sorted(map(tuple, read_table(spark, store, "a").collect()))
+    b = sorted(map(tuple, read_table(spark, store, "b").collect()))
+    assert a == b
+
+
+def test_merge_into_rejects_duplicate_keys(spark, merge_ds):
+    src = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "id long, tag string, qty long"
+    )
+    with pytest.raises(ValueError):
+        merge_into_dataset(spark, merge_ds, "m", src, "id")
+
+
+def test_merge_into_rejects_bad_key(spark, merge_ds):
+    src = spark.createDataFrame([(1, "a", 1)], "id long, tag string, qty long")
+    with pytest.raises(ValueError):
+        merge_into_dataset(spark, merge_ds, "m", src, "nope")
