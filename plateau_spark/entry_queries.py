@@ -6354,6 +6354,78 @@ def dataset_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, store, "docs")
 
 
+def web_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pagerank (operators/graph.py): domain-level PageRank over a
+    deterministic synthetic link graph (doc i links to doc
+    (i*7919+13) mod n → edge between their source domains, weighted by
+    link count; self-loops kept so no domain dangles). 3 damped
+    iterations in deterministic-fold mode — every float sum is a
+    sorted left-to-right fold the DuckDB oracle replays bit-for-bit."""
+    _prep(spark)
+    from plateau_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_docs = docs.count()
+    a = docs.withColumn("dst_id", (F.col("doc_id") * 7919 + 13) % F.lit(n_docs))
+    edges = a.join(
+        docs.select(
+            F.col("doc_id").alias("dst_id"), F.col("source").alias("dst")
+        ),
+        "dst_id",
+    ).select(F.col("source").alias("src"), "dst")
+    ranks = pagerank(edges, deterministic_fold=True)
+    return ranks.select(F.col("node").alias("domain"), "rank")
+
+
+WEB_PAGERANK_ORACLE = """
+WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM documents a
+  JOIN cnt ON TRUE
+  JOIN documents b ON b.doc_id = (a.doc_id * 7919 + 13) % cnt.n
+  GROUP BY 1, 2
+),
+ew AS (
+  SELECT e.src, e.dst, e.w, o.ow
+  FROM e JOIN (SELECT src, SUM(w) AS ow FROM e GROUP BY src) o ON e.src = o.src
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes JOIN nn ON TRUE),
+c1 AS (
+  SELECT ew.dst, list_sum(list((r.rank * ew.w) / ew.ow ORDER BY ew.src)) AS c
+  FROM ew JOIN r0 r ON r.node = ew.src GROUP BY ew.dst
+),
+r1 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0.0) AS rank
+  FROM nodes JOIN nn ON TRUE LEFT JOIN c1 ON c1.dst = nodes.node
+),
+c2 AS (
+  SELECT ew.dst, list_sum(list((r.rank * ew.w) / ew.ow ORDER BY ew.src)) AS c
+  FROM ew JOIN r1 r ON r.node = ew.src GROUP BY ew.dst
+),
+r2 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0.0) AS rank
+  FROM nodes JOIN nn ON TRUE LEFT JOIN c2 ON c2.dst = nodes.node
+),
+c3 AS (
+  SELECT ew.dst, list_sum(list((r.rank * ew.w) / ew.ow ORDER BY ew.src)) AS c
+  FROM ew JOIN r2 r ON r.node = ew.src GROUP BY ew.dst
+),
+r3 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0.0) AS rank
+  FROM nodes JOIN nn ON TRUE LEFT JOIN c3 ON c3.dst = nodes.node
+)
+SELECT node AS domain, rank FROM r3
+"""
+
+
 DATASET_MERGE_INTO_ORACLE = """
 WITH src AS (
   SELECT doc_id, lang, 'merged' AS source,
@@ -6512,6 +6584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_skew_salted": join_skew_salted,
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
     "dataset_merge_into": dataset_merge_into,
+    "web_domain_pagerank": web_domain_pagerank,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -6684,6 +6757,7 @@ ORACLES: dict[str, str] = {
     "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
     "streaming_anomaly_zscore": STREAMING_ANOMALY_ORACLE,
     "dataset_merge_into": DATASET_MERGE_INTO_ORACLE,
+    "web_domain_pagerank": WEB_PAGERANK_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

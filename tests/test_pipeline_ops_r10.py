@@ -334,3 +334,71 @@ def test_merge_into_rejects_bad_key(spark, merge_ds):
     src = spark.createDataFrame([(1, "a", 1)], "id long, tag string, qty long")
     with pytest.raises(ValueError):
         merge_into_dataset(spark, merge_ds, "m", src, "nope")
+
+
+# --- weighted PageRank -------------------------------------------------------
+
+from plateau_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _np_pagerank(edge_list, d=0.85, iters=3):
+    import numpy as np
+
+    nodes = sorted({a for a, _, _ in edge_list} | {b for _, b, _ in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for a, b, ww in edge_list:
+        w[idx[a], idx[b]] += ww
+    outw = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = (r / outw) @ w
+        r = (1 - d) / n + d * contrib
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_two_node_cycle(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    assert got["a"] == pytest.approx(0.5) and got["b"] == pytest.approx(0.5)
+
+
+def test_pagerank_matches_numpy(spark):
+    edge_list = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("c", "c", 3.0), ("d", "a", 1.0), ("d", "d", 1.0),
+    ]
+    e = spark.createDataFrame(edge_list, "src string, dst string, w double")
+    expect = _np_pagerank(edge_list)
+    for fold in (False, True):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(e, weight_col="w", deterministic_fold=fold).collect()
+        }
+        for v, r in expect.items():
+            assert got[v] == pytest.approx(r, rel=1e-12), (fold, v)
+
+
+def test_pagerank_combines_duplicate_edges(spark):
+    # (a->b) twice == weight-2 edge
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")],
+        "src string, dst string",
+    )
+    weighted = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    g1 = {r["node"]: r["rank"] for r in pagerank(dup).collect()}
+    g2 = {r["node"]: r["rank"] for r in pagerank(weighted, weight_col="w").collect()}
+    for v in g1:
+        assert g1[v] == pytest.approx(g2[v], rel=1e-12)
+
+
+def test_pagerank_validates_args(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
