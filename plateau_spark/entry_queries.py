@@ -6547,44 +6547,83 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r9 window (first 50): the STALEST driver evidence (r5/r6),
-    #     lifecycle/dataset/streaming lines first — the code paths the
-    #     r8 constraint fold-in and r9 zone-map/commit changes touch;
-    #     plus 14 of the 22 queries NEW this round, none with prior
-    #     driver evidence (text_bm25_topk, text_bm25_indexed,
-    #     hybrid_search_rrf, retrieval_hard_negatives,
-    #     streaming_ingest_neardup, web_html_extract,
-    #     dataset_changes_read, sketch_distinct_users,
-    #     sketch_incremental_lifecycle, score_calibrate_pct,
-    #     histogram_quantiles, streaming_histogram_monitor,
-    #     dataset_stats_refresh, events_skew_profile). The other 8 new
-    #     queries sit first after the window — each is either
-    #     rows-only by design (text_compression_signal,
-    #     embedding_pq_topk, embedding_pq_persisted) or the tier twin
-    #     of an in-window representative (streaming_distinct_monitor,
-    #     streaming_topk_monitor, score_calibrate_from_stats,
-    #     dataset_join_broadcast, text_normalize_nfc) — ALL 22 were
-    #     parity-verified green by tools/check_parity.py at sf0.01
-    #     this round, as was the ENTIRE 50-entry window in one sweep
-    #     (50/50, third session). The displaced old entries
-    #     (winnow_overlap_pairs, semdedup_keep, decontaminate_bloom,
-    #     text_quality_classifier, dedup_cluster_keep,
-    #     decontaminate_substring/_fuzzy, quality_tier_split,
-    #     text_c4_clean, sample_stratified, sample_mixture,
-    #     embedding_outliers, text_winnow_fingerprints,
-    #     text_token_histogram — r5–r8 driver-green, code untouched)
-    #     were also re-swept green, as were sample_shuffle_epoch,
-    #     embedding_kmeans, bitext_mine_pairs. Round-9 close: the
-    #     ENTIRE registry was re-verified green by
-    #     tools/check_parity.py at sf0.01 (one full 50-window sweep,
-    #     one full tail sweep, plus per-query checks for the entries
-    #     added after those sweeps), 0 failures ---
+    # --- r10 window (first 50): every exact-oracle query with NO prior
+    #     driver evidence first (6 new this round — entity_match_pairs,
+    #     entity_resolution, join_skew_salted, streaming_anomaly_zscore,
+    #     dataset_merge_into, web_domain_pagerank — plus the 8 r9-late
+    #     additions the r9 window missed), then the 13 queries whose
+    #     last driver evidence is r5, then 23 of the 29 r6-evidence
+    #     queries. The 6 deferred r6 entries (semdedup_keep,
+    #     decontaminate_bloom, text_quality_classifier,
+    #     dedup_cluster_keep, decontaminate_substring,
+    #     decontaminate_fuzzy) were judge-re-swept green in r9 and sit
+    #     directly after the rows-only-by-design lines
+    #     (text_compression_signal, the PQ/IVF-PQ fit lines,
+    #     embedding_pca). r8/r9-green entries rotate to the back.
+    #     Union target: r10 ∪ r9 driver evidence covers 100 distinct
+    #     queries, r10 ∪ r9 ∪ r8 covers the whole registry except the
+    #     zero-evidence rows-only tail.
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
     "dataset_merge_into": dataset_merge_into,
     "web_domain_pagerank": web_domain_pagerank,
+    "streaming_distinct_monitor": streaming_distinct_monitor,
+    "histogram_drift_psi": histogram_drift_psi,
+    "streaming_sliding_counts": streaming_sliding_counts,
+    "score_calibrate_from_stats": score_calibrate_from_stats,
+    "streaming_topk_monitor": streaming_topk_monitor,
+    "dataset_join_broadcast": dataset_join_broadcast,
+    "text_normalize_nfc": text_normalize_nfc,
+    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
+    "text_token_histogram": text_token_histogram,
+    "dedup_paragraphs_docs": dedup_paragraphs_docs,
+    "sample_temperature": sample_temperature,
+    "dedup_corpus_docs": dedup_corpus_docs,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_keep_last": dedup_keep_last,
+    "profile_lineitem": profile_lineitem,
+    "sample_split_assign": sample_split_assign,
+    "sample_quota_rows": sample_quota_rows,
+    "merge_robust": merge_robust,
+    "hash_dataset_groups": hash_dataset_groups,
+    "agg_to_lists": agg_to_lists,
+    "text_chunks": text_chunks,
+    "sample_stratified": sample_stratified,
+    "quality_tier_split": quality_tier_split,
+    "text_c4_clean": text_c4_clean,
+    "sample_mixture": sample_mixture,
+    "embedding_outliers": embedding_outliers,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "sample_shuffle_epoch": sample_shuffle_epoch,
+    "embedding_kmeans": embedding_kmeans,
+    "sample_score_weighted": sample_score_weighted,
+    "asof_join_events": asof_join_events,
+    "range_join_windows": range_join_windows,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
+    "web_url_dedup": web_url_dedup,
+    "ngram_jaccard_capped": ngram_jaccard_capped,
+    "dedup_clusters": dedup_clusters,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "simhash_md5": simhash_md5,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "text_compression_signal": text_compression_signal,
+    "embedding_pq_topk": embedding_pq_topk,
+    "embedding_pq_persisted": embedding_pq_persisted,
+    "embedding_ivfpq_query": embedding_ivfpq_query,
+    "embedding_pca": embedding_pca,
+    "semdedup_keep": semdedup_keep,
+    "decontaminate_bloom": decontaminate_bloom,
+    "text_quality_classifier": text_quality_classifier,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "decontaminate_substring": decontaminate_substring,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -6635,61 +6674,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles": histogram_quantiles,
     "streaming_histogram_monitor": streaming_histogram_monitor,
     "dataset_stats_refresh": dataset_stats_refresh,
-    "text_compression_signal": text_compression_signal,
-    "text_token_histogram": text_token_histogram,
-    "streaming_distinct_monitor": streaming_distinct_monitor,
-    "histogram_drift_psi": histogram_drift_psi,
-    "streaming_sliding_counts": streaming_sliding_counts,
-    "score_calibrate_from_stats": score_calibrate_from_stats,
-    "streaming_topk_monitor": streaming_topk_monitor,
-    "dataset_join_broadcast": dataset_join_broadcast,
-    "text_normalize_nfc": text_normalize_nfc,
-    "embedding_pq_topk": embedding_pq_topk,
-    "embedding_pq_persisted": embedding_pq_persisted,
-    "embedding_ivfpq_query": embedding_ivfpq_query,
-    "sample_stratified": sample_stratified,
-    "quality_tier_split": quality_tier_split,
-    "text_c4_clean": text_c4_clean,
-    "sample_mixture": sample_mixture,
-    "embedding_outliers": embedding_outliers,
-    "text_winnow_fingerprints": text_winnow_fingerprints,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
-    "semdedup_keep": semdedup_keep,
-    "decontaminate_bloom": decontaminate_bloom,
-    "text_quality_classifier": text_quality_classifier,
-    "dedup_cluster_keep": dedup_cluster_keep,
-    "decontaminate_substring": decontaminate_substring,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
-    # --- next-stalest 28: r10 rotation picks these up ---
-    "sample_shuffle_epoch": sample_shuffle_epoch,
-    "embedding_kmeans": embedding_kmeans,
-    "sample_score_weighted": sample_score_weighted,
-    "asof_join_events": asof_join_events,
-    "range_join_windows": range_join_windows,
-    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
-    "web_url_dedup": web_url_dedup,
-    "ngram_jaccard_capped": ngram_jaccard_capped,
-    "dedup_clusters": dedup_clusters,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_md5": simhash_md5,
-    "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "dedup_paragraphs_docs": dedup_paragraphs_docs,
-    "sample_temperature": sample_temperature,
-    "dedup_corpus_docs": dedup_corpus_docs,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_keep_last": dedup_keep_last,
-    "profile_lineitem": profile_lineitem,
-    "sample_split_assign": sample_split_assign,
-    "sample_quota_rows": sample_quota_rows,
-    "merge_robust": merge_robust,
-    "hash_dataset_groups": hash_dataset_groups,
-    "agg_to_lists": agg_to_lists,
-    "text_chunks": text_chunks,
-    # --- r7/r8 window (driver-green in CORRECTNESS_r08) rotated back ---
     "embedding_quantize": embedding_quantize,
     "multimodal_resize": multimodal_resize,
     "dataset_python_source_read": dataset_python_source_read,
@@ -6719,12 +6703,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_dataset": streaming_ingest_dataset,
     "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup": streaming_ingest_dedup,
-    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
     "text_gopher_rules": text_gopher_rules,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "export_jsonl_manifest": export_jsonl_manifest,
     "embedding_random_projection": embedding_random_projection,
-    "embedding_pca": embedding_pca,
     "dedup_span_stats": dedup_span_stats,
     "pipeline_pack_export": pipeline_pack_export,
     "pack_sequence_boundaries": pack_sequence_boundaries,
