@@ -6377,6 +6377,43 @@ def web_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("domain"), "rank")
 
 
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_merge_candidates (operators/text.py): the first BPE-training
+    merge step — top-20 adjacent character pairs by corpus frequency,
+    counted over the distinct-word vocabulary (pair explode runs on
+    vocab rows, not corpus rows; map-side combine absorbs the Zipf
+    head). Integer counts, deterministic tie-break — exact oracle."""
+    _prep(spark)
+    from plateau_spark.operators.text import bpe_merge_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, "text", k=20, min_pair_count=2)
+
+
+TEXT_BPE_MERGE_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+           x -> x <> '')) AS w
+  FROM documents
+), words AS (
+  SELECT w AS word, COUNT(*) AS wc FROM toks GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 2))) AS pair,
+         wc
+  FROM words WHERE length(word) >= 2
+), counted AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair HAVING SUM(wc) >= 2
+)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT) AS rank
+FROM counted
+QUALIFY rank <= 20
+"""
+
+
 WEB_PAGERANK_ORACLE = """
 WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
 e AS (
@@ -6569,6 +6606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
     "dataset_merge_into": dataset_merge_into,
     "web_domain_pagerank": web_domain_pagerank,
+    "text_bpe_merge_pairs": text_bpe_merge_pairs,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6612,8 +6650,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "text_compression_signal": text_compression_signal,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_pq_persisted": embedding_pq_persisted,
     "embedding_ivfpq_query": embedding_ivfpq_query,
@@ -6740,6 +6778,7 @@ ORACLES: dict[str, str] = {
     "streaming_anomaly_zscore": STREAMING_ANOMALY_ORACLE,
     "dataset_merge_into": DATASET_MERGE_INTO_ORACLE,
     "web_domain_pagerank": WEB_PAGERANK_ORACLE,
+    "text_bpe_merge_pairs": TEXT_BPE_MERGE_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

@@ -12,7 +12,7 @@ so results are bit-reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny stopword inventories for the n-gram/stopword language heuristic.
@@ -1161,3 +1161,65 @@ def normalize_documents(
     through. Writes ``out_col`` (default: in place)."""
     out = out_col or text_col
     return df.withColumn(out, normalize_text_col_udf(form)(F.col(text_col)))
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 20,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Tokenizer induction, step one: the top-``k`` adjacent-symbol
+    pairs by corpus frequency — exactly the statistic a BPE trainer
+    greedily merges (Sennrich et al. 2016). Training a tokenizer on a
+    100 TB corpus is a pipeline job, not a notebook job: the counting
+    pass must be distributed, and this is that pass, fully codegen.
+
+    Shape: one scan → words (split) → per-word count agg (map-side
+    combine collapses the Zipf head — "the" arrives at the reducer
+    once per partition, not once per occurrence) → each DISTINCT word
+    contributes its adjacent character pairs (``transform`` over a
+    ``sequence`` — no Python) weighted by the word's count → keyed sum
+    → one top-k. The pair-counting join runs over the VOCABULARY
+    (≈10⁵–10⁷ rows), not the corpus — the classic BPE-training
+    optimization.
+
+    Pair counts are within-word, over the same lowercased word
+    tokenizer as the rest of the text tier (``_word_tokens``).
+    Deterministic tie-break: (count DESC, pair ASC). Returns
+    (pair, pair_count, rank).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = (
+        df.select(F.explode(_word_tokens(text_col)).alias("__w__"))
+        .groupBy("__w__")
+        .agg(F.count("*").alias("__wc__"))
+        .where(F.length("__w__") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__w__") - 1),
+                lambda i: F.col("__w__").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("__wc__"),
+    )
+    counted = (
+        pairs.groupBy("pair")
+        .agg(F.sum("__wc__").alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_pair_count))
+    )
+    ranked = counted.select(
+        "pair",
+        "pair_count",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        )
+        .cast("int")
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= int(k))

@@ -402,3 +402,35 @@ def test_pagerank_validates_args(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(e, iterations=0)
+
+
+# --- BPE merge-pair counting -------------------------------------------------
+
+from plateau_spark.operators.text import bpe_merge_candidates  # noqa: E402
+
+
+def test_bpe_merge_candidates_counts(spark):
+    df = spark.createDataFrame(
+        [("the cat the hat",), ("the thin cat",)], "text string"
+    )
+    got = {
+        r["pair"]: (r["pair_count"], r["rank"])
+        for r in bpe_merge_candidates(df, "text", k=10, min_pair_count=1).collect()
+    }
+    # 'th': the×3 + thin×1 = 4; 'he': 3; 'at': cat×2 + hat×1 = 3
+    assert got["th"] == (4, 1)
+    assert got["he"][0] == 3 and got["at"][0] == 3
+    # deterministic tie-break: 'at' < 'he' alphabetically
+    assert got["at"][1] == 2 and got["he"][1] == 3
+
+
+def test_bpe_merge_candidates_ignores_single_char_words(spark):
+    df = spark.createDataFrame([("a a a bb",)], "text string")
+    got = bpe_merge_candidates(df, "text", k=5, min_pair_count=1).collect()
+    assert [(r["pair"], r["pair_count"]) for r in got] == [("bb", 1)]
+
+
+def test_bpe_merge_candidates_validates_k(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_merge_candidates(df, "text", k=0)
