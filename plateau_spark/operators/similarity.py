@@ -226,24 +226,23 @@ def _lloyd_refine(
                 }
             )
 
+        # the partial frame is K·(#partitions) rows of dim-sized arrays —
+        # kilobytes; combine driver-side instead of paying a shuffle job
         partials = assigned.select("__cid__", vec_col).mapInPandas(
             _partials, "__cid__ int, __cnt__ long, __s__ array<double>"
-        )
-        combined = (
-            partials.select(
-                "__cid__", "__cnt__", F.posexplode("__s__").alias("__pos__", "__x__")
-            )
-            .groupBy("__cid__", "__pos__")
-            .agg(F.sum("__x__").alias("__sx__"), F.sum("__cnt__").alias("__n__"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in combined:
-            # each partial row carries its __cnt__ once per pos, so the
-            # per-(cid,pos) sum of __cnt__ is the cid's total count
-            by_cid.setdefault(r["__cid__"], {})[r["__pos__"]] = r["__sx__"] / r["__n__"]
+        ).collect()
+        import numpy as np
+
+        totals: dict[int, list] = {}
+        for r in partials:
+            ent = totals.setdefault(r["__cid__"], [0, None])
+            ent[0] += r["__cnt__"]
+            s = np.array(r["__s__"], dtype=np.float64)
+            ent[1] = s if ent[1] is None else ent[1] + s
         cents = [
-            [comp[i] for i in sorted(comp)] if (comp := by_cid.get(cid)) else cents[cid]
+            [float(x) for x in (ent[1] / ent[0])]
+            if (ent := totals.get(cid))
+            else cents[cid]
             for cid in range(len(cents))
         ]
     return cents
@@ -1227,18 +1226,85 @@ def fit_pq_model(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    codebooks = []
-    for j in range(m):
-        sub_df = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub__"),
-        )
-        cents = ivf_centroids(
-            sub_df, id_col=id_col, vec_col="__sub__",
-            n_centroids=k, refine_iterations=refine_iterations,
-        )
-        codebooks.append([c for _, c in cents])
+    # all m subspaces fit in ONE pass per stage: the xxhash64-smallest
+    # seed rows are the same rows for every subspace (one collect), and
+    # each Lloyd step assigns + partial-sums every subspace inside one
+    # mapInPandas job (m small GEMMs per Arrow batch) instead of m
+    # separate per-subspace jobs — same math (per-subvector cosine
+    # argmax, raw-subvector means, empty cells keep their centroid),
+    # ~m× fewer Spark jobs, which dominates fit latency.
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r[1][j * sub : (j + 1) * sub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(refine_iterations):
+        codebooks = _pq_lloyd_step(corpus, codebooks, vec_col, sub)
     return {"m": m, "k": k, "dim": dim, "sub_dim": sub, "codebooks": codebooks}
+
+
+def _pq_lloyd_step(
+    corpus: DataFrame, codebooks: list, vec_col: str, sub: int
+) -> list:
+    """One Lloyd step over ALL PQ subspaces in one assignment job:
+    per-subvector cosine argmax against the subspace's codebook, then
+    per-(subspace, cell, dim) mean via numpy partials + one tiny
+    combine (m·K·P rows). Empty cells keep their previous centroid."""
+    import numpy as np
+
+    m = len(codebooks)
+    norm_cmats = []
+    for b in codebooks:
+        c = np.array(b, dtype=np.float64)
+        norm_cmats.append(c / np.linalg.norm(c, axis=1, keepdims=True))
+
+    def _partials(batches):
+        import pandas as pd
+
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+                cids = np.argmax(Sn @ norm_cmats[j].T, axis=1)
+                for cid in np.unique(cids):
+                    mask = cids == cid
+                    ent = acc.setdefault((j, int(cid)), [0, np.zeros(sub)])
+                    ent[0] += int(mask.sum())
+                    ent[1] += S[mask].sum(axis=0)
+        if not acc:
+            return
+        yield pd.DataFrame(
+            {
+                "__j__": [j for j, _ in acc],
+                "__cid__": [c for _, c in acc],
+                "__cnt__": [v[0] for v in acc.values()],
+                "__s__": [list(v[1]) for v in acc.values()],
+            }
+        )
+
+    # the partial frame is m·K·(#partitions) rows of sub-dim arrays —
+    # kilobytes; combine driver-side instead of paying a shuffle job
+    partials = corpus.select(vec_col).mapInPandas(
+        _partials, "__j__ int, __cid__ int, __cnt__ long, __s__ array<double>"
+    ).collect()
+    totals: dict[tuple, list] = {}
+    for r in partials:
+        ent = totals.setdefault((r["__j__"], r["__cid__"]), [0, np.zeros(sub)])
+        ent[0] += r["__cnt__"]
+        ent[1] = ent[1] + np.array(r["__s__"], dtype=np.float64)
+    new_books = [[list(c) for c in b] for b in codebooks]
+    for (j, cid), (cnt, s) in totals.items():
+        new_books[j][cid] = [float(x) for x in (s / cnt)]
+    return new_books
 
 
 def encode_pq(
