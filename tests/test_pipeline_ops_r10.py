@@ -434,3 +434,48 @@ def test_bpe_merge_candidates_validates_k(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
         bpe_merge_candidates(df, "text", k=0)
+
+
+def test_merge_into_concurrent_append_raises_not_lost(spark, store, monkeypatch):
+    """An append committed while MERGE INTO's rewrite runs makes the
+    merge commit raise ConcurrentCommitError (the rewrite removes
+    candidate labels — non-append-only, not mergeable); the append must
+    survive untouched and the merge must NOT be half-applied."""
+    import plateau_spark.sources.dataset as ds_mod
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "id long, qty long"
+    )
+    store_dataframe_as_dataset(spark, store, "mc", base)
+    from plateau_spark.sources.dataset import update_dataset_from_dataframe
+
+    real_read = ds_mod._read_committed_files
+    fired = {"done": False}
+
+    def interleaved(spark_, store_, uuid_, schema_, parts_, **kw):
+        out = real_read(spark_, store_, uuid_, schema_, parts_, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            update_dataset_from_dataframe(
+                spark, store, "mc",
+                spark.createDataFrame([(500, 1)], "id long, qty long"),
+            )
+        return out
+
+    monkeypatch.setattr(ds_mod, "_read_committed_files", interleaved)
+    src = spark.createDataFrame([(3, 999), (90, 9)], "id long, qty long")
+    from plateau_spark.sources.dataset import ConcurrentCommitError
+
+    with pytest.raises(ConcurrentCommitError):
+        merge_into_dataset(spark, store, "mc", src, "id")
+    monkeypatch.undo()
+    got = {r["id"]: r["qty"] for r in read_table(spark, store, "mc").collect()}
+    assert fired["done"]
+    assert got[3] == 30 and 90 not in got   # merge not half-applied
+    assert got[500] == 1                    # concurrent append survived
+    assert len(got) == 9
+    # a clean retry (the documented reload-and-retry contract) succeeds
+    merge_into_dataset(spark, store, "mc", src, "id")
+    got = {r["id"]: r["qty"] for r in read_table(spark, store, "mc").collect()}
+    assert got[3] == 999 and got[90] == 9 and got[500] == 1
+    assert len(got) == 10
