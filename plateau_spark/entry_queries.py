@@ -6390,6 +6390,62 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(docs, "text", k=20, min_pair_count=2)
 
 
+def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train_unigram_lm → score_from_unigram_lm (operators/text.py):
+    the persisted-LM serving tier — an add-0.5-smoothed unigram model
+    trains on the reference half of the corpus (doc_id % 2 = 0),
+    persists as a dataset (logp in rows, OOV floor in commit
+    metadata), and every document scores against it: in-vocab tokens
+    join the model, OOV tokens are charged the smoothed zero-count
+    penalty. One vocab-sized model read per scoring batch, never a
+    corpus re-fit."""
+    _prep(spark)
+    from plateau_spark.operators.text import (
+        score_from_unigram_lm,
+        train_unigram_lm,
+    )
+
+    store = _fresh_store("lm-served")
+    docs = load_table(spark, sf_dir, "documents")
+    train_unigram_lm(
+        spark, store, "lm", docs.where(F.col("doc_id") % 2 == 0), "text"
+    )
+    return score_from_unigram_lm(
+        spark, store, "lm", docs, "doc_id", "text", oov_col="oov_frac"
+    )
+
+
+_LM_WORDS = r"list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> x <> '')"
+
+TEXT_LM_SERVED_ORACLE = rf"""
+WITH train_toks AS (
+  SELECT unnest({_LM_WORDS}) AS t FROM documents WHERE doc_id % 2 = 0
+), model AS (
+  SELECT t AS token, COUNT(*) AS c FROM train_toks GROUP BY t
+), stats AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM model
+), logps AS (
+  SELECT token, ln((c + 0.5) / (n + 0.5 * v)) AS logp
+  FROM model CROSS JOIN stats
+), oov AS (
+  SELECT ln(0.5 / (n + 0.5 * v)) AS oov_logp FROM stats
+), doc_toks AS (
+  SELECT doc_id, unnest({_LM_WORDS}) AS t FROM documents
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(-l.logp, -(SELECT oov_logp FROM oov)) AS nll_tok,
+         CASE WHEN l.logp IS NULL THEN 1.0 ELSE 0.0 END AS is_oov
+  FROM doc_toks d LEFT JOIN logps l ON d.t = l.token
+), agg AS (
+  SELECT doc_id, ROUND(AVG(nll_tok), 6) AS nll,
+         ROUND(AVG(is_oov), 6) AS oov_frac
+  FROM scored GROUP BY doc_id
+)
+SELECT documents.doc_id, agg.nll, agg.oov_frac
+FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+"""
+
+
 TEXT_BPE_MERGE_ORACLE = r"""
 WITH toks AS (
   SELECT unnest(list_filter(
@@ -6607,6 +6663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_merge_into": dataset_merge_into,
     "web_domain_pagerank": web_domain_pagerank,
     "text_bpe_merge_pairs": text_bpe_merge_pairs,
+    "text_lm_served_score": text_lm_served_score,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6649,8 +6706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "text_compression_signal": text_compression_signal,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_pq_persisted": embedding_pq_persisted,
@@ -6779,6 +6836,7 @@ ORACLES: dict[str, str] = {
     "dataset_merge_into": DATASET_MERGE_INTO_ORACLE,
     "web_domain_pagerank": WEB_PAGERANK_ORACLE,
     "text_bpe_merge_pairs": TEXT_BPE_MERGE_ORACLE,
+    "text_lm_served_score": TEXT_LM_SERVED_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

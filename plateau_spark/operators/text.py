@@ -1223,3 +1223,102 @@ def bpe_merge_candidates(
         .alias("rank"),
     )
     return ranked.where(F.col("rank") <= int(k))
+
+
+def train_unigram_lm(
+    spark,
+    store,
+    lm_uuid: str,
+    df: DataFrame,
+    text_col: str,
+    *,
+    add_k: float = 0.5,
+    overwrite: bool = False,
+):
+    """Train an add-k-smoothed unigram LM and persist it as a plateau
+    dataset — the train→persist→serve tier of the CCNet quality-scoring
+    ladder (``unigram_logprob`` with ``model=None`` is the
+    fit-on-self notebook tier; a production pipeline trains the LM ONCE
+    on a reference corpus and scores every incoming batch against it).
+
+    Model rows are (token, count, logp) with
+    ``logp = ln((count + k) / (N + k·V))``; the out-of-vocabulary
+    log-probability ``ln(k / (N + k·V))`` — the same formula at
+    count 0 — plus N/V/k live in the commit metadata, so serving needs
+    no extra pass over the model.
+
+    Scale shape: one explode + one keyed count agg (map-side combine
+    absorbs the Zipf head), one tiny stats agg, one write. The model
+    dataset is vocabulary-sized.
+    """
+    import math
+
+    from plateau_spark.sources.dataset import store_dataframe_as_dataset
+
+    if add_k <= 0:
+        raise ValueError("add_k must be positive (zero restores MLE with OOV holes)")
+    toks = df.select(F.explode(_word_tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("count"))
+    stats = counts.agg(
+        F.sum("count").alias("n"), F.count("*").alias("v")
+    ).first()
+    n = int(stats["n"] or 0)
+    v = int(stats["v"] or 0)
+    denom = float(n) + float(add_k) * float(v)
+    model = counts.select(
+        "token",
+        "count",
+        F.log((F.col("count") + F.lit(float(add_k))) / F.lit(denom)).alias("logp"),
+    )
+    oov_logp = math.log(float(add_k) / denom) if v else 0.0
+    return store_dataframe_as_dataset(
+        spark,
+        store,
+        lm_uuid,
+        model,
+        overwrite=overwrite,
+        metadata={
+            "unigram_lm": {
+                "total_tokens": n,
+                "vocab_size": v,
+                "add_k": float(add_k),
+                "oov_logp": oov_logp,
+            }
+        },
+    )
+
+
+def score_from_unigram_lm(
+    spark,
+    store,
+    lm_uuid: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    score_col: str = "nll",
+    oov_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score documents against a persisted ``train_unigram_lm`` model:
+    per-document mean NLL with OOV tokens charged the model's smoothed
+    zero-count log-probability (from commit metadata — no model scan).
+    One model read + the ``unigram_logprob`` join shape."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import _ensure_store, read_table
+
+    st = _ensure_store(store)
+    lm_meta = DatasetMetadata.load(st, lm_uuid).metadata.get("unigram_lm")
+    if not lm_meta:
+        raise ValueError(f"dataset {lm_uuid!r} carries no unigram_lm metadata")
+    model = read_table(spark, st, lm_uuid).select("token", "logp")
+    return unigram_logprob(
+        df,
+        id_col,
+        text_col,
+        model=model,
+        score_col=score_col,
+        oov_logp=float(lm_meta["oov_logp"]),
+        oov_col=oov_col,
+        round_digits=round_digits,
+    )

@@ -479,3 +479,56 @@ def test_merge_into_concurrent_append_raises_not_lost(spark, store, monkeypatch)
     got = {r["id"]: r["qty"] for r in read_table(spark, store, "mc").collect()}
     assert got[3] == 999 and got[90] == 9 and got[500] == 1
     assert len(got) == 10
+
+
+# --- persisted unigram LM (train -> serve) -----------------------------------
+
+from plateau_spark.operators.text import (  # noqa: E402
+    score_from_unigram_lm,
+    train_unigram_lm,
+)
+
+
+def test_unigram_lm_roundtrip_and_oov(spark, store):
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], "doc_id long, text string"
+    )
+    train_unigram_lm(spark, store, "lm", train, "text", add_k=0.5)
+    # N=6 tokens, V=4 vocab -> denom = 8.0
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+
+    meta = DatasetMetadata.load(store, "lm").metadata["unigram_lm"]
+    assert meta["total_tokens"] == 6 and meta["vocab_size"] == 4
+    assert meta["oov_logp"] == pytest.approx(math.log(0.5 / 8.0))
+
+    score_df = spark.createDataFrame(
+        [(10, "the the"), (11, "zebra")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["nll"], r["oov_frac"])
+        for r in score_from_unigram_lm(
+            spark, store, "lm", score_df, "doc_id", "text", oov_col="oov_frac"
+        ).collect()
+    }
+    # 'the' has count 2 -> logp = ln(2.5/8)
+    assert got[10][0] == pytest.approx(-math.log(2.5 / 8.0), abs=1e-6)
+    assert got[10][1] == 0.0
+    # OOV doc charged the smoothed-zero penalty, flagged 100% OOV
+    assert got[11][0] == pytest.approx(-math.log(0.5 / 8.0), abs=1e-6)
+    assert got[11][1] == 1.0
+
+
+def test_unigram_lm_rejects_zero_k(spark, store):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        train_unigram_lm(spark, store, "lmz", df, "text", add_k=0.0)
+
+
+def test_score_requires_lm_metadata(spark, store):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    store_dataframe_as_dataset(spark, store, "notlm", df)
+    with pytest.raises(ValueError):
+        score_from_unigram_lm(spark, store, "notlm", df, "doc_id", "text")
