@@ -6415,6 +6415,53 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_steps (streaming/events.py): ordered conversion funnel
+    view → signup → purchase with a 72-hour completion bound — the
+    greedy-earliest strictly-increasing matching, one keyed agg per
+    step on the same user key (no window over raw events, no per-user
+    arrays). Counts are exact; conversion is one integer division."""
+    _prep(spark)
+    from plateau_spark.streaming.events import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        ["view", "signup", "purchase"], within="72 hours",
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts, event_type AS et
+  FROM events WHERE event_type IN ('view', 'signup', 'purchase')
+), s0 AS (
+  SELECT u, MIN(ts) AS t0, MIN(ts) + INTERVAL 72 HOUR AS dl
+  FROM e WHERE et = 'view' GROUP BY u
+), s1 AS (
+  SELECT e.u, MIN(e.ts) AS t1, MIN(s0.dl) AS dl
+  FROM e JOIN s0 ON e.u = s0.u
+  WHERE et = 'signup' AND e.ts > s0.t0 AND e.ts <= s0.dl
+  GROUP BY e.u
+), s2 AS (
+  SELECT e.u, MIN(e.ts) AS t2
+  FROM e JOIN s1 ON e.u = s1.u
+  WHERE et = 'purchase' AND e.ts > s1.t1 AND e.ts <= s1.dl
+  GROUP BY e.u
+), c AS (
+  SELECT (SELECT COUNT(*) FROM s0) AS c0,
+         (SELECT COUNT(*) FROM s1) AS c1,
+         (SELECT COUNT(*) FROM s2) AS c2
+)
+SELECT 1 AS step, 'view' AS event_type, c0 AS users_reached,
+       CAST(c0 AS DOUBLE) / c0 AS conversion FROM c
+UNION ALL
+SELECT 2, 'signup', c1, CAST(c1 AS DOUBLE) / c0 FROM c
+UNION ALL
+SELECT 3, 'purchase', c2, CAST(c2 AS DOUBLE) / c0 FROM c
+"""
+
+
 _LM_WORDS = r"list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> x <> '')"
 
 TEXT_LM_SERVED_ORACLE = rf"""
@@ -6664,6 +6711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_pagerank": web_domain_pagerank,
     "text_bpe_merge_pairs": text_bpe_merge_pairs,
     "text_lm_served_score": text_lm_served_score,
+    "events_funnel_steps": events_funnel_steps,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6705,8 +6753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
-    "embedding_dup_pairs": embedding_dup_pairs,
     "text_compression_signal": text_compression_signal,
+    "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
     "embedding_pq_topk": embedding_pq_topk,
@@ -6837,6 +6885,7 @@ ORACLES: dict[str, str] = {
     "web_domain_pagerank": WEB_PAGERANK_ORACLE,
     "text_bpe_merge_pairs": TEXT_BPE_MERGE_ORACLE,
     "text_lm_served_score": TEXT_LM_SERVED_ORACLE,
+    "events_funnel_steps": EVENTS_FUNNEL_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

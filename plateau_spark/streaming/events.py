@@ -1139,3 +1139,69 @@ def read_topk_counts(spark, store, dataset_uuid: str, *, k: int = 10) -> DataFra
             "rnk",
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps,
+    *,
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest strictly-
+    increasing completion of the ``steps`` event sequence (classic
+    conversion funnel — view → signup → purchase), summarized as one
+    row per step: users reached + conversion vs step 1.
+
+    Semantics: step 1's timestamp is the user's earliest ``steps[0]``
+    event; step k's is the earliest ``steps[k]`` event STRICTLY after
+    step k-1's. ``within`` (SQL interval, e.g. ``"7 days"``) bounds the
+    whole funnel relative to step 1. This greedy-earliest matching is
+    the standard funnel definition and maximizes completion (an
+    earlier step-1 can only allow more step-2 choices).
+
+    Scale shape: one filter to the step types, then one keyed agg PER
+    STEP on the same user key — Catalyst plans k-1 co-partitioned
+    joins, no window over raw events, no per-user array materialization
+    (a user with 10⁶ events costs agg-combine work, not a sort). The
+    output is k rows.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    e = events.select(
+        F.col(user_col).alias("__u__"),
+        F.col(ts_col).alias("__ts__"),
+        F.col(type_col).alias("__et__"),
+    ).where(F.col("__et__").isin(steps))
+    reached = e.where(F.col("__et__") == steps[0]).groupBy("__u__").agg(
+        F.min("__ts__").alias("__t0__")
+    )
+    deadline = (
+        F.col("__t0__") + F.expr(f"INTERVAL {within}") if within else None
+    )
+    if within:
+        reached = reached.withColumn("__dl__", deadline)
+    counts = [reached.count()]
+    prev = reached.withColumnRenamed("__t0__", "__tp__")
+    for step in steps[1:]:
+        nxt = (
+            e.where(F.col("__et__") == step)
+            .join(prev, "__u__")
+            .where(F.col("__ts__") > F.col("__tp__"))
+        )
+        if within:
+            nxt = nxt.where(F.col("__ts__") <= F.col("__dl__"))
+        keep = ["__u__"] + (["__dl__"] if within else [])
+        prev = nxt.groupBy(*keep).agg(F.min("__ts__").alias("__tp__"))
+        counts.append(prev.count())
+    spark = events.sparkSession
+    rows = [
+        (i + 1, steps[i], counts[i], float(counts[i]) / counts[0] if counts[0] else None)
+        for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, users_reached long, conversion double"
+    )

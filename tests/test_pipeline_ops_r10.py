@@ -532,3 +532,40 @@ def test_score_requires_lm_metadata(spark, store):
     store_dataframe_as_dataset(spark, store, "notlm", df)
     with pytest.raises(ValueError):
         score_from_unigram_lm(spark, store, "notlm", df, "doc_id", "text")
+
+
+# --- ordered funnel ----------------------------------------------------------
+
+from plateau_spark.streaming.events import funnel_steps  # noqa: E402
+
+
+def test_funnel_steps_ordering_and_bound(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # user 1 completes in order
+        (1, t(1), "view"), (1, t(2), "signup"), (1, t(3), "purchase"),
+        # user 2: signup BEFORE view -> never converts past step 1
+        (2, t(2), "signup"), (2, t(3), "view"),
+        # user 3: purchase without signup -> stops at step 1
+        (3, t(1), "view"), (3, t(2), "purchase"),
+        # user 4: completes but outside the 2-hour bound
+        (4, t(1), "view"), (4, t(10), "signup"),
+        # user 5: no view at all -> not in funnel
+        (5, t(1), "signup"), (5, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    out = funnel_steps(
+        df, "u", "ts", "et", ["view", "signup", "purchase"], within="2 hours"
+    ).collect()
+    got = {r["step"]: (r["users_reached"], r["conversion"]) for r in out}
+    assert got[1] == (4, 1.0)
+    assert got[2] == (1, 0.25)
+    assert got[3] == (1, 0.25)
+
+
+def test_funnel_steps_needs_two(spark):
+    df = spark.createDataFrame([(1, 1, "a")], "u long, ts long, et string")
+    with pytest.raises(ValueError):
+        funnel_steps(df, "u", "ts", "et", ["a"])
