@@ -160,6 +160,15 @@ BENCH_QUERIES = [
     "embedding_ivfpq_query",
     "histogram_drift_psi",
     "streaming_sliding_counts",
+    "entity_match_pairs",
+    "entity_resolution",
+    "join_skew_salted",
+    "streaming_anomaly_zscore",
+    "dataset_merge_into",
+    "web_domain_pagerank",
+    "text_bpe_merge_pairs",
+    "text_lm_served_score",
+    "events_funnel_steps",
 ]
 
 

@@ -6688,12 +6688,16 @@ GROUP BY rec.id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r10 window (first 50): every exact-oracle query with NO prior
-    #     driver evidence first (6 new this round — entity_match_pairs,
+    #     driver evidence first (9 new this round — entity_match_pairs,
     #     entity_resolution, join_skew_salted, streaming_anomaly_zscore,
-    #     dataset_merge_into, web_domain_pagerank — plus the 8 r9-late
-    #     additions the r9 window missed), then the 13 queries whose
-    #     last driver evidence is r5, then 23 of the 29 r6-evidence
-    #     queries. The 6 deferred r6 entries (semdedup_keep,
+    #     dataset_merge_into, web_domain_pagerank, text_bpe_merge_pairs,
+    #     text_lm_served_score, events_funnel_steps — plus the 8
+    #     r9-late additions the r9 window missed), then the 13 queries
+    #     whose last driver evidence is r5, then 20 of the 29
+    #     r6-evidence queries (the 3 displaced by the later r10
+    #     additions — winnow_overlap_pairs, embedding_dup_pairs,
+    #     embedding_dup_pairs_lsh — sit directly after the window and
+    #     were parity-swept green this round). The 6 deferred r6 entries (semdedup_keep,
     #     decontaminate_bloom, text_quality_classifier,
     #     dedup_cluster_keep, decontaminate_substring,
     #     decontaminate_fuzzy) were judge-re-swept green in r9 and sit
