@@ -593,3 +593,73 @@ def test_histogram_quantiles_window_is_bucket_sized(spark):
     # physical plans print top-down: the aggregate must appear BELOW
     # (after) the Window line, i.e. the window consumes the aggregate
     assert "HashAggregate" in plan[plan.index("Window"):]
+
+
+def test_linkage_candidate_join_is_equi_not_cartesian(spark):
+    """Blocked candidate generation must plan as a hash/sort-merge
+    equi-join on the blocking key — never a nested loop (the whole
+    point of blocking is avoiding the n² compare)."""
+    from plateau_spark.operators.linkage import match_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", f"blk{i % 3}") for i in range(30)],
+        "id long, name string, blk string",
+    )
+    pairs = match_pairs(df, "id", [F.col("blk")], ["name"], threshold=0.0)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_salted_join_exchanges_on_key_and_salt(spark):
+    """With broadcast disabled (the big-dim scenario salting exists
+    for), the salted join must exchange on (key, salt) — the hot key's
+    rows land on num_salts reducers, not one."""
+    from plateau_spark.operators.joins import salted_join
+
+    left = spark.range(0, 500).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k")
+    )
+    right = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("d").alias("name")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(left, right, ["k"], num_salts=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "NestedLoop" not in plan
+    # the join condition carries both the key and the salt column
+    join_line = next(
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    )
+    assert "k" in join_line and "__salt__" in join_line
+
+
+def test_merge_into_prunes_candidates_by_key_bounds(spark, tmp_path):
+    """MERGE INTO with zone-mapped keys must rewrite ONLY the files the
+    source key range can touch — untouched files survive by identity."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import merge_into_dataset
+
+    store = Store(str(tmp_path / "store"))
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("qty")
+    ).repartitionByRange(4, "id")
+    store_dataframe_as_dataset(
+        spark, store, "m", df, zone_map_columns=["id"]
+    )
+    before = {
+        p.label: p.file for p in DatasetMetadata.load(store, "m").partitions.values()
+    }
+    src = spark.createDataFrame([(5, 999), (20, 999)], "id long, qty long")
+    merge_into_dataset(spark, store, "m", src, "id")
+    after = {
+        p.label: p.file for p in DatasetMetadata.load(store, "m").partitions.values()
+    }
+    survived = set(before.values()) & set(after.values())
+    # the 3 range files whose id bounds exclude [5, 20] are untouched
+    assert len(survived) == 3, (before, after)
