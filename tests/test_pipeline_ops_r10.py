@@ -569,3 +569,73 @@ def test_funnel_steps_needs_two(spark):
     df = spark.createDataFrame([(1, 1, "a")], "u long, ts long, et string")
     with pytest.raises(ValueError):
         funnel_steps(df, "u", "ts", "et", ["a"])
+
+
+def test_merge_into_matches_python_model_random(spark, tmp_path):
+    """Property check: MERGE INTO == a row-by-row Python model of the
+    clause semantics across randomized tables/conditions (seeded)."""
+    import random
+
+    from plateau_spark.core.store import Store
+
+    rng = random.Random(20260815)
+    conds = [
+        ("s.qty = 0", "s.qty > t.qty", "s.qty >= 10"),
+        (None, "s.qty <> t.qty", "true"),
+        ("s.qty < t.qty", None, None),
+        ("true", "true", "true"),
+    ]
+    for case, (dcond, ucond, icond) in enumerate(conds):
+        store = Store(str(tmp_path / f"s{case}"))
+        base = {
+            i: rng.randrange(0, 60) for i in rng.sample(range(40), 15)
+        }
+        src = {
+            i: rng.randrange(0, 60) for i in rng.sample(range(60), 12)
+        }
+        spark_base = spark.createDataFrame(
+            sorted(base.items()), "id long, qty long"
+        )
+        spark_src = spark.createDataFrame(
+            sorted(src.items()), "id long, qty long"
+        )
+        store_dataframe_as_dataset(spark, store, "m", spark_base)
+        merge_into_dataset(
+            spark, store, "m", spark_src, "id",
+            when_matched_delete=dcond,
+            when_matched_update=ucond,
+            when_not_matched_insert=icond,
+        )
+
+        def holds(cond, s_qty, t_qty=None):
+            if cond is None:
+                return False
+            env = {"s": {"qty": s_qty}, "t": {"qty": t_qty}}
+            return {
+                "s.qty = 0": env["s"]["qty"] == 0,
+                "s.qty > t.qty": env["s"]["qty"] > (env["t"]["qty"] or 0)
+                if t_qty is not None else False,
+                "s.qty >= 10": env["s"]["qty"] >= 10,
+                "s.qty <> t.qty": env["s"]["qty"] != env["t"]["qty"]
+                if t_qty is not None else False,
+                "s.qty < t.qty": env["s"]["qty"] < env["t"]["qty"]
+                if t_qty is not None else False,
+                "true": True,
+            }[cond]
+
+        expect = {}
+        for i, tq in base.items():
+            if i in src:
+                sq = src[i]
+                if holds(dcond, sq, tq):
+                    continue
+                expect[i] = sq if holds(ucond, sq, tq) else tq
+            else:
+                expect[i] = tq
+        for i, sq in src.items():
+            if i not in base and holds(icond, sq):
+                expect[i] = sq
+        got = {
+            r["id"]: r["qty"] for r in read_table(spark, store, "m").collect()
+        }
+        assert got == expect, (case, dcond, ucond, icond)
