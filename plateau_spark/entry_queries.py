@@ -6189,8 +6189,8 @@ def _linkage_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LINKAGE_BLOCKS = lambda: [  # noqa: E731 — rebuilt per call (Column exprs)
-    F.substring(F.col("addr"), 1, 2),
-    F.expr("right(name, 3)"),
+    F.substring(F.col("addr"), 1, 3),
+    F.expr("right(name, 4)"),
 ]
 
 
@@ -6636,11 +6636,11 @@ rec AS (
          md5(CAST(c_custkey AS VARCHAR)) AS addr
   FROM customer
 ), keyed AS (
-  SELECT substr(addr, 1, 2) AS blk, 0 AS bk, id FROM rec
-  WHERE substr(addr, 1, 2) IS NOT NULL
+  SELECT substr(addr, 1, 3) AS blk, 0 AS bk, id FROM rec
+  WHERE substr(addr, 1, 3) IS NOT NULL
   UNION ALL
-  SELECT right(name, 3) AS blk, 1 AS bk, id FROM rec
-  WHERE right(name, 3) IS NOT NULL
+  SELECT right(name, 4) AS blk, 1 AS bk, id FROM rec
+  WHERE right(name, 4) IS NOT NULL
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.blk = b.blk AND a.id < b.id

@@ -66,6 +66,44 @@ def field_similarity_col(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _blocked_rows(
+    records: DataFrame,
+    id_col: str,
+    blocking_keys: Sequence[Column],
+    payload_cols: Sequence[str],
+    max_block_size: int | None,
+) -> DataFrame:
+    """One row per (blocking key, record): (__bk__, __block__, __id__,
+    payload...). NULL keys never block; blocks above ``max_block_size``
+    are dropped (degenerate-key contract)."""
+    keyed = None
+    for i, expr in enumerate(blocking_keys):
+        part = records.select(
+            expr.cast("string").alias("__block__"),
+            F.lit(i).alias("__bk__"),
+            F.col(id_col).alias("__id__"),
+            *[F.col(c) for c in payload_cols],
+        ).where(F.col("__block__").isNotNull())
+        keyed = part if keyed is None else keyed.unionByName(part)
+    if keyed is None:
+        raise ValueError("candidate_pairs needs at least one blocking key")
+    if max_block_size is not None:
+        # two-level count (map-side partial) — never materializes a block
+        sizes = keyed.groupBy("__bk__", "__block__").agg(
+            F.count("*").alias("__bn__")
+        )
+        keyed = keyed.join(
+            F.broadcast(
+                sizes.where(F.col("__bn__") > max_block_size).select(
+                    "__bk__", "__block__"
+                )
+            ),
+            ["__bk__", "__block__"],
+            "left_anti",
+        )
+    return keyed
+
+
 def candidate_pairs(
     records: DataFrame,
     id_col: str,
@@ -84,28 +122,7 @@ def candidate_pairs(
     and would cost size² comparisons while carrying ~zero linkage
     signal. Pass None to disable (exact mode for small/curated feeds).
     """
-    keyed = None
-    for i, expr in enumerate(blocking_keys):
-        part = records.select(
-            expr.cast("string").alias("__block__"),
-            F.lit(i).alias("__bk__"),
-            F.col(id_col).alias("__id__"),
-        ).where(F.col("__block__").isNotNull())
-        keyed = part if keyed is None else keyed.unionByName(part)
-    if keyed is None:
-        raise ValueError("candidate_pairs needs at least one blocking key")
-    if max_block_size is not None:
-        # two-level count (map-side partial) — never materializes a block
-        sizes = keyed.groupBy("__bk__", "__block__").agg(
-            F.count("*").alias("__bn__")
-        )
-        keyed = keyed.join(
-            F.broadcast(
-                sizes.where(F.col("__bn__") > max_block_size).select("__bk__", "__block__")
-            ),
-            ["__bk__", "__block__"],
-            "left_anti",
-        )
+    keyed = _blocked_rows(records, id_col, blocking_keys, [], max_block_size)
     left = keyed.select("__bk__", "__block__", F.col("__id__").alias("id_a"))
     right = keyed.select("__bk__", "__block__", F.col("__id__").alias("id_b"))
     return (
@@ -134,37 +151,74 @@ def match_pairs(
     weight nor value (pairwise-available weighting). The score is a
     deterministic left-to-right fold over the field list, so it is
     bit-reproducible (and DuckDB-replayable for the oracle twin).
+
+    Plan shape: the payload rides the blocking rows, so scoring happens
+    INSIDE the block self-join and the threshold filter runs BEFORE the
+    pair-dedup aggregation — the expensive shuffle sees only matches
+    (a pair co-blocked by several keys is scored per co-block, which is
+    cheap codegen, and deduped once past the filter; the score is a
+    pure function of the pair so every co-block agrees). This beats
+    candidate_pairs → re-join-payloads → score, which shuffles the full
+    candidate set twice more.
     """
     if weights is None:
         weights = [1.0] * len(compare_cols)
     if len(weights) != len(compare_cols):
         raise ValueError("weights must align with compare_cols")
-    cand = candidate_pairs(
-        records, id_col, blocking_keys, max_block_size=max_block_size
+    keyed = _blocked_rows(
+        records, id_col, blocking_keys, compare_cols, max_block_size
     )
-    payload = records.select(
-        F.col(id_col).alias("__id__"),
-        *[F.col(c) for c in compare_cols],
-    )
-    a = payload.select(
+    a = keyed.select(
+        "__bk__",
+        "__block__",
         F.col("__id__").alias("id_a"),
         *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
     )
-    b = payload.select(
+    b = keyed.select(
+        "__bk__",
+        "__block__",
         F.col("__id__").alias("id_b"),
         *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
     )
-    joined = cand.join(a, "id_a").join(b, "id_b")
+    # explicit repartition by the join key (REPARTITION_BY_NUM): AQE
+    # sizes post-shuffle partitions by INPUT bytes, but this join's
+    # output is quadratic per block with Levenshtein scoring inside —
+    # letting AQE coalesce the tiny input onto a few tasks serializes
+    # the expensive stage. The explicit count pins the parallelism.
+    n_part = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    a = a.repartition(n_part, "__bk__", "__block__")
+    b = b.repartition(n_part, "__bk__", "__block__")
+    joined = a.join(b, ["__bk__", "__block__"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    # stage the per-field similarities as ONE projection: each
+    # Levenshtein evaluates once per pair (an alias is an attribute
+    # reference downstream; inlining `sim` into both the weighted sum
+    # and the availability mask would recompute it per reference)
+    staged = joined.select(
+        "id_a",
+        "id_b",
+        *[
+            field_similarity_col(F.col(f"__a_{c}"), F.col(f"__b_{c}")).alias(
+                f"__sim_{c}"
+            )
+            for c in compare_cols
+        ],
+    )
     num = F.lit(0.0)
     den = F.lit(0.0)
     for c, w in zip(compare_cols, weights):
-        sim = field_similarity_col(F.col(f"__a_{c}"), F.col(f"__b_{c}"))
+        sim = F.col(f"__sim_{c}")
         num = num + F.coalesce(sim * F.lit(float(w)), F.lit(0.0))
         den = den + F.when(sim.isNull(), F.lit(0.0)).otherwise(F.lit(float(w)))
     score = F.when(den > 0, num / den)
     return (
-        joined.select("id_a", "id_b", score.alias("score"))
+        staged.select("id_a", "id_b", score.alias("score"))
         .where(F.col("score") >= F.lit(float(threshold)))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("score").alias("score"))
     )
 
 
