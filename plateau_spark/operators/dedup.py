@@ -925,8 +925,11 @@ def duplicate_clusters(
     force the distributed loop.
     """
     # normalize self-loops identically for the driver and distributed
-    # paths: (a, a) edges are dropped before either runs
-    pairs = pairs.where(F.col(id_a) != F.col(id_b))
+    # paths: (a, a) edges are dropped before either runs. Checkpoint the
+    # pair frame FIRST: the two union branches below would otherwise
+    # each re-evaluate the (often expensive — LSH banding, blocked
+    # Levenshtein) upstream pair plan
+    pairs = pairs.where(F.col(id_a) != F.col(id_b)).localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -956,8 +959,17 @@ def duplicate_clusters(
                 # roots always point at smaller ids ⇒ component root = min id
                 parent[hi] = lo
         id_type = pairs.schema[id_a].dataType.simpleString()
+        # Arrow-batched materialization: list-of-tuples createDataFrame
+        # pickles row objects one by one (~seconds at 10⁵ nodes, the
+        # dominant cost of the driver fast path); the pandas route ships
+        # columnar Arrow batches
+        import pandas as pd
+
+        ordered = sorted(nodes)
         return pairs.sparkSession.createDataFrame(
-            [(x, find(x)) for x in sorted(nodes)],
+            pd.DataFrame(
+                {"id": ordered, "cluster_id": [find(x) for x in ordered]}
+            ),
             f"id {id_type}, cluster_id {id_type}",
         )
 
