@@ -143,3 +143,81 @@ def plan_scan(
             ) and conjunction_may_match_stats(conjunction, part.stats):
                 surviving.add(label)
     return [parts[label] for label in sorted(surviving)]
+
+
+def explain_scan(
+    metadata: DatasetMetadata,
+    store: Store,
+    predicates: Predicates | None = None,
+    *,
+    index_loader=None,
+) -> list[dict]:
+    """Pruning report for a prospective read: one dict per committed
+    file — ``{"label", "file", "scanned": bool, "pruned_by": [...]}``
+    — where ``pruned_by`` names the metadata tier(s) that excluded the
+    file (``partition_key``, ``zone_map``, ``bloom``, ``index``; a file
+    is scanned iff at least one predicate conjunction admits it through
+    every tier).
+
+    The observability twin of :func:`plan_scan` (same decision logic,
+    same metadata GETs): run it before an expensive read to see WHY a
+    query will touch N files — the answer to "my predicate should have
+    pruned this" is a report, not a debugger session. Driver-only;
+    touches no data files.
+    """
+    check_predicates(predicates)
+    parts = metadata.partitions
+    if predicates is None:
+        return [
+            {"label": lbl, "file": parts[lbl].file, "scanned": True, "pruned_by": []}
+            for lbl in sorted(parts)
+        ]
+    pred_cols = columns_in_predicates(predicates)
+    needed = [
+        c for c in pred_cols if metadata.has_index(c) and c not in metadata.partition_keys
+    ]
+    literals: dict[str, list[tuple[str, object]]] = {c: [] for c in needed}
+    for conjunction in predicates:
+        for col, op, val in conjunction:
+            if col in literals and _literal_index_constrainable(op, val):
+                literals[col].append((op, val))
+    if index_loader is None:
+        index_loader = lambda c, lits: metadata.secondary_index(store, c, literals=lits)  # noqa: E731
+    indexes = {c: index_loader(c, literals[c]) for c in needed}
+    bloom = None
+    if metadata.blooms and any(c in metadata.blooms for c in pred_cols):
+        from plateau_spark.plans.blooms import BloomConsult
+
+        bloom = BloomConsult(store, metadata.blooms)
+
+    all_labels = list(parts)
+    report: dict[str, set] = {lbl: set() for lbl in parts}
+    scanned: set[str] = set()
+    for conjunction in predicates:
+        allowed = _conjunction_allowed_labels(conjunction, indexes)
+        bloom_allowed = (
+            bloom.allowed_labels(conjunction, all_labels) if bloom else None
+        )
+        for label, part in parts.items():
+            blockers = set()
+            if allowed is not None and label not in allowed:
+                blockers.add("index")
+            if bloom_allowed is not None and label not in bloom_allowed:
+                blockers.add("bloom")
+            if not conjunction_holds_on_keys(conjunction, part.key_values):
+                blockers.add("partition_key")
+            if not conjunction_may_match_stats(conjunction, part.stats):
+                blockers.add("zone_map")
+            if blockers:
+                report[label] |= blockers
+            else:
+                scanned.add(label)
+    return [
+        {
+            "label": lbl,
+            "file": parts[lbl].file,
+            "scanned": lbl in scanned,
+            "pruned_by": sorted(report[lbl]) if lbl not in scanned else [],
+        }
+        for lbl in sorted(parts)
+    ]

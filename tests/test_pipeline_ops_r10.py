@@ -639,3 +639,57 @@ def test_merge_into_matches_python_model_random(spark, tmp_path):
             r["id"]: r["qty"] for r in read_table(spark, store, "m").collect()
         }
         assert got == expect, (case, dcond, ucond, icond)
+
+
+# --- pruning observability ---------------------------------------------------
+
+
+def test_explain_scan_reports_pruning_tiers(spark, store):
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.plans.pruning import explain_scan, plan_scan
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 50 else "de", f"src{i % 4}", i) for i in range(100)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ex", df.repartition(2, "doc_id"),
+        partition_on=["lang"],
+        zone_map_columns=["n_chars"],
+        bloom_filter_columns=["source"],
+    )
+    meta = DatasetMetadata.load(store, "ex")
+    preds = [[("lang", "==", "en"), ("n_chars", "<", 10), ("source", "==", "src1")]]
+    rep = explain_scan(meta, store, preds)
+    assert {r["label"] for r in rep} == set(meta.partitions)
+    # agreement with the planner
+    planned = {p.label for p in plan_scan(meta, store, preds)}
+    assert {r["label"] for r in rep if r["scanned"]} == planned
+    reasons = {
+        tier for r in rep if not r["scanned"] for tier in r["pruned_by"]
+    }
+    # de partitions pruned by the partition key; the en file whose
+    # n_chars zone map excludes <10 is zone-map-pruned
+    assert "partition_key" in reasons
+    assert "zone_map" in reasons or "bloom" in reasons
+    # no-predicate report scans everything
+    rep_all = explain_scan(meta, store, None)
+    assert all(r["scanned"] and r["pruned_by"] == [] for r in rep_all)
+
+
+def test_explain_scan_bloom_tier(spark, store):
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.plans.pruning import explain_scan
+
+    df = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(200)], "id long, k string"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "bl", df.repartitionByRange(4, "id"),
+        bloom_filter_columns=["k"],
+    )
+    meta = DatasetMetadata.load(store, "bl")
+    rep = explain_scan(meta, store, [[("k", "==", "key-3")]])
+    pruned = [r for r in rep if not r["scanned"]]
+    assert pruned and all("bloom" in r["pruned_by"] for r in pruned)
+    assert sum(r["scanned"] for r in rep) >= 1
