@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "text_bpe_merge_pairs",
     "text_lm_served_score",
     "events_funnel_steps",
+    "dataset_repartition_read",
 ]
 
 

@@ -43,6 +43,7 @@ from plateau_spark.sources.dataset import (
     commit_dataset,
     copy_dataset,
     compact_dataset,
+    repartition_dataset,
     delete_rows_from_dataset,
     merge_upsert_into_dataset,
     merge_into_dataset,
@@ -69,6 +70,7 @@ __all__ = [
     "delete_rows_from_dataset",
     "merge_upsert_into_dataset",
     "merge_into_dataset",
+    "repartition_dataset",
     "dataset_history",
     "restore_dataset",
     "read_dataset_changes",

@@ -6415,6 +6415,40 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_repartition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition_dataset (sources/dataset.py): partition-layout
+    evolution — store under lang, evolve to source in one atomic swap
+    (zone maps re-harvested, pruning works under the new keys), then a
+    source-pruned + zone-map residual read."""
+    _prep(spark)
+    from plateau_spark.sources.dataset import (
+        read_table,
+        repartition_dataset,
+        store_dataframe_as_dataset,
+    )
+
+    store = _fresh_store("repartition-evolve")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "docs", docs, partition_on=["lang"],
+        zone_map_columns=["doc_id"],
+    )
+    repartition_dataset(spark, store, "docs", partition_on=["source"])
+    out = read_table(
+        spark, store, "docs",
+        predicates=[[("source", "==", "src3"), ("doc_id", ">=", 40)]],
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+DATASET_REPARTITION_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE source = 'src3' AND doc_id >= 40
+"""
+
+
 def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """funnel_steps (streaming/events.py): ordered conversion funnel
     view → signup → purchase with a 72-hour completion bound — the
@@ -6716,6 +6750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merge_pairs": text_bpe_merge_pairs,
     "text_lm_served_score": text_lm_served_score,
     "events_funnel_steps": events_funnel_steps,
+    "dataset_repartition_read": dataset_repartition_read,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6756,8 +6791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
     "text_compression_signal": text_compression_signal,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
@@ -6890,6 +6925,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_merge_pairs": TEXT_BPE_MERGE_ORACLE,
     "text_lm_served_score": TEXT_LM_SERVED_ORACLE,
     "events_funnel_steps": EVENTS_FUNNEL_ORACLE,
+    "dataset_repartition_read": DATASET_REPARTITION_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

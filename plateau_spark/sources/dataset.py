@@ -2445,6 +2445,88 @@ def compact_dataset(
     return new_meta
 
 
+def repartition_dataset(
+    spark: SparkSession,
+    store: Store | str,
+    dataset_uuid: str,
+    *,
+    partition_on: Sequence[str],
+    num_buckets: int | None = None,
+    gc: bool = False,
+) -> DatasetMetadata:
+    """Partition-layout evolution: rewrite the dataset under NEW hive
+    partition keys (or ``partition_on=[]`` to flatten) in one atomic
+    swap — the lakehouse answer to "we partitioned by ingest date but
+    every query filters by language".
+
+    The reference fixes ``partition_on`` at dataset creation
+    (plateau/io_components/write.py) — changing layout means a manual
+    copy-everything migration with a window where readers see neither
+    layout. This maintenance op is the compact_dataset shape with a
+    key change: one pruned read, one bucketed write under the new
+    keys, zone maps re-harvested for every previously-tracked column,
+    secondary indices and Bloom sidecars rebuilt over the new files,
+    ONE optimistic commit swapping the entire partition set (so a
+    concurrent commit raises instead of being reverted). Readers hold
+    the old snapshot until the commit lands; time travel to
+    pre-evolution generations keeps working; superseded files are
+    reclaimed by ``garbage_collect_dataset`` (or ``gc=True``) once
+    in-flight readers drain.
+
+    NULL values in a new key column fail the write (the same staging
+    hard error as any partitioned store — a silent
+    ``__HIVE_DEFAULT_PARTITION__`` would corrupt pruning).
+    """
+    store = _ensure_store(store)
+    meta = DatasetMetadata.load(store, dataset_uuid)
+    _base = _commit_base_snapshot(meta)
+    partition_on = list(partition_on)
+    schema_cols = {f.name for f in meta.schema or []}
+    missing = [c for c in partition_on if c not in schema_cols]
+    if missing:
+        raise ValueError(f"partition_on columns not in dataset schema: {missing}")
+
+    df = read_dataset_as_dataframe(spark, store, dataset_uuid)
+    partitions = _write_files(
+        df,
+        store,
+        dataset_uuid,
+        partition_on,
+        num_buckets=num_buckets,
+        bucket_by=partition_on if num_buckets else None,
+    )
+    zm_cols = sorted({c for p in meta.partitions.values() for c in p.stats})
+    if zm_cols:
+        _attach_zone_maps(spark, store, meta.schema, partitions, zm_cols)
+    new_meta = DatasetMetadata(
+        uuid=dataset_uuid,
+        partitions={p.label: p for p in partitions},
+        partition_keys=partition_on,
+        schema=meta.schema,
+        metadata=dict(meta.metadata),
+        # same dataset, next generation (see compact_dataset)
+        generation=meta.generation,
+    )
+    indexed_cols = sorted(set(meta.indices) | set(meta.embedded_indices))
+    built = _build_index_dataframes(spark, store, new_meta, partitions, indexed_cols)
+    for col, idx_df in built.items():
+        new_meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    for col, info in meta.blooms.items():
+        new_meta.blooms.update(
+            _build_blooms(
+                spark, store, meta.schema, partition_on, dataset_uuid,
+                partitions, [col], n_bits=info["n_bits"], k=info["k"],
+            )
+        )
+    new_meta = _commit_update_with_merge(
+        store, new_meta, new_partitions=partitions,
+        removed=sorted(meta.partitions), extra_metadata=None, **_base,
+    )
+    if gc:
+        garbage_collect_dataset(store, dataset_uuid)
+    return new_meta
+
+
 def restore_dataset(
     store: Store | str, dataset_uuid: str, generation: int
 ) -> DatasetMetadata:

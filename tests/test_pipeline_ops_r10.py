@@ -693,3 +693,62 @@ def test_explain_scan_bloom_tier(spark, store):
     pruned = [r for r in rep if not r["scanned"]]
     assert pruned and all("bloom" in r["pruned_by"] for r in pruned)
     assert sum(r["scanned"] for r in rep) >= 1
+
+
+# --- partition-layout evolution ----------------------------------------------
+
+
+def test_repartition_dataset_changes_layout(spark, store):
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        dataset_history,
+        repartition_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"src{i % 3}") for i in range(60)],
+        "doc_id long, lang string, source string",
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ev", df, partition_on=["lang"],
+        zone_map_columns=["doc_id"],
+    )
+    cols = ["doc_id", "lang", "source"]
+    before = sorted(map(tuple, read_table(spark, store, "ev").select(*cols).collect()))
+    repartition_dataset(spark, store, "ev", partition_on=["source"])
+    meta = DatasetMetadata.load(store, "ev")
+    assert meta.partition_keys == ["source"]
+    assert all("source=" in p.file for p in meta.partitions.values())
+    # zone maps carried to the new files
+    assert all("doc_id" in p.stats for p in meta.partitions.values())
+    after = sorted(map(tuple, read_table(spark, store, "ev").select(*cols).collect()))
+    assert before == after
+    # pruning works under the new layout
+    pruned = read_table(
+        spark, store, "ev", predicates=[[("source", "==", "src1")]]
+    )
+    assert all("source=src1" in f for f in pruned.inputFiles())
+    # time travel to the pre-evolution layout still works
+    gens = dataset_history(spark, store, "ev").count()
+    old = read_table(spark, store, "ev", generation=gens - 1)
+    assert sorted(map(tuple, old.select(*cols).collect())) == before
+
+
+def test_repartition_dataset_flatten_and_errors(spark, store):
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import repartition_dataset
+
+    df = spark.createDataFrame(
+        [(i, "x" if i < 5 else None) for i in range(10)], "id long, k string"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "fl", df.where(F.col("k").isNotNull()), partition_on=["k"]
+    )
+    repartition_dataset(spark, store, "fl", partition_on=[])
+    assert DatasetMetadata.load(store, "fl").partition_keys == []
+    with pytest.raises(ValueError):
+        repartition_dataset(spark, store, "fl", partition_on=["nope"])
+    # NULL key values hard-fail the rewrite
+    store_dataframe_as_dataset(spark, store, "nl", df)
+    with pytest.raises(Exception, match="[Nn]ull|HIVE"):
+        repartition_dataset(spark, store, "nl", partition_on=["k"])
