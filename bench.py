@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "text_lm_served_score",
     "events_funnel_steps",
     "dataset_repartition_read",
+    "text_vocab_coverage",
 ]
 
 

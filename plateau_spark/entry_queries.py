@@ -6415,6 +6415,42 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vocab_coverage (operators/text.py): corpus coverage of the
+    top-k vocabulary at k ∈ {100, 1000, 10000} — per k one distributed
+    TakeOrdered top-k over the token-count agg, never a global sort.
+    Integer-exact sums, one double division, deterministic tie-break."""
+    _prep(spark)
+    from plateau_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", ks=(100, 1000, 10000))
+
+
+TEXT_VOCAB_COVERAGE_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+           x -> x <> '')) AS t
+  FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rn FROM counts
+), total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT CAST(ks.k AS INTEGER) AS vocab_k,
+       CAST(COALESCE(SUM(ranked.c), 0) AS BIGINT) AS n_tokens_covered,
+       CAST(MAX(total.n) AS BIGINT) AS n_tokens_total,
+       CAST(CAST(COALESCE(SUM(ranked.c), 0) AS BIGINT) AS DOUBLE)
+         / CAST(MAX(total.n) AS DOUBLE) AS coverage
+FROM ks
+CROSS JOIN total
+LEFT JOIN ranked ON ranked.rn <= ks.k
+GROUP BY ks.k
+"""
+
+
 def dataset_repartition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """repartition_dataset (sources/dataset.py): partition-layout
     evolution — store under lang, evolve to source in one atomic swap
@@ -6751,6 +6787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_served_score": text_lm_served_score,
     "events_funnel_steps": events_funnel_steps,
     "dataset_repartition_read": dataset_repartition_read,
+    "text_vocab_coverage": text_vocab_coverage,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6790,8 +6827,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_md5": simhash_md5,
-    "cosine_topk": cosine_topk,
     "text_compression_signal": text_compression_signal,
+    "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
@@ -6926,6 +6963,7 @@ ORACLES: dict[str, str] = {
     "text_lm_served_score": TEXT_LM_SERVED_ORACLE,
     "events_funnel_steps": EVENTS_FUNNEL_ORACLE,
     "dataset_repartition_read": DATASET_REPARTITION_ORACLE,
+    "text_vocab_coverage": TEXT_VOCAB_COVERAGE_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

@@ -1322,3 +1322,48 @@ def score_from_unigram_lm(
         oov_col=oov_col,
         round_digits=round_digits,
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    *,
+    ks: tuple = (100, 1000, 10000),
+) -> DataFrame:
+    """Tokenizer-design diagnostic: corpus token coverage of the top-k
+    vocabulary for each requested k — "how much of the corpus does a
+    10k-word vocab explain?" (the curve that sizes a vocabulary before
+    committing to a tokenizer train).
+
+    One token-count agg (map-side combined), then per k one
+    distributed top-k (``orderBy().limit()`` plans as TakeOrdered —
+    never a single-task global sort) and one scalar sum. Integer-exact
+    counts; coverage is one double division. Deterministic tie-break
+    (count DESC, token ASC). Returns (vocab_k, n_tokens_covered,
+    n_tokens_total, coverage).
+    """
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError("ks must be positive")
+    counts = (
+        df.select(F.explode(_word_tokens(text_col)).alias("__t__"))
+        .groupBy("__t__")
+        .agg(F.count("*").alias("__c__"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("__c__")).first()[0] or 0
+    rows = []
+    for k in ks:
+        top = (
+            counts.orderBy(F.col("__c__").desc(), F.col("__t__").asc())
+            .limit(int(k))
+            .agg(F.sum("__c__"))
+            .first()[0]
+            or 0
+        )
+        rows.append(
+            (int(k), int(top), int(total), float(top) / float(total) if total else None)
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "vocab_k int, n_tokens_covered long, n_tokens_total long, coverage double",
+    )

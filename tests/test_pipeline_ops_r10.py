@@ -752,3 +752,30 @@ def test_repartition_dataset_flatten_and_errors(spark, store):
     store_dataframe_as_dataset(spark, store, "nl", df)
     with pytest.raises(Exception, match="[Nn]ull|HIVE"):
         repartition_dataset(spark, store, "nl", partition_on=["k"])
+
+
+# --- vocabulary coverage -----------------------------------------------------
+
+from plateau_spark.operators.text import vocab_coverage  # noqa: E402
+
+
+def test_vocab_coverage_values(spark):
+    # 'a'×6, 'b'×3, 'c'×1 -> top-1 covers 0.6, top-2 covers 0.9
+    df = spark.createDataFrame(
+        [("a a a b",), ("a a a b b c",)], "text string"
+    )
+    got = {
+        r["vocab_k"]: (r["n_tokens_covered"], r["coverage"])
+        for r in vocab_coverage(df, "text", ks=(1, 2, 100)).collect()
+    }
+    assert got[1] == (6, pytest.approx(0.6))
+    assert got[2] == (9, pytest.approx(0.9))
+    assert got[100] == (10, pytest.approx(1.0))
+
+
+def test_vocab_coverage_validates_ks(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        vocab_coverage(df, "text", ks=())
+    with pytest.raises(ValueError):
+        vocab_coverage(df, "text", ks=(0,))
