@@ -48,6 +48,7 @@ from plateau_spark.sources.dataset import (
     merge_upsert_into_dataset,
     merge_into_dataset,
     dataset_history,
+    generation_at_timestamp,
     restore_dataset,
     read_dataset_changes,
     dataset_generation_diff,
@@ -72,6 +73,7 @@ __all__ = [
     "merge_into_dataset",
     "repartition_dataset",
     "dataset_history",
+    "generation_at_timestamp",
     "restore_dataset",
     "read_dataset_changes",
     "dataset_generation_diff",

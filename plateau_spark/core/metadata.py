@@ -280,6 +280,15 @@ class DatasetMetadata:
         commit would shadow a newer msgpack one).
         """
         self.generation += 1
+        # reference parity: every committed dataset carries an ISO
+        # creation_time in its user metadata unless the writer set one
+        # (/root/reference/plateau/core/dataset.py:1044-1048); the
+        # per-commit committed_at (extension) timestamps THIS generation
+        # so time travel can resolve "as of <wall clock>" to a
+        # generation (see sources/dataset.py:generation_at_timestamp)
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        self.metadata.setdefault("creation_time", now)
+        self.metadata["committed_at"] = now
         if storage_format == "json":
             store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
             stale = naming.msgpack_metadata_key(self.uuid)

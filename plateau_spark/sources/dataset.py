@@ -1025,8 +1025,15 @@ def read_dataset_as_dataframe(
     dates_as_object: bool | None = None,
     predicate_pushdown_to_io: bool = True,
     generation: int | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Pruned scan → one distributed DataFrame.
+
+    ``as_of``: wall-clock time travel — an ISO-8601 timestamp (or
+    ``datetime``); the read plans against the latest commit whose
+    ``committed_at`` is at or before it (resolved via
+    :func:`generation_at_timestamp`). Mutually exclusive with
+    ``generation``.
 
     Planning (driver, O(1) store calls): metadata GET → partition-key +
     secondary-index pruning → explicit path list. Execution (executors):
@@ -1094,6 +1101,10 @@ def read_dataset_as_dataframe(
     if predicates is not None and filter_query is not None:
         raise ValueError("Cannot use both `predicates` and `filter_query`")
     factory, store, dataset_uuid = _resolve_factory(store, dataset_uuid)
+    if as_of is not None:
+        if generation is not None:
+            raise ValueError("Cannot use both `generation` and `as_of`")
+        generation = generation_at_timestamp(store, dataset_uuid, as_of)
     if generation is not None:
         # time travel: plan against the requested commit snapshot
         # (valid until garbage_collect_dataset reclaims it). Index-based
@@ -1151,6 +1162,54 @@ def read_dataset_as_dataframe(
 
 
 # Alias matching the reference's primary entry point name.
+def generation_at_timestamp(
+    store: Store | str, dataset_uuid: str, as_of
+) -> int:
+    """Resolve a wall-clock timestamp to the dataset generation that was
+    current at that moment: the LATEST generation whose ``committed_at``
+    commit stamp is <= ``as_of`` (ISO-8601 string or tz-aware
+    ``datetime``; naive datetimes are taken as UTC).
+
+    Driver-side O(generations) metadata GETs, thread-pooled (the same
+    access pattern as :func:`dataset_history`). Generations committed
+    before commit stamping existed (no ``committed_at``) are skipped;
+    raises ``KeyError`` when no stamped generation is old enough.
+    """
+    import datetime as _dt
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = _ensure_store(store)
+    if isinstance(as_of, str):
+        ts = _dt.datetime.fromisoformat(as_of)
+    else:
+        ts = as_of
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    latest = DatasetMetadata.load(store, dataset_uuid)
+    gens = list(range(1, latest.generation + 1))
+
+    def _stamp(g: int):
+        try:
+            m = DatasetMetadata.load(store, dataset_uuid, generation=g)
+        except KeyError:
+            return None
+        stamp = m.metadata.get("committed_at")
+        if stamp is None:
+            return None
+        return (g, _dt.datetime.fromisoformat(stamp))
+
+    with ThreadPoolExecutor(max_workers=min(32, max(1, len(gens)))) as pool:
+        stamped = [s for s in pool.map(_stamp, gens) if s is not None]
+    eligible = [g for g, t in stamped if t <= ts]
+    if not eligible:
+        raise KeyError(
+            f"Dataset {dataset_uuid!r} has no commit stamped at or before "
+            f"{ts.isoformat()} (earliest stamped: "
+            f"{min((t for _, t in stamped), default=None)})"
+        )
+    return max(eligible)
+
+
 read_table = read_dataset_as_dataframe
 
 

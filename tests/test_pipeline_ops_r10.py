@@ -779,3 +779,45 @@ def test_vocab_coverage_validates_ks(spark):
         vocab_coverage(df, "text", ks=())
     with pytest.raises(ValueError):
         vocab_coverage(df, "text", ks=(0,))
+
+
+# --- wall-clock time travel --------------------------------------------------
+
+
+def test_read_as_of_timestamp(spark, store):
+    import datetime as dt
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        generation_at_timestamp,
+        update_dataset_from_dataframe,
+    )
+
+    df1 = spark.createDataFrame([(1,)], "k long")
+    store_dataframe_as_dataset(spark, store, "aot", df1)
+    t1 = dt.datetime.fromisoformat(
+        DatasetMetadata.load(store, "aot").metadata["committed_at"]
+    )
+    update_dataset_from_dataframe(
+        spark, store, "aot", spark.createDataFrame([(2,)], "k long")
+    )
+    t2 = dt.datetime.fromisoformat(
+        DatasetMetadata.load(store, "aot").metadata["committed_at"]
+    )
+    assert t2 >= t1
+    # creation_time is stamped once and carried across commits
+    meta = DatasetMetadata.load(store, "aot")
+    assert meta.metadata["creation_time"] == DatasetMetadata.load(
+        store, "aot", generation=1
+    ).metadata["creation_time"]
+    assert generation_at_timestamp(store, "aot", t1) == 1
+    assert generation_at_timestamp(store, "aot", t2) == 2
+    rows_then = read_table(spark, store, "aot", as_of=t1).count()
+    rows_now = read_table(spark, store, "aot", as_of=t2.isoformat()).count()
+    assert (rows_then, rows_now) == (1, 2)
+    with pytest.raises(KeyError):
+        generation_at_timestamp(
+            store, "aot", t1 - dt.timedelta(seconds=1)
+        )
+    with pytest.raises(ValueError):
+        read_table(spark, store, "aot", generation=1, as_of=t1)
