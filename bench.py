@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "events_funnel_steps",
     "dataset_repartition_read",
     "text_vocab_coverage",
+    "dataset_asof_read",
 ]
 
 

@@ -6415,6 +6415,46 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as_of wall-clock time travel (sources/dataset.py:
+    generation_at_timestamp): store orders < 1000, capture the first
+    commit's committed_at stamp, append the rest, then read AS OF that
+    stamp — the pre-append state resolved from per-commit timestamps
+    instead of a generation number, with a predicate pruning against
+    the snapshot's own metadata."""
+    _prep(spark)
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+        update_dataset_from_dataframe,
+    )
+
+    store = _fresh_store("asof-read")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    store_dataframe_as_dataset(
+        spark, store, "o", orders.where(F.col("o_orderkey") < 1000)
+    )
+    stamp = DatasetMetadata.load(Store(store), "o").metadata["committed_at"]
+    update_dataset_from_dataframe(
+        spark, store, "o", orders.where(F.col("o_orderkey") >= 1000)
+    )
+    return read_table(
+        spark, store, "o", as_of=stamp,
+        predicates=[[("o_totalprice", ">", 100000.0)]],
+    )
+
+
+DATASET_ASOF_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey < 1000 AND o_totalprice > 100000.0
+"""
+
+
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vocab_coverage (operators/text.py): corpus coverage of the
     top-k vocabulary at k ∈ {100, 1000, 10000} — per k one distributed
@@ -6788,6 +6828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_steps": events_funnel_steps,
     "dataset_repartition_read": dataset_repartition_read,
     "text_vocab_coverage": text_vocab_coverage,
+    "dataset_asof_read": dataset_asof_read,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6826,8 +6867,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "decontaminate_ngrams": decontaminate_ngrams,
     "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_md5": simhash_md5,
     "text_compression_signal": text_compression_signal,
+    "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "embedding_dup_pairs": embedding_dup_pairs,
@@ -6964,6 +7005,7 @@ ORACLES: dict[str, str] = {
     "events_funnel_steps": EVENTS_FUNNEL_ORACLE,
     "dataset_repartition_read": DATASET_REPARTITION_ORACLE,
     "text_vocab_coverage": TEXT_VOCAB_COVERAGE_ORACLE,
+    "dataset_asof_read": DATASET_ASOF_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,
