@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "dataset_repartition_read",
     "text_vocab_coverage",
     "dataset_asof_read",
+    "sample_mixture_plan",
 ]
 
 

@@ -6415,6 +6415,50 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_plan (operators/sampling.py): the Llama-style
+    epochs-per-source planning table — per source, available n_chars
+    units, weighted target under a 2M-unit budget, implied epochs and
+    the over-4-epochs repeat flag. One keyed agg to |sources| rows;
+    ratios are single double divisions over exact integer sums."""
+    _prep(spark)
+    from plateau_spark.operators.sampling import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        ["source"],
+        {"src1": 1.5, "src3": 1.0, "src5": 0.5, "src7": 0.25},
+        budget=2_000_000,
+        size_col="n_chars",
+        max_epochs=4.0,
+    )
+
+
+SAMPLE_MIXTURE_PLAN_ORACLE = """
+WITH avail AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available
+  FROM documents GROUP BY source
+)
+SELECT source, available,
+       CASE source WHEN 'src1' THEN 1.5 WHEN 'src3' THEN 1.0
+                   WHEN 'src5' THEN 0.5 WHEN 'src7' THEN 0.25
+                   ELSE 0.0 END AS weight,
+       2000000.0 * (CASE source WHEN 'src1' THEN 1.5 WHEN 'src3' THEN 1.0
+                                WHEN 'src5' THEN 0.5 WHEN 'src7' THEN 0.25
+                                ELSE 0.0 END) / 3.25 AS target,
+       (2000000.0 * (CASE source WHEN 'src1' THEN 1.5 WHEN 'src3' THEN 1.0
+                                 WHEN 'src5' THEN 0.5 WHEN 'src7' THEN 0.25
+                                 ELSE 0.0 END) / 3.25)
+         / CAST(available AS DOUBLE) AS epochs,
+       ((2000000.0 * (CASE source WHEN 'src1' THEN 1.5 WHEN 'src3' THEN 1.0
+                                  WHEN 'src5' THEN 0.5 WHEN 'src7' THEN 0.25
+                                  ELSE 0.0 END) / 3.25)
+         / CAST(available AS DOUBLE)) > 4.0 AS over_epoch_cap
+FROM avail
+"""
+
+
 def dataset_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """as_of wall-clock time travel (sources/dataset.py:
     generation_at_timestamp): store orders < 1000, capture the first
@@ -6829,6 +6873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_repartition_read": dataset_repartition_read,
     "text_vocab_coverage": text_vocab_coverage,
     "dataset_asof_read": dataset_asof_read,
+    "sample_mixture_plan": sample_mixture_plan,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6866,8 +6911,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
     "decontaminate_ngrams": decontaminate_ngrams,
-    "minhash_pairs_md5": minhash_pairs_md5,
     "text_compression_signal": text_compression_signal,
+    "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
@@ -7006,6 +7051,7 @@ ORACLES: dict[str, str] = {
     "dataset_repartition_read": DATASET_REPARTITION_ORACLE,
     "text_vocab_coverage": TEXT_VOCAB_COVERAGE_ORACLE,
     "dataset_asof_read": DATASET_ASOF_ORACLE,
+    "sample_mixture_plan": SAMPLE_MIXTURE_PLAN_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

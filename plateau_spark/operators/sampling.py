@@ -784,3 +784,61 @@ def calibrate_percent_rank(
         )
     )
     return df.join(pct, on=[*gcols, score_col], how="left")
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weights: "dict[tuple | str, float]",
+    *,
+    budget: int,
+    size_col: str | None = None,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Pre-training mixture PLANNING table - the diagnostic companion of
+    :func:`mixture_sample`: per source, how many units exist, how many
+    the weighted budget asks for, and the implied epoch count
+    (target / available). ``epochs > 1`` means the source repeats;
+    ``over_epoch_cap`` flags sources the plan would repeat beyond
+    ``max_epochs`` (the empirically-degrading regime - rebalance the
+    weights or shrink the budget before launching the run).
+
+    One keyed agg down to |sources| rows + broadcast weight literals -
+    the Llama-style "epochs per source" table computed in-engine
+    against the real corpus instead of a spreadsheet. All ratios are
+    single double divisions over exact integer sums (oracle-exact).
+    Sources absent from ``weights`` get weight 0 (epochs 0): listed,
+    not silently dropped.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    unit = F.col(size_col).cast("long") if size_col else F.lit(1).cast("long")
+    avail = df.groupBy(*group_cols).agg(F.sum(unit).alias("available"))
+    key = (
+        F.col(group_cols[0]).cast("string")
+        if len(group_cols) == 1
+        else F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
+    )
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wexpr = F.lit(0.0)
+    for k, w in weights.items():
+        lit = k if isinstance(k, str) else "".join(map(str, k))
+        wexpr = F.when(key == F.lit(lit), F.lit(float(w))).otherwise(wexpr)
+    planned = avail.select(
+        *group_cols,
+        "available",
+        wexpr.alias("weight"),
+        (F.lit(float(budget)) * wexpr / F.lit(total_w)).alias("target"),
+    )
+    epochs = F.col("target") / F.col("available").cast("double")
+    return planned.select(
+        *group_cols,
+        "available",
+        "weight",
+        "target",
+        epochs.alias("epochs"),
+        (epochs > F.lit(float(max_epochs))).alias("over_epoch_cap"),
+    )

@@ -821,3 +821,38 @@ def test_read_as_of_timestamp(spark, store):
         )
     with pytest.raises(ValueError):
         read_table(spark, store, "aot", generation=1, as_of=t1)
+
+
+# --- mixture planning --------------------------------------------------------
+
+from plateau_spark.operators.sampling import mixture_plan  # noqa: E402
+
+
+def test_mixture_plan_epochs_and_flag(spark):
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 1000)],
+        "src string, toks long",
+    )
+    got = {
+        r["src"]: r
+        for r in mixture_plan(
+            df, ["src"], {"a": 1.0, "b": 1.0}, budget=1000,
+            size_col="toks", max_epochs=2.0,
+        ).collect()
+    }
+    # a: avail 200, target 500 -> 2.5 epochs (over cap); b: avail 50,
+    # target 500 -> 10 epochs; c: weight 0 -> 0 epochs
+    assert got["a"]["available"] == 200
+    assert got["a"]["epochs"] == pytest.approx(2.5)
+    assert got["a"]["over_epoch_cap"] is True
+    assert got["b"]["epochs"] == pytest.approx(10.0)
+    assert got["c"]["weight"] == 0.0 and got["c"]["epochs"] == 0.0
+    assert got["c"]["over_epoch_cap"] is False
+
+
+def test_mixture_plan_validates(spark):
+    df = spark.createDataFrame([("a", 1)], "src string, toks long")
+    with pytest.raises(ValueError):
+        mixture_plan(df, ["src"], {"a": 1.0}, budget=0)
+    with pytest.raises(ValueError):
+        mixture_plan(df, ["src"], {"a": -1.0}, budget=10)
