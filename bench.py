@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "text_vocab_coverage",
     "dataset_asof_read",
     "sample_mixture_plan",
+    "dedup_lsh_quality",
 ]
 
 

@@ -6415,6 +6415,68 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_quality_report (operators/dedup.py): banding tuning harness —
+    precision/recall of the (16, 4) md5-MinHash LSH candidate set
+    against exact n-gram Jaccard ≥ 0.2 ground truth. Integer counts +
+    single divisions — exact oracle."""
+    _prep(spark)
+    from plateau_spark.operators.dedup import lsh_quality_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_quality_report(
+        docs, "doc_id", "text",
+        jaccard_threshold=0.2, num_perm=16, bands=4, shingle_size=3,
+    )
+
+
+DEDUP_LSH_QUALITY_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), exploded AS (
+  SELECT doc_id, unnest(s) AS shingle FROM nonempty
+), mins AS (
+  SELECT doc_id, p.i,
+         MIN(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || shingle), 1, 15)) AS UBIGINT)) AS mh
+  FROM exploded CROSS JOIN generate_series(0, {_MH_PERM - 1}) p(i)
+  GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, i // {_MH_PERM // _MH_BANDS} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bandsig
+  FROM mins GROUP BY doc_id, i // {_MH_PERM // _MH_BANDS}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bandsig = r.bandsig AND l.doc_id < r.doc_id
+), truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exploded ea JOIN exploded eb
+    ON ea.shingle = eb.shingle AND ea.doc_id < eb.doc_id
+  JOIN nonempty a ON a.doc_id = ea.doc_id
+  JOIN nonempty b ON b.doc_id = eb.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+  HAVING COUNT(*) * 1.0 / (a.n + b.n - COUNT(*)) >= 0.2
+), c AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hits
+)
+SELECT CAST({_MH_PERM} AS INTEGER) AS num_perm,
+       CAST({_MH_BANDS} AS INTEGER) AS bands,
+       0.2 AS threshold,
+       n_candidates, n_truth, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+         AS precision,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+FROM c
+"""
+
+
 def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixture_plan (operators/sampling.py): the Llama-style
     epochs-per-source planning table — per source, available n_chars
@@ -6874,6 +6936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_coverage": text_vocab_coverage,
     "dataset_asof_read": dataset_asof_read,
     "sample_mixture_plan": sample_mixture_plan,
+    "dedup_lsh_quality": dedup_lsh_quality,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "histogram_drift_psi": histogram_drift_psi,
     "streaming_sliding_counts": streaming_sliding_counts,
@@ -6910,8 +6973,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_url_dedup": web_url_dedup,
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
-    "decontaminate_ngrams": decontaminate_ngrams,
     "text_compression_signal": text_compression_signal,
+    "decontaminate_ngrams": decontaminate_ngrams,
     "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_md5": simhash_md5,
     "cosine_topk": cosine_topk,
@@ -7052,6 +7115,7 @@ ORACLES: dict[str, str] = {
     "text_vocab_coverage": TEXT_VOCAB_COVERAGE_ORACLE,
     "dataset_asof_read": DATASET_ASOF_ORACLE,
     "sample_mixture_plan": SAMPLE_MIXTURE_PLAN_ORACLE,
+    "dedup_lsh_quality": DEDUP_LSH_QUALITY_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

@@ -1766,3 +1766,71 @@ def span_novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    jaccard_threshold: float = 0.2,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """LSH tuning harness: precision/recall of the MinHash-LSH
+    CANDIDATE set against exact n-gram-Jaccard ground truth at
+    ``jaccard_threshold`` - the one-row report that answers "are
+    (num_perm, bands) right for this corpus?" before a full dedup run.
+    Low precision means wasted verify work (too-coarse bands); low
+    recall means missed near-dups (raise bands or num_perm).
+
+    Candidates are the banded equi-join pairs BEFORE Jaccard
+    verification (verification makes precision 1 by construction -
+    the report measures the banding itself). Ground truth is the
+    inverted-index exact tier (``ngram_jaccard_pairs``), restricted by
+    construction to pairs sharing at least one shingle - every pair at
+    or above any positive threshold shares one, so the restriction is
+    lossless for truth.
+
+    Run it on a SAMPLE at 100 TB (the exact tier is the quadratic
+    one); the report is three keyed joins + three counts, one output
+    row: (num_perm, bands, threshold, n_candidates, n_truth, n_hits,
+    precision, recall).
+    """
+    banded = md5_band_signatures(
+        df, id_col, text_col,
+        num_perm=num_perm, bands=bands, shingle_size=shingle_size,
+    )
+    a = banded.select("band", "bandsig", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bandsig", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bandsig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        ngram_jaccard_pairs(
+            df, id_col, text_col,
+            shingle_size=shingle_size, jaccard_threshold=jaccard_threshold,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hits = cand.join(truth, ["id_a", "id_b"]).count()
+    precision = float(n_hits) / float(n_cand) if n_cand else None
+    recall = float(n_hits) / float(n_truth) if n_truth else None
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                int(num_perm), int(bands), float(jaccard_threshold),
+                n_cand, n_truth, n_hits, precision, recall,
+            )
+        ],
+        "num_perm int, bands int, threshold double, n_candidates long, "
+        "n_truth long, n_hits long, precision double, recall double",
+    )

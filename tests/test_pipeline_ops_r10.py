@@ -856,3 +856,33 @@ def test_mixture_plan_validates(spark):
         mixture_plan(df, ["src"], {"a": 1.0}, budget=0)
     with pytest.raises(ValueError):
         mixture_plan(df, ["src"], {"a": -1.0}, budget=10)
+
+
+# --- LSH quality report ------------------------------------------------------
+
+from plateau_spark.operators.dedup import lsh_quality_report  # noqa: E402
+
+
+def test_lsh_quality_report_counts(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different text about spark and parquet files"),
+        (4, "completely different text about spark and parquet stores"),
+        (5, "unrelated content entirely on its own topic here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = lsh_quality_report(
+        df, "doc_id", "text", jaccard_threshold=0.5, num_perm=16, bands=8
+    ).collect()[0]
+    # near-identical pairs (1,2) and (3,4) must be ground truth
+    assert rep["n_truth"] == 2
+    assert rep["n_hits"] <= rep["n_candidates"]
+    assert rep["n_hits"] <= rep["n_truth"]
+    if rep["n_candidates"]:
+        assert rep["precision"] == pytest.approx(
+            rep["n_hits"] / rep["n_candidates"]
+        )
+    assert rep["recall"] == pytest.approx(rep["n_hits"] / 2)
+    # 8 bands of 2 perms: both true pairs should be recalled
+    assert rep["recall"] == 1.0
