@@ -6904,25 +6904,24 @@ GROUP BY rec.id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r10 window (first 50): every exact-oracle query with NO prior
-    #     driver evidence first (9 new this round — entity_match_pairs,
+    #     driver evidence first — 17 NEW this round (entity_match_pairs,
     #     entity_resolution, join_skew_salted, streaming_anomaly_zscore,
     #     dataset_merge_into, web_domain_pagerank, text_bpe_merge_pairs,
-    #     text_lm_served_score, events_funnel_steps — plus the 8
-    #     r9-late additions the r9 window missed), then the 13 queries
-    #     whose last driver evidence is r5, then 20 of the 29
-    #     r6-evidence queries (the 3 displaced by the later r10
-    #     additions — winnow_overlap_pairs, embedding_dup_pairs,
-    #     embedding_dup_pairs_lsh — sit directly after the window and
-    #     were parity-swept green this round). The 6 deferred r6 entries (semdedup_keep,
-    #     decontaminate_bloom, text_quality_classifier,
-    #     dedup_cluster_keep, decontaminate_substring,
-    #     decontaminate_fuzzy) were judge-re-swept green in r9 and sit
-    #     directly after the rows-only-by-design lines
-    #     (text_compression_signal, the PQ/IVF-PQ fit lines,
-    #     embedding_pca). r8/r9-green entries rotate to the back.
-    #     Union target: r10 ∪ r9 driver evidence covers 100 distinct
-    #     queries, r10 ∪ r9 ∪ r8 covers the whole registry except the
-    #     zero-evidence rows-only tail.
+    #     text_lm_served_score, events_funnel_steps,
+    #     dataset_repartition_read, text_vocab_coverage,
+    #     dataset_asof_read, sample_mixture_plan, dedup_lsh_quality;
+    #     each parity-verified at sf0.01 on registration and the whole
+    #     window re-swept 50/50 mid-round) plus the 8 r9-late additions
+    #     the r9 window missed — then the 13 queries whose last driver
+    #     evidence is r5, then the r6-evidence queries that fit. The r6
+    #     entries displaced past the boundary by late r10 additions
+    #     (winnow_overlap_pairs, embedding_dup_pairs(_lsh), cosine_topk,
+    #     cosine_topk_ivf, simhash_md5, minhash_pairs_md5,
+    #     decontaminate_ngrams) were all parity-swept green this round;
+    #     they sit directly after the rows-only-by-design lines
+    #     (text_compression_signal, PQ/IVF-PQ fit lines, embedding_pca).
+    #     r8/r9-green entries rotate to the back. Union target: r10 ∪ r9
+    #     driver evidence covers ≥100 distinct queries. ---
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
