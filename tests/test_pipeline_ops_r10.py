@@ -886,3 +886,63 @@ def test_lsh_quality_report_counts(spark):
     assert rep["recall"] == pytest.approx(rep["n_hits"] / 2)
     # 8 bands of 2 perms: both true pairs should be recalled
     assert rep["recall"] == 1.0
+
+
+def test_match_pairs_matches_bruteforce_random(spark):
+    """Property check: blocked match_pairs == brute-force all-pairs
+    scoring restricted to co-blocked pairs, on randomized records."""
+    import random
+
+    def lev(a, b):
+        if a is None or b is None:
+            return None
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def sim(a, b):
+        if a is None or b is None:
+            return None
+        if max(len(a), len(b)) == 0:
+            return 1.0
+        return 1.0 - lev(a, b) / max(len(a), len(b))
+
+    rng = random.Random(101)
+    names = ["alpha", "alpaca", "beta", "betta", "gamma", "gamut", ""]
+    for case in range(3):
+        rows = [
+            (
+                i,
+                rng.choice(names) + (rng.choice(["", "x"]) if rng.random() < 0.5 else ""),
+                rng.choice(["b1", "b2", "b3", None]),
+            )
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        got = {
+            (r["id_a"], r["id_b"]): r["score"]
+            for r in match_pairs(
+                df, "id", [F.col("blk")], ["name"], threshold=0.6
+            ).collect()
+        }
+        expect = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if a[2] is None or a[2] != b[2]:
+                    continue
+                s = sim(a[1], b[1])
+                if s is not None and s >= 0.6:
+                    expect[(a[0], b[0])] = s
+        assert set(got) == set(expect), case
+        for k, v in expect.items():
+            assert got[k] == pytest.approx(v, abs=1e-12), (case, k)
