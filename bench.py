@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "dataset_asof_read",
     "sample_mixture_plan",
     "dedup_lsh_quality",
+    "text_blocked_words",
+    "events_retention_cohorts",
 ]
 
 

@@ -6415,6 +6415,71 @@ def text_lm_served_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention_cohorts (streaming/events.py): weekly cohort retention
+    matrix — two keyed aggs on user + one (cohort, k) agg; exact counts,
+    one double division."""
+    _prep(spark)
+    from plateau_spark.streaming.events import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", period="week")
+
+
+EVENTS_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+  FROM events
+), first AS (
+  SELECT u, MIN(p) AS cohort FROM act GROUP BY u
+), joined AS (
+  SELECT first.cohort,
+         CAST(date_diff('day', CAST(first.cohort AS DATE), CAST(act.p AS DATE)) // 7 AS INTEGER) AS period_k
+  FROM act JOIN first ON act.u = first.u
+), counts AS (
+  SELECT cohort, period_k, COUNT(*) AS n_active FROM joined GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1
+)
+SELECT counts.cohort, counts.period_k, counts.n_active, sizes.cohort_size,
+       CAST(counts.n_active AS DOUBLE) / CAST(sizes.cohort_size AS DOUBLE)
+         AS retention
+FROM counts JOIN sizes ON counts.cohort = sizes.cohort
+"""
+
+
+def text_blocked_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blocked_words_signals (operators/text.py): the C4 bad-words
+    document gate — per-doc blocklist hit count, hit ratio, and keep
+    flag with a 2-hit tolerance. One codegen HOF pass, zero shuffle."""
+    _prep(spark)
+    from plateau_spark.operators.text import blocked_words_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_words_signals(
+        docs, "doc_id", "text", ["slow", "error", "crash"], max_hits=2
+    )
+
+
+TEXT_BLOCKED_WORDS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, t -> list_contains(['slow', 'error', 'crash'], t))) AS INTEGER) AS n_blocked,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, t -> list_contains(['slow', 'error', 'crash'], t))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS blocked_ratio,
+       len(list_filter(toks, t -> list_contains(['slow', 'error', 'crash'], t))) <= 2 AS keep
+FROM w
+"""
+
+
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_quality_report (operators/dedup.py): banding tuning harness —
     precision/recall of the (16, 4) md5-MinHash LSH candidate set
@@ -6977,6 +7042,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
     "text_compression_signal": text_compression_signal,
+    "text_blocked_words": text_blocked_words,
+    "events_retention_cohorts": events_retention_cohorts,
     "decontaminate_ngrams": decontaminate_ngrams,
     "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_md5": simhash_md5,
@@ -7119,6 +7186,8 @@ ORACLES: dict[str, str] = {
     "dataset_asof_read": DATASET_ASOF_ORACLE,
     "sample_mixture_plan": SAMPLE_MIXTURE_PLAN_ORACLE,
     "dedup_lsh_quality": DEDUP_LSH_QUALITY_ORACLE,
+    "text_blocked_words": TEXT_BLOCKED_WORDS_ORACLE,
+    "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

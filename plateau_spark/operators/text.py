@@ -12,6 +12,8 @@ so results are bit-reproducible across engines.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1366,4 +1368,40 @@ def vocab_coverage(
     return df.sparkSession.createDataFrame(
         rows,
         "vocab_k int, n_tokens_covered long, n_tokens_total long, coverage double",
+    )
+
+
+def blocked_words_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocked_words: Sequence[str],
+    *,
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style bad-words document gate (Raffel et al. 2020 drop any
+    page containing a word from the blocklist): per document, the
+    number of tokens that hit the blocklist, the hit ratio, and a keep
+    flag (``n_blocked <= max_hits``).
+
+    The blocklist ships as a broadcast literal array and matching runs
+    over the same lowercased word tokenizer as the rest of the text
+    tier - one codegen HOF pass per document, zero shuffle, exact
+    SQL twin. For blocklists beyond a few thousand words switch to a
+    join against a blocklist table; the literal-array form is the
+    zero-shuffle tier for the classic ~400-word lists.
+    """
+    if max_hits < 0:
+        raise ValueError("max_hits must be >= 0")
+    toks = _word_tokens(text_col)
+    blocked = F.array(*[F.lit(w.lower()) for w in blocked_words])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked, t)))
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_blocked"),
+        F.when(n > 0, hits.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("blocked_ratio"),
+        (hits <= F.lit(int(max_hits))).alias("keep"),
     )

@@ -1205,3 +1205,55 @@ def funnel_steps(
     return spark.createDataFrame(
         rows, "step int, event_type string, users_reached long, conversion double"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their first-activity
+    period, and for every (cohort, k) the count and fraction of the
+    cohort active k periods later - the standard engagement/retention
+    analytic over an event stream.
+
+    Two keyed aggs on the user key (first-activity, distinct activity
+    periods) + one join + one (cohort, k) agg - no window over raw
+    events. Counts are exact integers; retention is one double
+    division. ``period``: any ``date_trunc`` unit (week, month, day).
+    Returns (cohort, period_k, n_active, cohort_size, retention),
+    with k=0 rows carrying retention 1.0 by construction.
+    """
+    u = F.col(user_col)
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    first = events.groupBy(u.alias("__u__")).agg(
+        F.min(p).alias("cohort")
+    )
+    activity = events.select(
+        u.alias("__u__"), p.alias("__p__")
+    ).distinct()
+    per_unit = {"day": 1, "week": 7}.get(period)
+    if per_unit is None:
+        raise ValueError("period must be 'day' or 'week' (exact k arithmetic)")
+    joined = activity.join(first, "__u__").select(
+        "cohort",
+        (
+            F.datediff(F.col("__p__").cast("date"), F.col("cohort").cast("date"))
+            / F.lit(per_unit)
+        ).cast("int").alias("period_k"),
+    )
+    counts = joined.groupBy("cohort", "period_k").agg(
+        F.count("*").alias("n_active")
+    )
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return counts.join(sizes, "cohort").select(
+        "cohort",
+        "period_k",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )

@@ -946,3 +946,50 @@ def test_match_pairs_matches_bruteforce_random(spark):
         assert set(got) == set(expect), case
         for k, v in expect.items():
             assert got[k] == pytest.approx(v, abs=1e-12), (case, k)
+
+
+# --- bad-words gate & retention cohorts --------------------------------------
+
+from plateau_spark.operators.text import blocked_words_signals  # noqa: E402
+from plateau_spark.streaming.events import retention_cohorts  # noqa: E402
+
+
+def test_blocked_words_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "clean text here"), (2, "one bad word"), (3, "bad bad bad"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_blocked"], r["keep"])
+        for r in blocked_words_signals(
+            df, "doc_id", "text", ["bad"], max_hits=1
+        ).collect()
+    }
+    assert got[1] == (0, True)
+    assert got[2] == (1, True)
+    assert got[3] == (3, False)
+    assert got[4] == (0, True)
+    with pytest.raises(ValueError):
+        blocked_words_signals(df, "doc_id", "text", ["bad"], max_hits=-1)
+
+
+def test_retention_cohorts_matrix(spark):
+    import datetime as dt
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    rows = [
+        # users 1,2 start week of Jan 1 (Mon); user 1 returns week 2
+        (1, d(2)), (2, d(3)), (1, d(9)),
+        # user 3 starts week 2
+        (3, d(10)), (3, d(11)),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (str(r["cohort"])[:10], r["period_k"]): (r["n_active"], r["retention"])
+        for r in retention_cohorts(df, "u", "ts", period="week").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, pytest.approx(1.0))
+    assert got[("2024-01-01", 1)] == (1, pytest.approx(0.5))
+    assert got[("2024-01-08", 0)] == (1, pytest.approx(1.0))
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "u", "ts", period="month")
