@@ -6990,7 +6990,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     the ENTIRE registry was parity-verified green at sf0.01 —
     #     one final 50-window sweep (50/50) + one full tail sweep
     #     (114/114, every oracle-backed entry past the window), after
-    #     the full 992-test suite passed. ---
+    #     the full 992-test suite passed; entries registered after
+    #     those sweeps (text_blocked_words, events_retention_cohorts)
+    #     were parity-verified individually on registration. ---
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
