@@ -2546,14 +2546,20 @@ def repartition_dataset(
         raise ValueError(f"partition_on columns not in dataset schema: {missing}")
 
     df = read_dataset_as_dataframe(spark, store, dataset_uuid)
-    partitions = _write_files(
-        df,
-        store,
-        dataset_uuid,
-        partition_on,
-        num_buckets=num_buckets,
-        bucket_by=partition_on if num_buckets else None,
-    )
+    if partition_on:
+        partitions = _write_files(
+            df,
+            store,
+            dataset_uuid,
+            partition_on,
+            num_buckets=num_buckets,
+            bucket_by=partition_on if num_buckets else None,
+        )
+    else:
+        # flattening: num_buckets degenerates to a plain target file
+        # count (repartition keeps the write parallel; no key to bucket)
+        flat = df.repartition(num_buckets) if num_buckets else df
+        partitions = _write_files(flat, store, dataset_uuid, [])
     zm_cols = sorted({c for p in meta.partitions.values() for c in p.stats})
     if zm_cols:
         _attach_zone_maps(spark, store, meta.schema, partitions, zm_cols)

@@ -993,3 +993,15 @@ def test_retention_cohorts_matrix(spark):
     assert got[("2024-01-08", 0)] == (1, pytest.approx(1.0))
     with pytest.raises(ValueError):
         retention_cohorts(df, "u", "ts", period="month")
+
+
+def test_repartition_dataset_flatten_with_bucket_count(spark, store):
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import repartition_dataset
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    store_dataframe_as_dataset(spark, store, "fb", df, partition_on=["v"])
+    repartition_dataset(spark, store, "fb", partition_on=[], num_buckets=3)
+    meta = DatasetMetadata.load(store, "fb")
+    assert meta.partition_keys == [] and len(meta.partitions) == 3
+    assert read_table(spark, store, "fb").count() == 40
