@@ -21,6 +21,7 @@ never in-place mutation of a partition — partition-level copy-on-write.
 
 from __future__ import annotations
 
+import functools
 import posixpath
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Sequence
@@ -2140,6 +2141,11 @@ def merge_into_dataset(
     ``when_not_matched_insert`` (over ``s``) holds. Each clause may be
     None (= never fires). Defaults reproduce plain upsert.
 
+    NULL merge keys follow ANSI/Delta MERGE semantics: NULL never
+    matches anything (not even another NULL), so a NULL-key target row
+    is always kept unchanged and a NULL-key source row is handled by
+    the not-matched insert clause.
+
     Scale shape: candidate files pruned by the source's key bounds
     (zone maps / partition values — untouched files are never read);
     ONE shuffle of candidates against the source on the key (hash
@@ -2158,8 +2164,18 @@ def merge_into_dataset(
     for c in key_columns:
         if c not in schema_cols:
             raise ValueError(f"merge key column {c!r} not in dataset schema")
+    # NULL keys never match (ANSI MERGE), so rows with a NULL key component
+    # can't collide with each other — only non-NULL key tuples must be unique.
+    _non_null_keys = functools.reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in key_columns]
+    )
     dup = (
-        source.groupBy(*key_columns).count().where(F.col("count") > 1).limit(1).count()
+        source.where(_non_null_keys)
+        .groupBy(*key_columns)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
     )
     if dup:
         raise ValueError("source carries duplicate merge-key tuples")
@@ -2182,9 +2198,11 @@ def merge_into_dataset(
         existing = _read_committed_files(
             spark, store, dataset_uuid, meta.schema, candidates
         ).alias("t")
-        key_eq = [
-            F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_columns
-        ]
+        # ANSI/Delta MERGE semantics: NULL never matches. Plain (null-unsafe)
+        # equality here keeps all three joins consistent — a NULL-key target
+        # row is "unmatched" (kept via the anti join below) and a NULL-key
+        # source row is "not matched" (insert clause), never both.
+        key_eq = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns]
         matched = existing.join(src, key_eq, "inner")
         survivors = matched.where(~F.coalesce(delete_cond, F.lit(False)))
         updated = survivors.where(

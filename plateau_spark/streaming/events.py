@@ -1165,8 +1165,12 @@ def funnel_steps(
     Scale shape: one filter to the step types, then one keyed agg PER
     STEP on the same user key — Catalyst plans k-1 co-partitioned
     joins, no window over raw events, no per-user array materialization
-    (a user with 10⁶ events costs agg-combine work, not a sort). The
-    output is k rows.
+    (a user with 10⁶ events costs agg-combine work, not a sort). All k
+    step counts come from ONE action: each step's reach frame is
+    lazily ``localCheckpoint``-ed (so the union's branches share one
+    evaluation instead of re-running steps 1..k-1 per branch), tagged
+    with its step index, unioned, and counted in a single
+    ``groupBy(step)`` job. The output is k rows.
     """
     steps = list(steps)
     if len(steps) < 2:
@@ -1184,9 +1188,11 @@ def funnel_steps(
     )
     if within:
         reached = reached.withColumn("__dl__", deadline)
-    counts = [reached.count()]
-    prev = reached.withColumnRenamed("__t0__", "__tp__")
-    for step in steps[1:]:
+    # lazy checkpoint: each step frame evaluates once even though it is
+    # consumed twice (as the next step's join input and as a union branch)
+    prev = reached.withColumnRenamed("__t0__", "__tp__").localCheckpoint(eager=False)
+    tagged = [prev.select(F.lit(1).alias("step"), "__u__")]
+    for i, step in enumerate(steps[1:], start=2):
         nxt = (
             e.where(F.col("__et__") == step)
             .join(prev, "__u__")
@@ -1195,8 +1201,21 @@ def funnel_steps(
         if within:
             nxt = nxt.where(F.col("__ts__") <= F.col("__dl__"))
         keep = ["__u__"] + (["__dl__"] if within else [])
-        prev = nxt.groupBy(*keep).agg(F.min("__ts__").alias("__tp__"))
-        counts.append(prev.count())
+        prev = (
+            nxt.groupBy(*keep)
+            .agg(F.min("__ts__").alias("__tp__"))
+            .localCheckpoint(eager=False)
+        )
+        tagged.append(prev.select(F.lit(i).alias("step"), "__u__"))
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    # the single action for the whole funnel
+    step_counts = {
+        r["step"]: r["n"]
+        for r in union.groupBy("step").agg(F.count("*").alias("n")).collect()
+    }
+    counts = [int(step_counts.get(i + 1, 0)) for i in range(len(steps))]
     spark = events.sparkSession
     rows = [
         (i + 1, steps[i], counts[i], float(counts[i]) / counts[0] if counts[0] else None)

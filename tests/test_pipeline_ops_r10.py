@@ -336,6 +336,57 @@ def test_merge_into_rejects_bad_key(spark, merge_ds):
         merge_into_dataset(spark, merge_ds, "m", src, "nope")
 
 
+def test_merge_into_null_keys_ansi_semantics(spark, store):
+    # ANSI/Delta MERGE: NULL never matches. A NULL-key target row is kept
+    # exactly once (no duplication through matched+anti paths), NULL-key
+    # source rows are inserts, and several NULL-key source rows are legal.
+    base = spark.createDataFrame(
+        [(1, "v1", 10), (2, "v2", 20), (None, "vn", 30)],
+        "id long, tag string, qty long",
+    )
+    store_dataframe_as_dataset(spark, store, "mn", base)
+    src = spark.createDataFrame(
+        [(2, "up", 99), (None, "sn", 77), (None, "sn2", 88), (5, "ins", 55)],
+        "id long, tag string, qty long",
+    )
+    merge_into_dataset(spark, store, "mn", src, "id")
+    rows = sorted(
+        [
+            (r["id"], r["tag"], r["qty"])
+            for r in read_table(spark, store, "mn").collect()
+        ],
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1]),
+    )
+    assert rows == [
+        (1, "v1", 10),       # unmatched target kept
+        (2, "up", 99),       # matched → updated
+        (5, "ins", 55),      # unmatched source → inserted
+        (None, "sn", 77),    # NULL-key source → insert, never matches
+        (None, "sn2", 88),   # second NULL-key source is NOT a duplicate
+        (None, "vn", 30),    # NULL-key target kept exactly once
+    ]
+
+
+def test_merge_into_null_key_delete_never_fires_on_null(spark, store):
+    # delete clause must not reach NULL-key target rows (they never match)
+    base = spark.createDataFrame(
+        [(1, "v1", 10), (None, "vn", 30)], "id long, tag string, qty long"
+    )
+    store_dataframe_as_dataset(spark, store, "mnd", base)
+    src = spark.createDataFrame(
+        [(1, "x", 0), (None, "y", 0)], "id long, tag string, qty long"
+    )
+    merge_into_dataset(
+        spark, store, "mnd", src, "id",
+        when_matched_delete="s.qty = 0",
+        when_not_matched_insert=None,
+    )
+    rows = sorted(
+        (r["tag"], r["qty"]) for r in read_table(spark, store, "mnd").collect()
+    )
+    assert rows == [("vn", 30)]  # id=1 deleted; NULL-key target untouched
+
+
 # --- weighted PageRank -------------------------------------------------------
 
 from plateau_spark.operators.graph import pagerank  # noqa: E402

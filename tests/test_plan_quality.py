@@ -692,6 +692,44 @@ def test_funnel_and_cohorts_plans_are_equi_joins(spark):
     assert "Window" not in plan
 
 
+def test_funnel_steps_job_count_is_linear(spark):
+    """All k step counts must come from ONE action over lazily
+    checkpointed step frames — job count grows linearly in k (the old
+    per-step .count() shape re-executed steps 1..k-1 per count, O(k²)
+    passes). Empirical bound: ~3 jobs/step under AQE + 1 for the
+    result build; assert ≤ 4k+2 and that k=2→k=4 adds ≤ 8 jobs."""
+    import datetime as dt
+
+    from plateau_spark.streaming.events import funnel_steps
+
+    rows = []
+    for u in range(50):
+        rows.append((u, dt.datetime(2024, 1, 1, 0, u % 24), "view"))
+        if u % 2 == 0:
+            rows.append((u, dt.datetime(2024, 1, 2), "signup"))
+        if u % 4 == 0:
+            rows.append((u, dt.datetime(2024, 1, 3), "cart"))
+        if u % 8 == 0:
+            rows.append((u, dt.datetime(2024, 1, 4), "purchase"))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    sc = spark.sparkContext
+    jobs = {}
+    for k, steps in [
+        (2, ["view", "signup"]),
+        (4, ["view", "signup", "cart", "purchase"]),
+    ]:
+        sc.setJobGroup(f"__funnel_jobcount_{k}__", "plan-quality probe")
+        got = funnel_steps(df, "u", "ts", "et", steps).collect()
+        jobs[k] = len(sc.statusTracker().getJobIdsForGroup(f"__funnel_jobcount_{k}__"))
+        sc.setJobGroup(None, None)
+        assert [r["users_reached"] for r in sorted(got, key=lambda r: r["step"])] == (
+            [50, 25] if k == 2 else [50, 25, 13, 7]
+        )
+    assert jobs[2] <= 10, jobs
+    assert jobs[4] <= 18, jobs
+    assert jobs[4] - jobs[2] <= 8, jobs  # linear, not quadratic, in k
+
+
 def test_pagerank_iteration_is_one_join_one_agg(spark):
     """Each PageRank iteration joins edges⋈ranks on src and aggregates
     on dst — equi-joins only, aggregation with partial combine."""
