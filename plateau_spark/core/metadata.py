@@ -286,9 +286,16 @@ class DatasetMetadata:
         # per-commit committed_at (extension) timestamps THIS generation
         # so time travel can resolve "as of <wall clock>" to a
         # generation (see sources/dataset.py:generation_at_timestamp)
-        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        self.metadata.setdefault("creation_time", now)
-        self.metadata["committed_at"] = now
+        _utc = datetime.datetime.now(datetime.timezone.utc)
+        # creation_time matches the reference's naive-UTC isoformat
+        # ('2000-01-01T01:01:01.000001', no offset suffix) so tools that
+        # parse the reference format keep working; committed_at (our
+        # extension) stays tz-aware and is normalized either way by
+        # generation_at_timestamp
+        self.metadata.setdefault(
+            "creation_time", _utc.replace(tzinfo=None).isoformat()
+        )
+        self.metadata["committed_at"] = _utc.isoformat()
         if storage_format == "json":
             store.put_json(naming.metadata_key(self.uuid), self.to_json(), atomic=True)
             stale = naming.msgpack_metadata_key(self.uuid)

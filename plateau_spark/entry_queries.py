@@ -6449,6 +6449,51 @@ FROM counts JOIN sizes ON counts.cohort = sizes.cohort
 """
 
 
+def events_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention_cohorts (streaming/events.py) with period='month':
+    k via months_between on month-truncated dates — an exact integer at
+    first-of-month boundaries, so the matrix stays hash-comparable. The
+    fixture's events span one calendar month, so each event is shifted
+    by a deterministic 0-5 months (event_id mod 6) to populate a real
+    cohort matrix; month-truncation makes the shift engine-agnostic
+    (end-of-month clamping never crosses a month boundary)."""
+    _prep(spark)
+    from plateau_spark.streaming.events import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.expr("timestampadd(MONTH, CAST(event_id % 6 AS INT), ts)"),
+    )
+    return retention_cohorts(ev, "user_id", "ts", period="month")
+
+
+EVENTS_RETENTION_MONTHLY_ORACLE = """
+WITH shifted AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) + (event_id % 6) * INTERVAL 1 MONTH AS ts
+  FROM events
+), act AS (
+  SELECT DISTINCT user_id AS u,
+         date_trunc('month', ts) AS p
+  FROM shifted
+), first AS (
+  SELECT u, MIN(p) AS cohort FROM act GROUP BY u
+), joined AS (
+  SELECT first.cohort,
+         CAST(date_diff('month', CAST(first.cohort AS DATE), CAST(act.p AS DATE)) AS INTEGER) AS period_k
+  FROM act JOIN first ON act.u = first.u
+), counts AS (
+  SELECT cohort, period_k, COUNT(*) AS n_active FROM joined GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1
+)
+SELECT counts.cohort, counts.period_k, counts.n_active, sizes.cohort_size,
+       CAST(counts.n_active AS DOUBLE) / CAST(sizes.cohort_size AS DOUBLE)
+         AS retention
+FROM counts JOIN sizes ON counts.cohort = sizes.cohort
+"""
+
+
 def text_blocked_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """blocked_words_signals (operators/text.py): the C4 bad-words
     document gate — per-doc blocklist hit count, hit ratio, and keep
@@ -6968,31 +7013,69 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r10 window (first 50): every exact-oracle query with NO prior
-    #     driver evidence first — 17 NEW this round (entity_match_pairs,
-    #     entity_resolution, join_skew_salted, streaming_anomaly_zscore,
-    #     dataset_merge_into, web_domain_pagerank, text_bpe_merge_pairs,
-    #     text_lm_served_score, events_funnel_steps,
-    #     dataset_repartition_read, text_vocab_coverage,
-    #     dataset_asof_read, sample_mixture_plan, dedup_lsh_quality;
-    #     each parity-verified at sf0.01 on registration and the whole
-    #     window re-swept 50/50 mid-round) plus the 8 r9-late additions
-    #     the r9 window missed — then the 13 queries whose last driver
-    #     evidence is r5, then the r6-evidence queries that fit. The r6
-    #     entries displaced past the boundary by late r10 additions
-    #     (winnow_overlap_pairs, embedding_dup_pairs(_lsh), cosine_topk,
-    #     cosine_topk_ivf, simhash_md5, minhash_pairs_md5,
-    #     decontaminate_ngrams) were all parity-swept green this round;
-    #     they sit directly after the rows-only-by-design lines
-    #     (text_compression_signal, PQ/IVF-PQ fit lines, embedding_pca).
-    #     r8/r9-green entries rotate to the back. Union target: r10 ∪ r9
-    #     driver evidence covers ≥100 distinct queries. Round-10 close:
-    #     the ENTIRE registry was parity-verified green at sf0.01 —
-    #     one final 50-window sweep (50/50) + one full tail sweep
-    #     (114/114, every oracle-backed entry past the window), after
-    #     the full 992-test suite passed; entries registered after
-    #     those sweeps (text_blocked_words, events_retention_cohorts)
-    #     were parity-verified individually on registration. ---
+    # --- r11 window (first 50): stalest driver evidence first, per the
+    #     r10 verdict brief — the 7 never-driver-checked entries
+    #     (text_blocked_words, events_retention_cohorts + the 5
+    #     rows-only-by-contract lines: text_compression_signal, PQ/IVF-PQ
+    #     fit lines, embedding_pca — the driver records their weaker
+    #     rows-only check, which IS the evidence being refreshed), then
+    #     the 14 whose last driver evidence is r6, then the NEW r11
+    #     registrations (events_retention_monthly — exact months_between
+    #     cohort arithmetic), then the stalest r8-evidence entries to
+    #     fill the window. r8 entries displaced past the boundary keep
+    #     their r8 green; r9/r10-green entries rotate to the back.
+    #     Union target: r11's window closes the last 7 never-checked, so
+    #     driver evidence covers all registry queries across rounds. ---
+    "text_blocked_words": text_blocked_words,
+    "events_retention_cohorts": events_retention_cohorts,
+    "text_compression_signal": text_compression_signal,
+    "embedding_pq_topk": embedding_pq_topk,
+    "embedding_pq_persisted": embedding_pq_persisted,
+    "embedding_ivfpq_query": embedding_ivfpq_query,
+    "embedding_pca": embedding_pca,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "simhash_md5": simhash_md5,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "semdedup_keep": semdedup_keep,
+    "decontaminate_bloom": decontaminate_bloom,
+    "text_quality_classifier": text_quality_classifier,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "decontaminate_substring": decontaminate_substring,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    "events_retention_monthly": events_retention_monthly,
+    "embedding_quantize": embedding_quantize,
+    "multimodal_resize": multimodal_resize,
+    "dataset_python_source_read": dataset_python_source_read,
+    "ngram_jaccard": ngram_jaccard,
+    "pipeline_training_data": pipeline_training_data,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "dataset_compact_read": dataset_compact_read,
+    "dataset_time_travel_read": dataset_time_travel_read,
+    "dataset_upsert_read": dataset_upsert_read,
+    "dataset_delete_rows": dataset_delete_rows,
+    "dataset_index_read": dataset_index_read,
+    "dataset_zorder_read": dataset_zorder_read,
+    "bitext_mine_pairs": bitext_mine_pairs,
+    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
+    "dsir_logweights": dsir_logweights_q,
+    "dsir_select": dsir_select_q,
+    "ccnet_buckets": ccnet_buckets,
+    "multimodal_dhash": multimodal_dhash,
+    "multimodal_dhash_pairs": multimodal_dhash_pairs,
+    "multimodal_audio_features": multimodal_audio_features,
+    "sample_cluster_balanced": sample_cluster_balanced,
+    "text_lm_score": text_lm_score,
+    "text_lm2_score": text_lm2_score,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "streaming_route_datasets": streaming_route_datasets,
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
@@ -7043,27 +7126,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_url_dedup": web_url_dedup,
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
-    "text_compression_signal": text_compression_signal,
-    "text_blocked_words": text_blocked_words,
-    "events_retention_cohorts": events_retention_cohorts,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_md5": simhash_md5,
-    "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
-    "embedding_pq_topk": embedding_pq_topk,
-    "embedding_pq_persisted": embedding_pq_persisted,
-    "embedding_ivfpq_query": embedding_ivfpq_query,
-    "embedding_pca": embedding_pca,
-    "semdedup_keep": semdedup_keep,
-    "decontaminate_bloom": decontaminate_bloom,
-    "text_quality_classifier": text_quality_classifier,
-    "dedup_cluster_keep": dedup_cluster_keep,
-    "decontaminate_substring": decontaminate_substring,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
     "dataset_multi_store_iter": dataset_multi_store_iter,
     "dataset_dispatch_groups": dataset_dispatch_groups,
     "dataset_index_view": dataset_index_view,
@@ -7114,34 +7176,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles": histogram_quantiles,
     "streaming_histogram_monitor": streaming_histogram_monitor,
     "dataset_stats_refresh": dataset_stats_refresh,
-    "embedding_quantize": embedding_quantize,
-    "multimodal_resize": multimodal_resize,
-    "dataset_python_source_read": dataset_python_source_read,
-    "ngram_jaccard": ngram_jaccard,
-    "pipeline_training_data": pipeline_training_data,
-    "multimodal_metadata": multimodal_metadata,
-    "multimodal_features": multimodal_features,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "dataset_compact_read": dataset_compact_read,
-    "dataset_time_travel_read": dataset_time_travel_read,
-    "dataset_upsert_read": dataset_upsert_read,
-    "dataset_delete_rows": dataset_delete_rows,
-    "dataset_index_read": dataset_index_read,
-    "dataset_zorder_read": dataset_zorder_read,
-    "bitext_mine_pairs": bitext_mine_pairs,
-    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
-    "dsir_logweights": dsir_logweights_q,
-    "dsir_select": dsir_select_q,
-    "ccnet_buckets": ccnet_buckets,
-    "multimodal_dhash": multimodal_dhash,
-    "multimodal_dhash_pairs": multimodal_dhash_pairs,
-    "multimodal_audio_features": multimodal_audio_features,
-    "sample_cluster_balanced": sample_cluster_balanced,
-    "text_lm_score": text_lm_score,
-    "text_lm2_score": text_lm2_score,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup": streaming_ingest_dedup,
     "text_gopher_rules": text_gopher_rules,
     "dedup_duplicate_spans": dedup_duplicate_spans,
@@ -7190,6 +7224,7 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_quality": DEDUP_LSH_QUALITY_ORACLE,
     "text_blocked_words": TEXT_BLOCKED_WORDS_ORACLE,
     "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
+    "events_retention_monthly": EVENTS_RETENTION_MONTHLY_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

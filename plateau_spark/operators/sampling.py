@@ -815,17 +815,20 @@ def mixture_plan(
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     unit = F.col(size_col).cast("long") if size_col else F.lit(1).cast("long")
     avail = df.groupBy(*group_cols).agg(F.sum(unit).alias("available"))
+    # \x1f (unit separator) can't appear in real group values, so joined
+    # multi-column keys like ('a','bc') and ('ab','c') never collide
+    _SEP = "\x1f"
     key = (
         F.col(group_cols[0]).cast("string")
         if len(group_cols) == 1
-        else F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
+        else F.concat_ws(_SEP, *[F.col(c).cast("string") for c in group_cols])
     )
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
     wexpr = F.lit(0.0)
     for k, w in weights.items():
-        lit = k if isinstance(k, str) else "".join(map(str, k))
+        lit = k if isinstance(k, str) else _SEP.join(map(str, k))
         wexpr = F.when(key == F.lit(lit), F.lit(float(w))).otherwise(wexpr)
     planned = avail.select(
         *group_cols,

@@ -1378,30 +1378,63 @@ def blocked_words_signals(
     blocked_words: Sequence[str],
     *,
     max_hits: int = 0,
+    literal_cap: int = 100,
 ) -> DataFrame:
     """C4-style bad-words document gate (Raffel et al. 2020 drop any
     page containing a word from the blocklist): per document, the
     number of tokens that hit the blocklist, the hit ratio, and a keep
     flag (``n_blocked <= max_hits``).
 
-    The blocklist ships as a broadcast literal array and matching runs
-    over the same lowercased word tokenizer as the rest of the text
-    tier - one codegen HOF pass per document, zero shuffle, exact
-    SQL twin. For blocklists beyond a few thousand words switch to a
-    join against a blocklist table; the literal-array form is the
-    zero-shuffle tier for the classic ~400-word lists.
+    Two tiers on blocklist size (same IN-cap lesson as the streaming
+    key predicate): up to ``literal_cap`` words the blocklist ships as
+    a literal array and matching is one codegen HOF pass per document,
+    zero shuffle. Above the cap (the canonical C4 badwords list is ~2k
+    terms per language) the per-token O(|blocklist|) literal scan and
+    the plan literal that grows with the list are both wrong — the
+    blocklist becomes a (deduplicated) single-column frame, tokens are
+    exploded and matched with a BROADCAST hash join, and hits are
+    re-aggregated per document: O(tokens) work, KB-scale broadcast,
+    one keyed agg. Both tiers share the lowercased word tokenizer and
+    produce identical results.
     """
     if max_hits < 0:
         raise ValueError("max_hits must be >= 0")
+    if literal_cap < 1:
+        raise ValueError("literal_cap must be >= 1")
     toks = _word_tokens(text_col)
-    blocked = F.array(*[F.lit(w.lower()) for w in blocked_words])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked, t)))
     n = F.size(toks)
-    return df.select(
-        F.col(id_col),
-        hits.alias("n_blocked"),
-        F.when(n > 0, hits.cast("double") / n.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("blocked_ratio"),
-        (hits <= F.lit(int(max_hits))).alias("keep"),
+    words = sorted({w.lower() for w in blocked_words})
+    if len(words) <= literal_cap:
+        blocked = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked, t)))
+        return df.select(
+            F.col(id_col),
+            hits.alias("n_blocked"),
+            F.when(n > 0, hits.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("blocked_ratio"),
+            (hits <= F.lit(int(max_hits))).alias("keep"),
+        )
+    spark = df.sparkSession
+    import pandas as pd  # Arrow path for the driver-side list
+
+    bl = spark.createDataFrame(pd.DataFrame({"__bw__": words}))
+    base = df.select(F.col(id_col), toks.alias("__toks__"), n.alias("__n__"))
+    per_doc_hits = (
+        base.select(F.col(id_col), F.explode("__toks__").alias("__bw__"))
+        .join(F.broadcast(bl), "__bw__")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__hits__"))
+    )
+    hits = F.coalesce(F.col("__hits__"), F.lit(0))
+    return (
+        base.join(per_doc_hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            hits.alias("n_blocked"),
+            F.when(F.col("__n__") > 0, hits.cast("double") / F.col("__n__").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("blocked_ratio"),
+            (hits <= F.lit(int(max_hits))).alias("keep"),
+        )
     )

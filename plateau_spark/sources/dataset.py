@@ -413,7 +413,15 @@ def _write_files(
         out = out.withColumn(
             "__bucket__", F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets))
         )
-        out = out.repartition(*(partition_on + ["__bucket__"])) if partition_on else out.repartition(
+        # explicit partition count (REPARTITION_BY_NUM): AQE must not
+        # coalesce the shuffle — the writer emits one file per key per
+        # TASK, so coalescing distinct (key, bucket) groups into one task
+        # silently collapses the bucket split the caller asked for
+        _n = max(
+            int(out.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            int(num_buckets),
+        )
+        out = out.repartition(_n, *(partition_on + ["__bucket__"])) if partition_on else out.repartition(
             num_buckets, "__bucket__"
         )
         out = out.drop("__bucket__")
@@ -2460,13 +2468,20 @@ def compact_dataset(
         )
         partitions = _write_files(clustered, store, dataset_uuid, [])
     elif meta.partition_keys:
+        # bucket on the NON-key columns so the hash varies within a key —
+        # hash(partition_keys) is constant per key directory and would
+        # collapse target_files_per_key back to one file per key
+        _data_cols = [
+            f.name for f in (meta.schema or []) if f.name not in meta.partition_keys
+        ]
+        _split = target_files_per_key > 1 and bool(_data_cols)
         partitions = _write_files(
             df,
             store,
             dataset_uuid,
             meta.partition_keys,
-            num_buckets=target_files_per_key if target_files_per_key > 1 else None,
-            bucket_by=meta.partition_keys if target_files_per_key > 1 else None,
+            num_buckets=target_files_per_key if _split else None,
+            bucket_by=_data_cols if _split else None,
         )
     else:
         # keyless dataset: full shuffle down to the target file count
@@ -2565,13 +2580,19 @@ def repartition_dataset(
 
     df = read_dataset_as_dataframe(spark, store, dataset_uuid)
     if partition_on:
+        # bucket on the NON-key columns: the bucket hash must vary WITHIN
+        # a partition key or num_buckets silently degenerates to one file
+        # per key (hash(partition_on) is constant inside a key directory)
+        _data_cols = [
+            f.name for f in (meta.schema or []) if f.name not in partition_on
+        ]
         partitions = _write_files(
             df,
             store,
             dataset_uuid,
             partition_on,
-            num_buckets=num_buckets,
-            bucket_by=partition_on if num_buckets else None,
+            num_buckets=num_buckets if _data_cols else None,
+            bucket_by=_data_cols if (num_buckets and _data_cols) else None,
         )
     else:
         # flattening: num_buckets degenerates to a plain target file

@@ -1241,10 +1241,15 @@ def retention_cohorts(
     Two keyed aggs on the user key (first-activity, distinct activity
     periods) + one join + one (cohort, k) agg - no window over raw
     events. Counts are exact integers; retention is one double
-    division. ``period``: any ``date_trunc`` unit (week, month, day).
+    division. ``period``: ``"day"``, ``"week"`` or ``"month"`` — day
+    and week use exact ``datediff/7`` arithmetic; month uses
+    ``months_between`` on month-truncated dates, which is an exact
+    integer for first-of-month boundaries.
     Returns (cohort, period_k, n_active, cohort_size, retention),
     with k=0 rows carrying retention 1.0 by construction.
     """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be 'day', 'week' or 'month'")
     u = F.col(user_col)
     p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
     first = events.groupBy(u.alias("__u__")).agg(
@@ -1253,15 +1258,20 @@ def retention_cohorts(
     activity = events.select(
         u.alias("__u__"), p.alias("__p__")
     ).distinct()
-    per_unit = {"day": 1, "week": 7}.get(period)
-    if per_unit is None:
-        raise ValueError("period must be 'day' or 'week' (exact k arithmetic)")
-    joined = activity.join(first, "__u__").select(
-        "cohort",
-        (
+    if period == "month":
+        # both sides are month-truncated, so months_between is an exact
+        # whole number (no fractional-day component to round)
+        k_expr = F.months_between(
+            F.col("__p__").cast("date"), F.col("cohort").cast("date")
+        ).cast("int")
+    else:
+        per_unit = {"day": 1, "week": 7}[period]
+        k_expr = (
             F.datediff(F.col("__p__").cast("date"), F.col("cohort").cast("date"))
             / F.lit(per_unit)
-        ).cast("int").alias("period_k"),
+        ).cast("int")
+    joined = activity.join(first, "__u__").select(
+        "cohort", k_expr.alias("period_k")
     )
     counts = joined.groupBy("cohort", "period_k").agg(
         F.count("*").alias("n_active")

@@ -861,6 +861,10 @@ def test_read_as_of_timestamp(spark, store):
     assert meta.metadata["creation_time"] == DatasetMetadata.load(
         store, "aot", generation=1
     ).metadata["creation_time"]
+    # ... and uses the reference's naive-UTC isoformat (no offset suffix)
+    assert dt.datetime.fromisoformat(
+        meta.metadata["creation_time"]
+    ).tzinfo is None
     assert generation_at_timestamp(store, "aot", t1) == 1
     assert generation_at_timestamp(store, "aot", t2) == 2
     rows_then = read_table(spark, store, "aot", as_of=t1).count()
@@ -899,6 +903,22 @@ def test_mixture_plan_epochs_and_flag(spark):
     assert got["b"]["epochs"] == pytest.approx(10.0)
     assert got["c"]["weight"] == 0.0 and got["c"]["epochs"] == 0.0
     assert got["c"]["over_epoch_cap"] is False
+
+
+def test_mixture_plan_multicol_keys_do_not_collide(spark):
+    # ('a','bc') and ('ab','c') concatenate to the same string without a
+    # separator — each must still get its own weight
+    df = spark.createDataFrame(
+        [("a", "bc"), ("ab", "c")], "src string, lang string"
+    )
+    got = {
+        (r["src"], r["lang"]): r["weight"]
+        for r in mixture_plan(
+            df, ["src", "lang"], {("a", "bc"): 3.0, ("ab", "c"): 1.0}, budget=100
+        ).collect()
+    }
+    assert got[("a", "bc")] == pytest.approx(3.0)
+    assert got[("ab", "c")] == pytest.approx(1.0)
 
 
 def test_mixture_plan_validates(spark):
@@ -1022,6 +1042,29 @@ def test_blocked_words_signals(spark):
     assert got[4] == (0, True)
     with pytest.raises(ValueError):
         blocked_words_signals(df, "doc_id", "text", ["bad"], max_hits=-1)
+    with pytest.raises(ValueError):
+        blocked_words_signals(df, "doc_id", "text", ["bad"], literal_cap=0)
+
+
+def test_blocked_words_join_tier_matches_literal_tier(spark):
+    # a large blocklist flips to the broadcast-join tier; both tiers must
+    # produce identical rows on the same documents
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j) % 500}" for j in range(30)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    blocklist = [f"w{k}" for k in range(0, 500, 3)]  # 167 words > default cap
+    lit = blocked_words_signals(
+        df, "doc_id", "text", blocklist, max_hits=2, literal_cap=1000
+    )
+    joined = blocked_words_signals(
+        df, "doc_id", "text", blocklist, max_hits=2
+    )
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b
+    assert any(r[1] > 0 for r in a)  # the fixture actually has hits
 
 
 def test_retention_cohorts_matrix(spark):
@@ -1043,7 +1086,28 @@ def test_retention_cohorts_matrix(spark):
     assert got[("2024-01-01", 1)] == (1, pytest.approx(0.5))
     assert got[("2024-01-08", 0)] == (1, pytest.approx(1.0))
     with pytest.raises(ValueError):
-        retention_cohorts(df, "u", "ts", period="month")
+        retention_cohorts(df, "u", "ts", period="quarter")
+
+
+def test_retention_cohorts_month_exact(spark):
+    import datetime as dt
+
+    rows = [
+        # user 1: Jan + Mar (k=0, k=2); user 2: Jan only; user 3: Feb + Mar
+        (1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 3, 30)),
+        (2, dt.datetime(2024, 1, 31)),
+        (3, dt.datetime(2024, 2, 1)), (3, dt.datetime(2024, 3, 15)),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (str(r["cohort"])[:10], r["period_k"]): (r["n_active"], r["retention"])
+        for r in retention_cohorts(df, "u", "ts", period="month").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, pytest.approx(1.0))
+    assert got[("2024-01-01", 2)] == (1, pytest.approx(0.5))
+    assert got[("2024-02-01", 0)] == (1, pytest.approx(1.0))
+    assert got[("2024-02-01", 1)] == (1, pytest.approx(1.0))
+    assert ("2024-01-01", 1) not in got  # nobody from Jan active in Feb
 
 
 def test_repartition_dataset_flatten_with_bucket_count(spark, store):
@@ -1056,3 +1120,51 @@ def test_repartition_dataset_flatten_with_bucket_count(spark, store):
     meta = DatasetMetadata.load(store, "fb")
     assert meta.partition_keys == [] and len(meta.partitions) == 3
     assert read_table(spark, store, "fb").count() == 40
+
+
+def test_repartition_dataset_num_buckets_splits_hot_keys(spark, store):
+    # num_buckets with partition_on must actually split a hot key into
+    # multiple files: the bucket hash varies WITHIN a key (non-key
+    # columns), not a constant hash of the partition key itself
+    from collections import Counter
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import repartition_dataset
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 90 else "cold") for i in range(100)],
+        "id long, g string",
+    )
+    store_dataframe_as_dataset(spark, store, "hk", df)
+    repartition_dataset(spark, store, "hk", partition_on=["g"], num_buckets=4)
+    meta = DatasetMetadata.load(store, "hk")
+    per_key = Counter(p.key_values["g"] for p in meta.partitions.values())
+    assert 1 < per_key["hot"] <= 4, per_key  # hot key split, cap respected
+    assert per_key["cold"] <= 4
+    assert read_table(spark, store, "hk").count() == 100
+
+
+def test_compact_dataset_target_files_splits_within_key(spark, store):
+    # compact with target_files_per_key > 1 on a keyed dataset must cap,
+    # not collapse to exactly one file per key
+    from collections import Counter
+
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import compact_dataset
+    from plateau_spark.sources.dataset import update_dataset_from_dataframe
+
+    mk = lambda lo: spark.createDataFrame(  # noqa: E731
+        [(i, "a" if i % 5 else "b") for i in range(lo, lo + 50)],
+        "id long, g string",
+    )
+    store_dataframe_as_dataset(spark, store, "ck", mk(0), partition_on=["g"])
+    for lo in (50, 100, 150):
+        update_dataset_from_dataframe(spark, store, "ck", mk(lo))
+    before = len(DatasetMetadata.load(store, "ck").partitions)
+    compact_dataset(spark, store, "ck", target_files_per_key=2)
+    meta = DatasetMetadata.load(store, "ck")
+    per_key = Counter(p.key_values["g"] for p in meta.partitions.values())
+    assert len(meta.partitions) < before
+    assert all(n <= 2 for n in per_key.values()), per_key
+    assert per_key["a"] == 2, per_key  # the big key really uses both buckets
+    assert read_table(spark, store, "ck").count() == 200

@@ -692,6 +692,25 @@ def test_funnel_and_cohorts_plans_are_equi_joins(spark):
     assert "Window" not in plan
 
 
+def test_blocked_words_large_list_plans_broadcast_join(spark):
+    """Above literal_cap the blocklist must NOT appear as a plan
+    literal array (O(tokens × |list|) scans, plan size growing with the
+    list) — it becomes a broadcast hash join against a blocklist frame."""
+    from plateau_spark.operators.text import blocked_words_signals
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    big = [f"term{i}" for i in range(500)]
+    out = blocked_words_signals(df, "doc_id", "text", big)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "term499" not in plan  # list is data, not a plan literal
+    small = blocked_words_signals(df, "doc_id", "text", ["alpha", "zeta"])
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in splan  # literal tier stays zero-shuffle
+
+
 def test_funnel_steps_job_count_is_linear(spark):
     """All k step counts must come from ONE action over lazily
     checkpointed step frames — job count grows linearly in k (the old
