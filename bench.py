@@ -4,6 +4,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The printed line keeps ``queries`` to the slowest 40 so it fits the
+driver's bounded tail capture (the full 130+-query dict overflowed it
+every round — BENCH_r10.json "parsed": null); the COMPLETE per-query
+record (all timings + errors + config) is simultaneously written to
+``BENCH_LOCAL.json`` next to this script, which is the authoritative
+artifact for round-over-round comparison.
+
 Each query is collected to exhaustion (count of materialized rows) so
 the measured time includes the full scan/shuffle/write work, not just
 plan construction.
@@ -176,6 +183,8 @@ BENCH_QUERIES = [
     "dedup_lsh_quality",
     "text_blocked_words",
     "events_retention_cohorts",
+    # new in round 11
+    "events_retention_monthly",
 ]
 
 
@@ -375,7 +384,34 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# phases: FAILED ({exc})", file=sys.stderr)
 
-    print(json.dumps(summary))
+    # the complete machine-readable record — every query, not a tail
+    local = dict(summary)
+    local["n_queries"] = len(times)
+    local["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    local["sf_dir"] = sf_dir
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(local, fh, indent=1, sort_keys=True)
+        print(f"# full record: {local_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# BENCH_LOCAL.json write failed ({exc})", file=sys.stderr)
+
+    # stdout line stays short enough for bounded tail capture: slowest 40
+    numeric = {k: v for k, v in times.items() if isinstance(v, float)}
+    slowest = dict(
+        sorted(numeric.items(), key=lambda kv: kv[1], reverse=True)[:40]
+    )
+    short = dict(summary)
+    short["queries"] = slowest
+    short["n_queries"] = len(times)
+    short["full_record"] = "BENCH_LOCAL.json"
+    if errors:
+        short["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+        short["n_errors"] = len(errors)
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

@@ -44,14 +44,23 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     deterministic_fold: bool = False,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an edge list → (node, rank).
 
     ``edges``: one row per (src, dst[, weight]); duplicate pairs are
-    combined by weight sum (count when ``weight_col`` is None). Nodes
-    with no out-edges would leak rank mass; keep self-loops in the
-    input (or pre-add them) if the graph has sinks — this operator
-    does NOT redistribute dangling mass, by documented contract.
+    combined by weight sum (count when ``weight_col`` is None).
+
+    Dangling (no-out-edge) nodes: by default their rank mass leaks each
+    iteration — keep self-loops in the input (or pre-add them) if the
+    graph has sinks. ``redistribute_dangling=True`` applies the
+    standard correction instead: the summed rank of dangling nodes is
+    spread uniformly over ALL nodes each iteration
+    (``r'(v) = (1-d)/|V| + d·(Σ contribs + dm/|V|)``). Cost: one extra
+    scalar aggregation job per iteration over the |V|-sized rank frame
+    (KB-scale driver state) — the dangling node set itself is computed
+    once. Under ``deterministic_fold`` the dangling sum is also a
+    sorted fold, keeping the whole update bit-reproducible.
 
     Ranks initialize to 1/|V| and update
     ``r'(v) = (1-d)/|V| + d·Σ_u r(u)·w(u,v)/outw(u)`` for
@@ -82,7 +91,28 @@ def pagerank(
     n = nodes.count()
     base = F.lit(1.0 - damping) / F.lit(float(n))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    dangling = None
+    if redistribute_dangling:
+        # computed once: nodes with no out-edges (anti join vs out-weights)
+        dangling = nodes.join(
+            outw.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
     for _ in range(iterations):
+        dm_term = F.lit(0.0)
+        if redistribute_dangling:
+            dr = dangling.join(ranks, "node")
+            if deterministic_fold:
+                dm_row = dr.agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("node", "rank"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["rank"],
+                    ).alias("dm")
+                ).first()
+            else:
+                dm_row = dr.agg(F.sum("rank").alias("dm")).first()
+            dm = float(dm_row["dm"] or 0.0)
+            dm_term = F.lit(dm) / F.lit(float(n))
         contrib_val = (F.col("rank") * F.col("w")) / F.col("ow")
         joined = e.join(
             ranks.withColumnRenamed("node", "src"), "src"
@@ -101,9 +131,11 @@ def pagerank(
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
-                (base + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    base
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + dm_term)
+                ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )

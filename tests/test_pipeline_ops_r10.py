@@ -409,6 +409,51 @@ def _np_pagerank(edge_list, d=0.85, iters=3):
     return {v: r[idx[v]] for v in nodes}
 
 
+def _np_pagerank_dangling(edge_list, d=0.85, iters=3):
+    import numpy as np
+
+    nodes = sorted({a for a, _, _ in edge_list} | {b for _, b, _ in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for a, b, ww in edge_list:
+        w[idx[a], idx[b]] += ww
+    outw = w.sum(axis=1)
+    sinks = outw == 0
+    safe = np.where(sinks, 1.0, outw)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = r[sinks].sum()
+        contrib = (r / safe * ~sinks) @ w
+        r = (1 - d) / n + d * (contrib + dm / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_redistributes_dangling_mass(spark):
+    # 'd' is a pure sink (no out-edges); its mass must spread uniformly
+    edge_list = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+        ("a", "d", 1.0), ("c", "d", 3.0),
+    ]
+    e = spark.createDataFrame(edge_list, "src string, dst string, w double")
+    expect = _np_pagerank_dangling(edge_list)
+    for fold in (False, True):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, weight_col="w", deterministic_fold=fold,
+                redistribute_dangling=True,
+            ).collect()
+        }
+        for v, r in expect.items():
+            assert got[v] == pytest.approx(r, rel=1e-12), (fold, v)
+    # with redistribution the total mass is conserved at 1
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # ... and without it, the same graph leaks mass (the documented default)
+    leaky = pagerank(e, weight_col="w").collect()
+    assert sum(r["rank"] for r in leaky) < 1.0
+
+
 def test_pagerank_two_node_cycle(spark):
     e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
     got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
