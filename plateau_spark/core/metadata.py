@@ -290,8 +290,10 @@ class DatasetMetadata:
         # creation_time matches the reference's naive-UTC isoformat
         # ('2000-01-01T01:01:01.000001', no offset suffix) so tools that
         # parse the reference format keep working; committed_at (our
-        # extension) stays tz-aware and is normalized either way by
-        # generation_at_timestamp
+        # extension) MUST stay tz-aware — generation_at_timestamp
+        # normalizes only its as_of argument and compares the stored
+        # stamp as-is, so a naive committed_at would make the
+        # naive-vs-aware comparison raise
         self.metadata.setdefault(
             "creation_time", _utc.replace(tzinfo=None).isoformat()
         )

@@ -1401,7 +1401,10 @@ def blocked_words_signals(
         raise ValueError("max_hits must be >= 0")
     if literal_cap < 1:
         raise ValueError("literal_cap must be >= 1")
-    toks = _word_tokens(text_col)
+    # NULL text counts as zero tokens in BOTH tiers (F.size(NULL) is -1
+    # with legacy sizeOfNull, and the join tier's explode would silently
+    # drop the row — either way the tiers would disagree)
+    toks = F.coalesce(_word_tokens(text_col), F.array().cast("array<string>"))
     n = F.size(toks)
     words = sorted({w.lower() for w in blocked_words})
     if len(words) <= literal_cap:
@@ -1418,23 +1421,28 @@ def blocked_words_signals(
     spark = df.sparkSession
     import pandas as pd  # Arrow path for the driver-side list
 
-    bl = spark.createDataFrame(pd.DataFrame({"__bw__": words}))
-    base = df.select(F.col(id_col), toks.alias("__toks__"), n.alias("__n__"))
-    per_doc_hits = (
-        base.select(F.col(id_col), F.explode("__toks__").alias("__bw__"))
-        .join(F.broadcast(bl), "__bw__")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("__hits__"))
+    bl = spark.createDataFrame(pd.DataFrame({"__bw__": words})).withColumn(
+        "__hit__", F.lit(1)
     )
-    hits = F.coalesce(F.col("__hits__"), F.lit(0))
-    return (
-        base.join(per_doc_hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            hits.alias("n_blocked"),
-            F.when(F.col("__n__") > 0, hits.cast("double") / F.col("__n__").cast("double"))
-            .otherwise(F.lit(0.0))
-            .alias("blocked_ratio"),
-            (hits <= F.lit(int(max_hits))).alias("keep"),
-        )
+    # explode_outer keeps zero-token docs, the LEFT broadcast join marks
+    # blocklist tokens, and ONE keyed agg recovers per-doc hit counts —
+    # no corpus-side join-back (that shape cost a second full shuffle +
+    # sort-merge join of the corpus against its own aggregate)
+    exploded = df.select(
+        F.col(id_col), n.alias("__n__"), F.explode_outer(toks).alias("__bw__")
+    )
+    agg = (
+        exploded.join(F.broadcast(bl), "__bw__", "left")
+        .groupBy(id_col, "__n__")
+        # int, matching the literal tier's F.size dtype exactly
+        .agg(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("int").alias("__hits__"))
+    )
+    hits = F.col("__hits__")
+    return agg.select(
+        F.col(id_col),
+        hits.alias("n_blocked"),
+        F.when(F.col("__n__") > 0, hits.cast("double") / F.col("__n__").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("blocked_ratio"),
+        (hits <= F.lit(int(max_hits))).alias("keep"),
     )

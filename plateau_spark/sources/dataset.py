@@ -334,6 +334,28 @@ def _commit_update_with_merge_locked(
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _contains_map_type(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map_type(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hashable_data_cols(schema, partition_keys: Sequence[str]) -> list[str]:
+    """Non-key columns usable as a within-key bucket hash. Spark's hash
+    functions reject MapType anywhere in the type tree, so map-bearing
+    columns are excluded (a dataset whose only non-key columns are maps
+    simply doesn't split — the pre-bucket behavior)."""
+    return [
+        f.name
+        for f in (schema or [])
+        if f.name not in partition_keys and not _contains_map_type(f.dataType)
+    ]
+
+
 def _raise_null_partition_keys(
     store: Store, staging: str, partition_on: Sequence[str]
 ) -> None:
@@ -416,10 +438,15 @@ def _write_files(
         # explicit partition count (REPARTITION_BY_NUM): AQE must not
         # coalesce the shuffle — the writer emits one file per key per
         # TASK, so coalescing distinct (key, bucket) groups into one task
-        # silently collapses the bucket split the caller asked for
+        # silently collapses the bucket split the caller asked for.
+        # num_buckets is a CAP, not an exact count: two buckets of one
+        # key can still hash-collide into the same task and merge; the
+        # 32× headroom over num_buckets makes that rare (p ≈ g²/2n for
+        # g groups over n tasks) without guaranteeing it — an exact
+        # split would need a custom RDD partitioner.
         _n = max(
             int(out.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-            int(num_buckets),
+            int(num_buckets) * 32,
         )
         out = out.repartition(_n, *(partition_on + ["__bucket__"])) if partition_on else out.repartition(
             num_buckets, "__bucket__"
@@ -2471,9 +2498,7 @@ def compact_dataset(
         # bucket on the NON-key columns so the hash varies within a key —
         # hash(partition_keys) is constant per key directory and would
         # collapse target_files_per_key back to one file per key
-        _data_cols = [
-            f.name for f in (meta.schema or []) if f.name not in meta.partition_keys
-        ]
+        _data_cols = _hashable_data_cols(meta.schema, meta.partition_keys)
         _split = target_files_per_key > 1 and bool(_data_cols)
         partitions = _write_files(
             df,
@@ -2583,9 +2608,7 @@ def repartition_dataset(
         # bucket on the NON-key columns: the bucket hash must vary WITHIN
         # a partition key or num_buckets silently degenerates to one file
         # per key (hash(partition_on) is constant inside a key directory)
-        _data_cols = [
-            f.name for f in (meta.schema or []) if f.name not in partition_on
-        ]
+        _data_cols = _hashable_data_cols(meta.schema, partition_on)
         partitions = _write_files(
             df,
             store,

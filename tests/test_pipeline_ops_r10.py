@@ -1093,11 +1093,12 @@ def test_blocked_words_signals(spark):
 
 def test_blocked_words_join_tier_matches_literal_tier(spark):
     # a large blocklist flips to the broadcast-join tier; both tiers must
-    # produce identical rows on the same documents
+    # produce identical rows AND schema on the same documents — including
+    # NULL text (zero tokens, never -1 or a dropped row)
     docs = [
         (i, " ".join(f"w{(i * 7 + j) % 500}" for j in range(30)))
         for i in range(200)
-    ]
+    ] + [(900, None), (901, "")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     blocklist = [f"w{k}" for k in range(0, 500, 3)]  # 167 words > default cap
     lit = blocked_words_signals(
@@ -1110,6 +1111,12 @@ def test_blocked_words_join_tier_matches_literal_tier(spark):
     b = sorted(map(tuple, joined.collect()))
     assert a == b
     assert any(r[1] > 0 for r in a)  # the fixture actually has hits
+    # identical column names + dtypes (nullability flags may differ)
+    assert [(f.name, f.dataType) for f in lit.schema] == [
+        (f.name, f.dataType) for f in joined.schema
+    ]
+    null_row = next(r for r in a if r[0] == 900)
+    assert null_row[1:] == (0, 0.0, True)  # NULL text = zero tokens
 
 
 def test_retention_cohorts_matrix(spark):
@@ -1213,3 +1220,32 @@ def test_compact_dataset_target_files_splits_within_key(spark, store):
     assert all(n <= 2 for n in per_key.values()), per_key
     assert per_key["a"] == 2, per_key  # the big key really uses both buckets
     assert read_table(spark, store, "ck").count() == 200
+
+
+def test_compact_dataset_map_column_still_compacts(spark, store):
+    # MapType can't feed Spark's hash functions — the bucket hash must
+    # skip map-bearing columns instead of crashing the compaction
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import compact_dataset
+    from plateau_spark.sources.dataset import update_dataset_from_dataframe
+
+    mk = lambda lo: spark.createDataFrame(  # noqa: E731
+        [(i, "a" if i % 3 else "b", {"k": str(i)}) for i in range(lo, lo + 20)],
+        "id long, g string, attrs map<string,string>",
+    )
+    store_dataframe_as_dataset(spark, store, "cm", mk(0), partition_on=["g"])
+    update_dataset_from_dataframe(spark, store, "cm", mk(20))
+    compact_dataset(spark, store, "cm", target_files_per_key=2)
+    meta = DatasetMetadata.load(store, "cm")
+    assert read_table(spark, store, "cm").count() == 40
+    assert len(meta.partitions) <= 4  # id/g are hashable, split still works
+
+    # a dataset whose ONLY non-key column is a map: no split, no crash
+    only_map = spark.createDataFrame(
+        [("a", {"k": "1"}), ("a", {"k": "2"}), ("b", {"k": "3"})],
+        "g string, attrs map<string,string>",
+    )
+    store_dataframe_as_dataset(spark, store, "cm2", only_map, partition_on=["g"])
+    update_dataset_from_dataframe(spark, store, "cm2", only_map)
+    compact_dataset(spark, store, "cm2", target_files_per_key=2)
+    assert read_table(spark, store, "cm2").count() == 6

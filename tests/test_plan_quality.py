@@ -704,7 +704,8 @@ def test_blocked_words_large_list_plans_broadcast_join(spark):
     big = [f"term{i}" for i in range(500)]
     out = blocked_words_signals(df, "doc_id", "text", big)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan and "SortMergeJoin" not in plan
     assert "term499" not in plan  # list is data, not a plan literal
     small = blocked_words_signals(df, "doc_id", "text", ["alpha", "zeta"])
     splan = small._jdf.queryExecution().executedPlan().toString()
