@@ -689,11 +689,15 @@ def test_merge_into_matches_python_model_random(spark, tmp_path):
         src = {
             i: rng.randrange(0, 60) for i in rng.sample(range(60), 12)
         }
+        # NULL merge keys ride along in every case: the target NULL row
+        # must survive untouched, source NULL rows are pure inserts
+        base_null = [(None, rng.randrange(0, 60))]
+        src_null = [(None, rng.randrange(0, 60)) for _ in range(2)]
         spark_base = spark.createDataFrame(
-            sorted(base.items()), "id long, qty long"
+            sorted(base.items()) + base_null, "id long, qty long"
         )
         spark_src = spark.createDataFrame(
-            sorted(src.items()), "id long, qty long"
+            sorted(src.items()) + src_null, "id long, qty long"
         )
         store_dataframe_as_dataset(spark, store, "m", spark_base)
         merge_into_dataset(
@@ -731,10 +735,17 @@ def test_merge_into_matches_python_model_random(spark, tmp_path):
         for i, sq in src.items():
             if i not in base and holds(icond, sq):
                 expect[i] = sq
-        got = {
-            r["id"]: r["qty"] for r in read_table(spark, store, "m").collect()
-        }
-        assert got == expect, (case, dcond, ucond, icond)
+        expect_rows = sorted(
+            [(k, v) for k, v in expect.items()]
+            + base_null  # NULL-key target rows are ALWAYS kept (never match)
+            + [(None, sq) for (_, sq) in src_null if holds(icond, sq)],
+            key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+        )
+        got_rows = sorted(
+            [(r["id"], r["qty"]) for r in read_table(spark, store, "m").collect()],
+            key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+        )
+        assert got_rows == expect_rows, (case, dcond, ucond, icond)
 
 
 # --- pruning observability ---------------------------------------------------
