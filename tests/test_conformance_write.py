@@ -196,3 +196,39 @@ def test_write_grid(
             p.key_values.get("P") != 2 and p.key_values.get("P") != "2"
             for p in meta.partitions.values()
         )
+
+
+def test_empty_first_write_then_update(spark, tmp_path):
+    """Reference update-suite parity (io/testing/update.py
+    test_update_after_empty_partition_string_dtypes): a dataset whose
+    first commit holds an empty frame with string dtypes must accept
+    and serve later non-empty appends."""
+    store = Store(str(tmp_path / "store"))
+    schema = "P long, S string"
+    store_dataframes_as_dataset(
+        spark, store, "ef", [spark.createDataFrame([], schema)]
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ef", spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    )
+    got = sorted(
+        tuple(r) for r in read_dataset_as_dataframe(spark, store, "ef").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_empty_update_is_a_noop_on_data(spark, tmp_path):
+    store = Store(str(tmp_path / "store"))
+    schema = "P long, S string"
+    store_dataframes_as_dataset(
+        spark, store, "ea",
+        [spark.createDataFrame([(1, "a"), (2, "b")], schema)],
+        partition_on=["P"],
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ea", spark.createDataFrame([], schema), partition_on=["P"]
+    )
+    got = sorted(
+        tuple(r) for r in read_dataset_as_dataframe(spark, store, "ea").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
