@@ -147,6 +147,19 @@ def sessionize_stream(
     so state-store size is bounded by the number of active users inside
     the watermark horizon.
 
+    Late-data contract (Spark does NOT pre-filter late rows for
+    arbitrary stateful ops): an out-of-order event landing INSIDE the
+    open session joins it (``start``/``end`` clamp with min/max — the
+    end never moves backwards); an event more than ``gap_seconds``
+    BEFORE the open session's start is dropped as too late (merging it
+    or emitting a synthetic singleton would both diverge from the batch
+    twin). NULL ``value_col`` rows count toward ``n_events`` but add 0
+    to ``sum_value``, matching batch ``F.sum`` null-skipping. Each
+    user's trailing session stays in state until the watermark passes
+    its timeout — an availableNow harness run emits only the sessions
+    the final watermark can close (the batch/stream equivalence test
+    asserts subset equality for exactly this reason).
+
     ``user_col`` must be integer-typed (the output schema pins it to
     ``long``); ``value_col`` must be numeric.
     """
@@ -174,15 +187,23 @@ def sessionize_stream(
         else:
             start_us = end_us = None
             n, v = 0, 0.0
+        gap_us = gap_seconds * 1_000_000
         for ts, value in zip(rows[ts_col], rows[value_col]):
             ts_us = int(ts.value // 1000)  # pandas ns → µs
+            val = 0.0 if pd.isna(value) else float(value)  # F.sum skips NULLs
             if start_us is None:
-                start_us, end_us, n, v = ts_us, ts_us, 1, float(value)
-            elif ts_us - end_us > gap_seconds * 1_000_000:
+                start_us, end_us, n, v = ts_us, ts_us, 1, val
+            elif ts_us > end_us + gap_us:
                 closed.append((user_id, start_us, end_us, n, v))
-                start_us, end_us, n, v = ts_us, ts_us, 1, float(value)
+                start_us, end_us, n, v = ts_us, ts_us, 1, val
+            elif ts_us < start_us - gap_us:
+                continue  # beyond the open session's horizon: too late
             else:
-                end_us, n, v = ts_us, n + 1, v + float(value)
+                # out-of-order events join the session; boundaries only
+                # ever widen (a late event must not shrink session_end)
+                start_us = min(start_us, ts_us)
+                end_us = max(end_us, ts_us)
+                n, v = n + 1, v + val
         state.update((start_us, end_us, n, v))
         state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)  # ms
         if closed:
@@ -234,9 +255,18 @@ def open_parquet_stream(
         # e.g. maxFilesPerTrigger: rate-limit so availableNow drains in
         # several micro-batches (exercises cross-batch semantics)
         reader = reader.option(k, v)
-    if source_parquet.endswith(".parquet") and "/" in source_parquet:
+    import os as _os
+
+    if (
+        source_parquet.endswith(".parquet")
+        and "/" in source_parquet
+        and not _os.path.isdir(source_parquet)
+    ):
         # FileStreamSource requires a directory: stream the parent dir
-        # filtered down to this file
+        # filtered down to this file. A DIRECTORY named *.parquet (the
+        # standard df.write.parquet layout) must NOT take this branch —
+        # the glob matches leaf file names (part-*.parquet), so it would
+        # silently produce an empty stream.
         import posixpath
 
         parent, fname = posixpath.split(source_parquet)
@@ -295,7 +325,12 @@ def run_stream_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return spark.table(name)
+    # cut the result loose from the memory sink and drop the temp view —
+    # otherwise every harness invocation leaves its full result set
+    # registered on the driver for the life of the session
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _has_aggregation(df: DataFrame) -> bool:
@@ -386,6 +421,12 @@ def commit_stream_batch(
     write. A crash between write and commit leaves only invisible
     staging files (explicit-path reads; GC reclaims them).
 
+    The frame is persisted for the duration of the call (unless the
+    caller already pinned it): the ``isEmpty`` pre-check and the write
+    would otherwise each execute the batch's full derivation (anti-
+    joins, sketch aggregations, pruned dataset reads) once — shuffles
+    can't short-circuit an emptiness probe.
+
     Returns True if the batch was committed, False if it was a replay
     or empty.
     """
@@ -402,25 +443,33 @@ def commit_stream_batch(
         # sink-level metadata (e.g. sketch/histogram parameters) rides
         # every commit; the batch marker wins on key collision
         marker = {**extra_metadata, **marker}
-    if DatasetMetadata.exists(store, dataset_uuid):
-        meta = DatasetMetadata.load(store, dataset_uuid)
-        if str(batch_id) in meta.metadata.get("stream_batches", {}):
-            return False
-        if batch_df.isEmpty():
-            return False
-        update_dataset_from_dataframe(
-            spark, store, dataset_uuid, batch_df,
-            partition_on=partition_on, metadata=marker, **write_kwargs,
-        )
-    else:
-        if batch_df.isEmpty():
-            return False
-        store_dataframe_as_dataset(
-            spark, store, dataset_uuid, batch_df,
-            partition_on=partition_on, secondary_indices=secondary_indices,
-            metadata=marker, **write_kwargs,
-        )
-    return True
+    pinned = False
+    if not batch_df.is_cached:
+        batch_df = batch_df.persist()
+        pinned = True
+    try:
+        if DatasetMetadata.exists(store, dataset_uuid):
+            meta = DatasetMetadata.load(store, dataset_uuid)
+            if str(batch_id) in meta.metadata.get("stream_batches", {}):
+                return False
+            if batch_df.isEmpty():
+                return False
+            update_dataset_from_dataframe(
+                spark, store, dataset_uuid, batch_df,
+                partition_on=partition_on, metadata=marker, **write_kwargs,
+            )
+        else:
+            if batch_df.isEmpty():
+                return False
+            store_dataframe_as_dataset(
+                spark, store, dataset_uuid, batch_df,
+                partition_on=partition_on, secondary_indices=secondary_indices,
+                metadata=marker, **write_kwargs,
+            )
+        return True
+    finally:
+        if pinned:
+            batch_df.unpersist()
 
 
 def stream_to_dataset(
@@ -676,10 +725,26 @@ def stream_ingest_dedup(
         raise ValueError(f"key_stats must be 'auto' or None, got {key_stats!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = batch_df.dropDuplicates(key_cols)
-        from plateau_spark.core.store import Store
+        import functools as _ft
 
-        st = store if isinstance(store, Store) else Store(store)
+        from plateau_spark.sources.dataset import _ensure_store
+
+        # ANSI NULL semantics, same contract as MERGE: a NULL key never
+        # matches anything — NULL-keyed rows are never deduped (in-batch
+        # OR cross-batch), so the committed dataset is a pure function
+        # of the stream content, not of micro-batch boundaries (the
+        # cross-batch anti-join and the batch-key pruning predicates are
+        # both null-unsafe; a null-SAFE in-batch dropDuplicates would
+        # disagree with them).
+        _nn = _ft.reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in key_cols]
+        )
+        fresh = (
+            batch_df.where(_nn)
+            .dropDuplicates(key_cols)
+            .unionByName(batch_df.where(~_nn))
+        )
+        st = _ensure_store(store)
         # the dedup state: the dataset itself, or the narrow key index
         state_uuid = key_index_dataset or dataset_uuid
         pinned = []
@@ -821,9 +886,9 @@ def stream_ingest_neardup(
         stats_kwargs["bloom_filter_columns"] = bloom
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from plateau_spark.core.store import Store
+        from plateau_spark.sources.dataset import _ensure_store
 
-        st = store if isinstance(store, Store) else Store(store)
+        st = _ensure_store(store)
         banded = md5_band_signatures(
             batch_df,
             id_col,

@@ -427,6 +427,50 @@ def test_stream_ingest_dedup_cross_batch_first_write_wins(spark, tmp_path):
     assert read_table(spark, store, "dd").count() == 3
 
 
+def test_stream_ingest_dedup_null_keys_never_match(spark, tmp_path):
+    """ANSI NULL semantics (same contract as MERGE): NULL-keyed rows are
+    never deduped — in-batch OR cross-batch — so the committed dataset
+    is a function of the stream content, not of micro-batch boundaries."""
+    import glob
+    import shutil
+
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.streaming.events import stream_ingest_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = (
+        [(1, "a"), (None, "x"), (None, "y")],
+        [(1, "b"), (None, "z")],
+    )
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{i}.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = Store(str(tmp_path / "store"))
+    q = stream_ingest_dedup(
+        stream, store, "nk", key_cols="k",
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        ((r["k"], r["v"]) for r in read_table(spark, store, "nk").collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    # k=1 deduped first-write-wins; EVERY NULL-key row survives
+    assert rows == [(1, "a"), (None, "x"), (None, "y"), (None, "z")]
+
+
 def test_stream_ingest_dedup_key_index_tier(spark, tmp_path):
     """Round-9 scale tier: with ``key_index_dataset`` the sink
     anti-joins a NARROW keys-only side dataset instead of the corpus —

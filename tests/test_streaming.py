@@ -261,6 +261,93 @@ def test_sessionize_stream_timeout_eviction(spark, tmp_path):
     assert sessions[(1, _t(0), _t(0, 10))] == (2, 3.0)
 
 
+def test_sessionize_stream_late_event_widens_not_shrinks(spark, tmp_path):
+    """A late-but-within-gap event arriving in a LATER micro-batch must
+    widen the open session's boundaries (start via min), never move
+    session_end backwards or split the session (regression: the
+    no-max/min update corrupted boundaries on out-of-order arrival)."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(10), 1.0), (2, 1, "x", _t(10, 5), 1.0)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        f"{d}/b.parquet",
+        [(3, 1, "x", _t(9, 58), 1.0)],  # late: 2 min BEFORE the open start
+        mtime=1_700_000_100,
+    )
+    _write_event_file(
+        f"{d}/c.parquet",
+        [(4, 9, "x", _t(13), 0.5)],  # watermark push
+        mtime=1_700_000_200,
+    )
+    _write_event_file(
+        f"{d}/d.parquet",
+        [(5, 9, "x", _t(16), 0.5)],  # user-1 timeout fires this batch
+        mtime=1_700_000_300,
+    )
+    out = _run_file_per_batch(
+        spark, d, lambda s: sessionize_stream(s, gap_seconds=1800)
+    )
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    # one session: widened backwards to 09:58, end UNMOVED at 10:05
+    assert sessions[(1, _t(9, 58), _t(10, 5))] == (3, 3.0)
+    user1 = [(s, e) for (u, s, e) in sessions if u == 1]
+    assert user1 == [(_t(9, 58), _t(10, 5))]  # exactly one, not split
+
+
+def test_sessionize_stream_null_value_counts_but_adds_zero(spark, tmp_path):
+    """NULL value rows count toward n_events but add 0 to sum_value —
+    matching the batch twin's F.sum null-skipping (regression: NaN
+    poisoned the running sum)."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(0), 2.0), (2, 1, "x", _t(0, 5), None),
+         (3, 9, "x", _t(12), 0.5)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        f"{d}/b.parquet",
+        [(4, 9, "x", _t(15), 0.5)],  # watermark push → user-1 timeout
+        mtime=1_700_000_100,
+    )
+    out = _run_file_per_batch(
+        spark, d, lambda s: sessionize_stream(s, gap_seconds=1800)
+    )
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert sessions[(1, _t(0), _t(0, 5))] == (2, 2.0)
+
+
+def test_open_parquet_stream_directory_named_parquet(spark, tmp_path):
+    """A DIRECTORY whose name ends in .parquet (standard
+    df.write.parquet layout) must stream its part files, not fall into
+    the single-file pathGlobFilter branch (which silently yields an
+    empty stream)."""
+    from plateau_spark.streaming.events import run_stream_to_memory
+
+    import datetime as dt
+
+    d = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        [(i, i % 5, "x", dt.datetime(2024, 1, 1), 1.0) for i in range(20)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    ).write.parquet(d)
+    out = run_stream_to_memory(
+        spark, d, lambda s: s.groupBy("user_id").count()
+    )
+    assert out.count() == 5
+
+
 def test_stream_to_dataset_ingest_and_replay(spark, tmp_path):
     """availableNow stream → dataset: one atomic commit per micro-batch,
     read-back equals the source, and a replayed batch id is a no-op."""
