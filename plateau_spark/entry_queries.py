@@ -7027,11 +7027,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     Union target: r11's window closes the last 7 never-checked, so
     #     driver evidence covers all registry queries across rounds.
     #     Round-11 close: the ENTIRE registry (172 entries) was
-    #     parity-verified green at sf0.01 in one sweep AFTER all r11
-    #     source changes landed (167 hash-matched + the 5 documented
-    #     rows-only lines; .tmp sweep log, 0 failures), plus a dedicated
+    #     parity-verified green at sf0.01 in one sweep at the FINAL
+    #     round HEAD (167 hash-matched + the 5 documented rows-only
+    #     lines; 0 failures — re-run after the streaming contract fixes
+    #     so the sweep postdates every source change), plus a dedicated
     #     50-window sweep earlier in the round — and the full
-    #     1328-test suite passed. ---
+    #     1335-test suite passed at the same HEAD. ---
     "text_blocked_words": text_blocked_words,
     "events_retention_cohorts": events_retention_cohorts,
     "text_compression_signal": text_compression_signal,
