@@ -1428,12 +1428,15 @@ def blocked_words_signals(
     # blocklist tokens, and ONE keyed agg recovers per-doc hit counts —
     # no corpus-side join-back (that shape cost a second full shuffle +
     # sort-merge join of the corpus against its own aggregate)
-    exploded = df.select(
-        F.col(id_col), n.alias("__n__"), F.explode_outer(toks).alias("__bw__")
+    # a per-row tag keeps the re-aggregation one-output-row-per-input-row
+    # even for duplicate or NULL ids (a groupBy on id_col alone would
+    # collapse them, silently diverging from the literal tier at the cap)
+    exploded = df.withColumn("__rid__", F.monotonically_increasing_id()).select(
+        "__rid__", F.col(id_col), n.alias("__n__"), F.explode_outer(toks).alias("__bw__")
     )
     agg = (
         exploded.join(F.broadcast(bl), "__bw__", "left")
-        .groupBy(id_col, "__n__")
+        .groupBy("__rid__", id_col, "__n__")
         # int, matching the literal tier's F.size dtype exactly
         .agg(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("int").alias("__hits__"))
     )

@@ -356,6 +356,18 @@ def _hashable_data_cols(schema, partition_keys: Sequence[str]) -> list[str]:
     ]
 
 
+def _shuffle_partitions_conf(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating platforms
+    where the conf is pre-set to a non-numeric value such as "auto"
+    (vendor AQE extensions) — stock Spark rejects those at set time,
+    but a session inherited from such a platform would crash every
+    bucketed write on a bare ``int()``."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return 200
+
+
 def _raise_null_partition_keys(
     store: Store, staging: str, partition_on: Sequence[str]
 ) -> None:
@@ -444,10 +456,7 @@ def _write_files(
         # 32× headroom over num_buckets makes that rare (p ≈ g²/2n for
         # g groups over n tasks) without guaranteeing it — an exact
         # split would need a custom RDD partitioner.
-        _n = max(
-            int(out.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-            int(num_buckets) * 32,
-        )
+        _n = max(_shuffle_partitions_conf(out.sparkSession), int(num_buckets) * 32)
         out = out.repartition(_n, *(partition_on + ["__bucket__"])) if partition_on else out.repartition(
             num_buckets, "__bucket__"
         )
@@ -2500,6 +2509,16 @@ def compact_dataset(
         # collapse target_files_per_key back to one file per key
         _data_cols = _hashable_data_cols(meta.schema, meta.partition_keys)
         _split = target_files_per_key > 1 and bool(_data_cols)
+        if target_files_per_key > 1 and not _data_cols:
+            import warnings
+
+            warnings.warn(
+                f"target_files_per_key={target_files_per_key} requested but "
+                "every non-key column contains a MapType (not hashable by "
+                "Spark) — writing one file per partition key instead.",
+                UserWarning,
+                stacklevel=2,
+            )
         partitions = _write_files(
             df,
             store,
@@ -2609,6 +2628,16 @@ def repartition_dataset(
         # a partition key or num_buckets silently degenerates to one file
         # per key (hash(partition_on) is constant inside a key directory)
         _data_cols = _hashable_data_cols(meta.schema, partition_on)
+        if num_buckets and not _data_cols:
+            import warnings
+
+            warnings.warn(
+                f"num_buckets={num_buckets} requested but every non-key "
+                "column contains a MapType (not hashable by Spark) — "
+                "writing one file per partition key instead.",
+                UserWarning,
+                stacklevel=2,
+            )
         partitions = _write_files(
             df,
             store,

@@ -153,12 +153,19 @@ def sessionize_stream(
     end never moves backwards); an event more than ``gap_seconds``
     BEFORE the open session's start is dropped as too late (merging it
     or emitting a synthetic singleton would both diverge from the batch
-    twin). NULL ``value_col`` rows count toward ``n_events`` but add 0
-    to ``sum_value``, matching batch ``F.sum`` null-skipping. Each
-    user's trailing session stays in state until the watermark passes
-    its timeout — an availableNow harness run emits only the sessions
-    the final watermark can close (the batch/stream equivalence test
-    asserts subset equality for exactly this reason).
+    twin). NULL ``value_col`` rows count toward ``n_events`` and are
+    skipped by the sum; a session whose every value is NULL emits NULL
+    ``sum_value`` — exact ``F.sum`` null semantics, matching the batch
+    twin bit-for-bit. Each user's trailing session stays in state until
+    the watermark passes its timeout — an availableNow harness run
+    emits only the sessions the final watermark can close (the
+    batch/stream equivalence test asserts subset equality for exactly
+    this reason).
+
+    The within-batch work is vectorized numpy (argsort + gap-diff
+    segment split + ``reduceat`` segment sums); Python-scalar work is
+    confined to merging the first chain of events into the carried
+    state — O(sessions), not O(events), per micro-batch.
 
     ``user_col`` must be integer-typed (the output schema pins it to
     ``long``); ``value_col`` must be numeric.
@@ -168,6 +175,7 @@ def sessionize_stream(
     out_cols = [user_col, "session_start", "session_end", "n_events", "sum_value"]
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
@@ -180,37 +188,77 @@ def sessionize_stream(
                     columns=out_cols,
                 )
             return
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        closed = []
-        if state.exists:
-            start_us, end_us, n, v = state.get
-        else:
-            start_us = end_us = None
-            n, v = 0, 0.0
+        rows = pd.concat(list(pdfs))
+        # asi8 → int64 ns regardless of tz-awareness; µs matches state
+        ts_us = pd.DatetimeIndex(rows[ts_col]).asi8 // 1000
+        vals = pd.to_numeric(rows[value_col], errors="coerce").to_numpy("float64")
+        order = np.argsort(ts_us, kind="stable")
+        ts_us, vals = ts_us[order], vals[order]
         gap_us = gap_seconds * 1_000_000
-        for ts, value in zip(rows[ts_col], rows[value_col]):
-            ts_us = int(ts.value // 1000)  # pandas ns → µs
-            val = 0.0 if pd.isna(value) else float(value)  # F.sum skips NULLs
-            if start_us is None:
-                start_us, end_us, n, v = ts_us, ts_us, 1, val
-            elif ts_us > end_us + gap_us:
-                closed.append((user_id, start_us, end_us, n, v))
-                start_us, end_us, n, v = ts_us, ts_us, 1, val
-            elif ts_us < start_us - gap_us:
-                continue  # beyond the open session's horizon: too late
-            else:
-                # out-of-order events join the session; boundaries only
-                # ever widen (a late event must not shrink session_end)
-                start_us = min(start_us, ts_us)
-                end_us = max(end_us, ts_us)
-                n, v = n + 1, v + val
-        state.update((start_us, end_us, n, v))
-        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)  # ms
+
+        closed: list = []  # (start_us, end_us, n, sum_or_None)
+        start0 = end0 = None
+        n0, v0 = 0, None
+        if state.exists:
+            start0, end0, n0, v0 = state.get
+            # beyond the open session's horizon: too late, drop
+            lo = int(np.searchsorted(ts_us, start0 - gap_us, side="left"))
+            ts_us, vals = ts_us[lo:], vals[lo:]
+
+        if start0 is not None and len(ts_us):
+            # longest event prefix chaining into the carried session:
+            # event i merges iff ts_i <= e_{i-1} + gap where e_{i-1} =
+            # max(end0, ts_{i-1}) (sorted prefix ⇒ the running end is
+            # either the carried end or the previous event)
+            chain = np.empty(len(ts_us), dtype=bool)
+            chain[0] = ts_us[0] <= end0 + gap_us
+            if len(ts_us) > 1:
+                np.logical_or(
+                    ts_us[1:] <= end0 + gap_us, np.diff(ts_us) <= gap_us, out=chain[1:]
+                )
+            idx = len(ts_us) if chain.all() else int(np.argmin(chain))
+            if idx:
+                # boundaries only ever widen (a late event must not
+                # shrink session_end)
+                start0 = min(start0, int(ts_us[0]))
+                end0 = max(end0, int(ts_us[idx - 1]))
+                n0 += idx
+                if not bool(np.isnan(vals[:idx]).all()):
+                    v0 = (0.0 if v0 is None else v0) + float(np.nansum(vals[:idx]))
+                ts_us, vals = ts_us[idx:], vals[idx:]
+            if len(ts_us):  # next event escapes the gap: session closes
+                closed.append((start0, end0, n0, v0))
+                start0 = None
+
+        if len(ts_us):
+            cuts = np.nonzero(np.diff(ts_us) > gap_us)[0] + 1
+            seg_lo = np.concatenate(([0], cuts))
+            seg_hi = np.concatenate((cuts, [len(ts_us)]))
+            sums = np.add.reduceat(np.nan_to_num(vals, nan=0.0), seg_lo)
+            seen = np.add.reduceat((~np.isnan(vals)).astype("int64"), seg_lo) > 0
+            for i in range(len(seg_lo) - 1):  # all but the last close now
+                closed.append(
+                    (
+                        int(ts_us[seg_lo[i]]),
+                        int(ts_us[seg_hi[i] - 1]),
+                        int(seg_hi[i] - seg_lo[i]),
+                        float(sums[i]) if seen[i] else None,
+                    )
+                )
+            last = len(seg_lo) - 1
+            start0, end0 = int(ts_us[seg_lo[last]]), int(ts_us[-1])
+            n0 = int(seg_hi[last] - seg_lo[last])
+            v0 = float(sums[last]) if seen[last] else None
+
+        if start0 is None:  # no state and an all-dropped/empty batch
+            return
+        state.update((start0, end0, n0, v0))
+        state.setTimeoutTimestamp(end0 // 1000 + gap_seconds * 1000)  # ms
         if closed:
             yield pd.DataFrame(
                 [
-                    (u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), cnt, sv)
-                    for u, s, e, cnt, sv in closed
+                    (user_id, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), cnt, sv)
+                    for s, e, cnt, sv in closed
                 ],
                 columns=out_cols,
             )

@@ -1130,6 +1130,29 @@ def test_blocked_words_join_tier_matches_literal_tier(spark):
     assert null_row[1:] == (0, 0.0, True)  # NULL text = zero tokens
 
 
+def test_blocked_words_join_tier_keeps_duplicate_and_null_ids(spark):
+    """Two rows with the SAME doc id (and NULL ids) must stay two output
+    rows in the join tier, exactly as the literal tier emits them
+    (regression: the groupBy(id_col, n) re-aggregation collapsed
+    duplicate/NULL ids, silently flipping behavior at literal_cap)."""
+    docs = [
+        (1, "bad word soup"), (1, "bad word soup"),  # exact duplicate row
+        (2, "bad bad"), (2, "clean two"),  # same id, different counts
+        (None, "bad one"), (None, "bad one"),  # NULL ids
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    blocklist = [f"w{k}" for k in range(400)] + ["bad"]  # > default cap
+    lit = blocked_words_signals(
+        df, "doc_id", "text", blocklist, max_hits=1, literal_cap=1000
+    )
+    joined = blocked_words_signals(df, "doc_id", "text", blocklist, max_hits=1)
+    key = lambda r: (r[0] if r[0] is not None else -1, r[1], r[2], r[3])  # noqa: E731
+    a = sorted(map(tuple, lit.collect()), key=key)
+    b = sorted(map(tuple, joined.collect()), key=key)
+    assert len(b) == len(docs)  # one output row per input row
+    assert a == b
+
+
 def test_retention_cohorts_matrix(spark):
     import datetime as dt
 
@@ -1251,12 +1274,57 @@ def test_compact_dataset_map_column_still_compacts(spark, store):
     assert read_table(spark, store, "cm").count() == 40
     assert len(meta.partitions) <= 4  # id/g are hashable, split still works
 
-    # a dataset whose ONLY non-key column is a map: no split, no crash
+    # a dataset whose ONLY non-key column is a map: no split, no crash —
+    # and the caller is TOLD the requested split degraded (a silent
+    # 1-file-per-key when N were asked for hides a layout surprise)
+    import warnings as _warnings
+
     only_map = spark.createDataFrame(
         [("a", {"k": "1"}), ("a", {"k": "2"}), ("b", {"k": "3"})],
         "g string, attrs map<string,string>",
     )
     store_dataframe_as_dataset(spark, store, "cm2", only_map, partition_on=["g"])
     update_dataset_from_dataframe(spark, store, "cm2", only_map)
-    compact_dataset(spark, store, "cm2", target_files_per_key=2)
-    assert read_table(spark, store, "cm2").count() == 6
+    update_dataset_from_dataframe(spark, store, "cm2", only_map)  # 3 files/key
+    with pytest.warns(UserWarning, match="MapType"):
+        compact_dataset(spark, store, "cm2", target_files_per_key=2)
+    assert read_table(spark, store, "cm2").count() == 9
+
+    # repartition_dataset: same degradation, same warning
+    from plateau_spark.sources.dataset import repartition_dataset
+
+    with pytest.warns(UserWarning, match="MapType"):
+        repartition_dataset(spark, store, "cm2", partition_on=["g"], num_buckets=2)
+    assert read_table(spark, store, "cm2").count() == 9
+    # no warning when hashable data columns exist
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", UserWarning)
+        repartition_dataset(spark, store, "cm", partition_on=["g"], num_buckets=2)
+    assert read_table(spark, store, "cm").count() == 40
+
+
+def test_shuffle_partitions_conf_tolerates_non_numeric(spark):
+    """Platforms that pre-set spark.sql.shuffle.partitions to a
+    non-numeric value (e.g. 'auto' under vendor AQE extensions) must
+    not crash the bucketed write path — the conf accessor falls back to
+    the stock default. Stock Spark rejects setting 'auto' outright, so
+    the helper is exercised with a stub session."""
+    from plateau_spark.sources.dataset import _shuffle_partitions_conf
+
+    class _Conf:
+        def __init__(self, value):
+            self._value = value
+
+        def get(self, key, default=None):
+            return self._value if self._value is not None else default
+
+    class _Stub:
+        def __init__(self, value):
+            self.conf = _Conf(value)
+
+    assert _shuffle_partitions_conf(_Stub("auto")) == 200
+    assert _shuffle_partitions_conf(_Stub(None)) == 200
+    assert _shuffle_partitions_conf(_Stub("64")) == 64
+    assert _shuffle_partitions_conf(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

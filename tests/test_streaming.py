@@ -328,6 +328,43 @@ def test_sessionize_stream_null_value_counts_but_adds_zero(spark, tmp_path):
     assert sessions[(1, _t(0), _t(0, 5))] == (2, 2.0)
 
 
+def test_sessionize_stream_all_null_session_emits_null_sum(spark, tmp_path):
+    """A session whose EVERY value is NULL emits NULL sum_value — exact
+    F.sum null semantics, matching the batch twin (regression: the
+    running-sum kernel emitted 0.0, breaking strict batch/stream
+    equality on all-NULL groups). A sibling session with one non-NULL
+    value still sums null-skipping in the same run."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(0), None), (2, 1, "x", _t(0, 5), None),
+         (3, 2, "x", _t(0), None), (4, 2, "x", _t(0, 5), 4.0),
+         (5, 9, "x", _t(12), 0.5)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        f"{d}/b.parquet",
+        [(6, 9, "x", _t(15), 0.5)],  # watermark push → users 1/2 time out
+        mtime=1_700_000_100,
+    )
+    out = _run_file_per_batch(
+        spark, d, lambda s: sessionize_stream(s, gap_seconds=1800)
+    )
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert sessions[(1, _t(0), _t(0, 5))] == (2, None)
+    assert sessions[(2, _t(0), _t(0, 5))] == (2, 4.0)
+    # batch twin agrees: F.sum over an all-NULL group is NULL
+    from plateau_spark.streaming.events import sessionize_events
+
+    batch = sessionize_events(spark.read.parquet(d), gap="30 minutes")
+    b = {(r.user_id,): r.sum_value for r in batch.collect() if r.user_id == 1}
+    assert b[(1,)] is None
+
+
 def test_open_parquet_stream_directory_named_parquet(spark, tmp_path):
     """A DIRECTORY whose name ends in .parquet (standard
     df.write.parquet layout) must stream its part files, not fall into
