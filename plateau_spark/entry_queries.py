@@ -5252,6 +5252,184 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("projected").alias("pos", "value"))
 
 
+# --- pinned-model exact-oracle twins -------------------------------------
+# The PQ/PCA FIT has no SQL twin (k-means / eigh), but with a PINNED
+# model every downstream stage — encode argmin, ADC lookup scan,
+# shortlist window, exact rerank join, matrix projection — is pure
+# arithmetic that DuckDB replays verbatim. The pinned values are exact
+# binary fractions (n/16, n/32, n/8) so the double each engine parses
+# from the literal is bit-identical.
+
+
+def _pinned_pca_model(dim: int = 64, dim_out: int = 16) -> dict:
+    mean = [((d * 7) % 13 - 6) / 8.0 for d in range(dim)]
+    comps = [
+        [((j * 31 + d * 17) % 29 - 14) / 32.0 for d in range(dim)]
+        for j in range(dim_out)
+    ]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": [1.0] * dim_out,
+        "n": 0,
+    }
+
+
+_PINNED_PCA = _pinned_pca_model()
+
+
+def embedding_pca_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pca_project_embeddings with a PINNED model (the production
+    fit-once/persist/project-many path): mean-center + 16 literal-row
+    dot products, all codegen folds, zero shuffle. Unlike embedding_pca
+    (inline eigh fit, rows-only), the pinned model makes the entire
+    projection SQL-expressible — the oracle replays the identical
+    centered dot products, hash-matching every component value."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import pca_project_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project_embeddings(emb, "vec_id", "embedding", model=_PINNED_PCA)
+    return out.select("vec_id", F.posexplode("projected").alias("pos", "value"))
+
+
+def _pca_pinned_oracle_sql(model: dict) -> str:
+    dim = len(model["mean"])
+    # every literal rides as DOUBLE[]: DuckDB promotes FLOAT−DECIMAL to
+    # FLOAT (float32 arithmetic!), which silently diverges from Spark's
+    # double fold at ~1e-6 — the cast forces the whole term into double
+    mean_lit = "CAST([" + ", ".join(repr(x) for x in model["mean"]) + "] AS DOUBLE[])"
+    comps = []
+    for row in model["components"]:
+        w_lit = "CAST([" + ", ".join(repr(x) for x in row) + "] AS DOUBLE[])"
+        comps.append(
+            f"round(list_sum(list_transform(range(0, {dim}), "
+            f"i -> (embedding[i+1]::DOUBLE - ({mean_lit})[i+1]) * ({w_lit})[i+1])), 6)"
+        )
+    arr = ",\n    ".join(comps)
+    return f"""
+WITH p AS (
+  SELECT vec_id, [{arr}] AS pr FROM embeddings
+)
+SELECT vec_id,
+       CAST(unnest(range(0, {len(comps)})) AS INT) AS pos,
+       unnest(pr) AS value
+FROM p
+"""
+
+
+EMBEDDING_PCA_PINNED_ORACLE = _pca_pinned_oracle_sql(_PINNED_PCA)
+
+
+def _pinned_pq_model(dim: int = 64, m: int = 4, k: int = 4) -> dict:
+    sub = dim // m
+    books = [
+        [
+            [((j * 37 + c * 11 + d * 5) % 19 - 9) / 16.0 for d in range(sub)]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+    return {"m": m, "k": k, "dim": dim, "sub_dim": sub, "codebooks": books}
+
+
+_PINNED_PQ = _pinned_pq_model()
+
+
+def embedding_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_pq + pq_topk with PINNED codebooks (m=4, k=4): the full
+    compressed-domain serving path — per-subvector argmin encode, ADC
+    lookup-table scan over the code column, over-fetched shortlist
+    window, exact squared-L2 rerank join — with every stage
+    oracle-verified (the fit is the only stage without a SQL twin, and
+    it is excluded by construction here; embedding_pq_topk keeps
+    covering it rows-only)."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import encode_pq, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = encode_pq(emb, _PINNED_PQ)
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(codes, queries, _PINNED_PQ, k=10, refine_with=emb, overfetch=4)
+
+
+def _pq_pinned_oracle_sql(model: dict, n_queries: int = 5, k: int = 10, overfetch: int = 4) -> str:
+    m, kk, sub = model["m"], model["k"], model["sub_dim"]
+    dim = model["dim"]
+    # vals cast to DOUBLE: FLOAT−DECIMAL stays float32 in DuckDB, which
+    # would run the whole ADC arithmetic at 1e-6 error vs Spark doubles
+    cb_rows = ",\n    ".join(
+        f"({j}, {c}, {d}, CAST({model['codebooks'][j][c][d]!r} AS DOUBLE))"
+        for j in range(m)
+        for c in range(kk)
+        for d in range(sub)
+    )
+    fetch = k * overfetch
+    return f"""
+WITH cb(j, c, d, val) AS (VALUES
+    {cb_rows}
+),
+-- encode: per-(vector, subspace) argmin centroid, ties → lowest c
+comp AS (
+  SELECT e.vec_id, cb.j, cb.c,
+         SUM((e.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - cb.val)
+           * (e.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - cb.val)) AS d2
+  FROM embeddings e, cb
+  GROUP BY 1, 2, 3
+),
+code AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM comp
+  ) WHERE rn = 1
+),
+qe AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+-- the ADC lookup table: query-subvector distance to every centroid
+qdist AS (
+  SELECT qe.query_id, cb.j, cb.c,
+         SUM((qe.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - cb.val)
+           * (qe.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - cb.val)) AS qd2
+  FROM qe, cb
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT qd.query_id, v.vec_id, SUM(qd.qd2) AS adc_d2
+  FROM code v JOIN qdist qd USING (j, c)
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY round(adc_d2, 6), vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {fetch}
+),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_sum(list_transform(range(0, {dim}), i ->
+           (ce.embedding[i+1]::DOUBLE - q.embedding[i+1]::DOUBLE)
+             * (ce.embedding[i+1]::DOUBLE - q.embedding[i+1]::DOUBLE))), 6) AS dist2
+  FROM shortlist s
+  JOIN embeddings ce ON ce.vec_id = s.vec_id
+  JOIN qe q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, dist2, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist2, vec_id) AS rn
+  FROM rr
+) WHERE rn <= {k}
+"""
+
+
+EMBEDDING_PQ_PINNED_ORACLE = _pq_pinned_oracle_sql(_PINNED_PQ)
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_project_embeddings: JL sign projection 64→16 (md5-parity
     ±1 matrix baked into the plan as literals, scale 1/sqrt(16)=0.25 —
@@ -7013,76 +7191,90 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r11 window (first 50): stalest driver evidence first, per the
-    #     r10 verdict brief — the 7 never-driver-checked entries
-    #     (text_blocked_words, events_retention_cohorts + the 5
-    #     rows-only-by-contract lines: text_compression_signal, PQ/IVF-PQ
-    #     fit lines, embedding_pca — the driver records their weaker
-    #     rows-only check, which IS the evidence being refreshed), then
-    #     the 14 whose last driver evidence is r6, then the NEW r11
-    #     registrations (events_retention_monthly — exact months_between
-    #     cohort arithmetic), then the stalest r8-evidence entries to
-    #     fill the window. r8 entries displaced past the boundary keep
-    #     their r8 green; r9/r10-green entries rotate to the back.
-    #     Union target: r11's window closes the last 7 never-checked, so
-    #     driver evidence covers all registry queries across rounds.
-    #     Round-11 close: the ENTIRE registry (172 entries) was
-    #     parity-verified green at sf0.01 in one sweep at the FINAL
-    #     round HEAD (167 hash-matched + the 5 documented rows-only
-    #     lines; 0 failures — re-run after the streaming contract fixes
-    #     so the sweep postdates every source change), plus a dedicated
-    #     50-window sweep earlier in the round — and the full
-    #     1335-test suite passed at the same HEAD. ---
-    "text_blocked_words": text_blocked_words,
-    "events_retention_cohorts": events_retention_cohorts,
-    "text_compression_signal": text_compression_signal,
-    "embedding_pq_topk": embedding_pq_topk,
-    "embedding_pq_persisted": embedding_pq_persisted,
-    "embedding_ivfpq_query": embedding_ivfpq_query,
-    "embedding_pca": embedding_pca,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_md5": simhash_md5,
-    "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
-    "semdedup_keep": semdedup_keep,
-    "decontaminate_bloom": decontaminate_bloom,
-    "text_quality_classifier": text_quality_classifier,
-    "dedup_cluster_keep": dedup_cluster_keep,
-    "decontaminate_substring": decontaminate_substring,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
-    "events_retention_monthly": events_retention_monthly,
-    "embedding_quantize": embedding_quantize,
-    "multimodal_resize": multimodal_resize,
-    "dataset_python_source_read": dataset_python_source_read,
-    "ngram_jaccard": ngram_jaccard,
-    "pipeline_training_data": pipeline_training_data,
-    "multimodal_metadata": multimodal_metadata,
-    "multimodal_features": multimodal_features,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "dataset_compact_read": dataset_compact_read,
-    "dataset_time_travel_read": dataset_time_travel_read,
-    "dataset_upsert_read": dataset_upsert_read,
-    "dataset_delete_rows": dataset_delete_rows,
-    "dataset_index_read": dataset_index_read,
-    "dataset_zorder_read": dataset_zorder_read,
-    "bitext_mine_pairs": bitext_mine_pairs,
-    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
-    "dsir_logweights": dsir_logweights_q,
-    "dsir_select": dsir_select_q,
-    "ccnet_buckets": ccnet_buckets,
-    "multimodal_dhash": multimodal_dhash,
-    "multimodal_dhash_pairs": multimodal_dhash_pairs,
-    "multimodal_audio_features": multimodal_audio_features,
-    "sample_cluster_balanced": sample_cluster_balanced,
-    "text_lm_score": text_lm_score,
-    "text_lm2_score": text_lm2_score,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    "streaming_route_datasets": streaming_route_datasets,
+    # --- r12 window (first 50): NEW exact-oracle pinned-model twins
+    #     first (embedding_pq_topk_pinned / embedding_pca_pinned — the
+    #     encode/ADC/rerank and projection stages of the two largest
+    #     rows-only families gain hash-matched evidence), then ALL 22
+    #     entries whose last driver evidence is r8 (displaced past r11's
+    #     boundary), then the stalest r9 entries to fill the window.
+    #     Entries past the boundary sort by evidence round (r9 leftovers
+    #     first) so r13 can rotate the next-stalest forward verbatim.
+    #     After CORRECTNESS_r12.json the registry's minimum evidence
+    #     round is 9. ---
+    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
+    "embedding_pca_pinned": embedding_pca_pinned,
+    "dataset_csv_roundtrip": dataset_csv_roundtrip,
+    "dataset_history_read": dataset_history_read,
+    "dataset_restore_read": dataset_restore_read,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_span_novelty": dedup_span_novelty,
+    "dedup_span_stats": dedup_span_stats,
+    "embedding_random_projection": embedding_random_projection,
+    "export_jsonl_manifest": export_jsonl_manifest,
+    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
+    "pack_sequence_boundaries": pack_sequence_boundaries,
+    "pipeline_pack_export": pipeline_pack_export,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "sample_weighted_quota": sample_weighted_quota,
+    "sort_topk_orders": sort_topk_orders,
+    "streaming_distinct_users": streaming_distinct_users,
+    "streaming_ingest_dedup": streaming_ingest_dedup,
+    "text_gopher_rules": text_gopher_rules,
+    "text_script_profile": text_script_profile,
+    "window_top_order_per_customer": window_top_order_per_customer,
+    "dataset_append_update": dataset_append_update,
+    "dataset_bloom_read": dataset_bloom_read,
+    "dataset_bucketed_write": dataset_bucketed_write,
+    "dataset_changes_read": dataset_changes_read,
+    "dataset_commit_protocol": dataset_commit_protocol,
+    "dataset_copy": dataset_copy,
+    "dataset_dispatch_groups": dataset_dispatch_groups,
+    "dataset_factory_read": dataset_factory_read,
+    "dataset_filter_query_read": dataset_filter_query_read,
+    "dataset_gc_roundtrip": dataset_gc_roundtrip,
+    "dataset_index_view": dataset_index_view,
+    "dataset_json_roundtrip": dataset_json_roundtrip,
+    "dataset_metadata_stats": dataset_metadata_stats,
+    "dataset_mixture_read": dataset_mixture_read,
+    "dataset_msgpack_read": dataset_msgpack_read,
+    "dataset_multi_store_iter": dataset_multi_store_iter,
+    "dataset_orc_roundtrip": dataset_orc_roundtrip,
+    "dataset_pruned_read": dataset_pruned_read,
+    "dataset_roundtrip_read": dataset_roundtrip_read,
+    "dataset_schema_evolution": dataset_schema_evolution,
+    "dataset_sql_view": dataset_sql_view,
+    "dataset_stats_refresh": dataset_stats_refresh,
+    "dataset_update_delete_scope": dataset_update_delete_scope,
+    "dataset_zonemap_read": dataset_zonemap_read,
+    "events_skew_profile": events_skew_profile,
+    "histogram_quantiles": histogram_quantiles,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_dedup": streaming_dedup,
+    "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_ingest_neardup": streaming_ingest_neardup,
+    "text_bm25_indexed": text_bm25_indexed,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "retrieval_hard_negatives": retrieval_hard_negatives,
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_lang_agg": text_lang_agg,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_tfidf_terms": text_tfidf_terms,
+    "text_bm25_topk": text_bm25_topk,
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
+    "pack_documents_bins": pack_documents_bins,
+    "pack_sequences": pack_sequences,
+    "web_domain_stats": web_domain_stats,
+    "web_blocklist_filter": web_blocklist_filter,
+    "web_html_extract": web_html_extract,
+    "sketch_distinct_users": sketch_distinct_users,
+    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
+    "score_calibrate_pct": score_calibrate_pct,
+    "streaming_histogram_monitor": streaming_histogram_monitor,
     "entity_match_pairs": entity_match_pairs,
     "entity_resolution": entity_resolution,
     "join_skew_salted": join_skew_salted,
@@ -7133,78 +7325,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_url_dedup": web_url_dedup,
     "ngram_jaccard_capped": ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
-    "dataset_multi_store_iter": dataset_multi_store_iter,
-    "dataset_dispatch_groups": dataset_dispatch_groups,
-    "dataset_index_view": dataset_index_view,
-    "dataset_copy": dataset_copy,
-    "dataset_msgpack_read": dataset_msgpack_read,
-    "dataset_factory_read": dataset_factory_read,
-    "dataset_sql_view": dataset_sql_view,
-    "dataset_json_roundtrip": dataset_json_roundtrip,
-    "dataset_bloom_read": dataset_bloom_read,
-    "dataset_orc_roundtrip": dataset_orc_roundtrip,
-    "dataset_mixture_read": dataset_mixture_read,
-    "dataset_zonemap_read": dataset_zonemap_read,
-    "dataset_pruned_read": dataset_pruned_read,
-    "dataset_commit_protocol": dataset_commit_protocol,
-    "dataset_bucketed_write": dataset_bucketed_write,
-    "dataset_roundtrip_read": dataset_roundtrip_read,
-    "dataset_append_update": dataset_append_update,
-    "dataset_update_delete_scope": dataset_update_delete_scope,
-    "dataset_gc_roundtrip": dataset_gc_roundtrip,
-    "dataset_schema_evolution": dataset_schema_evolution,
-    "dataset_filter_query_read": dataset_filter_query_read,
-    "dataset_metadata_stats": dataset_metadata_stats,
-    "dataset_changes_read": dataset_changes_read,
-    "streaming_interval_join": streaming_interval_join,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enrich_dim": streaming_enrich_dim,
-    "streaming_ingest_neardup": streaming_ingest_neardup,
-    "text_bm25_indexed": text_bm25_indexed,
-    "hybrid_search_rrf": hybrid_search_rrf,
-    "retrieval_hard_negatives": retrieval_hard_negatives,
-    "text_stats": text_stats,
-    "text_quality": text_quality,
-    "text_lang_agg": text_lang_agg,
-    "text_bpe_tokens": text_bpe_tokens,
-    "text_tfidf_terms": text_tfidf_terms,
-    "text_bm25_topk": text_bm25_topk,
-    "text_repetition": text_repetition,
-    "text_pii_scrub": text_pii_scrub,
-    "events_skew_profile": events_skew_profile,
-    "pack_documents_bins": pack_documents_bins,
-    "pack_sequences": pack_sequences,
-    "web_domain_stats": web_domain_stats,
-    "web_blocklist_filter": web_blocklist_filter,
-    "web_html_extract": web_html_extract,
-    "sketch_distinct_users": sketch_distinct_users,
-    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
-    "score_calibrate_pct": score_calibrate_pct,
-    "histogram_quantiles": histogram_quantiles,
-    "streaming_histogram_monitor": streaming_histogram_monitor,
-    "dataset_stats_refresh": dataset_stats_refresh,
-    "streaming_ingest_dedup": streaming_ingest_dedup,
-    "text_gopher_rules": text_gopher_rules,
-    "dedup_duplicate_spans": dedup_duplicate_spans,
-    "export_jsonl_manifest": export_jsonl_manifest,
-    "embedding_random_projection": embedding_random_projection,
-    "dedup_span_stats": dedup_span_stats,
-    "pipeline_pack_export": pipeline_pack_export,
-    "pack_sequence_boundaries": pack_sequence_boundaries,
-    "dedup_cluster_keep_best": dedup_cluster_keep_best,
-    "text_script_profile": text_script_profile,
-    "dedup_span_novelty": dedup_span_novelty,
-    "streaming_distinct_users": streaming_distinct_users,
-    "sample_weighted_quota": sample_weighted_quota,
-    "dataset_restore_read": dataset_restore_read,
-    "dataset_history_read": dataset_history_read,
-    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q5_region_revenue": q5_region_revenue,
-    "window_top_order_per_customer": window_top_order_per_customer,
-    "sort_topk_orders": sort_topk_orders,
-    "dataset_csv_roundtrip": dataset_csv_roundtrip,
+    "text_blocked_words": text_blocked_words,
+    "events_retention_cohorts": events_retention_cohorts,
+    "text_compression_signal": text_compression_signal,
+    "embedding_pq_topk": embedding_pq_topk,
+    "embedding_pq_persisted": embedding_pq_persisted,
+    "embedding_ivfpq_query": embedding_ivfpq_query,
+    "embedding_pca": embedding_pca,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "simhash_md5": simhash_md5,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "semdedup_keep": semdedup_keep,
+    "decontaminate_bloom": decontaminate_bloom,
+    "text_quality_classifier": text_quality_classifier,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "decontaminate_substring": decontaminate_substring,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    "events_retention_monthly": events_retention_monthly,
+    "embedding_quantize": embedding_quantize,
+    "multimodal_resize": multimodal_resize,
+    "dataset_python_source_read": dataset_python_source_read,
+    "ngram_jaccard": ngram_jaccard,
+    "pipeline_training_data": pipeline_training_data,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "dataset_compact_read": dataset_compact_read,
+    "dataset_time_travel_read": dataset_time_travel_read,
+    "dataset_upsert_read": dataset_upsert_read,
+    "dataset_delete_rows": dataset_delete_rows,
+    "dataset_index_read": dataset_index_read,
+    "dataset_zorder_read": dataset_zorder_read,
+    "bitext_mine_pairs": bitext_mine_pairs,
+    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
+    "dsir_logweights": dsir_logweights_q,
+    "dsir_select": dsir_select_q,
+    "ccnet_buckets": ccnet_buckets,
+    "multimodal_dhash": multimodal_dhash,
+    "multimodal_dhash_pairs": multimodal_dhash_pairs,
+    "multimodal_audio_features": multimodal_audio_features,
+    "sample_cluster_balanced": sample_cluster_balanced,
+    "text_lm_score": text_lm_score,
+    "text_lm2_score": text_lm2_score,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "streaming_route_datasets": streaming_route_datasets,
 }
 
 # Every registry entry has a bit-reproducible ANSI-SQL oracle twin —
@@ -7232,6 +7402,8 @@ ORACLES: dict[str, str] = {
     "text_blocked_words": TEXT_BLOCKED_WORDS_ORACLE,
     "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
     "events_retention_monthly": EVENTS_RETENTION_MONTHLY_ORACLE,
+    "embedding_pq_topk_pinned": EMBEDDING_PQ_PINNED_ORACLE,
+    "embedding_pca_pinned": EMBEDDING_PCA_PINNED_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

@@ -1421,7 +1421,13 @@ def pq_topk(
                 for j in range(m):
                     d += tables[qi, j, C[:, j]]
                 take = min(fetch, len(d))
-                part = np.argpartition(d, take - 1)[:take]
+                # ADC distances tie HEAVILY (the distance is a function
+                # of the code alone, and codes collide), so the batch
+                # pre-selection must use the SAME total order as the
+                # global window — (rounded dist, id) — or tied
+                # candidates get dropped arbitrarily per batch and the
+                # shortlist becomes nondeterministic
+                part = np.lexsort((ids, np.round(d, round_digits)))[:take]
                 out_q.extend([qids[qi]] * take)
                 out_i.extend(ids[part])
                 out_d.extend(d[part])
