@@ -2339,35 +2339,57 @@ def read_datasets_weighted(
     return out
 
 
-def garbage_collect_dataset(store: Store | str, dataset_uuid: str) -> list[str]:
+def garbage_collect_dataset(
+    store: Store | str, dataset_uuid: str, *, keep_staging: bool = False
+) -> list[str]:
     """Delete store keys not referenced by the current commit (old index
-    files, files from failed/uncommitted writes).
+    files, superseded time-travel snapshots, files from
+    failed/uncommitted writes).
 
     Reference: garbage_collect_dataset (/root/reference/plateau/io/eager.py:744-769,
     plateau/io_components/gc.py:8-52). Matching the reference's
     ``explicit_partitions`` guard, table data files are only reclaimed
     once the dataset has an explicit partition list — a header-only
     dataset with files staged via ``write_single_partition`` keeps its
-    pending files. Like the reference, GC must not run concurrently
-    with an in-flight write_single_partition/commit_dataset pair.
+    pending files.
+
+    Concurrency: the commit lock is held across the sweep, and the
+    delete-candidate listing is snapshotted BEFORE the referenced set
+    is loaded — so (a) a commit that lands before GC acquires the lock
+    is fully respected, (b) one racing GC blocks on the lock until the
+    sweep finishes and its metadata is never half-read, and (c) any
+    file a concurrent writer creates after the listing is not a
+    candidate at all, whether or not its commit has landed. The
+    residual window is a writer that renamed files into the table dir
+    BEFORE GC's listing but commits after the sweep: those files are
+    unreferenced for the whole sweep and indistinguishable from a
+    crashed write without a retention clock — the reference has the
+    same contract (don't run default-mode GC concurrently with an
+    in-flight write). ``keep_staging=True`` makes GC additionally skip
+    the ``.staging/`` prefix (pre-rename writers are then safe too).
     """
     store = _ensure_store(store)
-    meta = DatasetMetadata.load(store, dataset_uuid)
-    referenced = meta.referenced_keys()
-    table_prefix = _table_prefix(dataset_uuid)
-    # index "files" are directories when written by Spark — keep their contents
+    staging_prefix = f"{dataset_uuid}/{naming.STAGING_DIR}/"
     removed = []
-    for key in list(store.iter_keys(f"{dataset_uuid}/")):
-        if key in referenced:
-            continue
-        if key.endswith("/.commit.lock"):
-            continue  # transient commit mutex (store.commit_lock)
-        if any(key.startswith(ref.rstrip("/") + "/") for ref in referenced):
-            continue  # member of a referenced directory-parquet
-        if not meta.explicit_partitions and key.startswith(table_prefix):
-            continue  # pending write_single_partition files (gc.py:24-31)
-        removed.append(key)
-        store.delete(key)
+    with store.commit_lock(dataset_uuid):
+        candidates = list(store.iter_keys(f"{dataset_uuid}/"))
+        meta = DatasetMetadata.load(store, dataset_uuid)
+        referenced = meta.referenced_keys()
+        table_prefix = _table_prefix(dataset_uuid)
+        # index "files" are directories when written by Spark — keep their contents
+        for key in candidates:
+            if key in referenced:
+                continue
+            if key.endswith("/.commit.lock"):
+                continue  # transient commit mutex (store.commit_lock)
+            if keep_staging and key.startswith(staging_prefix):
+                continue  # in-flight writers' staging area
+            if any(key.startswith(ref.rstrip("/") + "/") for ref in referenced):
+                continue  # member of a referenced directory-parquet
+            if not meta.explicit_partitions and key.startswith(table_prefix):
+                continue  # pending write_single_partition files (gc.py:24-31)
+            removed.append(key)
+            store.delete(key)
     return removed
 
 
@@ -2884,10 +2906,18 @@ def dataset_generation_diff(
 
 def delete_dataset(store: Store | str, dataset_uuid: str) -> None:
     """Delete a dataset: indices → payload files → metadata file, ordered
-    for crash consistency (reference: plateau/io/eager.py:63-93)."""
+    for crash consistency (reference: plateau/io/eager.py:63-93).
+
+    A missing dataset is a no-op — but leftover payload keys WITHOUT a
+    commit file (a delete that crashed after removing the metadata, or
+    a half-copied dataset) are still swept, so a crashed delete is
+    resumable by re-running it (the reference's
+    test_delete_missing_dataset contract, extended to the commit file
+    itself)."""
     store = _ensure_store(store)
     if not DatasetMetadata.exists(store, dataset_uuid):
-        return
+        if next(iter(store.iter_keys(f"{dataset_uuid}/")), None) is None:
+            return
     store.delete(f"{dataset_uuid}/indices")
     store.delete(f"{dataset_uuid}/blooms")
     store.delete(f"{dataset_uuid}/{naming.TABLE_NAME}")
