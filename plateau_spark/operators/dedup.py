@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from plateau_spark.core.caching import release_local_checkpoint
+
 
 def _orderable(dt) -> bool:
     """True when Spark can ORDER BY this type (struct comparison)."""
@@ -937,6 +939,12 @@ def duplicate_clusters(
         .localCheckpoint(eager=False)
     )
     n_edges = edges.count()  # materializes the checkpoint for either path
+    # the pair blocks fed the edge materialization and nothing else —
+    # release them now instead of waiting for the ContextCleaner
+    # (schema/sparkSession reads below don't touch the blocks)
+    id_type = pairs.schema[id_a].dataType.simpleString()
+    spark = pairs.sparkSession
+    release_local_checkpoint(pairs)
     if n_edges <= small_graph_threshold:
         parent: dict = {}
 
@@ -958,7 +966,6 @@ def duplicate_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 # roots always point at smaller ids ⇒ component root = min id
                 parent[hi] = lo
-        id_type = pairs.schema[id_a].dataType.simpleString()
         # Arrow-batched materialization: list-of-tuples createDataFrame
         # pickles row objects one by one (~seconds at 10⁵ nodes, the
         # dominant cost of the driver fast path); the pandas route ships
@@ -966,7 +973,8 @@ def duplicate_clusters(
         import pandas as pd
 
         ordered = sorted(nodes)
-        return pairs.sparkSession.createDataFrame(
+        release_local_checkpoint(edges)  # collected; result is driver-built
+        return spark.createDataFrame(
             pd.DataFrame(
                 {"id": ordered, "cluster_id": [find(x) for x in ordered]}
             ),
@@ -1001,6 +1009,11 @@ def duplicate_clusters(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        if it > 0:
+            # the superseded frontier's blocks are dead once `changed`
+            # materialized new_labels (iteration 0's `labels` is a plain
+            # plan over edges — the release helper no-ops on it)
+            release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -1009,6 +1022,8 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} rounds "
             "(pathological component structure?); raise max_iter"
         )
+    # the result depends only on the final labels checkpoint
+    release_local_checkpoint(edges)
     return labels.select(F.col("src").alias("id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -1822,6 +1837,11 @@ def lsh_quality_report(
     n_cand = cand.count()
     n_truth = truth.count()
     n_hits = cand.join(truth, ["id_a", "id_b"]).count()
+    # the report is a driver-built single row: both checkpoints are
+    # dead the moment the three counts land — release them instead of
+    # letting the pair blocks pile up until the ContextCleaner fires
+    # (the r11 bench-variance nit on dedup_lsh_quality)
+    release_local_checkpoint(cand, truth)
     precision = float(n_hits) / float(n_cand) if n_cand else None
     recall = float(n_hits) / float(n_truth) if n_truth else None
     return df.sparkSession.createDataFrame(

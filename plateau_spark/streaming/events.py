@@ -1304,6 +1304,7 @@ def funnel_steps(
     # lazy checkpoint: each step frame evaluates once even though it is
     # consumed twice (as the next step's join input and as a union branch)
     prev = reached.withColumnRenamed("__t0__", "__tp__").localCheckpoint(eager=False)
+    ckpts = [prev]
     tagged = [prev.select(F.lit(1).alias("step"), "__u__")]
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -1319,6 +1320,7 @@ def funnel_steps(
             .agg(F.min("__ts__").alias("__tp__"))
             .localCheckpoint(eager=False)
         )
+        ckpts.append(prev)
         tagged.append(prev.select(F.lit(i).alias("step"), "__u__"))
     union = tagged[0]
     for t in tagged[1:]:
@@ -1328,6 +1330,11 @@ def funnel_steps(
         r["step"]: r["n"]
         for r in union.groupBy("step").agg(F.count("*").alias("n")).collect()
     }
+    # the funnel's single action is done and the result is driver-built:
+    # every per-step checkpoint is dead — release the blocks now
+    from plateau_spark.core.caching import release_local_checkpoint
+
+    release_local_checkpoint(*ckpts)
     counts = [int(step_counts.get(i + 1, 0)) for i in range(len(steps))]
     spark = events.sparkSession
     rows = [

@@ -84,10 +84,18 @@ def _rows(df_rows, cols):
     return sorted(out, key=lambda t: tuple((v is None, v) for v in t))
 
 
-def _read_both_modes(spark, store, uuid, cols, **kw):
-    """Read through BOTH modes, extracting tuples in the MODEL's column
-    order ``cols`` (the on-disk schema uses normalized column order, so
-    positional extraction would scramble the comparison)."""
+def _read_both_modes(spark, store, uuid, cols, datasource=False, **kw):
+    """Read through the native eager and iterator modes — plus, when
+    ``datasource=True``, the Python DataSource (``format("plateau")``)
+    whose pushFilters→plan_scan pruning path then gets generative
+    breadth too: grid predicates are re-spelled as Catalyst filters so
+    they genuinely travel through pushdown. Tuples extract in the
+    MODEL's column order ``cols`` (the on-disk schema uses normalized
+    column order, so positional extraction would scramble the
+    comparison). The datasource read costs ~3s of Python plan/read
+    worker round-trips per query, so the grid samples it on a
+    deterministic quarter of the cases (uniform across every axis)
+    instead of all 320."""
     eager = _rows(
         read_dataset_as_dataframe(spark, store, uuid, **kw).collect(), cols
     )
@@ -95,6 +103,26 @@ def _read_both_modes(spark, store, uuid, cols, **kw):
         list(read_dataset_as_dataframe_iterator(spark, store, uuid, **kw)), cols
     )
     assert eager == it, "eager and iterator reads disagree"
+    if not datasource:
+        return eager
+
+    from pyspark.sql import functions as F
+
+    from plateau_spark.sources.datasource import register_plateau_datasource
+
+    register_plateau_datasource(spark)
+    ds = (
+        spark.read.format("plateau")
+        .option("store", store.root)
+        .option("dataset", uuid)
+        .load()
+    )
+    for conj in kw.get("predicates") or []:
+        for col, op, val in conj:
+            assert op == "==", f"grid only spells ==, got {op}"
+            ds = ds.where(F.col(col) == F.lit(val))
+    dsr = _rows(ds.collect(), cols)
+    assert eager == dsr, "native and datasource reads disagree"
     return eager
 
 
@@ -166,17 +194,25 @@ def test_write_grid(
             )
 
     # --- verification: both read modes, full + pruned reads ---------------
-    got = _read_both_modes(spark, store, uuid, cols)
+    # datasource mode on a deterministic quarter of the grid (uniform
+    # over all axes via crc32 of the case shape)
+    import zlib
+
+    case_id = f"{partition_on}|{secondary}|{path}|{mutation}|{constrained}|{sort_by}"
+    ds_mode = zlib.crc32(case_id.encode()) % 4 == 0
+    got = _read_both_modes(spark, store, uuid, cols, datasource=ds_mode)
     assert got == _norm(model)
 
     if partition_on:
         got = _read_both_modes(
-            spark, store, uuid, cols, predicates=[[("P", "==", 1)]]
+            spark, store, uuid, cols, datasource=ds_mode,
+            predicates=[[("P", "==", 1)]],
         )
         assert got == _norm([t for t in model if t[0] == 1])
     if secondary:
         got = _read_both_modes(
-            spark, store, uuid, cols, predicates=[[("S", "==", "b")]]
+            spark, store, uuid, cols, datasource=ds_mode,
+            predicates=[[("S", "==", "b")]],
         )
         assert got == _norm([t for t in model if t[2] == "b"])
 
