@@ -385,14 +385,15 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — bench must survive anything
                 msg = f"{type(exc).__name__}: {exc}"
                 errors[name] = msg[:500]
-                times[name] = {"err": msg[:200]}
                 print(
                     f"# {name}: FAILED ({msg.splitlines()[0][:160]})", file=sys.stderr
                 )
-                samples = []
+                # a flaky LATER rep must not discard a valid earlier
+                # sample — record what succeeded alongside the error
                 break
             samples.append(round(time.time() - t0, 3))
         if not samples:
+            times[name] = {"err": errors.get(name, "no sample")[:200]}
             continue
         dt = min(samples)
         times[name] = dt

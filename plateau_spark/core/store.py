@@ -125,6 +125,13 @@ class Store:
         should instead make ``DatasetMetadata.commit`` itself a CAS on
         the generation — the lock is the portable fallback, held for
         milliseconds (the merge + one put), never for the write job.
+
+        The context manager YIELDS a zero-arg refresh callable: a
+        LEGITIMATE long holder (GC's delete sweep is the one such
+        site) must call it periodically to re-touch the lock's mtime,
+        or a waiter's stale-break would unlink the lock mid-hold and
+        re-open exactly the race the holder took the lock to prevent.
+        Millisecond-scale holders ignore the value.
         """
         import contextlib
         import time as _time
@@ -147,7 +154,9 @@ class Store:
                             raise TimeoutError(f"commit lock on {dataset_uuid!r}")
                         _time.sleep(0.05)
                 try:
-                    yield
+                    # HDFS waiters have no mtime stale-break (the spin
+                    # above only retries create) — refresh is a no-op
+                    yield lambda: None
                 finally:
                     fs.delete(p, False)
                 return
@@ -174,8 +183,14 @@ class Store:
                         )
                     _time.sleep(delay)
                     delay = min(delay * 2, 0.1)
+            def _refresh() -> None:
+                try:
+                    os.utime(target, None)
+                except OSError:
+                    pass  # lock already stale-broken; nothing to extend
+
             try:
-                yield
+                yield _refresh
             finally:
                 try:
                     os.unlink(target)

@@ -5343,7 +5343,15 @@ def embedding_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, exact squared-L2 rerank join — with every stage
     oracle-verified (the fit is the only stage without a SQL twin, and
     it is excluded by construction here; embedding_pq_topk keeps
-    covering it rows-only)."""
+    covering it rows-only).
+
+    Accepted cross-engine risk (same pattern as the k-means oracles):
+    the encode/ADC argmins compare UNROUNDED distances computed by
+    different float formulas (numpy expanded ||s||²−2s·c+||c||² vs
+    SQL direct Σ(e−v)²) — a vector whose two nearest centroids differ
+    by <1 ULP could encode differently. The fixture data is fixed, so
+    the comparison is deterministic, and the final dist2 is rounded;
+    gaps on real embeddings are ~1e-1, twelve orders above ULP."""
     _prep(spark)
     from plateau_spark.operators.similarity import encode_pq, pq_topk
 

@@ -185,9 +185,10 @@ def match_pairs(
     # output is quadratic per block with Levenshtein scoring inside —
     # letting AQE coalesce the tiny input onto a few tasks serializes
     # the expensive stage. The explicit count pins the parallelism.
-    n_part = int(
-        records.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    from plateau_spark.core.conf import shuffle_partitions_conf
+
+    # tolerant accessor: vendor platforms pre-set this conf to "auto"
+    n_part = shuffle_partitions_conf(records.sparkSession)
     a = a.repartition(n_part, "__bk__", "__block__")
     b = b.repartition(n_part, "__bk__", "__block__")
     joined = a.join(b, ["__bk__", "__block__"]).where(

@@ -1423,12 +1423,20 @@ def pq_topk(
                 take = min(fetch, len(d))
                 # ADC distances tie HEAVILY (the distance is a function
                 # of the code alone, and codes collide), so the batch
-                # pre-selection must use the SAME total order as the
-                # global window — (rounded dist, id) — or tied
-                # candidates get dropped arbitrarily per batch and the
-                # shortlist becomes nondeterministic
-                part = np.lexsort((ids, np.round(d, round_digits)))[:take]
-                out_q.extend([qids[qi]] * take)
+                # pre-selection must be consistent with the global
+                # window's (rounded dist, id) order or tied candidates
+                # get dropped arbitrarily per batch and the shortlist
+                # becomes nondeterministic. O(n) cutoff: keep EVERY row
+                # at or below the take-th rounded distance (ties
+                # included — a superset of the global top-fetch; the
+                # window trims), never an O(n log n) per-batch sort.
+                rounded = np.round(d, round_digits)
+                if take < len(d):
+                    cutoff = np.partition(rounded, take - 1)[take - 1]
+                    part = np.nonzero(rounded <= cutoff)[0]
+                else:
+                    part = np.arange(len(d))
+                out_q.extend([qids[qi]] * len(part))
                 out_i.extend(ids[part])
                 out_d.extend(d[part])
             yield pd.DataFrame(

@@ -361,11 +361,12 @@ def _shuffle_partitions_conf(spark) -> int:
     where the conf is pre-set to a non-numeric value such as "auto"
     (vendor AQE extensions) — stock Spark rejects those at set time,
     but a session inherited from such a platform would crash every
-    bucketed write on a bare ``int()``."""
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except (TypeError, ValueError):
-        return 200
+    bucketed write on a bare ``int()``. Shared spelling lives in
+    :mod:`plateau_spark.core.conf` (the linkage blocking path pins its
+    shuffle width the same way)."""
+    from plateau_spark.core.conf import shuffle_partitions_conf
+
+    return shuffle_partitions_conf(spark)
 
 
 def _raise_null_partition_keys(
@@ -2367,17 +2368,24 @@ def garbage_collect_dataset(
     same contract (don't run default-mode GC concurrently with an
     in-flight write). ``keep_staging=True`` makes GC additionally skip
     the ``.staging/`` prefix (pre-rename writers are then safe too).
+    A sweep longer than a waiter's lock timeout makes that waiter's
+    commit raise ``TimeoutError`` rather than interleave (honest
+    serialization); the lock's mtime is refreshed through the sweep so
+    a waiter's stale-break can never unlink it mid-hold and re-open
+    the race.
     """
     store = _ensure_store(store)
     staging_prefix = f"{dataset_uuid}/{naming.STAGING_DIR}/"
     removed = []
-    with store.commit_lock(dataset_uuid):
+    with store.commit_lock(dataset_uuid) as _refresh_lock:
         candidates = list(store.iter_keys(f"{dataset_uuid}/"))
         meta = DatasetMetadata.load(store, dataset_uuid)
         referenced = meta.referenced_keys()
         table_prefix = _table_prefix(dataset_uuid)
         # index "files" are directories when written by Spark — keep their contents
-        for key in candidates:
+        for i, key in enumerate(candidates):
+            if i % 256 == 0:
+                _refresh_lock()  # stay younger than any waiter's stale-break
             if key in referenced:
                 continue
             if key.endswith("/.commit.lock"):

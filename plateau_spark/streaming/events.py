@@ -189,8 +189,15 @@ def sessionize_stream(
                 )
             return
         rows = pd.concat(list(pdfs))
-        # asi8 → int64 ns regardless of tz-awareness; µs matches state
-        ts_us = pd.DatetimeIndex(rows[ts_col]).asi8 // 1000
+        # asi8 is int64 in the index's NATIVE unit (pandas 2.x) — pin
+        # to ns before dividing, or a datetime64[us] arrow bridge would
+        # silently make every gap comparison 1000x off
+        idx = pd.DatetimeIndex(rows[ts_col])
+        try:
+            idx = idx.as_unit("ns")
+        except AttributeError:  # pandas < 2: always ns already
+            pass
+        ts_us = idx.asi8 // 1000
         vals = pd.to_numeric(rows[value_col], errors="coerce").to_numpy("float64")
         order = np.argsort(ts_us, kind="stable")
         ts_us, vals = ts_us[order], vals[order]
@@ -253,7 +260,16 @@ def sessionize_stream(
         if start0 is None:  # no state and an all-dropped/empty batch
             return
         state.update((start0, end0, n0, v0))
-        state.setTimeoutTimestamp(end0 // 1000 + gap_seconds * 1000)  # ms
+        # clamp to the watermark: a late event can land in a session
+        # whose natural timeout (end + gap) is already BEHIND the
+        # current watermark, and GroupState rejects a timeout earlier
+        # than the watermark (query-killing error). wm+1 fires on the
+        # next watermark advance — the session's gap has already
+        # expired in event time, so "close at the first opportunity"
+        # is exactly the timeout contract.
+        timeout_ms = end0 // 1000 + gap_seconds * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 [

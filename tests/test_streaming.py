@@ -328,6 +328,41 @@ def test_sessionize_stream_null_value_counts_but_adds_zero(spark, tmp_path):
     assert sessions[(1, _t(0), _t(0, 5))] == (2, 2.0)
 
 
+def test_sessionize_stream_late_event_behind_watermark_does_not_crash(spark, tmp_path):
+    """A late event merging into an open session whose natural timeout
+    (end + gap) is already BEHIND the current watermark must not kill
+    the query: GroupState rejects setTimeoutTimestamp earlier than the
+    watermark, so the kernel clamps to watermark+1 and the session
+    closes at the next watermark advance (regression: batch c below
+    raised and terminated the stream)."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_event_file(
+        f"{d}/a.parquet",
+        [(1, 1, "x", _t(10), 1.0), (2, 9, "x", _t(10), 0.5)],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(  # watermark → 19:30, far past user-1's 10:30 timeout
+        f"{d}/b.parquet", [(3, 9, "x", _t(20), 0.5)], mtime=1_700_000_100
+    )
+    _write_event_file(  # late user-1 event merges while wm=19:30
+        f"{d}/c.parquet",
+        [(4, 1, "x", _t(10, 5), 1.0), (5, 9, "x", _t(20, 1), 0.5)],
+        mtime=1_700_000_200,
+    )
+    _write_event_file(  # watermark push → clamped user-1 timeout fires
+        f"{d}/d.parquet", [(6, 9, "x", _t(23), 0.5)], mtime=1_700_000_300
+    )
+    out = _run_file_per_batch(
+        spark, d, lambda s: sessionize_stream(s, gap_seconds=1800)
+    )
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert sessions[(1, _t(10), _t(10, 5))] == (2, 2.0)
+
+
 def test_sessionize_stream_all_null_session_emits_null_sum(spark, tmp_path):
     """A session whose EVERY value is NULL emits NULL sum_value — exact
     F.sum null semantics, matching the batch twin (regression: the
