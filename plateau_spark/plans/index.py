@@ -135,10 +135,23 @@ class SecondaryIndex:
         )
 
     # -- persistence ----------------------------------------------------------
-    def persist(self, store: Store, dataset_uuid: str, spark: SparkSession) -> str:
-        """Write this (small, driver-side) index as one parquet."""
+    def persist(
+        self,
+        store: Store,
+        dataset_uuid: str,
+        spark: SparkSession,
+        value_type: str = "string",
+    ) -> str:
+        """Write this (small, driver-side) index as one parquet.
+        ``value_type`` pins the value column's type when the index is
+        EMPTY — the string default would otherwise poison later
+        ``unionByName`` merges (set-op widening coerces a typed rebuilt
+        index to string, and point lookups then match nothing)."""
         return persist_index_dataframe(
-            self.to_dataframe(spark), store, dataset_uuid, self.column
+            self.to_dataframe(spark, value_type=value_type),
+            store,
+            dataset_uuid,
+            self.column,
         )
 
     @classmethod
@@ -163,7 +176,12 @@ class SecondaryIndex:
         )
         table = store.read_parquet(key, filters=filters)
         values = table.column(column).to_pylist()
-        parts = table.column("partitions").to_pylist()
+        # reference-written index files name the posting-list column
+        # "partition" (singular — plateau/core/index.py:34,927); ours
+        # use "partitions". Accept both, or every reference-interop
+        # dataset with an external secondary index crashes at plan time.
+        plist_col = "partitions" if "partitions" in table.column_names else "partition"
+        parts = table.column(plist_col).to_pylist()
         return cls(column, {v: set(p) for v, p in zip(values, parts)})
 
     # -- queries ---------------------------------------------------------------
@@ -181,8 +199,15 @@ class SecondaryIndex:
         return out
 
     def query(self, value: Any) -> set[str]:
-        """Exact-value lookup. Reference: plateau/core/index.py:252-271."""
-        return set(self.index_dct.get(value, set()))
+        """Exact-value lookup. Reference: plateau/core/index.py:252-271.
+
+        Delegates to ``eval_operator`` so the date/datetime alignment
+        applied everywhere else (``evaluate_literal``) holds here too —
+        a raw dict lookup made ``query(datetime(...))`` on a DATE-typed
+        index silently miss (the delete_scope path would then delete 0
+        partitions while a read of the same predicate matched). The
+        loaded dict is literal-restricted, so the scan is tiny."""
+        return self.eval_operator("==", value)
 
     # -- maintenance (driver-side view; Spark-side twins below) ---------------
     def remove_partitions(self, labels: Iterable[str]) -> "SecondaryIndex":
@@ -261,8 +286,19 @@ def remove_partitions_from_index_df(
 def remove_values_from_index_df(
     index_df: DataFrame, column: str, values: Iterable[Any]
 ) -> DataFrame:
-    """Spark-side twin of SecondaryIndex.remove_values."""
-    return index_df.where(~F.col(column).isin(list(values)))
+    """Spark-side twin of SecondaryIndex.remove_values.
+
+    NULL-safe: a bare ``~isin([...None...])`` evaluates to NULL for
+    every non-matching row (SQL three-valued logic) and the filter
+    would wipe the ENTIRE index instead of one entry — None in
+    ``values`` drops the NULL-value entry explicitly, and non-matching
+    rows are kept via coalesce."""
+    vals = list(values)
+    non_null = [v for v in vals if v is not None]
+    drop = F.col(column).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in vals):
+        drop = drop | F.col(column).isNull()
+    return index_df.where(~F.coalesce(drop, F.lit(False)))
 
 
 # ---------------------------------------------------------------------------
@@ -299,16 +335,33 @@ def load_index_dataframe(
     spark: SparkSession, store: Store, meta, column: str
 ) -> DataFrame:
     """(column, partitions) DataFrame for one index — secondary from its
-    parquet, partition-key derived from commit-file key_values (tiny:
-    one row per partition; reference load_partition_indices,
-    plateau/core/dataset.py:888-921)."""
+    parquet (reference-written files name the posting list "partition",
+    singular — normalized here), embedded (reference commit-file form)
+    from the metadata dict, partition-key derived from commit-file
+    key_values (tiny: one row per partition; reference
+    load_partition_indices, plateau/core/dataset.py:888-921)."""
     if column in meta.indices:
-        return spark.read.parquet(store.url(meta.indices[column]))
+        df = spark.read.parquet(store.url(meta.indices[column]))
+        if "partitions" not in df.columns and "partition" in df.columns:
+            df = df.withColumnRenamed("partition", "partitions")
+        return df
+    value_type = next(
+        (f.dataType.simpleString() for f in (meta.schema or []) if f.name == column),
+        "string",
+    )
+    if column in getattr(meta, "embedded_indices", {}):
+        idx = SecondaryIndex(
+            column,
+            {v: set(lbls) for v, lbls in meta.embedded_indices[column].items()},
+        )
+        return idx.to_dataframe(spark, value_type=value_type)
     if column in meta.partition_keys:
         idx = SecondaryIndex.from_pairs(
             column, [(p.key_values[column], p.label) for p in meta.partitions.values()]
         )
-        return idx.to_dataframe(spark)
+        # empty datasets still get the SCHEMA's value type — a string
+        # default would poison later unionByName merges to string
+        return idx.to_dataframe(spark, value_type=value_type)
     raise ValueError(f"Column {column!r} is neither indexed nor a partition key")
 
 
@@ -323,7 +376,11 @@ def get_indices_as_dataframe(
     reference get_indices_as_dataframe (plateau/core/dataset.py:356-423).
     """
     if columns is None:
-        columns = sorted(set(meta.indices) | set(meta.partition_keys))
+        columns = sorted(
+            set(meta.indices)
+            | set(getattr(meta, "embedded_indices", {}))
+            | set(meta.partition_keys)
+        )
     if not columns:
         raise ValueError("Dataset has no indices")
     out: DataFrame | None = None

@@ -114,7 +114,11 @@ def plan_scan(
                 literals[col].append((op, val))
     if index_loader is None:
         index_loader = lambda c, lits: metadata.secondary_index(store, c, literals=lits)  # noqa: E731
-    indexes = {c: index_loader(c, literals[c]) for c in needed}
+    # a column whose every literal is non-constrainable (IS NULL forms)
+    # would be loaded UNFILTERED — the full index on the driver — and
+    # then never consulted (_conjunction_allowed_labels re-checks
+    # constrainability per literal). Skip the load outright.
+    indexes = {c: index_loader(c, literals[c]) for c in needed if literals[c]}
 
     bloom = None
     if metadata.blooms and any(
@@ -183,7 +187,11 @@ def explain_scan(
                 literals[col].append((op, val))
     if index_loader is None:
         index_loader = lambda c, lits: metadata.secondary_index(store, c, literals=lits)  # noqa: E731
-    indexes = {c: index_loader(c, literals[c]) for c in needed}
+    # a column whose every literal is non-constrainable (IS NULL forms)
+    # would be loaded UNFILTERED — the full index on the driver — and
+    # then never consulted (_conjunction_allowed_labels re-checks
+    # constrainability per literal). Skip the load outright.
+    indexes = {c: index_loader(c, literals[c]) for c in needed if literals[c]}
     bloom = None
     if metadata.blooms and any(c in metadata.blooms for c in pred_cols):
         from plateau_spark.plans.blooms import BloomConsult

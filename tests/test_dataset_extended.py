@@ -238,6 +238,136 @@ def test_get_indices_as_dataframe(spark, store, cluster_df):
     assert all(r.L == r.P for r in rows)  # fixture has L == P per partition
 
 
+def test_reference_written_index_file_interop(spark, store, cluster_df):
+    """Reference-written external index parquet names the posting-list
+    column "partition" (singular — /root/reference/plateau/core/index.py:34,927).
+    Both the plan-time loader and the index views must accept it, or
+    every reference-interop dataset with an external secondary index
+    crashes at plan time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    meta = DatasetMetadata.load(store, "ds")
+    # rewrite the index file the way the reference writes it
+    old = meta.secondary_index(store, "L")
+    ref_key = "ds/indices/L/ref.by-dataset-index.parquet"
+    tbl = pa.Table.from_pydict(
+        {
+            "L": list(old.index_dct.keys()),
+            "partition": [sorted(v) for v in old.index_dct.values()],
+        }
+    )
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    store.put_bytes(ref_key, buf.getvalue())
+    meta.indices["L"] = ref_key
+    meta.commit(store)
+
+    out = read_dataset_as_dataframe(spark, store, "ds", predicates=[[("L", "==", 1)]])
+    assert [r.P for r in out.collect()] == [1]
+    flat = index_as_flat_dataframe(spark, store, DatasetMetadata.load(store, "ds"), "L")
+    assert sorted(r.L for r in flat.collect()) == [1, 2]
+
+
+def test_embedded_index_views(spark, store, cluster_df):
+    """Embedded (commit-file) indices — the reference's loaded form —
+    must be served by the index views, not just the planner (regression:
+    load_index_dataframe raised 'neither indexed nor a partition key'
+    and get_indices_as_dataframe omitted them from its default set)."""
+    store_dataframe_as_dataset(spark, store, "ds", cluster_df, partition_on=["P"])
+    meta = DatasetMetadata.load(store, "ds")
+    labels = sorted(meta.partitions)
+    meta.embedded_indices["L"] = {1: [labels[0]], 2: [labels[1]]}
+    flat = index_as_flat_dataframe(spark, store, meta, "L")
+    assert sorted((r.L, r.partition) for r in flat.collect()) == [
+        (1, labels[0]),
+        (2, labels[1]),
+    ]
+    view = get_indices_as_dataframe(spark, store, meta)  # default column set
+    assert view.columns == ["partition", "L", "P"]
+    assert all(r.L == r.P for r in view.collect())
+
+
+def test_remove_values_from_index_df_null_safe(spark):
+    """~isin with a None in values is NULL for every non-matching row —
+    the filter wiped the whole index instead of one entry (SQL
+    three-valued logic). The twin must match dict-side remove_values."""
+    from plateau_spark.plans.index import remove_values_from_index_df
+
+    idx = spark.createDataFrame(
+        [("a", ["p1"]), ("b", ["p2"]), (None, ["p3"])],
+        "c string, partitions array<string>",
+    )
+    out = remove_values_from_index_df(idx, "c", ["a", None])
+    assert [(r.c, r.partitions) for r in out.collect()] == [("b", ["p2"])]
+    # no None requested: NULL-value entry is kept
+    out2 = remove_values_from_index_df(idx, "c", ["a"])
+    assert sorted((r.c is None, r.c) for r in out2.collect()) == [
+        (False, "b"), (True, None),
+    ]
+
+
+def test_secondary_index_query_aligns_temporals():
+    """query() must apply the same date/datetime alignment as
+    eval_operator — a raw dict lookup made delete_scope silently match
+    nothing where a read of the same predicate matched."""
+    import datetime as dt
+
+    from plateau_spark.plans.index import SecondaryIndex
+
+    idx = SecondaryIndex("d", {dt.date(2026, 1, 5): {"p1"}})
+    assert idx.query(dt.datetime(2026, 1, 5)) == {"p1"}
+    assert idx.query(dt.date(2026, 1, 5)) == {"p1"}
+    assert idx.query(dt.datetime(2026, 1, 5, 12)) == set()
+
+
+def test_empty_partition_key_index_keeps_schema_type(spark, store):
+    """An EMPTY dataset's partition-key index view must carry the
+    schema's value type, not a string default (string would poison a
+    later unionByName merge and point lookups then match nothing)."""
+    store_dataframes_as_dataset(
+        spark, store, "e", [spark.createDataFrame([], "P long, S string")],
+        partition_on=["P"],
+    )
+    from plateau_spark.plans.index import load_index_dataframe
+
+    meta = DatasetMetadata.load(store, "e")
+    df = load_index_dataframe(spark, store, meta, "P")
+    assert dict(df.dtypes)["P"] == "bigint"
+    assert df.count() == 0
+
+
+def test_plan_scan_skips_index_load_for_null_only_literals(spark, store, cluster_df):
+    """IS-NULL-form literals can't be constrained by the (non-NULL-only)
+    inverted index — the planner must not load the index at all for
+    them (regression: it loaded the ENTIRE index unfiltered and never
+    consulted it)."""
+    from plateau_spark.plans.pruning import plan_scan
+
+    store_dataframe_as_dataset(
+        spark, store, "ds", cluster_df, partition_on=["P"], secondary_indices=["L"]
+    )
+    meta = DatasetMetadata.load(store, "ds")
+    calls = []
+
+    def loader(col, lits):
+        calls.append((col, tuple(lits)))
+        return meta.secondary_index(store, col, literals=lits)
+
+    plan_scan(meta, store, [[("L", "==", None)]], index_loader=loader)
+    assert calls == []  # nothing constrainable: no load
+    surviving = plan_scan(
+        meta, store, [[("L", "==", None)], [("L", "==", 1)]], index_loader=loader
+    )
+    assert calls == [("L", (("==", 1),))]
+    assert len(surviving) == 2  # NULL conjunction keeps both partitions
+
+
 # -- copy ----------------------------------------------------------------------
 
 
