@@ -5438,6 +5438,190 @@ SELECT query_id, vec_id, dist2, CAST(rn AS INT) AS rank FROM (
 EMBEDDING_PQ_PINNED_ORACLE = _pq_pinned_oracle_sql(_PINNED_PQ)
 
 
+def _pinned_ivf_centroids(dim: int = 64, n: int = 4) -> list:
+    # exact binary fractions (n/16) → the double each engine parses
+    # from the literal is bit-identical
+    return [
+        (c, [((c * 23 + d * 7) % 17 - 8) / 16.0 for d in range(dim)])
+        for c in range(n)
+    ]
+
+
+_PINNED_IVF_CENTROIDS = _pinned_ivf_centroids()
+
+
+def embedding_ivfpq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_ivfpq_index + query_ivfpq_index with PINNED coarse
+    centroids (4 cells) and PINNED residual codebooks (m=4, k=4): the
+    full persisted compressed-serving path — cosine coarse assignment,
+    residual PQ encode, dataset write partitioned on the cell, nprobe
+    partition-pruned read, per-(query, cell) ADC tables, over-fetched
+    shortlist, exact rerank — every stage hash-verified against a
+    DuckDB oracle replaying the identical arithmetic. The two k-means
+    fits are the only stages without a SQL twin and are excluded by
+    construction (embedding_ivfpq_query keeps covering them
+    rows-only).
+
+    Accepted cross-engine risk (same class as embedding_pq_topk_pinned
+    and the k-means oracles): the assignment/encode/probe argmins
+    compare UNROUNDED distances computed by different float paths
+    (numpy normalized GEMM / expanded L2 vs SQL direct sums) — a tie
+    within ~1 ULP could flip. The fixture is fixed, gaps are orders of
+    magnitude above ULP, and every emitted distance is rounded."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    store = _fresh_store("ivfpq_pinned")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivfpq_index(
+        spark, store, "ix", emb,
+        centroids=_PINNED_IVF_CENTROIDS, pq_model=_PINNED_PQ,
+    )
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return query_ivfpq_index(
+        spark, store, "ix", queries, k=10, nprobe=2,
+        refine_with=emb, overfetch=4,
+    )
+
+
+def _ivfpq_pinned_oracle_sql(
+    centroids: list,
+    model: dict,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+    overfetch: int = 4,
+) -> str:
+    m, kk, sub = model["m"], model["k"], model["sub_dim"]
+    dim = model["dim"]
+    cent_rows = ",\n    ".join(
+        f"({cid}, {d}, CAST({vec[d]!r} AS DOUBLE))"
+        for cid, vec in centroids
+        for d in range(dim)
+    )
+    cb_rows = ",\n    ".join(
+        f"({j}, {c}, {d}, CAST({model['codebooks'][j][c][d]!r} AS DOUBLE))"
+        for j in range(m)
+        for c in range(kk)
+        for d in range(sub)
+    )
+    fetch = k * overfetch
+    return f"""
+WITH cent(cid, d, val) AS (VALUES
+    {cent_rows}
+),
+cb(j, c, d, val) AS (VALUES
+    {cb_rows}
+),
+-- coarse assignment: cosine argmax (|e| is constant per row, so
+-- ordering by dot/|c| replays the normalized-GEMM argmax), ties →
+-- lowest cell id (numpy argmax first-occurrence over cid order)
+cnorm AS (SELECT cid, sqrt(SUM(val * val)) AS cn FROM cent GROUP BY cid),
+edot AS (
+  SELECT e.vec_id, ct.cid,
+         SUM(e.embedding[ct.d + 1]::DOUBLE * ct.val) AS dp
+  FROM embeddings e, cent ct
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT edot.vec_id, edot.cid,
+           ROW_NUMBER() OVER (PARTITION BY edot.vec_id
+             ORDER BY edot.dp / cn.cn DESC, edot.cid ASC) AS rn
+    FROM edot JOIN cnorm cn USING (cid)
+  ) WHERE rn = 1
+),
+-- residual encode: per-(vector, subspace) argmin over the codebooks
+-- of (e - centroid_cell - codebook), ties → lowest c
+comp AS (
+  SELECT a.vec_id, a.cell, cb.j, cb.c,
+         SUM((e.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - ct.val - cb.val)
+           * (e.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - ct.val - cb.val)) AS d2
+  FROM assign a
+  JOIN embeddings e USING (vec_id)
+  JOIN cb ON TRUE
+  JOIN cent ct ON ct.cid = a.cell AND ct.d = cb.j * {sub} + cb.d
+  GROUP BY 1, 2, 3, 4
+),
+code AS (
+  SELECT vec_id, cell, j, c FROM (
+    SELECT vec_id, cell, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM comp
+  ) WHERE rn = 1
+),
+qe AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+-- probe: nprobe nearest cells per query by L2 to the RAW centroids
+-- (the driver-side numpy lexsort), ties → lowest cell id
+qcell AS (
+  SELECT qe.query_id, ct.cid,
+         SUM((qe.embedding[ct.d + 1]::DOUBLE - ct.val)
+           * (qe.embedding[ct.d + 1]::DOUBLE - ct.val)) AS d2
+  FROM qe, cent ct
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+    FROM qcell
+  ) WHERE rn <= {nprobe}
+),
+-- per-(query, probed cell) ADC table: residual (q - centroid_cell)
+-- distance to every codebook centroid
+qdist AS (
+  SELECT p.query_id, p.cid, cb.j, cb.c,
+         SUM((qe.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - ct.val - cb.val)
+           * (qe.embedding[cb.j * {sub} + cb.d + 1]::DOUBLE - ct.val - cb.val)) AS qd2
+  FROM probe p
+  JOIN qe USING (query_id)
+  JOIN cb ON TRUE
+  JOIN cent ct ON ct.cid = p.cid AND ct.d = cb.j * {sub} + cb.d
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT qd.query_id, v.vec_id, SUM(qd.qd2) AS adc_d2
+  FROM code v
+  JOIN qdist qd ON v.cell = qd.cid AND v.j = qd.j AND v.c = qd.c
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY round(adc_d2, 6), vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {fetch}
+),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_sum(list_transform(range(0, {dim}), i ->
+           (ce.embedding[i+1]::DOUBLE - q.embedding[i+1]::DOUBLE)
+             * (ce.embedding[i+1]::DOUBLE - q.embedding[i+1]::DOUBLE))), 6) AS dist2
+  FROM shortlist s
+  JOIN embeddings ce ON ce.vec_id = s.vec_id
+  JOIN qe q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, dist2, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist2, vec_id) AS rn
+  FROM rr
+) WHERE rn <= {k}
+"""
+
+
+EMBEDDING_IVFPQ_PINNED_ORACLE = _ivfpq_pinned_oracle_sql(
+    _PINNED_IVF_CENTROIDS, _PINNED_PQ
+)
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_project_embeddings: JL sign projection 64→16 (md5-parity
     ±1 matrix baked into the plan as literals, scale 1/sqrt(16)=0.25 —
@@ -7200,8 +7384,9 @@ GROUP BY rec.id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r12 window (first 50): NEW exact-oracle pinned-model twins
-    #     first (embedding_pq_topk_pinned / embedding_pca_pinned — the
-    #     encode/ADC/rerank and projection stages of the two largest
+    #     first (embedding_pq_topk_pinned / embedding_pca_pinned /
+    #     embedding_ivfpq_pinned — the encode/ADC/rerank, projection
+    #     and persisted-IVFPQ-serving stages of the largest
     #     rows-only families gain hash-matched evidence), then ALL 22
     #     entries whose last driver evidence is r8 (displaced past r11's
     #     boundary), then the stalest r9 entries to fill the window.
@@ -7211,6 +7396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     round is 9. ---
     "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
     "embedding_pca_pinned": embedding_pca_pinned,
+    "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
     "dataset_csv_roundtrip": dataset_csv_roundtrip,
     "dataset_history_read": dataset_history_read,
     "dataset_restore_read": dataset_restore_read,
@@ -7412,6 +7598,7 @@ ORACLES: dict[str, str] = {
     "events_retention_monthly": EVENTS_RETENTION_MONTHLY_ORACLE,
     "embedding_pq_topk_pinned": EMBEDDING_PQ_PINNED_ORACLE,
     "embedding_pca_pinned": EMBEDDING_PCA_PINNED_ORACLE,
+    "embedding_ivfpq_pinned": EMBEDDING_IVFPQ_PINNED_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

@@ -1603,6 +1603,8 @@ def build_ivfpq_index(
     pq_k: int = 64,
     pq_refine_iterations: int = 2,
     fit_corpus: DataFrame | None = None,
+    centroids: list | None = None,
+    pq_model: dict | None = None,
     overwrite: bool = False,
 ):
     """Persist an IVF-PQ index: corpus vectors assign to their nearest
@@ -1625,10 +1627,16 @@ def build_ivfpq_index(
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
 
     fit_src = corpus if fit_corpus is None else fit_corpus
-    centroids = ivf_centroids(
-        fit_src, id_col=id_col, vec_col=vec_col,
-        n_centroids=n_centroids, refine_iterations=refine_iterations,
-    )
+    # centroids= / pq_model= pin a pre-fit (or externally trained)
+    # model: the fit stages are skipped entirely and only the
+    # assignment/encode/store plan runs — the fit-once/reuse-many
+    # deployment shape, and the hook that makes the serving path
+    # SQL-oracle-verifiable (entry query embedding_ivfpq_pinned).
+    if centroids is None:
+        centroids = ivf_centroids(
+            fit_src, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, refine_iterations=refine_iterations,
+        )
     cent = _centroid_df(spark, centroids)
 
     def _residuals(frame):
@@ -1645,7 +1653,7 @@ def build_ivfpq_index(
             )
         )
 
-    model = fit_pq_model(
+    model = pq_model if pq_model is not None else fit_pq_model(
         _residuals(fit_src), vec_col="__res__", m=m, k=pq_k,
         refine_iterations=pq_refine_iterations, id_col=id_col,
     )
@@ -1765,8 +1773,20 @@ def query_ivfpq_index(
                     for j in range(m):
                         d += t[j, Cc[:, j]]
                     take = min(fetch, len(d))
-                    part = np.argpartition(d, take - 1)[:take]
-                    out_q.extend([qids[qi]] * take)
+                    # ADC distances tie heavily (a function of the code
+                    # alone, and codes collide), so the batch
+                    # pre-selection must keep EVERY row at or below the
+                    # take-th rounded distance — the same superset rule
+                    # as pq_topk — or tied candidates are dropped
+                    # arbitrarily per batch and the shortlist becomes
+                    # partitioning-dependent.
+                    rounded = np.round(d, round_digits)
+                    if take < len(d):
+                        cutoff = np.partition(rounded, take - 1)[take - 1]
+                        part = np.nonzero(rounded <= cutoff)[0]
+                    else:
+                        part = np.arange(len(d))
+                    out_q.extend([qids[qi]] * len(part))
                     out_i.extend(ids[part])
                     out_d.extend(d[part])
             if out_q:

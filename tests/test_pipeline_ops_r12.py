@@ -1,0 +1,197 @@
+"""Round-12 operator tests: pinned-model IVF-PQ serving path
+(fit-free build + exact numpy replay) and shortlist determinism under
+heavy ADC ties / different file layouts.
+
+Reference behavior: plateau has no ANN surface; these pin OUR
+contracts — the persisted-index serving path is a pure function of
+(corpus, model, queries), independent of how the index files are laid
+out on disk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DIM, M, SUB, KK = 16, 4, 4, 4
+N_CELLS = 3
+
+
+def _pinned_centroids():
+    return [
+        (c, [((c * 23 + d * 7) % 17 - 8) / 16.0 for d in range(DIM)])
+        for c in range(N_CELLS)
+    ]
+
+
+def _pinned_model():
+    books = [
+        [
+            [((j * 37 + c * 11 + d * 5) % 19 - 9) / 16.0 for d in range(SUB)]
+            for c in range(KK)
+        ]
+        for j in range(M)
+    ]
+    return {"m": M, "k": KK, "dim": DIM, "sub_dim": SUB, "codebooks": books}
+
+
+@pytest.fixture(scope="module")
+def tie_corpus(spark):
+    # 8 distinct base vectors × 30 copies → 30-way ADC ties inside
+    # every code group; distinct ids so tie-breaks are observable
+    rng = np.random.default_rng(7)
+    bases = rng.normal(size=(8, DIM)).round(3)
+    rows = [
+        (int(i), [float(x) for x in bases[i % 8]])
+        for i in range(240)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _numpy_serving_replay(rows, queries, centroids, model, *, k, nprobe, overfetch):
+    """Bit-identical replay of the Spark serving path: normalized-GEMM
+    coarse argmax, expanded-L2 residual encode, per-(query, cell) ADC
+    tables, (rounded dist, id) shortlist, exact rerank."""
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in model["codebooks"]]
+
+    # _assign_to_centroids: cosine argmax over normalized rows
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cell = cids[np.argmax(Vn @ Cn.T, axis=1)]
+
+    # residual + encode_pq's expanded formula
+    R = V - C[np.searchsorted(cids, cell)]
+    codes = np.empty((len(V), M), dtype=np.int64)
+    for j in range(M):
+        S = R[:, j * SUB:(j + 1) * SUB]
+        d2 = (
+            (S * S).sum(axis=1)[:, None]
+            - 2.0 * S @ books[j].T
+            + (books[j] * books[j]).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d2.argmin(axis=1)
+
+    out = []
+    fetch = k * overfetch
+    for qid, qv in queries:
+        q = np.array(qv, dtype=np.float64)
+        dcell = ((q[None, :] - C) ** 2).sum(axis=1)
+        probe = cids[np.lexsort((cids, dcell))[:nprobe]]
+        cand_ids, cand_d = [], []
+        for c in probe:
+            mask = cell == c
+            if not mask.any():
+                continue
+            r = q - C[np.searchsorted(cids, c)]
+            t = np.empty((M, KK))
+            for j in range(M):
+                S = r[j * SUB:(j + 1) * SUB]
+                t[j] = ((S[None, :] - books[j]) ** 2).sum(axis=1)
+            d = np.zeros(mask.sum())
+            Cc = codes[mask]
+            for j in range(M):
+                d += t[j, Cc[:, j]]
+            cand_ids.extend(ids[mask])
+            cand_d.extend(d)
+        order = sorted(
+            range(len(cand_ids)),
+            key=lambda i: (round(cand_d[i], 6), cand_ids[i]),
+        )[:fetch]
+        short = [cand_ids[i] for i in order]
+        # exact rerank
+        exact = []
+        for vid in short:
+            v = V[ids == vid][0]
+            exact.append((round(float(((v - q) ** 2).sum()), 6), int(vid)))
+        exact.sort()
+        for rank, (d2, vid) in enumerate(exact[:k], start=1):
+            out.append((int(qid), vid, d2, rank))
+    return sorted(out)
+
+
+def test_ivfpq_pinned_matches_numpy_replay_under_heavy_ties(
+    spark, tie_corpus, tmp_path
+):
+    from plateau_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    store = str(tmp_path / "s")
+    build_ivfpq_index(
+        spark, store, "ix", tie_corpus,
+        centroids=_pinned_centroids(), pq_model=_pinned_model(),
+    )
+    queries = tie_corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.dist2, r.rank)
+        for r in query_ivfpq_index(
+            spark, store, "ix", queries, k=10, nprobe=2,
+            refine_with=tie_corpus, overfetch=4,
+        ).collect()
+    )
+    rows = [(r.vec_id, r.embedding) for r in tie_corpus.collect()]
+    qrows = [(r.query_id, r.embedding) for r in queries.collect()]
+    want = _numpy_serving_replay(
+        rows, qrows, _pinned_centroids(), _pinned_model(),
+        k=10, nprobe=2, overfetch=4,
+    )
+    assert got == want
+
+
+def test_ivfpq_shortlist_independent_of_file_layout(spark, tie_corpus, tmp_path):
+    """The ADC pre-selection keeps every row at or below the take-th
+    rounded distance, so tied candidates can never be dropped
+    arbitrarily per scan batch — results are identical whether the
+    index was written from 1 input partition or 8."""
+    from plateau_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    queries = tie_corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = []
+    for tag, nparts in (("a", 1), ("b", 8)):
+        store = str(tmp_path / tag)
+        build_ivfpq_index(
+            spark, store, "ix", tie_corpus.repartition(nparts),
+            centroids=_pinned_centroids(), pq_model=_pinned_model(),
+        )
+        results.append(
+            sorted(
+                (r.query_id, r.vec_id, r.dist2, r.rank)
+                for r in query_ivfpq_index(
+                    spark, store, "ix", queries, k=10, nprobe=2,
+                    refine_with=tie_corpus, overfetch=4,
+                ).collect()
+            )
+        )
+    assert results[0] == results[1]
+
+
+def test_ivfpq_pinned_build_runs_no_fit_jobs(spark, tie_corpus, tmp_path):
+    """centroids= + pq_model= must skip both k-means fits: the stored
+    model metadata is exactly the pinned input."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.operators.similarity import build_ivfpq_index
+    from plateau_spark.sources.dataset import _ensure_store
+
+    store = str(tmp_path / "s")
+    build_ivfpq_index(
+        spark, store, "ix", tie_corpus,
+        centroids=_pinned_centroids(), pq_model=_pinned_model(),
+    )
+    meta = DatasetMetadata.load(_ensure_store(store), "ix").metadata["ivfpq"]
+    assert meta["codebooks"] == _pinned_model()["codebooks"]
+    assert [
+        [cid, vec] for cid, vec in _pinned_centroids()
+    ] == [[int(c), [float(x) for x in v]] for c, v in meta["centroids"]]
