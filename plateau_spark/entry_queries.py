@@ -4150,6 +4150,62 @@ FROM documents d WHERE d.doc_id % 50 <> 0
 """
 
 
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/similarity.py
+    decontaminate_semantic): training vectors within 0.4 cosine of any
+    benchmark vector — the tier that catches paraphrased leakage with
+    no shared surface form (the token tiers decontaminate_ngrams/
+    bloom/substring/fuzzy cover verbatim and near-verbatim). Benchmark
+    = every 5th vector; broadcast tier (one corpus scan, codegen
+    cosine, map-side-combined per-id aggregate — no corpus shuffle).
+    Output (vec_id, n_eval_matches, max_cosine, nearest_eval_id);
+    nearest ties break on (rounded cosine, lowest eval id) so the
+    argmax is engine-reproducible. Threshold margin on the fixture is
+    1.3e-4 — nine orders above cross-engine float noise."""
+    _prep(spark)
+    from plateau_spark.operators.similarity import (
+        decontaminate_semantic as _decon_sem,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    return _decon_sem(
+        emb.where(F.col("vec_id") % 5 != 0), ev,
+        eval_id_col="eval_id", threshold=0.4,
+    )
+
+
+DECONTAMINATE_SEMANTIC_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+tr AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+),
+flt AS (
+  SELECT a.vec_id, b.eval_id, {_DOT} / ({_NA} * {_NB}) AS cosine
+  FROM tr a, ev b
+  WHERE {_DOT} / ({_NA} * {_NB}) >= 0.4
+),
+near AS (
+  SELECT vec_id, eval_id AS nearest_eval_id FROM (
+    SELECT vec_id, eval_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(cosine, 6) DESC, eval_id ASC) AS rn
+    FROM flt
+  ) WHERE rn = 1
+)
+SELECT g.vec_id, g.n_eval_matches, g.max_cosine, near.nearest_eval_id
+FROM (
+  SELECT vec_id, COUNT(*) AS n_eval_matches,
+         round(MAX(cosine), 6) AS max_cosine
+  FROM flt GROUP BY vec_id
+) g JOIN near USING (vec_id)
+"""
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier scoring (derived-weight
     mode, so the model is closed-form in both engines)."""
@@ -7397,6 +7453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
     "embedding_pca_pinned": embedding_pca_pinned,
     "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
+    "decontaminate_semantic": decontaminate_semantic,
     "dataset_csv_roundtrip": dataset_csv_roundtrip,
     "dataset_history_read": dataset_history_read,
     "dataset_restore_read": dataset_restore_read,
@@ -7599,6 +7656,7 @@ ORACLES: dict[str, str] = {
     "embedding_pq_topk_pinned": EMBEDDING_PQ_PINNED_ORACLE,
     "embedding_pca_pinned": EMBEDDING_PCA_PINNED_ORACLE,
     "embedding_ivfpq_pinned": EMBEDDING_IVFPQ_PINNED_ORACLE,
+    "decontaminate_semantic": DECONTAMINATE_SEMANTIC_ORACLE,
     "sketch_distinct_users": SKETCH_DISTINCT_USERS_ORACLE,
     "sketch_incremental_lifecycle": SKETCH_INCREMENTAL_ORACLE,
     "score_calibrate_pct": SCORE_CALIBRATE_ORACLE,

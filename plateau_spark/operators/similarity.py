@@ -688,6 +688,116 @@ def semantic_dedup_keep(
     return df.join(drops, id_col, "left_anti")
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+    method: str = "broadcast",
+    n_bits: int = 6,
+    seeds: tuple[int, ...] = (7, 77),
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose embedding
+    is within ``threshold`` cosine of ANY eval/benchmark vector — the
+    embedding-space member of the decontamination family
+    (``ngram_overlap_vs_eval*`` catches verbatim token leakage,
+    ``decontaminate_minhash`` catches reformatted near-copies, this
+    tier catches paraphrases that share no surface form).
+
+    Output: one row per contaminated training id —
+    ``(id, n_eval_matches, max_cosine, nearest_eval_id)`` with
+    ``nearest_eval_id`` the argmax-cosine eval id (ties → lowest id,
+    on cosines rounded to ``round_digits`` so the tie-break is
+    engine-reproducible). Anti-join the ids against the corpus to get
+    the clean set, exactly as with the token tiers.
+
+    100 TB shape: eval benchmarks are KB-to-GB next to the corpus, so
+    ``method="broadcast"`` (default) broadcasts the eval frame and the
+    corpus streams map-side through a codegen cosine + threshold filter
+    + map-side-combined per-id aggregate — ONE corpus scan, no corpus
+    shuffle (only surviving (id, eval_id, cosine) hit rows, pre-filtered
+    to the contaminated sliver, reach the exchange). With an eval side
+    too big to broadcast, ``method="lsh"`` buckets BOTH sides with the
+    shared seeded hyperplanes (``probe_buckets_col``) and equi-joins on
+    (probe, bucket) — in-bucket pairs only, recall-approximate exactly
+    like the ``cosine_topk_lsh``/``embedding_cosine_dup_pairs`` tier.
+
+    Reference analog: none (plateau has no embedding surface) —
+    north-star extension operator.
+    """
+    eid = eval_id_col or id_col
+    evc = eval_vec_col or vec_col
+    if method == "broadcast":
+        ev = eval_df.select(
+            F.col(eid).alias("__eid__"), F.col(evc).alias("__ev__")
+        )
+        hits = (
+            train.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(ev))
+            .select(
+                F.col(id_col),
+                F.col("__eid__"),
+                cosine_sim_col(F.col(vec_col), F.col("__ev__")).alias("__cos__"),
+            )
+            .where(F.col("__cos__") >= threshold)
+        )
+    elif method == "lsh":
+        d = dim if dim is not None else infer_dim(train, vec_col)
+        tb = train.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__tv__"),
+            norm_col(vec_col).alias("__tn__"),
+            F.posexplode(
+                probe_buckets_col(vec_col, n_bits, seeds=seeds, dim=d)
+            ).alias("__probe__", "__bucket__"),
+        )
+        eb = eval_df.select(
+            F.col(eid).alias("__eid__"),
+            F.col(evc).alias("__ev__"),
+            norm_col(evc).alias("__en__"),
+            F.posexplode(
+                probe_buckets_col(evc, n_bits, seeds=seeds, dim=d)
+            ).alias("__probe__", "__bucket__"),
+        )
+        hits = (
+            tb.join(eb, ["__probe__", "__bucket__"])
+            .select(
+                F.col(id_col),
+                F.col("__eid__"),
+                (
+                    dot_col(F.col("__tv__"), F.col("__ev__"))
+                    / (F.col("__tn__") * F.col("__en__"))
+                ).alias("__cos__"),
+            )
+            .where(F.col("__cos__") >= threshold)
+            # a pair met via both probes scores twice map-side; dedup
+            # the tiny hit sliver, never the bucketed corpus
+            .dropDuplicates([id_col, "__eid__"])
+        )
+    else:
+        raise ValueError(
+            f"Unknown method: {method!r} (expected 'broadcast' or 'lsh')"
+        )
+    # argmax-cosine eval id via one struct-min (no second shuffle):
+    # min over (-rounded_cos, eval_id) = highest cosine, ties → lowest id
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_eval_matches"),
+        F.round(F.max("__cos__"), round_digits).alias("max_cosine"),
+        F.min(
+            F.struct(
+                (-F.round(F.col("__cos__"), round_digits)).alias("nc"),
+                F.col("__eid__").alias("eid"),
+            )
+        )["eid"].alias("nearest_eval_id"),
+    )
+
+
 def build_ivf_index(
     spark,
     store,

@@ -195,3 +195,79 @@ def test_ivfpq_pinned_build_runs_no_fit_jobs(spark, tie_corpus, tmp_path):
     assert [
         [cid, vec] for cid, vec in _pinned_centroids()
     ] == [[int(c), [float(x) for x in v]] for c, v in meta["centroids"]]
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    rng = np.random.default_rng(11)
+    ev_vecs = rng.normal(size=(6, DIM))
+    rows_ev = [(int(100 + i), [float(x) for x in ev_vecs[i]]) for i in range(6)]
+    # train: 3 exact copies of eval vectors (contaminated), one scaled
+    # copy (cosine 1.0 — scale-invariant), the rest independent noise
+    rows_tr = [
+        (0, [float(x) for x in ev_vecs[0]]),
+        (1, [float(x) for x in ev_vecs[1]]),
+        (2, [float(x) for x in ev_vecs[2]]),
+        (3, [float(2.5 * x) for x in ev_vecs[0]]),
+    ] + [
+        (int(10 + i), [float(x) for x in rng.normal(size=DIM)])
+        for i in range(40)
+    ]
+    tr = spark.createDataFrame(rows_tr, "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(rows_ev, "eval_id long, embedding array<double>")
+    return tr, ev
+
+
+def test_decontaminate_semantic_broadcast_flags_copies(spark, decon_frames):
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    tr, ev = decon_frames
+    out = decontaminate_semantic(
+        tr, ev, eval_id_col="eval_id", threshold=0.95
+    ).collect()
+    got = {r.vec_id: (r.n_eval_matches, r.max_cosine, r.nearest_eval_id) for r in out}
+    # the exact and scaled copies are flagged with cosine 1.0 against
+    # their source eval vector; random dim-16 noise never reaches 0.95
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == (1, 1.0, 100)
+    assert got[1] == (1, 1.0, 101)
+    assert got[2] == (1, 1.0, 102)
+    assert got[3] == (1, 1.0, 100)
+
+
+def test_decontaminate_semantic_lsh_subset_of_broadcast(spark, decon_frames):
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    tr, ev = decon_frames
+    exact = {
+        r.vec_id: (r.n_eval_matches, r.max_cosine, r.nearest_eval_id)
+        for r in decontaminate_semantic(
+            tr, ev, eval_id_col="eval_id", threshold=0.95
+        ).collect()
+    }
+    lsh = {
+        r.vec_id: (r.n_eval_matches, r.max_cosine, r.nearest_eval_id)
+        for r in decontaminate_semantic(
+            tr, ev, eval_id_col="eval_id", threshold=0.95, method="lsh",
+            n_bits=4,
+        ).collect()
+    }
+    # LSH is recall-approximate: a subset of the exact hits, and an
+    # identical copy ALWAYS lands in its source's bucket (same
+    # hyperplane signs), so the exact-copy rows must all be found
+    assert set(lsh) <= set(exact)
+    assert {0, 1, 2} <= set(lsh)
+    for k, v in lsh.items():
+        assert exact[k][1] >= v[1]   # n_eval_matches can only shrink
+
+
+def test_decontaminate_semantic_rejects_unknown_method(spark, decon_frames):
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    tr, ev = decon_frames
+    with pytest.raises(ValueError, match="Unknown method"):
+        decontaminate_semantic(tr, ev, eval_id_col="eval_id", method="nope")
