@@ -771,6 +771,10 @@ def dataset_python_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("plateau")
         .option("store", store)
         .option("dataset", "orders")
+        # one .load() per query → the opt-in pushFilters pruning tier
+        # is safe (pruning from pushed filters is opt-in because Spark
+        # 4.1 reuses one planned partition list per loaded frame)
+        .option("filter_pushdown", "true")
         .load()
     )
     return out.where(

@@ -24,9 +24,15 @@ list; supported comparisons are translated into the same DNF predicate
 model the native path uses and drive ``plan_scan`` — partition-key
 pruning, zone maps, and Bloom sidecars all apply, so a selective filter
 skips whole files before a single row is read. ALL filters are returned
-as "unsupported" so Spark re-applies them row-level after the scan:
-file pruning is a conservative superset, re-filtering keeps exact
-semantics with zero correctness risk.
+as "unsupported" so Spark re-applies them row-level after the scan.
+File pruning from PUSHED filters is OPT-IN
+(``.option("filter_pushdown", "true")``, one ``.load()`` per query):
+Spark 4.1 caches one planned partition list per loaded frame and only
+re-plans queries whose filters serialize to Python, so per-query
+pruning on a REUSED frame can serve a later bare-count/OR query from a
+stale pruned plan (see ``PlateauBatchReader``). The always-safe pruning
+tier is ``.option("predicates", '<json DNF>')`` — relation-constant, so
+every cached-plan reuse is consistent.
 
 Scale notes: partition planning is driver-side metadata work (same as
 the native path); each file is one ``InputPartition`` read by a Python
@@ -144,6 +150,34 @@ def _read_partition_arrow(part: _FilePartition, spark_schema, partition_keys):
 
 
 class PlateauBatchReader(DataSourceReader):
+    """Batch reader with TWO pruning tiers, shaped around a Spark 4.1
+    caching hazard:
+
+    Spark caches one planned read (the partition list) per LOADED
+    DataFrame (``PythonDataSourceV2.readInfo``) and only re-plans when a
+    query's filters contain at least one type it can serialize to
+    Python (``UserDefinedPythonDataSource.pushdownFiltersInPython``
+    returns None otherwise and the JVM keeps the cached plan). So a
+    partition list pruned by query A's pushFilters gets silently REUSED
+    by a later query B on the same loaded frame when B's filters don't
+    serialize (a bare count, a top-level OR) — B then reads A's file
+    subset and DROPS ROWS.
+
+    Therefore:
+    - ``.option("predicates", '<json DNF>')`` — the SAFE pruning tier:
+      predicates are part of the relation's options, constant for the
+      lifetime of the loaded frame, so every cached-plan reuse is
+      consistent. Same JSON shape as ``filter_query``'s DNF model.
+    - ``.option("filter_pushdown", "true")`` — opt-in per-query
+      pushFilters pruning; correct when each query does its own
+      ``.load()`` (the one-chain ``spark.read...load().where().agg()``
+      idiom). Reusing one pushdown-enabled frame across differently
+      filtered queries is the documented hazard above.
+    - default — pushed filters are translated but NOT used for file
+      pruning (Spark re-applies them row-level; correctness never
+      depends on the cached plan), predicates= still prunes.
+    """
+
     def __init__(self, options):
         self._root = options["store"]
         self._uuid = options["dataset"]
@@ -151,6 +185,20 @@ class PlateauBatchReader(DataSourceReader):
         gen = options.get("generation")
         self._generation = int(gen) if gen is not None else None
         self._predicates: list[list[tuple[str, str, Any]]] | None = None
+        self._pushdown = str(options.get("filter_pushdown", "false")).lower() == "true"
+        opt_preds = options.get("predicates")
+        if opt_preds is not None:
+            import json
+
+            from plateau_spark.core.predicates import check_predicates
+
+            parsed = [
+                [tuple(clause) for clause in conj] for conj in json.loads(opt_preds)
+            ]
+            check_predicates(parsed)
+            self._option_predicates = parsed
+        else:
+            self._option_predicates = None
         from plateau_spark.core.metadata import DatasetMetadata
         from plateau_spark.core.store import Store
 
@@ -160,25 +208,47 @@ class PlateauBatchReader(DataSourceReader):
         )
 
     def pushFilters(self, filters):
+        # ALWAYS overwrite (None when nothing translates): Spark reuses
+        # one reader instance across queries on the same loaded
+        # DataFrame, so a conditional set would leak the PREVIOUS
+        # query's pushed filters into any later re-planned query.
         conj = _filters_to_conjunction(filters)
-        if conj:
-            self._predicates = [conj]
+        self._predicates = [conj] if conj else None
         # return EVERYTHING: pruning is a superset, Spark re-filters rows
         return filters
+
+    def _effective_predicates(self):
+        """AND of the relation-stable predicates= option and (only when
+        opted in) the current query's pushed filters."""
+        pushed = self._predicates if self._pushdown else None
+        if self._option_predicates is None:
+            return pushed
+        if pushed is None:
+            return self._option_predicates
+        # DNF AND DNF: distribute (both sides here are single- or
+        # few-conjunction lists; the grids only produce small shapes)
+        return [a + b for a in self._option_predicates for b in pushed]
 
     def partitions(self) -> Sequence[InputPartition]:
         from plateau_spark.plans.pruning import plan_scan
 
-        surviving = plan_scan(self._meta, self._store, self._predicates)
+        surviving = plan_scan(self._meta, self._store, self._effective_predicates())
+        if not surviving:
+            # every file pruned: Spark still schedules one task for an
+            # empty partition list (read() receives partition=None), so
+            # hand it an explicit empty sentinel instead of crashing
+            return [InputPartition(None)]
         return [
             _FilePartition(p.file, self._store.path(p.file), p.label)
             for p in surviving
         ]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
         from plateau_spark.core.metadata import DatasetMetadata
         from plateau_spark.core.store import Store
 
+        if partition is None or not isinstance(partition, _FilePartition):
+            return  # all-pruned sentinel: zero rows
         # workers re-load metadata lazily only for schema/keys; both are
         # small (the commit file) and cached by the OS page cache
         store = Store(self._root)

@@ -55,22 +55,54 @@ def _materialize(mode, spark, store, **kwargs):
             spark, store, "conf", ["P"], **kwargs
         ):
             rows.extend(df.collect())
+    elif mode == "datasource":
+        # the Python DataSource (format("plateau")): grid predicates
+        # re-spelled as ONE Catalyst filter via dnf_to_column, so the
+        # pushFilters→plan_scan translation sees the grid's full
+        # predicate vocabulary (ranges, dates, disjunctions — the
+        # write grid's sampled datasource reads only spell ==).
+        # Columns re-ordered to the native reader's order so the
+        # positional tuple comparison is apples-to-apples.
+        from plateau_spark.core.predicates import dnf_to_column
+        from plateau_spark.sources.datasource import register_plateau_datasource
+
+        register_plateau_datasource(spark)
+        df = (
+            spark.read.format("plateau")
+            .option("store", store.root)
+            .option("dataset", "conf")
+            # fresh .load() per case → the opt-in per-query pushFilters
+            # pruning tier is safe and gets the grid's predicate breadth
+            .option("filter_pushdown", "true")
+            .load()
+        )
+        preds = kwargs.get("predicates")
+        if preds:
+            df = df.where(dnf_to_column(preds))
+        native_cols = read_dataset_as_dataframe(
+            spark, store, "conf", **kwargs
+        ).columns
+        rows = df.select(*native_cols).collect()
     else:  # pragma: no cover
         raise AssertionError(mode)
     return sorted(tuple(r) for r in rows)
 
 
 MODES = ["eager", "iterator", "groups"]
+# value-producing cases additionally run through the Python DataSource;
+# error-contract cases stay native (the typed errors belong to the
+# predicates=/columns= API, not Spark's format() surface)
+MODES_DS = [*MODES, "datasource"]
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", MODES_DS)
 def test_full_read(mode, spark, conf_store):
     assert _materialize(mode, spark, conf_store) == sorted(
         (p, d, l, t) for p, l, t, d in ROWS
     )
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", MODES_DS)
 def test_predicate_on_partition_key(mode, spark, conf_store):
     got = _materialize(
         mode, spark, conf_store, predicates=[[("P", ">", 1)]]
@@ -78,13 +110,13 @@ def test_predicate_on_partition_key(mode, spark, conf_store):
     assert got == sorted((p, d, l, t) for p, l, t, d in ROWS if p > 1)
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", MODES_DS)
 def test_predicate_on_indexed_column(mode, spark, conf_store):
     got = _materialize(mode, spark, conf_store, predicates=[[("L", "==", 2)]])
     assert got == sorted((p, d, l, t) for p, l, t, d in ROWS if l == 2)
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", MODES_DS)
 def test_predicate_disjunction(mode, spark, conf_store):
     preds = [[("L", "==", 1)], [("TARGET", ">=", 4)]]
     got = _materialize(mode, spark, conf_store, predicates=preds)
@@ -93,13 +125,13 @@ def test_predicate_disjunction(mode, spark, conf_store):
     )
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", MODES_DS)
 def test_column_projection(mode, spark, conf_store):
     got = _materialize(mode, spark, conf_store, columns=["P", "TARGET"])
     assert got == sorted((p, t) for p, _l, t, _d in ROWS)
 
 
-@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("mode", MODES_DS)
 def test_empty_result(mode, spark, conf_store):
     got = _materialize(mode, spark, conf_store, predicates=[[("P", "==", 99)]])
     assert got == []

@@ -115,6 +115,9 @@ def _read_both_modes(spark, store, uuid, cols, datasource=False, **kw):
         spark.read.format("plateau")
         .option("store", store.root)
         .option("dataset", uuid)
+        # fresh .load() per case → the opt-in per-query pushFilters
+        # pruning tier is safe here and keeps its generative breadth
+        .option("filter_pushdown", "true")
         .load()
     )
     for conj in kw.get("predicates") or []:

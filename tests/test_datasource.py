@@ -26,13 +26,15 @@ def _register(spark):
     register_plateau_datasource(spark)
 
 
-def _load(spark, root, uuid):
-    return (
+def _load(spark, root, uuid, **options):
+    rd = (
         spark.read.format("plateau")
         .option("store", root)
         .option("dataset", uuid)
-        .load()
     )
+    for k, v in options.items():
+        rd = rd.option(k, v)
+    return rd.load()
 
 
 def test_batch_read_matches_read_table(spark, tmp_path, lineitem):
@@ -80,13 +82,15 @@ def test_batch_zone_map_pruning_applies(spark, tmp_path):
     )
     from plateau_spark.sources.datasource import PlateauBatchReader
 
-    rdr = PlateauBatchReader({"store": root, "dataset": "zm"})
+    rdr = PlateauBatchReader(
+        {"store": root, "dataset": "zm", "filter_pushdown": "true"}
+    )
     assert len(rdr.partitions()) == 2
     # "<" stays zone-map-prunable on float columns (">" deliberately
     # cannot prune float bounds: a hidden NaN row would satisfy it)
     rdr._predicates = [[("x", "<", 50.0)]]
     assert len(rdr.partitions()) == 1  # zone map drops the [100,199] file
-    out = _load(spark, root, "zm").where("x < 50.0")
+    out = _load(spark, root, "zm", filter_pushdown="true").where("x < 50.0")
     assert out.count() == 50
 
 
@@ -530,3 +534,56 @@ def test_batch_read_works_under_false_pushdown_conf(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_reused_frame_is_correct_across_filtered_then_unfiltered(spark, tmp_path):
+    """Spark 4.1 caches ONE planned partition list per loaded frame and
+    only re-plans queries whose filters serialize to Python — so any
+    per-query file pruning poisons a later bare count / OR query on the
+    SAME loaded frame. With the safe default (no pushFilters pruning)
+    every query on a reused frame is exact."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    )
+    store_dataframe_as_dataset(spark, Store(root), "ds", df, partition_on=["g"])
+    frame = _load(spark, root, "ds")  # loaded ONCE, reused across queries
+    assert frame.where("g = 'zzz'").count() == 0       # pushable, prunes to nothing
+    assert frame.count() == 60                          # bare count: no filters
+    assert frame.where("g = 'g1' or x >= 55.0").count() == len(
+        [k for k in range(60) if k % 3 == 1 or k >= 55]
+    )                                                   # top-level OR: not serializable
+
+
+def test_predicates_option_prunes_and_survives_reuse(spark, tmp_path):
+    """.option("predicates", json-DNF): relation-stable pruning — part
+    of the load options, so the cached plan is consistent for every
+    query on the frame, and plan_scan prunes files exactly as the
+    native reader would."""
+    import json
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    )
+    store_dataframe_as_dataset(spark, Store(root), "ds", df, partition_on=["g"])
+    from plateau_spark.sources.datasource import PlateauBatchReader
+
+    preds = json.dumps([[["g", "==", "g1"]]])
+    rdr = PlateauBatchReader({"store": root, "dataset": "ds", "predicates": preds})
+    assert len(rdr.partitions()) == 1  # partition-key pruning applied
+    frame = _load(spark, root, "ds", predicates=preds)
+    assert frame.count() == 20
+    # reuse with a further (non-serializable) filter: rows exact
+    assert frame.where("x >= 10.0 or k < 0").count() == len(
+        [k for k in range(60) if k % 3 == 1 and k >= 10]
+    )
+    # predicates= composes with opt-in pushdown (fresh load per query)
+    narrowed = _load(
+        spark, root, "ds", predicates=preds, filter_pushdown="true"
+    ).where("x >= 30.0")
+    assert narrowed.count() == len(
+        [k for k in range(60) if k % 3 == 1 and k >= 30]
+    )
