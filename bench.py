@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_scrub",
     "decontaminate_ngrams",
+    "decontaminate_semantic",
     "asof_join_events",
     "range_join_windows",
     "sample_temperature",

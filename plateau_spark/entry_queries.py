@@ -4160,8 +4160,13 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark vector — the tier that catches paraphrased leakage with
     no shared surface form (the token tiers decontaminate_ngrams/
     bloom/substring/fuzzy cover verbatim and near-verbatim). Benchmark
-    = every 5th vector; broadcast tier (one corpus scan, codegen
-    cosine, map-side-combined per-id aggregate — no corpus shuffle).
+    = the first 100 of every-5th vectors — capped because a REAL
+    benchmark set is fixed-size no matter how big the corpus grows (at
+    sf0.01 the cap is exactly the whole modulo split, so the result is
+    unchanged; at larger SFs the per-row work stays constant instead
+    of scaling with the corpus). Broadcast tier (one corpus scan,
+    codegen cosine, map-side-combined per-id aggregate — no corpus
+    shuffle).
     Output (vec_id, n_eval_matches, max_cosine, nearest_eval_id);
     nearest ties break on (rounded cosine, lowest eval id) so the
     argmax is engine-reproducible. Threshold margin on the fixture is
@@ -4172,8 +4177,11 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.where(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("eval_id"), "embedding"
+    ev = (
+        emb.where(F.col("vec_id") % 5 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("eval_id"), "embedding")
     )
     return _decon_sem(
         emb.where(F.col("vec_id") % 5 != 0), ev,
@@ -4183,7 +4191,8 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SEMANTIC_ORACLE = f"""
 WITH ev AS (
-  SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  SELECT vec_id AS eval_id, embedding FROM embeddings
+  WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 100
 ),
 tr AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0

@@ -110,6 +110,56 @@ def _filters_to_conjunction(filters) -> list[tuple[str, str, Any]]:
     return conj
 
 
+_OPTION_PREDICATE_OPS = {"==", "=", "!=", "<", "<=", ">", ">=", "in"}
+
+
+def _dnf_to_arrow_expr(predicates):
+    """pyarrow expression twin of ``predicates._literal_to_column`` for
+    the ops the ``predicates=`` option supports — same NULL semantics
+    (unknown → row dropped; ``== None`` → IS NULL; an ``in`` list
+    containing None keeps NULL rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    def lit_expr(col, op, val):
+        f = pads.field(col)
+        if op in ("==", "="):
+            return f.is_null() if val is None else f == val
+        if op == "!=":
+            return ~f.is_null() if val is None else f != val
+        if op == "<=":
+            return f <= val
+        if op == ">=":
+            return f >= val
+        if op == "<":
+            return f < val
+        if op == ">":
+            return f > val
+        if op == "in":
+            values = list(val)
+            has_null = any(v is None for v in values)
+            values = [v for v in values if v is not None]
+            if not values:
+                return f.is_null() if has_null else pc.scalar(False)
+            # mask NULLs explicitly: Spark's isin(NULL row) is UNKNOWN
+            # (dropped), pyarrow's null behavior must not decide this
+            base = f.isin(values) & ~f.is_null()
+            return (base | f.is_null()) if has_null else base
+        raise ValueError(f"Unknown operator {op!r}")  # pragma: no cover
+
+    conj_exprs = []
+    for conj in predicates:
+        e = None
+        for col, op, val in conj:
+            c = lit_expr(col, op, val)
+            e = c if e is None else e & c
+        conj_exprs.append(e)
+    out = conj_exprs[0]
+    for e in conj_exprs[1:]:
+        out = out | e
+    return out
+
+
 class _FilePartition(InputPartition):
     def __init__(self, key: str, path: str, label: str):
         self.key = key
@@ -167,7 +217,11 @@ class PlateauBatchReader(DataSourceReader):
     - ``.option("predicates", '<json DNF>')`` — the SAFE pruning tier:
       predicates are part of the relation's options, constant for the
       lifetime of the loaded frame, so every cached-plan reuse is
-      consistent. Same JSON shape as ``filter_query``'s DNF model.
+      consistent. Prunes files AND filters rows (Arrow-side), matching
+      the native reader's ``predicates=`` exactly; date/timestamp
+      literals are ISO strings revived against the dataset schema
+      (JSON cannot carry the types). Supported ops:
+      ``== = != < <= > >= in``.
     - ``.option("filter_pushdown", "true")`` — opt-in per-query
       pushFilters pruning; correct when each query does its own
       ``.load()`` (the one-chain ``spark.read...load().where().agg()``
@@ -186,19 +240,6 @@ class PlateauBatchReader(DataSourceReader):
         self._generation = int(gen) if gen is not None else None
         self._predicates: list[list[tuple[str, str, Any]]] | None = None
         self._pushdown = str(options.get("filter_pushdown", "false")).lower() == "true"
-        opt_preds = options.get("predicates")
-        if opt_preds is not None:
-            import json
-
-            from plateau_spark.core.predicates import check_predicates
-
-            parsed = [
-                [tuple(clause) for clause in conj] for conj in json.loads(opt_preds)
-            ]
-            check_predicates(parsed)
-            self._option_predicates = parsed
-        else:
-            self._option_predicates = None
         from plateau_spark.core.metadata import DatasetMetadata
         from plateau_spark.core.store import Store
 
@@ -206,6 +247,42 @@ class PlateauBatchReader(DataSourceReader):
         self._meta = DatasetMetadata.load(
             self._store, self._uuid, generation=self._generation
         )
+        opt_preds = options.get("predicates")
+        if opt_preds is not None:
+            import json
+
+            from plateau_spark.core.metadata import _revive_stat
+            from plateau_spark.core.predicates import check_predicates
+
+            field_types = {f.name: f.dataType for f in self._meta.schema.fields}
+
+            def _revive(col, op, val):
+                dt = field_types.get(col)
+                if op == "in":
+                    return [_revive_stat(v, dt) for v in val]
+                return _revive_stat(val, dt)
+
+            parsed = []
+            for conj in json.loads(opt_preds):
+                out = []
+                for col, op, val in (tuple(clause) for clause in conj):
+                    if op not in _OPTION_PREDICATE_OPS:
+                        raise ValueError(
+                            f"predicates= option does not support operator "
+                            f"{op!r} (supported: "
+                            f"{sorted(_OPTION_PREDICATE_OPS)}); use "
+                            f"read_table(..., predicates=...) for the full "
+                            f"DNF vocabulary"
+                        )
+                    # JSON cannot express dates/timestamps: revive ISO
+                    # strings to the column's schema type, exactly as
+                    # zone-map stats are revived on load
+                    out.append((col, op, _revive(col, op, val)))
+                parsed.append(out)
+            check_predicates(parsed)
+            self._option_predicates = parsed
+        else:
+            self._option_predicates = None
 
     def pushFilters(self, filters):
         # ALWAYS overwrite (None when nothing translates): Spark reuses
@@ -253,7 +330,21 @@ class PlateauBatchReader(DataSourceReader):
         # small (the commit file) and cached by the OS page cache
         store = Store(self._root)
         meta = DatasetMetadata.load(store, self._uuid, generation=self._generation)
-        yield from _read_partition_arrow(partition, meta.schema, meta.partition_keys)
+        batches = _read_partition_arrow(partition, meta.schema, meta.partition_keys)
+        if self._option_predicates is None:
+            yield from batches
+            return
+        # predicates= filters ROWS too, exactly like the native reader's
+        # predicates= — pruning alone would silently return superset
+        # rows whenever a file isn't fully prunable (Spark never sees
+        # the option's filters, so it cannot re-apply them)
+        import pyarrow as pa
+
+        expr = _dnf_to_arrow_expr(self._option_predicates)
+        for b in batches:
+            t = pa.Table.from_batches([b]).filter(expr)
+            if t.num_rows:
+                yield from t.to_batches()
 
 
 class PlateauStreamReader(DataSourceStreamReader):

@@ -79,13 +79,28 @@ def _materialize(mode, spark, store, **kwargs):
         preds = kwargs.get("predicates")
         if preds:
             df = df.where(dnf_to_column(preds))
-        native_cols = read_dataset_as_dataframe(
-            spark, store, "conf", **kwargs
-        ).columns
-        rows = df.select(*native_cols).collect()
+        rows = df.select(
+            *_native_cols(spark, store, kwargs.get("columns"))
+        ).collect()
     else:  # pragma: no cover
         raise AssertionError(mode)
     return sorted(tuple(r) for r in rows)
+
+
+_NATIVE_COLS_CACHE: dict = {}
+
+
+def _native_cols(spark, store, columns):
+    """Native reader's column order for the datasource comparison —
+    depends only on the columns kwarg, so one plan per projection
+    instead of one per grid case."""
+    key = tuple(columns) if columns is not None else None
+    if key not in _NATIVE_COLS_CACHE:
+        kw = {} if columns is None else {"columns": list(columns)}
+        _NATIVE_COLS_CACHE[key] = read_dataset_as_dataframe(
+            spark, store, "conf", **kw
+        ).columns
+    return _NATIVE_COLS_CACHE[key]
 
 
 MODES = ["eager", "iterator", "groups"]

@@ -587,3 +587,68 @@ def test_predicates_option_prunes_and_survives_reuse(spark, tmp_path):
     assert narrowed.count() == len(
         [k for k in range(60) if k % 3 == 1 and k >= 30]
     )
+
+
+def test_predicates_option_filters_rows_not_just_files(spark, tmp_path):
+    """predicates= must match the NATIVE reader's predicates= row
+    semantics even when no file can be pruned (content predicate on an
+    unpartitioned dataset) — pruning alone would return superset
+    rows."""
+    import json
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "k long, x double"
+    )
+    store_dataframe_as_dataset(spark, Store(root), "flat", df)
+    out = _load(
+        spark, root, "flat", predicates=json.dumps([[["x", "<", 10.0]]])
+    )
+    assert sorted(r["k"] for r in out.collect()) == list(range(10))
+    # disjunction + in-list, still unprunable
+    out2 = _load(
+        spark, root, "flat",
+        predicates=json.dumps([[["x", "<", 3.0]], [["k", "in", [40, 41]]]]),
+    )
+    assert sorted(r["k"] for r in out2.collect()) == [0, 1, 2, 40, 41]
+
+
+def test_predicates_option_revives_date_literals(spark, tmp_path):
+    """JSON cannot express dates: ISO-string literals revive against
+    the schema type, so date-partitioned pruning AND row filtering both
+    work (the unrevived comparison silently pruned everything)."""
+    import datetime
+    import json
+
+    root = str(tmp_path / "store")
+    rows = [
+        (i, datetime.date(2020, 1, 1 + i % 3), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, x double")
+    store_dataframe_as_dataset(spark, Store(root), "byd", df, partition_on=["d"])
+    from plateau_spark.sources.datasource import PlateauBatchReader
+
+    eq = json.dumps([[["d", "==", "2020-01-02"]]])
+    rdr = PlateauBatchReader({"store": root, "dataset": "byd", "predicates": eq})
+    assert len(rdr.partitions()) == 1  # pruned to the one date partition
+    out = _load(spark, root, "byd", predicates=eq)
+    assert sorted(r["k"] for r in out.collect()) == [k for k in range(30) if k % 3 == 1]
+    # range op on the date key (crashed before revival: date vs str)
+    rng = json.dumps([[["d", ">", "2020-01-01"]]])
+    out2 = _load(spark, root, "byd", predicates=rng)
+    assert sorted(r["k"] for r in out2.collect()) == [
+        k for k in range(30) if k % 3 != 0
+    ]
+
+
+def test_predicates_option_rejects_unsupported_op(spark, tmp_path):
+    import json
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    store_dataframe_as_dataset(spark, Store(root), "ds", df)
+    with pytest.raises(Exception, match="does not support operator"):
+        _load(
+            spark, root, "ds",
+            predicates=json.dumps([[["s", "not in", ["a"]]]]),
+        ).collect()

@@ -262,7 +262,8 @@ def test_decontaminate_semantic_lsh_subset_of_broadcast(spark, decon_frames):
     assert set(lsh) <= set(exact)
     assert {0, 1, 2} <= set(lsh)
     for k, v in lsh.items():
-        assert exact[k][1] >= v[1]   # n_eval_matches can only shrink
+        assert exact[k][0] >= v[0]   # n_eval_matches can only shrink
+        assert exact[k][1] >= v[1]   # max_cosine can only shrink
 
 
 def test_decontaminate_semantic_rejects_unknown_method(spark, decon_frames):
