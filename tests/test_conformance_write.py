@@ -126,6 +126,20 @@ def _read_both_modes(spark, store, uuid, cols, datasource=False, **kw):
             ds = ds.where(F.col(col) == F.lit(val))
     dsr = _rows(ds.collect(), cols)
     assert eager == dsr, "native and datasource reads disagree"
+    if kw.get("predicates"):
+        # the relation-stable predicates= option must produce the same
+        # rows as the native predicates= (prune + Arrow row filter)
+        import json
+
+        opt = (
+            spark.read.format("plateau")
+            .option("store", store.root)
+            .option("dataset", uuid)
+            .option("predicates", json.dumps(kw["predicates"], default=str))
+            .load()
+        )
+        optr = _rows(opt.collect(), cols)
+        assert eager == optr, "native and predicates= option reads disagree"
     return eager
 
 
