@@ -7456,7 +7456,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     first (embedding_pq_topk_pinned / embedding_pca_pinned /
     #     embedding_ivfpq_pinned — the encode/ADC/rerank, projection
     #     and persisted-IVFPQ-serving stages of the largest
-    #     rows-only families gain hash-matched evidence), then ALL 22
+    #     rows-only families gain hash-matched evidence — plus the new
+    #     decontaminate_semantic operator), then ALL 22
     #     entries whose last driver evidence is r8 (displaced past r11's
     #     boundary), then the stalest r9 entries to fill the window.
     #     Entries past the boundary sort by evidence round (r9 leftovers
