@@ -652,3 +652,64 @@ def test_predicates_option_rejects_unsupported_op(spark, tmp_path):
             spark, root, "ds",
             predicates=json.dumps([[["s", "not in", ["a"]]]]),
         ).collect()
+
+
+def test_arrow_expr_matches_spark_dnf_on_random_frames(spark):
+    """_dnf_to_arrow_expr is the row-filter twin of the native
+    _literal_to_column compiler — fuzz both over random frames with
+    NULLs and random DNFs of every supported op and compare surviving
+    row ids. NULL semantics (unknown → drop, == None → IS NULL, in-list
+    None → keeps NULLs) are the risk surface."""
+    import random
+
+    import pyarrow as pa
+
+    from plateau_spark.core.predicates import dnf_to_column
+    from plateau_spark.sources.datasource import _dnf_to_arrow_expr
+
+    rng = random.Random(42)
+    OPS = ["==", "!=", "<", "<=", ">", ">=", "in"]
+
+    for case in range(25):
+        n = rng.randint(1, 40)
+        rows = []
+        for i in range(n):
+            rows.append(
+                (
+                    i,
+                    rng.choice([None, rng.randint(0, 5)]),
+                    rng.choice([None, "a", "b", "c"]),
+                    rng.choice([None, float(rng.randint(0, 4))]),
+                )
+            )
+        sdf = spark.createDataFrame(rows, "rid long, i long, s string, x double")
+        pat = pa.table(
+            {
+                "rid": [r[0] for r in rows],
+                "i": [r[1] for r in rows],
+                "s": [r[2] for r in rows],
+                "x": [r[3] for r in rows],
+            }
+        )
+
+        def rand_lit():
+            col = rng.choice(["i", "s", "x"])
+            vals = {"i": [0, 1, 2, 3, None], "s": ["a", "b", None], "x": [0.0, 2.0, None]}[col]
+            op = rng.choice(OPS)
+            if op == "in":
+                k = rng.randint(0, 3)
+                return (col, op, rng.sample(vals, k))
+            v = rng.choice(vals)
+            if v is None and op not in ("==", "!="):
+                v = vals[0]
+            return (col, op, v)
+
+        dnf = [
+            [rand_lit() for _ in range(rng.randint(1, 3))]
+            for _ in range(rng.randint(1, 3))
+        ]
+        want = sorted(
+            r.rid for r in sdf.where(dnf_to_column(dnf)).select("rid").collect()
+        )
+        got = sorted(pat.filter(_dnf_to_arrow_expr(dnf)).column("rid").to_pylist())
+        assert got == want, f"case {case}: dnf={dnf}"
