@@ -272,3 +272,27 @@ def test_decontaminate_semantic_rejects_unknown_method(spark, decon_frames):
     tr, ev = decon_frames
     with pytest.raises(ValueError, match="Unknown method"):
         decontaminate_semantic(tr, ev, eval_id_col="eval_id", method="nope")
+
+
+def test_decontaminate_semantic_gemm_matches_broadcast(spark, decon_frames):
+    """The Arrow GEMM tier is a throughput re-expression of the codegen
+    broadcast tier: identical hit set and (rounded) values — results
+    differ only by float summation order."""
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    tr, ev = decon_frames
+
+    def canon(df):
+        return sorted(
+            (r.vec_id, r.n_eval_matches, round(r.max_cosine, 6), r.nearest_eval_id)
+            for r in df.collect()
+        )
+
+    a = canon(decontaminate_semantic(tr, ev, eval_id_col="eval_id", threshold=0.95))
+    b = canon(
+        decontaminate_semantic(
+            tr, ev, eval_id_col="eval_id", threshold=0.95, method="gemm"
+        )
+    )
+    assert a == b
+    assert len(a) == 4  # the copies, per the broadcast-tier test
