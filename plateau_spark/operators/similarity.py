@@ -741,18 +741,32 @@ def decontaminate_semantic(
     eid = eval_id_col or id_col
     evc = eval_vec_col or vec_col
     if method == "broadcast":
+        # norms precomputed per ROW, not per pair (one fold per pair
+        # instead of three), and the division is guarded: a zero-norm
+        # vector has no direction — under ANSI mode 0/0 RAISES, under
+        # non-ANSI it is NaN which Spark orders above every double
+        # (NaN >= thr is TRUE) — so degenerate vectors must be dropped,
+        # never crash the scan or flag against the whole benchmark
         ev = eval_df.select(
-            F.col(eid).alias("__eid__"), F.col(evc).alias("__ev__")
+            F.col(eid).alias("__eid__"),
+            F.col(evc).alias("__ev__"),
+            norm_col(evc).alias("__en__"),
         )
         hits = (
-            train.select(F.col(id_col), F.col(vec_col))
+            train.select(
+                F.col(id_col), F.col(vec_col), norm_col(vec_col).alias("__tn__")
+            )
             .crossJoin(F.broadcast(ev))
             .select(
                 F.col(id_col),
                 F.col("__eid__"),
-                cosine_sim_col(F.col(vec_col), F.col("__ev__")).alias("__cos__"),
+                F.when(
+                    (F.col("__tn__") > 0) & (F.col("__en__") > 0),
+                    dot_col(F.col(vec_col), F.col("__ev__"))
+                    / (F.col("__tn__") * F.col("__en__")),
+                ).alias("__cos__"),
             )
-            .where(F.col("__cos__") >= threshold)
+            .where(F.col("__cos__") >= threshold)  # NULL (zero-norm) drops
         )
     elif method == "gemm":
         import numpy as np
@@ -762,7 +776,11 @@ def decontaminate_semantic(
             raise ValueError("eval frame is empty")
         eids = np.array([r[0] for r in erows])  # native id dtype
         E = np.array([list(map(float, r[1])) for r in erows], dtype=np.float64)
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        en = np.linalg.norm(E, axis=1, keepdims=True)
+        # zero-norm guard (same contract as the SQL tiers): a
+        # direction-less vector scores -inf against everything
+        En = np.divide(E, en, out=np.zeros_like(E), where=en > 0)
+        bad_ev = en[:, 0] == 0
         thr = float(threshold)
 
         def _score(batches):
@@ -772,8 +790,11 @@ def decontaminate_semantic(
                 if pdf.empty:
                     continue
                 V = np.array(list(pdf[vec_col]), dtype=np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
                 S = Vn @ En.T  # (n, B)
+                S[vn[:, 0] == 0, :] = -np.inf
+                S[:, bad_ev] = -np.inf
                 ri, ci = np.nonzero(S >= thr)
                 if len(ri) == 0:
                     continue
@@ -814,11 +835,13 @@ def decontaminate_semantic(
             .select(
                 F.col(id_col),
                 F.col("__eid__"),
-                (
+                F.when(
+                    (F.col("__tn__") > 0) & (F.col("__en__") > 0),
                     dot_col(F.col("__tv__"), F.col("__ev__"))
-                    / (F.col("__tn__") * F.col("__en__"))
+                    / (F.col("__tn__") * F.col("__en__")),
                 ).alias("__cos__"),
             )
+            # same zero-norm guard as the broadcast tier
             .where(F.col("__cos__") >= threshold)
             # a pair met via both probes scores twice map-side; dedup
             # the tiny hit sliver, never the bucketed corpus

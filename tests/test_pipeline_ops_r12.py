@@ -296,3 +296,30 @@ def test_decontaminate_semantic_gemm_matches_broadcast(spark, decon_frames):
     )
     assert a == b
     assert len(a) == 4  # the copies, per the broadcast-tier test
+
+
+def test_decontaminate_semantic_zero_norm_vectors_never_flag(spark):
+    """A zero vector has no direction: its cosine is 0/0 = NaN, and
+    Spark orders NaN ABOVE every double (NaN >= threshold is TRUE) —
+    without the isnan guard a degenerate train OR eval vector is
+    flagged against everything with NaN cosine. All three tiers must
+    drop it."""
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    tr = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] + [0.0] * (DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [0.0] * DIM), (101, [1.0] + [0.0] * (DIM - 1))],
+        "eval_id long, embedding array<double>",
+    )
+    for method in ("broadcast", "gemm", "lsh"):
+        got = sorted(
+            (r.vec_id, r.n_eval_matches, r.max_cosine, r.nearest_eval_id)
+            for r in decontaminate_semantic(
+                tr, ev, eval_id_col="eval_id", threshold=0.9, method=method
+            ).collect()
+        )
+        # only the real copy pair survives; the zero vectors flag nothing
+        assert got == [(1, 1, 1.0, 101)], method
