@@ -875,9 +875,13 @@ def embedding_cosine_dup_pairs(
         .select(
             F.col("l.__id__").alias("id_a"),
             F.col("r.__id__").alias("id_b"),
-            (
+            # zero-norm guard: a direction-less vector yields NULL (not
+            # an ANSI 0/0 crash, not non-ANSI NaN that Spark sorts
+            # above every double) and drops at the threshold
+            F.when(
+                (F.col("l.__n__") > 0) & (F.col("r.__n__") > 0),
                 _dot(F.col("l.__v__"), F.col("r.__v__"))
-                / (F.col("l.__n__") * F.col("r.__n__"))
+                / (F.col("l.__n__") * F.col("r.__n__")),
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

@@ -50,7 +50,14 @@ def norm_col(a) -> Column:
 
 
 def cosine_sim_col(a, b) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """Cosine similarity; NULL when either vector has zero norm. A
+    direction-less vector cannot crash the scan (ANSI mode raises on
+    0/0) or outrank everything (non-ANSI NaN sorts above every double
+    in Spark) — one zero embedding in a 100 TB corpus must not kill or
+    corrupt the job. NULL drops at threshold filters and sorts last in
+    descending rankings."""
+    den = norm_col(a) * norm_col(b)
+    return F.when(den > 0, dot_col(a, b) / den)
 
 
 def infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -129,6 +136,8 @@ def cosine_topk_bruteforce(
         F.col(id_col),
         cosine_sim_col(F.col(vec_col), F.col("__qv__")).alias("cosine"),
     )
+    # NULL cosine (zero-norm query or corpus row) is not rankable
+    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -307,7 +316,8 @@ def kmeans_cluster(
     cents = _lloyd_refine(corpus, cents, id_col, vec_col, iterations)
 
     cmat = np.array(cents, dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    _cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = np.divide(cmat, _cn, out=np.zeros_like(cmat), where=_cn > 0)
 
     def _assign_score(vecs):
         import pandas as pd
@@ -315,7 +325,10 @@ def kmeans_cluster(
         if len(vecs) == 0:
             return pd.DataFrame({"cid": [], "cos": []})
         V = np.array(list(vecs), dtype=np.float64)
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        # zero-norm guard: a zero vector scores 0 against every
+        # centroid and lands deterministically in the first cell
+        _vn = np.linalg.norm(V, axis=1, keepdims=True)
+        V = np.divide(V, _vn, out=np.zeros_like(V), where=_vn > 0)
         S = V @ cmat.T
         cid = np.argmax(S, axis=1)
         return pd.DataFrame(
@@ -354,7 +367,8 @@ def _assign_to_centroids(
     if isinstance(keep_cols, str):
         keep_cols = [keep_cols]
     cmat = np.array([vec for _, vec in centroids], dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    _cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = np.divide(cmat, _cn, out=np.zeros_like(cmat), where=_cn > 0)
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
 
     def _argmax(vecs):  # no type hints: the closure form of pandas_udf
@@ -363,7 +377,9 @@ def _assign_to_centroids(
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
         V = np.array(list(vecs), dtype=np.float64)
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        # zero-norm guard: deterministic first-cell assignment, no NaN
+        _vn = np.linalg.norm(V, axis=1, keepdims=True)
+        V = np.divide(V, _vn, out=np.zeros_like(V), where=_vn > 0)
         return pd.Series(cids[np.argmax(V @ cmat.T, axis=1)].astype(np.int32))
 
     assign = pandas_udf(_argmax, "int")
@@ -423,6 +439,7 @@ def cosine_topk_ivf(
         F.col(id_col),
         cosine_sim_col(F.col(vec_col), F.col("__qv__")).alias("cosine"),
     )
+    cand = cand.where(F.col("cosine").isNotNull())  # zero-norm guard
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -475,12 +492,17 @@ def cosine_topk_lsh(
         .select(
             F.col("__qid__").alias(query_id_col),
             F.col(id_col),
-            (dot_col(F.col("__cv__"), F.col("__qv__")) / (F.col("__cn__") * F.col("__qn__"))).alias(
-                "cosine"
-            ),
+            # zero-norm guard: NULL instead of an ANSI 0/0 crash or a
+            # non-ANSI NaN that outranks every real score
+            F.when(
+                (F.col("__cn__") > 0) & (F.col("__qn__") > 0),
+                dot_col(F.col("__cv__"), F.col("__qv__"))
+                / (F.col("__cn__") * F.col("__qn__")),
+            ).alias("cosine"),
         )
         .dropDuplicates([query_id_col, id_col])
     )
+    cand = cand.where(F.col("cosine").isNotNull())  # zero-norm guard
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -567,9 +589,16 @@ def cosine_dup_pairs_blocked(
                 ids_b = np.array([r["__id__"] for r in ra])
                 A = np.array([r["__v__"] for r in la], dtype=np.float64)
                 B = np.array([r["__v__"] for r in ra], dtype=np.float64)
-                A /= np.linalg.norm(A, axis=1, keepdims=True)
-                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                # zero-norm guard: a direction-less vector scores -inf
+                # (never a 0/0 NaN that numpy would silently drop or
+                # keep depending on the comparison)
+                na = np.linalg.norm(A, axis=1, keepdims=True)
+                nb = np.linalg.norm(B, axis=1, keepdims=True)
+                A = np.divide(A, na, out=np.zeros_like(A), where=na > 0)
+                B = np.divide(B, nb, out=np.zeros_like(B), where=nb > 0)
                 G = A @ B.T
+                G[na[:, 0] == 0, :] = -np.inf
+                G[:, nb[:, 0] == 0] = -np.inf
                 ia, ib = np.nonzero(G >= threshold)
                 if len(ia) == 0:
                     continue
@@ -971,6 +1000,7 @@ def query_ivf_index(
         F.col(id_col),
         cosine_sim_col(F.col(vec_col), F.col("__qv__")).alias("cosine"),
     )
+    cand = cand.where(F.col("cosine").isNotNull())  # zero-norm guard
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -1438,7 +1468,8 @@ def _pq_lloyd_step(
     norm_cmats = []
     for b in codebooks:
         c = np.array(b, dtype=np.float64)
-        norm_cmats.append(c / np.linalg.norm(c, axis=1, keepdims=True))
+        _n = np.linalg.norm(c, axis=1, keepdims=True)
+        norm_cmats.append(np.divide(c, _n, out=np.zeros_like(c), where=_n > 0))
 
     def _partials(batches):
         import pandas as pd
@@ -1450,7 +1481,10 @@ def _pq_lloyd_step(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             for j in range(m):
                 S = V[:, j * sub : (j + 1) * sub]
-                Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+                # zero-norm guard: an all-zero SUBVECTOR (sparse
+                # embeddings) must assign deterministically, not NaN
+                _sn = np.linalg.norm(S, axis=1, keepdims=True)
+                Sn = np.divide(S, _sn, out=np.zeros_like(S), where=_sn > 0)
                 cids = np.argmax(Sn @ norm_cmats[j].T, axis=1)
                 for cid in np.unique(cids):
                     mask = cids == cid

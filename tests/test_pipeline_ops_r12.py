@@ -323,3 +323,42 @@ def test_decontaminate_semantic_zero_norm_vectors_never_flag(spark):
         )
         # only the real copy pair survives; the zero vectors flag nothing
         assert got == [(1, 1, 1.0, 101)], method
+
+
+def test_cosine_operators_survive_zero_vectors(spark):
+    """One zero embedding in a corpus must neither crash an ANSI scan
+    (0/0 raises) nor outrank real scores (non-ANSI NaN sorts above
+    every double): cosine_sim_col yields NULL, rankings push the row
+    to the bottom, thresholds drop it, and the IVF/k-means assignment
+    is deterministic."""
+    from plateau_spark.operators.similarity import (
+        cosine_dup_pairs_blocked,
+        cosine_dup_pairs_bruteforce,
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        ivf_centroids,
+    )
+
+    rows = [(0, [0.0] * DIM)] + [
+        (int(i), [float((i * 7 + d) % 5 - 2) for d in range(DIM)])
+        for i in range(1, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id in (0, 1)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk_bruteforce(emb, q, k=3).collect()
+    # the zero QUERY produces no ranked rows (all cosines NULL);
+    # the zero CORPUS row never appears in any result
+    assert all(r.vec_id != 0 for r in top)
+    assert {r.query_id for r in top} == {1}
+    lsh = cosine_topk_lsh(emb, q, k=3, n_bits=3).collect()
+    assert all(r.vec_id != 0 for r in lsh)
+
+    bf = cosine_dup_pairs_bruteforce(emb, threshold=0.5).collect()
+    bl = cosine_dup_pairs_blocked(emb, threshold=0.5).collect()
+    assert all(0 not in (r.id_a, r.id_b) for r in bf)
+    assert all(0 not in (r.id_a, r.id_b) for r in bl)
+
+    cents = ivf_centroids(emb, n_centroids=3, refine_iterations=1)
+    assert len(cents) == 3  # fit survives the zero row
