@@ -1124,7 +1124,12 @@ def mine_bitext_pairs(
         .join(avg_b, "id_b")
         .withColumn(
             "margin",
-            2.0 * F.col("__cos__") / (F.col("__avg_a__") + F.col("__avg_b__")),
+            # guarded: an exactly-zero NN-average sum (possible with
+            # cancelling cosines) must not raise under ANSI division
+            F.when(
+                F.col("__avg_a__") + F.col("__avg_b__") != 0,
+                2.0 * F.col("__cos__") / (F.col("__avg_a__") + F.col("__avg_b__")),
+            ),
         )
         .where(F.col("margin") >= margin_threshold)
     )
