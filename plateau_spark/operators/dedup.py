@@ -833,6 +833,7 @@ def embedding_cosine_dup_pairs(
     LIMIT 1 read) unless given. See operators/similarity.py.
     """
     from plateau_spark.operators.similarity import (
+        guarded_cosine,
         infer_dim,
         norm_col,
         probe_buckets_col,
@@ -875,13 +876,11 @@ def embedding_cosine_dup_pairs(
         .select(
             F.col("l.__id__").alias("id_a"),
             F.col("r.__id__").alias("id_b"),
-            # zero-norm guard: a direction-less vector yields NULL (not
-            # an ANSI 0/0 crash, not non-ANSI NaN that Spark sorts
-            # above every double) and drops at the threshold
-            F.when(
-                (F.col("l.__n__") > 0) & (F.col("r.__n__") > 0),
-                _dot(F.col("l.__v__"), F.col("r.__v__"))
-                / (F.col("l.__n__") * F.col("r.__n__")),
+            # degenerate-input guard (zero-norm / NaN-component →
+            # NULL, drops at the threshold) — single-sourced helper
+            guarded_cosine(
+                _dot(F.col("l.__v__"), F.col("r.__v__")),
+                F.col("l.__n__"), F.col("r.__n__"),
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

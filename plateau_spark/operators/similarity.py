@@ -49,15 +49,31 @@ def norm_col(a) -> Column:
     )
 
 
+def guarded_cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """``dot / (na * nb)`` as NULL whenever the cosine is undefined —
+    the single-sourced guard every SQL cosine path uses.
+
+    Two degenerate-input classes, one corpus row each is enough to
+    corrupt a 100 TB job:
+    - ZERO norm (zero embedding): under ANSI mode (Spark 4 default) the
+      0/0 division RAISES and kills the scan; under non-ANSI it is NULL
+      already. The ``den > 0`` branch covers both.
+    - NaN COMPONENT: norms and cosine become NaN, and Spark evaluates
+      ``NaN > 0`` / ``NaN >= threshold`` as TRUE and sorts NaN above
+      every double — so without the ``nanvl`` the row outranks every
+      real score and passes every threshold. NaN → NULL closes it.
+
+    NULL then drops at threshold filters, is excluded from top-k
+    rankings (callers filter isNotNull), and matches the numpy tiers,
+    where NaN comparisons are False."""
+    c = F.when((na > 0) & (nb > 0), dot / (na * nb))
+    return F.nanvl(c, F.lit(None).cast("double"))
+
+
 def cosine_sim_col(a, b) -> Column:
-    """Cosine similarity; NULL when either vector has zero norm. A
-    direction-less vector cannot crash the scan (ANSI mode raises on
-    0/0) or outrank everything (non-ANSI NaN sorts above every double
-    in Spark) — one zero embedding in a 100 TB corpus must not kill or
-    corrupt the job. NULL drops at threshold filters and sorts last in
-    descending rankings."""
-    den = norm_col(a) * norm_col(b)
-    return F.when(den > 0, dot_col(a, b) / den)
+    """Cosine similarity; NULL when undefined (zero-norm or
+    NaN-component vectors) — see :func:`guarded_cosine`."""
+    return guarded_cosine(dot_col(a, b), norm_col(a), norm_col(b))
 
 
 def infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -492,12 +508,9 @@ def cosine_topk_lsh(
         .select(
             F.col("__qid__").alias(query_id_col),
             F.col(id_col),
-            # zero-norm guard: NULL instead of an ANSI 0/0 crash or a
-            # non-ANSI NaN that outranks every real score
-            F.when(
-                (F.col("__cn__") > 0) & (F.col("__qn__") > 0),
-                dot_col(F.col("__cv__"), F.col("__qv__"))
-                / (F.col("__cn__") * F.col("__qn__")),
+            guarded_cosine(
+                dot_col(F.col("__cv__"), F.col("__qv__")),
+                F.col("__cn__"), F.col("__qn__"),
             ).alias("cosine"),
         )
         .dropDuplicates([query_id_col, id_col])
@@ -771,11 +784,11 @@ def decontaminate_semantic(
     evc = eval_vec_col or vec_col
     if method == "broadcast":
         # norms precomputed per ROW, not per pair (one fold per pair
-        # instead of three), and the division is guarded: a zero-norm
-        # vector has no direction — under ANSI mode 0/0 RAISES, under
-        # non-ANSI it is NaN which Spark orders above every double
-        # (NaN >= thr is TRUE) — so degenerate vectors must be dropped,
-        # never crash the scan or flag against the whole benchmark
+        # instead of three); the cosine is the shared guarded form —
+        # a zero-norm vector would RAISE under ANSI 0/0, and a
+        # NaN-component vector would pass every threshold (Spark
+        # evaluates NaN >= thr as TRUE), flagging itself against the
+        # whole benchmark; both become NULL and drop
         ev = eval_df.select(
             F.col(eid).alias("__eid__"),
             F.col(evc).alias("__ev__"),
@@ -789,58 +802,73 @@ def decontaminate_semantic(
             .select(
                 F.col(id_col),
                 F.col("__eid__"),
-                F.when(
-                    (F.col("__tn__") > 0) & (F.col("__en__") > 0),
-                    dot_col(F.col(vec_col), F.col("__ev__"))
-                    / (F.col("__tn__") * F.col("__en__")),
+                guarded_cosine(
+                    dot_col(F.col(vec_col), F.col("__ev__")),
+                    F.col("__tn__"), F.col("__en__"),
                 ).alias("__cos__"),
             )
-            .where(F.col("__cos__") >= threshold)  # NULL (zero-norm) drops
+            .where(F.col("__cos__") >= threshold)  # NULL (degenerate) drops
         )
     elif method == "gemm":
         import numpy as np
 
-        erows = eval_df.select(eid, evc).collect()
-        if not erows:
-            raise ValueError("eval frame is empty")
-        eids = np.array([r[0] for r in erows])  # native id dtype
-        E = np.array([list(map(float, r[1])) for r in erows], dtype=np.float64)
-        en = np.linalg.norm(E, axis=1, keepdims=True)
-        # zero-norm guard (same contract as the SQL tiers): a
-        # direction-less vector scores -inf against everything
-        En = np.divide(E, en, out=np.zeros_like(E), where=en > 0)
-        bad_ev = en[:, 0] == 0
-        thr = float(threshold)
-
-        def _score(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                V = np.array(list(pdf[vec_col]), dtype=np.float64)
-                vn = np.linalg.norm(V, axis=1, keepdims=True)
-                Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
-                S = Vn @ En.T  # (n, B)
-                S[vn[:, 0] == 0, :] = -np.inf
-                S[:, bad_ev] = -np.inf
-                ri, ci = np.nonzero(S >= thr)
-                if len(ri) == 0:
-                    continue
-                ids = pdf[id_col].to_numpy()
-                yield pd.DataFrame(
-                    {
-                        id_col: ids[ri],
-                        "__eid__": eids[ci],
-                        "__cos__": S[ri, ci],
-                    }
-                )
-
         id_type = train.schema[id_col].dataType.simpleString()
         eid_type = eval_df.schema[eid].dataType.simpleString()
-        hits = train.select(id_col, vec_col).mapInPandas(
-            _score, f"{id_col} {id_type}, __eid__ {eid_type}, __cos__ double"
-        )
+        hits_schema = f"{id_col} {id_type}, __eid__ {eid_type}, __cos__ double"
+        # drop degenerate EVAL rows up front (NULL / empty vectors) —
+        # the SQL tiers' guarded cosine drops them per pair
+        erows = [
+            r for r in eval_df.select(eid, evc).collect() if r[1] is not None and len(r[1]) > 0
+        ]
+        if not erows:
+            # empty/all-degenerate benchmark: an empty result, matching
+            # the broadcast tier (whose crossJoin side is just empty)
+            hits = train.sparkSession.createDataFrame([], hits_schema)
+        else:
+            eids = np.array([r[0] for r in erows])  # native id dtype
+            E = np.array([list(map(float, r[1])) for r in erows], dtype=np.float64)
+            dim_e = E.shape[1]
+            en = np.linalg.norm(E, axis=1, keepdims=True)
+            # degenerate-input guard (same contract as guarded_cosine):
+            # zero-norm or NaN-component vectors score -inf everywhere
+            En = np.divide(E, en, out=np.zeros_like(E), where=en > 0)
+            bad_ev = ~(en[:, 0] > 0)  # covers 0 AND NaN norms
+            thr = float(threshold)
+
+            def _score(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    # NULL / wrong-length embeddings would make
+                    # np.array raise and kill the task; the SQL tiers
+                    # drop such rows, so the kernel masks them too
+                    vecs = pdf[vec_col]
+                    okm = vecs.map(
+                        lambda v: v is not None and len(v) == dim_e
+                    ).to_numpy(dtype=bool)
+                    if not okm.any():
+                        continue
+                    V = np.array(list(vecs[okm]), dtype=np.float64)
+                    vn = np.linalg.norm(V, axis=1, keepdims=True)
+                    Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
+                    S = Vn @ En.T  # (n, B)
+                    S[~(vn[:, 0] > 0), :] = -np.inf  # 0 AND NaN norms
+                    S[:, bad_ev] = -np.inf
+                    ri, ci = np.nonzero(S >= thr)
+                    if len(ri) == 0:
+                        continue
+                    ids = pdf[id_col].to_numpy()[okm]
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids[ri],
+                            "__eid__": eids[ci],
+                            "__cos__": S[ri, ci],
+                        }
+                    )
+
+            hits = train.select(id_col, vec_col).mapInPandas(_score, hits_schema)
     elif method == "lsh":
         d = dim if dim is not None else infer_dim(train, vec_col)
         tb = train.select(
@@ -864,13 +892,12 @@ def decontaminate_semantic(
             .select(
                 F.col(id_col),
                 F.col("__eid__"),
-                F.when(
-                    (F.col("__tn__") > 0) & (F.col("__en__") > 0),
-                    dot_col(F.col("__tv__"), F.col("__ev__"))
-                    / (F.col("__tn__") * F.col("__en__")),
+                guarded_cosine(
+                    dot_col(F.col("__tv__"), F.col("__ev__")),
+                    F.col("__tn__"), F.col("__en__"),
                 ).alias("__cos__"),
             )
-            # same zero-norm guard as the broadcast tier
+            # same degenerate-input guard as the broadcast tier
             .where(F.col("__cos__") >= threshold)
             # a pair met via both probes scores twice map-side; dedup
             # the tiny hit sliver, never the bucketed corpus
@@ -1124,10 +1151,14 @@ def mine_bitext_pairs(
         .join(avg_b, "id_b")
         .withColumn(
             "margin",
-            # guarded: an exactly-zero NN-average sum (possible with
-            # cancelling cosines) must not raise under ANSI division
+            # guarded AND sign-constrained: the Artetxe-Schwenk ratio
+            # margin is only meaningful for a POSITIVE neighborhood
+            # denominator — a zero sum raises under ANSI, and a
+            # NEGATIVE sum (mostly-negative k-NN cosines) flips the
+            # ratio's sign so a near-opposite pair would score a HIGH
+            # margin and displace genuine pairs
             F.when(
-                F.col("__avg_a__") + F.col("__avg_b__") != 0,
+                F.col("__avg_a__") + F.col("__avg_b__") > 0,
                 2.0 * F.col("__cos__") / (F.col("__avg_a__") + F.col("__avg_b__")),
             ),
         )

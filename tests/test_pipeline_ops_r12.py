@@ -299,11 +299,11 @@ def test_decontaminate_semantic_gemm_matches_broadcast(spark, decon_frames):
 
 
 def test_decontaminate_semantic_zero_norm_vectors_never_flag(spark):
-    """A zero vector has no direction: its cosine is 0/0 = NaN, and
-    Spark orders NaN ABOVE every double (NaN >= threshold is TRUE) —
-    without the isnan guard a degenerate train OR eval vector is
-    flagged against everything with NaN cosine. All three tiers must
-    drop it."""
+    """A zero vector has no direction: under ANSI mode its 0/0 cosine
+    RAISES and kills the scan (non-ANSI yields NULL). A NaN-component
+    vector's cosine is NaN, which Spark compares as >= any threshold —
+    unguarded, it is flagged against the entire benchmark. All three
+    tiers must drop both."""
     from plateau_spark.operators.similarity import decontaminate_semantic
 
     tr = spark.createDataFrame(
@@ -326,11 +326,12 @@ def test_decontaminate_semantic_zero_norm_vectors_never_flag(spark):
 
 
 def test_cosine_operators_survive_zero_vectors(spark):
-    """One zero embedding in a corpus must neither crash an ANSI scan
-    (0/0 raises) nor outrank real scores (non-ANSI NaN sorts above
-    every double): cosine_sim_col yields NULL, rankings push the row
-    to the bottom, thresholds drop it, and the IVF/k-means assignment
-    is deterministic."""
+    """One degenerate embedding in a corpus must neither crash an ANSI
+    scan (0/0 raises on zero norms) nor outrank real scores (a
+    NaN-component vector's cosine is NaN, which Spark compares as
+    greater than every double): cosine_sim_col yields NULL for both,
+    rankings exclude them, thresholds drop them, and the IVF/k-means
+    assignment stays deterministic."""
     from plateau_spark.operators.similarity import (
         cosine_dup_pairs_blocked,
         cosine_dup_pairs_bruteforce,
@@ -362,3 +363,70 @@ def test_cosine_operators_survive_zero_vectors(spark):
 
     cents = ivf_centroids(emb, n_centroids=3, refine_iterations=1)
     assert len(cents) == 3  # fit survives the zero row
+
+
+def test_cosine_operators_survive_nan_vectors(spark):
+    """Spark compares NaN as greater than every double, so an unguarded
+    NaN-component embedding ranks #1 for every query and passes every
+    threshold. guarded_cosine nanvl's it to NULL: the row vanishes from
+    rankings, pair sets and decontamination flags in every tier."""
+    from plateau_spark.operators.similarity import (
+        cosine_dup_pairs_bruteforce,
+        cosine_topk_bruteforce,
+        decontaminate_semantic,
+    )
+
+    nan = float("nan")
+    rows = [(0, [nan] + [1.0] * (DIM - 1))] + [
+        (int(i), [float((i * 7 + d) % 5 - 2) for d in range(DIM)])
+        for i in range(1, 8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id in (0, 1)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk_bruteforce(emb, q, k=3).collect()
+    assert all(r.vec_id != 0 for r in top)     # NaN corpus row never ranked
+    assert {r.query_id for r in top} == {1}    # NaN query yields nothing
+
+    pairs = cosine_dup_pairs_bruteforce(emb, threshold=0.5).collect()
+    assert all(0 not in (r.id_a, r.id_b) for r in pairs)
+
+    ev = emb.where("vec_id >= 4").select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    for method in ("broadcast", "gemm"):
+        got = decontaminate_semantic(
+            emb.where("vec_id < 4"), ev, eval_id_col="eval_id",
+            threshold=0.99, method=method,
+        ).collect()
+        assert all(r.vec_id != 0 for r in got), method
+
+
+def test_decontaminate_gemm_null_embedding_and_empty_eval(spark):
+    """The gemm kernel must not crash on a NULL train embedding (the
+    SQL tiers drop it via NULL cosine) and must return an empty result
+    for an empty benchmark, like its siblings."""
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    rows = [(0, None), (1, [1.0] * DIM), (2, [1.0] * DIM)]
+    tr = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(
+        [(100, [1.0] * DIM)], "eval_id long, embedding array<double>"
+    )
+    for method in ("broadcast", "gemm"):
+        got = sorted(
+            r.vec_id
+            for r in decontaminate_semantic(
+                tr, ev, eval_id_col="eval_id", threshold=0.99, method=method
+            ).collect()
+        )
+        assert got == [1, 2], method
+    empty_ev = ev.where("eval_id < 0")
+    for method in ("broadcast", "gemm"):
+        assert (
+            decontaminate_semantic(
+                tr, empty_ev, eval_id_col="eval_id", method=method
+            ).count()
+            == 0
+        ), method
