@@ -7452,29 +7452,179 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r12 window (first 50): NEW exact-oracle pinned-model twins
-    #     first (embedding_pq_topk_pinned / embedding_pca_pinned /
-    #     embedding_ivfpq_pinned — the encode/ADC/rerank, projection
-    #     and persisted-IVFPQ-serving stages of the largest
-    #     rows-only families gain hash-matched evidence — plus the new
-    #     decontaminate_semantic operator), then ALL 22
-    #     entries whose last driver evidence is r8 (displaced past r11's
-    #     boundary), then the stalest r9 entries to fill the window.
-    #     Entries past the boundary sort by evidence round (r9 leftovers
-    #     first) so r13 can rotate the next-stalest forward verbatim.
-    #     After CORRECTNESS_r12.json the registry's minimum evidence
-    #     round is 9. ---
-    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
-    "embedding_pca_pinned": embedding_pca_pinned,
-    "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
-    "decontaminate_semantic": decontaminate_semantic,
+    # --- r13 window (first 50): the full r10-evidence block — every
+    #     registry entry whose latest driver evidence is r10 (the
+    #     stalest with-oracle block after the r12 rotation; the 26
+    #     r9-evidence keys were judge-re-swept green in r12 and rotate
+    #     next, in r14). Entries past the boundary sort by evidence
+    #     round (r9 leftovers first) so r14 can rotate the
+    #     next-stalest forward verbatim. The five rows-only lines
+    #     (pinned-model twins carry their hash evidence) sit at the
+    #     tail, OUT of the window, so CORRECTNESS_r13.json records
+    #     zero `no_oracle` rows. `minhash_pairs` /
+    #     `simhash_fingerprints` (xxhash64 production spellings) are
+    #     bench-only library lines, not registry entries — their md5
+    #     twins are the oracle representatives. ---
+    "agg_to_lists": agg_to_lists,
+    "asof_join_events": asof_join_events,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
+    "dataset_asof_read": dataset_asof_read,
+    "dataset_join_broadcast": dataset_join_broadcast,
+    "dataset_merge_into": dataset_merge_into,
+    "dataset_repartition_read": dataset_repartition_read,
+    "dedup_clusters": dedup_clusters,
+    "dedup_corpus_docs": dedup_corpus_docs,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_keep_last": dedup_keep_last,
+    "dedup_lsh_quality": dedup_lsh_quality,
+    "dedup_paragraphs_docs": dedup_paragraphs_docs,
+    "embedding_kmeans": embedding_kmeans,
+    "embedding_outliers": embedding_outliers,
+    "entity_match_pairs": entity_match_pairs,
+    "entity_resolution": entity_resolution,
+    "events_funnel_steps": events_funnel_steps,
+    "hash_dataset_groups": hash_dataset_groups,
+    "histogram_drift_psi": histogram_drift_psi,
+    "join_skew_salted": join_skew_salted,
+    "merge_robust": merge_robust,
+    "ngram_jaccard_capped": ngram_jaccard_capped,
+    "profile_lineitem": profile_lineitem,
+    "quality_tier_split": quality_tier_split,
+    "range_join_windows": range_join_windows,
+    "sample_mixture": sample_mixture,
+    "sample_mixture_plan": sample_mixture_plan,
+    "sample_quota_rows": sample_quota_rows,
+    "sample_score_weighted": sample_score_weighted,
+    "sample_shuffle_epoch": sample_shuffle_epoch,
+    "sample_split_assign": sample_split_assign,
+    "sample_stratified": sample_stratified,
+    "sample_temperature": sample_temperature,
+    "score_calibrate_from_stats": score_calibrate_from_stats,
+    "streaming_anomaly_zscore": streaming_anomaly_zscore,
+    "streaming_distinct_monitor": streaming_distinct_monitor,
+    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
+    "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_topk_monitor": streaming_topk_monitor,
+    "text_bpe_merge_pairs": text_bpe_merge_pairs,
+    "text_c4_clean": text_c4_clean,
+    "text_chunks": text_chunks,
+    "text_lm_served_score": text_lm_served_score,
+    "text_normalize_nfc": text_normalize_nfc,
+    "text_token_histogram": text_token_histogram,
+    "text_vocab_coverage": text_vocab_coverage,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "web_domain_pagerank": web_domain_pagerank,
+    "web_url_dedup": web_url_dedup,
+    # --- past the r13 window: evidence round ascending ---
+    # -- latest driver evidence: r9 --
+    "events_skew_profile": events_skew_profile,
+    "histogram_quantiles": histogram_quantiles,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "pack_documents_bins": pack_documents_bins,
+    "pack_sequences": pack_sequences,
+    "retrieval_hard_negatives": retrieval_hard_negatives,
+    "score_calibrate_pct": score_calibrate_pct,
+    "sketch_distinct_users": sketch_distinct_users,
+    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
+    "streaming_dedup": streaming_dedup,
+    "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_histogram_monitor": streaming_histogram_monitor,
+    "streaming_ingest_neardup": streaming_ingest_neardup,
+    "streaming_interval_join": streaming_interval_join,
+    "text_bm25_indexed": text_bm25_indexed,
+    "text_bm25_topk": text_bm25_topk,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_lang_agg": text_lang_agg,
+    "text_pii_scrub": text_pii_scrub,
+    "text_quality": text_quality,
+    "text_repetition": text_repetition,
+    "text_stats": text_stats,
+    "text_tfidf_terms": text_tfidf_terms,
+    "web_blocklist_filter": web_blocklist_filter,
+    "web_domain_stats": web_domain_stats,
+    "web_html_extract": web_html_extract,
+    # -- latest driver evidence: r11 --
+    "bitext_mine_pairs": bitext_mine_pairs,
+    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
+    "ccnet_buckets": ccnet_buckets,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "dataset_compact_read": dataset_compact_read,
+    "dataset_delete_rows": dataset_delete_rows,
+    "dataset_index_read": dataset_index_read,
+    "dataset_python_source_read": dataset_python_source_read,
+    "dataset_time_travel_read": dataset_time_travel_read,
+    "dataset_upsert_read": dataset_upsert_read,
+    "dataset_zorder_read": dataset_zorder_read,
+    "decontaminate_bloom": decontaminate_bloom,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "decontaminate_substring": decontaminate_substring,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "dsir_logweights": dsir_logweights_q,
+    "dsir_select": dsir_select_q,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "embedding_quantize": embedding_quantize,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_retention_monthly": events_retention_monthly,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_dhash": multimodal_dhash,
+    "multimodal_dhash_pairs": multimodal_dhash_pairs,
+    "multimodal_features": multimodal_features,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_resize": multimodal_resize,
+    "ngram_jaccard": ngram_jaccard,
+    "pipeline_training_data": pipeline_training_data,
+    "sample_cluster_balanced": sample_cluster_balanced,
+    "semdedup_keep": semdedup_keep,
+    "simhash_md5": simhash_md5,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "streaming_route_datasets": streaming_route_datasets,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "text_blocked_words": text_blocked_words,
+    "text_lm2_score": text_lm2_score,
+    "text_lm_score": text_lm_score,
+    "text_quality_classifier": text_quality_classifier,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    # -- latest driver evidence: r12 --
+    "dataset_append_update": dataset_append_update,
+    "dataset_bloom_read": dataset_bloom_read,
+    "dataset_bucketed_write": dataset_bucketed_write,
+    "dataset_changes_read": dataset_changes_read,
+    "dataset_commit_protocol": dataset_commit_protocol,
+    "dataset_copy": dataset_copy,
     "dataset_csv_roundtrip": dataset_csv_roundtrip,
+    "dataset_dispatch_groups": dataset_dispatch_groups,
+    "dataset_factory_read": dataset_factory_read,
+    "dataset_filter_query_read": dataset_filter_query_read,
+    "dataset_gc_roundtrip": dataset_gc_roundtrip,
     "dataset_history_read": dataset_history_read,
+    "dataset_index_view": dataset_index_view,
+    "dataset_json_roundtrip": dataset_json_roundtrip,
+    "dataset_metadata_stats": dataset_metadata_stats,
+    "dataset_mixture_read": dataset_mixture_read,
+    "dataset_msgpack_read": dataset_msgpack_read,
+    "dataset_multi_store_iter": dataset_multi_store_iter,
+    "dataset_orc_roundtrip": dataset_orc_roundtrip,
+    "dataset_pruned_read": dataset_pruned_read,
     "dataset_restore_read": dataset_restore_read,
+    "dataset_roundtrip_read": dataset_roundtrip_read,
+    "dataset_schema_evolution": dataset_schema_evolution,
+    "dataset_sql_view": dataset_sql_view,
+    "dataset_stats_refresh": dataset_stats_refresh,
+    "dataset_update_delete_scope": dataset_update_delete_scope,
+    "dataset_zonemap_read": dataset_zonemap_read,
+    "decontaminate_semantic": decontaminate_semantic,
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_span_novelty": dedup_span_novelty,
     "dedup_span_stats": dedup_span_stats,
+    "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
+    "embedding_pca_pinned": embedding_pca_pinned,
+    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
     "embedding_random_projection": embedding_random_projection,
     "export_jsonl_manifest": export_jsonl_manifest,
     "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
@@ -7490,156 +7640,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_rules": text_gopher_rules,
     "text_script_profile": text_script_profile,
     "window_top_order_per_customer": window_top_order_per_customer,
-    "dataset_append_update": dataset_append_update,
-    "dataset_bloom_read": dataset_bloom_read,
-    "dataset_bucketed_write": dataset_bucketed_write,
-    "dataset_changes_read": dataset_changes_read,
-    "dataset_commit_protocol": dataset_commit_protocol,
-    "dataset_copy": dataset_copy,
-    "dataset_dispatch_groups": dataset_dispatch_groups,
-    "dataset_factory_read": dataset_factory_read,
-    "dataset_filter_query_read": dataset_filter_query_read,
-    "dataset_gc_roundtrip": dataset_gc_roundtrip,
-    "dataset_index_view": dataset_index_view,
-    "dataset_json_roundtrip": dataset_json_roundtrip,
-    "dataset_metadata_stats": dataset_metadata_stats,
-    "dataset_mixture_read": dataset_mixture_read,
-    "dataset_msgpack_read": dataset_msgpack_read,
-    "dataset_multi_store_iter": dataset_multi_store_iter,
-    "dataset_orc_roundtrip": dataset_orc_roundtrip,
-    "dataset_pruned_read": dataset_pruned_read,
-    "dataset_roundtrip_read": dataset_roundtrip_read,
-    "dataset_schema_evolution": dataset_schema_evolution,
-    "dataset_sql_view": dataset_sql_view,
-    "dataset_stats_refresh": dataset_stats_refresh,
-    "dataset_update_delete_scope": dataset_update_delete_scope,
-    "dataset_zonemap_read": dataset_zonemap_read,
-    "events_skew_profile": events_skew_profile,
-    "histogram_quantiles": histogram_quantiles,
-    "streaming_interval_join": streaming_interval_join,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enrich_dim": streaming_enrich_dim,
-    "streaming_ingest_neardup": streaming_ingest_neardup,
-    "text_bm25_indexed": text_bm25_indexed,
-    "hybrid_search_rrf": hybrid_search_rrf,
-    "retrieval_hard_negatives": retrieval_hard_negatives,
-    "text_stats": text_stats,
-    "text_quality": text_quality,
-    "text_lang_agg": text_lang_agg,
-    "text_bpe_tokens": text_bpe_tokens,
-    "text_tfidf_terms": text_tfidf_terms,
-    "text_bm25_topk": text_bm25_topk,
-    "text_repetition": text_repetition,
-    "text_pii_scrub": text_pii_scrub,
-    "pack_documents_bins": pack_documents_bins,
-    "pack_sequences": pack_sequences,
-    "web_domain_stats": web_domain_stats,
-    "web_blocklist_filter": web_blocklist_filter,
-    "web_html_extract": web_html_extract,
-    "sketch_distinct_users": sketch_distinct_users,
-    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
-    "score_calibrate_pct": score_calibrate_pct,
-    "streaming_histogram_monitor": streaming_histogram_monitor,
-    "entity_match_pairs": entity_match_pairs,
-    "entity_resolution": entity_resolution,
-    "join_skew_salted": join_skew_salted,
-    "streaming_anomaly_zscore": streaming_anomaly_zscore,
-    "dataset_merge_into": dataset_merge_into,
-    "web_domain_pagerank": web_domain_pagerank,
-    "text_bpe_merge_pairs": text_bpe_merge_pairs,
-    "text_lm_served_score": text_lm_served_score,
-    "events_funnel_steps": events_funnel_steps,
-    "dataset_repartition_read": dataset_repartition_read,
-    "text_vocab_coverage": text_vocab_coverage,
-    "dataset_asof_read": dataset_asof_read,
-    "sample_mixture_plan": sample_mixture_plan,
-    "dedup_lsh_quality": dedup_lsh_quality,
-    "streaming_distinct_monitor": streaming_distinct_monitor,
-    "histogram_drift_psi": histogram_drift_psi,
-    "streaming_sliding_counts": streaming_sliding_counts,
-    "score_calibrate_from_stats": score_calibrate_from_stats,
-    "streaming_topk_monitor": streaming_topk_monitor,
-    "dataset_join_broadcast": dataset_join_broadcast,
-    "text_normalize_nfc": text_normalize_nfc,
-    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
-    "text_token_histogram": text_token_histogram,
-    "dedup_paragraphs_docs": dedup_paragraphs_docs,
-    "sample_temperature": sample_temperature,
-    "dedup_corpus_docs": dedup_corpus_docs,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_keep_last": dedup_keep_last,
-    "profile_lineitem": profile_lineitem,
-    "sample_split_assign": sample_split_assign,
-    "sample_quota_rows": sample_quota_rows,
-    "merge_robust": merge_robust,
-    "hash_dataset_groups": hash_dataset_groups,
-    "agg_to_lists": agg_to_lists,
-    "text_chunks": text_chunks,
-    "sample_stratified": sample_stratified,
-    "quality_tier_split": quality_tier_split,
-    "text_c4_clean": text_c4_clean,
-    "sample_mixture": sample_mixture,
-    "embedding_outliers": embedding_outliers,
-    "text_winnow_fingerprints": text_winnow_fingerprints,
-    "sample_shuffle_epoch": sample_shuffle_epoch,
-    "embedding_kmeans": embedding_kmeans,
-    "sample_score_weighted": sample_score_weighted,
-    "asof_join_events": asof_join_events,
-    "range_join_windows": range_join_windows,
-    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
-    "web_url_dedup": web_url_dedup,
-    "ngram_jaccard_capped": ngram_jaccard_capped,
-    "dedup_clusters": dedup_clusters,
-    "text_blocked_words": text_blocked_words,
-    "events_retention_cohorts": events_retention_cohorts,
-    "text_compression_signal": text_compression_signal,
-    "embedding_pq_topk": embedding_pq_topk,
-    "embedding_pq_persisted": embedding_pq_persisted,
+    # -- rows-only lines (no SQL twin by design; hash evidence lives
+    #    on their pinned-model twins) — keep OUT of the first-50 window
+    #    so the driver artifact records zero `no_oracle` rows --
     "embedding_ivfpq_query": embedding_ivfpq_query,
     "embedding_pca": embedding_pca,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_md5": simhash_md5,
-    "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "embedding_dup_pairs": embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
-    "semdedup_keep": semdedup_keep,
-    "decontaminate_bloom": decontaminate_bloom,
-    "text_quality_classifier": text_quality_classifier,
-    "dedup_cluster_keep": dedup_cluster_keep,
-    "decontaminate_substring": decontaminate_substring,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
-    "events_retention_monthly": events_retention_monthly,
-    "embedding_quantize": embedding_quantize,
-    "multimodal_resize": multimodal_resize,
-    "dataset_python_source_read": dataset_python_source_read,
-    "ngram_jaccard": ngram_jaccard,
-    "pipeline_training_data": pipeline_training_data,
-    "multimodal_metadata": multimodal_metadata,
-    "multimodal_features": multimodal_features,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "dataset_compact_read": dataset_compact_read,
-    "dataset_time_travel_read": dataset_time_travel_read,
-    "dataset_upsert_read": dataset_upsert_read,
-    "dataset_delete_rows": dataset_delete_rows,
-    "dataset_index_read": dataset_index_read,
-    "dataset_zorder_read": dataset_zorder_read,
-    "bitext_mine_pairs": bitext_mine_pairs,
-    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
-    "dsir_logweights": dsir_logweights_q,
-    "dsir_select": dsir_select_q,
-    "ccnet_buckets": ccnet_buckets,
-    "multimodal_dhash": multimodal_dhash,
-    "multimodal_dhash_pairs": multimodal_dhash_pairs,
-    "multimodal_audio_features": multimodal_audio_features,
-    "sample_cluster_balanced": sample_cluster_balanced,
-    "text_lm_score": text_lm_score,
-    "text_lm2_score": text_lm2_score,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    "streaming_route_datasets": streaming_route_datasets,
+    "embedding_pq_persisted": embedding_pq_persisted,
+    "embedding_pq_topk": embedding_pq_topk,
+    "text_compression_signal": text_compression_signal,
 }
 
 # Every registry entry has a bit-reproducible ANSI-SQL oracle twin —
