@@ -355,3 +355,176 @@ def test_gc_serializes_with_concurrent_commit(spark, tmp_path):
     assert _rows(read_dataset_as_dataframe(spark, store, uuid)) == sorted(
         CHUNK1 + CHUNK2 + CHUNK3
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sinks × crashed micro-batch × GC (round-13 grid extension):
+# stream_to_dataset / stream_route_to_datasets abandon staged (or renamed-
+# but-uncommitted) files when a micro-batch dies mid-write, exactly like a
+# crashed batch writer — the same GC contract must hold around a killed
+# stream, and the checkpoint + stream_batches watermark must then replay
+# the batch to a complete, duplicate-free dataset (reference
+# crash-consistency ordering analog: /root/reference/plateau/io/eager.py:63-93).
+# ---------------------------------------------------------------------------
+
+STREAM_SCHEMA = "event_id long, event_type string, value double"
+
+
+def _stream_rows(lo, n):
+    return [(i, f"t{i % 2}", float(i)) for i in range(lo, lo + n)]
+
+
+def _run_stream(spark, tmp_path, store, sink):
+    """(Re)start the availableNow ingestion for whichever files exist."""
+    from plateau_spark.streaming.events import (
+        stream_route_to_datasets,
+        stream_to_dataset,
+    )
+
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(str(tmp_path / "src"))
+    if sink == "single":
+        return stream_to_dataset(
+            stream, store, "ing",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            partition_on=["event_type"], secondary_indices=["event_id"],
+            available_now=True,
+        )
+    return stream_route_to_datasets(
+        stream, store,
+        {"accept": "value >= 0", "audit": "event_id % 2 = 0"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        partition_on=["event_type"], available_now=True,
+    )
+
+
+@pytest.mark.parametrize("sink", ["single", "routed"])
+@pytest.mark.parametrize("crash", ["pre_rename", "post_rename"])
+def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypatch):
+    """Kill micro-batch 1 of a running stream sink mid-write — before the
+    staged→table renames (staging orphans) or after them but before the
+    commit (table orphans) — then check the full GC contract and the
+    exactly-once replay."""
+    import plateau_spark.sources.dataset as ds_mod
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import (
+        garbage_collect_dataset,
+        read_dataset_as_dataframe,
+    )
+
+    store = Store(str(tmp_path / "store"))
+    uuids = ["ing"] if sink == "single" else ["accept", "audit"]
+    src = str(tmp_path / "src")
+
+    # batch 0: clean commit
+    spark.createDataFrame(_stream_rows(0, 20), STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _run_stream(spark, tmp_path, store, sink).awaitTermination()
+    base_rows = {u: _rows_by_id(spark, store, u) for u in uuids}
+    assert base_rows[uuids[0]]
+
+    # batch 1: arm a one-shot crash in the chosen window, then stream
+    spark.createDataFrame(_stream_rows(100, 20), STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    armed = {"live": True}
+    if crash == "pre_rename":
+        orig = ds_mod.write_staged
+
+        def _boom_staged(df, url, partition_on, **kw):
+            orig(df, url, partition_on, **kw)  # files land in .staging/
+            if armed.pop("live", None):
+                raise RuntimeError("injected crash before staged renames")
+
+        monkeypatch.setattr(ds_mod, "write_staged", _boom_staged)
+    else:
+        orig_commit = DatasetMetadata.commit
+
+        def _boom_commit(self, st, *a, **kw):
+            if armed.pop("live", None):
+                raise RuntimeError("injected crash before commit")
+            return orig_commit(self, st, *a, **kw)
+
+        monkeypatch.setattr(DatasetMetadata, "commit", _boom_commit)
+
+    q = _run_stream(spark, tmp_path, store, sink)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    monkeypatch.undo()
+
+    # the crash left orphans in the expected key class, every dataset
+    # still reads exactly its batch-0 snapshot, and batch 1 is not in
+    # any commit watermark
+    staging_keys = {
+        u: [k for k in store.iter_keys(f"{u}/{naming.STAGING_DIR}/") if k]
+        for u in uuids
+    }
+    if crash == "pre_rename":
+        assert any(staging_keys[u] for u in uuids)
+    else:
+        assert all(not staging_keys[u] for u in uuids)  # renames completed
+    orphans_exist = False
+    for u in uuids:
+        meta = DatasetMetadata.load(store, u)
+        assert "1" not in meta.metadata.get("stream_batches", {})
+        exact, prefixes = _model_referenced(store, u)
+        unref = {
+            k
+            for k in _inventory(store, u)
+            if k not in exact and not any(k.startswith(p) for p in prefixes)
+        }
+        orphans_exist = orphans_exist or bool(unref)
+        assert _rows_by_id(spark, store, u) == base_rows[u]
+    assert orphans_exist  # the kill really abandoned bytes
+
+    # keep_staging=True: the staging prefix survives (an in-flight
+    # writer's area), everything else unreferenced is reclaimed
+    for u in uuids:
+        removed = garbage_collect_dataset(store, u, keep_staging=True)
+        assert not any(f"/{naming.STAGING_DIR}/" in k for k in removed)
+        assert _rows_by_id(spark, store, u) == base_rows[u]
+        if staging_keys[u]:
+            assert set(staging_keys[u]) <= set(store.iter_keys(f"{u}/"))
+
+    # keep_staging=False: the abandoned staging files go too, and the
+    # inventory collapses to exactly the Python model of the commit
+    for u in uuids:
+        garbage_collect_dataset(store, u)
+        exact, prefixes = _model_referenced(store, u)
+        assert _inventory(store, u) == {
+            k
+            for k in _inventory(store, u)
+            if k in exact or any(k.startswith(p) for p in prefixes)
+        }
+        assert not list(store.iter_keys(f"{u}/{naming.STAGING_DIR}/"))
+        assert _rows_by_id(spark, store, u) == base_rows[u]
+
+    # restart from the same checkpoint: Spark replays batch 1, the sink
+    # commits it exactly once, and the datasets are complete with no
+    # duplicates (per-dataset exactly-once through the batch watermark)
+    _run_stream(spark, tmp_path, store, sink).awaitTermination()
+    want = {"single": {"ing": _stream_rows(0, 20) + _stream_rows(100, 20)}}.get(
+        sink
+    ) or {
+        "accept": _stream_rows(0, 20) + _stream_rows(100, 20),
+        "audit": [t for t in _stream_rows(0, 20) + _stream_rows(100, 20) if t[0] % 2 == 0],
+    }
+    for u in uuids:
+        assert _rows_by_id(spark, store, u) == sorted(want[u])
+        meta = DatasetMetadata.load(store, u)
+        assert set(meta.metadata["stream_batches"]) >= {"0", "1"}
+        # post-replay GC is a no-op modulo the replay's own superseded
+        # generation/history — a second sweep finds nothing
+        garbage_collect_dataset(store, u)
+        assert garbage_collect_dataset(store, u) == []
+        assert _rows_by_id(spark, store, u) == sorted(want[u])
+
+
+def _rows_by_id(spark, store, uuid):
+    from plateau_spark.sources.dataset import read_dataset_as_dataframe
+
+    out = []
+    for r in read_dataset_as_dataframe(spark, store, uuid).collect():
+        d = r.asDict()
+        out.append((d["event_id"], d["event_type"], d["value"]))
+    return sorted(out)
