@@ -96,6 +96,7 @@ __all__ = [
     "read_table",
     "read_table_as_pandas",
     "register_dataset_as_view",
+    "explain_datasource_scan",
     "register_plateau_datasource",
     "update_dataset_from_dataframe",
     "update_dataset_from_dataframes",
@@ -115,6 +116,9 @@ __all__ = [
 ]
 
 
-from plateau_spark.sources.datasource import register_plateau_datasource  # noqa: E402
+from plateau_spark.sources.datasource import (  # noqa: E402
+    explain_datasource_scan,
+    register_plateau_datasource,
+)
 
 __version__ = "0.1.0"

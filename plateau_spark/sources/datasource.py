@@ -199,6 +199,75 @@ def _read_partition_arrow(part: _FilePartition, spark_schema, partition_keys):
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def parse_predicates_option(raw: str, schema) -> "list[list[tuple[str, str, Any]]]":
+    """Decode the ``.option("predicates", '<json DNF>')`` payload into
+    the native predicate model — the SINGLE parser both the reader and
+    :func:`explain_datasource_scan` use, so the audit report can never
+    drift from what the read path actually prunes with.
+
+    JSON cannot express dates/timestamps: ISO string literals are
+    revived against the dataset schema, exactly as zone-map stats are
+    revived on load. Supported ops: ``== = != < <= > >= in``.
+    """
+    import json
+
+    from plateau_spark.core.metadata import _revive_stat
+    from plateau_spark.core.predicates import check_predicates
+
+    field_types = {f.name: f.dataType for f in schema.fields}
+
+    def _revive(col, op, val):
+        dt = field_types.get(col)
+        if op == "in":
+            return [_revive_stat(v, dt) for v in val]
+        return _revive_stat(val, dt)
+
+    parsed = []
+    for conj in json.loads(raw):
+        out = []
+        for col, op, val in (tuple(clause) for clause in conj):
+            if op not in _OPTION_PREDICATE_OPS:
+                raise ValueError(
+                    f"predicates= option does not support operator "
+                    f"{op!r} (supported: "
+                    f"{sorted(_OPTION_PREDICATE_OPS)}); use "
+                    f"read_table(..., predicates=...) for the full "
+                    f"DNF vocabulary"
+                )
+            out.append((col, op, _revive(col, op, val)))
+        parsed.append(out)
+    check_predicates(parsed)
+    return parsed
+
+
+def explain_datasource_scan(options: dict) -> list[dict]:
+    """Per-file scanned/pruned/tier report for EXACTLY the file set a
+    ``format("plateau")`` read with these options will scan — the
+    observability twin of ``PlateauBatchReader.partitions()``, taking
+    the same option dict (``store``, ``dataset``, optional
+    ``generation`` and ``predicates``) and routing the predicates
+    through the same parser the reader uses.
+
+    Per-query ``pushFilters`` pruning (``filter_pushdown=true``) is
+    deliberately NOT modeled: it depends on which query plan Spark
+    compiles, not on the relation — ``predicates=`` is the
+    relation-stable tier and the one worth auditing before a read.
+    Driver-only; touches metadata, never data files.
+    """
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.plans.pruning import explain_scan
+
+    store = Store(options["store"])
+    gen = options.get("generation")
+    meta = DatasetMetadata.load(
+        store, options["dataset"], generation=int(gen) if gen is not None else None
+    )
+    raw = options.get("predicates")
+    preds = parse_predicates_option(raw, meta.schema) if raw is not None else None
+    return explain_scan(meta, store, preds)
+
+
 class PlateauBatchReader(DataSourceReader):
     """Batch reader with TWO pruning tiers, shaped around a Spark 4.1
     caching hazard:
@@ -248,41 +317,11 @@ class PlateauBatchReader(DataSourceReader):
             self._store, self._uuid, generation=self._generation
         )
         opt_preds = options.get("predicates")
-        if opt_preds is not None:
-            import json
-
-            from plateau_spark.core.metadata import _revive_stat
-            from plateau_spark.core.predicates import check_predicates
-
-            field_types = {f.name: f.dataType for f in self._meta.schema.fields}
-
-            def _revive(col, op, val):
-                dt = field_types.get(col)
-                if op == "in":
-                    return [_revive_stat(v, dt) for v in val]
-                return _revive_stat(val, dt)
-
-            parsed = []
-            for conj in json.loads(opt_preds):
-                out = []
-                for col, op, val in (tuple(clause) for clause in conj):
-                    if op not in _OPTION_PREDICATE_OPS:
-                        raise ValueError(
-                            f"predicates= option does not support operator "
-                            f"{op!r} (supported: "
-                            f"{sorted(_OPTION_PREDICATE_OPS)}); use "
-                            f"read_table(..., predicates=...) for the full "
-                            f"DNF vocabulary"
-                        )
-                    # JSON cannot express dates/timestamps: revive ISO
-                    # strings to the column's schema type, exactly as
-                    # zone-map stats are revived on load
-                    out.append((col, op, _revive(col, op, val)))
-                parsed.append(out)
-            check_predicates(parsed)
-            self._option_predicates = parsed
-        else:
-            self._option_predicates = None
+        self._option_predicates = (
+            parse_predicates_option(opt_preds, self._meta.schema)
+            if opt_preds is not None
+            else None
+        )
 
     def pushFilters(self, filters):
         # ALWAYS overwrite (None when nothing translates): Spark reuses

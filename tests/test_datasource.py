@@ -713,3 +713,69 @@ def test_arrow_expr_matches_spark_dnf_on_random_frames(spark):
         )
         got = sorted(pat.filter(_dnf_to_arrow_expr(dnf)).column("rid").to_pylist())
         assert got == want, f"case {case}: dnf={dnf}"
+
+
+def test_explain_datasource_scan_audits_predicates_option(spark, tmp_path):
+    """explain_datasource_scan takes the SAME option dict as a
+    format("plateau") load and reports, per committed file, whether the
+    read will scan it and which metadata tier pruned it — and the
+    scanned set equals EXACTLY the file list the reader's partitions()
+    plans (same parser, same plan logic)."""
+    import json
+
+    from plateau_spark.sources.datasource import (
+        PlateauBatchReader,
+        explain_datasource_scan,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    )
+    store_dataframe_as_dataset(
+        spark, Store(root), "ds", df,
+        partition_on=["g"], zone_map_columns=["x"],
+    )
+
+    opts = {
+        "store": root,
+        "dataset": "ds",
+        # g pruned by partition key; x by zone map (per-key x ranges
+        # interleave mod 3, so only the high tail prunes)
+        "predicates": json.dumps([[["g", "==", "g1"], ["x", "<", 100.0]]]),
+    }
+    report = explain_datasource_scan(opts)
+    assert len(report) == 3  # one row per committed file
+    scanned = {r["file"] for r in report if r["scanned"]}
+    pruned = {r["file"]: r["pruned_by"] for r in report if not r["scanned"]}
+    assert len(scanned) == 1
+    assert all("partition_key" in tiers for tiers in pruned.values())
+    assert all(r["pruned_by"] == [] for r in report if r["scanned"])
+
+    # ground truth: the reader with identical options plans exactly the
+    # scanned set
+    rdr = PlateauBatchReader(opts)
+    assert {p.key for p in rdr.partitions()} == scanned
+
+    # zone-map tier shows up under its own name (note `<`: on float
+    # columns `>` never prunes by design — hidden-NaN soundness, see
+    # literal_may_match_stats)
+    zm = explain_datasource_scan(
+        {**opts, "predicates": json.dumps([[["x", "<", -5.0]]])}
+    )
+    assert all(not r["scanned"] and r["pruned_by"] == ["zone_map"] for r in zm)
+    rdr2 = PlateauBatchReader(
+        {**opts, "predicates": json.dumps([[["x", "<", -5.0]]])}
+    )
+    parts2 = rdr2.partitions()
+    assert len(parts2) == 1 and getattr(parts2[0], "key", None) is None  # all-pruned sentinel
+
+    # no predicates: everything scans
+    full = explain_datasource_scan({"store": root, "dataset": "ds"})
+    assert all(r["scanned"] for r in full) and len(full) == 3
+
+    # end-to-end: the audited option dict drives a real load with the
+    # row semantics the report promised
+    out = _load(spark, root, "ds", predicates=opts["predicates"])
+    assert sorted(r["k"] for r in out.collect()) == [k for k in range(60) if k % 3 == 1]
