@@ -194,6 +194,11 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     # new in round 11
     "events_retention_monthly",
+    # new in round 13: the production bitext search tier (IVF cell
+    # probing) gets its own perf evidence next to the brute-force line
+    # (plan shape asserted in test_plan_quality.py:
+    # test_bitext_ivf_search_tier_probes_cells_not_corpus)
+    "bitext_mine_pairs_ivf",
 ]
 
 
@@ -429,15 +434,75 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# phases: FAILED ({exc})", file=sys.stderr)
 
+    # Per-LINE regression check against the committed artifact (round
+    # 13): a single-line code regression hides inside a normal-looking
+    # total — r12 shipped a 2.7× bitext regression whose driver signal
+    # was written off as machine load. Machine load moves every line
+    # roughly uniformly; a code regression moves one. So: if the
+    # run-median drift vs the committed BENCH_LOCAL.json is <1.3×
+    # (quiet-ish run), flag any line whose min-of-reps exceeds 1.5× its
+    # committed value (and by >0.3s absolute, to skip sub-second noise).
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    outliers: dict[str, dict] = {}
+    try:
+        with open(local_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        ratios = {
+            k: times[k] / prev[k]
+            for k in times
+            if isinstance(times.get(k), float)
+            and isinstance(prev.get(k), (int, float))
+            and prev[k] >= 0.2
+        }
+        if ratios:
+            import statistics
+
+            med = statistics.median(ratios.values())
+            summary["median_drift_vs_committed"] = round(med, 3)
+            if med < 1.3:
+                outliers = {
+                    k: {"prev": prev[k], "now": times[k], "ratio": round(r, 2)}
+                    for k, r in ratios.items()
+                    if r > 1.5 and times[k] - prev[k] > 0.3
+                }
+            for k, o in sorted(outliers.items(), key=lambda kv: -kv[1]["ratio"]):
+                print(
+                    f"# REGRESSION? {k}: {o['prev']}s -> {o['now']}s "
+                    f"({o['ratio']}x vs committed; run-median drift {med:.2f}x)",
+                    file=sys.stderr,
+                )
+    except (OSError, ValueError, KeyError):
+        pass
+    if outliers:
+        summary["line_regressions_vs_committed"] = outliers
+
     # the complete machine-readable record — every query, not a tail
     local = dict(summary)
     local["queries_all_reps"] = times_all
     local["n_queries"] = len(times)
     local["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
     local["sf_dir"] = sf_dir
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    # Stamp which code this run measured: the committed artifact is only
+    # valid for the LAST commit touching plateau_spark/ — a quiet number
+    # taken five commits early misled the r12 close-out.
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        local["git_head"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=here, timeout=10,
+        ).stdout.strip()
+        local["git_dirty"] = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "plateau_spark", "bench.py"],
+                capture_output=True, text=True, cwd=here, timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:  # noqa: BLE001 — stamping must never kill the bench
+        pass
     try:
         with open(local_path, "w") as fh:
             json.dump(local, fh, indent=1, sort_keys=True)
