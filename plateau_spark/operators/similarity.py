@@ -173,12 +173,18 @@ def cosine_topk_bruteforce(
             F.col("__cn__"), F.col("__qn__"),
         ).alias("cosine"),
     )
-    # NULL cosine (zero-norm query or corpus row) is not rankable
-    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        # NULL cosine (degenerate vectors) is not rankable. Dropped
+        # AFTER the window on purpose: result-identical (desc = NULLS
+        # LAST, so a NULL at rank r proves only r-1 real candidates
+        # exist), but an early .where() gets pushed INTO the join
+        # condition, where the dot fold is then evaluated a second
+        # time per pair (no CSE for higher-order functions) —
+        # measured 1.6× on the 16× corpus
+        .where(F.col("cosine").isNotNull())
     )
 
 
@@ -513,9 +519,15 @@ def cosine_topk_ivf(
             F.col("__cn__"), F.col("__qn__"),
         ).alias("cosine"),
     )
-    cand = cand.where(F.col("cosine").isNotNull())  # zero-norm guard
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        # degenerate-vector drop AFTER the window (NULLS-LAST-identical,
+        # avoids the pushed-into-join double dot fold — see
+        # cosine_topk_bruteforce)
+        .where(F.col("cosine").isNotNull())
+    )
 
 
 def cosine_topk_lsh(
@@ -1120,11 +1132,17 @@ def query_ivf_index(
             F.col("__cn__"), F.col("__qn__"),
         ).alias("cosine"),
     )
-    cand = cand.where(F.col("cosine").isNotNull())  # zero-norm guard
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        # degenerate-vector drop AFTER the window (NULLS-LAST-identical,
+        # avoids the pushed-into-join double dot fold — see
+        # cosine_topk_bruteforce)
+        .where(F.col("cosine").isNotNull())
+    )
 
 
 def centroid_outlier_scores(
