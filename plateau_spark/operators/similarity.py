@@ -1254,12 +1254,37 @@ def mine_bitext_pairs(
         F.col("query_id").alias("id_b"),
         F.col("cosine").alias("__cos__"),
     )
-    avg_a = fwd.groupBy("id_a").agg(F.avg("__cos__").alias("__avg_a__"))
-    avg_b = bwd.groupBy("id_b").agg(F.avg("__cos__").alias("__avg_b__"))
-    cand = fwd.unionByName(bwd).dropDuplicates(["id_a", "id_b"])
+    # The neighborhood averages are WINDOWS over the side-tagged union,
+    # not groupBy+join back onto the sweeps: avgₖ(a, B) only aggregates
+    # fwd rows and avgₖ(b, A) only bwd rows, so tagging the union and
+    # averaging `when(side=...)` per id partition is algebraically the
+    # original inner-join margin (an id with no rows on the required
+    # side gets a NULL avg → NULL margin → dropped, exactly like the
+    # inner join dropped it). The payoff: each k-NN sweep — the
+    # expensive part — is consumed exactly ONCE. The previous shape
+    # referenced each sweep twice (its avg and the candidate union),
+    # and Spark re-evaluated the whole search DAG per consumer on the
+    # IVF tier (no exchange reuse through its plan shape) — measured
+    # 2.2× the sweep cost at 16× data.
+    # Duplicate (a, b) pairs (found by both sweeps) are deduped AFTER
+    # the windows: the fwd copy is the only one the avg_a window
+    # counts (side tag) and both copies carry identical partition-
+    # level averages, so the surviving copy is value-identical.
+    cand = fwd.withColumn("__side__", F.lit("f")).unionByName(
+        bwd.withColumn("__side__", F.lit("b"))
+    )
+    wa = Window.partitionBy("id_a")
+    wb = Window.partitionBy("id_b")
     scored = (
-        cand.join(avg_a, "id_a")
-        .join(avg_b, "id_b")
+        cand.withColumn(
+            "__avg_a__",
+            F.avg(F.when(F.col("__side__") == "f", F.col("__cos__"))).over(wa),
+        )
+        .withColumn(
+            "__avg_b__",
+            F.avg(F.when(F.col("__side__") == "b", F.col("__cos__"))).over(wb),
+        )
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "margin",
             # guarded AND sign-constrained: the Artetxe-Schwenk ratio
