@@ -449,6 +449,17 @@ def main() -> None:
     try:
         with open(local_path) as fh:
             prev = json.load(fh).get("queries", {})
+        # a line that regressed all the way to FAILURE is the worst
+        # regression of all — flag it unconditionally (no median-drift
+        # gate: an error is code, not machine load)
+        for k, v in times.items():
+            if isinstance(v, dict) and isinstance(prev.get(k), (int, float)):
+                outliers[k] = {"prev": prev[k], "now": "error", "ratio": None}
+                print(
+                    f"# REGRESSION? {k}: {prev[k]}s -> ERROR "
+                    f"({str(v.get('err'))[:120]})",
+                    file=sys.stderr,
+                )
         ratios = {
             k: times[k] / prev[k]
             for k in times
@@ -462,17 +473,18 @@ def main() -> None:
             med = statistics.median(ratios.values())
             summary["median_drift_vs_committed"] = round(med, 3)
             if med < 1.3:
-                outliers = {
+                slow = {
                     k: {"prev": prev[k], "now": times[k], "ratio": round(r, 2)}
                     for k, r in ratios.items()
                     if r > 1.5 and times[k] - prev[k] > 0.3
                 }
-            for k, o in sorted(outliers.items(), key=lambda kv: -kv[1]["ratio"]):
-                print(
-                    f"# REGRESSION? {k}: {o['prev']}s -> {o['now']}s "
-                    f"({o['ratio']}x vs committed; run-median drift {med:.2f}x)",
-                    file=sys.stderr,
-                )
+                for k, o in sorted(slow.items(), key=lambda kv: -kv[1]["ratio"]):
+                    print(
+                        f"# REGRESSION? {k}: {o['prev']}s -> {o['now']}s "
+                        f"({o['ratio']}x vs committed; run-median drift {med:.2f}x)",
+                        file=sys.stderr,
+                    )
+                outliers.update(slow)
     except (OSError, ValueError, KeyError):
         pass
     if outliers:
@@ -490,17 +502,21 @@ def main() -> None:
     try:
         import subprocess
 
-        here = os.path.dirname(os.path.abspath(__file__))
-        local["git_head"] = subprocess.run(
+        here = os.path.dirname(local_path)
+        head = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=here, timeout=10,
-        ).stdout.strip()
-        local["git_dirty"] = bool(
-            subprocess.run(
-                ["git", "status", "--porcelain", "plateau_spark", "bench.py"],
-                capture_output=True, text=True, cwd=here, timeout=10,
-            ).stdout.strip()
         )
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "plateau_spark", "bench.py"],
+            capture_output=True, text=True, cwd=here, timeout=10,
+        )
+        # absent keys (not empty/False ones) signal a failed stamp —
+        # e.g. a non-git export of the tree
+        if head.returncode == 0 and head.stdout.strip():
+            local["git_head"] = head.stdout.strip()
+        if dirty.returncode == 0:
+            local["git_dirty"] = bool(dirty.stdout.strip())
     except Exception:  # noqa: BLE001 — stamping must never kill the bench
         pass
     try:

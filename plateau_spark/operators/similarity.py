@@ -895,34 +895,32 @@ def decontaminate_semantic(
         erows = [
             r for r in eval_df.select(eid, evc).collect() if r[1] is not None and len(r[1]) > 0
         ]
-        if erows:
-            # a ragged eval side (mixed vector lengths) would make the
-            # np.array below raise an opaque ValueError on the driver;
-            # the SQL tiers silently drop such rows per pair (zip_with
-            # over mismatched lengths → NULL cosine). Keep the MODAL
-            # dimension — the off-dim rows drop, matching the broadcast
-            # /lsh tiers for the dominant dim (ties → smaller dim, for
-            # determinism).
-            from collections import Counter
-
-            dim_counts = Counter(len(r[1]) for r in erows)
-            dim_keep = min(
-                (d for d, c in dim_counts.items() if c == max(dim_counts.values()))
-            )
-            erows = [r for r in erows if len(r[1]) == dim_keep]
         if not erows:
             # empty/all-degenerate benchmark: an empty result, matching
             # the broadcast tier (whose crossJoin side is just empty)
             hits = train.sparkSession.createDataFrame([], hits_schema)
         else:
-            eids = np.array([r[0] for r in erows])  # native id dtype
-            E = np.array([list(map(float, r[1])) for r in erows], dtype=np.float64)
-            dim_e = E.shape[1]
-            en = np.linalg.norm(E, axis=1, keepdims=True)
-            # degenerate-input guard (same contract as guarded_cosine):
-            # zero-norm or NaN-component vectors score -inf everywhere
-            En = np.divide(E, en, out=np.zeros_like(E), where=en > 0)
-            bad_ev = ~(en[:, 0] > 0)  # covers 0 AND NaN norms
+            # a ragged eval side (mixed vector lengths) would make one
+            # monolithic np.array raise an opaque ValueError on the
+            # driver — and dropping off-dim rows would silently MISS
+            # contamination the broadcast/lsh tiers flag (their cosine
+            # is NULL only for MISMATCHED-dim pairs; same-dim pairs
+            # still score). Group the eval rows by dimension and score
+            # each train row against its own-dim group — pair-for-pair
+            # the broadcast tier's semantics.
+            by_dim: dict[int, list] = {}
+            for r in erows:
+                by_dim.setdefault(len(r[1]), []).append(r)
+            models = []
+            for dim_e, rows_ in sorted(by_dim.items()):
+                eids = np.array([r[0] for r in rows_])  # native id dtype
+                E = np.array([list(map(float, r[1])) for r in rows_], dtype=np.float64)
+                en = np.linalg.norm(E, axis=1, keepdims=True)
+                # degenerate-input guard (same contract as
+                # guarded_cosine): zero-norm or NaN-component vectors
+                # score -inf everywhere
+                En = np.divide(E, en, out=np.zeros_like(E), where=en > 0)
+                models.append((dim_e, eids, En, ~(en[:, 0] > 0)))
             thr = float(threshold)
 
             def _score(batches):
@@ -931,32 +929,35 @@ def decontaminate_semantic(
                 for pdf in batches:
                     if pdf.empty:
                         continue
-                    # NULL / wrong-length embeddings would make
-                    # np.array raise and kill the task; the SQL tiers
-                    # drop such rows, so the kernel masks them too
                     vecs = pdf[vec_col]
-                    okm = vecs.map(
-                        lambda v: v is not None and len(v) == dim_e
-                    ).to_numpy(dtype=bool)
-                    if not okm.any():
-                        continue
-                    V = np.array(list(vecs[okm]), dtype=np.float64)
-                    vn = np.linalg.norm(V, axis=1, keepdims=True)
-                    Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
-                    S = Vn @ En.T  # (n, B)
-                    S[~(vn[:, 0] > 0), :] = -np.inf  # 0 AND NaN norms
-                    S[:, bad_ev] = -np.inf
-                    ri, ci = np.nonzero(S >= thr)
-                    if len(ri) == 0:
-                        continue
-                    ids = pdf[id_col].to_numpy()[okm]
-                    yield pd.DataFrame(
-                        {
-                            id_col: ids[ri],
-                            "__eid__": eids[ci],
-                            "__cos__": S[ri, ci],
-                        }
-                    )
+                    lens = vecs.map(
+                        lambda v: -1 if v is None else len(v)
+                    ).to_numpy(dtype=np.int64)
+                    all_ids = pdf[id_col].to_numpy()
+                    for dim_e, eids, En, bad_ev in models:
+                        # NULL / other-length embeddings score NULL
+                        # against this dim group in the SQL tiers, so
+                        # the kernel masks them out of its GEMM
+                        okm = lens == dim_e
+                        if not okm.any():
+                            continue
+                        V = np.array(list(vecs[okm]), dtype=np.float64)
+                        vn = np.linalg.norm(V, axis=1, keepdims=True)
+                        Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
+                        S = Vn @ En.T  # (n, B)
+                        S[~(vn[:, 0] > 0), :] = -np.inf  # 0 AND NaN norms
+                        S[:, bad_ev] = -np.inf
+                        ri, ci = np.nonzero(S >= thr)
+                        if len(ri) == 0:
+                            continue
+                        ids = all_ids[okm]
+                        yield pd.DataFrame(
+                            {
+                                id_col: ids[ri],
+                                "__eid__": eids[ci],
+                                "__cos__": S[ri, ci],
+                            }
+                        )
 
             hits = train.select(id_col, vec_col).mapInPandas(_score, hits_schema)
     elif method == "lsh":

@@ -430,3 +430,47 @@ def test_decontaminate_gemm_null_embedding_and_empty_eval(spark):
             ).count()
             == 0
         ), method
+
+
+def test_decontaminate_semantic_gemm_scores_every_eval_dimension(spark):
+    """A ragged eval set (mixed vector lengths) must not crash the gemm
+    tier NOR silently drop the minority dimension's benchmarks: the
+    kernel groups eval rows by dim and scores each train row against
+    its own-dim group — pair-for-pair the broadcast tier's semantics
+    (mismatched-dim pairs are NULL there, same-dim pairs score)."""
+    from plateau_spark.operators.similarity import decontaminate_semantic
+
+    rng = np.random.default_rng(23)
+    ev16 = rng.normal(size=(3, 16))
+    ev8 = rng.normal(size=(2, 8))
+    rows_ev = [(int(100 + i), [float(x) for x in ev16[i]]) for i in range(3)] + [
+        (int(200 + i), [float(x) for x in ev8[i]]) for i in range(2)
+    ]
+    # train mixes both dims: one exact copy per dim group + noise rows
+    rows_tr = (
+        [(0, [float(x) for x in ev16[1]]), (1, [float(x) for x in ev8[0]])]
+        + [(int(10 + i), [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+        + [(int(40 + i), [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    )
+    tr = spark.createDataFrame(rows_tr, "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(rows_ev, "eval_id long, embedding array<double>")
+
+    broadcast = {
+        r.vec_id: (r.n_eval_matches, r.max_cosine, r.nearest_eval_id)
+        for r in decontaminate_semantic(
+            tr, ev, eval_id_col="eval_id", threshold=0.95
+        ).collect()
+    }
+    gemm = {
+        r.vec_id: (r.n_eval_matches, r.max_cosine, r.nearest_eval_id)
+        for r in decontaminate_semantic(
+            tr, ev, eval_id_col="eval_id", threshold=0.95, method="gemm"
+        ).collect()
+    }
+    # BOTH dim groups' contamination found, identically to broadcast
+    assert set(gemm) == set(broadcast) == {0, 1}
+    assert gemm[0][2] == 101 and gemm[1][2] == 200
+    for k in gemm:
+        assert gemm[k][0] == broadcast[k][0]
+        assert gemm[k][2] == broadcast[k][2]
+        assert abs(gemm[k][1] - broadcast[k][1]) < 1e-9
