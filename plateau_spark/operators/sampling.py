@@ -573,7 +573,18 @@ def dsir_logweights(
         .groupBy(id_col, "__b__")
         .agg(F.count("*").alias("__k__"))
     )
-    t_counts = _bucket_counts(target, text_col, salt, n_buckets)
+    # the once-per-corpus promise above is only true if the (doc,
+    # bucket, count) frame is actually shared: it feeds THREE consumers
+    # (raw bucket model, its total, the scoring join) and Spark
+    # re-evaluates the whole explode+hash DAG per consumer (verified: 6
+    # corpus scans in the executed plan, zero ReusedExchange).
+    # Checkpoint both aggregates — doc_buckets rows are three longs at
+    # ≤ distinct-buckets-per-doc density (compact, disk-spillable);
+    # t_counts is ≤ n_buckets rows.
+    doc_buckets = doc_buckets.localCheckpoint(eager=False)
+    t_counts = _bucket_counts(target, text_col, salt, n_buckets).localCheckpoint(
+        eager=False
+    )
     r_counts = doc_buckets.groupBy("__b__").agg(F.sum("__k__").alias("__c__"))
     # totals fold out of the bucket counts (≤ n_buckets rows) — scanning
     # the corpora again for F.sum(F.size(features)) would double the

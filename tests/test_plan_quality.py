@@ -780,3 +780,28 @@ def test_pagerank_iteration_is_one_join_one_agg(spark):
     assert "HashAggregate" in plan or "SortAggregate" in plan
     # and the real operator still runs green on the same graph
     assert pagerank(e, iterations=2).count() == 5
+
+
+def test_dsir_scans_corpus_once(spark, tmp_path):
+    """dsir_logweights' docstring promises ONE explode pass over the
+    corpus; without the shared-frame checkpoints the executed plan
+    re-evaluated the hash+explode DAG per consumer (6 corpus scans,
+    zero ReusedExchange). Pin the single-scan contract."""
+    import pyspark.sql.functions as F
+
+    from plateau_spark.operators.sampling import dsir_logweights
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} {'epsilon ' * (i % 5)}") for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    target = docs.where("doc_id % 7 = 0")
+    out = dsir_logweights(docs, target, "doc_id", "text")
+    assert out.count() == 200
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan for the doc-bucket explode... plus one trivially-pruned
+    # id-only scan for the left-join spine (reads no text bytes)
+    n_scans = plan.count(src.rsplit("/", 1)[-1])
+    assert n_scans <= 2, f"corpus scanned {n_scans}x:\n{plan[:2000]}"
