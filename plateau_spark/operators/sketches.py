@@ -710,8 +710,16 @@ def population_stability(
     rounds to ``round_digits`` at the output surface.
     """
     gcols = list(group_cols)
-    hc = histogram_sketch(current, gcols, value_col, width=width)
-    hr = histogram_sketch(reference, gcols, value_col, width=width)
+    # each histogram feeds the PSI join AND its side's total — without
+    # the checkpoints each consumer re-ran the full side scan (4 scans
+    # in the executed plan). Bucket-scale frames; one scan per side is
+    # the floor.
+    hc = histogram_sketch(current, gcols, value_col, width=width).localCheckpoint(
+        eager=False
+    )
+    hr = histogram_sketch(reference, gcols, value_col, width=width).localCheckpoint(
+        eager=False
+    )
     nc = hc.groupBy(*gcols).agg(F.sum("cnt").alias("__nc"))
     nr = hr.groupBy(*gcols).agg(F.sum("cnt").alias("__nr"))
     joined = (
