@@ -677,13 +677,18 @@ def winnow_overlap_pairs(
     )
     # the (id, fingerprint) frame feeds THREE consumers (the df-cap
     # aggregate and both self-join sides) and the per-row winnowing HOF
-    # chain is the expensive part — checkpoint so it runs once, not per
-    # consumer (measured 1.3× on sf0.1). Scale contract: the blocks are
+    # chain is the expensive part — cache it so it computes once, not
+    # per consumer (measured 1.3× on sf0.1). persist(), NOT
+    # localCheckpoint: under AQE a checkpoint materializes the upstream
+    # shuffles at CONSTRUCTION time (breaking plan laziness), truncates
+    # lineage (unrecoverable on executor loss — fatal on spot/dynamic
+    # clusters), and pins unreleasable blocks; a cache is lazy,
+    # recomputes on block loss, and is LRU-evictable. Blocks are
     # two-long rows at ~len/w fingerprints per document (≈1–2% of the
-    # text bytes), disk-spillable executor-local storage — unlike the
-    # exploded-shingle frame in ngram_jaccard_pairs, which is
-    # corpus-sized and deliberately NOT checkpointed.
-    fps = fps.localCheckpoint(eager=False)
+    # text bytes) — unlike the exploded-shingle frame in
+    # ngram_jaccard_pairs, which is corpus-sized and deliberately NOT
+    # cached.
+    fps = fps.persist()
     if max_fp_df is not None:
         rare = (
             fps.groupBy("__fp__")

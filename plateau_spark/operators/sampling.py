@@ -577,14 +577,14 @@ def dsir_logweights(
     # bucket, count) frame is actually shared: it feeds THREE consumers
     # (raw bucket model, its total, the scoring join) and Spark
     # re-evaluates the whole explode+hash DAG per consumer (verified: 6
-    # corpus scans in the executed plan, zero ReusedExchange).
-    # Checkpoint both aggregates — doc_buckets rows are three longs at
-    # ≤ distinct-buckets-per-doc density (compact, disk-spillable);
-    # t_counts is ≤ n_buckets rows.
-    doc_buckets = doc_buckets.localCheckpoint(eager=False)
-    t_counts = _bucket_counts(target, text_col, salt, n_buckets).localCheckpoint(
-        eager=False
-    )
+    # corpus scans in the executed plan, zero ReusedExchange). Cache
+    # both aggregates — persist(), not localCheckpoint, so the plan
+    # stays lazy, lineage survives executor loss, and blocks are
+    # evictable (see winnow_overlap_pairs). doc_buckets rows are three
+    # longs at ≤ distinct-buckets-per-doc density; t_counts is
+    # ≤ n_buckets rows.
+    doc_buckets = doc_buckets.persist()
+    t_counts = _bucket_counts(target, text_col, salt, n_buckets).persist()
     r_counts = doc_buckets.groupBy("__b__").agg(F.sum("__k__").alias("__c__"))
     # totals fold out of the bucket counts (≤ n_buckets rows) — scanning
     # the corpora again for F.sum(F.size(features)) would double the

@@ -711,15 +711,12 @@ def population_stability(
     """
     gcols = list(group_cols)
     # each histogram feeds the PSI join AND its side's total — without
-    # the checkpoints each consumer re-ran the full side scan (4 scans
-    # in the executed plan). Bucket-scale frames; one scan per side is
+    # the caches each consumer re-ran the full side scan (4 scans in
+    # the executed plan; persist(), not localCheckpoint — see
+    # winnow_overlap_pairs). Bucket-scale frames; one scan per side is
     # the floor.
-    hc = histogram_sketch(current, gcols, value_col, width=width).localCheckpoint(
-        eager=False
-    )
-    hr = histogram_sketch(reference, gcols, value_col, width=width).localCheckpoint(
-        eager=False
-    )
+    hc = histogram_sketch(current, gcols, value_col, width=width).persist()
+    hr = histogram_sketch(reference, gcols, value_col, width=width).persist()
     nc = hc.groupBy(*gcols).agg(F.sum("cnt").alias("__nc"))
     nr = hr.groupBy(*gcols).agg(F.sum("cnt").alias("__nr"))
     joined = (

@@ -752,20 +752,21 @@ def bigram_logprob(
         ).alias("__p__"),
     ).select(id_col, F.col("__p__.w1").alias("__w1__"), F.col("__p__.w2").alias("__w2__"))
 
-    # vocabulary-scale aggregates checkpointed (same class as the dsir
-    # fix): `big` feeds the model join AND the left-context rollup,
-    # `uni` feeds the model AND the scalar total — without the
-    # checkpoints each consumer re-ran the tokenize+zip+explode corpus
-    # scan underneath (6 scans in the executed plan). The position-pair
-    # stream itself is corpus-sized and deliberately NOT checkpointed;
-    # its two evaluations (fit, scoring join) are the floor.
+    # vocabulary-scale aggregates cached (same class as the dsir fix;
+    # persist(), not localCheckpoint — see winnow_overlap_pairs): `big`
+    # feeds the model join AND the left-context rollup, `uni` feeds the
+    # model AND the scalar total — without the caches each consumer
+    # re-ran the tokenize+zip+explode corpus scan underneath (6 scans
+    # in the executed plan). The position-pair stream itself is
+    # corpus-sized and deliberately NOT cached; its two evaluations
+    # (fit, scoring join) are the floor.
     big = pairs.groupBy("__w1__", "__w2__").agg(F.count("*").alias("__cb__"))
-    big = big.localCheckpoint(eager=False)
+    big = big.persist()
     left = big.groupBy("__w1__").agg(F.sum("__cb__").alias("__cl__"))
     uni = df.select(F.explode(_word_tokens(text_col)).alias("__t__")).groupBy(
         "__t__"
     ).agg(F.count("*").alias("__cu__"))
-    uni = uni.localCheckpoint(eager=False)
+    uni = uni.persist()
     total = uni.agg(F.sum("__cu__").alias("__n__"))
     model = (
         big.join(left, "__w1__")
@@ -879,11 +880,12 @@ def ccnet_perplexity_buckets(
     counts = toks.groupBy(group_col, "__t__").agg(F.count("*").alias("__c__"))
     # the per-(group, token) counts feed the totals AND the model join,
     # and each consumer re-runs the tokenize+explode scan underneath
-    # (no exchange reuse — same class as the dsir fix). Checkpoint the
-    # VOCABULARY-scale aggregate (never the corpus-scale token stream):
-    # the scoring join below still re-tokenizes once, which is the
-    # floor without corpus-sized storage.
-    counts = counts.localCheckpoint(eager=False)
+    # (no exchange reuse — same class as the dsir fix). Cache the
+    # VOCABULARY-scale aggregate (never the corpus-scale token stream;
+    # persist(), not localCheckpoint — see winnow_overlap_pairs): the
+    # scoring join below still re-tokenizes once, which is the floor
+    # without corpus-sized storage.
+    counts = counts.persist()
     totals = counts.groupBy(group_col).agg(F.sum("__c__").alias("__n__"))
     model = counts.join(totals, group_col).select(
         F.col(group_col),

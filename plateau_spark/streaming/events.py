@@ -1390,20 +1390,20 @@ def retention_cohorts(
     p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
     # ONE events scan: the distinct (user, period) activity is the
     # smallest frame every downstream agg can derive from (min over the
-    # dedup'd periods IS the first-activity period), so checkpoint it
-    # and fold the cohorts out of it — without this, `first` and
+    # dedup'd periods IS the first-activity period), so cache it and
+    # fold the cohorts out of it — without this, `first` and
     # `activity` each re-scanned the raw events (3 scans in the
-    # executed plan, no exchange reuse). Activity rows are
-    # (user, period) — users × active periods, disk-spillable, always
-    # ≪ the event stream.
+    # executed plan, no exchange reuse). persist(), not localCheckpoint
+    # — see winnow_overlap_pairs. Activity rows are (user, period) —
+    # users × active periods, always ≪ the event stream.
     activity = (
         events.select(u.alias("__u__"), p.alias("__p__"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     first = activity.groupBy("__u__").agg(
         F.min("__p__").alias("cohort")
-    ).localCheckpoint(eager=False)
+    ).persist()
     if period == "month":
         # both sides are month-truncated, so months_between is an exact
         # whole number (no fractional-day component to round)
