@@ -445,10 +445,33 @@ def main() -> None:
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    # A run on a loaded box produces phantom per-line flags (r11: 1.45x
+    # median drift; r13: 17 false flags at loadavg 6.2 that cost a judge
+    # adjudication cycle). Stamp quietness and suppress per-line flags on
+    # loaded runs — error-line flags stay unconditional (errors are code).
+    quiet = bool(load_start) and load_start[0] < 2.0
+    summary["quiet"] = quiet
     outliers: dict[str, dict] = {}
     try:
-        with open(local_path) as fh:
-            prev = json.load(fh).get("queries", {})
+        # Compare against the COMMITTED artifact, not the on-disk file this
+        # run is about to overwrite: successive runs otherwise rebaseline
+        # against each other and a gradual regression ratchets in unflagged.
+        prev = None
+        try:
+            import subprocess
+
+            show = subprocess.run(
+                ["git", "show", "HEAD:BENCH_LOCAL.json"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(local_path), timeout=10,
+            )
+            if show.returncode == 0 and show.stdout.strip():
+                prev = json.loads(show.stdout).get("queries", {})
+        except Exception:  # noqa: BLE001 — fall back to on-disk copy
+            prev = None
+        if prev is None:
+            with open(local_path) as fh:
+                prev = json.load(fh).get("queries", {})
         # a line that regressed all the way to FAILURE is the worst
         # regression of all — flag it unconditionally (no median-drift
         # gate: an error is code, not machine load)
@@ -472,7 +495,13 @@ def main() -> None:
 
             med = statistics.median(ratios.values())
             summary["median_drift_vs_committed"] = round(med, 3)
-            if med < 1.3:
+            if not quiet:
+                print(
+                    f"# loaded box (loadavg_start {load_start}) — per-line "
+                    f"REGRESSION? flags suppressed; rerun on a quiet box",
+                    file=sys.stderr,
+                )
+            if quiet and med < 1.3:
                 slow = {
                     k: {"prev": prev[k], "now": times[k], "ratio": round(r, 2)}
                     for k, r in ratios.items()
@@ -535,6 +564,21 @@ def main() -> None:
     short["queries"] = slowest
     short["n_queries"] = len(times)
     short["full_record"] = "BENCH_LOCAL.json"
+    # r13 post-mortem: a 17-entry regression dict pushed the one-line JSON
+    # past the driver's bounded tail capture and BENCH_r13.json came back
+    # `parsed: null`. Print at most the top 5 by ratio; the full dict
+    # always lives in BENCH_LOCAL.json.
+    if "line_regressions_vs_committed" in short:
+        full_flags = short["line_regressions_vs_committed"]
+        if len(full_flags) > 5:
+            top5 = dict(
+                sorted(
+                    full_flags.items(),
+                    key=lambda kv: -(kv[1]["ratio"] or float("inf")),
+                )[:5]
+            )
+            short["line_regressions_vs_committed"] = top5
+            short["n_line_regressions"] = len(full_flags)
     if errors:
         short["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
         short["n_errors"] = len(errors)
