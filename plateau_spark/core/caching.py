@@ -14,7 +14,77 @@ waiting for the cleaner.
 
 from __future__ import annotations
 
+import os
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
+
+# --- shared-cache registry -------------------------------------------------
+#
+# Operators that `persist()` an internal aggregate so several consumers of
+# the RETURNED frame share one upstream computation (dsir, winnow, ccnet,
+# bigram LM, PSI, retention — the round-13 scan-dedup batch) cannot
+# unpersist before returning: the result frame still references the cache
+# lazily. But a persist with no release accumulates CacheManager entries
+# and disk-spilled blocks for the life of the session (LRU eviction covers
+# executor MEMORY, not disk or the CacheManager entry) — on a long-lived
+# session the winnow fingerprint frame alone is corpus-proportional
+# (~1-2% of text bytes). So every such site registers its frame here:
+# the registry keeps the most recent `_SHARED_CACHE_LIMIT` frames and
+# unpersists the oldest beyond that. Eviction is ALWAYS correctness-safe —
+# `unpersist` never breaks lineage, a consumer of an already-returned
+# frame simply recomputes — so the bound trades recompute for storage,
+# never wrong answers. Pipelines that want storage back immediately call
+# `release_shared_caches()`.
+
+_SHARED_CACHE_LIMIT = max(
+    1, int(os.environ.get("PLATEAU_SPARK_SHARED_CACHE_LIMIT", "8"))
+)
+_shared_caches: "OrderedDict[int, DataFrame]" = OrderedDict()
+_shared_lock = threading.Lock()
+
+
+def persist_shared(df: DataFrame) -> DataFrame:
+    """``df.persist()`` plus registration in the bounded shared-cache
+    registry. Use for operator-internal aggregates whose cache must
+    outlive the operator call (the returned frame references it); the
+    registry guarantees at most ``_SHARED_CACHE_LIMIT`` such frames stay
+    pinned, unpersisting the oldest first."""
+    out = df.persist()
+    evicted: list[DataFrame] = []
+    with _shared_lock:
+        _shared_caches[id(out)] = out
+        while len(_shared_caches) > _SHARED_CACHE_LIMIT:
+            _, old = _shared_caches.popitem(last=False)
+            evicted.append(old)
+    for old in evicted:
+        try:
+            old.unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+    return out
+
+
+def release_shared_caches() -> int:
+    """Unpersist every registry-held shared cache now; returns how many
+    frames were released. Safe at any time — later consumers of frames
+    built on a released cache recompute instead of failing."""
+    with _shared_lock:
+        drained = list(_shared_caches.values())
+        _shared_caches.clear()
+    for df in drained:
+        try:
+            df.unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+    return len(drained)
+
+
+def shared_cache_count() -> int:
+    """Number of frames currently pinned by the shared-cache registry."""
+    with _shared_lock:
+        return len(_shared_caches)
 
 
 def release_local_checkpoint(*dfs: DataFrame) -> None:

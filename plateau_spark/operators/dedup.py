@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from plateau_spark.core.caching import release_local_checkpoint
+from plateau_spark.core.caching import persist_shared, release_local_checkpoint
 
 
 def _orderable(dt) -> bool:
@@ -688,7 +688,10 @@ def winnow_overlap_pairs(
     # text bytes) — unlike the exploded-shingle frame in
     # ngram_jaccard_pairs, which is corpus-sized and deliberately NOT
     # cached.
-    fps = fps.persist()
+    # persist_shared: this frame is corpus-proportional, the registry
+    # bound + core.caching.release_shared_caches keep a long-lived
+    # session from pinning one per call (r14)
+    fps = persist_shared(fps)
     if max_fp_df is not None:
         rare = (
             fps.groupBy("__fp__")

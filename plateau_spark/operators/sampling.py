@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from plateau_spark.core.caching import persist_shared
+
 
 def _hash_unit(key_col: str, salt: str) -> F.Column:
     """Uniform [0, 1) double from md5(salt|key) — 8 hex chars = 32 bits,
@@ -583,8 +585,11 @@ def dsir_logweights(
     # evictable (see winnow_overlap_pairs). doc_buckets rows are three
     # longs at ≤ distinct-buckets-per-doc density; t_counts is
     # ≤ n_buckets rows.
-    doc_buckets = doc_buckets.persist()
-    t_counts = _bucket_counts(target, text_col, salt, n_buckets).persist()
+    # persist_shared: registry-bounded, releasable via
+    # core.caching.release_shared_caches (r14 — persists with no release
+    # path accumulate CacheManager entries for the session's life)
+    doc_buckets = persist_shared(doc_buckets)
+    t_counts = persist_shared(_bucket_counts(target, text_col, salt, n_buckets))
     r_counts = doc_buckets.groupBy("__b__").agg(F.sum("__k__").alias("__c__"))
     # totals fold out of the bucket counts (≤ n_buckets rows) — scanning
     # the corpora again for F.sum(F.size(features)) would double the

@@ -38,6 +38,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from plateau_spark.core.caching import persist_shared
+
 #: DataSketches default; ~1.15% standard error, 8 KB dense sketch.
 DEFAULT_LG_K = 13
 
@@ -715,8 +717,8 @@ def population_stability(
     # the executed plan; persist(), not localCheckpoint — see
     # winnow_overlap_pairs). Bucket-scale frames; one scan per side is
     # the floor.
-    hc = histogram_sketch(current, gcols, value_col, width=width).persist()
-    hr = histogram_sketch(reference, gcols, value_col, width=width).persist()
+    hc = persist_shared(histogram_sketch(current, gcols, value_col, width=width))
+    hr = persist_shared(histogram_sketch(reference, gcols, value_col, width=width))
     nc = hc.groupBy(*gcols).agg(F.sum("cnt").alias("__nc"))
     nr = hr.groupBy(*gcols).agg(F.sum("cnt").alias("__nr"))
     joined = (

@@ -17,6 +17,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from plateau_spark.core.caching import persist_shared
+
 # Tiny stopword inventories for the n-gram/stopword language heuristic.
 # Deliberately small & hard-coded: the point is deterministic, cheap,
 # JVM-side scoring, not linguistic completeness.
@@ -761,12 +763,12 @@ def bigram_logprob(
     # corpus-sized and deliberately NOT cached; its two evaluations
     # (fit, scoring join) are the floor.
     big = pairs.groupBy("__w1__", "__w2__").agg(F.count("*").alias("__cb__"))
-    big = big.persist()
+    big = persist_shared(big)
     left = big.groupBy("__w1__").agg(F.sum("__cb__").alias("__cl__"))
     uni = df.select(F.explode(_word_tokens(text_col)).alias("__t__")).groupBy(
         "__t__"
     ).agg(F.count("*").alias("__cu__"))
-    uni = uni.persist()
+    uni = persist_shared(uni)
     total = uni.agg(F.sum("__cu__").alias("__n__"))
     model = (
         big.join(left, "__w1__")
@@ -885,7 +887,7 @@ def ccnet_perplexity_buckets(
     # persist(), not localCheckpoint — see winnow_overlap_pairs): the
     # scoring join below still re-tokenizes once, which is the floor
     # without corpus-sized storage.
-    counts = counts.persist()
+    counts = persist_shared(counts)
     totals = counts.groupBy(group_col).agg(F.sum("__c__").alias("__n__"))
     model = counts.join(totals, group_col).select(
         F.col(group_col),

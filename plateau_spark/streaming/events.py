@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from plateau_spark.core.caching import persist_shared
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -1396,14 +1398,12 @@ def retention_cohorts(
     # executed plan, no exchange reuse). persist(), not localCheckpoint
     # — see winnow_overlap_pairs. Activity rows are (user, period) —
     # users × active periods, always ≪ the event stream.
-    activity = (
-        events.select(u.alias("__u__"), p.alias("__p__"))
-        .distinct()
-        .persist()
+    activity = persist_shared(
+        events.select(u.alias("__u__"), p.alias("__p__")).distinct()
     )
-    first = activity.groupBy("__u__").agg(
-        F.min("__p__").alias("cohort")
-    ).persist()
+    first = persist_shared(
+        activity.groupBy("__u__").agg(F.min("__p__").alias("cohort"))
+    )
     if period == "month":
         # both sides are month-truncated, so months_between is an exact
         # whole number (no fractional-day component to round)

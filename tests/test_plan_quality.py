@@ -796,8 +796,17 @@ def test_dsir_shares_bucket_counts_and_stays_lazy(spark, tmp_path):
       the scoring join — compute-once follows from cache semantics).
     A raw string scan count is NOT asserted: cached-plan renderings
     repeat the source scan per reference, so it cannot distinguish
-    sharing from recompute."""
+    sharing from recompute.
+
+    Probe shape: construction runs inside a DEDICATED job group so
+    concurrent jobs on the shared session can't pollute the count, and
+    a sentinel action in the same group replaces the old fixed sleep —
+    the listener bus delivers events in order, so once the sentinel's
+    job is visible, any construction job would be too. A second
+    sentinel-only group measures how many jobs the sentinel itself
+    costs (AQE-proof)."""
     import time
+    import uuid as _uuid
 
     from plateau_spark.operators.sampling import dsir_logweights
 
@@ -808,13 +817,95 @@ def test_dsir_shares_bucket_counts_and_stays_lazy(spark, tmp_path):
     ).write.parquet(src)
     docs = spark.read.parquet(src)
     target = docs.where("doc_id % 7 = 0")
-    st = spark.sparkContext.statusTracker()
-    jobs_before = len(st.getJobIdsForGroup())
-    out = dsir_logweights(docs, target, "doc_id", "text")
-    time.sleep(0.5)
-    assert len(st.getJobIdsForGroup()) == jobs_before, (
-        "building dsir_logweights must not launch Spark jobs"
+    sc = spark.sparkContext
+
+    def _jobs_in_group(group: str, at_least: int) -> list:
+        st = sc.statusTracker()
+        deadline = time.time() + 30
+        ids = st.getJobIdsForGroup(group)
+        while len(ids) < at_least and time.time() < deadline:
+            time.sleep(0.05)
+            ids = st.getJobIdsForGroup(group)
+        return ids
+
+    g_build = f"dsir-lazy-{_uuid.uuid4().hex[:8]}"
+    g_ref = f"{g_build}-ref"
+    sc.setJobGroup(g_build, "dsir construction laziness probe")
+    try:
+        out = dsir_logweights(docs, target, "doc_id", "text")
+        spark.range(1).count()  # sentinel: proves listener caught up
+    finally:
+        sc.setJobGroup(g_ref, "sentinel-only reference group")
+    try:
+        spark.range(1).count()
+    finally:
+        sc._jsc.clearJobGroup()
+    sentinel_jobs = len(_jobs_in_group(g_ref, 1))
+    build_jobs = len(_jobs_in_group(g_build, sentinel_jobs))
+    assert build_jobs == sentinel_jobs, (
+        "building dsir_logweights must not launch Spark jobs "
+        f"(saw {build_jobs - sentinel_jobs} beyond the sentinel's "
+        f"{sentinel_jobs})"
     )
     assert out.count() == 200
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_shared_cache_registry_bounds_storage(spark):
+    """The r13 scan-dedup persists had no release path (r13 ADVICE,
+    medium): CacheManager entries and disk-spilled blocks survive until
+    unpersist or session end, so a long-lived session accumulated one
+    pinned aggregate per operator call. persist_shared bounds that:
+    the registry unpersists the oldest frame beyond the limit (safe —
+    unpersist never breaks lineage, late consumers recompute), and
+    release_shared_caches() frees everything on demand."""
+    from plateau_spark.core.caching import (
+        _SHARED_CACHE_LIMIT,
+        persist_shared,
+        release_shared_caches,
+        shared_cache_count,
+    )
+
+    release_shared_caches()
+    base = spark.range(100)
+    frames = []
+    for i in range(3 * _SHARED_CACHE_LIMIT + 2):
+        df = persist_shared(base.select((F.col("id") + i).alias("v")))
+        df.count()  # materialize the cached blocks
+        frames.append(df)
+    assert shared_cache_count() <= _SHARED_CACHE_LIMIT
+    still_cached = [f for f in frames if f.is_cached]
+    assert len(still_cached) <= _SHARED_CACHE_LIMIT, (
+        f"{len(still_cached)} frames still pinned (limit {_SHARED_CACHE_LIMIT})"
+    )
+    # evicted frames remain CONSUMABLE (lineage intact, recompute)
+    assert frames[0].count() == 100
+    released = release_shared_caches()
+    assert released == len(still_cached)
+    assert shared_cache_count() == 0
+    assert not any(f.is_cached for f in frames)
+
+
+def test_operator_shared_caches_stay_bounded(spark):
+    """50-invocation loop over a persist_shared-using operator: the
+    registry (not the caller) keeps total pinned storage bounded — the
+    deployment shape is a long-lived session running the same operator
+    per crawl shard."""
+    from plateau_spark.core.caching import (
+        _SHARED_CACHE_LIMIT,
+        release_shared_caches,
+        shared_cache_count,
+    )
+    from plateau_spark.streaming.events import retention_cohorts
+
+    release_shared_caches()
+    ev = spark.createDataFrame(
+        [(f"u{i % 7}", f"2024-01-{(i % 27) + 1:02d} 00:00:00") for i in range(60)],
+        "user_id string, ts string",
+    )
+    for _ in range(25):  # 2 persist_shared frames per call = 50 registrations
+        assert retention_cohorts(ev, "user_id", "ts", period="week").count() > 0
+    assert shared_cache_count() <= _SHARED_CACHE_LIMIT
+    release_shared_caches()
+    assert shared_cache_count() == 0
