@@ -110,7 +110,9 @@ def _filters_to_conjunction(filters) -> list[tuple[str, str, Any]]:
     return conj
 
 
-_OPTION_PREDICATE_OPS = {"==", "=", "!=", "<", "<=", ">", ">=", "in"}
+_OPTION_PREDICATE_OPS = {
+    "==", "=", "!=", "<", "<=", ">", ">=", "in", "not in", "is distinct from",
+}
 
 
 def _dnf_to_arrow_expr(predicates):
@@ -135,16 +137,30 @@ def _dnf_to_arrow_expr(predicates):
             return f < val
         if op == ">":
             return f > val
-        if op == "in":
+        if op == "is distinct from":
+            # NULL-safe inequality (twin of ~eqNullSafe): a NULL row IS
+            # distinct from any non-NULL literal, and only a NULL row is
+            # NOT distinct from a NULL literal
+            return ~f.is_null() if val is None else (f.is_null() | (f != val))
+        if op in ("in", "not in"):
             values = list(val)
             has_null = any(v is None for v in values)
             values = [v for v in values if v is not None]
             if not values:
-                return f.is_null() if has_null else pc.scalar(False)
+                if op == "in":
+                    return f.is_null() if has_null else pc.scalar(False)
+                # `not in [None]` keeps non-NULL rows; `not in []` keeps
+                # everything INCLUDING NULLs (the Spark twin's ~F.lit(False)
+                # does not reference the column)
+                return ~f.is_null() if has_null else pc.scalar(True)
             # mask NULLs explicitly: Spark's isin(NULL row) is UNKNOWN
             # (dropped), pyarrow's null behavior must not decide this
-            base = f.isin(values) & ~f.is_null()
-            return (base | f.is_null()) if has_null else base
+            if op == "in":
+                base = f.isin(values) & ~f.is_null()
+                return (base | f.is_null()) if has_null else base
+            # `not in`: the Spark twin ~(isin | [isNull]) drops NULL rows
+            # whether or not the list carries a NULL (UNKNOWN or ~True)
+            return ~f.isin(values) & ~f.is_null()
         raise ValueError(f"Unknown operator {op!r}")  # pragma: no cover
 
     conj_exprs = []
@@ -207,7 +223,9 @@ def parse_predicates_option(raw: str, schema) -> "list[list[tuple[str, str, Any]
 
     JSON cannot express dates/timestamps: ISO string literals are
     revived against the dataset schema, exactly as zone-map stats are
-    revived on load. Supported ops: ``== = != < <= > >= in``.
+    revived on load. Supported ops: the full native DNF vocabulary —
+    ``== = != < <= > >= in not in is distinct from`` (reference
+    semantics: plateau/serialization/_generic.py:433-569).
     """
     import json
 
@@ -218,7 +236,7 @@ def parse_predicates_option(raw: str, schema) -> "list[list[tuple[str, str, Any]
 
     def _revive(col, op, val):
         dt = field_types.get(col)
-        if op == "in":
+        if op in ("in", "not in"):
             return [_revive_stat(v, dt) for v in val]
         return _revive_stat(val, dt)
 
@@ -289,8 +307,8 @@ class PlateauBatchReader(DataSourceReader):
       consistent. Prunes files AND filters rows (Arrow-side), matching
       the native reader's ``predicates=`` exactly; date/timestamp
       literals are ISO strings revived against the dataset schema
-      (JSON cannot carry the types). Supported ops:
-      ``== = != < <= > >= in``.
+      (JSON cannot carry the types). Supported ops: the full native
+      DNF vocabulary, ``== = != < <= > >= in not in is distinct from``.
     - ``.option("filter_pushdown", "true")`` — opt-in per-query
       pushFilters pruning; correct when each query does its own
       ``.load()`` (the one-chain ``spark.read...load().where().agg()``

@@ -650,8 +650,68 @@ def test_predicates_option_rejects_unsupported_op(spark, tmp_path):
     with pytest.raises(Exception, match="does not support operator"):
         _load(
             spark, root, "ds",
-            predicates=json.dumps([[["s", "not in", ["a"]]]]),
+            predicates=json.dumps([[["s", "like", "a%"]]]),
         ).collect()
+
+
+def test_predicates_option_full_dnf_vocabulary(spark, tmp_path):
+    """`not in` and `is distinct from` work in the predicates= option
+    with read_table parity on ROWS, partition-key pruning parity on
+    FILES, and explain_datasource_scan audit parity — a working
+    read_table predicate must move to format("plateau") verbatim
+    (reference semantics plateau/serialization/_generic.py:433-569)."""
+    import json
+
+    from plateau_spark.sources.dataset import read_table
+    from plateau_spark.sources.datasource import (
+        PlateauBatchReader,
+        explain_datasource_scan,
+    )
+
+    root = str(tmp_path / "store")
+    # NULLs live on the payload column (partition_on hard-errors on
+    # NULL keys, reference parity) so the option path still exercises
+    # UNKNOWN-drops-row semantics end to end
+    rows = [(i, "g" + str(i % 3), None if i % 7 == 0 else float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    store_dataframe_as_dataset(spark, Store(root), "ds", df, partition_on=["g"])
+
+    cases = [
+        [[("g", "not in", ["g0", "g2"])]],
+        [[("g", "not in", ["g0", None])]],
+        [[("g", "is distinct from", "g1")]],
+        [[("x", "is distinct from", None)]],
+        [[("x", "not in", [10.0, None])]],
+        [[("g", "not in", ["g1"]), ("x", ">", 10.0)]],
+    ]
+    for preds in cases:
+        opt = json.dumps([[list(lit) for lit in conj] for conj in preds])
+        got = sorted(
+            r["k"] for r in _load(spark, root, "ds", predicates=opt).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in read_table(spark, Store(root), "ds", predicates=preds).collect()
+        )
+        assert got == want, f"row parity for {preds}"
+        # file-pruning parity: the reader plans exactly the files the
+        # audit reports as scanned
+        opts = {"store": root, "dataset": "ds", "predicates": opt}
+        report = explain_datasource_scan(opts)
+        scanned = {r["file"] for r in report if r["scanned"]}
+        planned = {
+            p.key for p in PlateauBatchReader(opts).partitions()
+            if getattr(p, "key", None) is not None
+        }
+        assert planned == scanned, f"audit parity for {preds}"
+
+    # partition-key pruning actually fires for the excluding ops
+    opts = {
+        "store": root, "dataset": "ds",
+        "predicates": json.dumps([[["g", "not in", ["g0", "g2"]]]]),
+    }
+    report = explain_datasource_scan(opts)
+    assert any(not r["scanned"] for r in report), "expected file pruning"
 
 
 def test_arrow_expr_matches_spark_dnf_on_random_frames(spark):
@@ -668,7 +728,7 @@ def test_arrow_expr_matches_spark_dnf_on_random_frames(spark):
     from plateau_spark.sources.datasource import _dnf_to_arrow_expr
 
     rng = random.Random(42)
-    OPS = ["==", "!=", "<", "<=", ">", ">=", "in"]
+    OPS = ["==", "!=", "<", "<=", ">", ">=", "in", "not in", "is distinct from"]
 
     for case in range(25):
         n = rng.randint(1, 40)
@@ -696,11 +756,11 @@ def test_arrow_expr_matches_spark_dnf_on_random_frames(spark):
             col = rng.choice(["i", "s", "x"])
             vals = {"i": [0, 1, 2, 3, None], "s": ["a", "b", None], "x": [0.0, 2.0, None]}[col]
             op = rng.choice(OPS)
-            if op == "in":
+            if op in ("in", "not in"):
                 k = rng.randint(0, 3)
                 return (col, op, rng.sample(vals, k))
             v = rng.choice(vals)
-            if v is None and op not in ("==", "!="):
+            if v is None and op not in ("==", "!=", "is distinct from"):
                 v = vals[0]
             return (col, op, v)
 
