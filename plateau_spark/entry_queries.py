@@ -3331,6 +3331,10 @@ def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, store, "docs",
         id_col="doc_id", text_col="text",
         checkpoint_dir=ckpt, fingerprint_dataset="docs_fp",
+        # half-table micro-batches are small next to a parquet file —
+        # one survivor file per batch (cache-pinned width otherwise
+        # writes one near-empty file per shuffle partition)
+        files_per_batch=1,
         available_now=True,
     )
     q.awaitTermination()

@@ -474,9 +474,16 @@ def commit_stream_batch(
     partition_on=None,
     secondary_indices=None,
     extra_metadata=None,
+    assume_nonempty: bool = False,
     **write_kwargs,
 ) -> bool:
     """Idempotent micro-batch commit into a plateau-style dataset.
+
+    ``assume_nonempty=True`` skips the ``isEmpty`` pre-check job — for
+    sinks that already established the batch is non-empty (e.g. the
+    near-dup sink probes its banded frame once and derives every
+    committed frame from it), the probe is a redundant Spark job per
+    batch per dataset, pure protocol floor.
 
     foreachBatch is at-least-once: after a sink failure Spark replays
     the batch with the SAME batch_id. Exactly-once visibility comes from
@@ -518,14 +525,14 @@ def commit_stream_batch(
             meta = DatasetMetadata.load(store, dataset_uuid)
             if str(batch_id) in meta.metadata.get("stream_batches", {}):
                 return False
-            if batch_df.isEmpty():
+            if not assume_nonempty and batch_df.isEmpty():
                 return False
             update_dataset_from_dataframe(
                 spark, store, dataset_uuid, batch_df,
                 partition_on=partition_on, metadata=marker, **write_kwargs,
             )
         else:
-            if batch_df.isEmpty():
+            if not assume_nonempty and batch_df.isEmpty():
                 return False
             store_dataframe_as_dataset(
                 spark, store, dataset_uuid, batch_df,
@@ -881,6 +888,8 @@ def stream_ingest_neardup(
     hash_family: str = "md5",
     partition_on=None,
     compact_fingerprint_every: int | None = 64,
+    fingerprint_files_per_batch: int | None = 1,
+    files_per_batch: int | None = None,
     available_now: bool = False,
 ):
     """Online cross-batch NEAR-duplicate dedup during ingestion — the
@@ -918,6 +927,24 @@ def stream_ingest_neardup(
     O(bands × documents-seen) narrow rows regardless of corpus row
     width, and the sink compacts it every
     ``compact_fingerprint_every`` batches (idempotent maintenance).
+
+    ``fingerprint_files_per_batch`` (default 1): the fingerprint commit
+    coalesces to this many files. The frames the commits pin are cached
+    with the dedup shuffle's full width, and a cached plan's output
+    partitioning is fixed — AQE never re-coalesces it — so without the
+    cap every batch wrote one near-empty file per shuffle partition
+    (32× the files: slower stats builds, slower pruned probes on every
+    LATER batch, compaction pressure). The coalesce sits above the
+    dedup exchange, so map-side banding stays parallel and only the
+    KB-scale distinct (band, bandsig) rows funnel down; raise it for
+    very large micro-batches. ``None`` keeps the shuffle width.
+
+    ``files_per_batch`` (default ``None`` = keep the survivor frame's
+    shuffle width) applies the same cap to the MAIN dataset commit —
+    set it when micro-batches are small relative to a parquet file
+    (the same cache-pins-the-width effect above applies to the pinned
+    survivor frame); leave ``None`` for large batches where the
+    parallel write is the point.
 
     Exactly-once holds per dataset (each carries its own batch
     marker). The dedup decision reads ONLY the fingerprint dataset, so
@@ -965,6 +992,14 @@ def stream_ingest_neardup(
             hash_family=hash_family,
         ).persist()  # consumed 3-4×: predicates, semi-join, self-join, index commit
         try:
+            # one emptiness probe on the shared frame: every doc yields
+            # ≥1 band row, so an empty banded means an empty batch
+            # (skip both commits), and a non-empty one lets the
+            # fingerprint commit skip its own isEmpty job (the
+            # survivors commit keeps its probe — all-dup batches commit
+            # zero survivor rows but still append fingerprints)
+            if banded.isEmpty():
+                return
             dup_ids = (
                 banded.alias("l")
                 .join(
@@ -986,16 +1021,20 @@ def stream_ingest_neardup(
                 )
             # anti-join tolerates duplicate ids on the right — no distinct pass
             survivors = batch_df.join(dup_ids, id_col, "left_anti")
+            if files_per_batch:
+                survivors = survivors.coalesce(int(files_per_batch))
             commit_stream_batch(
                 spark, st, dataset_uuid, survivors, batch_id,
                 partition_on=partition_on,
             )
             # ALL batch docs' fingerprints (kept or dropped) join the seen
             # index — second commit, own batch marker (see exactly-once note)
+            fp_rows = banded.select(*band_cols).dropDuplicates(band_cols)
+            if fingerprint_files_per_batch:
+                fp_rows = fp_rows.coalesce(int(fingerprint_files_per_batch))
             commit_stream_batch(
-                spark, st, fingerprint_dataset,
-                banded.select(*band_cols).dropDuplicates(band_cols),
-                batch_id, **stats_kwargs,
+                spark, st, fingerprint_dataset, fp_rows,
+                batch_id, assume_nonempty=True, **stats_kwargs,
             )
             if (
                 compact_fingerprint_every
