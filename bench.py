@@ -376,11 +376,22 @@ def main() -> None:
         load_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_start = None
+    # SPARK_GRAFT_BENCH_FILTER="a,b,c": run only those lines, with the
+    # exact session/warm-up/rep conditions of a full run — the judge's
+    # flagged-line adjudication recipe as a first-class mode. Filtered
+    # runs never write BENCH_LOCAL.json (a partial record must not
+    # become the regression baseline) and stamp "filtered" into stdout.
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_FILTER", "").split(",")
+        if s.strip()
+    }
+    bench_names = [n for n in BENCH_QUERIES if not only or n in only]
     times: dict[str, object] = {}
     times_all: dict[str, list] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         samples = []
         n = None
         for _ in range(reps):
@@ -425,6 +436,8 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
+    if only:
+        summary["filtered"] = sorted(only)
 
     if os.environ.get("SPARK_GRAFT_PHASES"):
         try:
@@ -548,12 +561,19 @@ def main() -> None:
             local["git_dirty"] = bool(dirty.stdout.strip())
     except Exception:  # noqa: BLE001 — stamping must never kill the bench
         pass
-    try:
-        with open(local_path, "w") as fh:
-            json.dump(local, fh, indent=1, sort_keys=True)
-        print(f"# full record: {local_path}", file=sys.stderr)
-    except OSError as exc:
-        print(f"# BENCH_LOCAL.json write failed ({exc})", file=sys.stderr)
+    if only:
+        print(
+            "# filtered run: BENCH_LOCAL.json NOT written "
+            f"({len(bench_names)} of {len(BENCH_QUERIES)} lines)",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(local_path, "w") as fh:
+                json.dump(local, fh, indent=1, sort_keys=True)
+            print(f"# full record: {local_path}", file=sys.stderr)
+        except OSError as exc:
+            print(f"# BENCH_LOCAL.json write failed ({exc})", file=sys.stderr)
 
     # stdout line stays short enough for bounded tail capture: slowest 40
     numeric = {k: v for k, v in times.items() if isinstance(v, float)}

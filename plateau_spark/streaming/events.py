@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1000,15 +1000,19 @@ def stream_ingest_neardup(
             # zero survivor rows but still append fingerprints)
             if banded.isEmpty():
                 return
-            dup_ids = (
-                banded.alias("l")
-                .join(
-                    banded.alias("r"),
-                    (F.col("l.band") == F.col("r.band"))
-                    & (F.col("l.bandsig") == F.col("r.bandsig"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-                )
-                .select(F.col(f"r.{id_col}").alias(id_col))
+            # ONE pass over (batch bands ∪ pruned seen index): per
+            # (band, bandsig) group a window computes whether any SEEN
+            # row collides and the smallest batch id — a doc is a dup
+            # iff some group of its carries an earlier arrival (seen
+            # row, or smaller in-batch id). Replaces the former
+            # self-join + left-semi pair: one exchange instead of
+            # three, and a boilerplate-hot signature costs O(group)
+            # window work instead of the self-join's O(group²) rows.
+            id_type = batch_df.schema[id_col].dataType
+            cand = banded.select(
+                F.col(id_col).alias("__id__"),
+                *band_cols,
+                F.lit(False).alias("__seen__"),
             )
             if DatasetMetadata.exists(st, fingerprint_dataset):
                 preds = _batch_key_predicates(banded, band_cols)
@@ -1016,9 +1020,29 @@ def stream_ingest_neardup(
                     spark, st, fingerprint_dataset,
                     columns=band_cols, predicates=preds,
                 )
-                dup_ids = dup_ids.unionByName(
-                    banded.join(seen, band_cols, "left_semi").select(id_col)
+                cand = cand.unionByName(
+                    seen.select(
+                        F.lit(None).cast(id_type).alias("__id__"),
+                        *band_cols,
+                        F.lit(True).alias("__seen__"),
+                    )
                 )
+            w = Window.partitionBy(*band_cols)
+            flagged = cand.select(
+                "__id__",
+                "__seen__",
+                F.max(F.col("__seen__").cast("int")).over(w).alias("__any_seen__"),
+                # min over batch rows only (seen rows carry NULL id,
+                # which aggregate min skips)
+                F.min("__id__").over(w).alias("__min_id__"),
+            )
+            dup_ids = flagged.where(
+                (~F.col("__seen__"))
+                & (
+                    (F.col("__any_seen__") == 1)
+                    | (F.col("__id__") > F.col("__min_id__"))
+                )
+            ).select(F.col("__id__").alias(id_col))
             # anti-join tolerates duplicate ids on the right — no distinct pass
             survivors = batch_df.join(dup_ids, id_col, "left_anti")
             if files_per_batch:
