@@ -7456,71 +7456,42 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r13 window (first 50): the full r10-evidence block — every
-    #     registry entry whose latest driver evidence is r10 (the
-    #     stalest with-oracle block after the r12 rotation; the 26
-    #     r9-evidence keys were judge-re-swept green in r12 and rotate
-    #     next, in r14). Entries past the boundary sort by evidence
-    #     round (r9 leftovers first) so r14 can rotate the
-    #     next-stalest forward verbatim. The five rows-only lines
-    #     (pinned-model twins carry their hash evidence) sit at the
-    #     tail, OUT of the window, so CORRECTNESS_r13.json records
-    #     zero `no_oracle` rows. `minhash_pairs` /
-    #     `simhash_fingerprints` (xxhash64 production spellings) are
-    #     bench-only library lines, not registry entries — their md5
-    #     twins are the oracle representatives. ---
-    "agg_to_lists": agg_to_lists,
-    "asof_join_events": asof_join_events,
-    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
-    "dataset_asof_read": dataset_asof_read,
-    "dataset_join_broadcast": dataset_join_broadcast,
-    "dataset_merge_into": dataset_merge_into,
-    "dataset_repartition_read": dataset_repartition_read,
-    "dedup_clusters": dedup_clusters,
-    "dedup_corpus_docs": dedup_corpus_docs,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_keep_last": dedup_keep_last,
-    "dedup_lsh_quality": dedup_lsh_quality,
-    "dedup_paragraphs_docs": dedup_paragraphs_docs,
-    "embedding_kmeans": embedding_kmeans,
-    "embedding_outliers": embedding_outliers,
-    "entity_match_pairs": entity_match_pairs,
-    "entity_resolution": entity_resolution,
-    "events_funnel_steps": events_funnel_steps,
-    "hash_dataset_groups": hash_dataset_groups,
+    # --- r14 window (first 50) ---
+    # CLOSE-OUT RULE (r13 verdict item 3, permanent): any registry key
+    # whose IMPLEMENTING FUNCTION (operator body, sink, or entry) was
+    # modified this round is PREPENDED to the window, ahead of
+    # staleness rotation — driver evidence must never lag a code
+    # change. Then the stalest-evidence keys fill the rest (this
+    # round: the full 26-key r9-evidence block, then the oldest r11
+    # keys). Entries past the boundary sort by evidence round so the
+    # next rotation lifts the front verbatim. The five rows-only lines
+    # (pinned-model twins carry their hash evidence) stay at the tail,
+    # OUT of the window, so the driver artifact records zero
+    # `no_oracle` rows.
+    #
+    # -- r14-touched keys (16): persist_shared swap (dsir, winnow,
+    #    ccnet, bigram LM, PSI, retention), the near-dup ingest
+    #    protocol-floor rework + commit_stream_batch assume_nonempty
+    #    (every commit_stream_batch caller), datasource full-DNF
+    #    predicates=, stats-refresh family growth-measured --
+    "dsir_logweights": dsir_logweights_q,
+    "dsir_select": dsir_select_q,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "text_lm2_score": text_lm2_score,
+    "ccnet_buckets": ccnet_buckets,
     "histogram_drift_psi": histogram_drift_psi,
-    "join_skew_salted": join_skew_salted,
-    "merge_robust": merge_robust,
-    "ngram_jaccard_capped": ngram_jaccard_capped,
-    "profile_lineitem": profile_lineitem,
-    "quality_tier_split": quality_tier_split,
-    "range_join_windows": range_join_windows,
-    "sample_mixture": sample_mixture,
-    "sample_mixture_plan": sample_mixture_plan,
-    "sample_quota_rows": sample_quota_rows,
-    "sample_score_weighted": sample_score_weighted,
-    "sample_shuffle_epoch": sample_shuffle_epoch,
-    "sample_split_assign": sample_split_assign,
-    "sample_stratified": sample_stratified,
-    "sample_temperature": sample_temperature,
-    "score_calibrate_from_stats": score_calibrate_from_stats,
-    "streaming_anomaly_zscore": streaming_anomaly_zscore,
-    "streaming_distinct_monitor": streaming_distinct_monitor,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_retention_monthly": events_retention_monthly,
+    "dataset_python_source_read": dataset_python_source_read,
+    "streaming_ingest_dedup": streaming_ingest_dedup,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
-    "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_distinct_monitor": streaming_distinct_monitor,
     "streaming_topk_monitor": streaming_topk_monitor,
-    "text_bpe_merge_pairs": text_bpe_merge_pairs,
-    "text_c4_clean": text_c4_clean,
-    "text_chunks": text_chunks,
-    "text_lm_served_score": text_lm_served_score,
-    "text_normalize_nfc": text_normalize_nfc,
-    "text_token_histogram": text_token_histogram,
-    "text_vocab_coverage": text_vocab_coverage,
-    "text_winnow_fingerprints": text_winnow_fingerprints,
-    "web_domain_pagerank": web_domain_pagerank,
-    "web_url_dedup": web_url_dedup,
-    # --- past the r13 window: evidence round ascending ---
-    # -- latest driver evidence: r9 --
+    "dataset_stats_refresh": dataset_stats_refresh,
+    # -- the 26-key r9-evidence block (stalest; includes the r14-touched
+    #    streaming_ingest_neardup and streaming_histogram_monitor) --
     "events_skew_profile": events_skew_profile,
     "histogram_quantiles": histogram_quantiles,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -7547,17 +7518,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_blocklist_filter": web_blocklist_filter,
     "web_domain_stats": web_domain_stats,
     "web_html_extract": web_html_extract,
-    # -- latest driver evidence: r11 --
+    # -- oldest r11-evidence fill (8) --
     "bitext_mine_pairs": bitext_mine_pairs,
     "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
-    "ccnet_buckets": ccnet_buckets,
     "cosine_topk": cosine_topk,
     "cosine_topk_ivf": cosine_topk_ivf_q,
     "dataset_compact_read": dataset_compact_read,
     "dataset_delete_rows": dataset_delete_rows,
     "dataset_index_read": dataset_index_read,
-    "dataset_python_source_read": dataset_python_source_read,
     "dataset_time_travel_read": dataset_time_travel_read,
+    # --- past the r14 window: evidence round ascending ---
+    # -- latest driver evidence: r11 --
     "dataset_upsert_read": dataset_upsert_read,
     "dataset_zorder_read": dataset_zorder_read,
     "decontaminate_bloom": decontaminate_bloom,
@@ -7565,13 +7536,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_substring": decontaminate_substring,
     "dedup_cluster_keep": dedup_cluster_keep,
-    "dsir_logweights": dsir_logweights_q,
-    "dsir_select": dsir_select_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "embedding_quantize": embedding_quantize,
-    "events_retention_cohorts": events_retention_cohorts,
-    "events_retention_monthly": events_retention_monthly,
     "minhash_pairs_md5": minhash_pairs_md5,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_dhash": multimodal_dhash,
@@ -7584,15 +7551,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_cluster_balanced": sample_cluster_balanced,
     "semdedup_keep": semdedup_keep,
     "simhash_md5": simhash_md5,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    "streaming_route_datasets": streaming_route_datasets,
     "streaming_sessionize": streaming_sessionize,
     "streaming_windowed_counts": streaming_windowed_counts,
     "text_blocked_words": text_blocked_words,
-    "text_lm2_score": text_lm2_score,
     "text_lm_score": text_lm_score,
     "text_quality_classifier": text_quality_classifier,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    # -- latest driver evidence: r13 (the r13 window, minus keys
+    #    lifted into the r14 window above) --
+    "agg_to_lists": agg_to_lists,
+    "asof_join_events": asof_join_events,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
+    "dataset_asof_read": dataset_asof_read,
+    "dataset_join_broadcast": dataset_join_broadcast,
+    "dataset_merge_into": dataset_merge_into,
+    "dataset_repartition_read": dataset_repartition_read,
+    "dedup_clusters": dedup_clusters,
+    "dedup_corpus_docs": dedup_corpus_docs,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_keep_last": dedup_keep_last,
+    "dedup_lsh_quality": dedup_lsh_quality,
+    "dedup_paragraphs_docs": dedup_paragraphs_docs,
+    "embedding_kmeans": embedding_kmeans,
+    "embedding_outliers": embedding_outliers,
+    "entity_match_pairs": entity_match_pairs,
+    "entity_resolution": entity_resolution,
+    "events_funnel_steps": events_funnel_steps,
+    "hash_dataset_groups": hash_dataset_groups,
+    "join_skew_salted": join_skew_salted,
+    "merge_robust": merge_robust,
+    "ngram_jaccard_capped": ngram_jaccard_capped,
+    "profile_lineitem": profile_lineitem,
+    "quality_tier_split": quality_tier_split,
+    "range_join_windows": range_join_windows,
+    "sample_mixture": sample_mixture,
+    "sample_mixture_plan": sample_mixture_plan,
+    "sample_quota_rows": sample_quota_rows,
+    "sample_score_weighted": sample_score_weighted,
+    "sample_shuffle_epoch": sample_shuffle_epoch,
+    "sample_split_assign": sample_split_assign,
+    "sample_stratified": sample_stratified,
+    "sample_temperature": sample_temperature,
+    "score_calibrate_from_stats": score_calibrate_from_stats,
+    "streaming_anomaly_zscore": streaming_anomaly_zscore,
+    "streaming_sliding_counts": streaming_sliding_counts,
+    "text_bpe_merge_pairs": text_bpe_merge_pairs,
+    "text_c4_clean": text_c4_clean,
+    "text_chunks": text_chunks,
+    "text_lm_served_score": text_lm_served_score,
+    "text_normalize_nfc": text_normalize_nfc,
+    "text_token_histogram": text_token_histogram,
+    "text_vocab_coverage": text_vocab_coverage,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "web_domain_pagerank": web_domain_pagerank,
+    "web_url_dedup": web_url_dedup,
     # -- latest driver evidence: r12 --
     "dataset_append_update": dataset_append_update,
     "dataset_bloom_read": dataset_bloom_read,
