@@ -387,6 +387,13 @@ def main() -> None:
         if s.strip()
     }
     bench_names = [n for n in BENCH_QUERIES if not only or n in only]
+    unknown = only - set(BENCH_QUERIES)
+    if unknown:
+        print(
+            f"# WARNING: filter names not in the benchmark (typo?): "
+            f"{sorted(unknown)}",
+            file=sys.stderr,
+        )
     times: dict[str, object] = {}
     times_all: dict[str, list] = {}
     errors: dict[str, str] = {}
@@ -462,7 +469,10 @@ def main() -> None:
     # median drift; r13: 17 false flags at loadavg 6.2 that cost a judge
     # adjudication cycle). Stamp quietness and suppress per-line flags on
     # loaded runs — error-line flags stay unconditional (errors are code).
-    quiet = bool(load_start) and load_start[0] < 2.0
+    # unknown loadavg (platform without getloadavg) counts as quiet:
+    # suppressing flags forever on such boxes would be strictly worse
+    # than the pre-gate behavior
+    quiet = load_start is None or load_start[0] < 2.0
     summary["quiet"] = quiet
     outliers: dict[str, dict] = {}
     try:
@@ -514,7 +524,11 @@ def main() -> None:
                     f"REGRESSION? flags suppressed; rerun on a quiet box",
                     file=sys.stderr,
                 )
-            if quiet and med < 1.3:
+            # the median-drift gate needs a population of untouched
+            # lines; a filtered (adjudication) run doesn't have one —
+            # flag on per-line ratio alone there, the judge reads the
+            # min-of-reps against the committed value directly
+            if quiet and (med < 1.3 or only):
                 slow = {
                     k: {"prev": prev[k], "now": times[k], "ratio": round(r, 2)}
                     for k, r in ratios.items()

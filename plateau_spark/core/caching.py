@@ -38,9 +38,16 @@ from pyspark.sql import DataFrame
 # never wrong answers. Pipelines that want storage back immediately call
 # `release_shared_caches()`.
 
-_SHARED_CACHE_LIMIT = max(
-    1, int(os.environ.get("PLATEAU_SPARK_SHARED_CACHE_LIMIT", "8"))
-)
+def _limit_from_env(default: int = 8) -> int:
+    # malformed env must not crash library import (every operator
+    # module imports this one)
+    try:
+        return max(1, int(os.environ.get("PLATEAU_SPARK_SHARED_CACHE_LIMIT", default)))
+    except (TypeError, ValueError):
+        return default
+
+
+_SHARED_CACHE_LIMIT = _limit_from_env()
 _shared_caches: "OrderedDict[int, DataFrame]" = OrderedDict()
 _shared_lock = threading.Lock()
 

@@ -7629,7 +7629,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_roundtrip_read": dataset_roundtrip_read,
     "dataset_schema_evolution": dataset_schema_evolution,
     "dataset_sql_view": dataset_sql_view,
-    "dataset_stats_refresh": dataset_stats_refresh,
     "dataset_update_delete_scope": dataset_update_delete_scope,
     "dataset_zonemap_read": dataset_zonemap_read,
     "decontaminate_semantic": decontaminate_semantic,
@@ -7651,7 +7650,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_quota": sample_weighted_quota,
     "sort_topk_orders": sort_topk_orders,
     "streaming_distinct_users": streaming_distinct_users,
-    "streaming_ingest_dedup": streaming_ingest_dedup,
     "text_gopher_rules": text_gopher_rules,
     "text_script_profile": text_script_profile,
     "window_top_order_per_customer": window_top_order_per_customer,

@@ -247,10 +247,8 @@ def parse_predicates_option(raw: str, schema) -> "list[list[tuple[str, str, Any]
             if op not in _OPTION_PREDICATE_OPS:
                 raise ValueError(
                     f"predicates= option does not support operator "
-                    f"{op!r} (supported: "
-                    f"{sorted(_OPTION_PREDICATE_OPS)}); use "
-                    f"read_table(..., predicates=...) for the full "
-                    f"DNF vocabulary"
+                    f"{op!r} (the full DNF vocabulary is: "
+                    f"{sorted(_OPTION_PREDICATE_OPS)})"
                 )
             out.append((col, op, _revive(col, op, val)))
         parsed.append(out)

@@ -873,6 +873,23 @@ def stream_ingest_dedup(
     return writer.start()
 
 
+def _maybe_compact_fingerprints(
+    spark, store, fingerprint_dataset: str, batch_id: int, every: int | None
+) -> None:
+    """Scheduled fingerprint-dataset compaction for the near-dup sink.
+    Keys on batch_id alone — an EMPTY micro-batch landing on the
+    schedule must not postpone compaction (the pruned seen-index probe
+    of every later batch pays for the uncompacted file pile). The
+    exists guard covers streams whose first batches were all empty."""
+    if not (every and batch_id > 0 and batch_id % every == 0):
+        return
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.sources.dataset import compact_dataset
+
+    if DatasetMetadata.exists(store, fingerprint_dataset):
+        compact_dataset(spark, store, fingerprint_dataset, target_files_per_key=1)
+
+
 def stream_ingest_neardup(
     stream: DataFrame,
     store,
@@ -994,11 +1011,16 @@ def stream_ingest_neardup(
         try:
             # one emptiness probe on the shared frame: every doc yields
             # ≥1 band row, so an empty banded means an empty batch
-            # (skip both commits), and a non-empty one lets the
-            # fingerprint commit skip its own isEmpty job (the
+            # (skip both commits — but NOT the scheduled compaction
+            # below, which keys on batch_id alone), and a non-empty one
+            # lets the fingerprint commit skip its own isEmpty job (the
             # survivors commit keeps its probe — all-dup batches commit
             # zero survivor rows but still append fingerprints)
             if banded.isEmpty():
+                _maybe_compact_fingerprints(
+                    spark, st, fingerprint_dataset, batch_id,
+                    compact_fingerprint_every,
+                )
                 return
             # ONE pass over (batch bands ∪ pruned seen index): per
             # (band, bandsig) group a window computes whether any SEEN
@@ -1060,16 +1082,10 @@ def stream_ingest_neardup(
                 spark, st, fingerprint_dataset, fp_rows,
                 batch_id, assume_nonempty=True, **stats_kwargs,
             )
-            if (
-                compact_fingerprint_every
-                and batch_id > 0
-                and batch_id % compact_fingerprint_every == 0
-            ):
-                from plateau_spark.sources.dataset import compact_dataset
-
-                compact_dataset(
-                    spark, st, fingerprint_dataset, target_files_per_key=1
-                )
+            _maybe_compact_fingerprints(
+                spark, st, fingerprint_dataset, batch_id,
+                compact_fingerprint_every,
+            )
         finally:
             banded.unpersist()
 

@@ -802,9 +802,9 @@ def test_dsir_shares_bucket_counts_and_stays_lazy(spark, tmp_path):
     concurrent jobs on the shared session can't pollute the count, and
     a sentinel action in the same group replaces the old fixed sleep —
     the listener bus delivers events in order, so once the sentinel's
-    job is visible, any construction job would be too. A second
-    sentinel-only group measures how many jobs the sentinel itself
-    costs (AQE-proof)."""
+    job is visible, any construction job would be too. The sentinel is
+    an RDD count: exactly ONE job, deterministically (an SQL count can
+    split into a variable number of jobs under AQE)."""
     import time
     import uuid as _uuid
 
@@ -829,23 +829,18 @@ def test_dsir_shares_bucket_counts_and_stays_lazy(spark, tmp_path):
         return ids
 
     g_build = f"dsir-lazy-{_uuid.uuid4().hex[:8]}"
-    g_ref = f"{g_build}-ref"
     sc.setJobGroup(g_build, "dsir construction laziness probe")
     try:
         out = dsir_logweights(docs, target, "doc_id", "text")
-        spark.range(1).count()  # sentinel: proves listener caught up
-    finally:
-        sc.setJobGroup(g_ref, "sentinel-only reference group")
-    try:
-        spark.range(1).count()
+        # sentinel: exactly one job, proves the listener caught up past
+        # any job construction could have launched (in-order bus)
+        sc.parallelize([1]).count()
     finally:
         sc._jsc.clearJobGroup()
-    sentinel_jobs = len(_jobs_in_group(g_ref, 1))
-    build_jobs = len(_jobs_in_group(g_build, sentinel_jobs))
-    assert build_jobs == sentinel_jobs, (
+    build_jobs = len(_jobs_in_group(g_build, 1))
+    assert build_jobs == 1, (
         "building dsir_logweights must not launch Spark jobs "
-        f"(saw {build_jobs - sentinel_jobs} beyond the sentinel's "
-        f"{sentinel_jobs})"
+        f"(saw {build_jobs - 1} beyond the 1-job sentinel)"
     )
     assert out.count() == 200
     plan = out._jdf.queryExecution().executedPlan().toString()

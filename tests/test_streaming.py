@@ -754,3 +754,41 @@ def test_sliding_window_counts_overlap(spark):
         )
         assert r.n_events == expect, r
     assert sum(r.n_events for r in slide) == 2 * sum(r.n_events for r in tumble)
+
+
+def test_scheduled_fingerprint_compaction_survives_empty_batch(spark, tmp_path):
+    """An EMPTY micro-batch landing exactly on the compaction schedule
+    must not postpone compaction (the pruned seen-index probe of every
+    later batch pays for the uncompacted pile), and a schedule hit
+    before the fingerprint dataset exists must be a no-op, not an
+    error."""
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import update_dataset_from_dataframe
+    from plateau_spark.streaming.events import _maybe_compact_fingerprints
+
+    store = Store(str(tmp_path / "store"))
+    # nonexistent dataset on the schedule: no-op
+    _maybe_compact_fingerprints(spark, store, "fp", 64, 64)
+    assert not DatasetMetadata.exists(store, "fp")
+
+    # several small commits -> several files
+    for i in range(3):
+        update_dataset_from_dataframe(
+            spark, store, "fp",
+            spark.createDataFrame(
+                [(i, f"sig{i}")], "band int, bandsig string"
+            ).coalesce(1),
+        )
+    n_before = len(DatasetMetadata.load(store, "fp").partitions)
+    assert n_before == 3
+    # off-schedule: no-op
+    _maybe_compact_fingerprints(spark, store, "fp", 63, 64)
+    assert len(DatasetMetadata.load(store, "fp").partitions) == n_before
+    # on-schedule (as called from the empty-batch early return): compacts
+    _maybe_compact_fingerprints(spark, store, "fp", 64, 64)
+    assert len(DatasetMetadata.load(store, "fp").partitions) == 1
+    # rows preserved
+    from plateau_spark.sources.dataset import read_table
+
+    assert read_table(spark, store, "fp").count() == 3
