@@ -3314,16 +3314,22 @@ def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(src, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
     half = docs.count() // 2
-    for i, batch in enumerate(
-        (docs.where(F.col("doc_id") < half), docs.where(F.col("doc_id") >= half))
-    ):
-        stage = f"{src}/stage{i}"
-        batch.coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    # ONE write job stages both halves (hive split on the half flag,
+    # repartitioned to one file each) instead of two coalesce(1)
+    # writes — same two id-ordered source files, one corpus pass fewer
+    stage = f"{src}/stage"
+    (
+        docs.withColumn("__h__", (F.col("doc_id") >= half).cast("int"))
+        .repartition(2, "__h__")
+        .write.partitionBy("__h__")
+        .parquet(stage)
+    )
+    for i in (0, 1):
+        part = _glob.glob(f"{stage}/__h__={i}/part-*.parquet")[0]
         dst = f"{src}/{i}.parquet"
         _sh.copy(part, dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order = id order
-        _sh.rmtree(stage)
+    _sh.rmtree(stage)
     stream = open_parquet_stream(
         spark, src, reader_options={"maxFilesPerTrigger": "1"}
     )
