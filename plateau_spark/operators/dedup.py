@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from plateau_spark.core.caching import persist_shared, release_local_checkpoint
+from plateau_spark.core.exprs import bind_col
 
 
 def _orderable(dt) -> bool:
@@ -170,18 +171,21 @@ def shingles_col(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array<string> column.
 
     Built from array functions only: slide an index sequence over the
-    token array and join each window. NOTE: higher-order functions are
-    *interpreted* (not codegen'd) and re-evaluate the token subtree per
-    element — measured ~0.7 ms/doc. Kept as the zero-Python reference
-    implementation; the hot paths use ``shingled_frame`` (Arrow-batched
-    pandas UDF, ~3× faster) which produces identical arrays.
+    token array and join each window. The token array is bound once per
+    row (``core.exprs.bind_col``) — referenced inline it re-tokenized
+    per shingle position, O(len²). Still interpreted (not codegen'd);
+    the hottest paths use ``shingled_frame`` (Arrow-batched pandas UDF)
+    which produces identical arrays.
     """
-    toks = F.filter(tokens_col(text_col), lambda t: t != "")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    return bind_col(
+        F.filter(tokens_col(text_col), lambda t: t != ""),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
     )
-    return F.array_distinct(ngrams)
 
 
 # \w+underscore-split ≡ the JVM/DuckDB [^\p{L}\p{N}]+ tokenizer: \w is

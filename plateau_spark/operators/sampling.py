@@ -495,31 +495,37 @@ def _hashed_ngram_features(text_col: str, salt: str, n_buckets: int) -> F.Column
     duplicates — DSIR counts feature occurrences). 15 hex chars = 60
     bits, bit-reproducible in DuckDB as ('0x'||substr(md5(...),1,15))
     ::BIGINT % n_buckets (both operands non-negative → % == pmod)."""
+    from plateau_spark.core.exprs import bind_col
     from plateau_spark.operators.text import _word_tokens
 
-    toks = _word_tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
-    return F.transform(
-        feats,
-        lambda t: F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.encode(F.concat_ws("|", F.lit(salt), t), "UTF-8")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(int(n_buckets)),
-        ),
-    )
+    def _feats(toks):
+        # toks is a bound lambda variable (bind_col): tokenize once per
+        # row instead of once per reference (5 refs below)
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            F.concat(toks, bigrams),
+            lambda t: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.encode(F.concat_ws("|", F.lit(salt), t), "UTF-8")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(n_buckets)),
+            ),
+        )
+
+    return bind_col(_word_tokens(text_col), _feats)
 
 
 def _bucket_counts(df: DataFrame, text_col: str, salt: str, n_buckets: int) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from plateau_spark.core.caching import persist_shared
+from plateau_spark.core.exprs import bind_col
 
 # Tiny stopword inventories for the n-gram/stopword language heuristic.
 # Deliberately small & hard-coded: the point is deterministic, cheap,
@@ -199,11 +200,16 @@ def _word_tokens(text_col: str) -> Column:
 def word_ngrams_col(text_col: str, n: int = 2) -> Column:
     """Word n-grams WITH duplicates (repetition analysis needs the
     multiset; the dedup path's ``shingles_col`` dedups). Interpreted
-    HOF — per-doc compute, embarrassingly parallel, no shuffle."""
-    toks = _word_tokens(text_col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    HOF — per-doc compute, embarrassingly parallel, no shuffle. The
+    token array is bound once per row (``bind_col``): referenced inline
+    it would re-tokenize per n-gram position — O(len²), measured 6.5×
+    on the repetition signal at sf0.1."""
+    return bind_col(
+        _word_tokens(text_col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
     )
 
 
@@ -564,21 +570,27 @@ def _hashed_features_col(text_col: str, n_buckets: int) -> Column:
     a positive long — no sign divergence). Distinct features (set
     semantics) keep the score length-normalized and the SQL twin simple.
     """
-    toks = _word_tokens(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-    )
-    feats = F.filter(
-        F.array_distinct(F.concat(toks, bigrams)), lambda s: s != ""
-    )
-    return F.transform(
-        feats,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ),
-    )
+    def _feats(toks: Column) -> Column:
+        # toks is a bound lambda variable (bind_col): the tokenization
+        # runs once per row instead of once per bigram position
+        bigrams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+        feats = F.filter(
+            F.array_distinct(F.concat(toks, bigrams)), lambda s: s != ""
+        )
+        return F.transform(
+            feats,
+            lambda s: F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
+
+    return bind_col(_word_tokens(text_col), _feats)
 
 
 def classifier_score(

@@ -60,12 +60,16 @@ def domain_suffixes_col(domain_col) -> Column:
     ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
     com]. Array functions only (codegen); used to match a blocklist
     entry against any subdomain of it."""
+    from plateau_spark.core.exprs import bind_col
+
     dom = F.col(domain_col) if isinstance(domain_col, str) else domain_col
-    parts = F.split(dom, r"\.")
-    n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    # parts bound once per row: inline, the split re-ran per suffix
+    return bind_col(
+        F.split(dom, r"\."),
+        lambda parts: F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+        ),
     )
 
 
