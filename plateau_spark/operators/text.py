@@ -129,17 +129,23 @@ def winnow_fingerprints_col(text_col: str, *, k: int = 8, w: int = 4) -> Column:
     identically in Spark and DuckDB, so every document — even the
     empty one — has >= 1 fingerprint.
 
-    CAUTION: as a single nested Column this re-evaluates the k-gram
-    hash array once per window position (HOF lambdas re-evaluate
-    captured non-attribute subtrees per element) — O(len²) hashing.
-    Use :func:`winnow_fingerprints` (the staged DataFrame form) in
-    pipelines; this Column form is for short fields (titles, URLs).
+    Each stage's input is bound once per row (``core.exprs.bind_col``):
+    HOF lambdas re-evaluate captured non-attribute subtrees per
+    element, so the unbound form re-normalized per gram and re-hashed
+    the gram array per window — O(len²). Bound, this Column form
+    matches the staged :func:`winnow_fingerprints` DataFrame form in
+    both semantics and O(len) cost.
     """
     t = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "[^a-z0-9]+", " "
     )
-    grams = _winnow_grams(t, k)
-    return F.array_distinct(_winnow_mins(grams, w))
+    return bind_col(
+        t,
+        lambda tb: bind_col(
+            _winnow_grams(tb, k),
+            lambda grams: F.array_distinct(_winnow_mins(grams, w)),
+        ),
+    )
 
 
 def _winnow_grams(t: Column, k: int) -> Column:
