@@ -1698,14 +1698,21 @@ def encode_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    passthrough_cols: "Sequence[str]" = (),
 ) -> DataFrame:
-    """Encode vectors to PQ codes: (id_col, out_col array<int>) — one
-    Arrow pass computing all ``m`` sub-argmins per vector in numpy
-    (codebooks ride into the closure: KBs). No shuffle."""
+    """Encode vectors to PQ codes: (id_col, *passthrough_cols, out_col
+    array<int>) — one Arrow pass computing all ``m`` sub-argmins per
+    vector in numpy (codebooks ride into the closure: KBs). No shuffle.
+
+    ``passthrough_cols`` ride through the Arrow pass unchanged — a
+    caller that needs an upstream column next to the code (the IVF-PQ
+    build needs the cell) would otherwise re-run the whole upstream
+    derivation and re-join by id to recover it."""
     import numpy as np
 
     m, sub = model["m"], model["sub_dim"]
     books = [np.array(b, dtype=np.float64) for b in model["codebooks"]]
+    keep = [id_col, *passthrough_cols]
 
     def _encode(batches):
         import pandas as pd
@@ -1724,12 +1731,15 @@ def encode_pq(
                     + (books[j] * books[j]).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], out_col: [list(map(int, c)) for c in codes]}
-            )
+            out = {c: pdf[c] for c in keep}
+            out[out_col] = [list(map(int, c)) for c in codes]
+            yield pd.DataFrame(out)
 
-    schema = f"{id_col} long, {out_col} array<int>"
-    return df.select(id_col, vec_col).mapInPandas(_encode, schema)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {types[c]}" for c in keep] + [f"{out_col} array<int>"]
+    )
+    return df.select(*keep, vec_col).mapInPandas(_encode, schema)
 
 
 def pq_topk(
@@ -2042,9 +2052,14 @@ def build_ivfpq_index(
         refine_iterations=pq_refine_iterations, id_col=id_col,
     )
     resid = _residuals(corpus)
-    codes = encode_pq(resid, model, id_col=id_col, vec_col="__res__")
-    # encode_pq projects to (id, code); re-attach the cell by id join
-    with_cell = resid.select("cell", id_col).join(codes, id_col)
+    # the cell rides THROUGH the encode pass: consuming resid twice
+    # (encode input + a cell re-join by id) re-ran the whole
+    # assignment GEMM + broadcast join per consumer and paid an extra
+    # id-keyed shuffle for a column resid already carried
+    with_cell = encode_pq(
+        resid, model, id_col=id_col, vec_col="__res__",
+        passthrough_cols=["cell"],
+    )
     return store_dataframe_as_dataset(
         spark, store, index_uuid,
         with_cell.select("cell", F.col(id_col), "pq_code"),
