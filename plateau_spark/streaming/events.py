@@ -1069,19 +1069,36 @@ def stream_ingest_neardup(
             survivors = batch_df.join(dup_ids, id_col, "left_anti")
             if files_per_batch:
                 survivors = survivors.coalesce(int(files_per_batch))
-            commit_stream_batch(
-                spark, st, dataset_uuid, survivors, batch_id,
-                partition_on=partition_on,
-            )
             # ALL batch docs' fingerprints (kept or dropped) join the seen
             # index — second commit, own batch marker (see exactly-once note)
             fp_rows = banded.select(*band_cols).dropDuplicates(band_cols)
             if fingerprint_files_per_batch:
                 fp_rows = fp_rows.coalesce(int(fingerprint_files_per_batch))
-            commit_stream_batch(
-                spark, st, fingerprint_dataset, fp_rows,
-                batch_id, assume_nonempty=True, **stats_kwargs,
-            )
+            # the two commits target INDEPENDENT datasets and are each
+            # idempotent, so they overlap on two threads (concurrent
+            # actions on one SparkSession are supported; both read the
+            # shared banded cache, which is thread-safe). Ordering is
+            # not load-bearing for exactly-once: a crash with either
+            # commit landed replays the batch deterministically — the
+            # recomputed frames are identical, the landed commit
+            # no-ops on its batch marker, the other completes. Running
+            # them serially left each commit's driver-side metadata /
+            # stats phases idling the cluster (~1s/batch).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_main = pool.submit(
+                    commit_stream_batch,
+                    spark, st, dataset_uuid, survivors, batch_id,
+                    partition_on=partition_on,
+                )
+                f_fp = pool.submit(
+                    commit_stream_batch,
+                    spark, st, fingerprint_dataset, fp_rows,
+                    batch_id, assume_nonempty=True, **stats_kwargs,
+                )
+                f_main.result()
+                f_fp.result()
             _maybe_compact_fingerprints(
                 spark, st, fingerprint_dataset, batch_id,
                 compact_fingerprint_every,
