@@ -52,16 +52,53 @@ _shared_caches: "OrderedDict[int, DataFrame]" = OrderedDict()
 _shared_lock = threading.Lock()
 
 
+def _bytes_budget() -> int | None:
+    """Optional byte budget on the session's persisted storage
+    (``PLATEAU_SPARK_SHARED_CACHE_BYTES``), read per call so pipelines
+    can set it after import. The count limit bounds FRAMES; this bounds
+    BYTES — one corpus-proportional frame (the winnow fingerprint frame
+    is ~1-2% of text bytes, SCALING.md) can dwarf seven KB-scale ones,
+    and at 100 TB eight such frames would pin ~10% of corpus bytes."""
+    try:
+        v = os.environ.get("PLATEAU_SPARK_SHARED_CACHE_BYTES")
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        return None
+
+
+def _session_cached_bytes(df: DataFrame) -> "int | None":
+    """Total memory+disk bytes of every persisted RDD in the session,
+    from the JVM's storage status — ground truth for what the caches
+    actually pin (a per-frame estimate would need either a
+    materializing count, which breaks operator laziness, or fragile
+    plan-to-RDD matching). None when the JVM query fails."""
+    try:
+        infos = df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        return None
+
+
 def persist_shared(df: DataFrame) -> DataFrame:
     """``df.persist()`` plus registration in the bounded shared-cache
     registry. Use for operator-internal aggregates whose cache must
     outlive the operator call (the returned frame references it); the
     registry guarantees at most ``_SHARED_CACHE_LIMIT`` such frames stay
-    pinned, unpersisting the oldest first."""
+    pinned, unpersisting the oldest first, and — when
+    ``PLATEAU_SPARK_SHARED_CACHE_BYTES`` is set — additionally evicts
+    oldest-first while the session's total persisted bytes exceed the
+    budget (so one oversized frame is released ahead of the count
+    limit). Byte eviction sees a frame's size only once it has
+    materialized, i.e. on a LATER registration — the just-registered
+    frame is never evicted."""
     out = df.persist()
     evicted: list[DataFrame] = []
     with _shared_lock:
+        # id(out) can repeat (persist() returns self): move a
+        # re-registered frame to the LRU tail or it keeps its stale
+        # position and a just-re-pinned frame evicts as the oldest
         _shared_caches[id(out)] = out
+        _shared_caches.move_to_end(id(out))
         while len(_shared_caches) > _SHARED_CACHE_LIMIT:
             _, old = _shared_caches.popitem(last=False)
             evicted.append(old)
@@ -70,7 +107,33 @@ def persist_shared(df: DataFrame) -> DataFrame:
             old.unpersist(False)
         except Exception:  # noqa: BLE001 — release is best-effort
             pass
+    budget = _bytes_budget()
+    if budget is not None:
+        _evict_over_byte_budget(out, budget)
     return out
+
+
+def _evict_over_byte_budget(newest: DataFrame, budget: int) -> None:
+    """Release registry frames oldest-first while the session's
+    persisted bytes exceed ``budget``. The newest frame is exempt (its
+    own blocks aren't materialized yet, and evicting it would undo the
+    registration that triggered the check); non-registry caches count
+    toward the total but are never touched — the shared frames are the
+    release valve, and releasing them is always correctness-safe
+    (consumers recompute)."""
+    while True:
+        total = _session_cached_bytes(newest)
+        if total is None or total <= budget:
+            return
+        with _shared_lock:
+            if len(_shared_caches) <= 1:
+                return
+            _, old = _shared_caches.popitem(last=False)
+        try:
+            # blocking, so the next storage poll reflects the release
+            old.unpersist(True)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            return
 
 
 def release_shared_caches() -> int:

@@ -882,6 +882,60 @@ def test_shared_cache_registry_bounds_storage(spark):
     assert not any(f.is_cached for f in frames)
 
 
+def test_shared_cache_reregistration_refreshes_lru_position(spark):
+    """persist() returns self, so re-registering a frame repeats its
+    id(); plain OrderedDict assignment keeps the STALE position and a
+    just-re-pinned frame would evict as the oldest (r14 ADVICE, low).
+    Re-registration must move it to the LRU tail."""
+    from plateau_spark.core.caching import (
+        _SHARED_CACHE_LIMIT,
+        persist_shared,
+        release_shared_caches,
+    )
+
+    release_shared_caches()
+    base = spark.range(50)
+    hot = persist_shared(base.select((F.col("id") * 2).alias("v")))
+    hot.count()
+    # fill to one short of the limit, then re-pin `hot`
+    fillers = [
+        persist_shared(base.select((F.col("id") + i).alias("v")))
+        for i in range(_SHARED_CACHE_LIMIT - 1)
+    ]
+    assert persist_shared(hot) is hot  # re-registration: same id()
+    # one more registration must evict the oldest FILLER, not `hot`
+    persist_shared(base.select((F.col("id") - 1).alias("v")))
+    assert hot.is_cached, "re-pinned frame evicted despite LRU refresh"
+    assert not fillers[0].is_cached
+    release_shared_caches()
+
+
+def test_shared_cache_byte_budget_evicts_oversized_frame(spark, monkeypatch):
+    """PLATEAU_SPARK_SHARED_CACHE_BYTES: an oversized materialized frame
+    is released ahead of the count limit — the count bound alone lets 8
+    corpus-proportional frames pin ~10% of corpus bytes at 100 TB
+    (r14 verdict task 6). A 1-byte budget forces byte-eviction of every
+    frame but the newest on the next registration."""
+    from plateau_spark.core.caching import (
+        persist_shared,
+        release_shared_caches,
+        shared_cache_count,
+    )
+
+    release_shared_caches()
+    big = persist_shared(spark.range(200_000).selectExpr("id", "id * 2 AS v"))
+    big.count()  # materialize so the storage poll sees its bytes
+    monkeypatch.setenv("PLATEAU_SPARK_SHARED_CACHE_BYTES", "1")
+    tiny = persist_shared(spark.range(10).selectExpr("id AS w"))
+    assert not big.is_cached, "oversized frame survived the byte budget"
+    assert shared_cache_count() == 1  # newest frame is exempt
+    # eviction is correctness-safe: the released frame recomputes
+    assert big.count() == 200_000
+    monkeypatch.delenv("PLATEAU_SPARK_SHARED_CACHE_BYTES")
+    release_shared_caches()
+    assert tiny is not None
+
+
 def test_operator_shared_caches_stay_bounded(spark):
     """50-invocation loop over a persist_shared-using operator: the
     registry (not the caller) keeps total pinned storage bounded — the
