@@ -1710,6 +1710,14 @@ def encode_pq(
     derivation and re-join by id to recover it."""
     import numpy as np
 
+    reserved = {id_col, out_col, vec_col}
+    missing = [c for c in passthrough_cols if c not in df.columns]
+    clashing = [c for c in passthrough_cols if c in reserved]
+    if missing or clashing:
+        raise ValueError(
+            "passthrough_cols must name existing columns disjoint from "
+            f"id/vec/out columns; missing={missing}, clashing={clashing}"
+        )
     m, sub = model["m"], model["sub_dim"]
     books = [np.array(b, dtype=np.float64) for b in model["codebooks"]]
     keep = [id_col, *passthrough_cols]
