@@ -37,16 +37,18 @@ from plateau_spark.entry_queries import (  # noqa: E402
     QUERIES,
     minhash_pairs,
     simhash_fingerprints,
+    streaming_ingest_neardup_siphash,
 )
 from plateau_spark.session import get_spark  # noqa: E402
 
-# Bench-only queries: the xxhash64 production-hash minhash/simhash
-# spellings are not DuckDB-replayable so they live outside the verified
-# registry (their md5 twins are the value-checked tier), but the
-# production hash family is what runs at scale — keep its perf measured.
+# Bench-only queries: the xxhash64/siphash production-hash spellings
+# are not DuckDB-replayable so they live outside the verified registry
+# (their md5 twins are the value-checked tier), but the production hash
+# family is what runs at scale — keep its perf measured.
 BENCH_ONLY = {
     "minhash_pairs": minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "streaming_ingest_neardup_siphash": streaming_ingest_neardup_siphash,
 }
 
 # Headline set: the scan/join/agg relational core, the dataset write+
@@ -199,6 +201,10 @@ BENCH_QUERIES = [
     # (plan shape asserted in test_plan_quality.py:
     # test_bitext_ivf_search_tier_probes_cells_not_corpus)
     "bitext_mine_pairs_ivf",
+    # new in round 15: the near-dup sink's production banding tier —
+    # the md5 line's residual cost is banding; this measures the
+    # siphash ratio in a committed artifact (r14 verdict task 3)
+    "streaming_ingest_neardup_siphash",
 ]
 
 

@@ -3287,16 +3287,9 @@ def streaming_ingest_dedup_keyindex(spark: SparkSession, sf_dir: str) -> DataFra
     return read_table(spark, store, "ev")
 
 
-def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Online NEAR-dup dedup-on-ingest (fuzzy twin of
-    streaming_ingest_dedup): documents staged as two id-ordered halves,
-    drained availableNow with maxFilesPerTrigger=1; each batch drops
-    docs whose md5-MinHash band signature collides with any previously
-    SEEN doc (kept or dropped — the seen-index contract, so the kept
-    set is a non-recursive function of arrival order and fully
-    SQL-expressible), dedups within the batch by id order, and commits
-    survivors + the batch's fingerprints atomically. The persisted
-    fingerprint side-dataset IS the dedup state."""
+def _stream_ingest_neardup_impl(
+    spark: SparkSession, sf_dir: str, *, hash_family: str, tag: str
+) -> DataFrame:
     _prep(spark)
     import glob as _glob
     import os as _os
@@ -3308,9 +3301,9 @@ def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_ingest_neardup,
     )
 
-    store = _fresh_store("stream_ingest_neardup")
-    ckpt = _fresh_store("stream_ingest_neardup_ckpt")
-    src = _fresh_store("stream_ingest_neardup_src")
+    store = _fresh_store(f"stream_ingest_neardup{tag}")
+    ckpt = _fresh_store(f"stream_ingest_neardup{tag}_ckpt")
+    src = _fresh_store(f"stream_ingest_neardup{tag}_src")
     _os.makedirs(src, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
     half = docs.count() // 2
@@ -3337,6 +3330,7 @@ def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, store, "docs",
         id_col="doc_id", text_col="text",
         checkpoint_dir=ckpt, fingerprint_dataset="docs_fp",
+        hash_family=hash_family,
         # half-table micro-batches are small next to a parquet file —
         # one survivor file per batch (cache-pinned width otherwise
         # writes one near-empty file per shuffle partition)
@@ -3345,6 +3339,31 @@ def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_table(spark, store, "docs").select("doc_id", "lang", "n_chars")
+
+
+def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online NEAR-dup dedup-on-ingest (fuzzy twin of
+    streaming_ingest_dedup): documents staged as two id-ordered halves,
+    drained availableNow with maxFilesPerTrigger=1; each batch drops
+    docs whose md5-MinHash band signature collides with any previously
+    SEEN doc (kept or dropped — the seen-index contract, so the kept
+    set is a non-recursive function of arrival order and fully
+    SQL-expressible), dedups within the batch by id order, and commits
+    survivors + the batch's fingerprints atomically. The persisted
+    fingerprint side-dataset IS the dedup state."""
+    return _stream_ingest_neardup_impl(spark, sf_dir, hash_family="md5", tag="")
+
+
+def streaming_ingest_neardup_siphash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY production tier of streaming_ingest_neardup:
+    ``hash_family="siphash"`` swaps the oracle-portable md5 minhash
+    atoms for seeded xxhash64 — not DuckDB-replayable, so it carries no
+    oracle (its md5 twin is the value-checked tier), but it is the
+    banding that runs at 100 TB and its cost share was previously only
+    CLAIMED in BENCH_NOTES (r14 verdict task 3)."""
+    return _stream_ingest_neardup_impl(
+        spark, sf_dir, hash_family="siphash", tag="_sip"
+    )
 
 
 # kept iff no smaller-doc_id document shares a band signature (arrival
