@@ -614,19 +614,38 @@ def stream_route_to_datasets(
     Scale shape: one filter job per route per batch over the SAME
     cached micro-batch; the predicate is codegen; per-route commit cost
     is the dataset write. State is Spark's source offsets plus one
-    metadata key per (dataset, batch).
+    metadata key per (dataset, batch). The route commits run
+    CONCURRENTLY (bounded pool): they target disjoint datasets, are
+    each idempotent per (dataset, batch_id), and read nothing back —
+    so any crash-replay interleaving just finishes the routes whose
+    markers are missing while the landed ones no-op (unlike the
+    near-dup sink there is no read-your-own-commit hazard to
+    neutralize). Serial commits left each route's driver-side
+    metadata/commit phase idling the cluster per route per batch
+    (the r14 near-dup overlap finding).
     """
     spark = stream.sparkSession
     routes = {u: (F.expr(p) if isinstance(p, str) else p) for u, p in routes.items()}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         batch_df = batch_df.persist()
         try:
-            for uuid, pred in routes.items():
-                commit_stream_batch(
-                    spark, store, uuid, batch_df.where(pred), batch_id,
-                    partition_on=partition_on,
-                )
+            with ThreadPoolExecutor(
+                max_workers=min(4, max(1, len(routes)))
+            ) as pool:
+                futs = [
+                    pool.submit(
+                        commit_stream_batch,
+                        spark, store, uuid, batch_df.where(pred), batch_id,
+                        partition_on=partition_on,
+                    )
+                    for uuid, pred in routes.items()
+                ]
+            # pool exit joins every commit; surface the first failure
+            for f in futs:
+                f.result()
         finally:
             batch_df.unpersist()
 
@@ -964,10 +983,18 @@ def stream_ingest_neardup(
     parallel write is the point.
 
     Exactly-once holds per dataset (each carries its own batch
-    marker). The dedup decision reads ONLY the fingerprint dataset, so
-    a crash between the two commits replays the batch deterministically:
-    the recomputed survivor set is identical, the main-dataset commit
-    no-ops, and the fingerprint commit completes.
+    marker), and the two commits run CONCURRENTLY — safe because the
+    dedup decision reads only fingerprints of strictly earlier batches
+    (every fingerprint row carries a ``__batch_id__``; the seen read
+    filters ``__batch_id__ < batch_id``). A crash with either commit
+    landed replays the batch deterministically: the seen read excludes
+    the batch's own fingerprints even when the fingerprint commit won
+    the race, the recomputed survivor set is identical, the landed
+    commit no-ops on its batch marker, and the other completes. The
+    stream's identity is the (checkpoint, datasets) tuple — reusing a
+    fingerprint dataset under a FRESH checkpoint restarts batch ids at
+    0 and is unsupported (same contract as the batch markers
+    themselves).
 
     Returns the started StreamingQuery.
     """
@@ -990,10 +1017,57 @@ def stream_ingest_neardup(
         band_cols,
         None,
     )
-    if zone:
-        stats_kwargs["zone_map_columns"] = zone
+    # __batch_id__ rides every fingerprint row so a REPLAYED batch can
+    # exclude its own landed fingerprints from the seen read (see the
+    # crash-replay note at the commit site); its zone map prunes those
+    # files for free (one commit per batch → per-file constant column)
+    stats_kwargs["zone_map_columns"] = [*zone, "__batch_id__"]
     if bloom:
         stats_kwargs["bloom_filter_columns"] = bloom
+
+    # scheduled fingerprint compaction runs on a background thread,
+    # OVERLAPPED with the NEXT batch's banding/probe/seen-read jobs
+    # (all safe concurrently: compaction's atomic swap never reclaims
+    # superseded files, so snapshot reads keep working) and joined
+    # before the next fingerprint COMMIT (an append landing between
+    # compaction's read and its swap is the one lost-update hazard).
+    # A crash loses at most one pending compaction — idempotent
+    # maintenance, re-triggered at the next schedule; a compaction
+    # error surfaces at the join, failing (and replaying) that batch.
+    maint: dict = {"thread": None, "error": None}
+
+    def _join_compaction() -> None:
+        t = maint["thread"]
+        if t is not None:
+            t.join()
+            maint["thread"] = None
+            err, maint["error"] = maint["error"], None
+            if err is not None:
+                raise err
+
+    def _schedule_compaction(st, batch_id: int) -> None:
+        import threading
+
+        if not (
+            compact_fingerprint_every
+            and batch_id > 0
+            and batch_id % compact_fingerprint_every == 0
+        ):
+            return
+        _join_compaction()  # never two concurrent compactions
+
+        def _run() -> None:
+            try:
+                _maybe_compact_fingerprints(
+                    spark, st, fingerprint_dataset, batch_id,
+                    compact_fingerprint_every,
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                maint["error"] = e
+
+        t = threading.Thread(target=_run, name="plateau-fp-compact", daemon=True)
+        maint["thread"] = t
+        t.start()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from plateau_spark.sources.dataset import _ensure_store
@@ -1017,10 +1091,7 @@ def stream_ingest_neardup(
             # survivors commit keeps its probe — all-dup batches commit
             # zero survivor rows but still append fingerprints)
             if banded.isEmpty():
-                _maybe_compact_fingerprints(
-                    spark, st, fingerprint_dataset, batch_id,
-                    compact_fingerprint_every,
-                )
+                _schedule_compaction(st, batch_id)
                 return
             # ONE pass over (batch bands ∪ pruned seen index): per
             # (band, bandsig) group a window computes whether any SEEN
@@ -1037,7 +1108,18 @@ def stream_ingest_neardup(
                 F.lit(False).alias("__seen__"),
             )
             if DatasetMetadata.exists(st, fingerprint_dataset):
+                # self-excluding seen read: only fingerprints of STRICTLY
+                # EARLIER batches count as seen. On first execution this
+                # filters nothing (all committed rows are earlier); on a
+                # crash-replay where this batch's OWN fingerprint commit
+                # already landed, it keeps the replay's dedup decision
+                # identical to the original run — without it every batch
+                # doc would collide with its own landed bands, survivors
+                # would come back empty, and the batch's kept docs would
+                # be silently lost (r14 advice, high).
+                bterm = ("__batch_id__", "<", int(batch_id))
                 preds = _batch_key_predicates(banded, band_cols)
+                preds = [[*c, bterm] for c in preds] if preds else [[bterm]]
                 seen = read_dataset_as_dataframe(
                     spark, st, fingerprint_dataset,
                     columns=band_cols, predicates=preds,
@@ -1070,22 +1152,36 @@ def stream_ingest_neardup(
             if files_per_batch:
                 survivors = survivors.coalesce(int(files_per_batch))
             # ALL batch docs' fingerprints (kept or dropped) join the seen
-            # index — second commit, own batch marker (see exactly-once note)
-            fp_rows = banded.select(*band_cols).dropDuplicates(band_cols)
+            # index — second commit, own batch marker (see exactly-once
+            # note); the __batch_id__ tag is what lets a replay exclude
+            # them from its seen read
+            fp_rows = (
+                banded.select(*band_cols)
+                .dropDuplicates(band_cols)
+                .withColumn("__batch_id__", F.lit(int(batch_id)).cast("long"))
+            )
             if fingerprint_files_per_batch:
                 fp_rows = fp_rows.coalesce(int(fingerprint_files_per_batch))
             # the two commits target INDEPENDENT datasets and are each
             # idempotent, so they overlap on two threads (concurrent
             # actions on one SparkSession are supported; both read the
-            # shared banded cache, which is thread-safe). Ordering is
-            # not load-bearing for exactly-once: a crash with either
-            # commit landed replays the batch deterministically — the
-            # recomputed frames are identical, the landed commit
-            # no-ops on its batch marker, the other completes. Running
-            # them serially left each commit's driver-side metadata /
-            # stats phases idling the cluster (~1s/batch).
+            # shared banded cache, which is thread-safe). The overlap is
+            # crash-safe ONLY because the seen read above is
+            # self-excluding: if the fingerprint commit lands and the
+            # survivors commit fails, the replay filters the batch's own
+            # fingerprints out (__batch_id__ < batch_id), recomputes the
+            # IDENTICAL survivor set, the fingerprint commit no-ops on
+            # its batch marker, and the survivors commit completes.
+            # Without that filter the serial order (survivors first)
+            # would be load-bearing. Running the commits serially left
+            # each commit's driver-side metadata / stats phases idling
+            # the cluster (~1s/batch).
             from concurrent.futures import ThreadPoolExecutor
 
+            # a pending background compaction must finish before the
+            # fingerprint APPEND below (lost-update hazard); everything
+            # above — banding, probe, predicate aggs — overlapped it
+            _join_compaction()
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_main = pool.submit(
                     commit_stream_batch,
@@ -1099,10 +1195,7 @@ def stream_ingest_neardup(
                 )
                 f_main.result()
                 f_fp.result()
-            _maybe_compact_fingerprints(
-                spark, st, fingerprint_dataset, batch_id,
-                compact_fingerprint_every,
-            )
+            _schedule_compaction(st, batch_id)
         finally:
             banded.unpersist()
 

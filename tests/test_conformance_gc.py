@@ -453,8 +453,18 @@ def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypat
     monkeypatch.undo()
 
     # the crash left orphans in the expected key class, every dataset
-    # still reads exactly its batch-0 snapshot, and batch 1 is not in
-    # any commit watermark
+    # reads a CONSISTENT snapshot (its batch-0 state, or — for the
+    # routed sink, whose per-route commits run concurrently — batch 1
+    # fully committed on the route that won the race: per-dataset
+    # exactly-once, not cross-dataset atomicity, the documented
+    # contract a replay completes), and the crashed dataset's batch 1
+    # is not in its commit watermark
+    want = {"single": {"ing": _stream_rows(0, 20) + _stream_rows(100, 20)}}.get(
+        sink
+    ) or {
+        "accept": _stream_rows(0, 20) + _stream_rows(100, 20),
+        "audit": [t for t in _stream_rows(0, 20) + _stream_rows(100, 20) if t[0] % 2 == 0],
+    }
     staging_keys = {
         u: [k for k in store.iter_keys(f"{u}/{naming.STAGING_DIR}/") if k]
         for u in uuids
@@ -463,10 +473,19 @@ def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypat
         assert any(staging_keys[u] for u in uuids)
     else:
         assert all(not staging_keys[u] for u in uuids)  # renames completed
+    committed1 = {
+        u: "1"
+        in DatasetMetadata.load(store, u).metadata.get("stream_batches", {})
+        for u in uuids
+    }
+    assert not all(committed1.values()), "the injected crash committed anyway"
+    if sink == "single":
+        assert not committed1["ing"]
+    expected = {
+        u: sorted(want[u]) if committed1[u] else base_rows[u] for u in uuids
+    }
     orphans_exist = False
     for u in uuids:
-        meta = DatasetMetadata.load(store, u)
-        assert "1" not in meta.metadata.get("stream_batches", {})
         exact, prefixes = _model_referenced(store, u)
         unref = {
             k
@@ -474,7 +493,7 @@ def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypat
             if k not in exact and not any(k.startswith(p) for p in prefixes)
         }
         orphans_exist = orphans_exist or bool(unref)
-        assert _rows_by_id(spark, store, u) == base_rows[u]
+        assert _rows_by_id(spark, store, u) == expected[u]
     assert orphans_exist  # the kill really abandoned bytes
 
     # keep_staging=True: the staging prefix survives (an in-flight
@@ -482,7 +501,7 @@ def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypat
     for u in uuids:
         removed = garbage_collect_dataset(store, u, keep_staging=True)
         assert not any(f"/{naming.STAGING_DIR}/" in k for k in removed)
-        assert _rows_by_id(spark, store, u) == base_rows[u]
+        assert _rows_by_id(spark, store, u) == expected[u]
         if staging_keys[u]:
             assert set(staging_keys[u]) <= set(store.iter_keys(f"{u}/"))
 
@@ -497,18 +516,13 @@ def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypat
             if k in exact or any(k.startswith(p) for p in prefixes)
         }
         assert not list(store.iter_keys(f"{u}/{naming.STAGING_DIR}/"))
-        assert _rows_by_id(spark, store, u) == base_rows[u]
+        assert _rows_by_id(spark, store, u) == expected[u]
 
     # restart from the same checkpoint: Spark replays batch 1, the sink
-    # commits it exactly once, and the datasets are complete with no
+    # commits it exactly once (routes that already landed it no-op on
+    # their batch markers), and the datasets are complete with no
     # duplicates (per-dataset exactly-once through the batch watermark)
     _run_stream(spark, tmp_path, store, sink).awaitTermination()
-    want = {"single": {"ing": _stream_rows(0, 20) + _stream_rows(100, 20)}}.get(
-        sink
-    ) or {
-        "accept": _stream_rows(0, 20) + _stream_rows(100, 20),
-        "audit": [t for t in _stream_rows(0, 20) + _stream_rows(100, 20) if t[0] % 2 == 0],
-    }
     for u in uuids:
         assert _rows_by_id(spark, store, u) == sorted(want[u])
         meta = DatasetMetadata.load(store, u)

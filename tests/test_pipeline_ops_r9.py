@@ -740,6 +740,64 @@ def test_neardup_ingest_siphash_production_tier(spark, tmp_path):
     assert sorted(r.doc_id for r in out.collect()) == [1, 4]
 
 
+def test_neardup_ingest_replay_after_partial_commit(spark, tmp_path, monkeypatch):
+    """Crash window between the two OVERLAPPED commits: the fingerprint
+    commit lands, the survivors commit fails. The replayed batch must
+    commit the SAME survivors — the seen read excludes the batch's own
+    landed fingerprints (__batch_id__ < batch_id), so the replay's dedup
+    decision is identical. Without the self-excluding filter every batch
+    doc collides with its own fingerprints on replay and the batch's
+    kept docs are silently lost (r14 advice, high)."""
+    import plateau_spark.streaming.events as ev
+    from plateau_spark.core.metadata import DatasetMetadata
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import read_table
+
+    long_a = "one two three four five six seven eight nine ten eleven twelve"
+    long_b = "red orange yellow green blue indigo violet ultra infra deep dark light"
+    batches = [[(1, long_a)], [(2, long_a), (3, long_b)]]
+    real = ev.commit_stream_batch
+    inject = {"on": True}
+
+    def failing(spark_, st, uuid, df, batch_id, **kw):
+        if inject["on"] and uuid == "docs" and batch_id == 1:
+            # the sink's executor-shutdown join still completes the
+            # concurrent fingerprint commit after this raises — exactly
+            # the advice's crash window
+            raise RuntimeError("injected survivors-commit failure")
+        return real(spark_, st, uuid, df, batch_id, **kw)
+
+    monkeypatch.setattr(ev, "commit_stream_batch", failing)
+    with pytest.raises(Exception, match="injected|Query"):
+        _run_neardup(spark, tmp_path, batches)
+
+    store = Store(str(tmp_path / "store"))
+    # batch 1's fingerprints landed, its survivors did not
+    fp_meta = DatasetMetadata.load(store, "docs_fp")
+    assert "1" in fp_meta.metadata["stream_batches"]
+    assert sorted(
+        r.doc_id for r in read_table(spark, store, "docs").collect()
+    ) == [1]
+
+    # restart over the same checkpoint: batch 1 replays and commits [3]
+    inject["on"] = False
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "src")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q2 = ev.stream_ingest_neardup(
+        stream2, store, "docs",
+        id_col="doc_id", text_col="text",
+        checkpoint_dir=str(tmp_path / "ck"),
+        fingerprint_dataset="docs_fp", available_now=True,
+    )
+    q2.awaitTermination(180)
+    assert sorted(
+        r.doc_id for r in read_table(spark, store, "docs").collect()
+    ) == [1, 3]
+
+
 def test_band_signatures_rejects_bad_family(spark):
     from plateau_spark.operators.dedup import md5_band_signatures
 
@@ -894,6 +952,22 @@ def test_pq_encode_matches_numpy_twin(spark, emb):
             for j in range(8)
         ]
         assert codes[r.vec_id] == want
+
+
+def test_pq_encode_rejects_bad_passthrough_cols(spark, emb):
+    """passthrough_cols naming a missing column or one of the
+    id/vec/out columns must fail fast with a clear error, not a
+    duplicate mapInPandas schema or an opaque KeyError inside the
+    Arrow pass (r14 ADVICE, low)."""
+    from plateau_spark.operators.similarity import encode_pq, fit_pq_model
+
+    model = fit_pq_model(emb, m=8, k=16, refine_iterations=1)
+    with pytest.raises(ValueError, match="missing=\\['nope'\\]"):
+        encode_pq(emb, model, passthrough_cols=["nope"])
+    with pytest.raises(ValueError, match="clashing=\\['vec_id'\\]"):
+        encode_pq(emb, model, passthrough_cols=["vec_id"])
+    with pytest.raises(ValueError, match="clashing"):
+        encode_pq(emb, model, passthrough_cols=["embedding"])
 
 
 def test_pq_topk_adc_matches_python_twin(spark, emb):
