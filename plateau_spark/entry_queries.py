@@ -7481,24 +7481,36 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r14 window (first 50) ---
-    # CLOSE-OUT RULE (r13 verdict item 3, permanent): any registry key
-    # whose IMPLEMENTING FUNCTION (operator body, sink, or entry) was
-    # modified this round is PREPENDED to the window, ahead of
-    # staleness rotation — driver evidence must never lag a code
-    # change. Then the stalest-evidence keys fill the rest (this
-    # round: the full 26-key r9-evidence block, then the oldest r11
-    # keys). Entries past the boundary sort by evidence round so the
-    # next rotation lifts the front verbatim. The five rows-only lines
-    # (pinned-model twins carry their hash evidence) stay at the tail,
-    # OUT of the window, so the driver artifact records zero
-    # `no_oracle` rows.
+    # --- r15 window (first 50) ---
+    # CLOSE-OUT RULE (r13 verdict item 3, permanent; MECHANIZED in r15
+    # by tools/check_window.py): any registry key whose IMPLEMENTING
+    # CODE changed this round — its entry function, an operator module,
+    # or any plateau_spark module in the static import closure — is
+    # either PREPENDED to the window or parity-swept locally
+    # (tools/check_parity.py full run) with the sweep recorded here.
+    # Then the stalest-evidence keys fill the rest. Entries past the
+    # boundary sort by evidence round so the next rotation lifts the
+    # front verbatim. The five rows-only lines (pinned-model twins
+    # carry their hash evidence) stay at the tail, OUT of the window,
+    # so the driver artifact records zero `no_oracle` rows.
+    # After r15 the minimum driver evidence is r12.
     #
-    # -- r14-touched keys (16): persist_shared swap (dsir, winnow,
-    #    ccnet, bigram LM, PSI, retention), the near-dup ingest
-    #    protocol-floor rework + commit_stream_batch assume_nonempty
-    #    (every commit_stream_batch caller), datasource full-DNF
-    #    predicates=, stats-refresh family growth-measured --
+    # -- r15 directly-touched keys (15): the near-dup sink's
+    #    crash-safe overlapped commits (__batch_id__-tagged seen read)
+    #    + background fp compaction, concurrent route commits, the
+    #    encode_pq passthrough validation (pq/ivfpq pinned twins), and
+    #    the persist_shared LRU/byte-budget change (its six operator
+    #    families). check_window.py reports 156 module-closure-touched
+    #    keys for r15 (caching.py is imported nearly everywhere); the
+    #    full check_parity sweep at close-out covers the remainder,
+    #    recorded in tools/ output cited in the round summary --
+    "streaming_ingest_neardup": streaming_ingest_neardup,
+    "streaming_route_datasets": streaming_route_datasets,
+    "streaming_ingest_dedup": streaming_ingest_dedup,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
+    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
+    "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
     "dsir_logweights": dsir_logweights_q,
     "dsir_select": dsir_select_q,
     "winnow_overlap_pairs": winnow_overlap_pairs_q,
@@ -7507,53 +7519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_drift_psi": histogram_drift_psi,
     "events_retention_cohorts": events_retention_cohorts,
     "events_retention_monthly": events_retention_monthly,
-    "dataset_python_source_read": dataset_python_source_read,
-    "streaming_ingest_dedup": streaming_ingest_dedup,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    "streaming_route_datasets": streaming_route_datasets,
-    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
-    "streaming_distinct_monitor": streaming_distinct_monitor,
-    "streaming_topk_monitor": streaming_topk_monitor,
-    "dataset_stats_refresh": dataset_stats_refresh,
-    # -- the 26-key r9-evidence block (stalest; includes the r14-touched
-    #    streaming_ingest_neardup and streaming_histogram_monitor) --
-    "events_skew_profile": events_skew_profile,
-    "histogram_quantiles": histogram_quantiles,
-    "hybrid_search_rrf": hybrid_search_rrf,
-    "pack_documents_bins": pack_documents_bins,
-    "pack_sequences": pack_sequences,
-    "retrieval_hard_negatives": retrieval_hard_negatives,
-    "score_calibrate_pct": score_calibrate_pct,
-    "sketch_distinct_users": sketch_distinct_users,
-    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enrich_dim": streaming_enrich_dim,
-    "streaming_histogram_monitor": streaming_histogram_monitor,
-    "streaming_ingest_neardup": streaming_ingest_neardup,
-    "streaming_interval_join": streaming_interval_join,
-    "text_bm25_indexed": text_bm25_indexed,
-    "text_bm25_topk": text_bm25_topk,
-    "text_bpe_tokens": text_bpe_tokens,
-    "text_lang_agg": text_lang_agg,
-    "text_pii_scrub": text_pii_scrub,
-    "text_quality": text_quality,
-    "text_repetition": text_repetition,
-    "text_stats": text_stats,
-    "text_tfidf_terms": text_tfidf_terms,
-    "web_blocklist_filter": web_blocklist_filter,
-    "web_domain_stats": web_domain_stats,
-    "web_html_extract": web_html_extract,
-    # -- oldest r11-evidence fill (8) --
-    "bitext_mine_pairs": bitext_mine_pairs,
-    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
-    "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "dataset_compact_read": dataset_compact_read,
-    "dataset_delete_rows": dataset_delete_rows,
-    "dataset_index_read": dataset_index_read,
-    "dataset_time_travel_read": dataset_time_travel_read,
-    # --- past the r14 window: evidence round ascending ---
-    # -- latest driver evidence: r11 --
+    # -- the 27-key r11-evidence block (stalest) --
     "dataset_upsert_read": dataset_upsert_read,
     "dataset_zorder_read": dataset_zorder_read,
     "decontaminate_bloom": decontaminate_bloom,
@@ -7581,8 +7547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_blocked_words": text_blocked_words,
     "text_lm_score": text_lm_score,
     "text_quality_classifier": text_quality_classifier,
-    # -- latest driver evidence: r13 (the r13 window, minus keys
-    #    lifted into the r14 window above) --
+    # -- oldest r13-evidence fill (8) --
     "agg_to_lists": agg_to_lists,
     "asof_join_events": asof_join_events,
     "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
@@ -7591,6 +7556,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_merge_into": dataset_merge_into,
     "dataset_repartition_read": dataset_repartition_read,
     "dedup_clusters": dedup_clusters,
+    # --- past the r15 window: evidence round ascending ---
+    # -- latest driver evidence: r12 --
+    "dataset_append_update": dataset_append_update,
+    "dataset_bloom_read": dataset_bloom_read,
+    "dataset_bucketed_write": dataset_bucketed_write,
+    "dataset_changes_read": dataset_changes_read,
+    "dataset_commit_protocol": dataset_commit_protocol,
+    "dataset_copy": dataset_copy,
+    "dataset_csv_roundtrip": dataset_csv_roundtrip,
+    "dataset_dispatch_groups": dataset_dispatch_groups,
+    "dataset_factory_read": dataset_factory_read,
+    "dataset_filter_query_read": dataset_filter_query_read,
+    "dataset_gc_roundtrip": dataset_gc_roundtrip,
+    "dataset_history_read": dataset_history_read,
+    "dataset_index_view": dataset_index_view,
+    "dataset_json_roundtrip": dataset_json_roundtrip,
+    "dataset_metadata_stats": dataset_metadata_stats,
+    "dataset_mixture_read": dataset_mixture_read,
+    "dataset_msgpack_read": dataset_msgpack_read,
+    "dataset_multi_store_iter": dataset_multi_store_iter,
+    "dataset_orc_roundtrip": dataset_orc_roundtrip,
+    "dataset_pruned_read": dataset_pruned_read,
+    "dataset_restore_read": dataset_restore_read,
+    "dataset_roundtrip_read": dataset_roundtrip_read,
+    "dataset_schema_evolution": dataset_schema_evolution,
+    "dataset_sql_view": dataset_sql_view,
+    "dataset_update_delete_scope": dataset_update_delete_scope,
+    "dataset_zonemap_read": dataset_zonemap_read,
+    "decontaminate_semantic": decontaminate_semantic,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_span_novelty": dedup_span_novelty,
+    "dedup_span_stats": dedup_span_stats,
+    "embedding_pca_pinned": embedding_pca_pinned,
+    "embedding_random_projection": embedding_random_projection,
+    "export_jsonl_manifest": export_jsonl_manifest,
+    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
+    "pack_sequence_boundaries": pack_sequence_boundaries,
+    "pipeline_pack_export": pipeline_pack_export,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "sample_weighted_quota": sample_weighted_quota,
+    "sort_topk_orders": sort_topk_orders,
+    "streaming_distinct_users": streaming_distinct_users,
+    "text_gopher_rules": text_gopher_rules,
+    "text_script_profile": text_script_profile,
+    "window_top_order_per_customer": window_top_order_per_customer,
+    # -- latest driver evidence: r13 (minus keys lifted above) --
     "dedup_corpus_docs": dedup_corpus_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_keep_last": dedup_keep_last,
@@ -7629,55 +7643,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "web_domain_pagerank": web_domain_pagerank,
     "web_url_dedup": web_url_dedup,
-    # -- latest driver evidence: r12 --
-    "dataset_append_update": dataset_append_update,
-    "dataset_bloom_read": dataset_bloom_read,
-    "dataset_bucketed_write": dataset_bucketed_write,
-    "dataset_changes_read": dataset_changes_read,
-    "dataset_commit_protocol": dataset_commit_protocol,
-    "dataset_copy": dataset_copy,
-    "dataset_csv_roundtrip": dataset_csv_roundtrip,
-    "dataset_dispatch_groups": dataset_dispatch_groups,
-    "dataset_factory_read": dataset_factory_read,
-    "dataset_filter_query_read": dataset_filter_query_read,
-    "dataset_gc_roundtrip": dataset_gc_roundtrip,
-    "dataset_history_read": dataset_history_read,
-    "dataset_index_view": dataset_index_view,
-    "dataset_json_roundtrip": dataset_json_roundtrip,
-    "dataset_metadata_stats": dataset_metadata_stats,
-    "dataset_mixture_read": dataset_mixture_read,
-    "dataset_msgpack_read": dataset_msgpack_read,
-    "dataset_multi_store_iter": dataset_multi_store_iter,
-    "dataset_orc_roundtrip": dataset_orc_roundtrip,
-    "dataset_pruned_read": dataset_pruned_read,
-    "dataset_restore_read": dataset_restore_read,
-    "dataset_roundtrip_read": dataset_roundtrip_read,
-    "dataset_schema_evolution": dataset_schema_evolution,
-    "dataset_sql_view": dataset_sql_view,
-    "dataset_update_delete_scope": dataset_update_delete_scope,
-    "dataset_zonemap_read": dataset_zonemap_read,
-    "decontaminate_semantic": decontaminate_semantic,
-    "dedup_cluster_keep_best": dedup_cluster_keep_best,
-    "dedup_duplicate_spans": dedup_duplicate_spans,
-    "dedup_span_novelty": dedup_span_novelty,
-    "dedup_span_stats": dedup_span_stats,
-    "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
-    "embedding_pca_pinned": embedding_pca_pinned,
-    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
-    "embedding_random_projection": embedding_random_projection,
-    "export_jsonl_manifest": export_jsonl_manifest,
-    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
-    "pack_sequence_boundaries": pack_sequence_boundaries,
-    "pipeline_pack_export": pipeline_pack_export,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q5_region_revenue": q5_region_revenue,
-    "sample_weighted_quota": sample_weighted_quota,
-    "sort_topk_orders": sort_topk_orders,
-    "streaming_distinct_users": streaming_distinct_users,
-    "text_gopher_rules": text_gopher_rules,
-    "text_script_profile": text_script_profile,
-    "window_top_order_per_customer": window_top_order_per_customer,
+    # -- latest driver evidence: r14 (the r14 window, minus keys
+    #    lifted into the r15 window above) --
+    "bitext_mine_pairs": bitext_mine_pairs,
+    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "dataset_compact_read": dataset_compact_read,
+    "dataset_delete_rows": dataset_delete_rows,
+    "dataset_index_read": dataset_index_read,
+    "dataset_python_source_read": dataset_python_source_read,
+    "dataset_stats_refresh": dataset_stats_refresh,
+    "dataset_time_travel_read": dataset_time_travel_read,
+    "events_skew_profile": events_skew_profile,
+    "histogram_quantiles": histogram_quantiles,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "pack_documents_bins": pack_documents_bins,
+    "pack_sequences": pack_sequences,
+    "retrieval_hard_negatives": retrieval_hard_negatives,
+    "score_calibrate_pct": score_calibrate_pct,
+    "sketch_distinct_users": sketch_distinct_users,
+    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
+    "streaming_dedup": streaming_dedup,
+    "streaming_distinct_monitor": streaming_distinct_monitor,
+    "streaming_enrich_dim": streaming_enrich_dim,
+    "streaming_histogram_monitor": streaming_histogram_monitor,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_topk_monitor": streaming_topk_monitor,
+    "text_bm25_indexed": text_bm25_indexed,
+    "text_bm25_topk": text_bm25_topk,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_lang_agg": text_lang_agg,
+    "text_pii_scrub": text_pii_scrub,
+    "text_quality": text_quality,
+    "text_repetition": text_repetition,
+    "text_stats": text_stats,
+    "text_tfidf_terms": text_tfidf_terms,
+    "web_blocklist_filter": web_blocklist_filter,
+    "web_domain_stats": web_domain_stats,
+    "web_html_extract": web_html_extract,
     # -- rows-only lines (no SQL twin by design; hash evidence lives
     #    on their pinned-model twins) — keep OUT of the first-50 window
     #    so the driver artifact records zero `no_oracle` rows --
