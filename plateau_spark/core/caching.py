@@ -52,17 +52,36 @@ _shared_caches: "OrderedDict[int, DataFrame]" = OrderedDict()
 _shared_lock = threading.Lock()
 
 
+_warned_bad_budget = False
+
+
 def _bytes_budget() -> int | None:
     """Optional byte budget on the session's persisted storage
     (``PLATEAU_SPARK_SHARED_CACHE_BYTES``), read per call so pipelines
     can set it after import. The count limit bounds FRAMES; this bounds
     BYTES — one corpus-proportional frame (the winnow fingerprint frame
     is ~1-2% of text bytes, SCALING.md) can dwarf seven KB-scale ones,
-    and at 100 TB eight such frames would pin ~10% of corpus bytes."""
+    and at 100 TB eight such frames would pin ~10% of corpus bytes.
+    A malformed value (e.g. "10GB" — the knob takes plain bytes) warns
+    ONCE and disables the budget: silently ignoring it would reproduce
+    exactly the unbounded-bytes failure the knob exists to prevent,
+    while raising would crash every operator over a config typo."""
+    global _warned_bad_budget
+    v = os.environ.get("PLATEAU_SPARK_SHARED_CACHE_BYTES")
+    if not v:
+        return None
     try:
-        v = os.environ.get("PLATEAU_SPARK_SHARED_CACHE_BYTES")
-        return int(v) if v else None
+        return int(v)
     except (TypeError, ValueError):
+        if not _warned_bad_budget:
+            _warned_bad_budget = True
+            import warnings
+
+            warnings.warn(
+                f"PLATEAU_SPARK_SHARED_CACHE_BYTES={v!r} is not an integer "
+                "byte count; the shared-cache byte budget is DISABLED",
+                stacklevel=3,
+            )
         return None
 
 
@@ -120,15 +139,24 @@ def _evict_over_byte_budget(newest: DataFrame, budget: int) -> None:
     registration that triggered the check); non-registry caches count
     toward the total but are never touched — the shared frames are the
     release valve, and releasing them is always correctness-safe
-    (consumers recompute)."""
+    (consumers recompute). External-pressure guard: when an eviction
+    fails to move the total (the over-budget bytes belong to
+    NON-registry caches, e.g. a streaming sink's own micro-batch pins),
+    stop — draining the rest of the registry cannot get under budget
+    and would just defeat shared caching on every call while the
+    external pressure lasts."""
+    prev_total: "int | None" = None
     while True:
         total = _session_cached_bytes(newest)
         if total is None or total <= budget:
             return
+        if prev_total is not None and total >= prev_total:
+            return  # eviction isn't helping: the bytes are external
         with _shared_lock:
             if len(_shared_caches) <= 1:
                 return
             _, old = _shared_caches.popitem(last=False)
+        prev_total = total
         try:
             # blocking, so the next storage poll reflects the release
             old.unpersist(True)

@@ -3357,7 +3357,7 @@ def streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_ingest_neardup_siphash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY production tier of streaming_ingest_neardup:
     ``hash_family="siphash"`` swaps the oracle-portable md5 minhash
-    atoms for seeded xxhash64 — not DuckDB-replayable, so it carries no
+    atoms for seeded murmur3 — not DuckDB-replayable, so it carries no
     oracle (its md5 twin is the value-checked tier), but it is the
     banding that runs at 100 TB and its cost share was previously only
     CLAIMED in BENCH_NOTES (r14 verdict task 3)."""

@@ -16,6 +16,7 @@ state store evicts closed windows).
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -892,21 +893,78 @@ def stream_ingest_dedup(
     return writer.start()
 
 
-def _maybe_compact_fingerprints(
-    spark, store, fingerprint_dataset: str, batch_id: int, every: int | None
-) -> None:
-    """Scheduled fingerprint-dataset compaction for the near-dup sink.
-    Keys on batch_id alone — an EMPTY micro-batch landing on the
-    schedule must not postpone compaction (the pruned seen-index probe
-    of every later batch pays for the uncompacted file pile). The
-    exists guard covers streams whose first batches were all empty."""
-    if not (every and batch_id > 0 and batch_id % every == 0):
-        return
+def _compact_fingerprints(spark, store, fingerprint_dataset: str) -> None:
+    """Fingerprint-dataset compaction body for the near-dup sink. The
+    cadence policy lives SOLELY in ``_schedule_fp_compaction`` (one
+    owner); the exists guard covers streams whose first batches were
+    all empty."""
     from plateau_spark.core.metadata import DatasetMetadata
     from plateau_spark.sources.dataset import compact_dataset
 
     if DatasetMetadata.exists(store, fingerprint_dataset):
         compact_dataset(spark, store, fingerprint_dataset, target_files_per_key=1)
+
+
+# Background-maintenance slots, keyed by (store root, dataset) at
+# MODULE scope — not per-sink-closure — so a sink restarted in the same
+# process joins the previous instance's still-running compaction before
+# touching the dataset (a closure-local slot would orphan that thread:
+# its conflict-detected commit could then race the new stream's
+# fingerprint appends, and any error it recorded would die with the
+# closure instead of surfacing at the next join).
+_PENDING_MAINT: "dict[tuple, dict]" = {}
+_PENDING_MAINT_LOCK = threading.Lock()
+
+
+def _maint_slot(store, dataset: str) -> dict:
+    key = (getattr(store, "root", None) or str(store), dataset)
+    with _PENDING_MAINT_LOCK:
+        return _PENDING_MAINT.setdefault(key, {"thread": None, "error": None})
+
+
+def _join_maintenance(store, dataset: str) -> None:
+    """Wait for the dataset's pending background maintenance; re-raise
+    its error here (the join point is always a batch body, so a failed
+    compaction fails — and replays — that batch)."""
+    slot = _maint_slot(store, dataset)
+    t = slot["thread"]
+    if t is not None:
+        t.join()
+        slot["thread"] = None
+    err, slot["error"] = slot["error"], None
+    if err is not None:
+        raise err
+
+
+def _schedule_fp_compaction(
+    spark, store, dataset: str, batch_id: int, every: "int | None"
+) -> None:
+    """Kick the scheduled fingerprint compaction onto a background
+    thread, overlapped with the NEXT batch's banding/probe/read jobs
+    (safe: compaction's atomic swap never reclaims superseded files, so
+    snapshot reads keep working) and joined before the next fingerprint
+    COMMIT (an append landing between compaction's read and its swap is
+    the one lost-update hazard; the swap is conflict-detected as a
+    backstop). Keys on batch_id alone — an EMPTY micro-batch landing on
+    the schedule must not postpone compaction. A process crash loses at
+    most one pending compaction — idempotent maintenance, re-triggered
+    at the next schedule; on a clean availableNow drain the final
+    compaction may still be finishing when the query stops, which is
+    safe for readers and joined by any same-process successor sink."""
+    if not (every and batch_id > 0 and batch_id % every == 0):
+        return
+    _join_maintenance(store, dataset)  # never two concurrent compactions
+    slot = _maint_slot(store, dataset)
+
+    def _run() -> None:
+        try:
+            _compact_fingerprints(spark, store, dataset)
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            slot["error"] = e
+
+    t = threading.Thread(target=_run, name="plateau-fp-compact", daemon=True)
+    slot["thread"] = t
+    t.start()
 
 
 def stream_ingest_neardup(
@@ -994,7 +1052,12 @@ def stream_ingest_neardup(
     stream's identity is the (checkpoint, datasets) tuple — reusing a
     fingerprint dataset under a FRESH checkpoint restarts batch ids at
     0 and is unsupported (same contract as the batch markers
-    themselves).
+    themselves). Fingerprint datasets committed before the
+    ``__batch_id__`` tag existed keep working: the sink detects the
+    missing column once per instance and falls back to untagged
+    fingerprints with the serial commit order (survivors first), the
+    pre-tag protocol whose ordering provided the same crash-replay
+    guarantee.
 
     Returns the started StreamingQuery.
     """
@@ -1020,54 +1083,28 @@ def stream_ingest_neardup(
     # __batch_id__ rides every fingerprint row so a REPLAYED batch can
     # exclude its own landed fingerprints from the seen read (see the
     # crash-replay note at the commit site); its zone map prunes those
-    # files for free (one commit per batch → per-file constant column)
+    # files for free (one commit per batch → per-file constant column).
+    # Legacy (pre-tag) fingerprint datasets commit without the column —
+    # and without its zone-map declaration.
     stats_kwargs["zone_map_columns"] = [*zone, "__batch_id__"]
+    legacy_stats_kwargs = {**stats_kwargs, "zone_map_columns": zone}
     if bloom:
         stats_kwargs["bloom_filter_columns"] = bloom
+        legacy_stats_kwargs["bloom_filter_columns"] = bloom
 
-    # scheduled fingerprint compaction runs on a background thread,
-    # OVERLAPPED with the NEXT batch's banding/probe/seen-read jobs
-    # (all safe concurrently: compaction's atomic swap never reclaims
-    # superseded files, so snapshot reads keep working) and joined
-    # before the next fingerprint COMMIT (an append landing between
-    # compaction's read and its swap is the one lost-update hazard).
-    # A crash loses at most one pending compaction — idempotent
-    # maintenance, re-triggered at the next schedule; a compaction
-    # error surfaces at the join, failing (and replaying) that batch.
-    maint: dict = {"thread": None, "error": None}
+    # legacy-mode probe, decided once per sink instance: a fingerprint
+    # dataset committed by the pre-__batch_id__ sink has no tag column.
+    # Resuming such a stream stays supported — the seen read skips the
+    # self-excluding filter, fp rows commit untagged, and the two
+    # commits run SERIALLY (survivors first), which is exactly the old
+    # load-bearing order that made crash-replay safe without the tag.
+    mode: dict = {"legacy": None}
 
-    def _join_compaction() -> None:
-        t = maint["thread"]
-        if t is not None:
-            t.join()
-            maint["thread"] = None
-            err, maint["error"] = maint["error"], None
-            if err is not None:
-                raise err
-
-    def _schedule_compaction(st, batch_id: int) -> None:
-        import threading
-
-        if not (
-            compact_fingerprint_every
-            and batch_id > 0
-            and batch_id % compact_fingerprint_every == 0
-        ):
-            return
-        _join_compaction()  # never two concurrent compactions
-
-        def _run() -> None:
-            try:
-                _maybe_compact_fingerprints(
-                    spark, st, fingerprint_dataset, batch_id,
-                    compact_fingerprint_every,
-                )
-            except BaseException as e:  # noqa: BLE001 — re-raised at join
-                maint["error"] = e
-
-        t = threading.Thread(target=_run, name="plateau-fp-compact", daemon=True)
-        maint["thread"] = t
-        t.start()
+    def _is_legacy(st) -> bool:
+        if mode["legacy"] is None:
+            meta = DatasetMetadata.load(st, fingerprint_dataset)
+            mode["legacy"] = "__batch_id__" not in {f.name for f in meta.schema}
+        return mode["legacy"]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from plateau_spark.sources.dataset import _ensure_store
@@ -1091,7 +1128,10 @@ def stream_ingest_neardup(
             # survivors commit keeps its probe — all-dup batches commit
             # zero survivor rows but still append fingerprints)
             if banded.isEmpty():
-                _schedule_compaction(st, batch_id)
+                _schedule_fp_compaction(
+                    spark, st, fingerprint_dataset, batch_id,
+                    compact_fingerprint_every,
+                )
                 return
             # ONE pass over (batch bands ∪ pruned seen index): per
             # (band, bandsig) group a window computes whether any SEEN
@@ -1107,6 +1147,7 @@ def stream_ingest_neardup(
                 *band_cols,
                 F.lit(False).alias("__seen__"),
             )
+            legacy = False
             if DatasetMetadata.exists(st, fingerprint_dataset):
                 # self-excluding seen read: only fingerprints of STRICTLY
                 # EARLIER batches count as seen. On first execution this
@@ -1116,10 +1157,16 @@ def stream_ingest_neardup(
                 # identical to the original run — without it every batch
                 # doc would collide with its own landed bands, survivors
                 # would come back empty, and the batch's kept docs would
-                # be silently lost (r14 advice, high).
-                bterm = ("__batch_id__", "<", int(batch_id))
+                # be silently lost (r14 advice, high). A pre-tag legacy
+                # dataset (no __batch_id__ column) skips the filter and
+                # takes the serial commit order below instead.
+                legacy = _is_legacy(st)
                 preds = _batch_key_predicates(banded, band_cols)
-                preds = [[*c, bterm] for c in preds] if preds else [[bterm]]
+                if not legacy:
+                    bterm = ("__batch_id__", "<", int(batch_id))
+                    preds = (
+                        [[*c, bterm] for c in preds] if preds else [[bterm]]
+                    )
                 seen = read_dataset_as_dataframe(
                     spark, st, fingerprint_dataset,
                     columns=band_cols, predicates=preds,
@@ -1155,11 +1202,11 @@ def stream_ingest_neardup(
             # index — second commit, own batch marker (see exactly-once
             # note); the __batch_id__ tag is what lets a replay exclude
             # them from its seen read
-            fp_rows = (
-                banded.select(*band_cols)
-                .dropDuplicates(band_cols)
-                .withColumn("__batch_id__", F.lit(int(batch_id)).cast("long"))
-            )
+            fp_rows = banded.select(*band_cols).dropDuplicates(band_cols)
+            if not legacy:
+                fp_rows = fp_rows.withColumn(
+                    "__batch_id__", F.lit(int(batch_id)).cast("long")
+                )
             if fingerprint_files_per_batch:
                 fp_rows = fp_rows.coalesce(int(fingerprint_files_per_batch))
             # the two commits target INDEPENDENT datasets and are each
@@ -1172,30 +1219,44 @@ def stream_ingest_neardup(
             # fingerprints out (__batch_id__ < batch_id), recomputes the
             # IDENTICAL survivor set, the fingerprint commit no-ops on
             # its batch marker, and the survivors commit completes.
-            # Without that filter the serial order (survivors first)
-            # would be load-bearing. Running the commits serially left
-            # each commit's driver-side metadata / stats phases idling
-            # the cluster (~1s/batch).
+            # Without that filter the serial order (survivors first) is
+            # load-bearing — which is exactly why the LEGACY mode (pre-
+            # tag fingerprint dataset) keeps it serial. Running the
+            # commits serially left each commit's driver-side metadata /
+            # stats phases idling the cluster (~1s/batch).
             from concurrent.futures import ThreadPoolExecutor
 
             # a pending background compaction must finish before the
             # fingerprint APPEND below (lost-update hazard); everything
             # above — banding, probe, predicate aggs — overlapped it
-            _join_compaction()
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_main = pool.submit(
-                    commit_stream_batch,
+            _join_maintenance(st, fingerprint_dataset)
+            if legacy:
+                commit_stream_batch(
                     spark, st, dataset_uuid, survivors, batch_id,
                     partition_on=partition_on,
                 )
-                f_fp = pool.submit(
-                    commit_stream_batch,
+                commit_stream_batch(
                     spark, st, fingerprint_dataset, fp_rows,
-                    batch_id, assume_nonempty=True, **stats_kwargs,
+                    batch_id, assume_nonempty=True, **legacy_stats_kwargs,
                 )
-                f_main.result()
-                f_fp.result()
-            _schedule_compaction(st, batch_id)
+            else:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_main = pool.submit(
+                        commit_stream_batch,
+                        spark, st, dataset_uuid, survivors, batch_id,
+                        partition_on=partition_on,
+                    )
+                    f_fp = pool.submit(
+                        commit_stream_batch,
+                        spark, st, fingerprint_dataset, fp_rows,
+                        batch_id, assume_nonempty=True, **stats_kwargs,
+                    )
+                    f_main.result()
+                    f_fp.result()
+            _schedule_fp_compaction(
+                spark, st, fingerprint_dataset, batch_id,
+                compact_fingerprint_every,
+            )
         finally:
             banded.unpersist()
 

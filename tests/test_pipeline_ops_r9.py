@@ -740,6 +740,36 @@ def test_neardup_ingest_siphash_production_tier(spark, tmp_path):
     assert sorted(r.doc_id for r in out.collect()) == [1, 4]
 
 
+def test_neardup_ingest_legacy_untagged_fingerprint_dataset(spark, tmp_path):
+    """A fingerprint dataset committed before the __batch_id__ tag
+    existed (plain band/bandsig columns) must keep working on resume:
+    the sink detects the missing column, reads it unfiltered, appends
+    untagged rows (schema-compatible), and keeps the serial commit
+    order. Docs colliding with the pre-seeded legacy sigs still drop."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.sources.dataset import (
+        read_table,
+        store_dataframe_as_dataset,
+    )
+
+    long_a = "one two three four five six seven eight nine ten eleven twelve"
+    long_b = "red orange yellow green blue indigo violet ultra infra deep dark light"
+    store = Store(str(tmp_path / "store"))
+    legacy_sigs = spark.createDataFrame(
+        sorted(_py_bandsigs(long_a)), "band int, bandsig string"
+    )
+    store_dataframe_as_dataset(spark, store, "docs_fp", legacy_sigs)
+
+    batches = [[(1, long_a), (2, long_b)]]
+    _, out = _run_neardup(spark, tmp_path, batches)
+    # doc 1 collides with the legacy seen index; doc 2 is fresh
+    assert sorted(r.doc_id for r in out.collect()) == [2]
+    fp = read_table(spark, store, "docs_fp")
+    assert "__batch_id__" not in fp.columns  # stays untagged
+    got = {(r.band, r.bandsig) for r in fp.collect()}
+    assert got == _py_bandsigs(long_a) | _py_bandsigs(long_b)
+
+
 def test_neardup_ingest_replay_after_partial_commit(spark, tmp_path, monkeypatch):
     """Crash window between the two OVERLAPPED commits: the fingerprint
     commit lands, the survivors commit fails. The replayed batch must

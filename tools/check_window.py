@@ -126,12 +126,14 @@ class _EntryIndex:
                 mod = getattr(node, "module", None) or ""
                 for alias in node.names:
                     bound = alias.asname or alias.name.split(".")[0]
+                    # union, not overwrite: repeated `import plateau_spark.x`
+                    # statements all bind the name `plateau_spark`
                     if isinstance(node, ast.ImportFrom) and mod.startswith(
                         "plateau_spark"
                     ):
-                        self.mods[bound] = {mod}
+                        self.mods.setdefault(bound, set()).add(mod)
                     elif alias.name.startswith("plateau_spark"):
-                        self.mods[bound] = {alias.name}
+                        self.mods.setdefault(bound, set()).add(alias.name)
                 continue
             if not names:
                 continue
