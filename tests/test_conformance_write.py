@@ -48,7 +48,7 @@ EVOLVE_CHUNK = [(4, 4, "d", 70.0, 7)]  # adds nullable long column Y
 
 PARTITION_ON = [[], ["P"], ["P", "L"]]
 SECONDARY = [[], ["S"]]
-PATHS = ["store", "store_iter", "update", "upsert", "merge"]
+PATHS = ["store", "store_iter", "update", "upsert", "merge", "dswrite"]
 MUTATIONS = ["none", "delete", "evolve"]
 CONSTRAINTS = [False, True]
 SORT_BY = [None, ["L"]]
@@ -61,11 +61,16 @@ GRID = [
     )
     # delete_scope addresses partition keys; keyless datasets have none
     if not (mut == "delete" and not p)
+    # the Python DataSource writer is flat-layout, no-index, no-sort by
+    # documented contract (r14 verdict task 8: its staged-rename
+    # commit/abort protocol still faces the same row model + mutation +
+    # constraint assertions as every other writer)
+    if not (path == "dswrite" and (p or s or srt))
 ]
 
 
 def _model_after_path(path: str) -> list[tuple]:
-    if path in ("store", "store_iter", "update"):
+    if path in ("store", "store_iter", "update", "dswrite"):
         return CHUNK1 + CHUNK2  # append semantics, duplicate keys coexist
     # keyed paths: CHUNK2 replaces by (P, L)
     by_key = {(p, l): (p, l, s, x) for (p, l, s, x) in CHUNK1}
@@ -180,6 +185,36 @@ def test_write_grid(
     elif path == "merge":
         store_dataframes_as_dataset(spark, store, uuid, [df1], **ckw)
         merge_into_dataset(spark, store, uuid, df2, ["P", "L"])
+    elif path == "dswrite":
+        # df.write.format("plateau"): executor-staged parquet + atomic
+        # driver commit (DataSourceArrowWriter). Constrained cases seed
+        # the dataset with the CHECK via the native writer, then the
+        # datasource append must enforce it per Arrow batch.
+        from plateau_spark.sources.datasource import register_plateau_datasource
+
+        register_plateau_datasource(spark)
+
+        def _dsw(df):
+            (
+                df.write.format("plateau")
+                .mode("append")
+                .option("store", store.root)
+                .option("dataset", uuid)
+                .save()
+            )
+
+        if constrained:
+            store_dataframes_as_dataset(spark, store, uuid, [df1], **ckw)
+        else:
+            _dsw(df1)
+        _dsw(df2)
+        if constrained:
+            # the writer's Arrow-batch constraint enforcement: a
+            # violating append fails in the task and aborts (staged
+            # files dropped, no commit)
+            bad_ds = spark.createDataFrame([(9, 9, "z", -5.0)], SCHEMA)
+            with pytest.raises(Exception, match="x_positive|onstraint"):
+                _dsw(bad_ds)
     model = _model_after_path(path)
     cols = list(COLS)
 
