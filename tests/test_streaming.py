@@ -765,11 +765,16 @@ def test_scheduled_fingerprint_compaction_survives_empty_batch(spark, tmp_path):
     from plateau_spark.core.metadata import DatasetMetadata
     from plateau_spark.core.store import Store
     from plateau_spark.sources.dataset import update_dataset_from_dataframe
-    from plateau_spark.streaming.events import _maybe_compact_fingerprints
+    from plateau_spark.streaming.events import (
+        _join_maintenance,
+        _schedule_fp_compaction,
+    )
 
     store = Store(str(tmp_path / "store"))
-    # nonexistent dataset on the schedule: no-op
-    _maybe_compact_fingerprints(spark, store, "fp", 64, 64)
+    # nonexistent dataset on the schedule: no-op (and the join must not
+    # re-raise anything)
+    _schedule_fp_compaction(spark, store, "fp", 64, 64)
+    _join_maintenance(store, "fp")
     assert not DatasetMetadata.exists(store, "fp")
 
     # several small commits -> several files
@@ -783,10 +788,14 @@ def test_scheduled_fingerprint_compaction_survives_empty_batch(spark, tmp_path):
     n_before = len(DatasetMetadata.load(store, "fp").partitions)
     assert n_before == 3
     # off-schedule: no-op
-    _maybe_compact_fingerprints(spark, store, "fp", 63, 64)
+    _schedule_fp_compaction(spark, store, "fp", 63, 64)
+    _join_maintenance(store, "fp")
     assert len(DatasetMetadata.load(store, "fp").partitions) == n_before
-    # on-schedule (as called from the empty-batch early return): compacts
-    _maybe_compact_fingerprints(spark, store, "fp", 64, 64)
+    # on-schedule (as called from the empty-batch early return):
+    # compacts on the background thread; the join waits it out exactly
+    # as the next batch's commit path would
+    _schedule_fp_compaction(spark, store, "fp", 64, 64)
+    _join_maintenance(store, "fp")
     assert len(DatasetMetadata.load(store, "fp").partitions) == 1
     # rows preserved
     from plateau_spark.sources.dataset import read_table
