@@ -1487,8 +1487,19 @@ def decontaminate_minhash(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
+    # sig_frame returns (shingle frame, signature frame) as SEPARATE
+    # relations: the banding consumer needs only (__id__, __sig__) and
+    # the verify consumer only (__id__, __shingles__). The former shape
+    # joined the signatures back onto the shingle frame and handed the
+    # joined relation to both consumers — Catalyst cannot prune an
+    # inner join it can't prove row-preserving, so the md5 tier's
+    # signature min-aggregation (num_perm md5 calls per shingle — the
+    # whole banding cost) and the id-keyed join ran TWICE, once per
+    # consumer. Splitting the surfaces halves the signature work and
+    # drops both join exchanges; values are identical (both consumers
+    # see exactly the rows they saw through the join).
     if hash_family == "md5":
-        def sig_frame(df: DataFrame) -> DataFrame:
+        def sig_frame(df: DataFrame):
             base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
                 "__sh__", "__shingles__"
             )
@@ -1498,12 +1509,13 @@ def decontaminate_minhash(
                     *[F.min(_md5_minhash_col(F.col("__s__"), i)) for i in range(num_perm)]
                 ).alias("__sig__")
             )
-            return base.join(sigs, "__id__")
+            return base, sigs
     elif hash_family == "siphash":
-        def sig_frame(df: DataFrame) -> DataFrame:
-            return _fused_base(df, id_col, text_col, shingle_size, num_perm).withColumnRenamed(
+        def sig_frame(df: DataFrame):
+            fused = _fused_base(df, id_col, text_col, shingle_size, num_perm).withColumnRenamed(
                 "__sh__", "__shingles__"
             )
+            return fused, fused
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
 
@@ -1522,8 +1534,8 @@ def decontaminate_minhash(
             "__id__", F.posexplode(F.array(*band_sigs)).alias("__band__", "__bandsig__")
         )
 
-    t_sig = sig_frame(train)
-    e_sig = sig_frame(eval_df)
+    t_base, t_sig = sig_frame(train)
+    e_base, e_sig = sig_frame(eval_df)
     e_banded = banded(e_sig)
     if broadcast_eval:
         e_banded = F.broadcast(e_banded)
@@ -1538,8 +1550,8 @@ def decontaminate_minhash(
         .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    a = t_sig.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("__sh_a__"))
-    b = e_sig.select(F.col("__id__").alias("id_b"), F.col("__shingles__").alias("__sh_b__"))
+    a = t_base.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("__sh_a__"))
+    b = e_base.select(F.col("__id__").alias("id_b"), F.col("__shingles__").alias("__sh_b__"))
     if broadcast_eval:
         b = F.broadcast(b)
     pairs = (
@@ -1847,25 +1859,39 @@ def lsh_quality_report(
         a.join(b, ["band", "bandsig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(eager=False)
     )
-    truth = (
-        ngram_jaccard_pairs(
-            df, id_col, text_col,
-            shingle_size=shingle_size, jaccard_threshold=jaccard_threshold,
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col,
+        shingle_size=shingle_size, jaccard_threshold=jaccard_threshold,
+    ).select("id_a", "id_b")
+    # ONE action for all three counts: tag each side, collapse to one
+    # row per distinct pair with presence flags, then count flags. The
+    # former shape checkpointed cand and truth and ran THREE actions
+    # (count, count, join+count) — two extra full job launches plus a
+    # pair-keyed join exchange, and the checkpoint blocks needed an
+    # explicit release (the r11 bench-variance nit). The per-pair
+    # max-flag groupBy subsumes the old distinct, so candidate dedup
+    # costs the same single exchange it always did, and n_hits =
+    # pairs carrying both flags ≡ the old inner join's row count.
+    counts = (
+        cand.select("id_a", "id_b", F.lit(1).alias("__c__"), F.lit(0).alias("__t__"))
+        .unionByName(
+            truth.select(
+                "id_a", "id_b", F.lit(0).alias("__c__"), F.lit(1).alias("__t__")
+            )
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__c__").alias("__c__"), F.max("__t__").alias("__t__"))
+        .agg(
+            F.sum("__c__").alias("__nc__"),
+            F.sum("__t__").alias("__nt__"),
+            F.sum(F.col("__c__") * F.col("__t__")).alias("__nh__"),
+        )
+        .first()
     )
-    n_cand = cand.count()
-    n_truth = truth.count()
-    n_hits = cand.join(truth, ["id_a", "id_b"]).count()
-    # the report is a driver-built single row: both checkpoints are
-    # dead the moment the three counts land — release them instead of
-    # letting the pair blocks pile up until the ContextCleaner fires
-    # (the r11 bench-variance nit on dedup_lsh_quality)
-    release_local_checkpoint(cand, truth)
+    n_cand = int(counts["__nc__"] or 0)
+    n_truth = int(counts["__nt__"] or 0)
+    n_hits = int(counts["__nh__"] or 0)
     precision = float(n_hits) / float(n_cand) if n_cand else None
     recall = float(n_hits) / float(n_truth) if n_truth else None
     return df.sparkSession.createDataFrame(

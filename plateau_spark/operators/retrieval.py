@@ -77,12 +77,12 @@ def build_text_index(
         "dl", F.sum("tf").over(Window.partitionBy("__id__"))
     ).select("term", F.col("__id__").alias(id_col), "tf", "dl")
 
+    # one corpus pass for both stats (the former countDistinct +
+    # crossJoin'd token-length agg scanned the corpus twice)
     stats = (
-        corpus.agg(F.countDistinct(id_col).alias("n"))
-        .crossJoin(
-            corpus.select(F.size(_tokens(text_col)).alias("__len__")).agg(
-                F.sum("__len__").alias("toklen")
-            )
+        corpus.agg(
+            F.countDistinct(id_col).alias("n"),
+            F.sum(F.size(_tokens(text_col))).alias("toklen"),
         )
         .select("n", "toklen", (F.coalesce(F.col("toklen"), F.lit(0)) / F.col("n")).alias("avgdl"))
         .collect()[0]
@@ -159,15 +159,11 @@ def update_text_index(
         "dl", F.sum("tf").over(Window.partitionBy("__id__"))
     ).select("term", F.col("__id__").alias(id_col), "tf", "dl")
 
-    stats = (
-        new_docs.agg(F.countDistinct(id_col).alias("n"))
-        .crossJoin(
-            new_docs.select(F.size(_tokens(text_col)).alias("__len__")).agg(
-                F.sum("__len__").alias("toklen")
-            )
-        )
-        .collect()[0]
-    )
+    # same one-pass stats shape as the build (two scans → one)
+    stats = new_docs.agg(
+        F.countDistinct(id_col).alias("n"),
+        F.sum(F.size(_tokens(text_col))).alias("toklen"),
+    ).collect()[0]
     n2 = int(bm25["n_docs"]) + int(stats["n"])
     toklen2 = int(bm25["toklen"]) + int(stats["toklen"] or 0)
     bm25.update(n_docs=n2, toklen=toklen2, avgdl=toklen2 / n2)

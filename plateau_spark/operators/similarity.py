@@ -1231,30 +1231,50 @@ def mine_bitext_pairs(
     a = emb_a.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
     b = emb_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
 
-    fwd = searcher(
-        b.select(F.col("id_b").alias(id_col), F.col("__vb__").alias(vec_col)),
-        a.select(F.col("id_a").alias("query_id"), F.col("__va__").alias(vec_col)),
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col="query_id",
-        k=k,
-    ).select(
-        F.col("query_id").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.col("cosine").alias("__cos__"),
-    )
-    bwd = searcher(
-        a.select(F.col("id_a").alias(id_col), F.col("__va__").alias(vec_col)),
-        b.select(F.col("id_b").alias("query_id"), F.col("__vb__").alias(vec_col)),
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col="query_id",
-        k=k,
-    ).select(
-        F.col(id_col).alias("id_a"),
-        F.col("query_id").alias("id_b"),
-        F.col("cosine").alias("__cos__"),
-    )
+    # The two sweeps are independent; index-backed searchers (IVF/LSH
+    # tiers) run driver-blocking FIT jobs at construction time (seed
+    # sample + Lloyd refinement collects), so constructing fwd and bwd
+    # sequentially serialized two fit phases while the cluster idled
+    # between their jobs (guide: overlap independent jobs). Construct
+    # them on two threads — the fits are deterministic, so the frames
+    # are identical to the sequential build; for the default
+    # brute-force searcher construction launches no jobs and the
+    # threads are a no-op.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fwd():
+        return searcher(
+            b.select(F.col("id_b").alias(id_col), F.col("__vb__").alias(vec_col)),
+            a.select(F.col("id_a").alias("query_id"), F.col("__va__").alias(vec_col)),
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col="query_id",
+            k=k,
+        ).select(
+            F.col("query_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("cosine").alias("__cos__"),
+        )
+
+    def _bwd():
+        return searcher(
+            a.select(F.col("id_a").alias(id_col), F.col("__va__").alias(vec_col)),
+            b.select(F.col("id_b").alias("query_id"), F.col("__vb__").alias(vec_col)),
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col="query_id",
+            k=k,
+        ).select(
+            F.col(id_col).alias("id_a"),
+            F.col("query_id").alias("id_b"),
+            F.col("cosine").alias("__cos__"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_fwd = _pool.submit(_fwd)
+        _f_bwd = _pool.submit(_bwd)
+        fwd = _f_fwd.result()
+        bwd = _f_bwd.result()
     # The neighborhood averages are WINDOWS over the side-tagged union,
     # not groupBy+join back onto the sweeps: avgₖ(a, B) only aggregates
     # fwd rows and avgₖ(b, A) only bwd rows, so tagging the union and
