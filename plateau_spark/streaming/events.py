@@ -658,7 +658,9 @@ def stream_route_to_datasets(
     return writer.start()
 
 
-def _batch_key_predicates(batch_df: DataFrame, key_cols, *, in_cap: int = 512):
+def _batch_key_predicates(
+    batch_df: DataFrame, key_cols, *, in_cap: int = 512, with_empty: bool = False
+):
     """Turn a micro-batch's dedup-key values into a pruning conjunction
     for the dataset read, at O(1) driver cost regardless of batch size.
 
@@ -688,22 +690,31 @@ def _batch_key_predicates(batch_df: DataFrame, key_cols, *, in_cap: int = 512):
 
     Returns ``None`` (full-scan fallback) only when no column yields a
     usable constraint (e.g. every key column all-NULL, or an empty
-    batch).
+    batch). ``with_empty=True`` returns ``(is_empty, predicates)``
+    instead — the exact row count rides the SAME aggregation row, so a
+    sink that needs an emptiness probe anyway (e.g. the near-dup
+    ingest) gets it without a separate Spark job.
     """
     key_cols = list(key_cols)
     # approx is sound for a TIER decision: both tiers are exact; an
     # off-by-5% estimate only moves the IN/range cutoff slightly, and
     # HLL partials skip the distinct-shuffle an exact count would pay
-    aggs = [F.approx_count_distinct(F.struct(*key_cols)).alias("__n")]
+    aggs = [
+        F.approx_count_distinct(F.struct(*key_cols)).alias("__n"),
+        F.count(F.lit(1)).alias("__cnt"),
+    ]
     for i, c in enumerate(key_cols):
         aggs.append(F.min(c).alias(f"__mn{i}"))
         aggs.append(F.max(c).alias(f"__mx{i}"))
         aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nul{i}"))
     stats = batch_df.agg(*aggs).collect()[0]
+    if with_empty and not stats["__cnt"]:
+        return True, None
     has_null = any(stats[f"__nul{i}"] for i in range(len(key_cols)))
     if 0 < stats["__n"] <= in_cap and not has_null:
         rows = batch_df.select(*key_cols).distinct().collect()
-        return [[(c, "in", sorted({r[c] for r in rows})) for c in key_cols]]
+        preds = [[(c, "in", sorted({r[c] for r in rows})) for c in key_cols]]
+        return (False, preds) if with_empty else preds
     conj = []
     for i, c in enumerate(key_cols):
         mn, mx = stats[f"__mn{i}"], stats[f"__mx{i}"]
@@ -711,7 +722,8 @@ def _batch_key_predicates(batch_df: DataFrame, key_cols, *, in_cap: int = 512):
             continue
         conj.append((c, ">=", mn))
         conj.append((c, "<=", mx))
-    return [conj] if conj else None
+    preds = [conj] if conj else None
+    return (False, preds) if with_empty else preds
 
 
 def _auto_key_stats_columns(schema, key_cols, partition_on):
@@ -1120,84 +1132,32 @@ def stream_ingest_neardup(
             hash_family=hash_family,
         ).persist()  # consumed 3-4×: predicates, semi-join, self-join, index commit
         try:
+            fp_exists = DatasetMetadata.exists(st, fingerprint_dataset)
+            legacy = _is_legacy(st) if fp_exists else False
             # one emptiness probe on the shared frame: every doc yields
             # ≥1 band row, so an empty banded means an empty batch
             # (skip both commits — but NOT the scheduled compaction
             # below, which keys on batch_id alone), and a non-empty one
             # lets the fingerprint commit skip its own isEmpty job (the
             # survivors commit keeps its probe — all-dup batches commit
-            # zero survivor rows but still append fingerprints)
-            if banded.isEmpty():
+            # zero survivor rows but still append fingerprints). Once
+            # the fingerprint dataset exists the probe rides the
+            # predicate-stats aggregation (one job, not two — the exact
+            # row count shares the stats row); only the very first
+            # batch pays a dedicated isEmpty.
+            preds = None
+            if fp_exists:
+                empty, preds = _batch_key_predicates(
+                    banded, band_cols, with_empty=True
+                )
+            else:
+                empty = banded.isEmpty()
+            if empty:
                 _schedule_fp_compaction(
                     spark, st, fingerprint_dataset, batch_id,
                     compact_fingerprint_every,
                 )
                 return
-            # ONE pass over (batch bands ∪ pruned seen index): per
-            # (band, bandsig) group a window computes whether any SEEN
-            # row collides and the smallest batch id — a doc is a dup
-            # iff some group of its carries an earlier arrival (seen
-            # row, or smaller in-batch id). Replaces the former
-            # self-join + left-semi pair: one exchange instead of
-            # three, and a boilerplate-hot signature costs O(group)
-            # window work instead of the self-join's O(group²) rows.
-            id_type = batch_df.schema[id_col].dataType
-            cand = banded.select(
-                F.col(id_col).alias("__id__"),
-                *band_cols,
-                F.lit(False).alias("__seen__"),
-            )
-            legacy = False
-            if DatasetMetadata.exists(st, fingerprint_dataset):
-                # self-excluding seen read: only fingerprints of STRICTLY
-                # EARLIER batches count as seen. On first execution this
-                # filters nothing (all committed rows are earlier); on a
-                # crash-replay where this batch's OWN fingerprint commit
-                # already landed, it keeps the replay's dedup decision
-                # identical to the original run — without it every batch
-                # doc would collide with its own landed bands, survivors
-                # would come back empty, and the batch's kept docs would
-                # be silently lost (r14 advice, high). A pre-tag legacy
-                # dataset (no __batch_id__ column) skips the filter and
-                # takes the serial commit order below instead.
-                legacy = _is_legacy(st)
-                preds = _batch_key_predicates(banded, band_cols)
-                if not legacy:
-                    bterm = ("__batch_id__", "<", int(batch_id))
-                    preds = (
-                        [[*c, bterm] for c in preds] if preds else [[bterm]]
-                    )
-                seen = read_dataset_as_dataframe(
-                    spark, st, fingerprint_dataset,
-                    columns=band_cols, predicates=preds,
-                )
-                cand = cand.unionByName(
-                    seen.select(
-                        F.lit(None).cast(id_type).alias("__id__"),
-                        *band_cols,
-                        F.lit(True).alias("__seen__"),
-                    )
-                )
-            w = Window.partitionBy(*band_cols)
-            flagged = cand.select(
-                "__id__",
-                "__seen__",
-                F.max(F.col("__seen__").cast("int")).over(w).alias("__any_seen__"),
-                # min over batch rows only (seen rows carry NULL id,
-                # which aggregate min skips)
-                F.min("__id__").over(w).alias("__min_id__"),
-            )
-            dup_ids = flagged.where(
-                (~F.col("__seen__"))
-                & (
-                    (F.col("__any_seen__") == 1)
-                    | (F.col("__id__") > F.col("__min_id__"))
-                )
-            ).select(F.col("__id__").alias(id_col))
-            # anti-join tolerates duplicate ids on the right — no distinct pass
-            survivors = batch_df.join(dup_ids, id_col, "left_anti")
-            if files_per_batch:
-                survivors = survivors.coalesce(int(files_per_batch))
             # ALL batch docs' fingerprints (kept or dropped) join the seen
             # index — second commit, own batch marker (see exactly-once
             # note); the __batch_id__ tag is what lets a replay exclude
@@ -1213,7 +1173,7 @@ def stream_ingest_neardup(
             # idempotent, so they overlap on two threads (concurrent
             # actions on one SparkSession are supported; both read the
             # shared banded cache, which is thread-safe). The overlap is
-            # crash-safe ONLY because the seen read above is
+            # crash-safe ONLY because the seen read below is
             # self-excluding: if the fingerprint commit lands and the
             # survivors commit fails, the replay filters the batch's own
             # fingerprints out (__batch_id__ < batch_id), recomputes the
@@ -1223,36 +1183,108 @@ def stream_ingest_neardup(
             # load-bearing — which is exactly why the LEGACY mode (pre-
             # tag fingerprint dataset) keeps it serial. Running the
             # commits serially left each commit's driver-side metadata /
-            # stats phases idling the cluster (~1s/batch).
+            # stats phases idling the cluster (~1s/batch). The
+            # fingerprint commit needs nothing but the banded cache, so
+            # it launches FIRST and the survivor side's remaining
+            # driver work (seen read planning, dup window construction)
+            # overlaps the fingerprint write instead of preceding it.
             from concurrent.futures import ThreadPoolExecutor
 
             # a pending background compaction must finish before the
             # fingerprint APPEND below (lost-update hazard); everything
             # above — banding, probe, predicate aggs — overlapped it
             _join_maintenance(st, fingerprint_dataset)
-            if legacy:
+            pool = None
+            f_fp = None
+            if not legacy:
+                pool = ThreadPoolExecutor(max_workers=1)
+                f_fp = pool.submit(
+                    commit_stream_batch,
+                    spark, st, fingerprint_dataset, fp_rows,
+                    batch_id, assume_nonempty=True, **stats_kwargs,
+                )
+            try:
+                # ONE pass over (batch bands ∪ pruned seen index): per
+                # (band, bandsig) group a window computes whether any
+                # SEEN row collides and the smallest batch id — a doc
+                # is a dup iff some group of its carries an earlier
+                # arrival (seen row, or smaller in-batch id). Replaces
+                # the former self-join + left-semi pair: one exchange
+                # instead of three, and a boilerplate-hot signature
+                # costs O(group) window work instead of the self-join's
+                # O(group²) rows.
+                id_type = batch_df.schema[id_col].dataType
+                cand = banded.select(
+                    F.col(id_col).alias("__id__"),
+                    *band_cols,
+                    F.lit(False).alias("__seen__"),
+                )
+                if fp_exists:
+                    # self-excluding seen read: only fingerprints of
+                    # STRICTLY EARLIER batches count as seen. On first
+                    # execution this filters nothing (all committed rows
+                    # are earlier); on a crash-replay where this batch's
+                    # OWN fingerprint commit already landed, it keeps the
+                    # replay's dedup decision identical to the original
+                    # run — without it every batch doc would collide with
+                    # its own landed bands, survivors would come back
+                    # empty, and the batch's kept docs would be silently
+                    # lost (r14 advice, high). A pre-tag legacy dataset
+                    # (no __batch_id__ column) skips the filter and takes
+                    # the serial commit order instead.
+                    if not legacy:
+                        bterm = ("__batch_id__", "<", int(batch_id))
+                        preds = (
+                            [[*c, bterm] for c in preds] if preds else [[bterm]]
+                        )
+                    seen = read_dataset_as_dataframe(
+                        spark, st, fingerprint_dataset,
+                        columns=band_cols, predicates=preds,
+                    )
+                    cand = cand.unionByName(
+                        seen.select(
+                            F.lit(None).cast(id_type).alias("__id__"),
+                            *band_cols,
+                            F.lit(True).alias("__seen__"),
+                        )
+                    )
+                w = Window.partitionBy(*band_cols)
+                flagged = cand.select(
+                    "__id__",
+                    "__seen__",
+                    F.max(F.col("__seen__").cast("int")).over(w).alias("__any_seen__"),
+                    # min over batch rows only (seen rows carry NULL id,
+                    # which aggregate min skips)
+                    F.min("__id__").over(w).alias("__min_id__"),
+                )
+                dup_ids = flagged.where(
+                    (~F.col("__seen__"))
+                    & (
+                        (F.col("__any_seen__") == 1)
+                        | (F.col("__id__") > F.col("__min_id__"))
+                    )
+                ).select(F.col("__id__").alias(id_col))
+                # anti-join tolerates duplicate ids on the right — no
+                # distinct pass
+                survivors = batch_df.join(dup_ids, id_col, "left_anti")
+                if files_per_batch:
+                    survivors = survivors.coalesce(int(files_per_batch))
                 commit_stream_batch(
                     spark, st, dataset_uuid, survivors, batch_id,
                     partition_on=partition_on,
                 )
-                commit_stream_batch(
-                    spark, st, fingerprint_dataset, fp_rows,
-                    batch_id, assume_nonempty=True, **legacy_stats_kwargs,
-                )
-            else:
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    f_main = pool.submit(
-                        commit_stream_batch,
-                        spark, st, dataset_uuid, survivors, batch_id,
-                        partition_on=partition_on,
-                    )
-                    f_fp = pool.submit(
-                        commit_stream_batch,
+                if legacy:
+                    # pre-tag protocol: fingerprints strictly AFTER the
+                    # survivors commit (the load-bearing order)
+                    commit_stream_batch(
                         spark, st, fingerprint_dataset, fp_rows,
-                        batch_id, assume_nonempty=True, **stats_kwargs,
+                        batch_id, assume_nonempty=True, **legacy_stats_kwargs,
                     )
-                    f_main.result()
+            finally:
+                if f_fp is not None:
                     f_fp.result()
+                if pool is not None:
+                    pool.shutdown()
             _schedule_fp_compaction(
                 spark, st, fingerprint_dataset, batch_id,
                 compact_fingerprint_every,
