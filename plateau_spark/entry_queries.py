@@ -3059,14 +3059,25 @@ def dataset_history_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_rows_from_dataset(spark, store, "docs", predicates=[[("doc_id", "<", 100)]])
     restore_dataset(store, "docs", 2)
     hist = dataset_history(spark, store, "docs")
-    counts = []
-    for r in hist.collect():
+    rows = hist.collect()
+
+    # the per-generation snapshot counts are independent read jobs —
+    # run them concurrently so each job's tail back-fills the others
+    # (sequential counts idled the cluster between four tiny scans)
+    def _gen_count(r):
         n = (
-            read_dataset_as_dataframe(spark, store, "docs", generation=r["generation"]).count()
+            read_dataset_as_dataframe(
+                spark, store, "docs", generation=r["generation"]
+            ).count()
             if r["available"]
             else None
         )
-        counts.append((r["generation"], bool(r["available"]), n, r["restored_from"]))
+        return (r["generation"], bool(r["available"]), n, r["restored_from"])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(rows)))) as _pool:
+        counts = list(_pool.map(_gen_count, rows))
     return spark.createDataFrame(
         counts, "generation int, available boolean, n_rows long, restored_from int"
     )
