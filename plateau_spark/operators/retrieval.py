@@ -35,6 +35,30 @@ def _tokens(col: str) -> F.Column:
     )
 
 
+def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, <id_col>, tf, dl) posting rows from a document frame.
+
+    The token array materializes once per row (explode_outer skips the
+    inferred size>0 pre-filter that would re-expand the tokenizer), and
+    doc length = the array size rides every exploded row into the tf
+    aggregation — no per-doc window/aggregation or join anywhere.
+    """
+    exploded = (
+        df.select(F.col(id_col).alias("__id__"), _tokens(text_col).alias("__toks__"))
+        .select(
+            "__id__",
+            F.size("__toks__").cast("long").alias("__dl__"),
+            F.explode_outer("__toks__").alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+    )
+    return (
+        exploded.groupBy("__id__", "term")
+        .agg(F.count("*").alias("tf"), F.first("__dl__").alias("dl"))
+        .select("term", F.col("__id__").alias(id_col), "tf", "dl")
+    )
+
+
 def build_text_index(
     spark,
     store,
@@ -50,8 +74,9 @@ def build_text_index(
 
     One explode + one map-side-combined (doc, term) count agg; doc
     length rides every posting row (denormalized — the classic posting
-    design, one fewer join per query) via a window sum over the doc
-    key. Postings are RANGE-CLUSTERED BY TERM into ``index_files``
+    design, one fewer join per query) as the token-array size carried
+    through the explode — no per-doc window/shuffle exists in the
+    build. Postings are RANGE-CLUSTERED BY TERM into ``index_files``
     files (repartitionByRange + sortWithinPartitions) so each term's
     postings co-locate in one or two files, and per-file Bloom sidecars
     on term (the string-column pruning substrate — zone maps are
@@ -65,17 +90,9 @@ def build_text_index(
     Documents with no tokens contribute no postings but count in N and
     in the avgdl denominator (same contract as ``bm25_topk``).
     """
-    from pyspark.sql import Window
-
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
 
-    exploded = corpus.select(
-        F.col(id_col).alias("__id__"), F.explode(_tokens(text_col)).alias("term")
-    )
-    tf = exploded.groupBy("__id__", "term").agg(F.count("*").alias("tf"))
-    postings = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("__id__"))
-    ).select("term", F.col("__id__").alias(id_col), "tf", "dl")
+    postings = _postings(corpus, id_col, text_col)
 
     # one corpus pass for both stats (the former countDistinct +
     # crossJoin'd token-length agg scanned the corpus twice)
@@ -138,8 +155,6 @@ def update_text_index(
     next ``compact_dataset`` restores term clustering; Bloom pruning
     is per-file, so reads stay correct and pruned either way.
     """
-    from pyspark.sql import Window
-
     from plateau_spark.core.metadata import DatasetMetadata
     from plateau_spark.sources.dataset import (
         _ensure_store,
@@ -151,13 +166,7 @@ def update_text_index(
     bm25 = dict(meta.metadata["bm25"])
     id_col, text_col = bm25["id_col"], bm25["text_col"]
 
-    exploded = new_docs.select(
-        F.col(id_col).alias("__id__"), F.explode(_tokens(text_col)).alias("term")
-    )
-    tf = exploded.groupBy("__id__", "term").agg(F.count("*").alias("tf"))
-    postings = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("__id__"))
-    ).select("term", F.col("__id__").alias(id_col), "tf", "dl")
+    postings = _postings(new_docs, id_col, text_col)
 
     # same one-pass stats shape as the build (two scans → one)
     stats = new_docs.agg(
@@ -343,7 +352,7 @@ def query_text_index(
     )
     scored = (
         postings.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        .join(F.broadcast(dfreq), "term")  # bounded by the probed terms
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )

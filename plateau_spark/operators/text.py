@@ -432,14 +432,17 @@ def bm25_topk(
     with zero driver-side string processing.
 
     Scale shape (the part that matters at 100 TB corpus):
-    one explode over document tokens → two map-side-combined keyed aggs
-    (per-(doc,term) tf — doc length and corpus df both derive from it)
-    → a BROADCAST semi-join on the query terms that prunes the tf frame
-    to matching terms before any further work → one broadcast of the
-    2-scalar corpus stats row → windowed top-k per query. No Python
-    anywhere; the only wide exchanges are the two aggs, both combine
-    map-side. N counts all documents; empty documents contribute 0
-    length to avgdl.
+    one tokenize+explode over documents (doc length = the token-array
+    size rides each exploded row, so no per-doc aggregation or join
+    exists anywhere) → ONE map-side-combined keyed agg (per-(doc,term)
+    tf) → a BROADCAST semi-join on the query terms that prunes the tf
+    frame to matching terms before both the df aggregation and the
+    scoring, so the df exchange carries query-term rows, never the
+    vocabulary → broadcasts of the (query-term-bounded) df frame and
+    the 2-scalar corpus stats row → windowed top-k per query. No
+    Python anywhere; the only wide exchanges are the tf agg and the
+    final per-query agg, both combine map-side. N counts all
+    documents; empty documents contribute 0 length to avgdl.
 
     Ranking uses round(score, 6) with doc id as tie-break so the
     selected rows are deterministic across engines.
@@ -465,21 +468,38 @@ def bm25_topk(
         query_id_col, F.explode(qtoks).alias("term")
     ).dropDuplicates([query_id_col, "term"])
 
-    exploded = df.select(F.col(id_col).alias("__id__"), F.explode(toks).alias("term"))
-    # tf feeds three consumers (scores, doc length, corpus df) — checkpoint
-    # so the explode+agg computes once and reuses from block storage
+    # materialize the token array once per row (explode_outer skips the
+    # inferred size>0 pre-filter that re-expands the tokenizer, so each
+    # document tokenizes exactly once); doc length = size of that array
+    # rides the explode so no per-doc aggregation or join is ever needed
+    exploded = (
+        df.select(F.col(id_col).alias("__id__"), toks.alias("__toks__"))
+        .select(
+            "__id__",
+            F.size("__toks__").cast("long").alias("__dl__"),
+            F.explode_outer("__toks__").alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+    )
+    # tf feeds two consumers (scores, corpus df) — checkpoint so the
+    # explode+agg computes once and reuses from block storage
     tf = (
         exploded.groupBy("__id__", "term")
-        .agg(F.count("*").alias("__tf__"))
+        .agg(F.count("*").alias("__tf__"), F.first("__dl__").alias("__dl__"))
         .localCheckpoint(eager=False)
     )
-    # doc length + corpus df both derive from tf — no second explode pass
-    dl = tf.groupBy("__id__").agg(F.sum("__tf__").alias("__dl__"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df__"))
+    # df per term is only consumed for query terms — prune BEFORE the
+    # aggregation so the exchange carries query-term rows, not the
+    # whole vocabulary
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").dropDuplicates()), "term", "semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("__df__"))
+    )
     stats = df.agg(
         F.countDistinct(id_col).alias("__n__"),
     ).crossJoin(
-        dl.agg(F.sum("__dl__").alias("__toklen__"))
+        tf.agg(F.sum("__tf__").alias("__toklen__"))
     ).select(
         "__n__",
         (F.coalesce(F.col("__toklen__"), F.lit(0)) / F.col("__n__")).alias("__avgdl__"),
@@ -495,8 +515,7 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(qterms), "term")  # prune to query terms FIRST
-        .join(dfreq, "term")
-        .join(dl, "__id__")
+        .join(F.broadcast(dfreq), "term")  # bounded by distinct query terms
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, "__id__")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))

@@ -29,6 +29,18 @@ def get_spark(app_name: str = "plateau-spark", **extra_conf: str) -> SparkSessio
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns every explode(expensive_array)
+        # into a pre-filter of size(arr)>0 AND isnotnull(arr); predicate
+        # pushdown then re-expands the array expression into the filter,
+        # so tokenizers/shingle builders evaluate 3x per row instead of
+        # once. The operators here always explode derived arrays (the
+        # inferred filter can never reach a parquet scan), so the rule
+        # is pure overhead at any scale — measured 2-3x on the tokenize
+        # stage of the BM25/text family at sf0.1.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
         # rejected by the vectorized reader; read as long + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

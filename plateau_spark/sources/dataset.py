@@ -572,14 +572,58 @@ def _build_index_dataframes(
             mapping = spark.createDataFrame(
                 list(file_to_label.items()), "___file string, __label__ string"
             )
+        # no dropDuplicates pre-pass: the downstream collect_set agg
+        # dedups map-side already, so the extra exchange bought nothing
         pairs = (
             df.select(F.col(col), F.input_file_name().alias("___file"))
             .where(F.col(col).isNotNull())
-            .dropDuplicates([col, "___file"])
             .join(F.broadcast(mapping), "___file")
             .select(col, "__label__")
         )
         out[col] = SecondaryIndex.build_dataframe(pairs, col)
+    return out
+
+
+def _build_index_pair_dataframes(
+    spark: SparkSession,
+    store: Store,
+    metadata: DatasetMetadata,
+    partitions: Sequence[Partition],
+    columns: Sequence[str],
+) -> dict[str, DataFrame]:
+    """Like ``_build_index_dataframes`` but returns the PRE-aggregation
+    (value, label) pair frames, so a commit-time merge can fold new
+    pairs and the old index into ONE aggregation instead of
+    aggregate-then-explode-then-re-aggregate."""
+    out: dict[str, DataFrame] = {}
+    key_cols = set(metadata.partition_keys)
+    df = None
+    mapping = None
+    for col in columns:
+        if col in key_cols or not partitions:
+            rows = [(p.key_values[col], p.label) for p in partitions] if col in key_cols else []
+            out[col] = (
+                spark.createDataFrame(rows).toDF(col, "__label__")
+                if rows
+                else _empty_index_df(spark, metadata, col).select(
+                    F.col(col), F.explode("partitions").alias("__label__")
+                )
+            )
+            continue
+        if df is None:
+            file_to_label = {store.url(p.file): p.label for p in partitions}
+            df = _read_committed_files(
+                spark, store, metadata.uuid, metadata.schema, partitions
+            )
+            mapping = spark.createDataFrame(
+                list(file_to_label.items()), "___file string, __label__ string"
+            )
+        out[col] = (
+            df.select(F.col(col), F.input_file_name().alias("___file"))
+            .where(F.col(col).isNotNull())
+            .join(F.broadcast(mapping), "___file")
+            .select(col, "__label__")
+        )
     return out
 
 
@@ -598,14 +642,24 @@ def _merge_committed_indices(
     """
     if not meta.indices:
         return
-    built = _build_index_dataframes(
+    built = _build_index_pair_dataframes(
         spark, store, meta, list(new_partitions), list(meta.indices)
     )
     for col, key in list(meta.indices.items()):
-        old_df = spark.read.parquet(store.url(key))
+        # merge at the PAIR level: old index exploded + new pairs feed
+        # ONE collect_set aggregation (the former shape aggregated the
+        # new pairs, exploded the result and re-aggregated — two wide
+        # exchanges per indexed column per commit for nothing)
+        old_pairs = spark.read.parquet(store.url(key)).select(
+            F.col(col), F.explode("partitions").alias("__label__")
+        )
         if removed:
-            old_df = remove_partitions_from_index_df(old_df, col, removed)
-        merged = merge_index_dataframes(col, [old_df, built[col]])
+            old_pairs = old_pairs.where(
+                ~F.col("__label__").isin(sorted(set(removed)))
+            )
+        merged = SecondaryIndex.build_dataframe(
+            old_pairs.unionByName(built[col]), col
+        )
         meta.indices[col] = persist_index_dataframe(merged, store, meta.uuid, col)
 
 
