@@ -341,8 +341,12 @@ def query_text_index(
         columns=["term", id_col, "tf", "dl"],
         predicates=[[("term", "in", terms)]],
     )
-    # df per probed term: the pruned read holds ALL postings of these terms
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("__df__"))
+    # df per probed term: the pruned read holds ALL postings of these
+    # terms (one row per (term, doc)), so df is a count(*) window over
+    # the term partition — no separate aggregation job or second scan
+    postings = postings.withColumn(
+        "__df__", F.count("*").over(Window.partitionBy("term"))
+    )
 
     idf = F.log(
         F.lit(1.0) + (F.lit(n_docs) - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
@@ -352,7 +356,6 @@ def query_text_index(
     )
     scored = (
         postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")  # bounded by the probed terms
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )

@@ -488,14 +488,6 @@ def bm25_topk(
         .agg(F.count("*").alias("__tf__"), F.first("__dl__").alias("__dl__"))
         .localCheckpoint(eager=False)
     )
-    # df per term is only consumed for query terms — prune BEFORE the
-    # aggregation so the exchange carries query-term rows, not the
-    # whole vocabulary
-    dfreq = (
-        tf.join(F.broadcast(qterms.select("term").dropDuplicates()), "term", "semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("__df__"))
-    )
     stats = df.agg(
         F.countDistinct(id_col).alias("__n__"),
     ).crossJoin(
@@ -513,9 +505,15 @@ def bm25_topk(
         F.col("__tf__")
         + k1 * (1 - b + b * F.col("__dl__") / F.col("__avgdl__"))
     )
+    # df per term is only consumed for query terms: prune tf with a
+    # broadcast semi-join FIRST, then derive df as a count(*) window
+    # over the (query-term-scale) pruned rows — no separate df
+    # aggregation job or second tf pass exists
+    pruned = tf.join(
+        F.broadcast(qterms.select("term").dropDuplicates()), "term", "semi"
+    ).withColumn("__df__", F.count("*").over(Window.partitionBy("term")))
     scored = (
-        tf.join(F.broadcast(qterms), "term")  # prune to query terms FIRST
-        .join(F.broadcast(dfreq), "term")  # bounded by distinct query terms
+        pruned.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, "__id__")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))

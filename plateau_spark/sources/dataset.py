@@ -846,9 +846,6 @@ def store_dataframe_as_dataset(
 
     partition_on = list(partition_on or [])
     df = normalize_dataframe(df, partition_on)
-    if check_constraints:
-        metadata = dict(metadata or {})
-        metadata["constraints"] = dict(check_constraints)
 
     partitions = _write_files(
         df,
@@ -865,6 +862,15 @@ def store_dataframe_as_dataset(
     )
     _attach_zone_maps(spark, store, df.schema, partitions, zone_map_columns)
 
+    # a callable defers metadata to AFTER the write job — so values a
+    # Dataset Observation collected DURING the write (e.g. the BM25
+    # index's token totals) can land in the same atomic commit without
+    # a second data pass
+    if callable(metadata):
+        metadata = metadata()
+    if check_constraints:
+        metadata = dict(metadata or {})
+        metadata["constraints"] = dict(check_constraints)
     ds = DatasetMetadata(
         uuid=dataset_uuid,
         partitions={p.label: p for p in partitions},
