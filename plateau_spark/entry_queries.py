@@ -53,6 +53,31 @@ def _dec(col: str, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+def _stage_parity_halves(df, id_col: str, src: str) -> None:
+    """Stage a frame as TWO stream-source files (<src>/even.parquet,
+    <src>/odd.parquet) split on id parity — in ONE write job (hive
+    split on the parity flag) instead of two coalesce(1) filter+write
+    jobs. Same rows per half; mtimes pin batch order even→odd."""
+    import glob as _glob
+    import os as _os
+    import shutil as _sh
+
+    _os.makedirs(src, exist_ok=True)
+    stage = f"{src}/stage"
+    (
+        df.withColumn("__h__", (F.col(id_col) % 2).cast("int"))
+        .repartition(2, "__h__")
+        .write.partitionBy("__h__")
+        .parquet(stage)
+    )
+    for half, mod in (("even", 0), ("odd", 1)):
+        part = _glob.glob(f"{stage}/__h__={mod}/part-*.parquet")[0]
+        dst = f"{src}/{half}.parquet"
+        _sh.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + mod, 1_700_000_000 + mod))
+    _sh.rmtree(stage)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational queries (Spark DataFrame surface the reference gets
 # "for free" — SURVEY.md §2.7; these are the bench headliners)
@@ -6038,31 +6063,15 @@ def streaming_histogram_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit protocol's exactly-once batch marker make the streaming
     result bit-identical to the batch one."""
     _prep(spark)
-    import os as _os
-    import shutil as _sh
-
     from plateau_spark.operators.sketches import read_quantile_estimates
     from plateau_spark.streaming.events import (
         open_parquet_stream,
         stream_monitor_histogram,
     )
 
-    staged = _fresh_store("hist_monitor_src")
-    _os.makedirs(staged, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
-    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{staged}/even")
-    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{staged}/odd")
     src = _fresh_store("hist_monitor_files")
-    _os.makedirs(src, exist_ok=True)
-    for half in ("even", "odd"):
-        part = [
-            f for f in _os.listdir(f"{staged}/{half}") if f.endswith(".parquet")
-        ][0]
-        _sh.copy(f"{staged}/{half}/{part}", f"{src}/{half}.parquet")
+    _stage_parity_halves(ev, "event_id", src)
 
     store = _fresh_store("hist_monitor")
     ckpt = _fresh_store("hist_monitor_ckpt")
@@ -6142,9 +6151,6 @@ def streaming_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (disjoint-batch HLL union is register-identical), exact n_rows
     tallies, and ≤5% error vs the exact count (oracle-compared)."""
     _prep(spark)
-    import os as _os
-    import shutil as _sh
-
     from plateau_spark.operators.sketches import (
         estimate_distinct,
         read_distinct_estimates,
@@ -6154,18 +6160,9 @@ def streaming_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_monitor_distinct,
     )
 
-    staged = _fresh_store("ndv_monitor_src")
-    _os.makedirs(staged, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
     src = _fresh_store("ndv_monitor_files")
-    _os.makedirs(src, exist_ok=True)
-    for half, mod in (("even", 0), ("odd", 1)):
-        out = f"{staged}/{half}"
-        ev.where(F.col("event_id") % 2 == mod).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
-        part = [f for f in _os.listdir(out) if f.endswith(".parquet")][0]
-        _sh.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+    _stage_parity_halves(ev, "event_id", src)
 
     store = _fresh_store("ndv_monitor")
     ckpt = _fresh_store("ndv_monitor_ckpt")
@@ -6258,26 +6255,15 @@ def streaming_topk_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the batch computation (and this oracle) exactly.
     Tier twin of the in-window events_skew_profile."""
     _prep(spark)
-    import os as _os
-    import shutil as _sh
-
     from plateau_spark.streaming.events import (
         open_parquet_stream,
         read_topk_counts,
         stream_monitor_topk,
     )
 
-    staged = _fresh_store("topk_monitor_src")
-    src = _fresh_store("topk_monitor_files")
-    _os.makedirs(src, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
-    for half, mod in (("even", 0), ("odd", 1)):
-        out = f"{staged}/{half}"
-        ev.where(F.col("event_id") % 2 == mod).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
-        part = [f for f in _os.listdir(out) if f.endswith(".parquet")][0]
-        _sh.copy(f"{out}/{part}", f"{src}/{half}.parquet")
+    src = _fresh_store("topk_monitor_files")
+    _stage_parity_halves(ev, "event_id", src)
 
     store = _fresh_store("topk_monitor")
     ckpt = _fresh_store("topk_monitor_ckpt")

@@ -76,40 +76,62 @@ def build_text_index(
     length rides every posting row (denormalized — the classic posting
     design, one fewer join per query) as the token-array size carried
     through the explode — no per-doc window/shuffle exists in the
-    build. Postings are RANGE-CLUSTERED BY TERM into ``index_files``
-    files (repartitionByRange + sortWithinPartitions) so each term's
-    postings co-locate in one or two files, and per-file Bloom sidecars
-    on term (the string-column pruning substrate — zone maps are
-    numeric-only here because parquet writers may truncate string
-    min/max) let a query's term IN-predicate prune the file list to the
-    files actually holding its terms.
+    build. Postings are HASH-CLUSTERED BY TERM into ``index_files``
+    files (repartition(n, term) + sortWithinPartitions — hash puts each
+    term's postings in exactly ONE file and, unlike repartitionByRange,
+    needs no range-sampling job that would execute the whole posting
+    pipeline one extra time), and per-file Bloom sidecars on term (the
+    string-column pruning substrate — zone maps are numeric-only here
+    because parquet writers may truncate string min/max) let a query's
+    term IN-predicate prune the file list to the files actually holding
+    its terms.
     Corpus-level stats (N, avgdl) land in user metadata — df per term
     is NOT stored: a pruned read returns every posting of the probed
-    terms, so df is one count-agg over the already-pruned frame.
+    terms, so df is one count-agg over the already-pruned frame. The
+    total token count is a Dataset Observation riding the write job
+    (sum of tf over the postings written == sum of doc lengths), so
+    the only extra corpus pass is a column-pruned countDistinct over
+    the id column — the corpus text is tokenized exactly once.
 
     Documents with no tokens contribute no postings but count in N and
     in the avgdl denominator (same contract as ``bm25_topk``).
     """
+    from pyspark.sql import Observation
+
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
 
     postings = _postings(corpus, id_col, text_col)
 
-    # one corpus pass for both stats (the former countDistinct +
-    # crossJoin'd token-length agg scanned the corpus twice)
-    stats = (
-        corpus.agg(
-            F.countDistinct(id_col).alias("n"),
-            F.sum(F.size(_tokens(text_col))).alias("toklen"),
-        )
-        .select("n", "toklen", (F.coalesce(F.col("toklen"), F.lit(0)) / F.col("n")).alias("avgdl"))
-        .collect()[0]
+    # ids only — no tokenizer in this pass (toklen rides the write)
+    n_docs = int(
+        corpus.agg(F.countDistinct(id_col).alias("n")).collect()[0]["n"] or 0
     )
-    if not stats["n"]:
+    if not n_docs:
         raise ValueError("cannot build a text index over an empty corpus")
 
-    clustered = postings.repartitionByRange(index_files, "term").sortWithinPartitions(
-        "term"
+    obs = Observation()
+    clustered = (
+        postings.observe(obs, F.sum("tf").alias("toklen"))
+        .repartition(index_files, "term")
+        .sortWithinPartitions("term")
     )
+
+    def _bm25_metadata() -> dict:
+        # evaluated by store_dataframe_as_dataset AFTER the write job,
+        # when the observed metric is available
+        toklen = int(obs.get["toklen"] or 0)
+        return {
+            "bm25": {
+                "id_col": id_col,
+                "text_col": text_col,
+                "n_docs": n_docs,
+                # total token count rides along so incremental appends
+                # (update_text_index) can recompute avgdl EXACTLY
+                "toklen": toklen,
+                "avgdl": toklen / n_docs,
+            }
+        }
+
     return store_dataframe_as_dataset(
         spark,
         store,
@@ -117,17 +139,7 @@ def build_text_index(
         clustered,
         bloom_filter_columns=["term"],
         overwrite=overwrite,
-        metadata={
-            "bm25": {
-                "id_col": id_col,
-                "text_col": text_col,
-                "n_docs": int(stats["n"]),
-                # total token count rides along so incremental appends
-                # (update_text_index) can recompute avgdl EXACTLY
-                "toklen": int(stats["toklen"] or 0),
-                "avgdl": float(stats["avgdl"]),
-            }
-        },
+        metadata=_bm25_metadata,
     )
 
 
@@ -139,7 +151,8 @@ def update_text_index(
 ):
     """Append new documents to a persisted BM25 index incrementally —
     O(new docs) work, no rebuild: the new postings (same explode + tf
-    agg + windowed doc length as the build) land as an ordinary dataset
+    agg with the doc length riding the exploded rows, as the build)
+    land as an ordinary dataset
     append (atomic commit; the dataset-level Bloom declaration builds
     sidecars for the new files automatically), and the corpus stats in
     user metadata advance exactly (n_docs += new docs, toklen += new
@@ -161,6 +174,8 @@ def update_text_index(
         update_dataset_from_dataframe,
     )
 
+    from pyspark.sql import Observation
+
     st = _ensure_store(store)
     meta = DatasetMetadata.load(st, index_uuid)
     bm25 = dict(meta.metadata["bm25"])
@@ -168,18 +183,28 @@ def update_text_index(
 
     postings = _postings(new_docs, id_col, text_col)
 
-    # same one-pass stats shape as the build (two scans → one)
-    stats = new_docs.agg(
-        F.countDistinct(id_col).alias("n"),
-        F.sum(F.size(_tokens(text_col))).alias("toklen"),
-    ).collect()[0]
-    n2 = int(bm25["n_docs"]) + int(stats["n"])
-    toklen2 = int(bm25["toklen"]) + int(stats["toklen"] or 0)
-    bm25.update(n_docs=n2, toklen=toklen2, avgdl=toklen2 / n2)
+    # same stats shape as the build: ids-only agg (no tokenizer), new
+    # token total observed on the append's own write job
+    n_new = int(
+        new_docs.agg(F.countDistinct(id_col).alias("n")).collect()[0]["n"] or 0
+    )
+    obs = Observation()
+
+    def _bm25_metadata() -> dict:
+        n2 = int(bm25["n_docs"]) + n_new
+        toklen2 = int(bm25["toklen"]) + int(obs.get["toklen"] or 0)
+        out = dict(bm25)
+        out.update(n_docs=n2, toklen=toklen2, avgdl=toklen2 / n2)
+        return {"bm25": out}
+
     # override (not merge): user-metadata merge DROPS conflicting leaves
     # by the reference rule, but index stats MUST advance on append
     return update_dataset_from_dataframe(
-        spark, st, index_uuid, postings, override_metadata={"bm25": bm25}
+        spark,
+        st,
+        index_uuid,
+        postings.observe(obs, F.sum("tf").alias("toklen")),
+        override_metadata=_bm25_metadata,
     )
 
 

@@ -517,6 +517,13 @@ def _write_files(
     return partitions
 
 
+def _resolve_metadata(md):
+    """Metadata arguments may be callables, evaluated only AFTER the
+    write job — so Dataset Observations collected during the write can
+    land in the same atomic commit without a second data pass."""
+    return md() if callable(md) else md
+
+
 def _empty_index_df(
     spark: SparkSession, metadata: DatasetMetadata, column: str
 ) -> DataFrame:
@@ -866,8 +873,7 @@ def store_dataframe_as_dataset(
     # Dataset Observation collected DURING the write (e.g. the BM25
     # index's token totals) can land in the same atomic commit without
     # a second data pass
-    if callable(metadata):
-        metadata = metadata()
+    metadata = _resolve_metadata(metadata)
     if check_constraints:
         metadata = dict(metadata or {})
         metadata["constraints"] = dict(check_constraints)
@@ -1631,8 +1637,12 @@ def update_dataset_from_dataframe(
             num_buckets=num_buckets,
             bucket_by=bucket_by,
             # first-time create: no existing leaves to conflict with, so
-            # the override degrades to a plain merge
-            metadata=combine_metadata(metadata or {}, override_metadata or {}),
+            # the override degrades to a plain merge; deferred via a
+            # callable so write-time Observations stay resolvable
+            metadata=lambda: combine_metadata(
+                _resolve_metadata(metadata) or {},
+                _resolve_metadata(override_metadata) or {},
+            ),
             file_format=file_format,
             compress=compress,
             zone_map_columns=zone_map_columns,
@@ -1715,7 +1725,11 @@ def update_dataset_from_dataframe(
     meta.explicit_partitions = True
     meta = _commit_update_with_merge(
         store, meta, new_partitions=new_partitions, removed=removed,
-        extra_metadata=metadata, override_metadata=override_metadata, **_base,
+        # callables resolve here, AFTER the write job, so metadata can
+        # carry write-time Observation values (e.g. BM25 token totals)
+        extra_metadata=_resolve_metadata(metadata),
+        override_metadata=_resolve_metadata(override_metadata),
+        **_base,
     )
     _invalidate_if_factory(_store_arg)
     return meta
