@@ -214,7 +214,7 @@ class Store:
             if not fs.rename(self._hadoop_path(src_key), dst):
                 raise IOError(f"rename {src_key} -> {dst_key} failed")
 
-    def read_parquet(self, key: str, filters=None):
+    def read_parquet(self, key: str, filters=None, columns=None):
         """Read a parquet file/directory under ``key`` into a pyarrow
         Table through the store abstraction — works on object stores
         where pyarrow can't open ``s3a://`` URIs directly (metadata
@@ -223,12 +223,13 @@ class Store:
         ``filters`` is a pyarrow.compute expression; on the local fast
         path it prunes row groups at read time, elsewhere it's applied
         post-read (index files are small single files by design).
+        ``columns`` projection-prunes the read.
         """
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         if self._is_local:
-            return pq.read_table(self.path(key), filters=filters)
+            return pq.read_table(self.path(key), filters=filters, columns=columns)
         # object store: fetch member files via Hadoop FS, filter after
         keys = [
             k
@@ -236,7 +237,10 @@ class Store:
             if k.endswith(".parquet") or k == key
         ] or [key]
         tables = [
-            pq.read_table(pa.BufferReader(self._hadoop_get(k))) for k in keys
+            pq.read_table(
+                pa.BufferReader(self._hadoop_get(k)), columns=columns
+            )
+            for k in keys
         ]  # pragma: no cover
         table = pa.concat_tables(tables)  # pragma: no cover
         if filters is not None:  # pragma: no cover

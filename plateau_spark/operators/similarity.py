@@ -2049,36 +2049,64 @@ def build_ivfpq_index(
     from plateau_spark.sources.dataset import store_dataframe_as_dataset
 
     fit_src = corpus if fit_corpus is None else fit_corpus
-    # centroids= / pq_model= pin a pre-fit (or externally trained)
-    # model: the fit stages are skipped entirely and only the
-    # assignment/encode/store plan runs — the fit-once/reuse-many
-    # deployment shape, and the hook that makes the serving path
-    # SQL-oracle-verifiable (entry query embedding_ivfpq_pinned).
-    if centroids is None:
-        centroids = ivf_centroids(
-            fit_src, id_col=id_col, vec_col=vec_col,
-            n_centroids=n_centroids, refine_iterations=refine_iterations,
-        )
-    cent = _centroid_df(spark, centroids)
-
-    def _residuals(frame):
-        return (
-            _assign_to_centroids(frame, vec_col, [id_col], centroids)
-            .join(F.broadcast(cent), "__cid__")
-            .select(
-                F.col("__cid__").alias("cell"),
-                F.col(id_col),
-                F.zip_with(
-                    F.col(vec_col), F.col("__cvec__"),
-                    lambda a, b: a.cast("double") - b,
-                ).alias("__res__"),
+    # The fit stages make several driver-blocking passes over fit_src
+    # (coarse: seed collect + refine_iterations Lloyd collects; PQ:
+    # seed collect + pq_refine_iterations Lloyd collects, each
+    # re-running the coarse-assignment GEMM + centroid join that
+    # derives the residuals). fit_src is SAMPLE-scale by contract
+    # (fit-on-a-sample at 100 TB), so pinning its projection and the
+    # derived residual frame across those passes is a bounded cache
+    # that removes the repeated scans + GEMMs; both are released
+    # before the full-corpus encode/store pass below.
+    fit_pins: list[DataFrame] = []
+    try:
+        if centroids is None or pq_model is None:
+            fit_src = fit_src.select(F.col(id_col), F.col(vec_col)).persist()
+            fit_pins.append(fit_src)
+        # centroids= / pq_model= pin a pre-fit (or externally trained)
+        # model: the fit stages are skipped entirely and only the
+        # assignment/encode/store plan runs — the fit-once/reuse-many
+        # deployment shape, and the hook that makes the serving path
+        # SQL-oracle-verifiable (entry query embedding_ivfpq_pinned).
+        if centroids is None:
+            centroids = ivf_centroids(
+                fit_src, id_col=id_col, vec_col=vec_col,
+                n_centroids=n_centroids, refine_iterations=refine_iterations,
             )
-        )
+        cent = _centroid_df(spark, centroids)
 
-    model = pq_model if pq_model is not None else fit_pq_model(
-        _residuals(fit_src), vec_col="__res__", m=m, k=pq_k,
-        refine_iterations=pq_refine_iterations, id_col=id_col,
-    )
+        def _residuals(frame):
+            return (
+                _assign_to_centroids(frame, vec_col, [id_col], centroids)
+                .join(F.broadcast(cent), "__cid__")
+                .select(
+                    F.col("__cid__").alias("cell"),
+                    F.col(id_col),
+                    F.zip_with(
+                        F.col(vec_col), F.col("__cvec__"),
+                        lambda a, b: a.cast("double") - b,
+                    ).alias("__res__"),
+                )
+            )
+
+        if pq_model is not None:
+            model = pq_model
+        else:
+            resid_fit = _residuals(fit_src).persist()
+            fit_pins.append(resid_fit)
+            model = fit_pq_model(
+                resid_fit, vec_col="__res__", m=m, k=pq_k,
+                refine_iterations=pq_refine_iterations, id_col=id_col,
+            )
+    finally:
+        # the model is driver-side lists at this point — nothing lazy
+        # references the fit caches, so release them before the
+        # full-corpus encode pass
+        for p in fit_pins:
+            try:
+                p.unpersist(False)
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
     resid = _residuals(corpus)
     # the cell rides THROUGH the encode pass: consuming resid twice
     # (encode input + a cell re-join by id) re-ran the whole

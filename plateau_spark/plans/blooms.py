@@ -200,6 +200,151 @@ def build_bloom_dataframe(
     return rows.unionByName(spark.createDataFrame(cover, schema))
 
 
+# --- driver-tier build (small commits) -------------------------------------
+#
+# A streaming micro-batch or small append commits a handful of KB-scale
+# parquet files, but the Spark build path still pays one full job per
+# bloom column (scan of the new files + shuffle-to-1 + sidecar write) and
+# the merge path another (old sidecar ∪ new rows). For files this small
+# that job is pure scheduling floor. The driver tier reads the new files'
+# bloom column with pyarrow (bounded by ``_driver_bloom_budget``: default
+# 8 MB of data files — metadata-plane scale, same discipline as footer
+# harvesting), folds the bit positions with ``bloom_positions`` — the
+# documented bit-identical twin of the codegen hash chain — and writes
+# the sidecar directly. Anything bigger falls back to the Spark job, so
+# at 100 TB the initial corpus-wide build stays distributed while the
+# per-commit increment is O(KB) driver work and ZERO Spark jobs.
+
+_DRIVER_BLOOM_BYTES_DEFAULT = 8 << 20
+_DRIVER_BLOOM_MAX_FILES = 16
+
+
+def _driver_bloom_budget() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get(
+                "PLATEAU_SPARK_BLOOM_DRIVER_BYTES", _DRIVER_BLOOM_BYTES_DEFAULT
+            )
+        )
+    except (TypeError, ValueError):
+        return _DRIVER_BLOOM_BYTES_DEFAULT
+
+
+def _key_bytes(store: Store, key: str) -> "int | None":
+    """Total bytes under ``key`` (a file, or a directory of part files
+    as the Spark sidecar writer lays them out); None when unsizeable."""
+    try:
+        if getattr(store, "_is_local", False):
+            import os
+
+            if os.path.isdir(store.path(key)):
+                return sum(
+                    store.size(k)
+                    for k in store.iter_keys(key.rstrip("/") + "/")
+                )
+        return store.size(key)
+    except OSError:
+        return None
+
+
+def build_bloom_rows_driver(
+    store: Store,
+    partitions: Sequence,
+    column: str,
+    *,
+    n_bits: int,
+    k: int,
+) -> "list[tuple[int, str, int]] | None":
+    """Driver-tier twin of ``build_bloom_dataframe``: returns the same
+    (word, label, bits) rows — bit-identical, via ``bloom_positions`` —
+    or None when the partitions exceed the driver budget (caller falls
+    back to the Spark job). Non-parquet files get no rows, exactly like
+    the Spark path; a file missing the column (pre-evolution) yields
+    only its coverage marker (the Spark path's explicit-schema NULL
+    read does the same)."""
+    pq_parts = [p for p in partitions if p.file.endswith(".parquet")]
+    if len(pq_parts) > _DRIVER_BLOOM_MAX_FILES:
+        return None
+    if k > _K_MAX:
+        raise ValueError(f"k must be <= {_K_MAX}, got {k}")
+    try:
+        total = sum(store.size(p.file) for p in pq_parts)
+    except OSError:
+        return None
+    if total > _driver_bloom_budget():
+        return None
+    rows: list[tuple[int, str, int]] = []
+    for p in pq_parts:
+        acc: dict[int, int] = {}
+        try:
+            table = store.read_parquet(p.file, columns=[column])
+            values = table.column(column).to_pylist()
+        except (KeyError, OSError):
+            values = []
+        except Exception as exc:  # noqa: BLE001 — pyarrow schema errors
+            if "No match for FieldRef" in str(exc) or "not found" in str(exc):
+                values = []  # evolved column absent from this file
+            else:
+                return None  # unreadable driver-side: use the Spark path
+        for v in values:
+            if v is None:
+                continue
+            for pos in bloom_positions(v, n_bits, k):
+                w = pos >> 6
+                acc[w] = acc.get(w, 0) | (1 << (pos & 63))
+        rows.extend(
+            # bits stored as SIGNED int64 — the Spark path's shiftleft/
+            # bit_or arithmetic is two's-complement, and the consult
+            # (load_bloom_words) does signed-python bit probes
+            (w, p.label, b - (1 << 64) if b >= (1 << 63) else b)
+            for w, b in sorted(acc.items())
+        )
+        rows.append((COVERAGE_WORD, p.label, 0))
+    return rows
+
+
+def read_bloom_rows(store: Store, key: str) -> list[tuple[int, str, int]]:
+    """Whole-sidecar read as (word, label, bits) rows (driver merge)."""
+    table = store.read_parquet(key)
+    return list(
+        zip(
+            table.column("word").to_pylist(),
+            table.column("label").to_pylist(),
+            table.column("bits").to_pylist(),
+        )
+    )
+
+
+def persist_bloom_rows(
+    rows: "list[tuple[int, str, int]]", store: Store, dataset_uuid: str, column: str
+) -> str:
+    """Driver-tier twin of ``persist_bloom_dataframe``: one small
+    parquet file, sorted by (word, label) so a k-word lookup prunes row
+    groups; returns the store key. Schema matches the Spark writer
+    (word int32, label string, bits int64) so ``load_bloom_words`` and
+    the Spark merge reader consume either interchangeably."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    table = pa.table(
+        {
+            "word": pa.array([r[0] for r in rows], pa.int32()),
+            "label": pa.array([r[1] for r in rows], pa.string()),
+            "bits": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    key = naming.bloom_key(dataset_uuid, column, _utc_ts())
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    store.put_bytes(key, buf.getvalue())
+    return key
+
+
 def persist_bloom_dataframe(
     bloom_df: DataFrame, store: Store, dataset_uuid: str, column: str
 ) -> str:

@@ -706,8 +706,11 @@ def _build_blooms(
 ) -> dict[str, dict]:
     """Build + persist per-file Bloom sidecars for the given columns
     over the given partitions; returns the ``DatasetMetadata.blooms``
-    entries (plans/blooms.py). One scan job per column, projection-
-    pruned to that column."""
+    entries (plans/blooms.py). KB-scale commits (streaming micro-
+    batches, small appends) take the size-gated DRIVER tier — pyarrow
+    read + the bit-identical Python hash twin, zero Spark jobs; larger
+    builds pay one scan job per column, projection-pruned to that
+    column."""
     if not columns:
         return {}
     from plateau_spark.plans.blooms import (
@@ -715,7 +718,9 @@ def _build_blooms(
         K_DEFAULT,
         N_BITS_DEFAULT,
         build_bloom_dataframe,
+        build_bloom_rows_driver,
         persist_bloom_dataframe,
+        persist_bloom_rows,
         validate_bloom_columns,
     )
 
@@ -725,12 +730,19 @@ def _build_blooms(
     dtypes = {f.name: f.dataType for f in schema.fields}
     out: dict[str, dict] = {}
     for col in cols:
-        bdf = build_bloom_dataframe(
-            spark, store, partitions, col, n_bits=n_bits, k=k,
-            dtype=dtypes[col],
+        rows = build_bloom_rows_driver(
+            store, partitions, col, n_bits=n_bits, k=k
         )
+        if rows is not None:
+            key = persist_bloom_rows(rows, store, dataset_uuid, col)
+        else:
+            bdf = build_bloom_dataframe(
+                spark, store, partitions, col, n_bits=n_bits, k=k,
+                dtype=dtypes[col],
+            )
+            key = persist_bloom_dataframe(bdf, store, dataset_uuid, col)
         out[col] = {
-            "key": persist_bloom_dataframe(bdf, store, dataset_uuid, col),
+            "key": key,
             "n_bits": n_bits,
             "k": k,
             "hash": HASH_FAMILY,
@@ -747,16 +759,50 @@ def _merge_committed_blooms(
 ) -> None:
     """Refresh every bloom sidecar for a commit: rows for the new
     partitions appended, removed labels dropped, one new sidecar key
-    per column (old keys become unreferenced → GC)."""
+    per column (old keys become unreferenced → GC). When both the new
+    files AND the old sidecar sit under the driver byte budget the
+    whole refresh is driver-side pyarrow work (bit-identical hash twin,
+    zero Spark jobs) — the shape every streaming micro-batch commit
+    hits; anything bigger falls back to the distributed merge."""
     if not meta.blooms:
         return
     from plateau_spark.plans.blooms import (
+        _driver_bloom_budget,
+        _key_bytes,
         build_bloom_dataframe,
+        build_bloom_rows_driver,
         persist_bloom_dataframe,
+        persist_bloom_rows,
+        read_bloom_rows,
         remove_labels_from_bloom_df,
     )
 
     for col, info in list(meta.blooms.items()):
+        new_rows_py = build_bloom_rows_driver(
+            store, list(new_partitions), col,
+            n_bits=int(info["n_bits"]), k=int(info["k"]),
+        )
+        old_bytes = _key_bytes(store, info["key"])
+        if (
+            new_rows_py is not None
+            and old_bytes is not None
+            and old_bytes <= _driver_bloom_budget()
+        ):
+            try:
+                old_rows = read_bloom_rows(store, info["key"])
+            except OSError:
+                old_rows = None
+            if old_rows is not None:
+                if removed:
+                    rm = {str(x) for x in removed}
+                    old_rows = [r for r in old_rows if r[1] not in rm]
+                meta.blooms[col] = {
+                    **info,
+                    "key": persist_bloom_rows(
+                        old_rows + new_rows_py, store, meta.uuid, col
+                    ),
+                }
+                continue
         old = spark.read.parquet(store.url(info["key"]))
         if removed:
             old = remove_labels_from_bloom_df(old, removed)

@@ -251,3 +251,58 @@ def test_bloom_on_evolved_column_prunes_pre_evolution_files(spark, tmp_path):
     assert [r["k"] for r in out.collect()] == [150]
     # the pre-evolution file was pruned by its zero-bit bloom
     assert len(out.inputFiles()) == 1
+
+
+def test_driver_tier_rows_match_spark_tier(spark, bloom_store):
+    """KB-scale commits build their sidecars driver-side (zero Spark
+    jobs); the rows must be IDENTICAL to the Spark build's — same words,
+    same bits, same coverage markers — or pruning semantics would
+    depend on commit size."""
+    from plateau_spark.plans.blooms import (
+        N_BITS_DEFAULT,
+        K_DEFAULT,
+        build_bloom_dataframe,
+        build_bloom_rows_driver,
+    )
+
+    meta = DatasetMetadata.load(bloom_store, "ev")
+    parts = list(meta.partitions.values())
+    driver_rows = build_bloom_rows_driver(
+        bloom_store, parts, "event_id", n_bits=N_BITS_DEFAULT, k=K_DEFAULT
+    )
+    assert driver_rows is not None  # small fixture → driver tier fires
+    spark_rows = build_bloom_dataframe(
+        spark, bloom_store, parts, "event_id",
+        n_bits=N_BITS_DEFAULT, k=K_DEFAULT,
+    ).collect()
+    assert sorted(driver_rows) == sorted(
+        (r["word"], r["label"], r["bits"]) for r in spark_rows
+    )
+
+
+def test_driver_tier_budget_zero_falls_back_to_spark(
+    spark, tmp_path, monkeypatch
+):
+    """With the driver byte budget forced to 0 every build/merge takes
+    the distributed tier — lookups must be unaffected (the two tiers
+    are interchangeable)."""
+    monkeypatch.setenv("PLATEAU_SPARK_BLOOM_DRIVER_BYTES", "0")
+    store = Store(str(tmp_path / "store"))
+    df = spark.range(500).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("v")
+    ).repartition(4, "event_id")
+    store_dataframe_as_dataset(
+        spark, store, "ev0", df, partition_on=[], repartition=False,
+        bloom_filter_columns=["event_id"],
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ev0",
+        spark.range(500, 600).select(
+            F.col("id").alias("event_id"), (F.col("id") % 3).alias("v")
+        ),
+    )
+    out = read_dataset_as_dataframe(
+        spark, store, "ev0", predicates=[[("event_id", "==", 550)]]
+    )
+    assert [r["event_id"] for r in out.collect()] == [550]
+    assert len(out.inputFiles()) == 1
