@@ -76,17 +76,20 @@ def _blocked_rows(
     """One row per (blocking key, record): (__bk__, __block__, __id__,
     payload...). NULL keys never block; blocks above ``max_block_size``
     are dropped (degenerate-key contract)."""
-    keyed = None
-    for i, expr in enumerate(blocking_keys):
-        part = records.select(
-            expr.cast("string").alias("__block__"),
-            F.lit(i).alias("__bk__"),
-            F.col(id_col).alias("__id__"),
-            *[F.col(c) for c in payload_cols],
-        ).where(F.col("__block__").isNotNull())
-        keyed = part if keyed is None else keyed.unionByName(part)
-    if keyed is None:
+    if not blocking_keys:
         raise ValueError("candidate_pairs needs at least one blocking key")
+    # ONE scan emitting all keys via posexplode (pos = the key index),
+    # not a union of per-key selects: the union form re-scanned the
+    # records once per blocking key, and every consumer of the blocked
+    # rows (the self-join legs, the oversized-block aggregation)
+    # multiplied that re-scan again
+    keyed = records.select(
+        F.posexplode(
+            F.array(*[expr.cast("string") for expr in blocking_keys])
+        ).alias("__bk__", "__block__"),
+        F.col(id_col).alias("__id__"),
+        *[F.col(c) for c in payload_cols],
+    ).where(F.col("__block__").isNotNull())
     if max_block_size is not None:
         # two-level count (map-side partial) — never materializes a block
         sizes = keyed.groupBy("__bk__", "__block__").agg(

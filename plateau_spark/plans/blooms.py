@@ -217,19 +217,32 @@ def build_bloom_dataframe(
 
 _DRIVER_BLOOM_BYTES_DEFAULT = 8 << 20
 _DRIVER_BLOOM_MAX_FILES = 16
+# the Python fold costs ~4 us/value (measured: md5 + 5 dict ORs), so a
+# Spark job's ~0.2-0.3 s scheduling floor breaks even near 50-80 k
+# values; micro-batch commits sit orders of magnitude below this, bulk
+# commits orders above — the gate rarely sits near the boundary
+_DRIVER_BLOOM_ROWS_DEFAULT = 50_000
 
 
-def _driver_bloom_budget() -> int:
+def _env_int(name: str, default: int) -> int:
     import os
 
     try:
-        return int(
-            os.environ.get(
-                "PLATEAU_SPARK_BLOOM_DRIVER_BYTES", _DRIVER_BLOOM_BYTES_DEFAULT
-            )
-        )
+        return int(os.environ.get(name, default))
     except (TypeError, ValueError):
-        return _DRIVER_BLOOM_BYTES_DEFAULT
+        return default
+
+
+def _driver_bloom_budget() -> int:
+    return _env_int(
+        "PLATEAU_SPARK_BLOOM_DRIVER_BYTES", _DRIVER_BLOOM_BYTES_DEFAULT
+    )
+
+
+def _driver_bloom_row_budget() -> int:
+    return _env_int(
+        "PLATEAU_SPARK_BLOOM_DRIVER_ROWS", _DRIVER_BLOOM_ROWS_DEFAULT
+    )
 
 
 def _key_bytes(store: Store, key: str) -> "int | None":
@@ -275,6 +288,25 @@ def build_bloom_rows_driver(
         return None
     if total > _driver_bloom_budget():
         return None
+    row_budget = _driver_bloom_row_budget()
+    if getattr(store, "_is_local", False):
+        # footer-only row precheck (free locally): the Python fold costs
+        # ~4 us/value, so beyond the row budget the Spark job wins even
+        # though the bytes fit
+        import pyarrow.parquet as _pq
+
+        try:
+            if (
+                sum(
+                    _pq.ParquetFile(store.path(p.file)).metadata.num_rows
+                    for p in pq_parts
+                )
+                > row_budget
+            ):
+                return None
+        except OSError:
+            return None
+    n_folded = 0
     rows: list[tuple[int, str, int]] = []
     for p in pq_parts:
         acc: dict[int, int] = {}
@@ -288,6 +320,11 @@ def build_bloom_rows_driver(
                 values = []  # evolved column absent from this file
             else:
                 return None  # unreadable driver-side: use the Spark path
+        # object-store guard (no free footer precheck there): bail to
+        # the Spark path once the fold exceeds the row budget
+        n_folded += len(values)
+        if n_folded > row_budget:
+            return None
         for v in values:
             if v is None:
                 continue
