@@ -1090,36 +1090,76 @@ def query_ivf_index(
     vec_col, id_col = ivf["vec_col"], ivf["id_col"]
     centroids = [(int(cid), vec) for cid, vec in ivf["centroids"]]
 
-    cent = _centroid_df(spark, centroids)
-    # norms hoisted per ROW on both sides of every scoring join (see
-    # cosine_sim_col): query norm once per query, centroid norm from
-    # the driver, corpus norm once per probed-cell row
-    qn = queries.select(
-        F.col(query_id_col).alias("__qid__"),
-        F.col(vec_col).alias("__qv__"),
-        norm_col(vec_col).alias("__qn__"),
+    # Probe selection runs entirely DRIVER-side: the query batch is a
+    # KB-contract collect (same as query_ivfpq_index) and the centroids
+    # are already driver lists, so scoring queries × K centroids here
+    # costs microseconds — where the former Spark form executed the
+    # whole scoring subtree TWICE (once for the probed-cells collect
+    # that feeds the partition predicate, once again inside the final
+    # plan) plus a crossJoin + window job. The folds below are
+    # element-order-sequential IEEE-double ops, bit-identical to
+    # dot_col/norm_col/guarded_cosine, so cell selection (sim desc,
+    # cid asc, NULLs last) is unchanged.
+    import math
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            acc += float(x) * float(y)
+        return acc
+
+    def _fold_norm(a):
+        acc = 0.0
+        for x in a:
+            if x is None:
+                return None
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cnorms = {cid: _fold_norm(v) for cid, v in centroids}
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qv__")
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = r["__qv__"]
+        qn = _fold_norm(qv) if qv is not None else None
+        scored = []
+        for cid, cvec in centroids:
+            sim = None
+            if qv is not None:
+                d = _fold_dot(qv, cvec)
+                na, nb = qn, cnorms[cid]
+                if (
+                    d is not None
+                    and na is not None
+                    and nb is not None
+                    and na > 0
+                    and nb > 0
+                ):
+                    c = d / (na * nb)
+                    sim = None if c != c else c  # NaN → NULL
+            scored.append((cid, sim))
+        scored.sort(
+            key=lambda t: (t[1] is None, -(t[1] if t[1] is not None else 0.0), t[0])
+        )
+        for cid, _sim in scored[:nprobe]:
+            probe_rows.append(
+                (
+                    r["__qid__"],
+                    [float(x) for x in qv] if qv is not None else None,
+                    qn,
+                    int(cid),
+                )
+            )
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"__qid__ {qid_type}, __qv__ array<double>, __qn__ double, __cid__ int",
     )
-    q_scored = qn.crossJoin(F.broadcast(cent)).select(
-        "__qid__",
-        "__qv__",
-        "__qn__",
-        "__cid__",
-        guarded_cosine(
-            dot_col(F.col("__qv__"), F.col("__cvec__")),
-            F.col("__qn__"), F.col("__cnorm__"),
-        ).alias("__sim__"),
-    )
-    wq = Window.partitionBy("__qid__").orderBy(
-        F.col("__sim__").desc(), F.col("__cid__").asc()
-    )
-    probes = (
-        q_scored.withColumn("__pr__", F.row_number().over(wq))
-        .where(F.col("__pr__") <= nprobe)
-        .select("__qid__", "__qv__", "__qn__", "__cid__")
-    )
-    cells = sorted(
-        r["__cid__"] for r in probes.select("__cid__").distinct().collect()
-    )
+    cells = sorted({row[3] for row in probe_rows})
     corpus_cells = read_dataset_as_dataframe(
         spark, store, index_uuid, predicates=[[("cell", "in", cells)]]
     ).withColumn("__cn__", norm_col(vec_col))
