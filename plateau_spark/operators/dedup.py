@@ -871,41 +871,64 @@ def embedding_cosine_dup_pairs(
             probe_buckets_col(vec_col, bucket_bits, seeds=tuple(seeds), dim=d)
         ).alias("__probe__", "__bucket__"),
     )
-    # The per-pair dot is the hot kernel (|candidates| ≈ n²/2^bits per
-    # probe): Arrow-batched einsum beats the interpreted zip_with/
-    # aggregate fold ~30% end-to-end here. Summation order differs from
-    # the sequential fold by float associativity (~1 ulp; results are
-    # consumed at round-6 precision — same contract as the blocked-GEMM
-    # exact tier in operators/similarity.py).
-    @pandas_udf("double")
-    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    # Per-BUCKET GEMM kernel (applyInPandas): the former bucket
+    # self-join + per-pair Arrow dot shipped BOTH dim-length vectors
+    # across the Python boundary for EVERY candidate pair
+    # (|candidates| × 2·dim doubles — hundreds of MB at bench scale,
+    # corpus-quadratic-per-bucket at 100 TB), the §8 anti-pattern of
+    # moving heavy bytes per decision. Here each vector crosses the
+    # boundary ONCE per probe (one exchange on (probe, bucket), no
+    # self-join legs, no candidate-dedup shuffle of failing pairs) and
+    # the in-bucket scoring is one chunked float64 BLAS product.
+    # Degenerate inputs (zero/NaN norm, NULL vector) drop before the
+    # GEMM — identical to guarded_cosine's NULL-at-threshold. A pair
+    # met in several probes may differ across copies by float
+    # summation order (~1 ulp, same contract as the einsum form this
+    # replaces); the max-aggregation keeps the dedup deterministic.
+    thr = float(threshold)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    # Score + threshold BEFORE dropDuplicates: a pair meeting in both
-    # probes computes its cosine twice (map-side, cheap), but the dedup
-    # exchange then shuffles only (id_a, id_b, cosine) for PASSING pairs
-    # — not two dim-length vectors for every candidate. Same result set:
-    # cosine is deterministic per pair, so filter∘dedup ≡ dedup∘filter.
-    cand = (
-        l.join(r, ["__probe__", "__bucket__"])
-        .where(F.col("l.__id__") < F.col("r.__id__"))
-        .select(
-            F.col("l.__id__").alias("id_a"),
-            F.col("r.__id__").alias("id_b"),
-            # degenerate-input guard (zero-norm / NaN-component →
-            # NULL, drops at the threshold) — single-sourced helper
-            guarded_cosine(
-                _dot(F.col("l.__v__"), F.col("r.__v__")),
-                F.col("l.__n__"), F.col("r.__n__"),
-            ).alias("cosine"),
+        nm = pdf["__n__"].to_numpy(dtype=np.float64)
+        keep = nm > 0  # NaN/NULL norm compares False, as in SQL/numpy
+        pdf = pdf[keep]
+        empty = pd.DataFrame(
+            {"id_a": pdf["__id__"][:0], "id_b": pdf["__id__"][:0],
+             "cosine": pd.Series([], dtype="float64")}
         )
-        .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__id__", kind="mergesort")
+        ids = pdf["__id__"].to_numpy()
+        nm = pdf["__n__"].to_numpy(dtype=np.float64)
+        V = np.stack(pdf["__v__"].to_numpy()).astype(np.float64)
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        CH = 4096
+        for s in range(0, n, CH):
+            e = min(s + CH, n)
+            C = (V[s:e] @ V.T) / (nm[s:e, None] * nm[None, :])
+            for i in range(s, e):
+                row = C[i - s, i + 1 :]
+                hit = np.nonzero(row >= thr)[0]  # NaN compares False
+                if hit.size:
+                    out_a.extend([ids[i]] * hit.size)
+                    out_b.extend(ids[i + 1 + hit])
+                    out_c.extend(row[hit])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b,
+             "cosine": np.asarray(out_c, dtype=np.float64)}
+        ) if out_a else empty
+
+    cand = (
+        bucketed.groupBy("__probe__", "__bucket__")
+        .applyInPandas(
+            _bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
     return cand
 
