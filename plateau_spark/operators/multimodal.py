@@ -388,9 +388,16 @@ def dhash_dup_pairs(
     n_bands = max_hamming + 1
     band_w = (bits + n_bands - 1) // n_bands
     mask = (1 << band_w) - 1
-    h = hashes.select(
-        F.col(id_col), F.col(hash_col).alias("__h__"), "bits"
-    ).where(F.col("bits") == bits)
+    # checkpoint the narrow (id, hash) rows — ~24 bytes/row at ANY
+    # corpus size: the two self-join legs below would otherwise each
+    # re-evaluate the upstream fingerprint derivation (for the
+    # image/audio tiers a full payload-decode mapInPandas pass — the
+    # expensive half of the pipeline, paid twice for one join)
+    h = (
+        hashes.select(F.col(id_col), F.col(hash_col).alias("__h__"), "bits")
+        .where(F.col("bits") == bits)
+        .localCheckpoint(eager=False)
+    )
     banded = h.select(
         id_col,
         "__h__",
