@@ -258,6 +258,148 @@ def persist_index_dataframe(
     return key
 
 
+# --- driver-tier build/merge (small commits) -------------------------------
+#
+# A streaming micro-batch or small append pays one Spark job per indexed
+# column (scan of the new files + collect_set exchange + sidecar write)
+# and the commit-time merge another — pure scheduling floor at KB scale
+# (measured: _merge_committed_indices was ~70% of a warm update commit).
+# The driver tier mirrors the bloom sidecars' discipline
+# (plans/blooms.py): size-gated pyarrow reads of the new files' index
+# column, a Python dict merge, and a direct parquet write of the same
+# deterministic rows the Spark aggregation produces (value, SORTED label
+# array — sort_array(collect_set) has no order freedom to replicate).
+# Anything over budget falls back to the Spark jobs, so corpus-scale
+# builds at 100 TB are unchanged. Value types are gated to
+# integer/string: Python dict equality provably matches Spark groupBy
+# for those; floats (NaN normalization) and nested types stay
+# distributed.
+
+_DRIVER_INDEX_BYTES_DEFAULT = 8 << 20
+_DRIVER_INDEX_ROWS_DEFAULT = 50_000
+_DRIVER_INDEX_MAX_FILES = 16
+
+
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def _driver_index_budget() -> int:
+    return _env_int(
+        "PLATEAU_SPARK_INDEX_DRIVER_BYTES", _DRIVER_INDEX_BYTES_DEFAULT
+    )
+
+
+def _driver_index_row_budget() -> int:
+    return _env_int(
+        "PLATEAU_SPARK_INDEX_DRIVER_ROWS", _DRIVER_INDEX_ROWS_DEFAULT
+    )
+
+
+def index_value_type_ok(arrow_type) -> bool:
+    """Value types the driver tier may merge: Python equality must
+    provably match Spark groupBy equality."""
+    import pyarrow as pa
+
+    return (
+        pa.types.is_integer(arrow_type)
+        or pa.types.is_string(arrow_type)
+        or pa.types.is_large_string(arrow_type)
+    )
+
+
+def build_index_pairs_driver(
+    store: Store, partitions: Sequence, column: str
+) -> "dict[Any, set[str]] | None":
+    """value → {labels} over the given partitions' parquet files via
+    pyarrow, or None when over the driver budget / any non-parquet
+    payload / unreadable (caller falls back to the Spark build). A file
+    missing the column (pre-evolution) contributes no pairs, exactly
+    like the Spark path's explicit-schema NULL read."""
+    parts = list(partitions)
+    pq_parts = [p for p in parts if p.file.endswith(".parquet")]
+    if len(pq_parts) != len(parts) or len(pq_parts) > _DRIVER_INDEX_MAX_FILES:
+        return None
+    try:
+        total = sum(store.size(p.file) for p in pq_parts)
+    except OSError:
+        return None
+    if total > _driver_index_budget():
+        return None
+    row_budget = _driver_index_row_budget()
+    if getattr(store, "_is_local", False):
+        import pyarrow.parquet as pqt
+
+        try:
+            if (
+                sum(
+                    pqt.ParquetFile(store.path(p.file)).metadata.num_rows
+                    for p in pq_parts
+                )
+                > row_budget
+            ):
+                return None
+        except OSError:
+            return None
+    n_read = 0
+    dct: dict[Any, set[str]] = {}
+    for p in pq_parts:
+        try:
+            table = store.read_parquet(p.file, columns=[column])
+            values = table.column(column).to_pylist()
+        except (KeyError, OSError):
+            values = []
+        except Exception as exc:  # noqa: BLE001 — pyarrow schema errors
+            if "No match for FieldRef" in str(exc) or "not found" in str(exc):
+                values = []  # evolved column absent from this file
+            else:
+                return None
+        n_read += len(values)
+        if n_read > row_budget:
+            return None
+        for v in values:
+            if v is None:
+                continue
+            dct.setdefault(v, set()).add(p.label)
+    return dct
+
+
+def persist_index_dict(
+    dct: "dict[Any, set[str]]",
+    store: Store,
+    dataset_uuid: str,
+    column: str,
+    value_type,
+) -> str:
+    """Driver-tier twin of ``persist_index_dataframe``: the same
+    (value, sorted label array) rows, sorted by value (row-group
+    pruning), one small parquet file; returns the store key."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    items = sorted(dct.items(), key=lambda kv: kv[0])
+    table = pa.table(
+        {
+            column: pa.array([k for k, _ in items], value_type),
+            "partitions": pa.array(
+                [sorted(v) for _, v in items], pa.list_(pa.string())
+            ),
+        }
+    )
+    key = naming.index_key(dataset_uuid, column, _utc_ts())
+    buf = io.BytesIO()
+    pqt.write_table(table, buf)
+    store.put_bytes(key, buf.getvalue())
+    return key
+
+
 def merge_index_dataframes(column: str, dfs: Sequence[DataFrame]) -> DataFrame:
     """Commit-time merge of N index DataFrames — explode to pairs,
     union, re-aggregate. One Spark shuffle over the distinct values;

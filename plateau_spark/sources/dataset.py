@@ -591,6 +591,79 @@ def _build_index_dataframes(
     return out
 
 
+def _persist_indices_tiered(
+    spark: SparkSession,
+    store: Store,
+    meta_obj: DatasetMetadata,
+    partitions: Sequence[Partition],
+    columns: Sequence[str],
+) -> dict[str, str]:
+    """Build + persist index sidecars for ``columns``: the size-gated
+    DRIVER tier first (zero Spark jobs — plans/index.py, the bloom
+    discipline), the distributed build for whatever remains. Returns
+    {column: sidecar key}."""
+    cols = list(columns)
+    if not cols:
+        return {}
+    out = _build_indices_driver(store, meta_obj, list(partitions), cols)
+    rest = [c for c in cols if c not in out]
+    if rest:
+        built = _build_index_dataframes(
+            spark, store, meta_obj, list(partitions), rest
+        )
+        for col, idx_df in built.items():
+            out[col] = persist_index_dataframe(
+                idx_df, store, meta_obj.uuid, col
+            )
+    return out
+
+
+def _build_indices_driver(
+    store: Store,
+    ds: DatasetMetadata,
+    partitions: Sequence[Partition],
+    columns: Sequence[str],
+) -> dict[str, str]:
+    """Driver-tier initial index builds for a KB-scale commit (the
+    bloom-sidecar discipline, plans/index.py): {column: sidecar key}
+    for the columns whose data fits the driver budget and whose value
+    type the tier supports; others take the Spark build."""
+    if not columns:
+        return {}
+    from plateau_spark.plans.index import (
+        build_index_pairs_driver,
+        index_value_type_ok,
+        persist_index_dict,
+    )
+
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+    except ImportError:  # pragma: no cover
+        return {}
+    import pyarrow as pa
+
+    key_cols = set(ds.partition_keys)
+    out: dict[str, str] = {}
+    for col in columns:
+        try:
+            vt = to_arrow_type(ds.schema[col].dataType)
+        except Exception:  # noqa: BLE001 — unsupported type → Spark path
+            continue
+        if not index_value_type_ok(vt):
+            continue
+        want = int if pa.types.is_integer(vt) else str
+        if col in key_cols:
+            dct: dict | None = {}
+            for p in partitions:
+                dct.setdefault(p.key_values[col], set()).add(p.label)
+        else:
+            dct = build_index_pairs_driver(store, partitions, col)
+        if dct is None or not all(type(v) is want for v in dct):
+            continue
+        out[col] = persist_index_dict(dct, store, ds.uuid, col, vt)
+    return out
+
+
 def _build_index_pair_dataframes(
     spark: SparkSession,
     store: Store,
@@ -649,10 +722,21 @@ def _merge_committed_indices(
     """
     if not meta.indices:
         return
+    # driver tier first (plans/index.py): a KB-scale commit merges each
+    # index entirely with pyarrow + a Python dict — zero Spark jobs per
+    # column — producing the identical (value, sorted labels) rows; the
+    # distributed pair-level merge below is the fallback and the
+    # corpus-scale path
+    done = _merge_indices_driver(store, meta, list(new_partitions), removed)
+    remaining = [c for c in meta.indices if c not in done]
+    meta.indices.update(done)
+    if not remaining:
+        return
     built = _build_index_pair_dataframes(
-        spark, store, meta, list(new_partitions), list(meta.indices)
+        spark, store, meta, list(new_partitions), remaining
     )
-    for col, key in list(meta.indices.items()):
+    for col in remaining:
+        key = meta.indices[col]
         # merge at the PAIR level: old index exploded + new pairs feed
         # ONE collect_set aggregation (the former shape aggregated the
         # new pairs, exploded the result and re-aggregated — two wide
@@ -668,6 +752,73 @@ def _merge_committed_indices(
             old_pairs.unionByName(built[col]), col
         )
         meta.indices[col] = persist_index_dataframe(merged, store, meta.uuid, col)
+
+
+def _merge_indices_driver(
+    store: Store,
+    meta: DatasetMetadata,
+    new_partitions: list[Partition],
+    removed: set[str],
+) -> dict[str, str]:
+    """Driver-tier index merges for the columns whose new pairs AND old
+    sidecar fit the driver budget; returns {column: new sidecar key} for
+    the columns handled (others take the Spark path)."""
+    from plateau_spark.plans.index import (
+        _driver_index_budget,
+        build_index_pairs_driver,
+        index_value_type_ok,
+        persist_index_dict,
+    )
+    from plateau_spark.plans.blooms import _key_bytes
+
+    key_cols = set(meta.partition_keys)
+    out: dict[str, str] = {}
+    for col, key in list(meta.indices.items()):
+        if col in key_cols:
+            new_dct: dict | None = {}
+            for p in new_partitions:
+                new_dct.setdefault(p.key_values[col], set()).add(p.label)
+        else:
+            new_dct = build_index_pairs_driver(store, new_partitions, col)
+        if new_dct is None:
+            continue
+        old_bytes = _key_bytes(store, key)
+        if old_bytes is None or old_bytes > _driver_index_budget():
+            continue
+        try:
+            table = store.read_parquet(key)
+        except OSError:
+            continue
+        if col not in table.column_names:
+            continue
+        vt = table.schema.field(col).type
+        # type gate: Python equality must match Spark groupBy equality
+        # for both the stored values and the incoming ones (bool is an
+        # int subclass — excluded to keep key-value coercion exact)
+        if not index_value_type_ok(vt):
+            continue
+        import pyarrow as pa
+
+        want = int if pa.types.is_integer(vt) else str
+        if not all(type(v) is want for v in new_dct):
+            continue
+        plist = (
+            "partitions" if "partitions" in table.column_names else "partition"
+        )
+        dct = {
+            v: set(pl)
+            for v, pl in zip(
+                table.column(col).to_pylist(), table.column(plist).to_pylist()
+            )
+        }
+        if removed:
+            rm = {str(x) for x in removed}
+            dct = {v: s - rm for v, s in dct.items()}
+            dct = {v: s for v, s in dct.items() if s}
+        for v, s in new_dct.items():
+            dct.setdefault(v, set()).update(s)
+        out[col] = persist_index_dict(dct, store, meta.uuid, col, vt)
+    return out
 
 
 def _attach_zone_maps(
@@ -934,11 +1085,11 @@ def store_dataframe_as_dataset(
         spark, store, df.schema, partition_on, dataset_uuid, partitions,
         bloom_filter_columns, n_bits=bloom_n_bits, k=bloom_k,
     )
-    built = _build_index_dataframes(
-        spark, store, ds, partitions, list(secondary_indices or [])
+    ds.indices.update(
+        _persist_indices_tiered(
+            spark, store, ds, partitions, list(secondary_indices or [])
+        )
     )
-    for col, idx_df in built.items():
-        ds.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     ds.commit(store)
     return ds
 
@@ -1043,11 +1194,11 @@ def store_dataframes_as_dataset__iter(
         schema=schema,
         metadata=metadata or {},
     )
-    built = _build_index_dataframes(
-        spark, store, ds, partitions, list(secondary_indices or [])
+    ds.indices.update(
+        _persist_indices_tiered(
+            spark, store, ds, partitions, list(secondary_indices or [])
+        )
     )
-    for col, idx_df in built.items():
-        ds.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     ds.commit(store)
     return ds
 
@@ -1124,11 +1275,11 @@ def update_dataset_from_dataframes__iter(
     _merge_committed_indices(spark, store, meta, new_partitions, removed)
     new_idx_cols = [c for c in (secondary_indices or []) if c not in meta.indices]
     if new_idx_cols:
-        built = _build_index_dataframes(
-            spark, store, meta, list(meta.partitions.values()), new_idx_cols
+        meta.indices.update(
+            _persist_indices_tiered(
+                spark, store, meta, list(meta.partitions.values()), new_idx_cols
+            )
         )
-        for col, idx_df in built.items():
-            meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     meta.explicit_partitions = True
     meta = _commit_update_with_merge(
         store, meta, new_partitions=new_partitions, removed=removed,
@@ -1763,11 +1914,11 @@ def update_dataset_from_dataframe(
     # newly-declared index columns: build over ALL partitions, same commit
     new_idx_cols = [c for c in (secondary_indices or []) if c not in meta.indices]
     if new_idx_cols:
-        built = _build_index_dataframes(
-            spark, store, meta, list(meta.partitions.values()), new_idx_cols
+        meta.indices.update(
+            _persist_indices_tiered(
+                spark, store, meta, list(meta.partitions.values()), new_idx_cols
+            )
         )
-        for col, idx_df in built.items():
-            meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
     meta.explicit_partitions = True
     meta = _commit_update_with_merge(
         store, meta, new_partitions=new_partitions, removed=removed,
@@ -2008,9 +2159,9 @@ def build_dataset_indices(
                 f"validate your dataset."
             )
     parts = list(meta.partitions.values())
-    built = _build_index_dataframes(spark, store, meta, parts, list(columns))
-    for col, idx_df in built.items():
-        meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    meta.indices.update(
+        _persist_indices_tiered(spark, store, meta, parts, list(columns))
+    )
     # an index built over a stale partition list must not be committed
     # over a concurrent append (the new files would be invisibly missing
     # from the index) — the merge helper raises on any concurrent commit
@@ -2705,9 +2856,9 @@ def compact_dataset(
         generation=meta.generation,
     )
     indexed_cols = sorted(set(meta.indices) | set(meta.embedded_indices))
-    built = _build_index_dataframes(spark, store, new_meta, partitions, indexed_cols)
-    for col, idx_df in built.items():
-        new_meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    new_meta.indices.update(
+        _persist_indices_tiered(spark, store, new_meta, partitions, indexed_cols)
+    )
     # bloom sidecars map labels → rebuilt over the compacted files
     # (stale sidecars would be merely useless, not wrong — uncovered
     # labels never prune — but compaction must not drop pruning power)
@@ -2814,9 +2965,9 @@ def repartition_dataset(
         generation=meta.generation,
     )
     indexed_cols = sorted(set(meta.indices) | set(meta.embedded_indices))
-    built = _build_index_dataframes(spark, store, new_meta, partitions, indexed_cols)
-    for col, idx_df in built.items():
-        new_meta.indices[col] = persist_index_dataframe(idx_df, store, dataset_uuid, col)
+    new_meta.indices.update(
+        _persist_indices_tiered(spark, store, new_meta, partitions, indexed_cols)
+    )
     for col, info in meta.blooms.items():
         new_meta.blooms.update(
             _build_blooms(

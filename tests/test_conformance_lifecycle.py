@@ -1136,7 +1136,11 @@ def test_build_indices_concurrent_append_raises_not_lost(spark, lstore, monkeypa
         spark, lstore, "bic",
         spark.createDataFrame([(i, i % 3) for i in range(9)], "k long, g long"),
     )
-    real_build = ds_mod._build_index_dataframes
+    # patch the tier-independent choke point (the driver tier bypasses
+    # _build_index_dataframes for KB-scale builds, but every build goes
+    # through _persist_indices_tiered): the append fires mid-build, and
+    # the base-snapshot check at commit must still catch it
+    real_build = ds_mod._persist_indices_tiered
     fired = {"done": False}
 
     def interleaved_build(*args, **kw):
@@ -1148,7 +1152,7 @@ def test_build_indices_concurrent_append_raises_not_lost(spark, lstore, monkeypa
             )
         return real_build(*args, **kw)
 
-    monkeypatch.setattr(ds_mod, "_build_index_dataframes", interleaved_build)
+    monkeypatch.setattr(ds_mod, "_persist_indices_tiered", interleaved_build)
     with pytest.raises(ConcurrentCommitError):
         build_dataset_indices(spark, lstore, "bic", ["g"])
     monkeypatch.undo()

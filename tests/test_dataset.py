@@ -248,3 +248,65 @@ def test_many_file_staged_commit_pooled_renames(spark, store):
     out = read_dataset_as_dataframe(spark, store, "many")
     assert out.count() == 2000
     assert sorted(r["v"] for r in out.collect()) == list(range(2000))
+
+
+def test_index_driver_tier_matches_spark_tier(spark, store):
+    """KB-scale commits build/merge index sidecars driver-side (zero
+    Spark jobs); the sidecar CONTENT must be identical to the Spark
+    aggregation's — same values, same sorted label arrays — or pruning
+    would depend on commit size."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.plans.index import SecondaryIndex
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tag"),
+    )
+    store_dataframe_as_dataset(
+        spark, store, "ix", df, partition_on=["grp"], secondary_indices=["tag"]
+    )
+    update_dataset_from_dataframe(
+        spark, store, "ix",
+        spark.range(300, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp"),
+            F.concat(F.lit("t"), (F.col("id") % 11).cast("string")).alias("tag"),
+        ),
+        partition_on=["grp"],
+    )
+    meta = DatasetMetadata.load(store, "ix")
+    driver_idx = SecondaryIndex.load(store, meta.indices["tag"], "tag")
+
+    import os
+    os.environ["PLATEAU_SPARK_INDEX_DRIVER_BYTES"] = "0"
+    try:
+        store2 = Store(str(store.path("") ).rstrip("/") + "_spark")
+        store_dataframe_as_dataset(
+            spark, store2, "ix", df, partition_on=["grp"], secondary_indices=["tag"]
+        )
+        update_dataset_from_dataframe(
+            spark, store2, "ix",
+            spark.range(300, 400).select(
+                F.col("id").alias("k"), (F.col("id") % 5).alias("grp"),
+                F.concat(F.lit("t"), (F.col("id") % 11).cast("string")).alias("tag"),
+            ),
+            partition_on=["grp"],
+        )
+    finally:
+        del os.environ["PLATEAU_SPARK_INDEX_DRIVER_BYTES"]
+    meta2 = DatasetMetadata.load(store2, "ix")
+    spark_idx = SecondaryIndex.load(store2, meta2.indices["tag"], "tag")
+    # label SETS must agree per value (labels embed partition uuids, so
+    # compare structure: same values, same per-value label count over
+    # the same grp prefixes)
+    assert sorted(driver_idx.index_dct) == sorted(spark_idx.index_dct)
+    for v in driver_idx.index_dct:
+        a = sorted(l.split("/")[0] for l in driver_idx.index_dct[v])
+        b = sorted(l.split("/")[0] for l in spark_idx.index_dct[v])
+        assert a == b, v
+    # and the driver-tier index serves a real indexed read
+    out = read_dataset_as_dataframe(
+        spark, store, "ix", predicates=[[("tag", "==", "t3")]]
+    )
+    rows = out.collect()
+    assert rows and all(r["tag"] == "t3" for r in rows)
