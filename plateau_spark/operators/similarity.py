@@ -162,9 +162,17 @@ def cosine_topk_bruteforce(
     # CSE the aggregate() folds inside the guard, so inlining
     # cosine_sim_col here costs 2× extra folds per PAIR (judge-measured
     # 2.7× on bitext_mine_pairs in r12)
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), norm_col(vec_col).alias("__cn__")
-    )
+    from plateau_spark.operators.dedup import _ensure_parallelism
+
+    # the scoring stage inherits the corpus scan's partitioning, but its
+    # cost is |corpus|×|queries| dot folds — a small-file corpus (one
+    # input split) would run the whole GEMM on one core (measured: the
+    # two bitext sweeps were single-task 1.7 s jobs). Fan out by the
+    # optimizer's byte estimate; a no-op whenever the corpus already has
+    # enough splits (any real-scale input).
+    c = _ensure_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col)), bytes_per_slot=16 << 10
+    ).select(F.col(id_col), F.col(vec_col), norm_col(vec_col).alias("__cn__"))
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col("__qid__").alias(query_id_col),
         F.col(id_col),
@@ -199,7 +207,14 @@ def cosine_dup_pairs_bruteforce(
     checkable baseline for embedding_cosine_dup_pairs. Quadratic by
     definition; use the LSH tier at scale."""
     # norms per ROW below the join (not per pair — see cosine_sim_col)
-    a = df.select(
+    from plateau_spark.operators.dedup import _ensure_parallelism
+
+    # the streamed self-join leg inherits the scan's splits; the pair
+    # scoring is quadratic, so fan a small-file input across the
+    # cluster (no-op when the scan already has enough splits)
+    a = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col)), bytes_per_slot=16 << 10
+    ).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va__"),
         norm_col(vec_col).alias("__na__"),
