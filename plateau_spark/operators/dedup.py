@@ -287,6 +287,7 @@ def shingled_frame(
     n: int = 3,
     *,
     materialize: bool = True,
+    bytes_per_slot: int = 64 << 10,
 ) -> DataFrame:
     """(__id__, __sh__) distinct-shingle frame — THE shared first stage
     of minhash / n-gram-jaccard.
@@ -300,7 +301,7 @@ def shingled_frame(
     Pass ``materialize=False`` for single-consumer pipelines.
     """
     _shingles = _shingle_udf(n)
-    df = _ensure_parallelism(df)
+    df = _ensure_parallelism(df, bytes_per_slot=bytes_per_slot)
     base = df.select(
         F.col(id_col).alias("__id__"), _shingles(F.col(text_col)).alias("__sh__")
     ).where(F.size("__sh__") > 0)
@@ -528,7 +529,13 @@ def md5_band_signatures(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    base = shingled_frame(df, id_col, text_col, shingle_size, materialize=False)
+    # the md5 tier hashes num_perm times per shingle — ~4× the per-byte
+    # compute the 64 KiB/slot default was sized for; A/B on the neardup
+    # fixture's 2.5 k-doc batch: 1.72 s at 5 slots vs 1.18 s at 16
+    base = shingled_frame(
+        df, id_col, text_col, shingle_size,
+        materialize=False, bytes_per_slot=16 << 10,
+    )
     return _md5_band_frame(
         base, "__sh__", num_perm=num_perm, bands=bands, hash_family=hash_family
     ).select(F.col("__id__").alias(id_col), "band", "bandsig")
@@ -560,9 +567,12 @@ def minhash_lsh_pairs_md5(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
-        "__sh__", "__shingles__"
-    )
+    # 16 KiB/slot: the md5 tier's per-byte compute (see
+    # md5_band_signatures) — the checkpointed shingle frame feeds the
+    # banding AND both verify sides, all md5-priced
+    base = shingled_frame(
+        df, id_col, text_col, shingle_size, bytes_per_slot=16 << 10
+    ).withColumnRenamed("__sh__", "__shingles__")
     banded = _md5_band_frame(
         base, "__shingles__", num_perm=num_perm, bands=bands
     ).select("__id__", F.col("band").alias("__band__"), F.col("bandsig").alias("__bandsig__"))
@@ -1523,9 +1533,10 @@ def decontaminate_minhash(
     # see exactly the rows they saw through the join).
     if hash_family == "md5":
         def sig_frame(df: DataFrame):
-            base = shingled_frame(df, id_col, text_col, shingle_size).withColumnRenamed(
-                "__sh__", "__shingles__"
-            )
+            # md5-priced compute → 16 KiB/slot (see md5_band_signatures)
+            base = shingled_frame(
+                df, id_col, text_col, shingle_size, bytes_per_slot=16 << 10
+            ).withColumnRenamed("__sh__", "__shingles__")
             ex = base.select("__id__", F.explode("__shingles__").alias("__s__"))
             sigs = ex.groupBy("__id__").agg(
                 F.array(
