@@ -7497,10 +7497,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    + background fp compaction, concurrent route commits, the
     #    encode_pq passthrough validation (pq/ivfpq pinned twins), and
     #    the persist_shared LRU/byte-budget change (its six operator
-    #    families). check_window.py reports 156 module-closure-touched
+    #    families). check_window.py reports 162 module-closure-touched
     #    keys for r15 (caching.py is imported nearly everywhere); the
-    #    full check_parity sweep at close-out covers the remainder,
-    #    recorded in tools/ output cited in the round summary --
+    #    full check_parity sweep at close-out covers the remainder.
+    #    CLOSE-OUT SWEEP RECORD: all 114 touched keys outside this
+    #    window ran tools/check_parity.py at sf0.01 — 114/114 green,
+    #    0 failures (optimization round 1 close-out, after the fan-out
+    #    / driver-tier-index / UDF-single-eval commits; see
+    #    OPTIMIZATION_r15.md "Close-out verification") --
     "streaming_ingest_neardup": streaming_ingest_neardup,
     "streaming_route_datasets": streaming_route_datasets,
     "streaming_ingest_dedup": streaming_ingest_dedup,
