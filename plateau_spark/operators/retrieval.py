@@ -367,11 +367,14 @@ def query_text_index(
         predicates=[[("term", "in", terms)]],
     )
     # df per probed term: the pruned read holds ALL postings of these
-    # terms (one row per (term, doc)), so df is a count(*) window over
-    # the term partition — no separate aggregation job or second scan
-    postings = postings.withColumn(
-        "__df__", F.count("*").over(Window.partitionBy("term"))
-    )
+    # terms (one row per (term, doc)) — a tiny per-term count off the
+    # pruned read, broadcast back: the postings cross exactly one wide
+    # exchange (the scoring agg) and the df exchange is bounded by the
+    # probed terms. (The r15 count(*)-window form paid an extra
+    # exchange+sort of the postings by term — reverted r16 with the
+    # batch scorer, see operators/text.py.)
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("__df__"))
+    postings = postings.join(F.broadcast(dfreq), "term")
 
     idf = F.log(
         F.lit(1.0) + (F.lit(n_docs) - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)

@@ -1164,7 +1164,14 @@ def query_ivf_index(
             probe_rows.append(
                 (
                     r["__qid__"],
-                    [float(x) for x in qv] if qv is not None else None,
+                    # arrays admit NULL elements: preserve them (the
+                    # downstream dot_col/guarded_cosine yield NULL
+                    # cosine, same as the former Spark-side plan)
+                    (
+                        [float(x) if x is not None else None for x in qv]
+                        if qv is not None
+                        else None
+                    ),
                     qn,
                     int(cid),
                 )

@@ -506,12 +506,21 @@ def bm25_topk(
         + k1 * (1 - b + b * F.col("__dl__") / F.col("__avgdl__"))
     )
     # df per term is only consumed for query terms: prune tf with a
-    # broadcast semi-join FIRST, then derive df as a count(*) window
-    # over the (query-term-scale) pruned rows — no separate df
-    # aggregation job or second tf pass exists
+    # broadcast semi-join FIRST so the df computation carries
+    # query-term rows, never the vocabulary
     pruned = tf.join(
         F.broadcast(qterms.select("term").dropDuplicates()), "term", "semi"
-    ).withColumn("__df__", F.count("*").over(Window.partitionBy("term")))
+    )
+    # df = a tiny map-side-combined per-term count off the tf
+    # checkpoint, broadcast back: the tf rows cross exactly ONE wide
+    # exchange (the scoring agg) and the df exchange carries
+    # query-term-scale partial counts only. The r15 count(*)-window
+    # form saved the aggregation job but paid a full exchange+sort of
+    # the tf rows by term — measured 20-36% slower warm at sf0.1
+    # (quiet r15 close-out records; reverted r16, plans/r16/*_before
+    # hold the window-form plans).
+    dfreq = pruned.groupBy("term").agg(F.count("*").alias("__df__"))
+    pruned = pruned.join(F.broadcast(dfreq), "term")
     scored = (
         pruned.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))

@@ -319,3 +319,27 @@ def test_ivf_index_build_query_and_prune(spark, tmp_path):
     narrow.count()  # materialize once
     # the pruned read inside used an IN-predicate over <=2 cells
     assert total_files == 8
+
+
+def test_ivf_index_query_null_vector_element(spark, tmp_path):
+    """A query vector containing a NULL element must degrade to NULL
+    similarity (no result rows for that query), not crash the driver-
+    side probe selection (r15 advice: float(None) TypeError)."""
+    from plateau_spark.core.store import Store
+    from plateau_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    store = Store(str(tmp_path / "store"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build_ivf_index(spark, store, "ann0", emb, n_centroids=4, refine_iterations=1)
+    dim = len(emb.select("embedding").first()[0])
+    good = [float(i) / dim for i in range(dim)]
+    bad = list(good)
+    bad[3] = None
+    queries = spark.createDataFrame(
+        [(100, good), (101, bad)], "query_id long, embedding array<double>"
+    )
+    got = query_ivf_index(spark, store, "ann0", queries, k=3, nprobe=4).collect()
+    # the NULL-element query yields no rows (NULL cosine everywhere);
+    # the clean query still gets its k results
+    assert {r["query_id"] for r in got} == {100}
+    assert len(got) == 3
