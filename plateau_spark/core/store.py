@@ -247,6 +247,21 @@ class Store:
             table = table.filter(filters)
         return table  # pragma: no cover
 
+    def parquet_schema(self, key: str):
+        """Arrow schema of the parquet file at ``key`` (footer only on
+        the local fast path). Used by the driver-tier sidecar builders
+        to decide whether a column is genuinely absent from a file
+        (schema evolution) rather than parsing pyarrow error strings,
+        whose wording is not a stable contract."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._is_local:
+            return pq.ParquetFile(self.path(key)).schema_arrow
+        return pq.ParquetFile(  # pragma: no cover
+            pa.BufferReader(self._hadoop_get(key))
+        ).schema_arrow
+
     def iter_keys(self, prefix: str = "") -> Iterator[str]:
         """All keys (files) whose relative path starts with ``prefix``."""
         if self._is_local:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from plateau_spark.core.caching import persist_shared, release_local_checkpoint
+from plateau_spark.core.conf import env_int as _env_int
 from plateau_spark.core.exprs import bind_col
 
 
@@ -924,32 +925,109 @@ def embedding_cosine_dup_pairs(
         nm = pdf["__n__"].to_numpy(dtype=np.float64)
         V = np.stack(pdf["__v__"].to_numpy()).astype(np.float64)
         n = len(ids)
-        out_a, out_b, out_c = [], [], []
-        CH = 4096
+        chunks: list[pd.DataFrame] = []
+        # bound the similarity block to ~32 MB whatever the group size
+        # (a hot bucket with the fixed 4096-row chunk allocated
+        # CH × n × 8 bytes — unbounded in n)
+        CH = max(1, min(4096, (32 << 20) // max(1, n * 8)))
         for s in range(0, n, CH):
             e = min(s + CH, n)
             C = (V[s:e] @ V.T) / (nm[s:e, None] * nm[None, :])
+            out_a, out_b, out_c = [], [], []
             for i in range(s, e):
                 row = C[i - s, i + 1 :]
                 hit = np.nonzero(row >= thr)[0]  # NaN compares False
                 if hit.size:
-                    out_a.extend([ids[i]] * hit.size)
-                    out_b.extend(ids[i + 1 + hit])
-                    out_c.extend(row[hit])
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b,
-             "cosine": np.asarray(out_c, dtype=np.float64)}
-        ) if out_a else empty
+                    b_ids = ids[i + 1 + hit]
+                    # the former self-join's strict __id__ < __id__
+                    # excluded equal ids: a duplicated id inside one
+                    # bucket must not emit an (id, id) self-pair
+                    ne = b_ids != ids[i]
+                    if not ne.all():
+                        hit, b_ids = hit[ne], b_ids[ne]
+                    if hit.size:
+                        out_a.extend([ids[i]] * hit.size)
+                        out_b.extend(b_ids)
+                        out_c.extend(row[hit])
+            if out_a:
+                # flush per chunk: no cross-chunk Python-list growth
+                chunks.append(pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b,
+                     "cosine": np.asarray(out_c, dtype=np.float64)}
+                ))
+        return pd.concat(chunks, ignore_index=True) if chunks else empty
 
-    cand = (
-        bucketed.groupBy("__probe__", "__bucket__")
-        .applyInPandas(
+    def _gemm_pairs(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("__probe__", "__bucket__").applyInPandas(
             _bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cosine").alias("cosine"))
+
+    # Hot-bucket guard: one applyInPandas group materializes the whole
+    # (probe, bucket) in a single task, so a degenerate bucket (mass-
+    # duplicated boilerplate embeddings — exactly what LSH concentrates)
+    # that the former self-join spread across the cluster would straggle
+    # or OOM it. Buckets above the row cap fall back to the pairwise
+    # equi-join scorer (same scores: one einsum dot per candidate pair).
+    # Detection is scale-gated so the common case costs nothing: a
+    # bucket larger than cap rows needs > cap input rows, and input
+    # rows ≤ est_bytes / (8 bytes × dim), so small inputs skip the size
+    # pass entirely (no extra job at bench scale; at corpus scale the
+    # one column-pruned counting pass is noise next to the join).
+    cap = _env_int("PLATEAU_SPARK_BUCKET_GEMM_CAP_ROWS", 100_000)
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable: be safe, check
+        est_bytes = None
+    max_bucket_bound = (
+        (est_bytes // (8 * max(1, d))) * len(tuple(seeds))
+        if est_bytes is not None
+        else None
     )
-    return cand
+    if max_bucket_bound is not None and max_bucket_bound <= cap:
+        cand = _gemm_pairs(bucketed)
+    else:
+        oversized = (
+            bucketed.groupBy("__probe__", "__bucket__")
+            .agg(F.count("*").alias("__bn__"))
+            .where(F.col("__bn__") > cap)
+            .select("__probe__", "__bucket__")
+        )
+        if oversized.isEmpty():
+            cand = _gemm_pairs(bucketed)
+        else:
+            # rare path: pin the bucketed rows so the two routing legs
+            # share one evaluation (registry-managed, eviction-safe)
+            shared = persist_shared(bucketed)
+            keys = ["__probe__", "__bucket__"]
+            small = shared.join(F.broadcast(oversized), keys, "anti")
+            big = shared.join(F.broadcast(oversized), keys, "semi")
+
+            @pandas_udf("double")
+            def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+                import numpy as np
+
+                A = np.stack(a.to_numpy()).astype(np.float64)
+                B = np.stack(b.to_numpy()).astype(np.float64)
+                return pd.Series(np.einsum("ij,ij->i", A, B))
+
+            lhs, rhs = big.alias("l"), big.alias("r")
+            big_pairs = (
+                lhs.join(rhs, keys)
+                .where(F.col("l.__id__") < F.col("r.__id__"))
+                .select(
+                    F.col("l.__id__").alias("id_a"),
+                    F.col("r.__id__").alias("id_b"),
+                    (
+                        _dot(F.col("l.__v__"), F.col("r.__v__"))
+                        / (F.col("l.__n__") * F.col("r.__n__"))
+                    ).alias("cosine"),
+                )
+                .where(F.col("cosine") >= thr)
+            )
+            cand = _gemm_pairs(small).unionByName(big_pairs)
+    return cand.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def duplicate_clusters(

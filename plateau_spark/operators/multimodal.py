@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from plateau_spark.core.caching import persist_shared
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -388,15 +390,20 @@ def dhash_dup_pairs(
     n_bands = max_hamming + 1
     band_w = (bits + n_bands - 1) // n_bands
     mask = (1 << band_w) - 1
-    # checkpoint the narrow (id, hash) rows — ~24 bytes/row at ANY
-    # corpus size: the two self-join legs below would otherwise each
+    # pin the narrow (id, hash) rows — ~24 bytes/row at ANY corpus
+    # size: the two self-join legs below would otherwise each
     # re-evaluate the upstream fingerprint derivation (for the
     # image/audio tiers a full payload-decode mapInPandas pass — the
-    # expensive half of the pipeline, paid twice for one join)
-    h = (
+    # expensive half of the pipeline, paid twice for one join).
+    # persist_shared, NOT localCheckpoint: the returned frame is lazy,
+    # so an in-function checkpoint could never be released and its
+    # blocks accumulated until the ContextCleaner fired (r15 advice);
+    # the shared-cache registry bounds the pin by count+bytes and its
+    # eviction is correctness-safe (persist keeps lineage — a consumer
+    # of an evicted frame recomputes, never errors)
+    h = persist_shared(
         hashes.select(F.col(id_col), F.col(hash_col).alias("__h__"), "bits")
         .where(F.col("bits") == bits)
-        .localCheckpoint(eager=False)
     )
     banded = h.select(
         id_col,

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from plateau_spark.core import naming
+from plateau_spark.core.conf import env_int as _env_int
 from plateau_spark.core.store import Store
 
 N_BITS_DEFAULT = 1 << 13  # 8192 bits = 1 KB per file per column
@@ -224,15 +225,6 @@ _DRIVER_BLOOM_MAX_FILES = 16
 _DRIVER_BLOOM_ROWS_DEFAULT = 50_000
 
 
-def _env_int(name: str, default: int) -> int:
-    import os
-
-    try:
-        return int(os.environ.get(name, default))
-    except (TypeError, ValueError):
-        return default
-
-
 def _driver_bloom_budget() -> int:
     return _env_int(
         "PLATEAU_SPARK_BLOOM_DRIVER_BYTES", _DRIVER_BLOOM_BYTES_DEFAULT
@@ -315,11 +307,17 @@ def build_bloom_rows_driver(
             values = table.column(column).to_pylist()
         except (KeyError, OSError):
             values = []
-        except Exception as exc:  # noqa: BLE001 — pyarrow schema errors
-            if "No match for FieldRef" in str(exc) or "not found" in str(exc):
-                values = []  # evolved column absent from this file
+        except Exception:  # noqa: BLE001 — pyarrow read errors
+            # footer-schema check, not exception-message parsing (see
+            # plans/index.py column_in_footer): absent column ⇒ the
+            # file predates the evolved column and contributes nothing;
+            # anything else ⇒ unreadable driver-side, use the Spark path
+            from plateau_spark.plans.index import column_in_footer
+
+            if not column_in_footer(store, p.file, column):
+                values = []
             else:
-                return None  # unreadable driver-side: use the Spark path
+                return None
         # object-store guard (no free footer precheck there): bail to
         # the Spark path once the fold exceeds the row budget
         n_folded += len(values)

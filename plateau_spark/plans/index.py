@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plateau_spark.core import naming
+from plateau_spark.core.conf import env_int as _env_int
 from plateau_spark.core.predicates import evaluate_literal
 from plateau_spark.core.store import Store
 
@@ -280,15 +281,6 @@ _DRIVER_INDEX_ROWS_DEFAULT = 50_000
 _DRIVER_INDEX_MAX_FILES = 16
 
 
-def _env_int(name: str, default: int) -> int:
-    import os
-
-    try:
-        return int(os.environ.get(name, default))
-    except (TypeError, ValueError):
-        return default
-
-
 def _driver_index_budget() -> int:
     return _env_int(
         "PLATEAU_SPARK_INDEX_DRIVER_BYTES", _DRIVER_INDEX_BYTES_DEFAULT
@@ -299,6 +291,17 @@ def _driver_index_row_budget() -> int:
     return _env_int(
         "PLATEAU_SPARK_INDEX_DRIVER_ROWS", _DRIVER_INDEX_ROWS_DEFAULT
     )
+
+
+def column_in_footer(store: Store, key: str, column: str) -> bool:
+    """True iff the parquet footer schema at ``key`` contains
+    ``column``. Errors reading the footer count as 'present' so the
+    caller falls back to the Spark path rather than silently treating
+    the file as contributing nothing."""
+    try:
+        return column in set(store.parquet_schema(key).names)
+    except Exception:  # noqa: BLE001 — unreadable footer → Spark path
+        return True
 
 
 def index_value_type_ok(arrow_type) -> bool:
@@ -354,9 +357,13 @@ def build_index_pairs_driver(
             values = table.column(column).to_pylist()
         except (KeyError, OSError):
             values = []
-        except Exception as exc:  # noqa: BLE001 — pyarrow schema errors
-            if "No match for FieldRef" in str(exc) or "not found" in str(exc):
-                values = []  # evolved column absent from this file
+        except Exception:  # noqa: BLE001 — pyarrow read errors
+            # decide "evolved column absent from this file" from the
+            # parquet footer schema, not the exception wording (which
+            # pyarrow does not keep stable across releases); any other
+            # failure falls back to the Spark build
+            if not column_in_footer(store, p.file, column):
+                values = []
             else:
                 return None
         n_read += len(values)

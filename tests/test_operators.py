@@ -207,6 +207,52 @@ def test_embedding_dup_pairs(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def test_embedding_dup_pairs_duplicate_id_no_self_pair(spark):
+    """A duplicated id inside one LSH bucket must not emit an (id, id)
+    self-pair — the former self-join's strict id_a < id_b contract
+    (r15 advice, low)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),  # same id appears twice
+            (2, [0.999, 0.01, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_cosine_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99
+    ).collect()
+    assert all(p.id_a != p.id_b for p in pairs)
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_embedding_dup_pairs_hot_bucket_join_fallback(spark, monkeypatch):
+    """Buckets above the GEMM row cap route through the pairwise-join
+    scorer; the pair set is identical to the in-bucket GEMM (r15
+    advice, medium)."""
+    import plateau_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 7) / 100.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    base = {
+        (p.id_a, p.id_b)
+        for p in embedding_cosine_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    # cap of 3 forces every bucket through the fallback join
+    monkeypatch.setenv("PLATEAU_SPARK_BUCKET_GEMM_CAP_ROWS", "3")
+    routed = {
+        (p.id_a, p.id_b)
+        for p in embedding_cosine_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    assert routed == base and base
+
+
 def test_cosine_topk_bruteforce(spark, embeddings):
     queries = embeddings.limit(3).select(
         F.col("vec_id").alias("query_id"), "embedding"
