@@ -446,6 +446,15 @@ def main() -> None:
         "agg": "min",
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        # scaling legibility (r15 PERF's suspect_cpus_ignored was a
+        # false positive): stamp the core count the session was ASKED
+        # for and the parallelism it actually RUNS with, so the driver
+        # can see $SPARK_GRAFT_CPUS reached the Spark master without
+        # reverse-engineering it from ratios. Additive keys only — the
+        # one-line JSON contract (metric/value/unit/queries/sf) is
+        # unchanged.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if errors:
         summary["errors"] = errors
@@ -556,7 +565,6 @@ def main() -> None:
     local = dict(summary)
     local["queries_all_reps"] = times_all
     local["n_queries"] = len(times)
-    local["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
     local["sf_dir"] = sf_dir
     # Stamp which code this run measured: the committed artifact is only
     # valid for the LAST commit touching plateau_spark/ — a quiet number
