@@ -171,17 +171,22 @@ def match_pairs(
     keyed = _blocked_rows(
         records, id_col, blocking_keys, compare_cols, max_block_size
     )
+    # Per-leg lengths ride into the join (computed once per ROW, n not
+    # n² evaluations; 4 bytes/field of extra shuffle) to feed the
+    # length-bound pre-filter below the Levenshtein scoring.
     a = keyed.select(
         "__bk__",
         "__block__",
         F.col("__id__").alias("id_a"),
         *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        *[F.length(F.col(c)).alias(f"__al_{c}") for c in compare_cols],
     )
     b = keyed.select(
         "__bk__",
         "__block__",
         F.col("__id__").alias("id_b"),
         *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        *[F.length(F.col(c)).alias(f"__bl_{c}") for c in compare_cols],
     )
     # explicit repartition by the join key (REPARTITION_BY_NUM): AQE
     # sizes post-shuffle partitions by INPUT bytes, but this join's
@@ -197,6 +202,43 @@ def match_pairs(
     joined = a.join(b, ["__bk__", "__block__"]).where(
         F.col("id_a") < F.col("id_b")
     )
+    # Length-bound pre-filter (guide §3.2: cut the expensive expression's
+    # row count before it runs): lev(a,b) >= |len(a)-len(b)|, so each
+    # field similarity is bounded above by 1 - |Δlen|/maxlen with the
+    # SAME null pattern as the real similarity, and — weights being
+    # non-negative — the weighted mean of upper bounds bounds the score.
+    # Floating-point safety: when lev == |Δlen| the two divisions see
+    # identical integer operands (bit-identical result), and correctly-
+    # rounded IEEE ops are monotone, so score_fp <= bound_fp holds at
+    # the bit level — a pair passing `score >= threshold` always passes
+    # the bound filter, making the pre-filter exactly result-preserving.
+    # It evaluates as part of the join condition (cheap integer math),
+    # so pairs it kills never reach the Levenshtein projection.
+    if all(w >= 0 for w in weights):
+        num_ub = F.lit(0.0)
+        den_ub = F.lit(0.0)
+        for c, w in zip(compare_cols, weights):
+            la, lb = F.col(f"__al_{c}"), F.col(f"__bl_{c}")
+            maxlen = F.greatest(la, lb)
+            ub = F.when(
+                la.isNull() | lb.isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.when(maxlen == 0, F.lit(1.0)).otherwise(
+                    F.lit(1.0)
+                    - F.abs(la - lb).cast("double") / maxlen.cast("double")
+                )
+            )
+            num_ub = num_ub + F.coalesce(ub * F.lit(float(w)), F.lit(0.0))
+            den_ub = den_ub + F.when(ub.isNull(), F.lit(0.0)).otherwise(
+                F.lit(float(w))
+            )
+        # conjunct order in the merged join condition (checked against
+        # the captured plan): this bound lands FIRST, the pushed-down
+        # Levenshtein score second — so the expensive expression only
+        # evaluates on pairs the integer bound lets through
+        joined = joined.where(
+            (den_ub > 0) & (num_ub / den_ub >= F.lit(float(threshold)))
+        )
     # stage the per-field similarities as ONE projection: each
     # Levenshtein evaluates once per pair (an alias is an attribute
     # reference downstream; inlining `sim` into both the weighted sum

@@ -31,6 +31,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from plateau_spark.core.conf import env_int
+
 
 def dot_col(a, b) -> Column:
     """Sequential-order dot product of two array columns (deterministic)."""
@@ -1665,6 +1667,7 @@ def fit_pq_model(
     k: int = 16,
     refine_iterations: int = 2,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> dict:
     """Fit product-quantization codebooks: the dim axis splits into
     ``m`` contiguous subvectors and each subspace gets its own ``k``
@@ -1683,8 +1686,15 @@ def fit_pq_model(
 
     Returns ``{"m", "k", "dim", "sub_dim", "codebooks": [[...k
     centroids...] per subspace]}``.
+
+    ``dim``: pass the vector length when the caller already knows it
+    (e.g. from coarse centroids) — ``infer_dim`` is a LIMIT-1 read, but
+    on a derived frame (the IVF-PQ residuals) that one row costs a
+    take-escalation scan of the whole upstream plan before anything is
+    cached (profiled ~0.7 s + driver gaps at sf0.1, 3 of the build's
+    driver-blocking actions). None keeps the inference.
     """
-    dim = infer_dim(corpus, vec_col)
+    dim = infer_dim(corpus, vec_col) if dim is None else int(dim)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -2121,6 +2131,7 @@ def build_ivfpq_index(
     # that removes the repeated scans + GEMMs; both are released
     # before the full-corpus encode/store pass below.
     fit_pins: list[DataFrame] = []
+    resid_pin: DataFrame | None = None
     try:
         if centroids is None or pq_model is None:
             fit_src = fit_src.select(F.col(id_col), F.col(vec_col)).persist()
@@ -2156,20 +2167,63 @@ def build_ivfpq_index(
         else:
             resid_fit = _residuals(fit_src).persist()
             fit_pins.append(resid_fit)
+            # Overlap the full-corpus residual materialization with the
+            # PQ fit (guide §2.6: overlap independent jobs): the
+            # residuals depend only on the coarse centroids — known by
+            # now — while the fit's seed/Lloyd collects run sample-
+            # scale driver-blocking jobs that leave the cluster mostly
+            # idle. Size-gated off the optimizer byte estimate (the
+            # pinned residual frame is corpus-scale; at 100 TB the gate
+            # keeps this a fit-phase no-op and the encode below streams
+            # the residuals exactly as before). When fit_corpus is None
+            # the fit ALREADY pinned the corpus residuals (fit_src IS
+            # corpus) — reuse that pin for the encode instead of
+            # re-running the assignment GEMM + centroid join.
+            if fit_corpus is None:
+                resid_pin = resid_fit
+            else:
+                try:
+                    _est = int(
+                        corpus._jdf.queryExecution()
+                        .optimizedPlan().stats().sizeInBytes()
+                    )
+                except Exception:  # noqa: BLE001 — stats unavailable: skip
+                    _est = None
+                _budget = env_int(
+                    "PLATEAU_SPARK_IVFPQ_RESID_PIN_BYTES", 1 << 30
+                )
+                if _est is not None and _est <= _budget:
+                    resid_pin = _residuals(corpus).persist()
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    _pool = ThreadPoolExecutor(max_workers=1)
+                    _mat = _pool.submit(lambda: resid_pin.count())
             model = fit_pq_model(
                 resid_fit, vec_col="__res__", m=m, k=pq_k,
                 refine_iterations=pq_refine_iterations, id_col=id_col,
+                # dim is fixed by the coarse centroids (residual =
+                # vector - centroid) — skip the LIMIT-1 inference scan
+                dim=len(centroids[0][1]) if centroids else None,
             )
+            if resid_pin is not None and resid_pin is not resid_fit:
+                # surface materialization errors before the encode
+                # consumes the pin (the pin itself is correctness-free:
+                # unpersist only ever costs recompute)
+                _mat.result()
+                _pool.shutdown()
     finally:
         # the model is driver-side lists at this point — nothing lazy
         # references the fit caches, so release them before the
-        # full-corpus encode pass
+        # full-corpus encode pass (the encode pin, when taken, is
+        # released after the store write below)
         for p in fit_pins:
+            if p is resid_pin:
+                continue  # reused for the encode; released below
             try:
                 p.unpersist(False)
             except Exception:  # noqa: BLE001 — release is best-effort
                 pass
-    resid = _residuals(corpus)
+    resid = resid_pin if resid_pin is not None else _residuals(corpus)
     # the cell rides THROUGH the encode pass: consuming resid twice
     # (encode input + a cell re-join by id) re-ran the whole
     # assignment GEMM + broadcast join per consumer and paid an extra
@@ -2178,22 +2232,29 @@ def build_ivfpq_index(
         resid, model, id_col=id_col, vec_col="__res__",
         passthrough_cols=["cell"],
     )
-    return store_dataframe_as_dataset(
-        spark, store, index_uuid,
-        with_cell.select("cell", F.col(id_col), "pq_code"),
-        partition_on=["cell"],
-        overwrite=overwrite,
-        metadata={
-            "ivfpq": {
-                "id_col": id_col,
-                "vec_col": vec_col,
-                "centroids": [
-                    [int(cid), [float(x) for x in vec]] for cid, vec in centroids
-                ],
-                **{k_: model[k_] for k_ in ("m", "k", "dim", "sub_dim", "codebooks")},
-            }
-        },
-    )
+    try:
+        return store_dataframe_as_dataset(
+            spark, store, index_uuid,
+            with_cell.select("cell", F.col(id_col), "pq_code"),
+            partition_on=["cell"],
+            overwrite=overwrite,
+            metadata={
+                "ivfpq": {
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "centroids": [
+                        [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+                    ],
+                    **{k_: model[k_] for k_ in ("m", "k", "dim", "sub_dim", "codebooks")},
+                }
+            },
+        )
+    finally:
+        if resid_pin is not None:
+            try:
+                resid_pin.unpersist(False)
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
 
 
 def query_ivfpq_index(
