@@ -454,17 +454,37 @@ def refresh_histogram_statistics(
             True, hmeta["group_cols"], hmeta["value_col"], hmeta["width"]
         )
     gcols, vcol, width_ = hmeta["group_cols"], hmeta["value_col"], hmeta["width"]
-    ins = histogram_sketch(
-        changes.where(F.col("_change_type") == "insert"), gcols, vcol,
-        width=width_,
+    # ONE map-side-combined aggregation over the change feed instead of
+    # two filtered histogram_sketch passes glued with a union (each
+    # union leg re-derived the whole generation diff — two scans and
+    # double the plan to analyze): group by (_change_type, group,
+    # bucket) and negate the delete counts. Output rows are identical —
+    # an (group, bucket) hit by both inserts and deletes still emits
+    # two rows (the change type stays in the grouping), exactly like
+    # the union did.
+    bucket = F.floor(
+        F.col(vcol).cast("double") / F.lit(float(width_))
+    ).cast("bigint")
+    delta = (
+        changes.where(F.col("_change_type").isin("insert", "delete"))
+        .where(F.col(vcol).isNotNull())
+        .groupBy(
+            F.col("_change_type").alias("__ct__"),
+            *[F.col(c) for c in gcols],
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(
+            *gcols,
+            "bucket",
+            F.when(F.col("__ct__") == "delete", -F.col("__n__"))
+            .otherwise(F.col("__n__"))
+            .alias("cnt"),
+        )
     )
-    dels = histogram_sketch(
-        changes.where(F.col("_change_type") == "delete"), gcols, vcol,
-        width=width_,
-    ).withColumn("cnt", -F.col("cnt"))
     hmeta["source_generation"] = int(src_gen)
     return update_dataset_from_dataframe(
-        spark, st, stats_uuid, ins.unionByName(dels),
+        spark, st, stats_uuid, delta,
         override_metadata={_HIST_META_KEY: hmeta},
     )
 
