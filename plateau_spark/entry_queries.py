@@ -7478,89 +7478,51 @@ GROUP BY rec.id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r15 window (first 50) ---
-    # CLOSE-OUT RULE (r13 verdict item 3, permanent; MECHANIZED in r15
-    # by tools/check_window.py): any registry key whose IMPLEMENTING
-    # CODE changed this round — its entry function, an operator module,
-    # or any plateau_spark module in the static import closure — is
-    # either PREPENDED to the window or parity-swept locally
-    # (tools/check_parity.py full run) with the sweep recorded here.
-    # Then the stalest-evidence keys fill the rest. Entries past the
-    # boundary sort by evidence round so the next rotation lifts the
-    # front verbatim. The five rows-only lines (pinned-model twins
-    # carry their hash evidence) stay at the tail, OUT of the window,
-    # so the driver artifact records zero `no_oracle` rows.
-    # After r15 the minimum driver evidence is r12.
+    # --- r16 window (first 50) ---
+    # CLOSE-OUT RULE (r13 verdict item 3, permanent; mechanized by
+    # tools/check_window.py): any registry key whose IMPLEMENTING CODE
+    # changed this round is either PREPENDED to the window or
+    # parity-swept locally (tools/check_parity.py) with the sweep
+    # recorded here. Then the stalest-evidence keys fill the rest.
+    # Entries past the boundary sort by evidence round so the next
+    # rotation lifts the front verbatim. The five rows-only lines
+    # (pinned-model twins carry their hash evidence) stay at the tail,
+    # OUT of the window. After r16 the minimum driver evidence is r13.
     #
-    # -- r15 directly-touched keys (15): the near-dup sink's
-    #    crash-safe overlapped commits (__batch_id__-tagged seen read)
-    #    + background fp compaction, concurrent route commits, the
-    #    encode_pq passthrough validation (pq/ivfpq pinned twins), and
-    #    the persist_shared LRU/byte-budget change (its six operator
-    #    families). check_window.py reports 162 module-closure-touched
-    #    keys for r15 (caching.py is imported nearly everywhere); the
-    #    full check_parity sweep at close-out covers the remainder.
-    #    CLOSE-OUT SWEEP RECORD: all 114 touched keys outside this
-    #    window ran tools/check_parity.py at sf0.01 — 114/114 green,
-    #    0 failures (optimization round 1 close-out, after the fan-out
-    #    / driver-tier-index / UDF-single-eval commits; see
-    #    OPTIMIZATION_r15.md "Close-out verification") --
-    "streaming_ingest_neardup": streaming_ingest_neardup,
-    "streaming_route_datasets": streaming_route_datasets,
-    "streaming_ingest_dedup": streaming_ingest_dedup,
-    "streaming_ingest_dataset": streaming_ingest_dataset,
-    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
-    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
+    # -- r16 directly-touched keys (25): the BM25/query_text_index df
+    #    revert (rrf/hard_negatives/bm25_topk/bm25_indexed — VERDICT
+    #    r15 item 1's done-criterion rotation), the linkage length-
+    #    bound pre-filter, the single-pass change-feed histogram delta,
+    #    the IVF-PQ fit overlap + dim passthrough, the IVF probe
+    #    NULL-element fix, the hardened LSH bucket scorer, the dhash
+    #    shared-cache pin, and the footer-schema sidecar detection --
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "retrieval_hard_negatives": retrieval_hard_negatives,
+    "text_bm25_topk": text_bm25_topk,
+    "text_bm25_indexed": text_bm25_indexed,
+    "entity_match_pairs": entity_match_pairs,
+    "entity_resolution": entity_resolution,
+    "dataset_stats_refresh": dataset_stats_refresh,
+    "histogram_quantiles": histogram_quantiles,
+    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
+    "score_calibrate_from_stats": score_calibrate_from_stats,
     "embedding_ivfpq_pinned": embedding_ivfpq_pinned,
-    "dsir_logweights": dsir_logweights_q,
-    "dsir_select": dsir_select_q,
-    "winnow_overlap_pairs": winnow_overlap_pairs_q,
-    "text_lm2_score": text_lm2_score,
-    "ccnet_buckets": ccnet_buckets,
-    "histogram_drift_psi": histogram_drift_psi,
-    "events_retention_cohorts": events_retention_cohorts,
-    "events_retention_monthly": events_retention_monthly,
-    # -- the 27-key r11-evidence block (stalest) --
-    "dataset_upsert_read": dataset_upsert_read,
-    "dataset_zorder_read": dataset_zorder_read,
-    "decontaminate_bloom": decontaminate_bloom,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "decontaminate_substring": decontaminate_substring,
-    "dedup_cluster_keep": dedup_cluster_keep,
+    "embedding_pq_topk_pinned": embedding_pq_topk_pinned,
+    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
+    "cosine_topk_ivf": cosine_topk_ivf_q,
+    "bitext_mine_pairs": bitext_mine_pairs,
+    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-    "embedding_quantize": embedding_quantize,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_dhash": multimodal_dhash,
-    "multimodal_dhash_pairs": multimodal_dhash_pairs,
-    "multimodal_features": multimodal_features,
-    "multimodal_metadata": multimodal_metadata,
-    "multimodal_resize": multimodal_resize,
-    "ngram_jaccard": ngram_jaccard,
-    "pipeline_training_data": pipeline_training_data,
-    "sample_cluster_balanced": sample_cluster_balanced,
     "semdedup_keep": semdedup_keep,
-    "simhash_md5": simhash_md5,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "text_blocked_words": text_blocked_words,
-    "text_lm_score": text_lm_score,
-    "text_quality_classifier": text_quality_classifier,
-    # -- oldest r13-evidence fill (8) --
-    "agg_to_lists": agg_to_lists,
-    "asof_join_events": asof_join_events,
-    "cosine_topk_ivf_persisted": cosine_topk_ivf_persisted,
-    "dataset_asof_read": dataset_asof_read,
-    "dataset_join_broadcast": dataset_join_broadcast,
-    "dataset_merge_into": dataset_merge_into,
-    "dataset_repartition_read": dataset_repartition_read,
-    "dedup_clusters": dedup_clusters,
-    # --- past the r15 window: evidence round ascending ---
-    # -- latest driver evidence: r12 --
-    "dataset_append_update": dataset_append_update,
+    "dedup_lsh_quality": dedup_lsh_quality,
+    "multimodal_dhash_pairs": multimodal_dhash_pairs,
+    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
     "dataset_bloom_read": dataset_bloom_read,
+    "dataset_index_read": dataset_index_read,
+    "dataset_compact_read": dataset_compact_read,
+    # -- the 25-key r12-evidence block (stalest) --
+    "dataset_append_update": dataset_append_update,
     "dataset_bucketed_write": dataset_bucketed_write,
     "dataset_changes_read": dataset_changes_read,
     "dataset_commit_protocol": dataset_commit_protocol,
@@ -7585,6 +7547,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_sql_view": dataset_sql_view,
     "dataset_update_delete_scope": dataset_update_delete_scope,
     "dataset_zonemap_read": dataset_zonemap_read,
+    # --- past the r16 window: evidence round ascending ---
+    # -- latest driver evidence: r12 (remainder) / r13 / r14 --
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "dedup_duplicate_spans": dedup_duplicate_spans,
@@ -7593,7 +7557,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_pinned": embedding_pca_pinned,
     "embedding_random_projection": embedding_random_projection,
     "export_jsonl_manifest": export_jsonl_manifest,
-    "multimodal_audio_dup_pairs": multimodal_audio_dup_pairs,
     "pack_sequence_boundaries": pack_sequence_boundaries,
     "pipeline_pack_export": pipeline_pack_export,
     "q1_pricing_summary": q1_pricing_summary,
@@ -7605,16 +7568,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_rules": text_gopher_rules,
     "text_script_profile": text_script_profile,
     "window_top_order_per_customer": window_top_order_per_customer,
-    # -- latest driver evidence: r13 (minus keys lifted above) --
     "dedup_corpus_docs": dedup_corpus_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_keep_last": dedup_keep_last,
-    "dedup_lsh_quality": dedup_lsh_quality,
     "dedup_paragraphs_docs": dedup_paragraphs_docs,
     "embedding_kmeans": embedding_kmeans,
     "embedding_outliers": embedding_outliers,
-    "entity_match_pairs": entity_match_pairs,
-    "entity_resolution": entity_resolution,
     "events_funnel_steps": events_funnel_steps,
     "hash_dataset_groups": hash_dataset_groups,
     "join_skew_salted": join_skew_salted,
@@ -7631,7 +7590,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split_assign": sample_split_assign,
     "sample_stratified": sample_stratified,
     "sample_temperature": sample_temperature,
-    "score_calibrate_from_stats": score_calibrate_from_stats,
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
     "streaming_sliding_counts": streaming_sliding_counts,
     "text_bpe_merge_pairs": text_bpe_merge_pairs,
@@ -7644,35 +7602,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "web_domain_pagerank": web_domain_pagerank,
     "web_url_dedup": web_url_dedup,
-    # -- latest driver evidence: r14 (the r14 window, minus keys
-    #    lifted into the r15 window above) --
-    "bitext_mine_pairs": bitext_mine_pairs,
-    "bitext_mine_pairs_ivf": bitext_mine_pairs_ivf,
     "cosine_topk": cosine_topk,
-    "cosine_topk_ivf": cosine_topk_ivf_q,
-    "dataset_compact_read": dataset_compact_read,
     "dataset_delete_rows": dataset_delete_rows,
-    "dataset_index_read": dataset_index_read,
     "dataset_python_source_read": dataset_python_source_read,
-    "dataset_stats_refresh": dataset_stats_refresh,
     "dataset_time_travel_read": dataset_time_travel_read,
     "events_skew_profile": events_skew_profile,
-    "histogram_quantiles": histogram_quantiles,
-    "hybrid_search_rrf": hybrid_search_rrf,
     "pack_documents_bins": pack_documents_bins,
     "pack_sequences": pack_sequences,
-    "retrieval_hard_negatives": retrieval_hard_negatives,
     "score_calibrate_pct": score_calibrate_pct,
     "sketch_distinct_users": sketch_distinct_users,
-    "sketch_incremental_lifecycle": sketch_incremental_lifecycle,
     "streaming_dedup": streaming_dedup,
     "streaming_distinct_monitor": streaming_distinct_monitor,
     "streaming_enrich_dim": streaming_enrich_dim,
     "streaming_histogram_monitor": streaming_histogram_monitor,
     "streaming_interval_join": streaming_interval_join,
     "streaming_topk_monitor": streaming_topk_monitor,
-    "text_bm25_indexed": text_bm25_indexed,
-    "text_bm25_topk": text_bm25_topk,
     "text_bpe_tokens": text_bpe_tokens,
     "text_lang_agg": text_lang_agg,
     "text_pii_scrub": text_pii_scrub,
@@ -7683,6 +7627,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_blocklist_filter": web_blocklist_filter,
     "web_domain_stats": web_domain_stats,
     "web_html_extract": web_html_extract,
+    # -- latest driver evidence: r15 (the r15 window, minus keys
+    #    lifted into the r16 window above) --
+    "streaming_ingest_neardup": streaming_ingest_neardup,
+    "streaming_route_datasets": streaming_route_datasets,
+    "streaming_ingest_dedup": streaming_ingest_dedup,
+    "streaming_ingest_dataset": streaming_ingest_dataset,
+    "streaming_ingest_dedup_keyindex": streaming_ingest_dedup_keyindex,
+    "dsir_logweights": dsir_logweights_q,
+    "dsir_select": dsir_select_q,
+    "winnow_overlap_pairs": winnow_overlap_pairs_q,
+    "text_lm2_score": text_lm2_score,
+    "ccnet_buckets": ccnet_buckets,
+    "histogram_drift_psi": histogram_drift_psi,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_retention_monthly": events_retention_monthly,
+    "dataset_upsert_read": dataset_upsert_read,
+    "dataset_zorder_read": dataset_zorder_read,
+    "decontaminate_bloom": decontaminate_bloom,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "decontaminate_substring": decontaminate_substring,
+    "dedup_cluster_keep": dedup_cluster_keep,
+    "embedding_quantize": embedding_quantize,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_dhash": multimodal_dhash,
+    "multimodal_features": multimodal_features,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_resize": multimodal_resize,
+    "ngram_jaccard": ngram_jaccard,
+    "pipeline_training_data": pipeline_training_data,
+    "sample_cluster_balanced": sample_cluster_balanced,
+    "simhash_md5": simhash_md5,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "text_blocked_words": text_blocked_words,
+    "text_lm_score": text_lm_score,
+    "text_quality_classifier": text_quality_classifier,
+    "agg_to_lists": agg_to_lists,
+    "asof_join_events": asof_join_events,
+    "dataset_asof_read": dataset_asof_read,
+    "dataset_join_broadcast": dataset_join_broadcast,
+    "dataset_merge_into": dataset_merge_into,
+    "dataset_repartition_read": dataset_repartition_read,
+    "dedup_clusters": dedup_clusters,
     # -- rows-only lines (no SQL twin by design; hash evidence lives
     #    on their pinned-model twins) — keep OUT of the first-50 window
     #    so the driver artifact records zero `no_oracle` rows --
