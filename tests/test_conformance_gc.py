@@ -397,8 +397,14 @@ def _run_stream(spark, tmp_path, store, sink):
     )
 
 
-@pytest.mark.parametrize("sink", ["single", "routed"])
-@pytest.mark.parametrize("crash", ["pre_rename", "post_rename"])
+# one representative combo stays in the fast (driver-verify) tier; the
+# other three crash-point x sink combos run in the slow tier (pytest.ini)
+@pytest.mark.parametrize(
+    "sink", ["single", pytest.param("routed", marks=pytest.mark.slow)]
+)
+@pytest.mark.parametrize(
+    "crash", ["pre_rename", pytest.param("post_rename", marks=pytest.mark.slow)]
+)
 def test_streaming_crashed_batch_gc_grid(spark, tmp_path, sink, crash, monkeypatch):
     """Kill micro-batch 1 of a running stream sink mid-write — before the
     staged→table renames (staging orphans) or after them but before the

@@ -146,6 +146,7 @@ def test_write_file_structure_partition_on(mode, spark, lstore):
     assert not [k for k in keys if "/.staging/" in k]
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 @pytest.mark.parametrize("mode", WRITE_MODES)
 def test_write_multiple_elements_keep_their_files(mode, spark, lstore):
     """Each list/generator element lands in its own files; ONE commit
@@ -1164,6 +1165,7 @@ def test_build_indices_concurrent_append_raises_not_lost(spark, lstore, monkeypa
     assert DatasetMetadata.load(lstore, "bic").indices == {}
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_upsert_vs_delete_fuzz_interleavings(spark, lstore, monkeypatch):
     """Fuzz the judge's interleaving across both rewrite paths: every
     append fired mid-rewrite either survives alongside a raised
@@ -1790,6 +1792,7 @@ def test_restore_keeps_constraints_and_documents_escape_hatch(spark, lstore):
         )
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_lifecycle_operation_sequence_fuzz(spark, lstore):
     """Round-9 generative lifecycle fuzz: random SEQUENCES of lifecycle
     operations (append / delete_scope / partition-replace / row-delete

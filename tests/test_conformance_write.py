@@ -53,9 +53,8 @@ MUTATIONS = ["none", "delete", "evolve"]
 CONSTRAINTS = [False, True]
 SORT_BY = [None, ["L"]]
 
-GRID = [
-    pytest.param(p, s, path, mut, con, srt,
-                 id=f"{'-'.join(p) or 'flat'}|{'-'.join(s) or 'noidx'}|{path}|{mut}|{'chk' if con else 'nochk'}|{'sortL' if srt else 'nosort'}")
+_CASES = [
+    (p, s, path, mut, con, srt)
     for p, s, path, mut, con, srt in itertools.product(
         PARTITION_ON, SECONDARY, PATHS, MUTATIONS, CONSTRAINTS, SORT_BY
     )
@@ -66,6 +65,64 @@ GRID = [
     # commit/abort protocol still faces the same row model + mutation +
     # constraint assertions as every other writer)
     if not (path == "dswrite" and (p or s or srt))
+]
+
+
+def _case_id(p, s, path, mut, con, srt) -> str:
+    return (
+        f"{'-'.join(p) or 'flat'}|{'-'.join(s) or 'noidx'}|{path}|{mut}"
+        f"|{'chk' if con else 'nochk'}|{'sortL' if srt else 'nosort'}"
+    )
+
+
+def _fast_case_ids() -> set:
+    """Deterministic representative subset that stays in the default
+    (driver-verify) tier; the remainder carries `slow` and runs via
+    `-m ""` / `-m slow` (pytest.ini). Selection: a uniform md5-hash
+    quarter of the grid for breadth, PLUS at least one case for every
+    pairwise interaction of (path x mutation), (path x partition),
+    (path x secondary), (path x constrained) and (path x sort) — the
+    interactions where write-path bugs historically lived — so every
+    axis pair keeps coverage in the fast tier regardless of how the
+    hash sample falls."""
+    import hashlib
+
+    fast: set = set()
+    covered: set = set()
+
+    def pairs(case):
+        p, s, path, mut, con, srt = case
+        key_p = "-".join(p) or "flat"
+        return {
+            ("pm", path, mut),
+            ("pp", path, key_p),
+            ("ps", path, "-".join(s) or "noidx"),
+            ("pc", path, con),
+            ("po", path, srt is not None),
+        }
+
+    for case in _CASES:
+        cid = _case_id(*case)
+        if int(hashlib.md5(cid.encode()).hexdigest(), 16) % 4 == 0:
+            fast.add(cid)
+            covered |= pairs(case)
+    for case in _CASES:
+        missing = pairs(case) - covered
+        if missing:
+            fast.add(_case_id(*case))
+            covered |= pairs(case)
+    return fast
+
+
+_FAST = _fast_case_ids()
+
+GRID = [
+    pytest.param(
+        *case,
+        id=_case_id(*case),
+        marks=() if _case_id(*case) in _FAST else (pytest.mark.slow,),
+    )
+    for case in _CASES
 ]
 
 

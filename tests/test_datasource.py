@@ -714,6 +714,7 @@ def test_predicates_option_full_dnf_vocabulary(spark, tmp_path):
     assert any(not r["scanned"] for r in report), "expected file pruning"
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_arrow_expr_matches_spark_dnf_on_random_frames(spark):
     """_dnf_to_arrow_expr is the row-filter twin of the native
     _literal_to_column compiler — fuzz both over random frames with

@@ -360,6 +360,7 @@ def test_aggregate_to_lists(spark):
     assert out == {1: ["a", "b"], 2: ["c"]}
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_merge_dataframes_robust(spark):
     a = spark.createDataFrame([(1, "x")], "k long, a string")
     b = spark.createDataFrame([(1, "y")], "k long, b string")

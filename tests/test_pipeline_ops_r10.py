@@ -667,6 +667,7 @@ def test_funnel_steps_needs_two(spark):
         funnel_steps(df, "u", "ts", "et", ["a"])
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_merge_into_matches_python_model_random(spark, tmp_path):
     """Property check: MERGE INTO == a row-by-row Python model of the
     clause semantics across randomized tables/conditions (seeded)."""

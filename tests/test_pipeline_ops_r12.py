@@ -325,6 +325,7 @@ def test_decontaminate_semantic_zero_norm_vectors_never_flag(spark):
         assert got == [(1, 1, 1.0, 101)], method
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_cosine_operators_survive_zero_vectors(spark):
     """One degenerate embedding in a corpus must neither crash an ANSI
     scan (0/0 raises on zero norms) nor outrank real scores (a
@@ -365,6 +366,7 @@ def test_cosine_operators_survive_zero_vectors(spark):
     assert len(cents) == 3  # fit survives the zero row
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_cosine_operators_survive_nan_vectors(spark):
     """Spark compares NaN as greater than every double, so an unguarded
     NaN-component embedding ranks #1 for every query and passes every

@@ -427,6 +427,7 @@ def test_stream_ingest_dedup_cross_batch_first_write_wins(spark, tmp_path):
     assert read_table(spark, store, "dd").count() == 3
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_stream_ingest_dedup_null_keys_never_match(spark, tmp_path):
     """ANSI NULL semantics (same contract as MERGE): NULL-keyed rows are
     never deduped — in-batch OR cross-batch — so the committed dataset
@@ -471,6 +472,7 @@ def test_stream_ingest_dedup_null_keys_never_match(spark, tmp_path):
     assert rows == [(1, "a"), (None, "x"), (None, "y"), (None, "z")]
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_stream_ingest_dedup_key_index_tier(spark, tmp_path):
     """Round-9 scale tier: with ``key_index_dataset`` the sink
     anti-joins a NARROW keys-only side dataset instead of the corpus —
@@ -521,6 +523,7 @@ def test_stream_ingest_dedup_key_index_tier(spark, tmp_path):
     assert all("k" in p.stats for p in kmeta.partitions.values())
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_stream_ingest_dedup_key_index_compaction(spark, tmp_path):
     """The sink compacts its key index on the configured cadence:
     three micro-batches with compact_key_index_every=1 end with ONE
@@ -860,6 +863,7 @@ def test_duplicate_span_stats_top_n_plan(spark):
     assert occ == sorted(occ, reverse=True)
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_remove_duplicate_spans_fuzz_vs_python_twin(spark):
     """Property fuzz: the distributed span-removal pipeline must agree
     with a direct single-process implementation of the spec on random

@@ -701,6 +701,7 @@ def test_neardup_ingest_basic_and_fingerprint_state(spark, tmp_path):
     assert got_sigs == _py_bandsigs(long_a) | _py_bandsigs(long_b)
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_neardup_ingest_restart_is_noop(spark, tmp_path):
     long_a = "one two three four five six seven eight nine ten eleven twelve"
     batches = [[(1, long_a)], [(2, long_a + " extra"), (3, "fresh words entirely different tokens here now today indeed truly")]]
@@ -729,6 +730,7 @@ def test_neardup_ingest_restart_is_noop(spark, tmp_path):
     assert sorted(r.doc_id for r in read_table(spark, store, "docs").collect()) == first
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_neardup_ingest_siphash_production_tier(spark, tmp_path):
     """hash_family='siphash' runs the same pipeline with seeded-murmur3
     minhash atoms: exact-duplicate texts still collide cross-batch and
@@ -740,6 +742,7 @@ def test_neardup_ingest_siphash_production_tier(spark, tmp_path):
     assert sorted(r.doc_id for r in out.collect()) == [1, 4]
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_neardup_ingest_legacy_untagged_fingerprint_dataset(spark, tmp_path):
     """A fingerprint dataset committed before the __batch_id__ tag
     existed (plain band/bandsig columns) must keep working on resume:
@@ -836,6 +839,7 @@ def test_band_signatures_rejects_bad_family(spark):
         md5_band_signatures(df, "doc_id", "text", hash_family="xxhash")
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_neardup_ingest_compaction_cadence(spark, tmp_path):
     """compact_fingerprint_every=1 → the fingerprint dataset compacts
     after batch 1+: still one row per distinct sig, readable, and the

@@ -8,6 +8,7 @@ plans that produce correct rows at sf0.001.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from plateau_spark.sources.dataset import read_table, store_dataframe_as_dataset
@@ -936,6 +937,7 @@ def test_shared_cache_byte_budget_evicts_oversized_frame(spark, monkeypatch):
     assert tiny is not None
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_operator_shared_caches_stay_bounded(spark):
     """50-invocation loop over a persist_shared-using operator: the
     registry (not the caller) keeps total pinned storage bounded — the

@@ -185,6 +185,7 @@ def _python_eval(preds) -> set[int]:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 @given(preds=_DNF)
 def test_dnf_spark_duckdb_parity(fuzz_df, fuzz_duck, preds):
     spark_ids = {

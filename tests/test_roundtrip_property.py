@@ -85,6 +85,7 @@ _counter = [0]
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 @given(rows=st.lists(_ROW, min_size=1, max_size=12, unique_by=lambda r: r[0]))
 def test_store_read_roundtrip_property(spark, tmp_path_factory, rows):
     from plateau_spark.core.store import Store

@@ -464,6 +464,7 @@ _VALS = st.lists(
     max_examples=12, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 @given(vals=_VALS, width=st.sampled_from([0.5, 7.0, 100.0]), q=st.sampled_from([0.1, 0.5, 0.99, 1.0]))
 def test_histogram_quantile_bound_property(spark, vals, width, q):
     """For ANY value multiset: the estimate sits in (target, target +
@@ -499,6 +500,7 @@ def test_histogram_quantile_bound_property(spark, vals, width, q):
     assert got == direct
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_stats_refresh_operation_sequence_fuzz(spark, tmp_path):
     """Generative fuzz of the change-feed refresh: random SEQUENCES of
     source mutations (append / delete_scope / partition-replace /
@@ -904,6 +906,7 @@ def test_consolidate_rejects_non_stats_dataset(spark, docs, tmp_path):
         max_size=40,
     )
 )
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_calibrate_percent_rank_property(spark, rows):
     """For ANY (group, score) multiset, the agg-shape calibration
     equals F.percent_rank() on non-null scores and yields NULL for

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from plateau_spark.sources.tables import load_table
@@ -468,6 +469,7 @@ def test_stream_to_dataset_ingest_and_replay(spark, tmp_path):
     assert out2.count() == 101
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_stream_to_dataset_multi_batch_then_compact(spark, tmp_path):
     """maxFilesPerTrigger=1 over a 3-file source drives THREE separate
     micro-batch commits (each atomic, each recorded); compact_dataset
@@ -756,6 +758,7 @@ def test_sliding_window_counts_overlap(spark):
     assert sum(r.n_events for r in slide) == 2 * sum(r.n_events for r in tumble)
 
 
+@pytest.mark.slow  # exhaustive fuzz/property tier; fast-tier coverage remains (pytest.ini)
 def test_scheduled_fingerprint_compaction_survives_empty_batch(spark, tmp_path):
     """An EMPTY micro-batch landing exactly on the compaction schedule
     must not postpone compaction (the pruned seen-index probe of every
